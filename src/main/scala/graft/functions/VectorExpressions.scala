@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.{Bridge, CosDist, HammingNe, L2Sq, NegDot}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.core.SpaceType
+
+/** Column-level API + SQL registration for the distance family. */
+object vfn {
+  def l2Sq(a: Column, b: Column): Column =
+    Bridge.column(L2Sq(Bridge.expression(a), Bridge.expression(b)))
+  def negDot(a: Column, b: Column): Column =
+    Bridge.column(NegDot(Bridge.expression(a), Bridge.expression(b)))
+  def cosDist(a: Column, b: Column): Column =
+    Bridge.column(CosDist(Bridge.expression(a), Bridge.expression(b)))
+  def hammingNe(a: Column, b: Column): Column =
+    Bridge.column(HammingNe(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Space-type dispatch (reference `internal/index/const.go:3-8`); unlike the
+    * reference's silent l2 fallback (`hnsw.go:134-139`), unsupported spaces
+    * are a hard error at SpaceType.parse time.
+    */
+  def distance(a: Column, b: Column, space: SpaceType): Column = space match {
+    case SpaceType.L2      => l2Sq(a, b)
+    case SpaceType.Ip      => negDot(a, b)
+    case SpaceType.Cos     => cosDist(a, b)
+    case SpaceType.Hamming => hammingNe(a, b).cast(DoubleType)
+  }
+
+  /** Register all distance functions for SQL use on this session. */
+  def register(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "l2_sq")(es => L2Sq(es(0), es(1)))
+    Bridge.registerFunction(spark, "neg_dot")(es => NegDot(es(0), es(1)))
+    Bridge.registerFunction(spark, "cos_dist")(es => CosDist(es(0), es(1)))
+    Bridge.registerFunction(spark, "hamming_ne")(es => HammingNe(es(0), es(1)))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.SpaceType
+import graft.functions.vfn
+
+/** Exact (Flat-parity) batch KNN: a *set* of query vectors against a corpus,
+  * top-k per query by ascending distance (reference `FlatIndex.Search`,
+  * `internal/index/flat.go:106-136` — SURVEY J2/A1), plus the
+  * search-then-fetch metadata join (`internal/db/document.go:228-239` —
+  * SURVEY J1).
+  *
+  * Scale design (100 TB corpus, O(10..10^4) queries):
+  *  - The query side is broadcast; the corpus NEVER shuffles for the distance
+  *    computation — each corpus partition scores its rows against all queries
+  *    inside one whole-stage-codegen loop.
+  *  - Top-k uses `row_number` over (query, distance); Catalyst's
+  *    `WindowGroupLimit` rewrite (Spark 3.5+) inserts a *partial* group-limit
+  *    before the shuffle, so only ≤ k·numPartitions rows per query reach the
+  *    exchange — the classic two-phase top-k for free, verified via
+  *    `.explain` (WindowGroupLimit Partial/Final around the Exchange).
+  *  - Ties broken by corpus id so results are deterministic.
+  */
+object ExactKnn {
+
+  /** Returns columns: <queryId>, <corpusId>, distance (double), rnk (long, 1-based). */
+  def knn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dist = vfn.distance(col(corpusVec), col(queryVec), space)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("distance").asc, col(corpusId).asc)
+    corpus
+      .crossJoin(broadcast(queries))
+      .withColumn("distance", dist)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(queryId), col(corpusId), col("distance"), col("rnk"))
+  }
+
+  /** KNN + metadata fetch: reference's per-hit `GetDocument` N+1 loop becomes
+    * a single broadcast hash join of the tiny top-k result against the docs
+    * table (SURVEY J1).
+    */
+  def knnFetch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      docs: DataFrame,
+      k: Int,
+      space: SpaceType,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      docId: String = "id"): DataFrame = {
+    val hits = knn(corpus, queries, k, space, corpusId, corpusVec, queryId, queryVec)
+    // top-k output is tiny (|queries|·k rows) → broadcast it, stream the docs
+    // table; at scale this is a broadcast semi-join-shaped fetch, not a shuffle.
+    docs.join(broadcast(hits), docs(docId) === hits(corpusId), "inner")
+  }
+
+  /** Radius/range search: all corpus rows within `radius` of any query
+    * (same broadcast-the-queries shape; no top-k shuffle at all).
+    */
+  def radius(
+      corpus: DataFrame,
+      queries: DataFrame,
+      radius: Double,
+      space: SpaceType,
+      corpusVec: String = "vector",
+      queryVec: String = "query_vec"): DataFrame = {
+    val dist: Column = vfn.distance(col(corpusVec), col(queryVec), space)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("distance", dist)
+      .filter(col("distance") <= radius)
+  }
+}

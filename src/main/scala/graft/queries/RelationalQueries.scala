@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Relational query pack over the TESTDATA tables: scans, filters, joins
+  * (broadcast/semi/anti), aggregations, window functions, sorts, limits, set
+  * ops — the Spark-side surface SURVEY.md §2.1–§2.5 maps the reference's
+  * storage procedures onto.
+  *
+  * Oracle determinism: every float-valued output is derived from exact
+  * DECIMAL arithmetic (then cast to double), is a raw column passthrough, or
+  * is an exact-integer-derived ratio — so Spark and DuckDB hash-match
+  * bit-for-bit regardless of aggregation order. Timestamps are emitted as
+  * epoch millis (bigint).
+  */
+object RelationalQueries {
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def one: Column = lit(1).cast(D)
+
+  /** TPC-H Q1-style pricing summary (group agg with exact decimal math).
+    * Scale: single shuffle on the 6-value group key with map-side partial
+    * aggregation; scan is column-pruned to 7 columns.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val discPrice =
+      (dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).cast(DecimalType(18, 4))
+    li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        sum(discPrice * (one + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+  }
+
+  val q1Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |         AS DECIMAL(18,4)) AS disc_price,
+      |    CAST(l_tax AS DECIMAL(18,2)) AS tax
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(price) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(disc_price * (CAST(1 AS DECIMAL(18,2)) + tax)) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order,
+      |  CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(price) AS DOUBLE) / count(*) AS avg_price
+      |FROM t GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join + group + global top-10.
+    * Scale: orders/customer filtered before the join; top-10 via
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15 00:00:00").cast(TimestampType)
+    val cust = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    val revenue = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so NTZ→TZ cast
+      // yields the same wall-clock epoch millis DuckDB's epoch_ms computes.
+      .select(col("o_orderkey"), col("revenue"),
+        unix_millis(col("o_orderdate").cast(TimestampType)).as("o_orderdate_ms"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  epoch_ms(o_orderdate) AS o_orderdate_ms
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style multi-join through the region/nation dimension chain.
+    * Scale: the dimension tables (region, nation, supplier) are explicitly
+    * broadcast; only the lineitem⋈orders join shuffles on orderkey.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val supp = Tables(spark, dir, "supplier")
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val revenue = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** Point lookup (reference LSM `Get`, SURVEY S3): predicate pushdown +
+    * parquet row-group stats replace the memtable/SSTable/bloom pipeline.
+    */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") === 42)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+
+  val pointLookupSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem WHERE l_orderkey = 42""".stripMargin
+
+  /** Global top-k by sort key (SURVEY A1's sort+truncate as a relational op);
+    * plans as TakeOrderedAndProject — per-partition heaps, no full sort.
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers that never placed an order. */
+  def customerNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val customerNoOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+
+  /** Set op: UNION (with dedup) of two key sets. */
+  def unionNationKeys(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = Tables(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.union(s).distinct()
+  }
+
+  val unionNationKeysSql: String =
+    "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier"
+
+  /** Last-write-wins dedup — the reference's compaction semantics
+    * (`tree_compact.go:109-130`: newer SSTables overwrite older) expressed as
+    * a window group-limit: latest event per user. This is the same plan shape
+    * DocStore.compact uses. Scale: WindowGroupLimit prunes to 1 row per
+    * (user, partition) before the shuffle.
+    */
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a long
+    * (nanos since epoch) under this legacy flag; all ts math below is exact
+    * int64 nanos, so ordering/truncation agree with DuckDB's TIMESTAMP_NS.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+  }
+
+  def lwwLatestEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  val lwwLatestEventsSql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  /** Tumbling-window aggregation over the event stream table (hourly): the
+    * batch shape of the Structured Streaming ingest path. Exact decimal sums.
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.groupBy(
+        (expr("ts div 3600000000000") * 3600000L).as("hour_ms"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+  }
+
+  val eventsHourlySql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary(_, _)),
+    "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
+    "q5_local_supplier" -> (q5LocalSupplier(_, _)),
+    "point_lookup" -> (pointLookup(_, _)),
+    "topk_orders" -> (topkOrders(_, _)),
+    "customer_no_orders" -> (customerNoOrders(_, _)),
+    "union_nation_keys" -> (unionNationKeys(_, _)),
+    "lww_latest_events" -> (lwwLatestEvents(_, _)),
+    "events_hourly" -> (eventsHourly(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "point_lookup" -> pointLookupSql,
+    "topk_orders" -> topkOrdersSql,
+    "customer_no_orders" -> customerNoOrdersSql,
+    "union_nation_keys" -> unionNationKeysSql,
+    "lww_latest_events" -> lwwLatestEventsSql,
+    "events_hourly" -> eventsHourlySql)
+}

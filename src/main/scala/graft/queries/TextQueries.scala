@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis query pack over the `documents` table — the training-data
+  * pipeline operators (token/char stats, regex token counting, language-ID
+  * heuristic, quality scoring, exact dedup, n-gram Jaccard pairs, multimodal
+  * binary plumbing).
+  *
+  * Oracle determinism: outputs are integers, strings, or ratios of exact
+  * integers (single double division — bit-identical across engines).
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-document token/char statistics (whitespace tokenization). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      col("n_chars"))
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |  n_chars
+      |FROM documents""".stripMargin
+
+  /** Token counting: whitespace words + a BPE-ish regex segmentation
+    * (letters / digits / single other-symbol runs).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("n_piece"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_piece
+      |FROM documents""".stripMargin
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+
+  /** Language-ID heuristic: stopword-hit ratio over whitespace tokens
+    * (n-gram/stopword heuristic family; deterministic, both-engine
+    * expressible; a production pipeline swaps in a trained classifier).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val hits = size(filter(toks, t => t.isin(EnStop.map(lit(_)): _*))).cast("long")
+    docs(spark, dir).select(
+      col("doc_id"),
+      hits.as("en_hits"),
+      when(hits * 100 >= size(toks).cast("long") * 3, lit("en")).otherwise(lit("unk"))
+        .as("pred_lang"))
+  }
+
+  val langIdSql: String = {
+    val inList = EnStop.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, en_hits,
+       |  CASE WHEN en_hits * 100 >= n_tokens * 3 THEN 'en' ELSE 'unk' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($inList))) AS BIGINT) AS en_hits,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents) t""".stripMargin
+  }
+
+  /** Quality scoring: lexical-diversity ratio + length flags (the
+    * length/punct/stopword-ratio family used to filter training corpora).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val nDis = size(array_distinct(toks)).cast("long")
+    docs(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (nDis.cast("double") / nTok.cast("double")).as("diversity"),
+      when(nTok < 10, 1L).otherwise(0L).as("too_short"),
+      when(col("n_chars") > 1000, 1L).otherwise(0L).as("too_long"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_tokens,
+      |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS diversity,
+      |  CAST(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END AS BIGINT) AS too_short,
+      |  CAST(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END AS BIGINT) AS too_long
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |  FROM documents) t""".stripMargin
+
+  /** Exact dedup (hash-groupBy): one surviving doc_id per distinct text.
+    * Scale: group key is the text digest, not the text itself — the shuffle
+    * carries 16 bytes + id per row regardless of document size.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** N-gram (unigram token-set) Jaccard near-dup pairs via explode + self-join
+    * on shared tokens — the exact-verification stage of a MinHash pipeline
+    * (restricted to doc_id < 200 to bound the oracle's pair space; the
+    * MinHash/LSH variant in Dedup scales this to the full corpus).
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("w"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = tok.as("a").join(tok.as("b"), col("a.w") === col("b.w"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .withColumn("jacc",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jacc") >= 0.9)
+      .select(col("ia"), col("ib"))
+  }
+
+  val jaccardPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      |  FROM documents WHERE doc_id < 200),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM tok a JOIN tok b ON a.w = b.w WHERE a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT ia, ib FROM inter
+      |JOIN sizes sa ON sa.doc_id = ia
+      |JOIN sizes sb ON sb.doc_id = ib
+      |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.9""".stripMargin
+
+  /** Multimodal plumbing: treat the payload as an opaque binary column with
+    * typed metadata (byte length + content digest). The decode/feature stage
+    * for real image/audio bytes is the mapPartitions pipeline in
+    * operators.Multimodal (stubbed decode, real plumbing).
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      md5(col("text").cast("binary")).as("digest"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats(_, _)),
+    "token_count" -> (tokenCount(_, _)),
+    "lang_id" -> (langId(_, _)),
+    "quality_score" -> (qualityScore(_, _)),
+    "dedup_exact" -> (dedupExact(_, _)),
+    "jaccard_pairs" -> (jaccardPairs(_, _)),
+    "multimodal_meta" -> (multimodalMeta(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "token_count" -> tokenCountSql,
+    "lang_id" -> langIdSql,
+    "quality_score" -> qualityScoreSql,
+    "dedup_exact" -> dedupExactSql,
+    "jaccard_pairs" -> jaccardPairsSql,
+    "multimodal_meta" -> multimodalMetaSql)
+}

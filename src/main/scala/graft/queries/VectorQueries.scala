@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{SpaceType, Tables}
+import graft.functions.vfn
+import graft.operators.ExactKnn
+
+/** Vector query pack over the `embeddings` table (64-d float, L2-normalized,
+  * 10 labels): exact KNN in all three metric spaces, search-then-fetch,
+  * centroid assignment, radius search / near-dup, NN-join.
+  *
+  * Oracle determinism: distance *ranks* (not raw floats) are emitted; both
+  * engines accumulate in double over the identical float32 inputs, so
+  * orderings agree (rank flips would require two candidates within ~1 ulp of
+  * the same distance — measured gaps are ≫ 1e-12). Ties broken by id.
+  */
+object VectorQueries {
+  private val K = 10
+  private val NQ = 10 // queries = vec_id < NQ
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  private def knnRanks(spark: SparkSession, dir: String, space: SpaceType): DataFrame =
+    ExactKnn.knn(corpus(spark, dir), queriesDf(spark, dir), K, space,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+
+  private def knnOracle(orderBy: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQ)
+       |SELECT qid, vec_id, rnk FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY $orderBy, e.vec_id ASC) AS rnk
+       |  FROM q CROSS JOIN embeddings e) t
+       |WHERE rnk <= $K""".stripMargin
+
+  val knnL2Sql: String =
+    knnOracle("list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC")
+  val knnCosSql: String =
+    knnOracle("list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC")
+  val knnIpSql: String =
+    knnOracle("list_inner_product(q.qv, CAST(e.embedding AS DOUBLE[])) DESC")
+
+  /** Search-then-fetch (SURVEY J1): KNN hits broadcast-joined to document
+    * metadata — the reference's per-hit GetDocument loop as one join.
+    */
+  def knnFetchJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hits = knnRanks(spark, dir, SpaceType.L2)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+    docs.join(broadcast(hits), docs("doc_id") === hits("vec_id"))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("lang"), col("source"))
+  }
+
+  val knnFetchJoinSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |hits AS (
+       |  SELECT qid, vec_id, rnk FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC, e.vec_id ASC) AS rnk
+       |    FROM q CROSS JOIN embeddings e) t
+       |  WHERE rnk <= $K)
+       |SELECT qid, rnk, doc_id, lang, source
+       |FROM documents JOIN hits ON doc_id = vec_id""".stripMargin
+
+  /** Centroid-assignment join (SURVEY J3): every vector → nearest of a fixed
+    * centroid set (here: vec_id < 10, standing in for trained centroids so the
+    * oracle is deterministic). IVF uses the same shape with KMeans centroids.
+    * Scale: centroids broadcast; corpus never shuffles; argmin per row.
+    */
+  def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val emb = corpus(spark, dir)
+    // argmin over 10 centroids per row: aggregate the broadcast cross product
+    val dist = vfn.l2Sq(col("embedding"), col("cv"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("centroid_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("d", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  val clusterAssignSql: String =
+    """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      |           FROM embeddings WHERE vec_id < 10)
+      |SELECT vec_id, centroid_id FROM (
+      |  SELECT e.vec_id, c.centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC, c.centroid_id ASC) AS rn
+      |  FROM embeddings e CROSS JOIN c) t
+      |WHERE rn = 1""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (radius search over the pair space).
+    * Scale: at 100 TB this is LSH-bucketed first (see Dedup.minHashLsh /
+    * AnnLsh); the all-pairs form here is the exactness baseline the bucketed
+    * variant is validated against.
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val a = corpus(spark, dir).select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = corpus(spark, dir).select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("ia") < col("ib"))
+      .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
+      .filter(col("sim") >= 0.45)
+      .select(col("ia"), col("ib"))
+  }
+
+  val embedNearDupSql: String =
+    """SELECT a.vec_id AS ia, b.vec_id AS ib
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+
+  /** Nearest-neighbor self-join: each vector's single nearest other vector —
+    * the k=1 all-pairs KNN a dedup pipeline runs before clustering dups.
+    */
+  def nnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val q = corpus(spark, dir).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    ExactKnn.knn(corpus(spark, dir), q, 2, SpaceType.L2,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .filter(col("vec_id") =!= col("qid")) // drop self-match
+      .filter(col("rnk") <= 2)
+      .groupBy(col("qid")).agg(min(col("vec_id")).as("nn_id"))
+  }
+
+  val nnJoinSql: String =
+    """WITH ranked AS (
+      |  SELECT a.vec_id AS qid, b.vec_id,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) ASC, b.vec_id ASC) AS rnk
+      |  FROM embeddings a CROSS JOIN embeddings b)
+      |SELECT qid, min(vec_id) AS nn_id FROM ranked
+      |WHERE rnk <= 2 AND vec_id <> qid
+      |GROUP BY qid""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
+    "knn_cos" -> ((s, d) => knnRanks(s, d, SpaceType.Cos)),
+    "knn_ip" -> ((s, d) => knnRanks(s, d, SpaceType.Ip)),
+    "knn_fetch_join" -> (knnFetchJoin(_, _)),
+    "cluster_assign" -> (clusterAssign(_, _)),
+    "embed_neardup" -> (embedNearDup(_, _)),
+    "nn_join" -> (nnJoin(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "knn_l2" -> knnL2Sql,
+    "knn_cos" -> knnCosSql,
+    "knn_ip" -> knnIpSql,
+    "knn_fetch_join" -> knnFetchJoinSql,
+    "cluster_assign" -> clusterAssignSql,
+    "embed_neardup" -> embedNearDupSql,
+    "nn_join" -> nnJoinSql)
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4.x wraps `Column` around `ColumnNode`; the sanctioned internal
+  * converter (`ExpressionUtils`) is `private[sql]`, so this bridge lives in a
+  * subpackage of `org.apache.spark.sql`. It is the only place the engine
+  * touches non-public Spark API.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a Catalyst expression builder as a SQL function on this session
+    * (usable from `spark.sql`/`expr`). Idempotent.
+    */
+  def registerFunction(spark: SparkSession, name: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}
