@@ -1,0 +1,208 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.operators.{AnnLsh, ExactKnn, IvfIndex}
+import graft.sources.EmbeddingProvider
+
+/** Engine facade — the reference's REST verb set (SURVEY §2.9) as a Scala
+  * API over the DocStore/Catalog/KNN operators. Semantics mirror
+  * `internal/server/handlers.go` with the §7.4 fixes:
+  *
+  *  - duplicate create → Ok-with-message, not error (`handlers.go:90-93`);
+  *  - zero search hits → error "no satisfied results found"
+  *    (`document.go:222-225`);
+  *  - metadata `filter` is IMPLEMENTED (pre- or post-filter per
+  *    `docs/design.md:58`'s heuristic), not silently ignored;
+  *  - setParams validates (efsearch for hnsw-tier, nprobe for ivf*,
+  *    `ivf.go:379-413` / `hnsw.go:171-204`), unknown key → error;
+  *  - deleted docs read as absent; no stale result cache;
+  *  - `buildIndex` actually trains (the reference's endpoint batch-upserts,
+  *    `handlers.go:176` — SURVEY §7.4).
+  */
+class Engine(
+    val spark: SparkSession,
+    root: String,
+    embedder: Option[EmbeddingProvider] = None) {
+
+  private val catalog = new Catalog(root)
+  private val store = new DocStore(spark, root)
+  // per-collection runtime state: search params + trained IVF model
+  private val runtime = collection.concurrent.TrieMap.empty[String, Map[String, Int]]
+  private val ivfModels = collection.concurrent.TrieMap.empty[String, IvfIndex.Model]
+
+  // ---- collection DDL (POST/GET/DELETE /v1/collections) ----
+
+  /** Returns false (with no error) when the collection already exists. */
+  def createCollection(config: CollectionConfig): Boolean = {
+    val created = catalog.create(config)
+    if (created) store.init(config.name)
+    created
+  }
+
+  def getCollection(name: String): Option[CollectionConfig] = catalog.get(name)
+
+  def listCollections(): Seq[String] = catalog.list()
+
+  def dropCollection(name: String): Boolean = {
+    runtime.remove(name); ivfModels.remove(name)
+    catalog.drop(name)
+  }
+
+  private def configOf(name: String): CollectionConfig =
+    catalog.get(name).getOrElse(
+      throw new NoSuchElementException(s"collection '$name' not found"))
+
+  // ---- document CRUD (POST/GET/DELETE .../documents) ----
+
+  def upsertDocument(coll: String, doc: Document): Unit =
+    batchUpsertDocuments(coll, Seq(doc))
+
+  /** All-or-nothing batch upsert with dimension validation
+    * (`document.go:280-285`); docs with `embedText` resolved through the
+    * embedding provider (`document.go:54-68`).
+    */
+  def batchUpsertDocuments(coll: String, docs: Seq[Document]): Unit = {
+    val cfg = configOf(coll)
+    store.upsert(coll, docs, cfg.dimension)
+  }
+
+  /** Upsert with server-side embedding (params embedding=true path). */
+  def upsertWithEmbedding(coll: String, id: String, text: String,
+      params: Map[String, String] = Map.empty): Unit = {
+    val cfg = configOf(coll)
+    val provider = embedder.getOrElse(
+      throw new IllegalStateException("no embedding provider configured"))
+    require(text != null && text.nonEmpty, "missing text for embedding") // document.go:58-61
+    val v = provider.embed(text)
+    require(v.length == cfg.dimension,
+      s"provider dimension ${v.length} != collection dimension ${cfg.dimension}")
+    store.upsert(coll, Seq(Document(id, v, params)), cfg.dimension)
+  }
+
+  /** Deleted/tombstoned ids read as absent (divergence fix, SURVEY §7.4). */
+  def getDocument(coll: String, id: String): Option[Document] = {
+    configOf(coll)
+    store.get(coll, id)
+  }
+
+  def deleteDocument(coll: String, id: String): Unit = {
+    val cfg = configOf(coll)
+    store.delete(coll, Seq(id), cfg.dimension)
+  }
+
+  /** Current collection contents as a DataFrame (LWW-resolved). */
+  def documents(coll: String): DataFrame = {
+    configOf(coll)
+    store.read(coll)
+  }
+
+  def compact(coll: String): Unit = { configOf(coll); store.compact(coll) }
+
+  // ---- runtime search params (POST .../documents/setparams) ----
+
+  def setParams(coll: String, params: Map[String, Int]): Unit = {
+    val cfg = configOf(coll)
+    require(params.nonEmpty, "empty params") // handlers_test.go:604
+    params.foreach {
+      case ("efsearch", v) =>
+        require(cfg.indexType == IndexType.Hnsw, s"efsearch not valid for ${cfg.indexType.name}")
+        require(v > 0, s"efsearch must be positive, got $v")
+      case ("nprobe", v) =>
+        require(cfg.indexType == IndexType.IvfFlat || cfg.indexType == IndexType.IvfPq,
+          s"nprobe not valid for ${cfg.indexType.name}")
+        val nlist = ivfModels.get(coll).map(_.nlist).getOrElse(Int.MaxValue)
+        require(v > 0 && v <= nlist, s"nprobe must be in [1, $nlist], got $v") // ivf.go:407-413
+      case (k, _) => throw new IllegalArgumentException(s"unknown search param '$k'") // ivf.go:399-401
+    }
+    runtime.updateWith(coll)(old => Some(old.getOrElse(Map.empty) ++ params))
+  }
+
+  def getParams(coll: String): Map[String, Int] = runtime.getOrElse(coll, Map.empty)
+
+  // ---- index build (POST .../buildindex) ----
+
+  /** Actually trains (IVF coarse quantizer via distributed KMeans; Flat/LSH
+    * need no training) — fixing the reference's buildindex-batch-upserts
+    * quirk (`handlers.go:176`).
+    */
+  def buildIndex(coll: String, nlist: Int = 100): Unit = {
+    val cfg = configOf(coll)
+    cfg.indexType match {
+      case IndexType.IvfFlat | IndexType.IvfPq =>
+        val corpus = store.read(coll)
+        val n = corpus.count()
+        val k = math.min(nlist.toLong, n).toInt
+        require(k >= 1, "cannot train an index on an empty collection")
+        ivfModels(coll) = IvfIndex.train(corpus, "vector", k, cfg.spaceType)
+      case _ => () // flat / hnsw-tier: nothing to train
+    }
+  }
+
+  // ---- search (POST .../vectors/search, .../documents/search) ----
+
+  /** Batch vector search: top-k ids+distances per query (SURVEY §3.1).
+    * Dispatches on index type: flat → exact; ivf_flat → nprobe-pruned;
+    * hnsw → LSH ANN tier (recall knob ≈ efsearch).
+    */
+  def searchVectors(coll: String, queries: Seq[(String, Array[Float])], k: Int): DataFrame = {
+    val cfg = configOf(coll)
+    queries.foreach { case (qid, v) =>
+      require(v.length == cfg.dimension,
+        s"query '$qid' dimension ${v.length} != collection dimension ${cfg.dimension}")
+    }
+    val corpus = store.read(coll)
+    searchOn(corpus, cfg, coll, queries, k)
+  }
+
+  private def searchOn(corpus: DataFrame, cfg: CollectionConfig, coll: String,
+      queries: Seq[(String, Array[Float])], k: Int): DataFrame = {
+    import spark.implicits._
+    val qDf = queries.toDF("query_id", "query_vec")
+      .withColumn("query_vec", col("query_vec").cast("array<float>"))
+    cfg.indexType match {
+      case IndexType.IvfFlat | IndexType.IvfPq =>
+        val model = ivfModels.getOrElse(coll,
+          throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
+        IvfIndex.search(IvfIndex.assign(corpus, "vector", model), qDf, model, k, nprobe)
+      case IndexType.Hnsw =>
+        val tables = getParams(coll).getOrElse("efsearch", 40) / 10 + 1
+        AnnLsh.search(corpus, qDf, k, cfg.spaceType, numTables = math.min(tables, 8))
+      case IndexType.Flat =>
+        ExactKnn.knn(corpus, qDf, k, cfg.spaceType)
+    }
+  }
+
+  /** Search + metadata fetch + metadata filter. `filter` is a real predicate
+    * over the params map (e.g. `col("params")("tag") === "x"`). Pre-filter
+    * shrinks the corpus before KNN; post-filter searches 2×k then filters
+    * (`docs/design.md:58` heuristic). Zero hits → error (`document.go:222-225`).
+    */
+  def searchDocuments(coll: String, query: Array[Float], k: Int,
+      filter: Option[Column] = None, preFilter: Boolean = true): Seq[SearchHit] = {
+    val cfg = configOf(coll)
+    require(query.length == cfg.dimension,
+      s"query dimension ${query.length} != collection dimension ${cfg.dimension}")
+    val corpus = store.read(coll)
+    val hits = filter match {
+      case Some(pred) if preFilter =>
+        searchOn(corpus.filter(pred), cfg, coll, Seq(("q", query)), k)
+      case Some(pred) =>
+        val wide = searchOn(corpus, cfg, coll, Seq(("q", query)), 2 * k)
+        wide.join(corpus.filter(pred).select(col("id")), "id")
+          .orderBy(col("rnk")).limit(k)
+      case None =>
+        searchOn(corpus, cfg, coll, Seq(("q", query)), k)
+    }
+    val out = hits.select(col("query_id"), col("id"), col("distance"), col("rnk"))
+      .collect()
+      .map(r => SearchHit(r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_.rank)
+    if (out.isEmpty)
+      throw new NoSuchElementException("no satisfied results found") // document.go:222-225
+    out.toSeq
+  }
+}

@@ -1,0 +1,145 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Versioned, last-write-wins document store over Parquet — the Spark-native
+  * replacement for the reference's LSM tree + WAL
+  * (`internal/storage/tree/tree.go`, SURVEY §2.1 S3–S7, §3.2):
+  *
+  *  - upsert/delete append immutable row batches `(id, vector, params,
+  *    version, is_deleted)`; an atomically-written batch file is the
+  *    durability point (the WAL's job);
+  *  - reads resolve LWW with a window group-limit (max version per id, drop
+  *    tombstones) — the skiplist/compaction-merge semantics
+  *    (`tree_compact.go:109-130`) as a declarative plan;
+  *  - `compact()` is leveled compaction: rewrite keeping only winners.
+  *
+  * Divergences (SURVEY §7.4, deliberate): deleted docs read as absent (the
+  * reference's tombstone read yields a JSON unmarshal error,
+  * `document.go:98-107`); the skiplist last-node drop bug is structurally
+  * impossible here and regression-tested.
+  *
+  * Scale: appends are per-batch parquet writes (no read-modify-write);
+  * LWW resolution uses WindowGroupLimit (partial limit before the shuffle);
+  * point reads push `id = x` into the parquet scan. Version assignment uses a
+  * driver-side counter file per collection — at cluster scale this becomes a
+  * metastore/manifest sequence, the layout is unchanged.
+  */
+class DocStore(spark: SparkSession, root: String) {
+  import DocStore._
+
+  private def dataDir(name: String) = s"$root/$name/data"
+  private def versionFile(name: String) = Paths.get(s"$root/$name/_version")
+
+  def schema(dim: Int): StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false), nullable = true),
+    StructField("params", MapType(StringType, StringType), nullable = true),
+    StructField("version", LongType, nullable = false),
+    StructField("is_deleted", BooleanType, nullable = false)))
+
+  def init(name: String): Unit = {
+    Files.createDirectories(Paths.get(dataDir(name)))
+    if (!Files.exists(versionFile(name)))
+      Files.write(versionFile(name), "0".getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def nextVersion(name: String): Long = synchronized {
+    val v = new String(Files.readAllBytes(versionFile(name)), StandardCharsets.UTF_8)
+      .trim.toLong + 1
+    Files.write(versionFile(name), v.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    v
+  }
+
+  /** Append a batch of upserts (one version for the whole batch — the
+    * reference's BatchUpsert atomicity, `document.go:277-307`).
+    */
+  def upsert(name: String, docs: Seq[Document], dim: Int): Unit = {
+    require(docs.nonEmpty, "empty batch")
+    // all-or-nothing dimension validation (document.go:280-285)
+    docs.find(d => d.vector == null || d.vector.length != dim).foreach { d =>
+      throw new IllegalArgumentException(
+        s"document '${d.id}': vector dimension ${Option(d.vector).map(_.length).getOrElse(0)} != collection dimension $dim")
+    }
+    appendRows(name, docs.map(d =>
+      Row(d.id, d.vector.toSeq, d.params, -1L, false)), dim)
+  }
+
+  /** Delete = tombstone append (`storage.go:37-39`), uniformly honored by
+    * readers via is_deleted.
+    */
+  def delete(name: String, ids: Seq[String], dim: Int): Unit = {
+    require(ids.nonEmpty, "empty delete batch")
+    appendRows(name, ids.map(id => Row(id, null, null, -1L, true)), dim)
+  }
+
+  private def appendRows(name: String, rows: Seq[Row], dim: Int): Unit = {
+    val v = nextVersion(name)
+    val stamped = rows.map(r => Row(r(0), r(1), r(2), v, r(4)))
+    spark.createDataFrame(stamped.asJava, schema(dim))
+      .write.mode("append").parquet(dataDir(name))
+  }
+
+  /** Raw log (all versions, incl. tombstones). */
+  def log(name: String): DataFrame = spark.read.parquet(dataDir(name))
+
+  /** Current state: latest version per id, tombstones dropped. */
+  def read(name: String): DataFrame = latestWins(log(name))
+
+  /** Point lookup: predicate pushdown prunes row groups before the LWW
+    * resolution (the bloom-filter/binary-search path of SURVEY S3).
+    */
+  def get(name: String, id: String): Option[Document] = {
+    val rows = latestWins(log(name).filter(col("id") === id)).collect()
+    rows.headOption.map(fromRow)
+  }
+
+  /** Compaction: rewrite the log keeping only LWW winners (drops overwritten
+    * versions AND tombstones — `tree_compact.go:266-291` capability).
+    */
+  def compact(name: String): Unit = {
+    val winners = read(name).cache()
+    winners.count() // materialize before overwriting the source
+    val tmp = s"$root/$name/data_compacting"
+    winners.write.mode("overwrite").parquet(tmp)
+    winners.unpersist()
+    val dir = Paths.get(dataDir(name))
+    deleteRecursively(dir)
+    Files.move(Paths.get(tmp), dir)
+  }
+
+  def drop(name: String): Unit = deleteRecursively(Paths.get(s"$root/$name"))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  private def fromRow(r: Row): Document = Document(
+    r.getAs[String]("id"),
+    Option(r.getAs[scala.collection.Seq[Float]]("vector")).map(_.toArray).orNull,
+    Option(r.getAs[scala.collection.Map[String, String]]("params"))
+      .map(_.toMap).getOrElse(Map.empty))
+}
+
+object DocStore {
+
+  /** LWW resolution as a plan fragment: max-version row per id, tombstones
+    * filtered after resolution (a delete must shadow earlier upserts).
+    */
+  def latestWins(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("version").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("is_deleted"))
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.SpaceType
+import graft.functions.vfn
+
+/** ANN tier — capability parity for the reference's HNSW index
+  * (`internal/index/hnsw.go`, hnswlib `hnswalg.h:1381-1440`) re-expressed for
+  * Spark's execution model (SURVEY §7.2 step 7): a per-row mutable graph
+  * fights distributed execution, so the approximate tier is random-hyperplane
+  * LSH — sign-bit signatures over `numTables` independent hyperplane sets,
+  * bucket-equi-join candidates, exact re-rank.
+  *
+  *  - recall knob: `numTables` (more tables → more candidates → higher
+  *    recall), the role efsearch plays in the reference
+  *    (`hnsw.go:171-204`); bench sweeps it like `run_benchmarks.py:229-234`.
+  *  - Scale: signatures are one narrow column per row; the candidate join is
+  *    an equi-shuffle on (table, bucket) — no all-pairs work; re-rank touches
+  *    only bucket-mates. Buckets bound the join fan-out; skew in a hot bucket
+  *    is handled by AQE skew-join splitting.
+  */
+object AnnLsh {
+
+  /** Deterministic hyperplanes: numTables × nbits planes of dim coords. */
+  private def planes(dim: Int, numTables: Int, nbits: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new Random(seed)
+    Array.fill(numTables, nbits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** (table_id, bucket) signature rows for each input row. */
+  private def signatures(df: DataFrame, vecCol: String, idCols: Seq[String],
+      pl: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(pl)
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val p = bc.value
+      val arr = v.toArray
+      p.indices.map { t =>
+        var sig = 0L
+        var b = 0
+        while (b < p(t).length) {
+          val plane = p(t)(b)
+          var s = 0.0; var i = 0
+          while (i < arr.length) { s += arr(i) * plane(i); i += 1 }
+          if (s > 0) sig |= (1L << b)
+          b += 1
+        }
+        sig
+      }
+    }
+    df.withColumn("__sigs", sigUdf(col(vecCol)))
+      .select(idCols.map(col) :+ posexplode(col("__sigs")): _*)
+      .withColumnRenamed("pos", "__table")
+      .withColumnRenamed("col", "__bucket")
+  }
+
+  /** Approximate batch KNN: candidates from bucket collisions in any table,
+    * exact re-rank with the true distance, top-k per query.
+    */
+  def search(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      numTables: Int = 8,
+      nbits: Int = 8,
+      multiProbe: Boolean = true,
+      seed: Long = 42L,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val dim = corpus.select(size(col(corpusVec))).first().getInt(0)
+    val pl = planes(dim, numTables, nbits, seed)
+
+    val cSig = signatures(corpus.select(col(corpusId), col(corpusVec)), corpusVec,
+      Seq(corpusId, corpusVec), pl)
+    val qSigExact = signatures(queries.select(col(queryId), col(queryVec)), queryVec,
+      Seq(queryId, queryVec), pl)
+    // Multi-probe (query side only, corpus table untouched): additionally
+    // probe every bucket at Hamming distance 1 from the query signature —
+    // recall of ~(1+nbits)× more buckets for zero extra corpus-side state.
+    val qSig =
+      if (!multiProbe) qSigExact
+      else qSigExact
+        .withColumn("__bucket", explode(expr(
+          s"array_union(array(__bucket), transform(sequence(0, ${nbits - 1}), " +
+            "i -> __bucket ^ CAST(shiftleft(1, i) AS BIGINT)))")))
+
+    val cand = cSig.join(broadcast(qSig), Seq("__table", "__bucket"))
+      .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
+      .dropDuplicates(queryId, corpusId)
+
+    val dist = vfn.distance(col(corpusVec), col(queryVec), space)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("distance").asc, col(corpusId).asc)
+    cand.withColumn("distance", dist)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(queryId), col(corpusId), col("distance"), col("rnk"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.SpaceType
+import graft.functions.vfn
+
+/** IVF_FLAT: coarse k-means quantizer + inverted-list layout + nprobe-pruned
+  * search (reference `internal/index/ivf.go` — SURVEY §2.1 S2, §2.4 A2,
+  * §2.3 J3, §7.2 step 5).
+  *
+  * Spark-first design:
+  *  - training = distributed MLlib KMeans (k = nlist, maxIter = 40 matching
+  *    `const.go:26-30`), not a hand-rolled Lloyd loop;
+  *  - the "inverted lists" are a `partitionBy("cluster_id")` parquet layout —
+  *    probing nprobe lists is *partition pruning*: the scan physically reads
+  *    only the probed directories (`ivf.go:203-209`'s list scan becomes
+  *    `cluster_id IN (...)` → PartitionFilters in the parquet scan);
+  *  - probed centroids per query are computed driver-side from the tiny
+  *    centroid table, then the candidate scan is an equi-join on cluster_id
+  *    (theta→equi reduction of the KNN join, SURVEY J2);
+  *  - nprobe is the runtime recall knob (`ivf.go:379-413` setparams).
+  */
+object IvfIndex {
+
+  /** Trained coarse quantizer: nlist centroids (tiny, driver-resident;
+    * persisted as a small parquet artifact like the reference's gob snapshot,
+    * `ivf.go:252-293`).
+    */
+  case class Model(centroids: Array[Array[Float]], space: SpaceType) {
+    def nlist: Int = centroids.length
+
+    /** Nearest `nprobe` centroid ids for one query (driver-side; mirrors
+      * `ivf.go:186-201`).
+      */
+    def probe(q: Array[Float], nprobe: Int): Seq[Int] = {
+      require(nprobe >= 1 && nprobe <= nlist,
+        s"nprobe must be in [1, $nlist], got $nprobe") // ivf.go:407-413
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, dist(q, c)) }
+        .sortBy { case (i, d) => (d, i) }
+        .take(nprobe).map(_._1).toSeq
+    }
+
+    private def dist(a: Array[Float], b: Array[Float]): Double = space match {
+      case SpaceType.Ip =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        -s
+      case _ => // l2 assignment for l2/cos/hamming coarse quantization
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
+    }
+  }
+
+  /** Train the coarse quantizer (distributed; deterministic via fixed seed). */
+  def train(corpus: DataFrame, vecCol: String, nlist: Int,
+      space: SpaceType = SpaceType.L2, maxIter: Int = 40, seed: Long = 42L): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feats = corpus.select(col(vecCol))
+      .as[Seq[Float]]
+      .map(v => Tuple1(Vectors.dense(v.map(_.toDouble).toArray)))
+      .toDF("features")
+    val km = new KMeans().setK(nlist).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features")
+    val model = km.fit(feats)
+    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)), space)
+  }
+
+  /** Assign every row to its nearest centroid — one broadcast-local argmin
+    * pass, no shuffle (SURVEY J3). Adds `cluster_id INT`.
+    */
+  def assign(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val m = bc.value
+      val arr = v.toArray
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < m.nlist) {
+        val c = m.centroids(i)
+        var s = 0.0; var j = 0
+        while (j < arr.length) { val d = arr(j).toDouble - c(j).toDouble; s += d * d; j += 1 }
+        if (s < bestD) { bestD = s; best = i }
+        i += 1
+      }
+      best
+    }
+    corpus.withColumn("cluster_id", assignUdf(col(vecCol)))
+  }
+
+  /** Materialize the inverted-list layout: parquet partitioned by cluster_id,
+    * so probed-list scans are physical partition pruning.
+    */
+  def write(corpus: DataFrame, vecCol: String, model: Model, path: String): Unit =
+    assign(corpus, vecCol, model)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** nprobe-pruned batch KNN over an assigned (or partitioned-loaded) corpus.
+    * Queries (small) are collected driver-side to compute probe lists; the
+    * candidate restriction is an equi-join on cluster_id, so only probed
+    * partitions are scanned/scored. Top-k per query via window group-limit.
+    */
+  def search(
+      assigned: DataFrame,
+      queries: DataFrame,
+      model: Model,
+      k: Int,
+      nprobe: Int,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(queryId), col(queryVec)).collect()
+    val probes = qRows.flatMap { r =>
+      val qid = r.get(0)
+      val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
+      model.probe(qv, nprobe).map(cid => (qid, cid))
+    }
+    val probeDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(probes.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__qid", queries.schema(queryId).dataType),
+          org.apache.spark.sql.types.StructField("__cid", org.apache.spark.sql.types.IntegerType))))
+    // Static IN-filter on the partition column guarantees partition pruning
+    // at scan planning time (PartitionFilters in the parquet scan node);
+    // the broadcast join then restricts candidates per-query.
+    val allProbed = probes.map(_._2).distinct.toSeq
+    val cand = assigned
+      .filter(col("cluster_id").isin(allProbed: _*))
+      .join(broadcast(probeDf), col("cluster_id") === col("__cid"))
+      .join(broadcast(queries), col("__qid") === col(queryId))
+    val dist = vfn.distance(col(corpusVec), col(queryVec), model.space)
+    val w = Window.partitionBy(col(queryId)).orderBy(col("distance").asc, col(corpusId).asc)
+    cand.withColumn("distance", dist)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(queryId), col(corpusId), col("distance"), col("rnk"))
+  }
+}

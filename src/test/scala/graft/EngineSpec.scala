@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.api.Engine
+import graft.core._
+import graft.sources.FakeEmbeddingProvider
+
+/** REST-verb parity scenarios from the reference's handler e2e tests
+  * (`internal/server/handlers_test.go`, FIXTURES F-1/F-3/F-5/F-7).
+  */
+class EngineSpec extends SparkSpec {
+
+  private def freshEngine(dim: Int = 3): Engine = {
+    val dir = Files.createTempDirectory("engine").toString
+    new Engine(spark, dir, Some(new FakeEmbeddingProvider(dim)))
+  }
+
+  test("create / duplicate-create / list / get / drop collection") {
+    val e = freshEngine()
+    assert(e.createCollection(CollectionConfig("docs3", 3, IndexType.Flat)))
+    assert(!e.createCollection(CollectionConfig("docs3", 3))) // dup → ok-with-message
+    assert(e.listCollections() === Seq("docs3"))
+    assert(e.getCollection("docs3").get.dimension === 3)
+    assert(e.dropCollection("docs3"))
+    assert(e.listCollections().isEmpty)
+    assert(!e.dropCollection("docs3"))
+  }
+
+  test("F-3 search-documents e2e: unfiltered ids [1,2], dists [0,27]; filter applies") {
+    val e = freshEngine()
+    e.createCollection(CollectionConfig("docs3", 3, IndexType.Flat))
+    e.upsertDocument("docs3", Document("1", Array(1f, 2f, 3f), Map("tag" -> "test1")))
+    e.upsertDocument("docs3", Document("2", Array(4f, 5f, 6f), Map("tag" -> "test2")))
+
+    val unfiltered = e.searchDocuments("docs3", Array(1f, 2f, 3f), 2)
+    assert(unfiltered.map(_.id) === Seq("1", "2"))
+    assert(unfiltered.map(_.distance) === Seq(0.0, 27.0)) // distance_test.go:26-33
+
+    // reference ignores the filter (document.go:171); we implement it
+    val pre = e.searchDocuments("docs3", Array(1f, 2f, 3f), 2,
+      filter = Some(col("params")("tag") === "test1"))
+    assert(pre.map(_.id) === Seq("1"))
+    val post = e.searchDocuments("docs3", Array(1f, 2f, 3f), 2,
+      filter = Some(col("params")("tag") === "test2"), preFilter = false)
+    assert(post.map(_.id) === Seq("2"))
+  }
+
+  test("error semantics: wrong dim, unknown collection, zero results") {
+    val e = freshEngine()
+    e.createCollection(CollectionConfig("docs3", 3, IndexType.Flat))
+    e.upsertDocument("docs3", Document("1", Array(1f, 2f, 3f)))
+    intercept[IllegalArgumentException](
+      e.searchDocuments("docs3", Array(1f, 2f), 2)) // handlers_test.go:438-458
+    intercept[NoSuchElementException](
+      e.searchDocuments("nope", Array(1f, 2f, 3f), 2))
+    intercept[NoSuchElementException]( // zero hits → error (document.go:222-225)
+      e.searchDocuments("docs3", Array(1f, 2f, 3f), 2,
+        filter = Some(col("params")("tag") === "absent")))
+  }
+
+  test("F-7 setParams validation") {
+    val e = freshEngine()
+    e.createCollection(CollectionConfig("h", 3, IndexType.Hnsw))
+    e.createCollection(CollectionConfig("iv", 3, IndexType.IvfFlat))
+    e.setParams("h", Map("efsearch" -> 128))
+    assert(e.getParams("h")("efsearch") === 128)
+    e.setParams("iv", Map("nprobe" -> 5))
+    intercept[IllegalArgumentException](e.setParams("h", Map.empty))
+    intercept[IllegalArgumentException](e.setParams("h", Map("nprobe" -> 5)))
+    intercept[IllegalArgumentException](e.setParams("iv", Map("efsearch" -> 10)))
+    intercept[IllegalArgumentException](e.setParams("iv", Map("bogus" -> 1)))
+    intercept[IllegalArgumentException](e.setParams("iv", Map("nprobe" -> 0)))
+  }
+
+  test("delete propagates to search; re-upsert resurrects") {
+    val e = freshEngine()
+    e.createCollection(CollectionConfig("c", 3, IndexType.Flat))
+    e.upsertDocument("c", Document("1", Array(0f, 0f, 0f)))
+    e.upsertDocument("c", Document("2", Array(1f, 0f, 0f)))
+    e.deleteDocument("c", "1")
+    assert(e.getDocument("c", "1") === None)
+    val hits = e.searchDocuments("c", Array(0f, 0f, 0f), 5)
+    assert(hits.map(_.id) === Seq("2")) // deleted doc absent from results
+  }
+
+  test("embedding path: deterministic fake provider; missing text errors (F-5)") {
+    val e = freshEngine(dim = 8)
+    e.createCollection(CollectionConfig("emb", 8, IndexType.Flat))
+    e.upsertWithEmbedding("emb", "1", "hello world")
+    e.upsertWithEmbedding("emb", "2", "hello world")
+    val (v1, v2) = (e.getDocument("emb", "1").get.vector, e.getDocument("emb", "2").get.vector)
+    assert(v1.toSeq === v2.toSeq) // deterministic
+    intercept[IllegalArgumentException](e.upsertWithEmbedding("emb", "3", ""))
+    // self-search returns the embedded docs
+    val hits = e.searchDocuments("emb", v1, 2)
+    assert(hits.map(_.id).toSet === Set("1", "2"))
+    assert(math.abs(hits.head.distance) < 1e-9)
+  }
+}
