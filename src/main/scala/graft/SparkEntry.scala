@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.{SpaceType, Tables}
 import graft.operators.ExactKnn
-import graft.queries.{RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{DedupQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,8 +22,10 @@ object SparkEntry {
     VectorQueries.queries("knn_fetch_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles
+    RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
+      DedupQueries.oracles
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: exact (hash-group),
+  * MinHash+LSH (shingle → minhash → band → bucket-join → exact verify),
+  * SimHash (64-bit, chunk-banded hamming), and rolling-hash fingerprints.
+  *
+  * Scale design: nothing here compares all pairs. MinHash signatures are one
+  * map-side-combined aggregation over exploded shingles; candidate
+  * generation is an equi-join on (band, band_hash) — only colliding docs
+  * meet; exact Jaccard verification touches candidate pairs only. SimHash
+  * bands 4×16 bits the same way. All hashing is xxhash64 (codegen'd, seeded,
+  * deterministic).
+  */
+object Dedup {
+
+  /** Exact dedup: survivor (min id) per distinct text digest. The group key
+    * is the digest, not the text — constant-width shuffle rows.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles per doc: (id, s). Docs shorter than n
+    * tokens contribute their whole text as one shingle.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val safe = when(size(toks) >= n, grams).otherwise(array(col(textCol)))
+    df.select(col(idCol).as("__did"), explode(array_distinct(safe)).as("s"))
+  }
+
+  /** MinHash signatures: numHashes column-wise mins over seeded xxhash64 of
+    * the shingles — one aggregation, partial combine on the map side.
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy(col("__did")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs whose signatures collide in ≥1 band.
+    * P(candidate) = 1 − (1 − j^rowsPerBand)^bands — with 21×3 a j=0.8 pair
+    * is missed with prob ~3e-7.
+    */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: hs: _*).as("bh"))
+    }
+    val exploded = sigs
+      .select(col("__did"), explode(array(bandCols: _*)).as("e"))
+      .select(col("__did"), col("e.band").as("band"), col("e.bh").as("bh"))
+    exploded.as("a").join(exploded.as("b"), Seq("band", "bh"))
+      .filter(col("a.__did") < col("b.__did"))
+      .select(col("a.__did").as("ia"), col("b.__did").as("ib"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs only (shingle-set intersection via
+    * join — never materializes non-candidate pairs).
+    */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("__did")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("ta"), col("ia") === col("ta.__did"))
+      .join(sh.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("__did").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("__did").as("ib"), col("n").as("nb")), "ib")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia"), col("ib"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: pairs with exact n-gram Jaccard ≥
+    * threshold, found via banding (not all-pairs).
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val sigs = minHashSignatures(sh, numHashes)
+    val cand = lshCandidates(sigs, bands, numHashes / bands)
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** 64-bit SimHash per doc: sign of per-bit vote sums over token hashes. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("__did"),
+      explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy(col("__did")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("__did"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded on 4×16-bit chunks (a pair within
+    * hamming distance 3 must agree on ≥1 chunk), verified with
+    * bit_count(xor) ≤ maxHamming.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(df, idCol, textCol)
+    val chunks = sigs.select(col("__did"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), c -> " +
+          "struct(c AS chunk, shiftright(simhash, c * 16) & 65535 AS cv))")).as("e"))
+      .select(col("__did"), col("simhash"), col("e.chunk").as("chunk"), col("e.cv").as("cv"))
+    chunks.as("a").join(chunks.as("b"), Seq("chunk", "cv"))
+      .filter(col("a.__did") < col("b.__did"))
+      .select(col("a.__did").as("ia"), col("b.__did").as("ib"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ia"), col("ib"), col("hamming"))
+  }
+
+  /** Document fingerprint: min rolling hash over word 5-gram shingles
+    * (winnowing-style digest; exact dups — and near-dups sharing the minimal
+    * shingle — collide).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
+    shingles(df, idCol, textCol, n)
+      .groupBy(col("__did"))
+      .agg(min(xxhash64(col("s"))).as("fingerprint"))
+}

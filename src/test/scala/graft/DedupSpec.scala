@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup family: MinHash+LSH vs brute-force Jaccard, SimHash on perturbed
+  * dups, fingerprint collision for exact dups.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("minhash+lsh pairs == brute-force 3-gram jaccard pairs on sf0.001") {
+    val got = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    // brute force: all-pairs exact jaccard via the same shingle sets
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val cand = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s"))
+      .filter(col("a.__did") < col("b.__did"))
+      .select(col("a.__did").as("ia"), col("b.__did").as("ib")).distinct()
+    val want = Dedup.verifyJaccard(cand, sh, 0.8)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture should contain near-dup pairs")
+    assert(got === want)
+  }
+
+  test("simhash: near-identical docs within hamming 3; unrelated docs far") {
+    val data = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different content about spark shuffles and parquet files"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHash(data, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) <= 3)
+    assert(ham(sigs(1L), sigs(3L)) > 10)
+    val pairs = Dedup.simHashPairs(data, "doc_id", "text")
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("fingerprint: identical texts collide; exact-dup pairs share fingerprints on sf0.001") {
+    val data = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.fingerprint(data, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("exact dedup survivors: one keep_id per distinct text") {
+    val data = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(data, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+}
