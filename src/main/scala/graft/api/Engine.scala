@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.operators.{AnnLsh, ExactKnn, IvfIndex}
+import graft.operators.{AnnLsh, ExactKnn, IvfIndex, IvfPq}
 import graft.sources.EmbeddingProvider
 
 /** Engine facade — the reference's REST verb set (SURVEY §2.9) as a Scala
@@ -32,6 +32,7 @@ class Engine(
   // per-collection runtime state: search params + trained IVF model
   private val runtime = collection.concurrent.TrieMap.empty[String, Map[String, Int]]
   private val ivfModels = collection.concurrent.TrieMap.empty[String, IvfIndex.Model]
+  private val pqModels = collection.concurrent.TrieMap.empty[String, IvfPq.Model]
 
   // ---- collection DDL (POST/GET/DELETE /v1/collections) ----
 
@@ -131,12 +132,21 @@ class Engine(
   def buildIndex(coll: String, nlist: Int = 100): Unit = {
     val cfg = configOf(coll)
     cfg.indexType match {
-      case IndexType.IvfFlat | IndexType.IvfPq =>
+      case IndexType.IvfFlat =>
         val corpus = store.read(coll)
         val n = corpus.count()
         val k = math.min(nlist.toLong, n).toInt
         require(k >= 1, "cannot train an index on an empty collection")
         ivfModels(coll) = IvfIndex.train(corpus, "vector", k, cfg.spaceType)
+      case IndexType.IvfPq =>
+        val corpus = store.read(coll)
+        val n = corpus.count()
+        val k = math.min(nlist.toLong, n).toInt
+        require(k >= 1, "cannot train an index on an empty collection")
+        val m = cfg.params.get("m").map(_.toInt).getOrElse(8) // const.go:33-36
+        val pq = IvfPq.train(corpus, "vector", k, m = m)
+        pqModels(coll) = pq
+        ivfModels(coll) = pq.coarse // so nprobe validation sees nlist
       case _ => () // flat / hnsw-tier: nothing to train
     }
   }
@@ -163,7 +173,13 @@ class Engine(
     val qDf = queries.toDF("query_id", "query_vec")
       .withColumn("query_vec", col("query_vec").cast("array<float>"))
     cfg.indexType match {
-      case IndexType.IvfFlat | IndexType.IvfPq =>
+      case IndexType.IvfPq =>
+        val pq = pqModels.getOrElse(coll,
+          throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
+        IvfPq.search(IvfPq.encode(corpus, "vector", pq), qDf, pq, k, nprobe,
+          rerankVecCol = Some("vector"))
+      case IndexType.IvfFlat =>
         val model = ivfModels.getOrElse(coll,
           throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))

@@ -82,6 +82,17 @@ class DocStore(spark: SparkSession, root: String) {
     appendRows(name, ids.map(id => Row(id, null, null, -1L, true)), dim)
   }
 
+  /** Append a DataFrame batch (id, vector, params) as one version — the
+    * streaming-ingest entry point (one micro-batch = one atomic version).
+    */
+  def upsertDf(name: String, batch: DataFrame): Unit = {
+    val v = nextVersion(name)
+    batch.select(col("id"), col("vector"), col("params"))
+      .withColumn("version", lit(v))
+      .withColumn("is_deleted", lit(false))
+      .write.mode("append").parquet(dataDir(name))
+  }
+
   private def appendRows(name: String, rows: Seq[Row], dim: Int): Unit = {
     val v = nextVersion(name)
     val stamped = rows.map(r => Row(r(0), r(1), r(2), v, r(4)))

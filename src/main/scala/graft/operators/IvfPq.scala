@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVFPQ: coarse inverted lists + product quantization of residuals +
+  * asymmetric-distance (ADC) scoring (reference `internal/index/ivfpq.go` —
+  * SURVEY A3/A4/F6; defaults m=8, nbits=8, `const.go:33-36`).
+  *
+  * Spark-first shape:
+  *  - codebook training = m independent distributed KMeans fits over residual
+  *    sub-slices (`ivfpq.go:130-176`'s per-subspace Lloyd);
+  *  - encode = one pass adding `codes ARRAY<INT>` (m codes per row) — the
+  *    corpus stores 8 small ints per vector instead of the full vector;
+  *  - search = probe lists driver-side (like IVF), precompute the per-query
+  *    m×k distance table against the probed centroid's residual space
+  *    (`ivfpq.go:259-277`), broadcast the tables, score candidates with a
+  *    table-lookup sum — candidates never touch the original vectors.
+  *
+  * Parity guards: dimension must divide m (`ivfpq_test.go` non-divisible-dim
+  * error); nbits ≤ 8 (the reference supports only 8, `ivfpq.go:104-106` —
+  * we allow smaller for small corpora).
+  */
+object IvfPq {
+
+  case class Model(
+      coarse: IvfIndex.Model,
+      codebooks: Array[Array[Array[Float]]], // [m][k][subDim]
+      m: Int,
+      subDim: Int) {
+    def nlist: Int = coarse.nlist
+    def k: Int = codebooks(0).length
+  }
+
+  /** Train coarse quantizer + per-subspace residual codebooks. */
+  def train(corpus: DataFrame, vecCol: String, nlist: Int, m: Int = 8,
+      nbits: Int = 8, maxIter: Int = 40, seed: Long = 42L): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dimension $dim not divisible by m=$m") // ivfpq_test parity
+    require(nbits >= 1 && nbits <= 8, s"nbits must be in [1,8], got $nbits")
+    val subDim = dim / m
+
+    val coarse = IvfIndex.train(corpus, vecCol, nlist, maxIter = maxIter, seed = seed)
+    val assigned = IvfIndex.assign(corpus, vecCol, coarse).cache()
+    val n = assigned.count()
+    val k = math.min(1 << nbits, n).toInt
+
+    val bc = spark.sparkContext.broadcast(coarse.centroids)
+    val residUdf = udf { (v: Seq[Float], cid: Int) =>
+      val c = bc.value(cid)
+      v.indices.map(i => (v(i) - c(i)).toDouble).toArray
+    }
+    val resid = assigned
+      .withColumn("__resid", residUdf(col(vecCol), col("cluster_id")))
+      .select(col("__resid")).cache()
+    resid.count()
+
+    val codebooks = (0 until m).map { j =>
+      val feats = resid
+        .select(slice(col("__resid"), j * subDim + 1, subDim).as("s"))
+        .as[Seq[Double]]
+        .map(s => Tuple1(Vectors.dense(s.toArray)))
+        .toDF("features")
+      val km = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed + j)
+        .setFeaturesCol("features")
+      km.fit(feats).clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    resid.unpersist(); assigned.unpersist()
+    Model(coarse, codebooks, m, subDim)
+  }
+
+  /** Encode: cluster assignment + m residual codes per row (SURVEY F6). */
+  def encode(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val assigned = IvfIndex.assign(corpus, vecCol, model.coarse)
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val encodeUdf = udf { (v: Seq[Float], cid: Int) =>
+      val mm = bc.value
+      val cent = mm.coarse.centroids(cid)
+      Array.tabulate(mm.m) { j =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < mm.codebooks(j).length) {
+          val cb = mm.codebooks(j)(c)
+          var s = 0.0; var t = 0
+          while (t < mm.subDim) {
+            val i = j * mm.subDim + t
+            val d = (v(i) - cent(i)).toDouble - cb(t)
+            s += d * d; t += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    assigned.withColumn("codes", encodeUdf(col(vecCol), col("cluster_id")))
+  }
+
+  /** ADC search over an encoded corpus: per (query, probed-list) distance
+    * tables built driver-side and broadcast; candidate score is a pure
+    * table-lookup sum over the m codes (`ivfpq.go:259-285`).
+    */
+  def search(
+      encoded: DataFrame,
+      queries: DataFrame,
+      model: Model,
+      kTop: Int,
+      nprobe: Int,
+      corpusId: String = "id",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      rerankVecCol: Option[String] = None,
+      rerankFactor: Int = 4): DataFrame = {
+    val spark = encoded.sparkSession
+    val qidType = queries.schema(queryId).dataType
+    val qRows = queries.select(col(queryId).cast("string"), col(queryVec)).collect()
+
+    // (qid, cid) -> flat m*k table of sub-distances (qid as string so the
+    // broadcast map has a concrete key type for the scoring UDF)
+    val tables: Map[(String, Int), Array[Float]] = qRows.flatMap { r =>
+      val qid = r.getString(0)
+      val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
+      model.coarse.probe(qv, nprobe).map { cid =>
+        val cent = model.coarse.centroids(cid)
+        val tab = new Array[Float](model.m * model.k)
+        var j = 0
+        while (j < model.m) {
+          var c = 0
+          while (c < model.codebooks(j).length) {
+            var s = 0.0; var t = 0
+            while (t < model.subDim) {
+              val i = j * model.subDim + t
+              val d = (qv(i) - cent(i)).toDouble - model.codebooks(j)(c)(t)
+              s += d * d; t += 1
+            }
+            tab(j * model.k + c) = s.toFloat
+            c += 1
+          }
+          j += 1
+        }
+        (qid, cid) -> tab
+      }
+    }.toMap
+    val bcTables = spark.sparkContext.broadcast(tables)
+    val mVal = model.m; val kVal = model.k
+
+    val probePairs = tables.keys.toSeq
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probePairs.map(p => Row(p._1, p._2)), 1),
+      StructType(Seq(
+        StructField("__qid", StringType),
+        StructField("__cid", IntegerType))))
+
+    val adcUdf = udf { (qid: String, cid: Int, codes: Seq[Int]) =>
+      val tab = bcTables.value((qid, cid))
+      var s = 0.0; var j = 0
+      while (j < mVal) { s += tab(j * kVal + codes(j)); j += 1 }
+      s
+    }
+
+    val allProbed = probePairs.map(_._2).distinct
+    val w = Window.partitionBy(col("__qid")).orderBy(col("distance").asc, col(corpusId).asc)
+    // ADC shortlist (kTop, or rerankFactor×kTop when re-ranking)
+    val shortlistK = rerankVecCol.fold(kTop)(_ => kTop * rerankFactor)
+    val shortlist = encoded
+      .filter(col("cluster_id").isin(allProbed: _*)) // partition pruning
+      .join(broadcast(probeDf), col("cluster_id") === col("__cid"))
+      .withColumn("distance", adcUdf(col("__qid"), col("cluster_id"), col("codes")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= shortlistK)
+
+    rerankVecCol match {
+      case None =>
+        shortlist.select(col("__qid").cast(qidType).as(queryId), col(corpusId),
+          col("distance"), col("rnk"))
+      case Some(vecCol) =>
+        // Exact re-rank of the tiny ADC shortlist against the true vectors —
+        // removes quantization reordering at the cost of k·rerankFactor exact
+        // distances per query (`docs/design.md:58`'s over-fetch heuristic,
+        // applied to quantization error instead of filtering).
+        import graft.functions.vfn
+        val q2 = queries.select(col(queryId).cast("string").as("__qid"),
+          col(queryVec).as("__qv"))
+        val wr = Window.partitionBy(col("__qid"))
+          .orderBy(col("__exact").asc, col(corpusId).asc)
+        shortlist
+          .join(broadcast(q2), "__qid")
+          .withColumn("__exact", vfn.l2Sq(col(vecCol), col("__qv")))
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= kTop)
+          .select(col("__qid").cast(qidType).as(queryId), col(corpusId),
+            col("__exact").as("distance"), col("rnk"))
+    }
+  }
+}

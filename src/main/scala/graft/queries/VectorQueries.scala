@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{SpaceType, Tables}
 import graft.functions.vfn
-import graft.operators.{AnnLsh, ExactKnn, IvfIndex}
+import graft.operators.{AnnLsh, ExactKnn, IvfIndex, IvfPq}
 
 /** Vector query pack over the `embeddings` table (64-d float, L2-normalized,
   * 10 labels): exact KNN in all three metric spaces, search-then-fetch,
@@ -163,6 +163,17 @@ object VectorQueries {
       .select(col("qid"), col("vec_id"), col("rnk"))
   }
 
+  /** IVFPQ ADC search with exact re-rank (rows-only; recall gates in PqSpec). */
+  def pqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val model = IvfPq.train(c, "embedding", nlist = 10, m = 8)
+    val encoded = IvfPq.encode(c, "embedding", model)
+    IvfPq.search(encoded, queriesDf(spark, dir), model, kTop = K, nprobe = 10,
+        corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+        rerankVecCol = Some("embedding"))
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
   /** LSH ANN tier (HNSW-capability): rows-only check; recall gates in AnnLshSpec. */
   def lshKnn(spark: SparkSession, dir: String): DataFrame =
     AnnLsh.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.Cos,
@@ -172,6 +183,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_knn_full" -> ((s, d) => ivfKnn(s, d, nlist => nlist)),
     "ivf_knn_probe" -> ((s, d) => ivfKnn(s, d, _ => 2)),
+    "pq_knn" -> (pqKnn(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
     "knn_cos" -> ((s, d) => knnRanks(s, d, SpaceType.Cos)),

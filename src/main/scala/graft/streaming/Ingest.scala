@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.DocStore
+
+/** Structured Streaming ingest (SURVEY §2.7's optional stretch): a document
+  * stream lands in the LWW store via `foreachBatch` — each micro-batch is one
+  * versioned append, so the streaming checkpoint + atomic batch commit play
+  * the role of the reference's WAL (`internal/index/index_manager.go:579-630`):
+  * recovery = resume from checkpoint; durability = committed batches.
+  */
+object Ingest {
+
+  /** Start streaming `source` (schema: id STRING, vector ARRAY<FLOAT>,
+    * params MAP<STRING,STRING>) into a DocStore collection. Late/duplicate
+    * records are harmless: LWW resolution picks the max version.
+    */
+  def streamInto(
+      source: DataFrame,
+      store: DocStore,
+      coll: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.upsertDf(coll, batch)
+      }
+      .start()
+
+  /** Streaming tumbling-window aggregation with a watermark (the canonical
+    * events_hourly shape as a live query; late rows beyond the watermark are
+    * dropped deterministically).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+}

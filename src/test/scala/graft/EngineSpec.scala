@@ -86,6 +86,24 @@ class EngineSpec extends SparkSpec {
     assert(hits.map(_.id) === Seq("2")) // deleted doc absent from results
   }
 
+  test("ivf_flat and ivfpq collections: buildIndex then search e2e") {
+    val e = freshEngine(dim = 8)
+    for ((name, it) <- Seq(("ivc", IndexType.IvfFlat), ("pqc", IndexType.IvfPq))) {
+      e.createCollection(CollectionConfig(name, 8, it))
+      val docs = (0 until 60).map { i =>
+        val base = if (i % 2 == 0) 0f else 10f
+        Document(i.toString, Array.tabulate(8)(j => base + (i % 5) * 0.1f + j * 0.01f))
+      }
+      e.batchUpsertDocuments(name, docs)
+      intercept[IllegalStateException](e.searchVectors(name, Seq(("q", docs.head.vector)), 3))
+      e.buildIndex(name, nlist = 2)
+      e.setParams(name, Map("nprobe" -> 1))
+      val hits = e.searchDocuments(name, docs.head.vector, 3)
+      assert(hits.head.id === "0" && math.abs(hits.head.distance) < 1e-9)
+      assert(hits.forall(h => h.id.toInt % 2 == 0)) // nprobe=1 stays in the near cluster
+    }
+  }
+
   test("embedding path: deterministic fake provider; missing text errors (F-5)") {
     val e = freshEngine(dim = 8)
     e.createCollection(CollectionConfig("emb", 8, IndexType.Flat))

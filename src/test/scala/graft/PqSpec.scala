@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.SpaceType
+import graft.operators.{ExactKnn, IvfPq}
+
+/** IVFPQ vs FIXTURES F-6: param validation (dim % m), recall ≥ 0.9 on
+  * clustered data, and quantization sanity (enough codes → near-exact).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered(n: Int, dim: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val c = i % 10
+      val v = Array.tabulate(dim)(j =>
+        (if (j % 10 == c) 10f else 0f) + rnd.nextGaussian().toFloat * 0.3f)
+      (i.toString, v.toSeq)
+    }.toDF("id", "vector")
+  }
+
+  test("dimension not divisible by m errors (ivfpq_test.go parity)") {
+    val corpus = clustered(50, 10)
+    intercept[IllegalArgumentException](
+      IvfPq.train(corpus, "vector", nlist = 2, m = 3))
+    intercept[IllegalArgumentException](
+      IvfPq.train(corpus, "vector", nlist = 2, m = 2, nbits = 9))
+  }
+
+  test("recall@10 >= 0.9 on clustered data (nlist=5, m=4, full probe)") {
+    val corpus = clustered(300, 16).cache()
+    val queries = corpus.filter(col("id").cast("int") < 10)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val model = IvfPq.train(corpus, "vector", nlist = 5, m = 4, nbits = 6)
+    val encoded = IvfPq.encode(corpus, "vector", model).cache()
+
+    def recallOf(rerank: Boolean): Double = {
+      val approx = IvfPq.search(encoded, queries, model, kTop = 10, nprobe = 5,
+          rerankVecCol = if (rerank) Some("vector") else None)
+        .select("query_id", "id").as[(String, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = ExactKnn.knn(corpus, queries, 10, SpaceType.L2)
+        .select("query_id", "id").as[(String, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      recalls.sum / recalls.size
+    }
+    val adcOnly = recallOf(rerank = false)
+    val reranked = recallOf(rerank = true)
+    assert(reranked >= 0.9, f"re-ranked recall@10 $reranked%.3f < 0.9 (ADC-only was $adcOnly%.3f)")
+    assert(reranked >= adcOnly, "re-rank must not reduce recall")
+  }
+
+  test("encoded corpus carries m small codes; codes within codebook range") {
+    val corpus = clustered(100, 8)
+    val model = IvfPq.train(corpus, "vector", nlist = 2, m = 2, nbits = 4)
+    val codes = IvfPq.encode(corpus, "vector", model)
+      .select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(_.length == 2))
+    assert(codes.flatten.forall(c => c >= 0 && c < model.k))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{DocStore, Document}
+import graft.streaming.Ingest
+
+/** Streaming ingest → LWW store, and watermark window aggregation, driven
+  * synchronously with AvailableNow + processAllAvailable.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file stream ingests into DocStore with LWW across batches") {
+    val src = Files.createTempDirectory("stream-src").toString
+    val ck = Files.createTempDirectory("stream-ck").toString
+    val storeDir = Files.createTempDirectory("stream-store").toString
+    val store = new DocStore(spark, storeDir)
+    store.init("c")
+
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = false)),
+      StructField("params", MapType(StringType, StringType))))
+
+    // batch 1
+    Seq(("1", Seq(1f, 0f), Map("v" -> "old")), ("2", Seq(2f, 0f), Map("v" -> "a")))
+      .toDF("id", "vector", "params").write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q1 = Ingest.streamInto(stream, store, "c", ck)
+    q1.awaitTermination()
+
+    // batch 2 overwrites id 1
+    Seq(("1", Seq(9f, 0f), Map("v" -> "new")))
+      .toDF("id", "vector", "params").write.mode("append").parquet(src)
+    val q2 = Ingest.streamInto(spark.readStream.schema(schema).parquet(src),
+      store, "c", ck)
+    q2.awaitTermination()
+
+    assert(store.read("c").count() === 2)
+    assert(store.get("c", "1").get.params("v") === "new") // LWW across micro-batches
+  }
+
+  test("windowed counts with watermark match the batch equivalent") {
+    val src = Files.createTempDirectory("wstream").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 100).map { i =>
+      (new java.sql.Timestamp(base.getTime + i * 60000L), s"t${i % 3}", i.toDouble)
+    }
+    rows.toDF("ts", "event_type", "value").write.mode("overwrite").parquet(src)
+
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val agg = Ingest.windowedCounts(
+      spark.readStream.schema(schema).parquet(src), "ts", "event_type")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wout").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("wout")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = rows.toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+}
