@@ -58,19 +58,53 @@ object IvfIndex {
     }
   }
 
-  /** Train the coarse quantizer (distributed; deterministic via fixed seed). */
+  /** Quantizer training (like faiss) runs on a bounded sample: centroid
+    * quality saturates long before the full corpus is seen, and a 100 TB
+    * corpus must not be iterated 40 times. The sample is also repartitioned
+    * to match its own size — iterative KMeans on a few thousand rows spread
+    * over hundreds of partitions is pure scheduler overhead.
+    */
+  private[operators] def trainingSample(corpus: DataFrame, vecCol: String,
+      cap: Long, seed: Long): (DataFrame, Long) = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val sampled =
+      if (n > cap) corpus.select(col(vecCol)).sample(cap.toDouble / n, seed)
+      else corpus.select(col(vecCol))
+    val rows = math.min(n, cap)
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (rows / 20000L).toInt))
+    (sampled.repartition(parts), rows)
+  }
+
+  /** Train the coarse quantizer (distributed; deterministic via fixed seed;
+    * k = nlist, maxIter = 40 matching `const.go:26-30`).
+    */
   def train(corpus: DataFrame, vecCol: String, nlist: Int,
-      space: SpaceType = SpaceType.L2, maxIter: Int = 40, seed: Long = 42L): Model = {
+      space: SpaceType = SpaceType.L2, maxIter: Int = 40, seed: Long = 42L,
+      trainCap: Long = 200000L): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val feats = corpus.select(col(vecCol))
-      .as[Seq[Float]]
-      .map(v => Tuple1(Vectors.dense(v.map(_.toDouble).toArray)))
-      .toDF("features")
-    val km = new KMeans().setK(nlist).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("features")
-    val model = km.fit(feats)
-    Model(model.clusterCenters.map(_.toArray.map(_.toFloat)), space)
+    val (sample, rows) = trainingSample(corpus, vecCol, trainCap, seed)
+    val dim = sample.select(size(col(vecCol))).first().getInt(0)
+    // Hybrid trainer: below ~2e8 flops/iteration a local multi-core Lloyd
+    // beats MLlib's per-iteration job overhead by orders of magnitude; above
+    // it, distributed KMeans takes over. Same deterministic seed either way.
+    if (rows * nlist.toLong * dim <= 200000000L) {
+      val pts = sample.as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+      Model(LocalKMeans.fit(pts, nlist, maxIter).map(_.map(_.toFloat)), space)
+    } else {
+      val feats = sample
+        .as[Seq[Float]]
+        .map(v => Tuple1(Vectors.dense(v.map(_.toDouble).toArray)))
+        .toDF("features")
+        .cache()
+      val km = new KMeans().setK(nlist).setMaxIter(maxIter).setSeed(seed)
+        .setFeaturesCol("features")
+      val model = km.fit(feats)
+      feats.unpersist()
+      Model(model.clusterCenters.map(_.toArray.map(_.toFloat)), space)
+    }
   }
 
   /** Assign every row to its nearest centroid — one broadcast-local argmin

@@ -46,32 +46,36 @@ object IvfPq {
     require(nbits >= 1 && nbits <= 8, s"nbits must be in [1,8], got $nbits")
     val subDim = dim / m
 
-    val coarse = IvfIndex.train(corpus, vecCol, nlist, maxIter = maxIter, seed = seed)
-    val assigned = IvfIndex.assign(corpus, vecCol, coarse).cache()
-    val n = assigned.count()
-    val k = math.min(1 << nbits, n).toInt
+    // One bounded sample drives BOTH the coarse quantizer and the codebooks:
+    // residual computation + m sub-space Lloyd fits are pure local arithmetic
+    // (LocalKMeans parallelizes the O(n·k·d) assignment across cores) —
+    // m × maxIter distributed rounds would be pure scheduler overhead.
+    val (sampleDf, rows) = IvfIndex.trainingSample(corpus, vecCol, 50000L, seed)
+    val sample = sampleDf.as[Seq[Float]].collect().map(_.toArray)
+    val coarse =
+      if (rows * nlist.toLong * dim <= 200000000L)
+        IvfIndex.Model(
+          LocalKMeans.fit(sample.map(_.map(_.toDouble)), nlist, maxIter).map(_.map(_.toFloat)),
+          graft.core.SpaceType.L2)
+      else IvfIndex.train(corpus, vecCol, nlist, maxIter = maxIter, seed = seed)
+    val k = math.min(1 << nbits, sample.length)
 
-    val bc = spark.sparkContext.broadcast(coarse.centroids)
-    val residUdf = udf { (v: Seq[Float], cid: Int) =>
-      val c = bc.value(cid)
-      v.indices.map(i => (v(i) - c(i)).toDouble).toArray
+    val resid = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < coarse.nlist) {
+        val ct = coarse.centroids(c)
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i).toDouble - ct(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      val ct = coarse.centroids(best)
+      Array.tabulate(v.length)(i => v(i).toDouble - ct(i))
     }
-    val resid = assigned
-      .withColumn("__resid", residUdf(col(vecCol), col("cluster_id")))
-      .select(col("__resid")).cache()
-    resid.count()
-
     val codebooks = (0 until m).map { j =>
-      val feats = resid
-        .select(slice(col("__resid"), j * subDim + 1, subDim).as("s"))
-        .as[Seq[Double]]
-        .map(s => Tuple1(Vectors.dense(s.toArray)))
-        .toDF("features")
-      val km = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed + j)
-        .setFeaturesCol("features")
-      km.fit(feats).clusterCenters.map(_.toArray.map(_.toFloat))
+      val slices = resid.map(r => java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim))
+      LocalKMeans.fit(slices, k, maxIter).map(_.map(_.toFloat))
     }.toArray
-    resid.unpersist(); assigned.unpersist()
     Model(coarse, codebooks, m, subDim)
   }
 

@@ -167,7 +167,9 @@ object VectorQueries {
   def pqKnn(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val model = IvfPq.train(c, "embedding", nlist = 10, m = 8)
-    val encoded = IvfPq.encode(c, "embedding", model)
+    // cache = the materialized encoded layout (production writes it
+    // partitionBy(cluster_id); a one-shot query caches it instead)
+    val encoded = IvfPq.encode(c, "embedding", model).cache()
     IvfPq.search(encoded, queriesDf(spark, dir), model, kTop = K, nprobe = 10,
         corpusId = "vec_id", queryId = "qid", queryVec = "qv",
         rerankVecCol = Some("embedding"))
