@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
+import graft.core.ModelStore
 import graft.operators.{AnnLsh, ExactKnn, IvfIndex, IvfPq}
 import graft.sources.EmbeddingProvider
 
@@ -33,6 +34,12 @@ class Engine(
   private val runtime = collection.concurrent.TrieMap.empty[String, Map[String, Int]]
   private val ivfModels = collection.concurrent.TrieMap.empty[String, IvfIndex.Model]
   private val pqModels = collection.concurrent.TrieMap.empty[String, IvfPq.Model]
+  private val cache = new ResultCache(capacity = 128)
+  // params epoch: bumped on setParams so cached results keyed on old params miss
+  private val paramsEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def ivfSnapshotPath(coll: String) = s"$root/$coll/index/ivf.snapshot"
+  private def pqSnapshotPath(coll: String) = s"$root/$coll/index/pq.snapshot"
 
   // ---- collection DDL (POST/GET/DELETE /v1/collections) ----
 
@@ -48,7 +55,7 @@ class Engine(
   def listCollections(): Seq[String] = catalog.list()
 
   def dropCollection(name: String): Boolean = {
-    runtime.remove(name); ivfModels.remove(name)
+    runtime.remove(name); ivfModels.remove(name); pqModels.remove(name)
     catalog.drop(name)
   }
 
@@ -119,6 +126,7 @@ class Engine(
       case (k, _) => throw new IllegalArgumentException(s"unknown search param '$k'") // ivf.go:399-401
     }
     runtime.updateWith(coll)(old => Some(old.getOrElse(Map.empty) ++ params))
+    paramsEpoch.incrementAndGet()
   }
 
   def getParams(coll: String): Map[String, Int] = runtime.getOrElse(coll, Map.empty)
@@ -137,7 +145,9 @@ class Engine(
         val n = corpus.count()
         val k = math.min(nlist.toLong, n).toInt
         require(k >= 1, "cannot train an index on an empty collection")
-        ivfModels(coll) = IvfIndex.train(corpus, "vector", k, cfg.spaceType)
+        val model = IvfIndex.train(corpus, "vector", k, cfg.spaceType)
+        ivfModels(coll) = model
+        ModelStore.saveIvf(ivfSnapshotPath(coll), model) // S8 snapshot
       case IndexType.IvfPq =>
         val corpus = store.read(coll)
         val n = corpus.count()
@@ -147,6 +157,7 @@ class Engine(
         val pq = IvfPq.train(corpus, "vector", k, m = m)
         pqModels(coll) = pq
         ivfModels(coll) = pq.coarse // so nprobe validation sees nlist
+        ModelStore.savePq(pqSnapshotPath(coll), pq) // S8 snapshot
       case _ => () // flat / hnsw-tier: nothing to train
     }
   }
@@ -174,14 +185,26 @@ class Engine(
       .withColumn("query_vec", col("query_vec").cast("array<float>"))
     cfg.indexType match {
       case IndexType.IvfPq =>
-        val pq = pqModels.getOrElse(coll,
-          throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val pq = pqModels.get(coll)
+          .orElse { // recovery: reload the persisted snapshot (SURVEY S7/S8)
+            val loaded = ModelStore.loadPq(pqSnapshotPath(coll))
+            loaded.foreach { mm => pqModels(coll) = mm; ivfModels(coll) = mm.coarse }
+            loaded
+          }
+          .getOrElse(
+            throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
         IvfPq.search(IvfPq.encode(corpus, "vector", pq), qDf, pq, k, nprobe,
           rerankVecCol = Some("vector"))
       case IndexType.IvfFlat =>
-        val model = ivfModels.getOrElse(coll,
-          throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val model = ivfModels.get(coll)
+          .orElse { // recovery: reload the persisted snapshot (SURVEY S7/S8)
+            val loaded = ModelStore.loadIvf(ivfSnapshotPath(coll))
+            loaded.foreach(mm => ivfModels(coll) = mm)
+            loaded
+          }
+          .getOrElse(
+            throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
         IvfIndex.search(IvfIndex.assign(corpus, "vector", model), qDf, model, k, nprobe)
       case IndexType.Hnsw =>
@@ -202,6 +225,11 @@ class Engine(
     val cfg = configOf(coll)
     require(query.length == cfg.dimension,
       s"query dimension ${query.length} != collection dimension ${cfg.dimension}")
+    val cacheKey = filter match {
+      case None => Some(cache.key(coll, store.currentVersion(coll), paramsEpoch.get(), query, k))
+      case _ => None
+    }
+    cacheKey.flatMap(cache.get).foreach(cached => return cached)
     val corpus = store.read(coll)
     val hits = filter match {
       case Some(pred) if preFilter =>
@@ -219,6 +247,10 @@ class Engine(
       .sortBy(_.rank)
     if (out.isEmpty)
       throw new NoSuchElementException("no satisfied results found") // document.go:222-225
+    cacheKey.foreach(cache.put(_, out.toSeq))
     out.toSeq
   }
+
+  /** Cache stats for tests/ops. */
+  def cacheSize: Int = cache.size
 }

@@ -52,6 +52,12 @@ class DocStore(spark: SparkSession, root: String) {
       Files.write(versionFile(name), "0".getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Current write version (monotone per collection; part of the result
+    * cache key so every write invalidates cached searches).
+    */
+  def currentVersion(name: String): Long =
+    new String(Files.readAllBytes(versionFile(name)), StandardCharsets.UTF_8).trim.toLong
+
   private def nextVersion(name: String): Long = synchronized {
     val v = new String(Files.readAllBytes(versionFile(name)), StandardCharsets.UTF_8)
       .trim.toLong + 1

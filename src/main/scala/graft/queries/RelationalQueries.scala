@@ -178,6 +178,31 @@ object RelationalQueries {
     """SELECT c_custkey, c_name FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
 
+  /** Outer join with null-handling: per-order lineitem count and quantity,
+    * zero for orders with no lineitems (coalesce over the null side).
+    */
+  def ordersLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), sum(dec(col("l_quantity"))).as("qty"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        coalesce(col("qty").cast(DoubleType), lit(0.0)).as("sum_qty"))
+  }
+
+  val ordersLeftJoinSql: String =
+    """SELECT o_orderkey,
+      |  coalesce(n_items, 0) AS n_items,
+      |  coalesce(CAST(qty AS DOUBLE), 0.0) AS sum_qty
+      |FROM orders LEFT JOIN (
+      |  SELECT l_orderkey, count(*) AS n_items,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem GROUP BY l_orderkey) t
+      |ON o_orderkey = l_orderkey""".stripMargin
+
   /** Set op: UNION (with dedup) of two key sets. */
   def unionNationKeys(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -244,6 +269,7 @@ object RelationalQueries {
     "point_lookup" -> (pointLookup(_, _)),
     "topk_orders" -> (topkOrders(_, _)),
     "customer_no_orders" -> (customerNoOrders(_, _)),
+    "orders_left_join" -> (ordersLeftJoin(_, _)),
     "union_nation_keys" -> (unionNationKeys(_, _)),
     "lww_latest_events" -> (lwwLatestEvents(_, _)),
     "events_hourly" -> (eventsHourly(_, _)))
@@ -255,6 +281,7 @@ object RelationalQueries {
     "point_lookup" -> pointLookupSql,
     "topk_orders" -> topkOrdersSql,
     "customer_no_orders" -> customerNoOrdersSql,
+    "orders_left_join" -> ordersLeftJoinSql,
     "union_nation_keys" -> unionNationKeysSql,
     "lww_latest_events" -> lwwLatestEventsSql,
     "events_hourly" -> eventsHourlySql)

@@ -44,6 +44,12 @@ object VectorQueries {
 
   val knnL2Sql: String =
     knnOracle("list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC")
+  /** F4 hamming: count of element-wise differing positions (degenerate on
+    * continuous data — near-total ties, broken deterministically by id; the
+    * self-match at distance 0 anchors the ranking).
+    */
+  val knnHammingSql: String = knnOracle(
+    "len(list_filter(generate_series(1, len(q.qv)), i -> q.qv[i] <> CAST(e.embedding[i] AS DOUBLE))) ASC")
   val knnCosSql: String =
     knnOracle("list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC")
   val knnIpSql: String =
@@ -188,6 +194,7 @@ object VectorQueries {
     "pq_knn" -> (pqKnn(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
+    "knn_hamming" -> ((s, d) => knnRanks(s, d, SpaceType.Hamming)),
     "knn_cos" -> ((s, d) => knnRanks(s, d, SpaceType.Cos)),
     "knn_ip" -> ((s, d) => knnRanks(s, d, SpaceType.Ip)),
     "knn_fetch_join" -> (knnFetchJoin(_, _)),
@@ -198,6 +205,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "ivf_knn_full" -> knnL2Sql, // full probing ≡ exact KNN
     "knn_l2" -> knnL2Sql,
+    "knn_hamming" -> knnHammingSql,
     "knn_cos" -> knnCosSql,
     "knn_ip" -> knnIpSql,
     "knn_fetch_join" -> knnFetchJoinSql,
