@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{Bridge, CosDist, HammingNe, L2Sq, NegDot}
+import org.apache.spark.sql.graft.{Bridge, CosDist, HammingNe, L2Sq, NegDot, TopKByDistance}
 import org.apache.spark.sql.types.DoubleType
 
 import graft.core.SpaceType
@@ -27,6 +27,15 @@ object vfn {
     case SpaceType.Cos     => cosDist(a, b)
     case SpaceType.Hamming => hammingNe(a, b).cast(DoubleType)
   }
+
+  /** One-pass bounded top-k aggregate: ARRAY<STRUCT<id, distance, rnk>> of
+    * the k smallest distances (ties by id). Partial-aggregatable — map tasks
+    * ship ≤ k entries per group to the shuffle.
+    */
+  def topKByDistance(distance: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKByDistance(Bridge.expression(distance), Bridge.expression(id), k)
+        .toAggregateExpression())
 
   /** Register all distance functions for SQL use on this session. */
   def register(spark: SparkSession): Unit = {

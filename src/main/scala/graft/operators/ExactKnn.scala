@@ -47,6 +47,34 @@ object ExactKnn {
       .select(col(queryId), col(corpusId), col("distance"), col("rnk"))
   }
 
+  /** Same result set as `knn`, computed with the custom one-pass TopKByDistance
+    * aggregate instead of a window: per-partition bounded heaps + partial
+    * aggregation, so the exchange carries ≤ k·numPartitions rows per query and
+    * nothing is sorted until the final k-element heap drain. Preferable when
+    * the query set is large (the window plan's per-partition sort grows with
+    * |queries|·|corpus-partition| while the heaps stay O(k)).
+    */
+  def knnAgg(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dist = vfn.distance(col(corpusVec), col(queryVec), space)
+    corpus
+      .crossJoin(broadcast(queries))
+      .withColumn("__d", dist)
+      .groupBy(col(queryId))
+      .agg(vfn.topKByDistance(col("__d"), col(corpusId), k).as("__hits"))
+      .select(col(queryId), explode(col("__hits")).as("__h"))
+      .select(col(queryId), col("__h.id").as(corpusId),
+        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+  }
+
   /** KNN + metadata fetch: reference's per-hit `GetDocument` N+1 loop becomes
     * a single broadcast hash join of the tiny top-k result against the docs
     * table (SURVEY J1).

@@ -136,7 +136,10 @@ object VectorQueries {
     */
   def nnJoin(spark: SparkSession, dir: String): DataFrame = {
     val q = corpus(spark, dir).select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    ExactKnn.knn(corpus(spark, dir), q, 2, SpaceType.L2,
+    // every vector is a query → |corpus|² candidates; the one-pass TopK
+    // aggregate keeps per-partition bounded heaps instead of sorting the
+    // whole candidate set under a window
+    ExactKnn.knnAgg(corpus(spark, dir), q, 2, SpaceType.L2,
         corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
       .filter(col("vec_id") =!= col("qid")) // drop self-match
       .filter(col("rnk") <= 2)

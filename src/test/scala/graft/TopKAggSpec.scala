@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.SpaceType
+import graft.operators.ExactKnn
+
+/** TopKByDistance aggregate ≡ the window group-limit plan, across id types
+  * and tie patterns.
+  */
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knnAgg matches knn (window) exactly on sf0.001 embeddings (long ids)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val a = ExactKnn.knn(emb, q, 10, SpaceType.L2,
+        corpusId = "vec_id", corpusVec = "embedding")
+      .select("query_id", "vec_id", "distance", "rnk")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val b = ExactKnn.knnAgg(emb, q, 10, SpaceType.L2,
+        corpusId = "vec_id", corpusVec = "embedding")
+      .select("query_id", "vec_id", "distance", "rnk")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("string ids + ties: deterministic id-ascending tie-break (flat fixture)") {
+    val corpus = (1 to 20).map(i => (i.toString, Seq((i - 1).toFloat, 0f, 0f, 0f)))
+      .toDF("id", "vector")
+    val queries = Seq(("q0", Seq(6f, 0f, 0f, 0f))).toDF("query_id", "query_vec")
+    val got = ExactKnn.knnAgg(corpus, queries, 5, SpaceType.L2)
+      .orderBy("rnk").select("id", "distance")
+      .as[(String, Double)].collect()
+    // dist 1 tie between "6"/"8" → id order; dist 4 tie between "5"/"9"
+    assert(got.toSeq === Seq(("7", 0.0), ("6", 1.0), ("8", 1.0), ("5", 4.0), ("9", 4.0)))
+  }
+
+  test("partial aggregation: plan shows partial_topk before the exchange") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val plan = ExactKnn.knnAgg(emb, q, 10, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by_distance"),
+      s"expected partial aggregation in:\n$plan")
+  }
+}
