@@ -1,0 +1,45 @@
+package graft
+
+/** Physical-plan regressions: the properties that make these queries scale —
+  * pushdown, pruning, broadcast choice, partial group-limit — must survive
+  * refactors. (The 100 TB argument lives in these assertions.)
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter reaches the parquet scan; scan is column-pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey"), "scan must not read unused columns")
+    assert(p.count(_ == 'E') > 0 && "Exchange".r.findAllIn(p).size == 1,
+      "q1 should have exactly one exchange (the group-by)")
+  }
+
+  test("q3: dimension sides broadcast; top-10 via TakeOrderedAndProject") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("point lookup: id predicate pushed to the scan (LSM Get parity)") {
+    val p = plan("point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"))
+  }
+
+  test("knn: partial window group-limit runs BEFORE the exchange; queries broadcast") {
+    val p = plan("knn_l2")
+    val partialIdx = p.indexOf("row_number(), 10, Partial")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial group-limit must sit below (after in text) the exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("nn_join: custom topk aggregate does partial aggregation map-side") {
+    val p = plan("nn_join")
+    assert(p.contains("partial_topk_by_distance"))
+  }
+}
