@@ -40,6 +40,19 @@ class Engine(
 
   private def ivfSnapshotPath(coll: String) = s"$root/$coll/index/ivf.snapshot"
   private def pqSnapshotPath(coll: String) = s"$root/$coll/index/pq.snapshot"
+  private def ivfLayoutPath(coll: String) = s"$root/$coll/index/ivf_layout"
+
+  /** The materialized inverted-list layout, if present AND current (no
+    * writes since buildIndex) — otherwise None and the caller assigns on the
+    * fly over the live corpus (index staleness never causes wrong results).
+    */
+  private def currentLayout(coll: String): Option[DataFrame] = {
+    val vf = java.nio.file.Paths.get(s"$root/$coll/index/layout_version")
+    if (java.nio.file.Files.exists(vf) &&
+        java.nio.file.Files.readString(vf).trim.toLong == store.currentVersion(coll))
+      Some(spark.read.parquet(ivfLayoutPath(coll)))
+    else None
+  }
 
   // ---- collection DDL (POST/GET/DELETE /v1/collections) ----
 
@@ -148,6 +161,12 @@ class Engine(
         val model = IvfIndex.train(corpus, "vector", k, cfg.spaceType)
         ivfModels(coll) = model
         ModelStore.saveIvf(ivfSnapshotPath(coll), model) // S8 snapshot
+        // materialize the inverted-list layout: searches become physically
+        // partition-pruned scans of only the probed cluster directories
+        IvfIndex.write(corpus, "vector", model, ivfLayoutPath(coll))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
+          store.currentVersion(coll).toString)
       case IndexType.IvfPq =>
         val corpus = store.read(coll)
         val n = corpus.count()
@@ -175,11 +194,12 @@ class Engine(
         s"query '$qid' dimension ${v.length} != collection dimension ${cfg.dimension}")
     }
     val corpus = store.read(coll)
-    searchOn(corpus, cfg, coll, queries, k)
+    searchOn(corpus, cfg, coll, queries, k, corpusIsFull = true)
   }
 
   private def searchOn(corpus: DataFrame, cfg: CollectionConfig, coll: String,
-      queries: Seq[(String, Array[Float])], k: Int): DataFrame = {
+      queries: Seq[(String, Array[Float])], k: Int,
+      corpusIsFull: Boolean = false): DataFrame = {
     import spark.implicits._
     val qDf = queries.toDF("query_id", "query_vec")
       .withColumn("query_vec", col("query_vec").cast("array<float>"))
@@ -206,7 +226,12 @@ class Engine(
           .getOrElse(
             throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
-        IvfIndex.search(IvfIndex.assign(corpus, "vector", model), qDf, model, k, nprobe)
+        // prefer the materialized partition-pruned layout (only when
+        // searching the FULL corpus — a pre-filtered corpus must be
+        // re-assigned); fall back when the corpus changed since buildIndex
+        val assigned = (if (corpusIsFull) currentLayout(coll) else None)
+          .getOrElse(IvfIndex.assign(corpus, "vector", model))
+        IvfIndex.search(assigned, qDf, model, k, nprobe)
       case IndexType.Hnsw =>
         val tables = getParams(coll).getOrElse("efsearch", 40) / 10 + 1
         AnnLsh.search(corpus, qDf, k, cfg.spaceType, numTables = math.min(tables, 8))

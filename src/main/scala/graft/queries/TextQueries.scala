@@ -167,7 +167,19 @@ object TextQueries {
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest
       |FROM documents""".stripMargin
 
+  /** Multimodal decode pipeline through the driver gate (rows-only: the stub
+    * codec is hash-defined): text bytes stand in for media payloads; the
+    * partition-batched decode adds fixed-dim features.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.operators.Multimodal.decodeFeatures(media, "payload", dim = 8)
+      .select(col("doc_id"), col("features"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_features" -> (mediaFeatures(_, _)),
     "text_stats" -> (textStats(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "lang_id" -> (langId(_, _)),
