@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.SpaceType
+import graft.operators.{AnnLsh, ExactKnn, IvfIndex, IvfPq}
+
+/** Recall/latency sweep across the approximate tiers' knobs — the semantics
+  * of the reference's benchmark harness (`benchmarks/run_benchmarks.py`:
+  * recall@10 vs brute-force ground truth over an efsearch-style sweep),
+  * re-expressed for the batch engine. Prints one JSON line per sweep point.
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-recall-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val k = 10
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")).cache()
+    val nQueries = queries.count()
+
+    def truthOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val exact = truthOf(ExactKnn.knn(emb, queries, k, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv"))
+
+    def report(index: String, knob: String, knobV: Int, f: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val got = truthOf(f)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = exact.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / exact.size
+      println(f"""{"index":"$index","$knob":$knobV,"recall_at_$k":$recall%.4f,"sec":$sec%.3f,"qps":${nQueries / sec}%.1f}""")
+    }
+
+    // IVF: nprobe sweep (the reference's IVF recall knob)
+    val ivf = IvfIndex.train(emb, "embedding", nlist = 10)
+    val assigned = IvfIndex.assign(emb, "embedding", ivf).cache()
+    assigned.count()
+    for (nprobe <- Seq(1, 2, 4, 10))
+      report("ivf_flat", "nprobe", nprobe,
+        IvfIndex.search(assigned, queries, ivf, k, nprobe,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv"))
+
+    // LSH: table-count sweep (the efsearch analog of the hnsw tier)
+    for (tables <- Seq(1, 2, 4, 8))
+      report("lsh", "num_tables", tables,
+        AnnLsh.search(emb, queries, k, SpaceType.L2, numTables = tables, nbits = 6,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv"))
+
+    // IVFPQ: nprobe sweep, ADC-only vs exact re-rank
+    val pq = IvfPq.train(emb, "embedding", nlist = 10, m = 8)
+    val encoded = IvfPq.encode(emb, "embedding", pq).cache()
+    encoded.count()
+    for (nprobe <- Seq(2, 10); rerank <- Seq(false, true))
+      report(if (rerank) "ivfpq_rerank" else "ivfpq_adc", "nprobe", nprobe,
+        IvfPq.search(encoded, queries, pq, k, nprobe,
+          corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+          rerankVecCol = if (rerank) Some("embedding") else None))
+
+    spark.stop()
+  }
+}

@@ -262,7 +262,82 @@ object RelationalQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** TPC-H Q6-style scan-only aggregation: tight filters + one global sum —
+    * the shape where pushdown does all the work (no shuffle but the final
+    * single-row combine).
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1994-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1995-01-01 00:00:00").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** ROLLUP grouping-set hierarchy (beyond-reference relational surface). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact distinct aggregation (count(distinct) expands to a two-phase
+    * plan; HLL sketches are the approximate variant, not oracle-able).
+    */
+  def eventsUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  val eventsUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Analytic window functions: running sum (exact decimal), lag, rank. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    ev.select(
+      col("user_id"), col("event_id"),
+      sum(col("value").cast(DecimalType(18, 6))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(DoubleType).as("running_value"),
+      lag(col("event_id"), 1).over(w).as("prev_event_id"),
+      rank().over(w).cast("long").as("rnk"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_event_id,
+      |  CAST(rank() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rnk
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast(_, _)),
+    "rollup_revenue" -> (rollupRevenue(_, _)),
+    "events_users" -> (eventsUsers(_, _)),
+    "window_running" -> (windowRunning(_, _)),
     "q1_pricing_summary" -> (q1PricingSummary(_, _)),
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
     "q5_local_supplier" -> (q5LocalSupplier(_, _)),
@@ -275,6 +350,10 @@ object RelationalQueries {
     "events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast" -> q6Sql,
+    "rollup_revenue" -> rollupRevenueSql,
+    "events_users" -> eventsUsersSql,
+    "window_running" -> windowRunningSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
