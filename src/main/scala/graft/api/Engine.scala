@@ -120,6 +120,14 @@ class Engine(
     store.read(coll)
   }
 
+  /** Typed view of the collection (compile-time field checks; the engine
+    * currency stays DataFrame — SURVEY §1.4).
+    */
+  def documentsAs(coll: String): org.apache.spark.sql.Dataset[Document] = {
+    import spark.implicits._
+    documents(coll).select(col("id"), col("vector"), col("params")).as[Document]
+  }
+
   def compact(coll: String): Unit = { configOf(coll); store.compact(coll) }
 
   // ---- runtime search params (POST .../documents/setparams) ----

@@ -120,7 +120,7 @@ object IvfPq {
       queryId: String = "query_id",
       queryVec: String = "query_vec",
       rerankVecCol: Option[String] = None,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 8): DataFrame = {
     val spark = encoded.sparkSession
     val qidType = queries.schema(queryId).dataType
     val qRows = queries.select(col(queryId).cast("string"), col(queryVec)).collect()
