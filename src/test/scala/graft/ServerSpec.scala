@@ -1,0 +1,122 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.api.{Engine, Json, Server}
+import graft.core.{IndexType, SpaceType}
+
+/** e2e HTTP wire-parity tests over real sockets — the scenarios of the
+  * reference's `internal/server/handlers_test.go` (create/dup/get/list/
+  * delete, upsert/get/delete doc, search with exact distances, setparams
+  * validation) against the JDK-HttpServer shim.
+  */
+class ServerSpec extends SparkSpec {
+
+  private lazy val (server, port) = {
+    val root = Files.createTempDirectory("server").toString
+    val s = new Server(new Engine(spark, root))
+    val p = s.start()
+    (s, p)
+  }
+  private val client = HttpClient.newHttpClient()
+
+  private def req(method: String, path: String, body: String = ""): (Int, Json.Value) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val r = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+    }
+    val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    val parsed = if (resp.body().nonEmpty) Json.parse(resp.body()) else Json.Null
+    (resp.statusCode(), parsed)
+  }
+
+  test("health check: GET / -> {status: ok} (handlers.go:30-34)") {
+    val (code, v) = req("GET", "/")
+    assert(code === 200 && v.asObj("status").asStr === "ok")
+  }
+
+  test("collection lifecycle over the wire (handlers_test.go create/get/list/delete)") {
+    val (c1, v1) = req("POST", "/v1/collections",
+      """{"name":"docs3","dimension":3,"index_type":"flat"}""")
+    assert(c1 === 200 && v1.asObj("name").asStr === "docs3")
+    // duplicate → 200 with message, not error (handlers.go:90-93)
+    val (c2, v2) = req("POST", "/v1/collections",
+      """{"name":"docs3","dimension":3}""")
+    assert(c2 === 200 && v2.asObj.contains("message"))
+
+    val (c3, v3) = req("GET", "/v1/collections/docs3")
+    assert(c3 === 200 && v3.asObj("dimension").asInt === 3)
+    val (c4, v4) = req("GET", "/v1/collections")
+    assert(c4 === 200 && v4.asObj("count").asInt === 1)
+    assert(req("GET", "/v1/collections/nope")._1 === 404)
+    assert(req("DELETE", "/v1/collections/docs3")._1 === 200)
+    assert(req("GET", "/v1/collections/docs3")._1 === 404)
+  }
+
+  test("F-3 e2e: upsert docs, search documents with exact distances [0, 27]") {
+    req("POST", "/v1/collections", """{"name":"e2e","dimension":3,"index_type":"flat"}""")
+    val (cu, vu) = req("POST", "/v1/collections/e2e/documents",
+      """{"id":"1","vector":[1,2,3],"parameters":{"tag":"test1"}}""")
+    assert(cu === 200 && vu.asObj("dimension").asInt === 3)
+    req("POST", "/v1/collections/e2e/documents/batchupsert",
+      """{"documents":[{"id":"2","vector":[4,5,6],"parameters":{"tag":"test2"}}]}""")
+
+    val (cs, vs) = req("POST", "/v1/collections/e2e/documents/search",
+      """{"vector":[1,2,3],"limit":2}""")
+    assert(cs === 200)
+    val dists = vs.asObj("distances").asArr.map(_.asDouble)
+    assert(dists === Seq(0.0, 27.0)) // distance_test.go:26-33
+    val ids = vs.asObj("documents").asArr.map(_.asObj("id").asStr)
+    assert(ids === Seq("1", "2"))
+
+    // filter honored (reference ignores it — §7.4 fix)
+    val (cf, vf) = req("POST", "/v1/collections/e2e/documents/search",
+      """{"vector":[1,2,3],"limit":2,"filter":{"tag":"test2"}}""")
+    assert(cf === 200)
+    assert(vf.asObj("documents").asArr.map(_.asObj("id").asStr) === Seq("2"))
+
+    // vectors/search wire shape {ids, distances}
+    val (cv, vv) = req("POST", "/v1/collections/e2e/vectors/search",
+      """{"vector":[1,2,3],"limit":2}""")
+    assert(cv === 200 && vv.asObj("ids").asArr.map(_.asStr) === Seq("1", "2"))
+  }
+
+  test("document get/delete + error codes over the wire") {
+    req("POST", "/v1/collections", """{"name":"dd","dimension":2,"index_type":"flat"}""")
+    req("POST", "/v1/collections/dd/documents", """{"id":"x","vector":[1,0]}""")
+    assert(req("GET", "/v1/collections/dd/documents/x")._1 === 200)
+    assert(req("DELETE", "/v1/collections/dd/documents/x")._1 === 200)
+    assert(req("GET", "/v1/collections/dd/documents/x")._1 === 404)
+    assert(req("DELETE", "/v1/collections/dd/documents/x")._1 === 404)
+    // wrong dimension → 400; bad json → 400
+    assert(req("POST", "/v1/collections/dd/documents",
+      """{"id":"y","vector":[1,2,3]}""")._1 === 400)
+    assert(req("POST", "/v1/collections/dd/documents", "{nope")._1 === 400)
+  }
+
+  test("setparams validation over the wire (F-7 / handlers_test.go:604)") {
+    req("POST", "/v1/collections", """{"name":"hn","dimension":2,"index_type":"hnsw"}""")
+    assert(req("POST", "/v1/collections/hn/documents/setparams",
+      """{"parameters":{"efsearch":128}}""")._1 === 200)
+    assert(req("POST", "/v1/collections/hn/documents/setparams",
+      """{"parameters":{}}""")._1 === 400)
+    assert(req("POST", "/v1/collections/hn/documents/setparams",
+      """{"parameters":{"nprobe":5}}""")._1 === 400)
+  }
+
+  test("buildindex endpoint: accepts reference body AND actually trains (§7.4)") {
+    req("POST", "/v1/collections", """{"name":"iv","dimension":2,"index_type":"ivf_flat"}""")
+    val docs = (0 until 30).map { i =>
+      val base = if (i % 2 == 0) 0 else 10
+      s"""{"id":"$i","vector":[$base,${i % 3}]}"""
+    }.mkString("[", ",", "]")
+    assert(req("POST", "/v1/collections/iv/buildindex", s"""{"documents":$docs}""")._1 === 200)
+    val (cs, vs) = req("POST", "/v1/collections/iv/vectors/search",
+      """{"vector":[0,0],"limit":3}""")
+    assert(cs === 200 && vs.asObj("ids").asArr.nonEmpty)
+  }
+}
