@@ -44,6 +44,7 @@ class DocStore(spark: SparkSession, root: String) {
     StructField("vector", ArrayType(FloatType, containsNull = false), nullable = true),
     StructField("params", MapType(StringType, StringType), nullable = true),
     StructField("version", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false), // order within a batch
     StructField("is_deleted", BooleanType, nullable = false)))
 
   def init(name: String): Unit = {
@@ -77,7 +78,7 @@ class DocStore(spark: SparkSession, root: String) {
         s"document '${d.id}': vector dimension ${Option(d.vector).map(_.length).getOrElse(0)} != collection dimension $dim")
     }
     appendRows(name, docs.map(d =>
-      Row(d.id, d.vector.toSeq, d.params, -1L, false)), dim)
+      Row(d.id, d.vector.toSeq, d.params, -1L, -1L, false)), dim)
   }
 
   /** Delete = tombstone append (`storage.go:37-39`), uniformly honored by
@@ -85,7 +86,7 @@ class DocStore(spark: SparkSession, root: String) {
     */
   def delete(name: String, ids: Seq[String], dim: Int): Unit = {
     require(ids.nonEmpty, "empty delete batch")
-    appendRows(name, ids.map(id => Row(id, null, null, -1L, true)), dim)
+    appendRows(name, ids.map(id => Row(id, null, null, -1L, -1L, true)), dim)
   }
 
   /** Append a DataFrame batch (id, vector, params) as one version — the
@@ -95,19 +96,31 @@ class DocStore(spark: SparkSession, root: String) {
     val v = nextVersion(name)
     batch.select(col("id"), col("vector"), col("params"))
       .withColumn("version", lit(v))
+      .withColumn("seq", monotonically_increasing_id())
       .withColumn("is_deleted", lit(false))
       .write.mode("append").parquet(dataDir(name))
   }
 
   private def appendRows(name: String, rows: Seq[Row], dim: Int): Unit = {
     val v = nextVersion(name)
-    val stamped = rows.map(r => Row(r(0), r(1), r(2), v, r(4)))
+    // seq = position within the batch: duplicate ids inside one batch
+    // resolve to the LAST occurrence (the reference's sequential-put
+    // semantics, `document.go:294-303`), not an arbitrary tie
+    val stamped = rows.zipWithIndex.map { case (r, i) => Row(r(0), r(1), r(2), v, i.toLong, r(5)) }
     spark.createDataFrame(stamped.asJava, schema(dim))
       .write.mode("append").parquet(dataDir(name))
   }
 
-  /** Raw log (all versions, incl. tombstones). */
-  def log(name: String): DataFrame = spark.read.parquet(dataDir(name))
+  /** Raw log (all versions, incl. tombstones); an empty collection reads as
+    * an empty frame with the store schema (not a scan error).
+    */
+  def log(name: String): DataFrame = {
+    val hasData = Files.exists(Paths.get(dataDir(name))) &&
+      Files.list(Paths.get(dataDir(name))).iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+    if (hasData) spark.read.parquet(dataDir(name))
+    else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema(0))
+  }
 
   /** Current state: latest version per id, tombstones dropped. */
   def read(name: String): DataFrame = latestWins(log(name))
@@ -154,7 +167,7 @@ object DocStore {
     * filtered after resolution (a delete must shadow earlier upserts).
     */
   def latestWins(log: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("version").desc)
+    val w = Window.partitionBy(col("id")).orderBy(col("version").desc, col("seq").desc)
     log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("is_deleted"))
       .drop("__rn")
