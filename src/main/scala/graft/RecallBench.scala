@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.SpaceType
-import graft.operators.{AnnLsh, ExactKnn, IvfIndex, IvfPq}
+import graft.operators.{AnnLsh, ExactKnn, GraphAnn, IvfIndex, IvfPq}
 
 /** Recall/latency sweep across the approximate tiers' knobs — the semantics
   * of the reference's benchmark harness (`benchmarks/run_benchmarks.py`:
@@ -57,7 +57,14 @@ object RecallBench {
         IvfIndex.search(assigned, queries, ivf, k, nprobe,
           corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv"))
 
-    // LSH: table-count sweep (the efsearch analog of the hnsw tier)
+    // Graph ANN (NSW): the reference's efsearch sweep, exact values
+    // (`run_benchmarks.py:229-234`: {10, 20, 40, 80, 120, 160})
+    for (ef <- Seq(10, 20, 40, 80, 120, 160))
+      report("graph_nsw", "efsearch", ef,
+        GraphAnn.search(emb, queries, k, SpaceType.L2, ef = ef,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv"))
+
+    // LSH: table-count sweep (the efsearch analog of the lsh tier)
     for (tables <- Seq(1, 2, 4, 8))
       report("lsh", "num_tables", tables,
         AnnLsh.search(emb, queries, k, SpaceType.L2, numTables = tables, nbits = 6,

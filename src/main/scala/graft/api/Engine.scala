@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.core.ModelStore
-import graft.operators.{AnnLsh, ExactKnn, IvfIndex, IvfPq}
+import graft.operators.{ExactKnn, GraphAnn, IvfIndex, IvfPq}
 import graft.sources.EmbeddingProvider
 
 /** Engine facade — the reference's REST verb set (SURVEY §2.9) as a Scala
@@ -241,8 +241,10 @@ class Engine(
           .getOrElse(IvfIndex.assign(corpus, "vector", model))
         IvfIndex.search(assigned, qDf, model, k, nprobe)
       case IndexType.Hnsw =>
-        val tables = getParams(coll).getOrElse("efsearch", 40) / 10 + 1
-        AnnLsh.search(corpus, qDf, k, cfg.spaceType, numTables = math.min(tables, 8))
+        // graph-ANN tier: per-partition NSW beam search; efsearch IS the
+        // beam width, exactly the reference's knob (hnsw.go:171-204)
+        val ef = getParams(coll).getOrElse("efsearch", 40)
+        GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef)
       case IndexType.Flat =>
         ExactKnn.knn(corpus, qDf, k, cfg.spaceType)
     }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.SpaceType
+
+/** Graph-ANN tier: per-partition navigable-small-world graphs built in
+  * `mapPartitions`, searched with a beam whose width IS the reference's
+  * `efsearch` knob — SURVEY §7.2 step 7(a)'s "HNSW-capability" path
+  * (reference `internal/index/hnsw.go` + hnswlib `hnswalg.h:1381-1440`).
+  *
+  * Why this shape on Spark: a single global mutable graph fights the
+  * execution model (per-row pointer chasing across executors), but a graph
+  * per PARTITION is embarrassingly parallel to build (the reference's
+  * 4-goroutine build, `hnsw_go_api.go:47-90`, becomes task parallelism) and
+  * to search (queries broadcast; each partition answers from its local
+  * graph; the global answer is the one-pass TopK merge of per-partition
+  * top-k's). Search cost scales with numPartitions·ef instead of corpus
+  * size — the greedy-descent saving applies within every partition.
+  *
+  * The graph itself is a fresh, single-layer NSW: greedy beam insertion
+  * wiring each node to its M nearest discovered neighbors (bidirectional,
+  * pruned to maxM) — the level-0 machinery of HNSW without the layer
+  * hierarchy, which partition-local sizes don't need.
+  */
+object GraphAnn {
+
+  /** In-memory single-partition NSW graph. Not thread-safe; build then search. */
+  final class NswIndex(dim: Int, m: Int, efConstruction: Int, space: SpaceType) {
+    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    private val ids = mutable.ArrayBuffer.empty[Any]
+    private val links = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+    private val maxM = 2 * m
+
+    private def dist(a: Array[Float], b: Array[Float]): Double = space match {
+      case SpaceType.Ip =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        -s
+      case SpaceType.Cos =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+      case _ =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
+    }
+
+    /** Beam search over the current graph: ef best candidates for q. */
+    private def beam(q: Array[Float], ef: Int): Seq[(Int, Double)] = {
+      if (vecs.isEmpty) return Seq.empty
+      val entry = 0
+      val visited = new java.util.BitSet(vecs.length)
+      // candidates: min-heap by distance; result: max-heap (worst first)
+      implicit val byDistAsc: Ordering[(Int, Double)] = Ordering.by(-_._2)
+      val cand = mutable.PriorityQueue.empty[(Int, Double)] // closest first (reverse)
+      val res = mutable.PriorityQueue.empty[(Int, Double)](Ordering.by(_._2)) // furthest first
+      val d0 = dist(q, vecs(entry))
+      cand.enqueue((entry, d0)); res.enqueue((entry, d0)); visited.set(entry)
+      while (cand.nonEmpty) {
+        val (c, dc) = cand.dequeue()
+        if (dc > res.head._2 && res.size >= ef) { cand.clear() } // done
+        else {
+          val ls = links(c)
+          var i = 0
+          while (i < ls.length) {
+            val n = ls(i)
+            if (!visited.get(n)) {
+              visited.set(n)
+              val dn = dist(q, vecs(n))
+              if (res.size < ef || dn < res.head._2) {
+                cand.enqueue((n, dn)); res.enqueue((n, dn))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      res.dequeueAll.reverse.toSeq // ascending by distance
+    }
+
+    def insert(id: Any, v: Array[Float]): Unit = {
+      val idx = vecs.length
+      vecs += v; ids += id; links += mutable.ArrayBuffer.empty[Int]
+      if (idx == 0) return
+      val nbrs = beam(v, efConstruction).take(m)
+      nbrs.foreach { case (n, _) =>
+        links(idx) += n
+        links(n) += idx
+        if (links(n).length > maxM) {
+          // prune the neighbor's list back to its maxM closest
+          val pruned = links(n).map(x => (x, dist(vecs(n), vecs(x))))
+            .sortBy(_._2).take(maxM).map(_._1)
+          links(n).clear(); links(n) ++= pruned
+        }
+      }
+    }
+
+    /** Top-k (id, distance) for q with beam width ef (the efsearch knob). */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Any, Double)] =
+      beam(q, math.max(ef, k)).take(k).map { case (i, d) => (ids(i), d) }
+  }
+
+  /** Approximate batch KNN: per-partition NSW graphs, queries broadcast,
+    * global top-k via the one-pass TopK aggregate. `ef` = efsearch.
+    */
+  def search(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      ef: Int = 40,       // reference default efsearch ballpark
+      m: Int = 16,        // const.go:18-23 M default
+      efConstruction: Int = 200,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val spark = corpus.sparkSession
+    val qRows = queries.select(col(queryId), col(queryVec)).collect()
+      .map(r => (r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val mVal = m; val efcVal = efConstruction; val efVal = ef; val spaceVal = space
+    val kVal = k
+
+    val idIdx = 0; val vecIdx = 1
+    val local = corpus.select(col(corpusId), col(corpusVec)).rdd.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val dim = rows(0).getAs[scala.collection.Seq[Float]](vecIdx).length
+        val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+        rows.foreach { r =>
+          index.insert(r.get(idIdx), r.getAs[scala.collection.Seq[Float]](vecIdx).toArray)
+        }
+        bcQ.value.iterator.flatMap { case (qid, qv) =>
+          index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+        }
+      }
+    }
+    val qidType = queries.schema(queryId).dataType
+    val idType = corpus.schema(corpusId).dataType
+    val localDf = spark.createDataFrame(local, StructType(Seq(
+      StructField(queryId, qidType),
+      StructField(corpusId, idType),
+      StructField("distance", DoubleType))))
+    // global merge: one-pass bounded-heap top-k per query
+    import graft.functions.vfn
+    localDf.groupBy(col(queryId))
+      .agg(vfn.topKByDistance(col("distance"), col(corpusId), k).as("__hits"))
+      .select(col(queryId), explode(col("__hits")).as("__h"))
+      .select(col(queryId), col("__h.id").as(corpusId),
+        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{SpaceType, Tables}
 import graft.functions.vfn
-import graft.operators.{AnnLsh, ExactKnn, IvfIndex, IvfPq}
+import graft.operators.{AnnLsh, ExactKnn, GraphAnn, IvfIndex, IvfPq}
 
 /** Vector query pack over the `embeddings` table (64-d float, L2-normalized,
   * 10 labels): exact KNN in all three metric spaces, search-then-fetch,
@@ -185,6 +185,13 @@ object VectorQueries {
       .select(col("qid"), col("vec_id"), col("rnk"))
   }
 
+  /** Per-partition NSW graph ANN (rows-only; recall gates in GraphAnnSpec). */
+  def graphKnn(spark: SparkSession, dir: String): DataFrame =
+    GraphAnn.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.L2,
+        ef = 80, corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+
   /** LSH ANN tier (HNSW-capability): rows-only check; recall gates in AnnLshSpec. */
   def lshKnn(spark: SparkSession, dir: String): DataFrame =
     AnnLsh.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.Cos,
@@ -195,6 +202,7 @@ object VectorQueries {
     "ivf_knn_full" -> ((s, d) => ivfKnn(s, d, nlist => nlist)),
     "ivf_knn_probe" -> ((s, d) => ivfKnn(s, d, _ => 2)),
     "pq_knn" -> (pqKnn(_, _)),
+    "graph_knn" -> (graphKnn(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
     "knn_hamming" -> ((s, d) => knnRanks(s, d, SpaceType.Hamming)),

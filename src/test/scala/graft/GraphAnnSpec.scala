@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.SpaceType
+import graft.operators.{ExactKnn, GraphAnn}
+
+/** Per-partition NSW graph ANN: recall vs exact oracle, efsearch-knob
+  * monotonicity, multi-partition merge correctness.
+  */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+    .repartition(4) // force multiple per-partition graphs + global merge
+    .cache()
+  private lazy val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .filter(col("vec_id") < 20)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+  private lazy val exact = ExactKnn.knn(emb, queries, 10, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+    .select("qid", "vec_id").as[(Long, Long)].collect()
+    .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallAt(ef: Int): Double = {
+    val got = GraphAnn.search(emb, queries, 10, SpaceType.L2, ef = ef,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    exact.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / exact.size
+  }
+
+  test("tiny corpus, high ef: graph search is exact (ids + distances)") {
+    val corpus = (1 to 30).map(i => (i.toString, Seq((i - 1).toFloat, 0f, 0f, 0f)))
+      .toDF("id", "vector")
+    val q = Seq(("q0", Seq(6f, 0f, 0f, 0f))).toDF("query_id", "query_vec")
+    val got = GraphAnn.search(corpus, q, 3, SpaceType.L2, ef = 64)
+      .orderBy("rnk").select("id", "distance")
+      .as[(String, Double)].collect()
+    assert(got.toSeq === Seq(("7", 0.0), ("6", 1.0), ("8", 1.0))) // flat_test.go:39-47
+  }
+
+  test("recall@10 >= 0.9 at ef=100 across 4 partition graphs") {
+    val r = recallAt(100)
+    assert(r >= 0.9, f"recall@10 $r%.3f < 0.9")
+  }
+
+  test("efsearch knob: recall non-decreasing with wider beam (hnsw.go:171-204 analog)") {
+    val lo = recallAt(10)
+    val hi = recallAt(100)
+    assert(hi >= lo, f"recall fell as ef grew: $lo%.3f -> $hi%.3f")
+  }
+}
