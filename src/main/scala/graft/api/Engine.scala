@@ -41,16 +41,18 @@ class Engine(
   private def ivfSnapshotPath(coll: String) = s"$root/$coll/index/ivf.snapshot"
   private def pqSnapshotPath(coll: String) = s"$root/$coll/index/pq.snapshot"
   private def ivfLayoutPath(coll: String) = s"$root/$coll/index/ivf_layout"
+  private def pqLayoutPath(coll: String) = s"$root/$coll/index/pq_layout"
 
-  /** The materialized inverted-list layout, if present AND current (no
-    * writes since buildIndex) — otherwise None and the caller assigns on the
-    * fly over the live corpus (index staleness never causes wrong results).
+  /** The materialized index layout at `path`, if present AND current (no
+    * writes since buildIndex) — otherwise None and the caller recomputes
+    * over the live corpus (index staleness never causes wrong results).
     */
-  private def currentLayout(coll: String): Option[DataFrame] = {
+  private def currentLayout(coll: String, path: String): Option[DataFrame] = {
     val vf = java.nio.file.Paths.get(s"$root/$coll/index/layout_version")
     if (java.nio.file.Files.exists(vf) &&
-        java.nio.file.Files.readString(vf).trim.toLong == store.currentVersion(coll))
-      Some(spark.read.parquet(ivfLayoutPath(coll)))
+        java.nio.file.Files.readString(vf).trim.toLong == store.currentVersion(coll) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      Some(spark.read.parquet(path))
     else None
   }
 
@@ -69,6 +71,9 @@ class Engine(
 
   def dropCollection(name: String): Boolean = {
     runtime.remove(name); ivfModels.remove(name); pqModels.remove(name)
+    // the version counter resets if the collection is recreated, so cached
+    // results keyed on the old incarnation must not survive the drop
+    cache.clear()
     catalog.drop(name)
   }
 
@@ -142,7 +147,9 @@ class Engine(
       case ("nprobe", v) =>
         require(cfg.indexType == IndexType.IvfFlat || cfg.indexType == IndexType.IvfPq,
           s"nprobe not valid for ${cfg.indexType.name}")
-        val nlist = ivfModels.get(coll).map(_.nlist).getOrElse(Int.MaxValue)
+        val nlist = ivfModels.get(coll)
+          .orElse(graft.core.ModelStore.loadIvf(ivfSnapshotPath(coll)))
+          .map(_.nlist).getOrElse(Int.MaxValue)
         require(v > 0 && v <= nlist, s"nprobe must be in [1, $nlist], got $v") // ivf.go:407-413
       case (k, _) => throw new IllegalArgumentException(s"unknown search param '$k'") // ivf.go:399-401
     }
@@ -176,6 +183,11 @@ class Engine(
           java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
           store.currentVersion(coll).toString)
       case IndexType.IvfPq =>
+        // ADC tables and the re-rank kernel are squared-L2 over residuals;
+        // other metrics would silently return L2 rankings — hard error
+        // instead (the no-silent-fallback rule, SURVEY F5)
+        require(cfg.spaceType == SpaceType.L2,
+          s"ivfpq supports only l2 space, got ${cfg.spaceType.name}")
         val corpus = store.read(coll)
         val n = corpus.count()
         val k = math.min(nlist.toLong, n).toInt
@@ -185,6 +197,12 @@ class Engine(
         pqModels(coll) = pq
         ivfModels(coll) = pq.coarse // so nprobe validation sees nlist
         ModelStore.savePq(pqSnapshotPath(coll), pq) // S8 snapshot
+        // materialize the encoded layout (codes, not vectors, do the scan work)
+        IvfPq.encode(corpus, "vector", pq)
+          .write.mode("overwrite").partitionBy("cluster_id").parquet(pqLayoutPath(coll))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
+          store.currentVersion(coll).toString)
       case _ => () // flat / hnsw-tier: nothing to train
     }
   }
@@ -222,8 +240,12 @@ class Engine(
           .getOrElse(
             throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
-        IvfPq.search(IvfPq.encode(corpus, "vector", pq), qDf, pq, k, nprobe,
-          rerankVecCol = Some("vector"))
+        // prefer the encoded layout materialized at buildIndex (partition-
+        // pruned, no per-search re-encoding); re-encode only when stale or
+        // when searching a pre-filtered corpus
+        val encoded = (if (corpusIsFull) currentLayout(coll, pqLayoutPath(coll)) else None)
+          .getOrElse(IvfPq.encode(corpus, "vector", pq))
+        IvfPq.search(encoded, qDf, pq, k, nprobe, rerankVecCol = Some("vector"))
       case IndexType.IvfFlat =>
         val model = ivfModels.get(coll)
           .orElse { // recovery: reload the persisted snapshot (SURVEY S7/S8)
@@ -237,12 +259,17 @@ class Engine(
         // prefer the materialized partition-pruned layout (only when
         // searching the FULL corpus — a pre-filtered corpus must be
         // re-assigned); fall back when the corpus changed since buildIndex
-        val assigned = (if (corpusIsFull) currentLayout(coll) else None)
+        val assigned = (if (corpusIsFull) currentLayout(coll, ivfLayoutPath(coll)) else None)
           .getOrElse(IvfIndex.assign(corpus, "vector", model))
         IvfIndex.search(assigned, qDf, model, k, nprobe)
       case IndexType.Hnsw =>
         // graph-ANN tier: per-partition NSW beam search; efsearch IS the
-        // beam width, exactly the reference's knob (hnsw.go:171-204)
+        // beam width, exactly the reference's knob (hnsw.go:171-204).
+        // Batch-first by design (BASELINE: "not online ANN serving"): the
+        // per-partition graphs are rebuilt per batch of queries — amortized
+        // over the query set, not per single request. An online deployment
+        // would pin graphs in an executor-level cache keyed by
+        // (collection, write-version, partition).
         val ef = getParams(coll).getOrElse("efsearch", 40)
         GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef)
       case IndexType.Flat =>
@@ -270,11 +297,11 @@ class Engine(
       case Some(pred) if preFilter =>
         searchOn(corpus.filter(pred), cfg, coll, Seq(("q", query)), k)
       case Some(pred) =>
-        val wide = searchOn(corpus, cfg, coll, Seq(("q", query)), 2 * k)
+        val wide = searchOn(corpus, cfg, coll, Seq(("q", query)), 2 * k, corpusIsFull = true)
         wide.join(corpus.filter(pred).select(col("id")), "id")
           .orderBy(col("rnk")).limit(k)
       case None =>
-        searchOn(corpus, cfg, coll, Seq(("q", query)), k)
+        searchOn(corpus, cfg, coll, Seq(("q", query)), k, corpusIsFull = true)
     }
     val out = hits.select(col("query_id"), col("id"), col("distance"), col("rnk"))
       .collect()

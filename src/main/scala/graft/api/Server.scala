@@ -6,6 +6,7 @@ import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.core._
+import graft.core.Json
 
 /** REST wire-parity shim over the Engine: the reference's route table and
   * JSON shapes (`internal/server/server.go:25-38`, `types.go`, response
@@ -218,7 +219,21 @@ class Server(engine: Engine, port: Int = 0) {
       }.reduce(_ && _)
     }
     val hits = engine.searchDocuments(name, vec, limit, filter)
-    val docs = hits.flatMap(h => engine.getDocument(name, h.id)
+    // fetch all hit documents in ONE filtered scan (the reference's per-hit
+    // GetDocument loop is the N+1 shape SURVEY J1 exists to avoid)
+    val ids = hits.map(_.id)
+    val fetched = engine.documents(name)
+      .filter(org.apache.spark.sql.functions.col("id").isin(ids: _*))
+      .collect()
+      .map { r =>
+        val d = Document(
+          r.getAs[String]("id"),
+          Option(r.getAs[scala.collection.Seq[Float]]("vector")).map(_.toArray).orNull,
+          Option(r.getAs[scala.collection.Map[String, String]]("params"))
+            .map(_.toMap).getOrElse(Map.empty))
+        d.id -> d
+      }.toMap
+    val docs = hits.flatMap(h => fetched.get(h.id)
       .map(d => docJson(d, "distance" -> Num(h.distance))))
     reply(ex, 200, Obj.of(
       "documents" -> Arr(docs),

@@ -35,14 +35,20 @@ class Catalog(root: String) {
 
   def list(): Seq[String] =
     if (!Files.exists(Paths.get(root))) Seq.empty
-    else Files.list(Paths.get(root)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("config.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val stream = Files.list(Paths.get(root))
+      try stream.iterator().asScala
+        .filter(p => Files.exists(p.resolve("config.json")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally stream.close()
+    }
 
   def drop(name: String): Boolean = {
     if (!exists(name)) return false
     val dir = Paths.get(s"$root/$name")
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally stream.close()
     true
   }
 
@@ -50,47 +56,26 @@ class Catalog(root: String) {
     require(name.nonEmpty && name.matches("[A-Za-z0-9_\\-]+"),
       s"invalid collection name '$name'")
 
-  // Minimal hand-rolled JSON (flat, string-valued maps only) — avoids any
-  // dependency beyond the Spark classpath.
+  // Sidecars use the engine's JSON codec (graft.core.Json) — a real parser,
+  // so param values containing commas/quotes/colons round-trip correctly.
   private def toJson(c: CollectionConfig): String = {
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"; case ch => ch.toString
-    }
     def obj(m: Map[String, String]) =
-      m.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-        .mkString("{", ",", "}")
-    s"""{"name":"${esc(c.name)}","dimension":${c.dimension},""" +
-      s""""indexType":"${c.indexType.name}","spaceType":"${c.spaceType.name}",""" +
-      s""""params":${obj(c.params)},"metadata":${obj(c.metadata)}}"""
+      Json.Obj(m.map { case (k, v) => k -> Json.Str(v) })
+    Json.write(Json.Obj.of(
+      "name" -> Json.Str(c.name),
+      "dimension" -> Json.Num(c.dimension),
+      "indexType" -> Json.Str(c.indexType.name),
+      "spaceType" -> Json.Str(c.spaceType.name),
+      "params" -> obj(c.params),
+      "metadata" -> obj(c.metadata)))
   }
 
   private def fromJson(s: String): CollectionConfig = {
-    def str(key: String): String = {
-      val m = s"""(?s).*"$key":"((?:[^"\\\\]|\\\\.)*)".*""".r
-      s match { case m(v) => unesc(v); case _ => throw new IllegalStateException(s"bad sidecar: $key") }
-    }
-    def int(key: String): Int = {
-      val m = s"""(?s).*"$key":(\\d+).*""".r
-      s match { case m(v) => v.toInt; case _ => throw new IllegalStateException(s"bad sidecar: $key") }
-    }
-    def mp(key: String): Map[String, String] = {
-      val m = s"""(?s).*"$key":\\{([^}]*)\\}.*""".r
-      s match {
-        case m(body) if body.trim.nonEmpty =>
-          body.split(",").map { kv =>
-            val Array(k, v) = kv.split(":", 2)
-            unesc(k.trim.stripPrefix("\"").stripSuffix("\"")) ->
-              unesc(v.trim.stripPrefix("\"").stripSuffix("\""))
-          }.toMap
-        case _ => Map.empty
-      }
-    }
-    CollectionConfig(str("name"), int("dimension"),
-      IndexType.parse(str("indexType")), SpaceType.parse(str("spaceType")),
+    val o = Json.parse(s).asObj
+    def mp(key: String): Map[String, String] =
+      o.get(key).map(_.asObj.map { case (k, v) => k -> v.asStr }).getOrElse(Map.empty)
+    CollectionConfig(o("name").asStr, o("dimension").asInt,
+      IndexType.parse(o("indexType").asStr), SpaceType.parse(o("spaceType").asStr),
       mp("params"), mp("metadata"))
   }
-
-  private def unesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
 }

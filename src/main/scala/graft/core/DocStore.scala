@@ -91,6 +91,9 @@ class DocStore(spark: SparkSession, root: String) {
 
   /** Append a DataFrame batch (id, vector, params) as one version — the
     * streaming-ingest entry point (one micro-batch = one atomic version).
+    * A distributed batch has no total record order, so duplicate ids WITHIN
+    * one micro-batch resolve deterministically by (partition, offset) order;
+    * ordering across micro-batches is exact (version).
     */
   def upsertDf(name: String, batch: DataFrame): Unit = {
     val v = nextVersion(name)
@@ -115,9 +118,11 @@ class DocStore(spark: SparkSession, root: String) {
     * an empty frame with the store schema (not a scan error).
     */
   def log(name: String): DataFrame = {
-    val hasData = Files.exists(Paths.get(dataDir(name))) &&
-      Files.list(Paths.get(dataDir(name))).iterator().asScala
-        .exists(_.getFileName.toString.endsWith(".parquet"))
+    val hasData = Files.exists(Paths.get(dataDir(name))) && {
+      val stream = Files.list(Paths.get(dataDir(name)))
+      try stream.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally stream.close()
+    }
     if (hasData) spark.read.parquet(dataDir(name))
     else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema(0))
   }
@@ -151,7 +156,9 @@ class DocStore(spark: SparkSession, root: String) {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val stream = Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally stream.close()
     }
 
   private def fromRow(r: Row): Document = Document(

@@ -1,4 +1,4 @@
-package graft.api
+package graft.core
 
 /** Minimal JSON AST + recursive-descent parser + writer — enough for the
   * REST wire format (objects, arrays, strings, numbers, booleans, null);

@@ -4,7 +4,8 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.Files
 
-import graft.api.{Engine, Json, Server}
+import graft.api.{Engine, Server}
+import graft.core.Json
 import graft.core.{IndexType, SpaceType}
 
 /** e2e HTTP wire-parity tests over real sockets — the scenarios of the
