@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming: inactivity-gap sessionization via
+  * `flatMapGroupsWithState` — the arbitrary-state tier of Structured
+  * Streaming (beyond watermarked tumbling windows), keyed by user with
+  * event-time timeout.
+  *
+  * Emits one row per CLOSED session (closed by a longer-than-gap silence in
+  * the user's own stream, or by watermark timeout); open sessions live in
+  * the state store and survive restarts through the checkpoint. Scale:
+  * state is hash-partitioned by key across executors; a micro-batch touches
+  * only keys with new events plus timed-out keys.
+  */
+object Sessionize {
+
+  case class Event(userId: Long, eventTime: Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class Session(userId: Long, startMillis: Long, endMillis: Long,
+      nEvents: Long, sumValue: Double)
+
+  /** `events` must already carry a watermark on `eventTime` (streaming) —
+    * e.g. `ds.withWatermark("eventTime", "10 minutes")`.
+    */
+  def sessions(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId, evts, state) => updateUser(userId, evts, state, gapMillis))
+  }
+
+  /** Unit-testable core: fold a user's new events into session state, emit
+    * sessions closed by the inactivity gap or by event-time timeout.
+    */
+  private[streaming] def updateUser(
+      userId: Long,
+      evts: Iterator[Event],
+      state: GroupState[SessionState],
+      gapMillis: Long): Iterator[Session] = {
+    val out = Seq.newBuilder[Session]
+    if (state.hasTimedOut) {
+      state.getOption.foreach { s =>
+        out += Session(userId, s.start, s.end, s.n, s.sum)
+      }
+      state.remove()
+    } else {
+      val sorted = evts.toArray.sortBy(_.eventTime.getTime)
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.eventTime.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMillis =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case Some(s) => // gap exceeded → close the old session, start fresh
+            out += Session(userId, s.start, s.end, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + gapMillis)
+      }
+    }
+    out.result().iterator
+  }
+}

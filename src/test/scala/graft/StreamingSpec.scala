@@ -44,6 +44,40 @@ class StreamingSpec extends SparkSpec {
     assert(store.get("c", "1").get.params("v") === "new") // LWW across micro-batches
   }
 
+  test("stateful sessionization via flatMapGroupsWithState closes sessions on gap + watermark") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{Event, Session}
+    val src = Files.createTempDirectory("sess-src").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    // user 1: two sessions separated by a 60-min gap; user 2: one session
+    Seq(
+      Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0), Event(1L, ts(10), 3.0),
+      Event(1L, ts(70), 4.0), Event(1L, ts(75), 5.0),
+      Event(2L, ts(0), 10.0),
+      Event(3L, ts(500), 0.0)) // late sentinel advances the watermark far enough
+      .toDF("userId", "eventTime", "value").write.mode("overwrite").parquet(src)
+
+    val schema = StructType(Seq(
+      StructField("userId", LongType), StructField("eventTime", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("eventTime", "1 minute")
+      .as[Event]
+    val q = Sessionize.sessions(stream, gapMillis = 30 * 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sessions").as[Session].collect()
+      .map(s => (s.userId, (s.startMillis - base) / 60000, (s.endMillis - base) / 60000,
+        s.nEvents, s.sumValue)).toSet
+    // sessions closed by in-stream gap AND by watermark timeout
+    assert(got.contains((1L, 0L, 10L, 3L, 6.0)), s"missing user1 first session in $got")
+    assert(got.contains((1L, 70L, 75L, 2L, 9.0)), s"missing user1 second session in $got")
+    assert(got.contains((2L, 0L, 0L, 1L, 10.0)), s"missing user2 session in $got")
+  }
+
   test("windowed counts with watermark match the batch equivalent") {
     val src = Files.createTempDirectory("wstream").toString
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
