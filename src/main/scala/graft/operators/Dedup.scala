@@ -127,6 +127,50 @@ object Dedup {
       .select(col("ia"), col("ib"), col("hamming"))
   }
 
+  /** Duplicate-cluster resolution: connected components over near-dup pairs
+    * via iterative min-label propagation (each node adopts the smallest label
+    * reachable in one hop; converges in O(cluster diameter) rounds — dup
+    * clusters are near-cliques, so 2-4 rounds in practice). Output:
+    * (node, component) where component = smallest member id, i.e. the
+    * survivor a keep-one-per-cluster policy retains.
+    *
+    * Scale: each round is one equi-join + min aggregation over the edge set
+    * (both shuffles on node id); no driver-side graph. For adversarial
+    * long-chain graphs the large-star/small-star variant bounds rounds —
+    * dedup graphs don't need it.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Document fingerprint: min rolling hash over word 5-gram shingles
     * (winnowing-style digest; exact dups — and near-dups sharing the minimal
     * shingle — collide).

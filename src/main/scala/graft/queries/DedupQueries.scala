@@ -43,6 +43,41 @@ object DedupQueries {
       |JOIN sizes sb ON sb.doc_id = ib
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin
 
+  /** Keep-one-per-cluster resolution: components of the MinHash near-dup
+    * graph; `component` is the surviving doc_id for every clustered doc.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(minhashPairs(spark, dir))
+      .select(col("node").as("doc_id"), col("component"))
+
+  /** Oracle: transitive closure by recursive CTE over the brute-force pair
+    * set, component = least reachable id.
+    */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  WITH sh AS (
+      |    SELECT doc_id, unnest(list_distinct(
+      |      CASE WHEN len(string_split(text, ' ')) >= 3
+      |        THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      |        ELSE [text] END)) AS s
+      |    FROM documents),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  inter AS (
+      |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |    FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id)
+      |  SELECT ia, ib FROM inter
+      |  JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+      |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS doc_id, least(a, min(b)) AS component
+      |FROM reach GROUP BY a""".stripMargin
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
 
@@ -51,10 +86,12 @@ object DedupQueries {
       .select(col("__did").as("doc_id"), col("fingerprint"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters(_, _)),
     "minhash_pairs" -> (minhashPairs(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
     "minhash_pairs" -> minhashPairsSql)
 }

@@ -55,6 +55,18 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("connected components: chains and separate clusters resolve to min labels") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> all label 1
+      (10L, 11L),                   // pair -> label 10
+      (20L, 22L), (21L, 22L))       // star -> label 20
+      .toDF("ia", "ib")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("exact dedup survivors: one keep_id per distinct text") {
     val data = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
       .toDF("doc_id", "text")
