@@ -107,25 +107,19 @@ object IvfIndex {
     }
   }
 
-  /** Assign every row to its nearest centroid — one broadcast-local argmin
-    * pass, no shuffle (SURVEY J3). Adds `cluster_id INT`.
+  /** Assign every row to its nearest centroid — one argmin pass with the
+    * codegen `NearestCentroid` kernel (no UDF, no shuffle; SURVEY J3). The
+    * centroid table rides in the plan as a literal (codegen references it
+    * as an object, not source text). Adds `cluster_id INT`.
     */
   def assign(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(model)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      val m = bc.value
-      val arr = v.toArray
-      var best = 0; var bestD = Double.MaxValue; var i = 0
-      while (i < m.nlist) {
-        val c = m.centroids(i)
-        var s = 0.0; var j = 0
-        while (j < arr.length) { val d = arr(j).toDouble - c(j).toDouble; s += d * d; j += 1 }
-        if (s < bestD) { bestD = s; best = i }
-        i += 1
-      }
-      best
-    }
-    corpus.withColumn("cluster_id", assignUdf(col(vecCol)))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{Bridge, NearestCentroid}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val centsLit = Literal.create(
+      model.centroids.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    corpus.withColumn("cluster_id",
+      Bridge.column(NearestCentroid(Bridge.expression(col(vecCol)), centsLit)))
   }
 
   /** Materialize the inverted-list layout: parquet partitioned by cluster_id,

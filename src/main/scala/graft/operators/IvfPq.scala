@@ -151,22 +151,17 @@ object IvfPq {
         (qid, cid) -> tab
       }
     }.toMap
-    val bcTables = spark.sparkContext.broadcast(tables)
-    val mVal = model.m; val kVal = model.k
-
+    // each probe row CARRIES its m×k distance table; after the broadcast
+    // join the ADC score is the codegen `AdcLookupSum` kernel — no UDF, no
+    // driver-map lookup, whole-stage codegen end to end
     val probePairs = tables.keys.toSeq
     val probeDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(probePairs.map(p => Row(p._1, p._2)), 1),
+      spark.sparkContext.parallelize(
+        probePairs.map(p => Row(p._1, p._2, tables(p).toSeq)), 1),
       StructType(Seq(
         StructField("__qid", StringType),
-        StructField("__cid", IntegerType))))
-
-    val adcUdf = udf { (qid: String, cid: Int, codes: Seq[Int]) =>
-      val tab = bcTables.value((qid, cid))
-      var s = 0.0; var j = 0
-      while (j < mVal) { s += tab(j * kVal + codes(j)); j += 1 }
-      s
-    }
+        StructField("__cid", IntegerType),
+        StructField("__tab", ArrayType(FloatType, containsNull = false)))))
 
     val allProbed = probePairs.map(_._2).distinct
     val w = Window.partitionBy(col("__qid")).orderBy(col("distance").asc, col(corpusId).asc)
@@ -175,7 +170,11 @@ object IvfPq {
     val shortlist = encoded
       .filter(col("cluster_id").isin(allProbed: _*)) // partition pruning
       .join(broadcast(probeDf), col("cluster_id") === col("__cid"))
-      .withColumn("distance", adcUdf(col("__qid"), col("cluster_id"), col("codes")))
+      .withColumn("distance", {
+        import org.apache.spark.sql.graft.{AdcLookupSum, Bridge}
+        Bridge.column(AdcLookupSum(
+          Bridge.expression(col("codes")), Bridge.expression(col("__tab"))))
+      })
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= shortlistK)
 
