@@ -35,13 +35,17 @@ object Dedup {
     df.select(col(idCol).as("__did"), explode(array_distinct(safe)).as("s"))
   }
 
-  /** MinHash signatures: numHashes column-wise mins over seeded xxhash64 of
-    * the shingles — one aggregation, partial combine on the map side.
+  /** MinHash signatures: numHashes column-wise mins — one aggregation with
+    * map-side partial combine. Each shingle string is hashed ONCE; the
+    * numHashes permutation hashes are seeded re-hashes of that 8-byte base
+    * (variable-length string hashing is the expensive part, so this is
+    * ~numHashes× cheaper than hashing the string per permutation).
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val based = sh.withColumn("__h", xxhash64(col("s")))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy(col("__did")).agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("__h"))).as(s"h$i"))
+    based.groupBy(col("__did")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs whose signatures collide in ≥1 band.
@@ -140,8 +144,35 @@ object Dedup {
     * dedup graphs don't need it.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
-      .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
+    // Hybrid (like the quantizer trainer): a bounded pair set resolves with
+    // driver-side union-find in one pass (union-find tolerates duplicate and
+    // undirected edges, so no union/distinct pre-shuffle) — the iterative
+    // join loop pays O(rounds) Spark jobs and only wins when the edge set
+    // doesn't fit one machine.
+    val cached = pairs.select(col("ia"), col("ib")).cache()
+    val edgeCount = cached.count()
+    if (edgeCount <= 1000000L) {
+      val spark = pairs.sparkSession
+      val localEdges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      cached.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      localEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min label wins
+      }
+      val nodes = localEdges.flatMap(e => Seq(e._1, e._2)).distinct
+      import spark.implicits._
+      return nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
+    }
+    val edges = cached.select(col("ia").as("a"), col("ib").as("b"))
+      .union(cached.select(col("ib").as("a"), col("ia").as("b")))
       .distinct()
       .cache()
     var labels = edges.select(col("a").as("node"))
