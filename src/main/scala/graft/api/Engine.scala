@@ -271,7 +271,11 @@ class Engine(
         // would pin graphs in an executor-level cache keyed by
         // (collection, write-version, partition).
         val ef = getParams(coll).getOrElse("efsearch", 40)
-        GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef)
+        // user M/efConstruction are honored (the reference accepts then
+        // silently drops them, collection.go:64-67 + hnsw.go:25-39 — §7.4)
+        GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
+          m = cfg.params.get("M").map(_.toInt).getOrElse(16),
+          efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200))
       case IndexType.Flat =>
         ExactKnn.knn(corpus, qDf, k, cfg.spaceType)
     }

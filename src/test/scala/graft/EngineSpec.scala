@@ -104,6 +104,18 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("hnsw collection honors M/efConstruction params and efsearch (F-1 docs3 config)") {
+    val e = freshEngine()
+    e.createCollection(CollectionConfig("docs3", 3, IndexType.Hnsw,
+      SpaceType.L2, Map("M" -> "16", "efConstruction" -> "100")))
+    e.upsertDocument("docs3", Document("1", Array(1f, 2f, 3f)))
+    e.upsertDocument("docs3", Document("2", Array(4f, 5f, 6f)))
+    e.setParams("docs3", Map("efsearch" -> 64))
+    val hits = e.searchDocuments("docs3", Array(1f, 2f, 3f), 2)
+    assert(hits.map(_.id) === Seq("1", "2"))
+    assert(hits.map(_.distance) === Seq(0.0, 27.0)) // graph tier, exact on tiny corpus
+  }
+
   test("embedding path: deterministic fake provider; missing text errors (F-5)") {
     val e = freshEngine(dim = 8)
     e.createCollection(CollectionConfig("emb", 8, IndexType.Flat))
