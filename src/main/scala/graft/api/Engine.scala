@@ -183,17 +183,17 @@ class Engine(
           java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
           store.currentVersion(coll).toString)
       case IndexType.IvfPq =>
-        // ADC tables and the re-rank kernel are squared-L2 over residuals;
-        // other metrics would silently return L2 rankings — hard error
-        // instead (the no-silent-fallback rule, SURVEY F5)
-        require(cfg.spaceType == SpaceType.L2,
-          s"ivfpq supports only l2 space, got ${cfg.spaceType.name}")
+        // l2 and ip have proper ADC table formulations; cos/hamming would
+        // silently return wrong rankings — hard error instead (the
+        // no-silent-fallback rule, SURVEY F5)
+        require(cfg.spaceType == SpaceType.L2 || cfg.spaceType == SpaceType.Ip,
+          s"ivfpq supports l2 and ip spaces, got ${cfg.spaceType.name}")
         val corpus = store.read(coll)
         val n = corpus.count()
         val k = math.min(nlist.toLong, n).toInt
         require(k >= 1, "cannot train an index on an empty collection")
         val m = cfg.params.get("m").map(_.toInt).getOrElse(8) // const.go:33-36
-        val pq = IvfPq.train(corpus, "vector", k, m = m)
+        val pq = IvfPq.train(corpus, "vector", k, m = m, space = cfg.spaceType)
         pqModels(coll) = pq
         ivfModels(coll) = pq.coarse // so nprobe validation sees nlist
         ModelStore.savePq(pqSnapshotPath(coll), pq) // S8 snapshot

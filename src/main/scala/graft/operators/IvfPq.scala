@@ -34,13 +34,21 @@ object IvfPq {
       subDim: Int) {
     def nlist: Int = coarse.nlist
     def k: Int = codebooks(0).length
+    def space: graft.core.SpaceType = coarse.space
   }
 
-  /** Train coarse quantizer + per-subspace residual codebooks. */
+  /** Train coarse quantizer + per-subspace residual codebooks. Supported
+    * spaces: l2 (squared-euclidean ADC over residuals) and ip (negative
+    * inner product: −⟨q,x⟩ ≈ −⟨q,cent⟩ − ⟨q,codeword⟩). Residual encoding
+    * itself is always the L2 quantizer — standard PQ practice for both.
+    */
   def train(corpus: DataFrame, vecCol: String, nlist: Int, m: Int = 8,
-      nbits: Int = 8, maxIter: Int = 40, seed: Long = 42L): Model = {
+      nbits: Int = 8, maxIter: Int = 40, seed: Long = 42L,
+      space: graft.core.SpaceType = graft.core.SpaceType.L2): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(space == graft.core.SpaceType.L2 || space == graft.core.SpaceType.Ip,
+      s"ivfpq supports l2 and ip spaces, got ${space.name}")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dimension $dim not divisible by m=$m") // ivfpq_test parity
     require(nbits >= 1 && nbits <= 8, s"nbits must be in [1,8], got $nbits")
@@ -56,8 +64,8 @@ object IvfPq {
       if (rows * nlist.toLong * dim <= 200000000L)
         IvfIndex.Model(
           LocalKMeans.fit(sample.map(_.map(_.toDouble)), nlist, maxIter).map(_.map(_.toFloat)),
-          graft.core.SpaceType.L2)
-      else IvfIndex.train(corpus, vecCol, nlist, maxIter = maxIter, seed = seed)
+          space)
+      else IvfIndex.train(corpus, vecCol, nlist, space, maxIter = maxIter, seed = seed)
     val k = math.min(1 << nbits, sample.length)
 
     val resid = sample.map { v =>
@@ -125,14 +133,22 @@ object IvfPq {
     val qidType = queries.schema(queryId).dataType
     val qRows = queries.select(col(queryId).cast("string"), col(queryVec)).collect()
 
-    // (qid, cid) -> flat m*k table of sub-distances (qid as string so the
-    // broadcast map has a concrete key type for the scoring UDF)
+    // (qid, cid) -> flat m*k score table. l2: ||r_q − codeword||² per
+    // subspace. ip: −⟨q_j, codeword⟩ per subspace, with the per-list
+    // constant −⟨q, cent⟩ folded into subspace 0 so cross-list rankings
+    // stay comparable (`ivfpq.go:259-277`'s table shape, ip-extended).
+    val isIp = model.space == graft.core.SpaceType.Ip
     val tables: Map[(String, Int), Array[Float]] = qRows.flatMap { r =>
       val qid = r.getString(0)
       val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
       model.coarse.probe(qv, nprobe).map { cid =>
         val cent = model.coarse.centroids(cid)
         val tab = new Array[Float](model.m * model.k)
+        var qDotCent = 0.0
+        if (isIp) {
+          var i = 0
+          while (i < qv.length) { qDotCent += qv(i).toDouble * cent(i).toDouble; i += 1 }
+        }
         var j = 0
         while (j < model.m) {
           var c = 0
@@ -140,9 +156,14 @@ object IvfPq {
             var s = 0.0; var t = 0
             while (t < model.subDim) {
               val i = j * model.subDim + t
-              val d = (qv(i) - cent(i)).toDouble - model.codebooks(j)(c)(t)
-              s += d * d; t += 1
+              if (isIp) s -= qv(i).toDouble * model.codebooks(j)(c)(t)
+              else {
+                val d = (qv(i) - cent(i)).toDouble - model.codebooks(j)(c)(t)
+                s += d * d
+              }
+              t += 1
             }
+            if (isIp && j == 0) s -= qDotCent
             tab(j * model.k + c) = s.toFloat
             c += 1
           }
@@ -194,7 +215,7 @@ object IvfPq {
           .orderBy(col("__exact").asc, col(corpusId).asc)
         shortlist
           .join(broadcast(q2), "__qid")
-          .withColumn("__exact", vfn.l2Sq(col(vecCol), col("__qv")))
+          .withColumn("__exact", vfn.distance(col(vecCol), col("__qv"), model.space))
           .withColumn("rnk", row_number().over(wr).cast("long"))
           .filter(col("rnk") <= kTop)
           .select(col("__qid").cast(qidType).as(queryId), col(corpusId),

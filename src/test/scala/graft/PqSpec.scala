@@ -55,6 +55,45 @@ class PqSpec extends SparkSpec {
     assert(reranked >= adcOnly, "re-rank must not reduce recall")
   }
 
+  test("ip space: ADC(ip)+rerank matches exact inner-product KNN (recall >= 0.9)") {
+    // un-normalized vectors so ip and l2 rankings genuinely differ
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 300).map { i =>
+      val scale = 1f + (i % 7)
+      (i.toString, Seq.tabulate(16)(j =>
+        scale * ((if (j % 10 == i % 10) 3f else 0.2f) + rnd.nextGaussian().toFloat * 0.2f)))
+    }.toDF("id", "vector").cache()
+    val queries = corpus.filter(col("id").cast("int") < 10)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val model = IvfPq.train(corpus, "vector", nlist = 5, m = 4, nbits = 6,
+      space = graft.core.SpaceType.Ip)
+    val encoded = IvfPq.encode(corpus, "vector", model).cache()
+
+    val approx = IvfPq.search(encoded, queries, model, kTop = 10, nprobe = 5,
+        rerankVecCol = Some("vector"))
+      .select("query_id", "id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ExactKnn.knn(corpus, queries, 10, SpaceType.Ip)
+      .select("query_id", "id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"ip recall@10 $mean%.3f < 0.9")
+    // the ip results must NOT be the l2 results (the metric genuinely differs)
+    val l2 = ExactKnn.knn(corpus, queries, 10, SpaceType.L2)
+      .select("query_id", "id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact != l2, "fixture degenerate: ip and l2 rankings coincide")
+  }
+
+  test("cos space rejected for ivfpq (no silent metric fallback)") {
+    val corpus = clustered(50, 8)
+    intercept[IllegalArgumentException](
+      IvfPq.train(corpus, "vector", nlist = 2, m = 2, space = graft.core.SpaceType.Cos))
+  }
+
   test("encoded corpus carries m small codes; codes within codebook range") {
     val corpus = clustered(100, 8)
     val model = IvfPq.train(corpus, "vector", nlist = 2, m = 2, nbits = 4)

@@ -49,12 +49,13 @@ class ReviewRegressionSpec extends SparkSpec {
     e2.setParams("iv", Map("nprobe" -> 4)) // valid bound still accepted
   }
 
-  test("ivfpq with a non-l2 space errors at buildIndex instead of returning l2 rankings") {
+  test("ivfpq with an unsupported space errors at buildIndex instead of wrong rankings") {
     val (e, _) = freshEngine()
-    e.createCollection(CollectionConfig("pq", 8, IndexType.IvfPq, SpaceType.Ip))
+    // ip gained a proper ADC formulation; cos remains unsupported → hard error
+    e.createCollection(CollectionConfig("pq", 8, IndexType.IvfPq, SpaceType.Cos))
     e.batchUpsertDocuments("pq",
       (0 until 20).map(i => Document(i.toString, Array.fill(8)(i.toFloat))))
     val ex = intercept[IllegalArgumentException](e.buildIndex("pq", nlist = 2))
-    assert(ex.getMessage.contains("l2"))
+    assert(ex.getMessage.contains("l2") || ex.getMessage.contains("ip"))
   }
 }
