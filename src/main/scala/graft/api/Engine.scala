@@ -42,6 +42,7 @@ class Engine(
   private def pqSnapshotPath(coll: String) = s"$root/$coll/index/pq.snapshot"
   private def ivfLayoutPath(coll: String) = s"$root/$coll/index/ivf_layout"
   private def pqLayoutPath(coll: String) = s"$root/$coll/index/pq_layout"
+  private def hnswLayoutPath(coll: String) = s"$root/$coll/index/hnsw_layout"
 
   /** The materialized index layout at `path`, if present AND current (no
     * writes since buildIndex) — otherwise None and the caller recomputes
@@ -203,7 +204,15 @@ class Engine(
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
           store.currentVersion(coll).toString)
-      case _ => () // flat / hnsw-tier: nothing to train
+      case IndexType.Hnsw =>
+        // materialize a stable corpus snapshot: deterministic file splits
+        // let the per-partition NSW graphs live in the executor-level
+        // GraphCache across searches (built once per layout version)
+        store.read(coll).write.mode("overwrite").parquet(hnswLayoutPath(coll))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
+          store.currentVersion(coll).toString)
+      case _ => () // flat: nothing to train
     }
   }
 
@@ -271,11 +280,20 @@ class Engine(
         // would pin graphs in an executor-level cache keyed by
         // (collection, write-version, partition).
         val ef = getParams(coll).getOrElse("efsearch", 40)
+        // prefer the materialized snapshot + executor graph cache (graphs
+        // built once per layout version); fall back to an uncached pass
+        // over the live corpus when stale or pre-filtered
+        val layout = if (corpusIsFull) currentLayout(coll, hnswLayoutPath(coll)) else None
+        val (searchCorpus, cacheKey) = layout match {
+          case Some(df) => (df, Some((hnswLayoutPath(coll), store.currentVersion(coll))))
+          case None => (corpus, None)
+        }
         // user M/efConstruction are honored (the reference accepts then
         // silently drops them, collection.go:64-67 + hnsw.go:25-39 — §7.4)
-        GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
+        GraphAnn.search(searchCorpus, qDf, k, cfg.spaceType, ef = ef,
           m = cfg.params.get("M").map(_.toInt).getOrElse(16),
-          efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200))
+          efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200),
+          cacheKey = cacheKey)
       case IndexType.Flat =>
         ExactKnn.knn(corpus, qDf, k, cfg.spaceType)
     }

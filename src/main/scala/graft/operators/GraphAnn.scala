@@ -110,8 +110,41 @@ object GraphAnn {
       beam(q, math.max(ef, k)).take(k).map { case (i, d) => (ids(i), d) }
   }
 
+  /** Executor-level graph cache: per-partition NSW graphs survive across
+    * jobs in the executor JVM, so repeated searches against the same
+    * materialized layout skip the rebuild entirely. Keyed by (layout id,
+    * write-version, numPartitions, partition index) and sanity-checked
+    * against the partition's row count — any layout rewrite or re-split
+    * misses and rebuilds. Older versions of the same layout are evicted on
+    * insert (bounded memory).
+    */
+  object GraphCache {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int), (NswIndex, Int)]
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0) // test/ops hook
+
+    def getOrBuild(layoutId: String, version: Long, numParts: Int, part: Int,
+        rowCount: Int)(build: => NswIndex): NswIndex = {
+      val key = (layoutId, version, numParts, part)
+      cache.get(key) match {
+        case Some((idx, n)) if n == rowCount => idx
+        case _ =>
+          val built = build
+          builds.incrementAndGet()
+          // evict stale versions of this layout
+          cache.keys.filter(k => k._1 == layoutId && k._2 != version)
+            .foreach(cache.remove)
+          cache.put(key, (built, rowCount))
+          built
+      }
+    }
+    def clear(): Unit = cache.clear()
+  }
+
   /** Approximate batch KNN: per-partition NSW graphs, queries broadcast,
     * global top-k via the one-pass TopK aggregate. `ef` = efsearch.
+    * `cacheKey = Some((layoutId, version))` enables the executor graph
+    * cache — only safe when `corpus` is a stable materialized layout.
     */
   def search(
       corpus: DataFrame,
@@ -124,7 +157,8 @@ object GraphAnn {
       corpusId: String = "id",
       corpusVec: String = "vector",
       queryId: String = "query_id",
-      queryVec: String = "query_vec"): DataFrame = {
+      queryVec: String = "query_vec",
+      cacheKey: Option[(String, Long)] = None): DataFrame = {
     val spark = corpus.sparkSession
     val qRows = queries.select(col(queryId), col(queryVec)).collect()
       .map(r => (r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
@@ -133,14 +167,24 @@ object GraphAnn {
     val kVal = k
 
     val idIdx = 0; val vecIdx = 1
-    val local = corpus.select(col(corpusId), col(corpusVec)).rdd.mapPartitions { it =>
+    val selected = corpus.select(col(corpusId), col(corpusVec)).rdd
+    val numParts = selected.getNumPartitions
+    val local = selected.mapPartitionsWithIndex { (part, it) =>
       val rows = it.toArray
       if (rows.isEmpty) Iterator.empty
       else {
-        val dim = rows(0).getAs[scala.collection.Seq[Float]](vecIdx).length
-        val index = new NswIndex(dim, mVal, efcVal, spaceVal)
-        rows.foreach { r =>
-          index.insert(r.get(idIdx), r.getAs[scala.collection.Seq[Float]](vecIdx).toArray)
+        def build: NswIndex = {
+          val dim = rows(0).getAs[scala.collection.Seq[Float]](vecIdx).length
+          val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+          rows.foreach { r =>
+            index.insert(r.get(idIdx), r.getAs[scala.collection.Seq[Float]](vecIdx).toArray)
+          }
+          index
+        }
+        val index = cacheKey match {
+          case Some((layoutId, version)) =>
+            GraphCache.getOrBuild(layoutId, version, numParts, part, rows.length)(build)
+          case None => build
         }
         bcQ.value.iterator.flatMap { case (qid, qv) =>
           index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }

@@ -48,6 +48,32 @@ class GraphAnnSpec extends SparkSpec {
     assert(r >= 0.9, f"recall@10 $r%.3f < 0.9")
   }
 
+  test("executor graph cache: second search over a built hnsw layout skips rebuilds; writes invalidate") {
+    import graft.api.Engine
+    import graft.core._
+    import graft.operators.GraphAnn
+    val root = java.nio.file.Files.createTempDirectory("gcache").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("g", 4, IndexType.Hnsw))
+    e.batchUpsertDocuments("g",
+      (0 until 50).map(i => Document(i.toString, Array(i.toFloat, 0f, 0f, 0f))))
+    e.buildIndex("g")
+    GraphAnn.GraphCache.clear()
+
+    val r1 = e.searchDocuments("g", Array(6f, 0f, 0f, 0f), 3)
+    val buildsAfterFirst = GraphAnn.GraphCache.builds.get()
+    assert(buildsAfterFirst > 0, "first search must build partition graphs")
+    val r2 = e.searchDocuments("g", Array(7f, 0f, 0f, 0f), 3)
+    assert(GraphAnn.GraphCache.builds.get() === buildsAfterFirst,
+      "second search must reuse cached graphs")
+    assert(r1.head.id === "6" && r2.head.id === "7")
+
+    // a write makes the layout stale → falls back to uncached live corpus
+    e.upsertDocument("g", Document("99", Array(6.1f, 0f, 0f, 0f)))
+    val r3 = e.searchDocuments("g", Array(6.1f, 0f, 0f, 0f), 1)
+    assert(r3.head.id === "99", "post-write search must see the new doc")
+  }
+
   test("efsearch knob: recall non-decreasing with wider beam (hnsw.go:171-204 analog)") {
     val lo = recallAt(10)
     val hi = recallAt(100)
