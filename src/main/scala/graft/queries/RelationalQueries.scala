@@ -333,7 +333,51 @@ object RelationalQueries {
       |  CAST(rank() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rnk
       |FROM events""".stripMargin
 
+  /** Q4-style: semi join + date arithmetic — orders (by priority) having at
+    * least one lineitem shipped more than 30 days after the order date.
+    */
+  def q4LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select(col("o_orderkey").as("late_key")).distinct()
+    ord.join(late, col("o_orderkey") === col("late_key"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o.o_orderkey
+      |    AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** String-function surface: LIKE filter, substring, upper, length. */
+  def partTypeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .filter(col("p_type").like("%M%")) // MEDIUM, SMALL, PROMO
+      .groupBy(
+        upper(substring(col("p_brand"), 1, 5)).as("brand5"),
+        length(col("p_type")).cast("long").as("type_len"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("p_retailprice"))).cast(DoubleType).as("sum_price"))
+
+  val partTypeStatsSql: String =
+    """SELECT upper(substring(p_brand, 1, 5)) AS brand5,
+      |  CAST(length(p_type) AS BIGINT) AS type_len,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part WHERE p_type LIKE '%M%'
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_late_priority" -> (q4LatePriority(_, _)),
+    "part_type_stats" -> (partTypeStats(_, _)),
     "q6_forecast" -> (q6Forecast(_, _)),
     "rollup_revenue" -> (rollupRevenue(_, _)),
     "events_users" -> (eventsUsers(_, _)),
@@ -350,6 +394,8 @@ object RelationalQueries {
     "events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q4_late_priority" -> q4Sql,
+    "part_type_stats" -> partTypeStatsSql,
     "q6_forecast" -> q6Sql,
     "rollup_revenue" -> rollupRevenueSql,
     "events_users" -> eventsUsersSql,
