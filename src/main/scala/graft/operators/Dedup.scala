@@ -97,6 +97,52 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Embedding-cosine near-dup pairs at scale: random-hyperplane LSH bucket
+    * collisions generate candidates (no all-pairs), exact cosine similarity
+    * verifies — the scale path the all-pairs `embed_neardup` baseline
+    * validates. Multi-probe on one side widens recall like AnnLsh.search.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+      simThreshold: Double, numTables: Int = 8, nbits: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.vfn
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numTables, nbits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val bc = spark.sparkContext.broadcast(planes)
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val p = bc.value
+      val arr = v.toArray
+      p.indices.map { t =>
+        var sig = 0L; var b = 0
+        while (b < p(t).length) {
+          var s = 0.0; var i = 0
+          while (i < arr.length) { s += arr(i) * p(t)(b)(i); i += 1 }
+          if (s > 0) sig |= (1L << b)
+          b += 1
+        }
+        sig
+      }
+    }
+    val sigs = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
+      .withColumn("__sigs", sigUdf(col("__v")))
+      .select(col("__did"), col("__v"), posexplode(col("__sigs")))
+      .withColumnRenamed("pos", "__t").withColumnRenamed("col", "__b")
+    // multi-probe one side: also meet neighbors one flipped bit away
+    val probed = sigs.withColumn("__b", explode(expr(
+      s"array_union(array(__b), transform(sequence(0, ${nbits - 1}), " +
+        "i -> __b ^ CAST(shiftleft(1, i) AS BIGINT)))")))
+    sigs.as("x").join(probed.as("y"), Seq("__t", "__b"))
+      .filter(col("x.__did") < col("y.__did"))
+      .select(col("x.__did").as("ia"), col("y.__did").as("ib"),
+        col("x.__v").as("va"), col("y.__v").as("vb"))
+      .distinct()
+      .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
+      .filter(col("sim") >= simThreshold)
+      .select(col("ia"), col("ib"), col("sim"))
+  }
+
   /** 64-bit SimHash per doc: sign of per-bit vote sums over token hashes. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("__did"),

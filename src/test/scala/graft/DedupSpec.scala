@@ -55,6 +55,26 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("embedding near-dup via LSH buckets ⊆ brute force, recall >= 0.9 (sf0.001)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val threshold = 0.4
+    val exact = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", lit(1.0) -
+        graft.functions.vfn.cosDist(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near pairs at this threshold")
+    val lsh = graft.operators.Dedup
+      .embeddingNearDupLsh(emb, "vec_id", "embedding", threshold)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, f"LSH near-dup recall $recall%.3f < 0.9")
+  }
+
   test("connected components: chains and separate clusters resolve to min labels") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // chain -> all label 1
