@@ -48,12 +48,16 @@ class Engine(
     * writes since buildIndex) — otherwise None and the caller recomputes
     * over the live corpus (index staleness never causes wrong results).
     */
-  private def currentLayout(coll: String, path: String): Option[DataFrame] = {
+  private def currentLayout(coll: String, path: String): Option[(DataFrame, Long)] = {
     val vf = java.nio.file.Paths.get(s"$root/$coll/index/layout_version")
-    if (java.nio.file.Files.exists(vf) &&
-        java.nio.file.Files.readString(vf).trim.toLong == store.currentVersion(coll) &&
+    if (!java.nio.file.Files.exists(vf)) return None
+    // the returned stamp identifies the LAYOUT BUILD the frame reads — cache
+    // keys derive from it, never from a re-read of the live store version
+    // (a write racing the search must not poison the cache under a new key)
+    val stamp = java.nio.file.Files.readString(vf).trim.toLong
+    if (stamp == store.currentVersion(coll) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      Some(spark.read.parquet(path))
+      Some((spark.read.parquet(path), stamp))
     else None
   }
 
@@ -72,9 +76,10 @@ class Engine(
 
   def dropCollection(name: String): Boolean = {
     runtime.remove(name); ivfModels.remove(name); pqModels.remove(name)
-    // the version counter resets if the collection is recreated, so cached
-    // results keyed on the old incarnation must not survive the drop
+    // the version counter resets if the collection is recreated, so caches
+    // keyed on the old incarnation must not survive the drop
     cache.clear()
+    GraphAnn.GraphCache.invalidate(s"$root/$name/")
     catalog.drop(name)
   }
 
@@ -253,7 +258,7 @@ class Engine(
         // pruned, no per-search re-encoding); re-encode only when stale or
         // when searching a pre-filtered corpus
         val encoded = (if (corpusIsFull) currentLayout(coll, pqLayoutPath(coll)) else None)
-          .getOrElse(IvfPq.encode(corpus, "vector", pq))
+          .map(_._1).getOrElse(IvfPq.encode(corpus, "vector", pq))
         IvfPq.search(encoded, qDf, pq, k, nprobe, rerankVecCol = Some("vector"))
       case IndexType.IvfFlat =>
         val model = ivfModels.get(coll)
@@ -269,7 +274,7 @@ class Engine(
         // searching the FULL corpus — a pre-filtered corpus must be
         // re-assigned); fall back when the corpus changed since buildIndex
         val assigned = (if (corpusIsFull) currentLayout(coll, ivfLayoutPath(coll)) else None)
-          .getOrElse(IvfIndex.assign(corpus, "vector", model))
+          .map(_._1).getOrElse(IvfIndex.assign(corpus, "vector", model))
         IvfIndex.search(assigned, qDf, model, k, nprobe)
       case IndexType.Hnsw =>
         // graph-ANN tier: per-partition NSW beam search; efsearch IS the
@@ -285,7 +290,7 @@ class Engine(
         // over the live corpus when stale or pre-filtered
         val layout = if (corpusIsFull) currentLayout(coll, hnswLayoutPath(coll)) else None
         val (searchCorpus, cacheKey) = layout match {
-          case Some(df) => (df, Some((hnswLayoutPath(coll), store.currentVersion(coll))))
+          case Some((df, stamp)) => (df, Some((hnswLayoutPath(coll), stamp)))
           case None => (corpus, None)
         }
         // user M/efConstruction are honored (the reference accepts then

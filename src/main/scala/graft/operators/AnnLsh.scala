@@ -28,6 +28,22 @@ import graft.functions.vfn
 object AnnLsh {
 
   /** Deterministic hyperplanes: numTables × nbits planes of dim coords. */
+  private[operators] def planesFor(dim: Int, numTables: Int, nbits: Int,
+      seed: Long): Array[Array[Array[Float]]] = planes(dim, numTables, nbits, seed)
+
+  /** Shared signature generator (see `signatures`). */
+  private[operators] def signaturesFor(df: DataFrame, vecCol: String,
+      idCols: Seq[String], pl: Array[Array[Array[Float]]]): DataFrame =
+    signatures(df, vecCol, idCols, pl)
+
+  /** Query-side multi-probe: each signature also meets buckets one flipped
+    * bit away.
+    */
+  private[operators] def multiProbe(sig: DataFrame, nbits: Int): DataFrame =
+    sig.withColumn("__bucket", explode(expr(
+      s"array_union(array(__bucket), transform(sequence(0, ${nbits - 1}), " +
+        "i -> __bucket ^ CAST(shiftleft(1, i) AS BIGINT)))")))
+
   private def planes(dim: Int, numTables: Int, nbits: Int, seed: Long): Array[Array[Array[Float]]] = {
     val rnd = new Random(seed)
     Array.fill(numTables, nbits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
@@ -86,12 +102,7 @@ object AnnLsh {
     // Multi-probe (query side only, corpus table untouched): additionally
     // probe every bucket at Hamming distance 1 from the query signature —
     // recall of ~(1+nbits)× more buckets for zero extra corpus-side state.
-    val qSig =
-      if (!multiProbe) qSigExact
-      else qSigExact
-        .withColumn("__bucket", explode(expr(
-          s"array_union(array(__bucket), transform(sequence(0, ${nbits - 1}), " +
-            "i -> __bucket ^ CAST(shiftleft(1, i) AS BIGINT)))")))
+    val qSig = if (!multiProbe) qSigExact else AnnLsh.multiProbe(qSigExact, nbits)
 
     val cand = cSig.join(broadcast(qSig), Seq("__table", "__bucket"))
       .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))

@@ -106,34 +106,14 @@ object Dedup {
       simThreshold: Double, numTables: Int = 8, nbits: Int = 6,
       seed: Long = 42L): DataFrame = {
     import graft.functions.vfn
-    val spark = df.sparkSession
     val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numTables, nbits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    val bc = spark.sparkContext.broadcast(planes)
-    val sigUdf = udf { (v: Seq[Float]) =>
-      val p = bc.value
-      val arr = v.toArray
-      p.indices.map { t =>
-        var sig = 0L; var b = 0
-        while (b < p(t).length) {
-          var s = 0.0; var i = 0
-          while (i < arr.length) { s += arr(i) * p(t)(b)(i); i += 1 }
-          if (s > 0) sig |= (1L << b)
-          b += 1
-        }
-        sig
-      }
-    }
-    val sigs = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
-      .withColumn("__sigs", sigUdf(col("__v")))
-      .select(col("__did"), col("__v"), posexplode(col("__sigs")))
-      .withColumnRenamed("pos", "__t").withColumnRenamed("col", "__b")
-    // multi-probe one side: also meet neighbors one flipped bit away
-    val probed = sigs.withColumn("__b", explode(expr(
-      s"array_union(array(__b), transform(sequence(0, ${nbits - 1}), " +
-        "i -> __b ^ CAST(shiftleft(1, i) AS BIGINT)))")))
-    sigs.as("x").join(probed.as("y"), Seq("__t", "__b"))
+    // shares AnnLsh's hyperplane/signature/multi-probe machinery — one LSH
+    // implementation, two call sites (KNN and near-dup)
+    val pl = AnnLsh.planesFor(dim, numTables, nbits, seed)
+    val base = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
+    val sigs = AnnLsh.signaturesFor(base, "__v", Seq("__did", "__v"), pl)
+    val probed = AnnLsh.multiProbe(sigs, nbits)
+    sigs.as("x").join(probed.as("y"), Seq("__table", "__bucket"))
       .filter(col("x.__did") < col("y.__did"))
       .select(col("x.__did").as("ia"), col("y.__did").as("ib"),
         col("x.__v").as("va"), col("y.__v").as("vb"))
@@ -221,6 +201,8 @@ object Dedup {
       .union(cached.select(col("ib").as("a"), col("ia").as("b")))
       .distinct()
       .cache()
+    edges.count()
+    cached.unpersist()
     var labels = edges.select(col("a").as("node"))
       .distinct()
       .withColumn("component", col("node"))
@@ -245,6 +227,12 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          "(graph diameter too large) — raise maxRounds; refusing to return " +
+          "partially-propagated labels")
+    // `labels` stays cached for the caller's consumption (one row per node)
     labels
   }
 

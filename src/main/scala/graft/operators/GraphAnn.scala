@@ -121,6 +121,8 @@ object GraphAnn {
   object GraphCache {
     private val cache =
       scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int), (NswIndex, Int)]
+    private val insertOrder = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int, Int)]
+    private val MaxEntries = 256 // global bound across all layouts/collections
     val builds = new java.util.concurrent.atomic.AtomicInteger(0) // test/ops hook
 
     def getOrBuild(layoutId: String, version: Long, numParts: Int, part: Int,
@@ -131,13 +133,27 @@ object GraphAnn {
         case _ =>
           val built = build
           builds.incrementAndGet()
-          // evict stale versions of this layout
+          // evict stale versions of this layout, then enforce the global cap
           cache.keys.filter(k => k._1 == layoutId && k._2 != version)
             .foreach(cache.remove)
           cache.put(key, (built, rowCount))
+          insertOrder.add(key)
+          while (cache.size > MaxEntries) {
+            val oldest = insertOrder.poll()
+            if (oldest == null) return built
+            cache.remove(oldest)
+          }
           built
       }
     }
+
+    /** Drop every cached graph of layouts under this prefix (collection
+      * drop/recreate resets the version counter, so version keys alone
+      * cannot distinguish incarnations).
+      */
+    def invalidate(layoutIdPrefix: String): Unit =
+      cache.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach(cache.remove)
+
     def clear(): Unit = cache.clear()
   }
 

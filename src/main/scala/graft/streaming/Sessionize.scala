@@ -39,7 +39,7 @@ object Sessionize {
   /** Unit-testable core: fold a user's new events into session state, emit
     * sessions closed by the inactivity gap or by event-time timeout.
     */
-  private[streaming] def updateUser(
+  private[graft] def updateUser(
       userId: Long,
       evts: Iterator[Event],
       state: GroupState[SessionState],
@@ -57,7 +57,10 @@ object Sessionize {
         val t = e.eventTime.getTime
         cur match {
           case Some(s) if t - s.end <= gapMillis =>
-            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+            // out-of-order (late but above-watermark) events must not shrink
+            // the session span — keep min(start), max(end)
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+              s.n + 1, s.sum + e.value))
           case Some(s) => // gap exceeded → close the old session, start fresh
             out += Session(userId, s.start, s.end, s.n, s.sum)
             cur = Some(SessionState(t, t, 1, e.value))

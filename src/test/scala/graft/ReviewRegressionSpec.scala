@@ -49,6 +49,47 @@ class ReviewRegressionSpec extends SparkSpec {
     e2.setParams("iv", Map("nprobe" -> 4)) // valid bound still accepted
   }
 
+  test("drop + recreate hnsw collection does not serve the old incarnation's cached graphs") {
+    val (e, _) = freshEngine()
+    e.createCollection(CollectionConfig("g", 2, IndexType.Hnsw))
+    e.batchUpsertDocuments("g",
+      (0 until 20).map(i => Document(s"old$i", Array(i.toFloat, 0f))))
+    e.buildIndex("g")
+    assert(e.searchDocuments("g", Array(5f, 0f), 1).head.id === "old5")
+    e.dropCollection("g")
+    // same name, same doc count → same layout path/version/partition shape
+    e.createCollection(CollectionConfig("g", 2, IndexType.Hnsw))
+    e.batchUpsertDocuments("g",
+      (0 until 20).map(i => Document(s"new$i", Array(i.toFloat, 0f))))
+    e.buildIndex("g")
+    assert(e.searchDocuments("g", Array(5f, 0f), 1).head.id === "new5",
+      "recreated collection must not serve the dropped incarnation's graphs")
+  }
+
+  test("late out-of-order event must not shrink a session's span (Sessionize)") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.streaming.TestGroupState
+    // unit-level: drive updateUser directly with the public test harness
+    def ev(min: Long) = Sessionize.Event(1L,
+      new java.sql.Timestamp(min * 60000L), 1.0)
+    // batch 1: events at t=0..10 → end=10min
+    import org.apache.spark.api.java.Optional
+    val s1 = TestGroupState.create[Sessionize.SessionState](
+      Optional.empty[Sessionize.SessionState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(0L), false)
+    Sessionize.updateUser(1L, Iterator(ev(0), ev(10)), s1, 30 * 60000L)
+    assert(s1.get.end === 10 * 60000L)
+    // batch 2: late event at t=9 must NOT regress end
+    val s2 = TestGroupState.create[Sessionize.SessionState](
+      Optional.of(s1.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(0L), false)
+    Sessionize.updateUser(1L, Iterator(ev(9)), s2, 30 * 60000L)
+    assert(s2.get.end === 10 * 60000L, "late event regressed session end")
+    assert(s2.get.n === 3)
+  }
+
   test("ivfpq with an unsupported space errors at buildIndex instead of wrong rankings") {
     val (e, _) = freshEngine()
     // ip gained a proper ADC formulation; cos remains unsupported → hard error
