@@ -172,6 +172,23 @@ object VectorQueries {
       .select(col("qid"), col("vec_id"), col("rnk"))
   }
 
+  /** The same exact KNN expressed through the SQL surface: registered
+    * `l2_sq` function + window group-limit in plain `spark.sql` text —
+    * proves the SQL-first path produces the identical oracle-checked plan.
+    */
+  def knnSql(spark: SparkSession, dir: String): DataFrame = {
+    vfn.register(spark)
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    spark.sql(
+      s"""SELECT qid, vec_id, rnk FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY l2_sq(q.embedding, e.embedding) ASC, e.vec_id ASC) AS BIGINT) AS rnk
+         |  FROM (SELECT * FROM embeddings_v WHERE vec_id < $NQ) q
+         |  CROSS JOIN embeddings_v e) t
+         |WHERE rnk <= $K""".stripMargin)
+  }
+
   /** IVFPQ ADC search with exact re-rank (rows-only; recall gates in PqSpec). */
   def pqKnn(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
@@ -205,6 +222,7 @@ object VectorQueries {
     "graph_knn" -> (graphKnn(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
+    "knn_sql" -> (knnSql(_, _)),
     "knn_hamming" -> ((s, d) => knnRanks(s, d, SpaceType.Hamming)),
     "knn_cos" -> ((s, d) => knnRanks(s, d, SpaceType.Cos)),
     "knn_ip" -> ((s, d) => knnRanks(s, d, SpaceType.Ip)),
@@ -216,6 +234,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "ivf_knn_full" -> knnL2Sql, // full probing ≡ exact KNN
     "knn_l2" -> knnL2Sql,
+    "knn_sql" -> knnL2Sql, // identical semantics through the SQL surface
     "knn_hamming" -> knnHammingSql,
     "knn_cos" -> knnCosSql,
     "knn_ip" -> knnIpSql,
