@@ -123,36 +123,50 @@ object Dedup {
       .select(col("ia"), col("ib"), col("sim"))
   }
 
-  /** 64-bit SimHash per doc: sign of per-bit vote sums over token hashes. */
+  /** 60-bit SimHash per doc: sign of per-bit vote sums over token hashes.
+    * The per-token hash is the 15-nibble prefix of md5 (not xxhash64): md5 is
+    * the one hash both Spark and external SQL engines share, which makes the
+    * whole pipeline oracle-replayable (bit j of a token's hash = bit (j mod 4)
+    * of hex nibble (j div 4)). 60 vs 64 bits costs nothing measurable in
+    * near-dup precision.
+    */
+  val SimHashBits = 60
+
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("__did"),
       explode(split(col(textCol), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map(i =>
-      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i"))
-    val agg = tok.groupBy(col("__did")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      .withColumn("__md5", md5(col("t").cast("binary")))
+    val nibs = (0 until 15).map(d =>
+      conv(substring(col("__md5"), d + 1, 1), 16, 10).cast("int").as(s"n$d"))
+    val withNibs = tok.select(col("__did") +: nibs: _*)
+    val votes = (0 until SimHashBits).map { j =>
+      sum(when(expr(s"shiftright(n${j / 4}, ${j % 4}) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = withNibs.groupBy(col("__did")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until SimHashBits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     agg.select(col("__did"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: banded on 4×16-bit chunks (a pair within
-    * hamming distance 3 must agree on ≥1 chunk), verified with
-    * bit_count(xor) ≤ maxHamming.
+  /** SimHash near-dup pairs: banded on 4×15-bit chunks (a pair within
+    * hamming distance 3 must agree on ≥1 chunk — pigeonhole), verified with
+    * bit_count(xor) ≤ maxHamming. Banding is LOSSLESS for maxHamming ≤ 3, so
+    * the result is identical to the all-pairs scan an oracle runs.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only lossless for maxHamming <= 3")
     val sigs = simHash(df, idCol, textCol)
     val chunks = sigs.select(col("__did"), col("simhash"),
         explode(expr("transform(sequence(0, 3), c -> " +
-          "struct(c AS chunk, shiftright(simhash, c * 16) & 65535 AS cv))")).as("e"))
+          "struct(c AS chunk, shiftright(simhash, c * 15) & 32767 AS cv))")).as("e"))
       .select(col("__did"), col("simhash"), col("e.chunk").as("chunk"), col("e.cv").as("cv"))
     chunks.as("a").join(chunks.as("b"), Seq("chunk", "cv"))
       .filter(col("a.__did") < col("b.__did"))
       .select(col("a.__did").as("ia"), col("b.__did").as("ib"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("ia"), col("ib"), col("hamming"))
   }
@@ -236,12 +250,14 @@ object Dedup {
     labels
   }
 
-  /** Document fingerprint: min rolling hash over word 5-gram shingles
+  /** Document fingerprint: lexicographic-min md5 over word 5-gram shingles
     * (winnowing-style digest; exact dups — and near-dups sharing the minimal
-    * shingle — collide).
+    * shingle — collide). md5 (vs xxhash64) keeps the digest replayable by
+    * any SQL engine; the min is over fixed-width lowercase hex, so
+    * lexicographic order is consistent everywhere.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame =
     shingles(df, idCol, textCol, n)
       .groupBy(col("__did"))
-      .agg(min(xxhash64(col("s"))).as("fingerprint"))
+      .agg(min(md5(col("s").cast("binary"))).as("fingerprint"))
 }

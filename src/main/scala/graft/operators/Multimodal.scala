@@ -26,17 +26,21 @@ object Multimodal {
     def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
   }
 
-  /** STUB codec: deterministic hash-mixed features and even byte-slicing —
+  /** STUB codec: deterministic md5-nibble features and even byte-slicing —
     * NOT a real media decoder (none available in this container); the
-    * deterministic output is what makes the plumbing testable.
+    * deterministic output is what makes the plumbing testable. Feature i is
+    * nibble i of md5(payload) mapped to [-0.5, 0.4375] — every value is an
+    * exact dyadic rational (n/16), so an external SQL oracle reproduces the
+    * floats bit-for-bit and the driver gate can hash-match the pipeline.
     */
   object FakeDecoder extends Decoder {
     override def features(payload: Array[Byte], dim: Int): Array[Float] = {
-      var h = 1125899906842597L
-      payload.foreach(b => h = h * 31 + b)
+      require(dim <= 32, s"FakeDecoder supports dim <= 32 (md5 nibbles), got $dim")
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
       Array.tabulate(dim) { i =>
-        h = h * 6364136223846793005L + 1442695040888963407L + i
-        ((h >>> 33).toDouble / (1L << 31).toDouble - 0.5).toFloat
+        val b = digest(i / 2) & 0xff
+        val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+        nib / 16.0f - 0.5f
       }
     }
     override def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {

@@ -81,9 +81,52 @@ object DedupQueries {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
 
+  /** Oracle replays the full SimHash pipeline in SQL — md5-nibble token
+    * hashes, 60 per-bit vote sums, sign → signature — then scans ALL pairs.
+    * The Spark side bands 4×15 bits, which is lossless for hamming ≤ 3, so
+    * banded and all-pairs answers are identical.
+    */
+  val simhashPairsSql: String = {
+    val nibCols = (0 until 15).map(d =>
+      s"strpos('0123456789abcdef', substr(md5(t), ${d + 1}, 1)) - 1 AS n$d")
+      .mkString(",\n    ")
+    val voteCols = (0 until Dedup.SimHashBits).map(j =>
+      s"sum(CASE WHEN ((n${j / 4} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val sigExpr = (0 until Dedup.SimHashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |nib AS (
+       |  SELECT doc_id,
+       |    $nibCols
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM nib GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM votes)
+       |SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprint(docs(spark, dir), "doc_id", "text")
       .select(col("__did").as("doc_id"), col("fingerprint"))
+
+  /** Oracle: same 5-gram shingle set, min lowercase-hex md5 per doc. */
+  val docFingerprintSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) >= 5
+      |      THEN list_transform(
+      |        generate_series(1, len(string_split(text, ' ')) - 4),
+      |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))
+      |      ELSE [text] END)) AS s
+      |  FROM documents)
+      |SELECT doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
@@ -93,5 +136,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
-    "minhash_pairs" -> minhashPairsSql)
+    "minhash_pairs" -> minhashPairsSql,
+    "simhash_pairs" -> simhashPairsSql,
+    "doc_fingerprint" -> docFingerprintSql)
 }

@@ -167,15 +167,30 @@ object TextQueries {
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest
       |FROM documents""".stripMargin
 
-  /** Multimodal decode pipeline through the driver gate (rows-only: the stub
-    * codec is hash-defined): text bytes stand in for media payloads; the
-    * partition-batched decode adds fixed-dim features.
+  /** Multimodal decode pipeline through the driver gate: text bytes stand in
+    * for media payloads; the partition-batched decode adds fixed-dim
+    * features, emitted as scalar FLOAT columns (hashable row shape). The stub
+    * codec's md5-nibble features are exact dyadic rationals, so the DuckDB
+    * oracle reproduces them bit-for-bit — the mapPartitions plumbing itself
+    * is under the hash gate.
     */
+  private val MediaDim = 8
+
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = docs(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    graft.operators.Multimodal.decodeFeatures(media, "payload", dim = 8)
-      .select(col("doc_id"), col("features"))
+    val feat = graft.operators.Multimodal.decodeFeatures(media, "payload", dim = MediaDim)
+    feat.select(col("doc_id") +:
+      (0 until MediaDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
+  val mediaFeaturesSql: String = {
+    val cols = (0 until MediaDim).map { i =>
+      s"CAST((strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1) / 16.0 - 0.5 AS FLOAT) AS f$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $cols
+       |FROM documents""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -195,5 +210,6 @@ object TextQueries {
     "quality_score" -> qualityScoreSql,
     "dedup_exact" -> dedupExactSql,
     "jaccard_pairs" -> jaccardPairsSql,
-    "multimodal_meta" -> multimodalMetaSql)
+    "multimodal_meta" -> multimodalMetaSql,
+    "media_features" -> mediaFeaturesSql)
 }

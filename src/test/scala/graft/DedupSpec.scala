@@ -27,10 +27,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: near-identical docs within hamming 3; unrelated docs far") {
+    val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly " +
+      "behind the tall green hills and the river flows gently through the quiet valley " +
+      "as birds sing their evening songs in the cool autumn air"
     val data = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
-      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
-      (3L, "completely different content about spark shuffles and parquet files"))
+      (1L, base),
+      (2L, base.replace("autumn", "winter")),
+      (3L, "completely different content about spark shuffles and parquet files in a warehouse"))
       .toDF("doc_id", "text")
     val sigs = Dedup.simHash(data, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
@@ -50,7 +53,7 @@ class DedupSpec extends SparkSpec {
       (3L, "one two three four five six seven eight"))
       .toDF("doc_id", "text")
     val fps = Dedup.fingerprint(data, "doc_id", "text")
-      .as[(Long, Long)].collect().toMap
+      .as[(Long, String)].collect().toMap
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
