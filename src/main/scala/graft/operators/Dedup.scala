@@ -16,12 +16,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: survivor (min id) per distinct text digest. The group key
     * is the digest, not the text — constant-width shuffle rows.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact-dedup pre-pass for the LSH pipelines: `(__rep, __mid)` membership
+    * (representative = min id per digest group). A web-scale corpus has
+    * clusters of millions of byte-identical documents; collapsing them BEFORE
+    * any bucket self-join is what keeps candidate generation linear — one
+    * such cluster would otherwise land in one LSH bucket and emit O(n²)
+    * candidate pairs. The 128-bit digest makes false merges negligible.
+    */
+  private def membership(df: DataFrame, idCol: String, keyExpr: Column): DataFrame = {
+    val withKey = df.select(keyExpr.as("__gkey"), col(idCol).as("__mid"))
+    val repIds = withKey.groupBy(col("__gkey")).agg(min(col("__mid")).as("__rep"))
+    withKey.join(repIds, "__gkey").select(col("__rep"), col("__mid"))
+  }
+
+  /** Expand representative-level candidate pairs back to member-level pairs
+    * (cross-group) plus all within-group pairs. Output size is exactly the
+    * contract's pair set — the quadratic part, if any, is genuinely required
+    * output, never intermediate candidate state.
+    */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame): DataFrame = {
+    val cross = repPairs
+      .join(members.as("ma"), col("ia") === col("ma.__rep"))
+      .join(members.as("mb"), col("ib") === col("mb.__rep"))
+      .select(least(col("ma.__mid"), col("mb.__mid")).as("ia"),
+        greatest(col("ma.__mid"), col("mb.__mid")).as("ib"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
+      .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"))
+    cross.union(within).distinct()
+  }
 
   /** Distinct word n-gram shingles per doc: (id, s). Docs shorter than n
     * tokens contribute their whole text as one shingle.
@@ -48,18 +81,41 @@ object Dedup {
     based.groupBy(col("__did")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Defensive hot-bucket cap: drop bucket keys whose row count exceeds
+    * `maxBucket`, logging how much was dropped. After the exact-dedup
+    * pre-pass an over-cap bucket means a pathological cluster of
+    * near-identical-but-distinct documents; a dropped bucket's qualifying
+    * pairs can still surface through the other bands/tables. The cap bounds
+    * the self-join at `maxBucket²` pairs per bucket no matter how adversarial
+    * the corpus — AQE skew-splitting parallelizes a hot bucket but cannot
+    * shrink its pair count; only the cap can.
+    */
+  private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    if (maxBucket == Int.MaxValue) return rows
+    val sizes = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+    val over = sizes.filter(col("__bn") > maxBucket).cache()
+    val stats = over.agg(count(lit(1)).as("b"), coalesce(sum(col("__bn")), lit(0L)).as("r")).first()
+    if (stats.getLong(0) > 0)
+      log.warn(s"capBuckets: dropping ${stats.getLong(0)} hot buckets covering " +
+        s"${stats.getLong(1)} rows (cap=$maxBucket); their pairs may still be " +
+        "found via other bands")
+    rows.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
+  }
+
   /** LSH candidate pairs: docs whose signatures collide in ≥1 band.
     * P(candidate) = 1 − (1 − j^rowsPerBand)^bands — with 21×3 a j=0.8 pair
     * is missed with prob ~3e-7.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(lit(b) +: hs: _*).as("bh"))
     }
-    val exploded = sigs
-      .select(col("__did"), explode(array(bandCols: _*)).as("e"))
-      .select(col("__did"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val exploded = capBuckets(
+      sigs.select(col("__did"), explode(array(bandCols: _*)).as("e"))
+        .select(col("__did"), col("e.band").as("band"), col("e.bh").as("bh")),
+      Seq("band", "bh"), maxBucket)
     exploded.as("a").join(exploded.as("b"), Seq("band", "bh"))
       .filter(col("a.__did") < col("b.__did"))
       .select(col("a.__did").as("ia"), col("b.__did").as("ib"))
@@ -86,15 +142,52 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: pairs with exact n-gram Jaccard ≥
     * threshold, found via banding (not all-pairs).
+    *
+    * Scale shape: an exact-dedup pre-pass collapses byte-identical documents
+    * to one representative BEFORE signatures/banding, so a cluster of 10⁶
+    * identical docs contributes one row to the bucket self-join instead of a
+    * 10¹²-pair explosion; `maxBucket` caps whatever pathological
+    * near-identical clusters survive the pre-pass. With
+    * `expandDuplicates = true` (the default) representative pairs are
+    * expanded back to all member pairs (identical members ⇒ identical shingle
+    * sets ⇒ identical Jaccard), so the output is exactly the brute-force
+    * contract. Pass `expandDuplicates = false` for cluster-style consumers
+    * that only need one pair per distinct-text group (connectedComponents
+    * plus the membership edges reconstructs the same components).
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 100000,
+      expandDuplicates: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sh = shingles(df, idCol, textCol, shingleN)
-    val sigs = minHashSignatures(sh, numHashes)
-    val cand = lshCandidates(sigs, bands, numHashes / bands)
+    val m = membership(df, idCol, md5(col(textCol).cast("binary")))
+    val reps = df.join(
+      m.filter(col("__rep") === col("__mid")).select(col("__mid").as(idCol)), Seq(idCol))
+    val repSh = shingles(reps, idCol, textCol, shingleN)
+    val repCand = lshCandidates(
+      minHashSignatures(repSh, numHashes), bands, numHashes / bands, maxBucket)
+    val cand = if (expandDuplicates) expandPairs(repCand, m) else repCand
+    // verification joins against the FULL corpus's shingles, so expanded
+    // member pairs score with their own (identical) shingle sets
+    val sh = if (expandDuplicates) shingles(df, idCol, textCol, shingleN) else repSh
     verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Duplicate-cluster edges at scale: representative-level near-dup pairs ∪
+    * exact-duplicate membership edges — linear in corpus size even when dup
+    * groups are huge; `connectedComponents` over these edges yields the same
+    * components as over the fully-expanded pair set.
+    */
+  def minHashLshClusterEdges(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
+      threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
+    val repPairs = minHashLshPairs(df, idCol, textCol, shingleN, numHashes,
+        bands, threshold, maxBucket, expandDuplicates = false)
+      .select(col("ia"), col("ib"))
+    val m = membership(df, idCol, md5(col(textCol).cast("binary")))
+    val memberEdges = m.filter(col("__rep") =!= col("__mid"))
+      .select(col("__rep").as("ia"), col("__mid").as("ib"))
+    repPairs.union(memberEdges)
   }
 
   /** Embedding-cosine near-dup pairs at scale: random-hyperplane LSH bucket
@@ -104,20 +197,46 @@ object Dedup {
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
       simThreshold: Double, numTables: Int = 8, nbits: Int = 6,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 100000,
+      expandDuplicates: Boolean = true): DataFrame = {
     import graft.functions.vfn
+    // exact-dup pre-pass on the vector digest (md5 of the JSON form — only a
+    // grouping key, never compared across engines)
+    val m = membership(df, idCol, md5(to_json(struct(col(vecCol)))))
+    val all = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
+    val reps = all.join(
+      m.filter(col("__rep") === col("__mid")).select(col("__mid").as("__did")), Seq("__did"))
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     // shares AnnLsh's hyperplane/signature/multi-probe machinery — one LSH
     // implementation, two call sites (KNN and near-dup)
     val pl = AnnLsh.planesFor(dim, numTables, nbits, seed)
-    val base = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
-    val sigs = AnnLsh.signaturesFor(base, "__v", Seq("__did", "__v"), pl)
+    val sigs = capBuckets(
+      AnnLsh.signaturesFor(reps, "__v", Seq("__did", "__v"), pl),
+      Seq("__table", "__bucket"), maxBucket)
     val probed = AnnLsh.multiProbe(sigs, nbits)
-    sigs.as("x").join(probed.as("y"), Seq("__table", "__bucket"))
+    val repPairs = sigs.as("x").join(probed.as("y"), Seq("__table", "__bucket"))
       .filter(col("x.__did") < col("y.__did"))
       .select(col("x.__did").as("ia"), col("y.__did").as("ib"),
         col("x.__v").as("va"), col("y.__v").as("vb"))
       .distinct()
+    val pairs =
+      if (!expandDuplicates) repPairs
+      else {
+        val cross = repPairs
+          .join(m.as("ma"), col("ia") === col("ma.__rep"))
+          .join(m.as("mb"), col("ib") === col("mb.__rep"))
+          .select(least(col("ma.__mid"), col("mb.__mid")).as("ia"),
+            greatest(col("ma.__mid"), col("mb.__mid")).as("ib"),
+            col("va"), col("vb")) // sim is symmetric — no need to swap vectors
+        val within = m.as("x")
+          .join(m.as("y"),
+            col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
+          .join(all.as("bv"), col("x.__mid") === col("bv.__did"))
+          .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"),
+            col("bv.__v").as("va"), col("bv.__v").as("vb"))
+        cross.union(within).distinct()
+      }
+    pairs
       .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
       .filter(col("sim") >= simThreshold)
       .select(col("ia"), col("ib"), col("sim"))
@@ -154,14 +273,20 @@ object Dedup {
     * the result is identical to the all-pairs scan an oracle runs.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100000,
+      expandDuplicates: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only lossless for maxHamming <= 3")
-    val sigs = simHash(df, idCol, textCol)
-    val chunks = sigs.select(col("__did"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), c -> " +
-          "struct(c AS chunk, shiftright(simhash, c * 15) & 32767 AS cv))")).as("e"))
-      .select(col("__did"), col("simhash"), col("e.chunk").as("chunk"), col("e.cv").as("cv"))
-    chunks.as("a").join(chunks.as("b"), Seq("chunk", "cv"))
+    val m = membership(df, idCol, md5(col(textCol).cast("binary")))
+    val reps = df.join(
+      m.filter(col("__rep") === col("__mid")).select(col("__mid").as(idCol)), Seq(idCol))
+    val sigs = simHash(reps, idCol, textCol)
+    val chunks = capBuckets(
+      sigs.select(col("__did"), col("simhash"),
+          explode(expr("transform(sequence(0, 3), c -> " +
+            "struct(c AS chunk, shiftright(simhash, c * 15) & 32767 AS cv))")).as("e"))
+        .select(col("__did"), col("simhash"), col("e.chunk").as("chunk"), col("e.cv").as("cv")),
+      Seq("chunk", "cv"), maxBucket)
+    val repPairs = chunks.as("a").join(chunks.as("b"), Seq("chunk", "cv"))
       .filter(col("a.__did") < col("b.__did"))
       .select(col("a.__did").as("ia"), col("b.__did").as("ib"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
@@ -169,6 +294,21 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("ia"), col("ib"), col("hamming"))
+    if (!expandDuplicates) repPairs
+    else {
+      // cross-group member pairs inherit the rep pair's hamming (identical
+      // texts ⇒ identical signatures); within-group pairs are hamming 0
+      val cross = repPairs
+        .join(m.as("ma"), col("ia") === col("ma.__rep"))
+        .join(m.as("mb"), col("ib") === col("mb.__rep"))
+        .select(least(col("ma.__mid"), col("mb.__mid")).as("ia"),
+          greatest(col("ma.__mid"), col("mb.__mid")).as("ib"), col("hamming"))
+      val within = m.as("x")
+        .join(m.as("y"),
+          col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
+        .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"), lit(0L).as("hamming"))
+      cross.union(within).distinct()
+    }
   }
 
   /** Duplicate-cluster resolution: connected components over near-dup pairs

@@ -45,9 +45,14 @@ object DedupQueries {
 
   /** Keep-one-per-cluster resolution: components of the MinHash near-dup
     * graph; `component` is the surviving doc_id for every clustered doc.
+    * Runs over the linear-size cluster-edge set (representative pairs ∪
+    * exact-dup membership edges) — identical components to CC over the fully
+    * expanded pair set, without quadratic intermediate state.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(minhashPairs(spark, dir))
+    Dedup.connectedComponents(
+        Dedup.minHashLshClusterEdges(docs(spark, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8))
       .select(col("node").as("doc_id"), col("component"))
 
   /** Oracle: transitive closure by recursive CTE over the brute-force pair

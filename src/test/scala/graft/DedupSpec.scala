@@ -90,6 +90,50 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("expansion parity: duplicate texts expand to the brute-force pair set") {
+    val common = (1 to 32).map(i => s"w$i").mkString(" ")
+    val textA = common + " alpha"
+    val textB = common + " beta" // 3 of 31 shingles differ -> jaccard 28/34 ~ 0.82
+    val data = Seq(
+      (1L, textA), (2L, textA), (3L, textA),
+      (4L, textB), (5L, textB),
+      (6L, "entirely unrelated content about something else completely different"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashLshPairs(data, "doc_id", "text", threshold = 0.8)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val sh = Dedup.shingles(data, "doc_id", "text", 3)
+    val cand = sh.as("a").join(sh.as("b"), col("a.s") === col("b.s"))
+      .filter(col("a.__did") < col("b.__did"))
+      .select(col("a.__did").as("ia"), col("b.__did").as("ib")).distinct()
+    val want = Dedup.verifyJaccard(cand, sh, 0.8)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(want.contains((1L, 2L)) && want.contains((1L, 4L)) && want.contains((4L, 5L)))
+    assert(got === want)
+  }
+
+  test("hot-bucket safety: 10k identical docs stay linear via the cluster-edge path") {
+    val common = (1 to 32).map(i => s"w$i").mkString(" ")
+    val dupText = "this exact document is repeated ten thousand times across the corpus " +
+      "as byte identical spam which must not explode candidate generation"
+    val rows = (0L until 10000L).map(i => (i, dupText)) ++
+      Seq((20001L, common + " alpha"), (20002L, common + " beta"))
+    val df = rows.toDF("doc_id", "text")
+    val edges = Dedup.minHashLshClusterEdges(df, "doc_id", "text")
+    val n = edges.count()
+    // 9999 membership edges + 1 representative near-dup pair — NOT ~5*10^7
+    assert(n === 10000L, s"cluster edges should be linear in corpus size, got $n")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(9999L) === 0L && comps(1L) === 0L)
+    assert(comps(20002L) === 20001L)
+  }
+
+  test("bucket cap: over-cap buckets are dropped from candidate generation") {
+    val sigs = (1 to 20).map(i => (i.toLong, 7L, 8L, 9L)).toDF("__did", "h0", "h1", "h2")
+    assert(Dedup.lshCandidates(sigs, 1, 3, maxBucket = 5).count() === 0L)
+    assert(Dedup.lshCandidates(sigs, 1, 3, maxBucket = 100).count() === 190L)
+  }
+
   test("exact dedup survivors: one keep_id per distinct text") {
     val data = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
       .toDF("doc_id", "text")
