@@ -173,6 +173,13 @@ class Engine(
     */
   def buildIndex(coll: String, nlist: Int = 100): Unit = {
     val cfg = configOf(coll)
+    // capture the stamp BEFORE reading the corpus: a write interleaving with
+    // the long train/materialize below bumps the counter past this stamp, so
+    // currentLayout sees the layout as stale and falls back to the live
+    // corpus — the layout can never be marked current while missing a write
+    val stamp = store.currentVersion(coll)
+    def stampLayout(): Unit = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), stamp.toString)
     cfg.indexType match {
       case IndexType.IvfFlat =>
         val corpus = store.read(coll)
@@ -185,9 +192,7 @@ class Engine(
         // materialize the inverted-list layout: searches become physically
         // partition-pruned scans of only the probed cluster directories
         IvfIndex.write(corpus, "vector", model, ivfLayoutPath(coll))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
-          store.currentVersion(coll).toString)
+        stampLayout()
       case IndexType.IvfPq =>
         // l2 and ip have proper ADC table formulations; cos/hamming would
         // silently return wrong rankings — hard error instead (the
@@ -206,17 +211,13 @@ class Engine(
         // materialize the encoded layout (codes, not vectors, do the scan work)
         IvfPq.encode(corpus, "vector", pq)
           .write.mode("overwrite").partitionBy("cluster_id").parquet(pqLayoutPath(coll))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
-          store.currentVersion(coll).toString)
+        stampLayout()
       case IndexType.Hnsw =>
         // materialize a stable corpus snapshot: deterministic file splits
         // let the per-partition NSW graphs live in the executor-level
         // GraphCache across searches (built once per layout version)
         store.read(coll).write.mode("overwrite").parquet(hnswLayoutPath(coll))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"),
-          store.currentVersion(coll).toString)
+        stampLayout()
       case _ => () // flat: nothing to train
     }
   }
@@ -324,8 +325,14 @@ class Engine(
       case Some(pred) if preFilter =>
         searchOn(corpus.filter(pred), cfg, coll, Seq(("q", query)), k)
       case Some(pred) =>
+        // re-rank after the filter join so ranks are contiguous 1..k (the
+        // pre-filter path and the reference's positional results), not the
+        // surviving subset of the 2k-wide ranks (e.g. 2,5,9)
         val wide = searchOn(corpus, cfg, coll, Seq(("q", query)), 2 * k, corpusIsFull = true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("rnk"))
         wide.join(corpus.filter(pred).select(col("id")), "id")
+          .withColumn("rnk", row_number().over(w).cast("long"))
           .orderBy(col("rnk")).limit(k)
       case None =>
         searchOn(corpus, cfg, coll, Seq(("q", query)), k, corpusIsFull = true)

@@ -71,6 +71,14 @@ class Server(engine: Engine, port: Int = 0) {
 
   private def err(msg: String): Obj = Obj.of("error" -> Str(msg))
 
+  /** Required body field: missing → 400 bad-request. (A bare `o(key)` throws
+    * NoSuchElementException, which the handler reserves for collection/
+    * document lookups and maps to 404 — wrong wire code for a malformed body.)
+    */
+  private def req(o: Map[String, Value], key: String): Value =
+    o.getOrElse(key,
+      throw new IllegalArgumentException(s"missing required field '$key'"))
+
   private def body(ex: HttpExchange): Value = {
     val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     try parse(raw)
@@ -103,8 +111,8 @@ class Server(engine: Engine, port: Int = 0) {
 
   private def createCollection(ex: HttpExchange): Unit = {
     val o = body(ex).asObj
-    val name = o("name").asStr
-    val dim = o("dimension").asInt
+    val name = req(o, "name").asStr
+    val dim = req(o, "dimension").asInt
     val cfg = CollectionConfig(
       name, dim,
       o.get("index_type").map(v => IndexType.parse(v.asStr)).getOrElse(IndexType.Hnsw),
@@ -156,7 +164,7 @@ class Server(engine: Engine, port: Int = 0) {
 
   private def upsertDoc(ex: HttpExchange, name: String): Unit = {
     val o = body(ex).asObj
-    val doc = Document(o("id").asStr, vectorOf(o("vector")), paramsOf(o.get("parameters")))
+    val doc = Document(req(o, "id").asStr, vectorOf(req(o, "vector")), paramsOf(o.get("parameters")))
     engine.upsertDocument(name, doc)
     reply(ex, 200, docJson(doc))
   }
@@ -164,13 +172,13 @@ class Server(engine: Engine, port: Int = 0) {
   private def doBatchUpsert(name: String, ds: Value): Unit = {
     val docs = ds.asArr.map { dv =>
       val o = dv.asObj
-      Document(o("id").asStr, vectorOf(o("vector")), paramsOf(o.get("parameters")))
+      Document(req(o, "id").asStr, vectorOf(req(o, "vector")), paramsOf(o.get("parameters")))
     }
     engine.batchUpsertDocuments(name, docs)
   }
 
   private def batchUpsert(ex: HttpExchange, name: String): Unit = {
-    doBatchUpsert(name, body(ex).asObj("documents"))
+    doBatchUpsert(name, req(body(ex).asObj, "documents"))
     replyEmpty(ex, 200)
   }
 
@@ -187,7 +195,7 @@ class Server(engine: Engine, port: Int = 0) {
     }
 
   private def setParams(ex: HttpExchange, name: String): Unit = {
-    val ps = body(ex).asObj("parameters").asObj.map { case (k, v) => k -> v.asInt }
+    val ps = req(body(ex).asObj, "parameters").asObj.map { case (k, v) => k -> v.asInt }
     engine.setParams(name, ps)
     replyEmpty(ex, 200)
   }
@@ -196,7 +204,7 @@ class Server(engine: Engine, port: Int = 0) {
 
   private def searchVectors(ex: HttpExchange, name: String): Unit = {
     val o = body(ex).asObj
-    val vec = vectorOf(o("vector"))
+    val vec = vectorOf(req(o, "vector"))
     val limit = o.get("limit").orElse(o.get("top_k")).map(_.asInt).getOrElse(10)
     val hits = engine.searchVectors(name, Seq(("q", vec)), limit)
       .orderBy("rnk").collect()
@@ -208,7 +216,7 @@ class Server(engine: Engine, port: Int = 0) {
 
   private def searchDocuments(ex: HttpExchange, name: String): Unit = {
     val o = body(ex).asObj
-    val vec = vectorOf(o("vector"))
+    val vec = vectorOf(req(o, "vector"))
     val limit = o.get("limit").map(_.asInt).getOrElse(10)
     // the reference ACCEPTS filter and ignores it (`document.go:171`); we
     // honor it as equality predicates over params (§7.4 fix)

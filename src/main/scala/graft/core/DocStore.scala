@@ -59,13 +59,26 @@ class DocStore(spark: SparkSession, root: String) {
   def currentVersion(name: String): Long =
     new String(Files.readAllBytes(versionFile(name)), StandardCharsets.UTF_8).trim.toLong
 
-  private def nextVersion(name: String): Long = synchronized {
-    val v = new String(Files.readAllBytes(versionFile(name)), StandardCharsets.UTF_8)
-      .trim.toLong + 1
-    Files.write(versionFile(name), v.toString.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.TRUNCATE_EXISTING)
-    v
-  }
+  // per-collection write serialization: version assignment + data write +
+  // counter commit are one critical section, so readers polling the counter
+  // never observe a version whose data is not yet fully written
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def writeLock(name: String): Object =
+    writeLocks.computeIfAbsent(name, _ => new Object)
+
+  /** Run `write(v)` with the next version, committing the counter only AFTER
+    * the data lands. A concurrent reader racing the write keys its cache
+    * entries under the OLD version (consistent: the entry is invalidated the
+    * moment the counter commits) instead of caching pre-write results under
+    * the post-write version.
+    */
+  private def withNextVersion(name: String)(write: Long => Unit): Unit =
+    writeLock(name).synchronized {
+      val v = currentVersion(name) + 1
+      write(v)
+      Files.write(versionFile(name), v.toString.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.TRUNCATE_EXISTING)
+    }
 
   /** Append a batch of upserts (one version for the whole batch — the
     * reference's BatchUpsert atomicity, `document.go:277-307`).
@@ -95,24 +108,24 @@ class DocStore(spark: SparkSession, root: String) {
     * one micro-batch resolve deterministically by (partition, offset) order;
     * ordering across micro-batches is exact (version).
     */
-  def upsertDf(name: String, batch: DataFrame): Unit = {
-    val v = nextVersion(name)
-    batch.select(col("id"), col("vector"), col("params"))
-      .withColumn("version", lit(v))
-      .withColumn("seq", monotonically_increasing_id())
-      .withColumn("is_deleted", lit(false))
-      .write.mode("append").parquet(dataDir(name))
-  }
+  def upsertDf(name: String, batch: DataFrame): Unit =
+    withNextVersion(name) { v =>
+      batch.select(col("id"), col("vector"), col("params"))
+        .withColumn("version", lit(v))
+        .withColumn("seq", monotonically_increasing_id())
+        .withColumn("is_deleted", lit(false))
+        .write.mode("append").parquet(dataDir(name))
+    }
 
-  private def appendRows(name: String, rows: Seq[Row], dim: Int): Unit = {
-    val v = nextVersion(name)
-    // seq = position within the batch: duplicate ids inside one batch
-    // resolve to the LAST occurrence (the reference's sequential-put
-    // semantics, `document.go:294-303`), not an arbitrary tie
-    val stamped = rows.zipWithIndex.map { case (r, i) => Row(r(0), r(1), r(2), v, i.toLong, r(5)) }
-    spark.createDataFrame(stamped.asJava, schema(dim))
-      .write.mode("append").parquet(dataDir(name))
-  }
+  private def appendRows(name: String, rows: Seq[Row], dim: Int): Unit =
+    withNextVersion(name) { v =>
+      // seq = position within the batch: duplicate ids inside one batch
+      // resolve to the LAST occurrence (the reference's sequential-put
+      // semantics, `document.go:294-303`), not an arbitrary tie
+      val stamped = rows.zipWithIndex.map { case (r, i) => Row(r(0), r(1), r(2), v, i.toLong, r(5)) }
+      spark.createDataFrame(stamped.asJava, schema(dim))
+        .write.mode("append").parquet(dataDir(name))
+    }
 
   /** Raw log (all versions, incl. tombstones); an empty collection reads as
     * an empty frame with the store schema (not a scan error).
@@ -141,7 +154,9 @@ class DocStore(spark: SparkSession, root: String) {
   /** Compaction: rewrite the log keeping only LWW winners (drops overwritten
     * versions AND tombstones — `tree_compact.go:266-291` capability).
     */
-  def compact(name: String): Unit = {
+  def compact(name: String): Unit = writeLock(name).synchronized {
+    // under the write lock: an append racing the directory swap below would
+    // otherwise land its batch file between the delete and the move and be lost
     val winners = read(name).cache()
     winners.count() // materialize before overwriting the source
     val tmp = s"$root/$name/data_compacting"

@@ -49,28 +49,21 @@ object AnnLsh {
     Array.fill(numTables, nbits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** (table_id, bucket) signature rows for each input row. */
+  /** (table_id, bucket) signature rows for each input row. The per-row
+    * tables×nbits×dim dot-product loop is the codegen `LshSignatures` kernel
+    * (no UDF — the planes ride in the plan as a literal, the loop stays
+    * inside whole-stage codegen).
+    */
   private def signatures(df: DataFrame, vecCol: String, idCols: Seq[String],
       pl: Array[Array[Array[Float]]]): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(pl)
-    val sigUdf = udf { (v: Seq[Float]) =>
-      val p = bc.value
-      val arr = v.toArray
-      p.indices.map { t =>
-        var sig = 0L
-        var b = 0
-        while (b < p(t).length) {
-          val plane = p(t)(b)
-          var s = 0.0; var i = 0
-          while (i < arr.length) { s += arr(i) * plane(i); i += 1 }
-          if (s > 0) sig |= (1L << b)
-          b += 1
-        }
-        sig
-      }
-    }
-    df.withColumn("__sigs", sigUdf(col(vecCol)))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{Bridge, LshSignatures}
+    val nbits = pl(0).length
+    // flatten row-major: plane for (table t, bit b) at index t*nbits+b
+    val planesLit = Literal.create(
+      pl.flatten.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    df.withColumn("__sigs", Bridge.column(LshSignatures(
+        Bridge.expression(col(vecCol)), planesLit, Literal(nbits))))
       .select(idCols.map(col) :+ posexplode(col("__sigs")): _*)
       .withColumnRenamed("pos", "__table")
       .withColumnRenamed("col", "__bucket")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -331,12 +333,24 @@ object Dedup {
     // doesn't fit one machine.
     val cached = pairs.select(col("ia"), col("ib")).cache()
     val edgeCount = cached.count()
-    if (edgeCount <= 1000000L) {
+    // the local path must be generic over the id type: the engine uses string
+    // doc ids, testdata uses longs — a hard getLong would make behavior (CCE
+    // vs success) depend on edge COUNT, since only small sets take this path
+    val idType = cached.schema.head.dataType
+    val localOrd: Option[Ordering[Any]] = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None // exotic id type: the join loop below handles it via least()
+    }
+    if (edgeCount <= 1000000L && localOrd.isDefined) {
+      val ord = localOrd.get
       val spark = pairs.sparkSession
-      val localEdges = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val localEdges = cached.collect().map(r => (r.get(0), r.get(1)))
       cached.unpersist()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
+      val parent = scala.collection.mutable.Map.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x
@@ -345,11 +359,15 @@ object Dedup {
       }
       localEdges.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min label wins
+        if (ra != rb) parent(ord.max(ra, rb)) = ord.min(ra, rb) // min label wins
       }
       val nodes = localEdges.flatMap(e => Seq(e._1, e._2)).distinct
-      import spark.implicits._
-      return nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        nodes.map(n => org.apache.spark.sql.Row(n, find(n))).toSeq.asJava
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      return spark.createDataFrame(rows, schema)
     }
     val edges = cached.select(col("ia").as("a"), col("ib").as("b"))
       .union(cached.select(col("ib").as("a"), col("ia").as("b")))

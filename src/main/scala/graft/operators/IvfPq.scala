@@ -87,31 +87,24 @@ object IvfPq {
     Model(coarse, codebooks, m, subDim)
   }
 
-  /** Encode: cluster assignment + m residual codes per row (SURVEY F6). */
+  /** Encode: cluster assignment + m residual codes per row (SURVEY F6).
+    * Both passes are codegen kernels (`NearestCentroid` inside assign,
+    * `PqEncodeCodes` here) — the m×k argmin loop stays in whole-stage
+    * codegen with the centroid/codebook tables riding in the plan as
+    * literals, no UDF serialization on the build hot path.
+    */
   def encode(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{Bridge, PqEncodeCodes}
     val assigned = IvfIndex.assign(corpus, vecCol, model.coarse)
-    val bc = corpus.sparkSession.sparkContext.broadcast(model)
-    val encodeUdf = udf { (v: Seq[Float], cid: Int) =>
-      val mm = bc.value
-      val cent = mm.coarse.centroids(cid)
-      Array.tabulate(mm.m) { j =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < mm.codebooks(j).length) {
-          val cb = mm.codebooks(j)(c)
-          var s = 0.0; var t = 0
-          while (t < mm.subDim) {
-            val i = j * mm.subDim + t
-            val d = (v(i) - cent(i)).toDouble - cb(t)
-            s += d * d; t += 1
-          }
-          if (s < bestD) { bestD = s; best = c }
-          c += 1
-        }
-        best
-      }
-    }
-    assigned.withColumn("codes", encodeUdf(col(vecCol), col("cluster_id")))
+    val centsLit = Literal.create(
+      model.coarse.centroids.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    // flatten row-major: codeword c of subspace j at index j*k+c
+    val cbLit = Literal.create(
+      model.codebooks.flatten.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    assigned.withColumn("codes", Bridge.column(PqEncodeCodes(
+      Bridge.expression(col(vecCol)), Bridge.expression(col("cluster_id")),
+      centsLit, cbLit)))
   }
 
   /** ADC search over an encoded corpus: per (query, probed-list) distance

@@ -70,7 +70,13 @@ object Sessionize {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.end + gapMillis)
+        // flatMapGroupsWithState does NOT drop below-watermark input rows,
+        // so a group fed only old events can compute s.end + gap <= watermark;
+        // setTimeoutTimestamp then throws and fails the whole query. Clamp to
+        // strictly above the watermark (such a session times out on the very
+        // next batch, which is the correct outcome for expired events).
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(s.end + gapMillis, wm + 1))
       }
     }
     out.result().iterator

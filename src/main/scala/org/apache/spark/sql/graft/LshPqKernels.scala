@@ -1,0 +1,172 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen kernels for the LSH-signature and PQ-encode build paths — the two
+  * per-row hot loops of index build (SURVEY F6, §7.2 step 7) that previously
+  * ran as Scala UDFs. As native expressions the m×k / tables×nbits×dim
+  * arithmetic stays inside whole-stage codegen with no serialization
+  * boundary — at 100 TB build scale the UDF encode/serialize tax is the
+  * dominant cost, not the arithmetic.
+  */
+
+/** `lsh_signatures(vector ARRAY<FLOAT>, planes ARRAY<ARRAY<FLOAT>>, nbits INT)`
+  * → ARRAY<LONG>: one sign-bit signature per table. `planes` is the
+  * numTables×nbits hyperplane set flattened row-major (plane for table t,
+  * bit b at index t·nbits+b), carried as a plan literal. Bit b of signature
+  * t is set iff ⟨vector, plane⟩ > 0. Accumulation is float-multiply /
+  * double-add, matching the original UDF bit-for-bit so bucket layouts are
+  * stable across the migration.
+  */
+case class LshSignatures(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_signatures"
+
+  override protected def nullSafeEval(v: Any, p: Any, nb: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val planes = p.asInstanceOf[ArrayData]
+    val nbits = nb.asInstanceOf[Int]
+    val dim = vec.numElements()
+    val numTables = planes.numElements() / nbits
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = 0L
+      var b = 0
+      while (b < nbits) {
+        val plane = planes.getArray(t * nbits + b)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += vec.getFloat(i) * plane.getFloat(i); i += 1 }
+        if (s > 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p, nb) => {
+      val dim = ctx.freshName("dim"); val nt = ctx.freshName("nt")
+      val out = ctx.freshName("out"); val t = ctx.freshName("t")
+      val sig = ctx.freshName("sig"); val b = ctx.freshName("b")
+      val pl = ctx.freshName("pl"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""int $dim = $v.numElements();
+         |int $nt = $p.numElements() / $nb;
+         |long[] $out = new long[$nt];
+         |for (int $t = 0; $t < $nt; $t++) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $nb; $b++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $pl = $p.getArray($t * $nb + $b);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $s += (double) ($v.getFloat($i) * $pl.getFloat($i));
+         |    }
+         |    if ($s > 0) $sig |= (1L << $b);
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** `pq_encode(vector ARRAY<FLOAT>, cluster_id INT,
+  *            centroids ARRAY<ARRAY<FLOAT>>, codebooks ARRAY<ARRAY<FLOAT>>)`
+  * → ARRAY<INT>: the m residual sub-space codes of SURVEY F6
+  * (`ivfpq.go:178-231`'s encode loop as one codegen pass). `codebooks` is
+  * the [m][k][subDim] table flattened row-major (codeword c of subspace j at
+  * index j·k+c); m, k, subDim are all derived from the array shapes
+  * (subDim = |codebooks[0]|, m = dim/subDim, k = |codebooks|/m). Residual =
+  * vector − centroids[cluster_id]; per subspace the code is the argmin of
+  * squared-L2 to the codewords (ties → lowest index, matching LocalKMeans
+  * assignment).
+  */
+case class PqEncodeCodes(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType,
+      ArrayType(ArrayType(FloatType)), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any, cid: Any, cents: Any, cbs: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cent = cents.asInstanceOf[ArrayData].getArray(cid.asInstanceOf[Int])
+    val books = cbs.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val subDim = books.getArray(0).numElements()
+    val m = dim / subDim
+    val k = books.numElements() / m
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cb = books.getArray(j * k + c)
+        var s = 0.0; var t = 0
+        while (t < subDim) {
+          val i = j * subDim + t
+          val d = (vec.getFloat(i) - cent.getFloat(i)).toDouble - cb.getFloat(t)
+          s += d * d; t += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cid, cents, cbs) => {
+      val cent = ctx.freshName("cent"); val dim = ctx.freshName("dim")
+      val subDim = ctx.freshName("subDim"); val m = ctx.freshName("m")
+      val k = ctx.freshName("k"); val out = ctx.freshName("out")
+      val j = ctx.freshName("j"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val c = ctx.freshName("c")
+      val cb = ctx.freshName("cb"); val s = ctx.freshName("s")
+      val t = ctx.freshName("t"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $cent = $cents.getArray($cid);
+         |int $dim = $v.numElements();
+         |int $subDim = $cbs.getArray(0).numElements();
+         |int $m = $dim / $subDim;
+         |int $k = $cbs.numElements() / $m;
+         |int[] $out = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cb = $cbs.getArray($j * $k + $c);
+         |    double $s = 0.0;
+         |    for (int $t = 0; $t < $subDim; $t++) {
+         |      int $i = $j * $subDim + $t;
+         |      double $d = (double) ($v.getFloat($i) - $cent.getFloat($i)) - (double) $cb.getFloat($t);
+         |      $s += $d * $d;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $best = $c; }
+         |  }
+         |  $out[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}

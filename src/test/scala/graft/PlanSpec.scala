@@ -42,4 +42,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("nn_join")
     assert(p.contains("partial_topk_by_distance"))
   }
+
+  test("lsh signature path is a codegen kernel, not a UDF") {
+    val p = plan("lsh_knn")
+    assert(p.contains("lsh_signatures"), s"expected the codegen kernel in:\n$p")
+    assert(!p.contains("UDF("), s"lsh_knn plan must not contain a Scala UDF:\n$p")
+  }
+
+  test("pq encode path is a codegen kernel, not a UDF") {
+    val p = plan("pq_knn")
+    assert(p.contains("pq_encode"), s"expected the codegen kernel in:\n$p")
+    assert(!p.contains("UDF("), s"pq_knn plan must not contain a Scala UDF:\n$p")
+  }
 }
