@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SpaceType
+import graft.operators.{AnnLsh, Dedup, ExactKnn, IvfIndex, IvfPq}
+
+/** Scale-story benchmark: the sf0.1 numbers in BENCH are Spark-fixed-cost
+  * dominated (~0.3–1 s/query floor), so they can't show WHY the approximate
+  * tiers exist. This main builds a 10×-replicated corpus (offset ids,
+  * jittered vectors — same distribution, 10× rows) and times each
+  * approximate tier against its naive exact baseline at 1× and 10×:
+  *
+  *  - how each plan SCALES (pruned/bucketed paths should grow sub-linearly
+  *    vs the exact scans' linear growth), and
+  *  - the absolute speedup of the indexed plan over the naive plan at 10×
+  *    (the number that extrapolates to the 100 TB argument).
+  *
+  * Prints one JSON line; run via
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt 'runMain graft.ScaleBench'
+  * Results land in ROUND_NOTES.md.
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10x")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ---- build the scaled corpus once (replicate with id offsets; jitter
+    // vectors so replicas aren't byte-identical and text with a replica tag
+    // so exact-dedup doesn't collapse the whole corpus) ----
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n1 = emb1.count()
+    val embPath = s"$scaleDir/embeddings"
+    val docPath = s"$scaleDir/documents"
+    if (!new java.io.File(embPath).exists()) {
+      val reps = spark.range(factor).select(col("id").as("rep"))
+      emb1.crossJoin(reps)
+        .select((col("vec_id") + col("rep") * n1).as("vec_id"),
+          transform(col("embedding"),
+            x => (x + (pmod(xxhash64(col("vec_id"), col("rep")), lit(1000)).cast("float")
+              - 500f) / 1e6f).cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(embPath)
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nd = docs1.count()
+      docs1.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * nd).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .write.mode("overwrite").parquet(docPath)
+    }
+    val emb10 = spark.read.parquet(embPath)
+    val docs10 = spark.read.parquet(docPath)
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    emb10.count(); docs10.count() // materialize outside timings
+
+    def queriesOf(df: DataFrame): DataFrame =
+      df.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime()
+      fn
+      (System.nanoTime() - t0) / 1e9
+    }
+    def drain(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)) {
+      val q = queriesOf(corpus)
+      // exact KNN: the naive full-scan baseline (linear in corpus)
+      out(s"exact_knn_$tag") = time(drain(
+        ExactKnn.knn(corpus, q, 10, SpaceType.L2,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
+      // IVF: train+assign once (build cost, reported separately), probe-pruned search
+      var model: IvfIndex.Model = null
+      var assigned: DataFrame = null
+      out(s"ivf_build_$tag") = time {
+        model = IvfIndex.train(corpus, "embedding", nlist = 40)
+        assigned = IvfIndex.assign(corpus, "embedding", model)
+          .repartition(col("cluster_id")).cache()
+        assigned.count()
+      }
+      out(s"ivf_probe_search_$tag") = time(drain(
+        IvfIndex.search(assigned, q, model, 10, nprobe = 4,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
+      // PQ: ADC scan over codes (the codes-only scan argument)
+      var pq: IvfPq.Model = null
+      var encoded: DataFrame = null
+      out(s"pq_build_$tag") = time {
+        pq = IvfPq.train(corpus, "embedding", nlist = 40, m = 8)
+        encoded = IvfPq.encode(corpus, "embedding", pq).cache()
+        encoded.count()
+      }
+      out(s"pq_adc_search_$tag") = time(drain(
+        IvfPq.search(encoded, q, pq, kTop = 10, nprobe = 4,
+          corpusId = "vec_id", queryId = "qid", queryVec = "qv")))
+      assigned.unpersist(); encoded.unpersist()
+      // LSH KNN: bucketed candidates vs the exact scan above
+      out(s"lsh_knn_$tag") = time(drain(
+        AnnLsh.search(corpus, q, 10, SpaceType.Cos,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
+    }
+
+    for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)) {
+      // MinHash-LSH near-dup (bucketed) vs brute-force all-pairs jaccard
+      out(s"minhash_lsh_$tag") = time(drain(
+        Dedup.minHashLshPairs(docs, "doc_id", "text")))
+      if (tag == "1x") { // all-pairs at 10× would be ~100× the 1× cost — that IS the point
+        val tok = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = tok.as("a").join(tok.as("b"), col("a.w") === col("b.w"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .agg(count(lit(1)).as("c"))
+        val brute = inter
+          .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+          .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+          .filter(col("c").cast("double") /
+            (col("na") + col("nb") - col("c")).cast("double") >= 0.8)
+          .select(col("ia"), col("ib"))
+        out(s"jaccard_allpairs_$tag") = time(drain(brute))
+      }
+      out(s"dedup_exact_$tag") = time(drain(Dedup.exact(docs, "doc_id", "text")))
+    }
+
+    val scaled = s"${factor}x"
+    val derived = Seq(
+      "speedup_ivf_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"ivf_probe_search_$scaled"),
+      "speedup_pq_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"pq_adc_search_$scaled"),
+      "scaling_exact_knn" -> out(s"exact_knn_$scaled") / out("exact_knn_1x"),
+      "scaling_ivf_search" -> out(s"ivf_probe_search_$scaled") / out("ivf_probe_search_1x"),
+      "scaling_pq_search" -> out(s"pq_adc_search_$scaled") / out("pq_adc_search_1x"),
+      "scaling_minhash" -> out(s"minhash_lsh_$scaled") / out("minhash_lsh_1x"))
+    val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++
+      derived.map { case (k, v) => f""""$k":$v%.2f""" }
+    println(s"""{"metric":"scalebench","factor":$factor,${all.mkString(",")}}""")
+    spark.stop()
+  }
+}

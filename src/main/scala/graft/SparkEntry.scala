@@ -28,4 +28,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles
+
+  /** Deterministic oracle-input tables (candidate/probe/assignment sets of
+    * the approximate ANN tiers). Verify writes each to `outDir/_aux/<name>`
+    * and substitutes `{AUX}` in oracleSql with that directory, so DuckDB can
+    * replay "exact KNN restricted to these candidates" as a full
+    * rows+schema+hash gate on queries whose candidate generation is not
+    * SQL-expressible.
+    */
+  def oracleInputs: Map[String, (SparkSession, String) => DataFrame] =
+    VectorQueries.oracleInputs
 }

@@ -194,11 +194,12 @@ class Engine(
         IvfIndex.write(corpus, "vector", model, ivfLayoutPath(coll))
         stampLayout()
       case IndexType.IvfPq =>
-        // l2 and ip have proper ADC table formulations; cos/hamming would
-        // silently return wrong rankings — hard error instead (the
-        // no-silent-fallback rule, SURVEY F5)
-        require(cfg.spaceType == SpaceType.L2 || cfg.spaceType == SpaceType.Ip,
-          s"ivfpq supports l2 and ip spaces, got ${cfg.spaceType.name}")
+        // l2, ip, and cos (normalized-residual tables) have proper ADC
+        // formulations; hamming has none — hard error instead of a silently
+        // wrong ranking (the no-silent-fallback rule, SURVEY F5)
+        require(cfg.spaceType == SpaceType.L2 || cfg.spaceType == SpaceType.Ip
+            || cfg.spaceType == SpaceType.Cos,
+          s"ivfpq supports l2, ip, and cos spaces, got ${cfg.spaceType.name}")
         val corpus = store.read(coll)
         val n = corpus.count()
         val k = math.min(nlist.toLong, n).toInt

@@ -69,14 +69,14 @@ object AnnLsh {
       .withColumnRenamed("col", "__bucket")
   }
 
-  /** Approximate batch KNN: candidates from bucket collisions in any table,
-    * exact re-rank with the true distance, top-k per query.
+  /** Candidate pairs from bucket collisions in any table (deduped per
+    * (query, corpus id)) — the deterministic candidate set the exact re-rank
+    * in `search` ranks, exported as an oracle input by Verify (an external
+    * SQL engine replays "exact KNN restricted to these candidates").
     */
-  def search(
+  def candidatePairs(
       corpus: DataFrame,
       queries: DataFrame,
-      k: Int,
-      space: SpaceType,
       numTables: Int = 8,
       nbits: Int = 8,
       multiProbe: Boolean = true,
@@ -97,10 +97,29 @@ object AnnLsh {
     // recall of ~(1+nbits)× more buckets for zero extra corpus-side state.
     val qSig = if (!multiProbe) qSigExact else AnnLsh.multiProbe(qSigExact, nbits)
 
-    val cand = cSig.join(broadcast(qSig), Seq("__table", "__bucket"))
+    cSig.join(broadcast(qSig), Seq("__table", "__bucket"))
       .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
       .dropDuplicates(queryId, corpusId)
+  }
 
+  /** Approximate batch KNN: candidates from bucket collisions in any table,
+    * exact re-rank with the true distance, top-k per query.
+    */
+  def search(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      numTables: Int = 8,
+      nbits: Int = 8,
+      multiProbe: Boolean = true,
+      seed: Long = 42L,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val cand = candidatePairs(corpus, queries, numTables, nbits, multiProbe,
+      seed, corpusId, corpusVec, queryId, queryVec)
     val dist = vfn.distance(col(corpusVec), col(queryVec), space)
     val w = Window.partitionBy(col(queryId)).orderBy(col("distance").asc, col(corpusId).asc)
     cand.withColumn("distance", dist)

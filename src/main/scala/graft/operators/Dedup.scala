@@ -408,6 +408,93 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star rounds
+    * (the MapReduce CC algorithm with O(log²·n) round convergence) — the
+    * variant for ADVERSARIAL graph shapes: a path graph of 10⁵ nodes needs
+    * 10⁵ min-label-propagation rounds but only ~log² star rounds. Dup
+    * graphs are near-cliques where plain propagation wins on constant
+    * factors, so this is the fallback for deep graphs, not the default.
+    *
+    * Each round is two rounds of (groupBy-min + join) over the edge set —
+    * all shuffles on node id, no driver-side graph. Output: (node,
+    * component) with component = min member id, matching
+    * `connectedComponents`.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical undirected edges, self-loops dropped
+    var edges = pairs
+      .select(least(col("ia"), col("ib")).as("u"), greatest(col("ia"), col("ib")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .cache()
+    // remember every node up front: star rounds contract edges away, and
+    // isolated-after-contraction nodes must still get a label row
+    val allNodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct().cache()
+    allNodes.count()
+
+    // large-star: every neighbor LARGER than u links to min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbr.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      nbr.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: direct edges high→low; every low neighbor (and u) links to
+    // the minimum low neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
+      val mins = dir.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val linked = dir.join(mins, "hi")
+        .select(col("lo").as("u"), col("m").as("v"))
+        .union(mins.select(col("m").as("u"), col("hi").as("v")))
+      linked
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free (ANSI mode rejects a
+      // plain sum of hashes); edges are distinct so xor cannot cancel dups
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var round = 0
+    var converged = false
+    var sig = checksum(edges)
+    while (!converged && round < maxRounds) {
+      // localCheckpoint TRUNCATES the lineage: each round's plan references
+      // the previous round's frame several times (unions/self-joins), so an
+      // un-truncated logical plan grows exponentially with rounds and OOMs
+      // the driver on plan strings alone by round ~15
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = checksum(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star rounds did not converge in $maxRounds rounds — refusing to " +
+          "return a partially-contracted forest")
+    // fixpoint is a star forest: every edge is (root, member) with root = min
+    // (min-agg is a no-op at a true fixpoint; defensive against ties)
+    val labels = edges.groupBy(col("v").as("node")).agg(min(col("u")).as("component"))
+    val roots = allNodes.join(labels, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    labels.union(roots)
+  }
+
   /** Document fingerprint: lexicographic-min md5 over word 5-gram shingles
     * (winnowing-style digest; exact dups — and near-dups sharing the minimal
     * shingle — collide). md5 (vs xxhash64) keeps the digest replayable by

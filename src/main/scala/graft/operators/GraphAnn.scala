@@ -157,18 +157,19 @@ object GraphAnn {
     def clear(): Unit = cache.clear()
   }
 
-  /** Approximate batch KNN: per-partition NSW graphs, queries broadcast,
-    * global top-k via the one-pass TopK aggregate. `ef` = efsearch.
-    * `cacheKey = Some((layoutId, version))` enables the executor graph
-    * cache — only safe when `corpus` is a stable materialized layout.
+  /** Per-partition beam results (k best per query PER PARTITION, before the
+    * global merge) — deterministic given the corpus partitioning (NSW build
+    * and beam search have no randomness; insertion order is partition row
+    * order). Exported as an oracle input by Verify: the global merge is then
+    * SQL-replayable as "rank these candidates by exact distance".
     */
-  def search(
+  def localResults(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       space: SpaceType,
-      ef: Int = 40,       // reference default efsearch ballpark
-      m: Int = 16,        // const.go:18-23 M default
+      ef: Int = 40,
+      m: Int = 16,
       efConstruction: Int = 200,
       corpusId: String = "id",
       corpusVec: String = "vector",
@@ -209,10 +210,32 @@ object GraphAnn {
     }
     val qidType = queries.schema(queryId).dataType
     val idType = corpus.schema(corpusId).dataType
-    val localDf = spark.createDataFrame(local, StructType(Seq(
+    spark.createDataFrame(local, StructType(Seq(
       StructField(queryId, qidType),
       StructField(corpusId, idType),
       StructField("distance", DoubleType))))
+  }
+
+  /** Approximate batch KNN: per-partition NSW graphs, queries broadcast,
+    * global top-k via the one-pass TopK aggregate. `ef` = efsearch.
+    * `cacheKey = Some((layoutId, version))` enables the executor graph
+    * cache — only safe when `corpus` is a stable materialized layout.
+    */
+  def search(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      ef: Int = 40,       // reference default efsearch ballpark
+      m: Int = 16,        // const.go:18-23 M default
+      efConstruction: Int = 200,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      cacheKey: Option[(String, Long)] = None): DataFrame = {
+    val localDf = localResults(corpus, queries, k, space, ef, m, efConstruction,
+      corpusId, corpusVec, queryId, queryVec, cacheKey)
     // global merge: one-pass bounded-heap top-k per query
     import graft.functions.vfn
     localDf.groupBy(col(queryId))

@@ -172,4 +172,46 @@ object IvfIndex {
       .filter(col("rnk") <= k)
       .select(col(queryId), col(corpusId), col("distance"), col("rnk"))
   }
+
+  /** nprobe-pruned batch KNN with NO driver-side query collection — the
+    * scale path for huge query sets (a KNN-join of 10⁸ queries against the
+    * corpus would OOM the driver in `search`). Probe lists are computed
+    * row-by-row by the codegen `NearestCentroids` kernel (centroid table as
+    * a plan literal), candidates come from an equi-join on cluster_id, and
+    * the global top-k is the partial-aggregating bounded-heap TopK — every
+    * stage is distributed and map-side combined. Results are identical to
+    * `search` (same probe metric and (distance, id) tie-breaks).
+    */
+  def searchDistributed(
+      assigned: DataFrame,
+      queries: DataFrame,
+      model: Model,
+      k: Int,
+      nprobe: Int,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{Bridge, NearestCentroids}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    require(nprobe >= 1 && nprobe <= model.nlist,
+      s"nprobe must be in [1, ${model.nlist}], got $nprobe")
+    val centsLit = Literal.create(
+      model.centroids.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    val probed = queries
+      .withColumn("__cid", explode(Bridge.column(NearestCentroids(
+        Bridge.expression(col(queryVec).cast("array<float>")), centsLit,
+        Literal(nprobe), ip = model.space == SpaceType.Ip))))
+    // equi-join on the cluster id: corpus stays partitioned by cluster_id,
+    // queries shuffle by probe target — no broadcast, no collect
+    val cand = assigned.join(probed, col("cluster_id") === col("__cid"))
+    cand
+      .withColumn("distance", vfn.distance(col(corpusVec), col(queryVec), model.space))
+      .groupBy(col(queryId))
+      .agg(vfn.topKByDistance(col("distance"), col(corpusId), k).as("__hits"))
+      .select(col(queryId), explode(col("__hits")).as("__h"))
+      .select(col(queryId), col("__h.id").as(corpusId),
+        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+  }
 }

@@ -37,18 +37,40 @@ object IvfPq {
     def space: graft.core.SpaceType = coarse.space
   }
 
+  /** Unit-normalize a float-array column (zero vectors pass through
+    * unchanged — downstream cos distance treats them as 1.0 per F3). Built
+    * from higher-order SQL functions, so it stays inside codegen.
+    */
+  private[operators] def l2NormalizeCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    transform(v, x => when(norm === 0.0, x).otherwise((x / norm).cast("float")))
+  }
+
+  private def l2NormalizeLocal(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
   /** Train coarse quantizer + per-subspace residual codebooks. Supported
-    * spaces: l2 (squared-euclidean ADC over residuals) and ip (negative
-    * inner product: −⟨q,x⟩ ≈ −⟨q,cent⟩ − ⟨q,codeword⟩). Residual encoding
-    * itself is always the L2 quantizer — standard PQ practice for both.
+    * spaces: l2 (squared-euclidean ADC over residuals), ip (negative
+    * inner product: −⟨q,x⟩ ≈ −⟨q,cent⟩ − ⟨q,codeword⟩), and cos via the
+    * normalized formulation: train/encode/search on unit-normalized vectors,
+    * where squared-L2 is exactly 2×cosine-distance — the L2 ADC tables rank
+    * identically to cosine (`ivfpq.go:248,418` dispatches all spaces through
+    * the configured distance; we refuse only hamming, which has no
+    * residual-table form). Residual encoding itself is always the L2
+    * quantizer — standard PQ practice for all three.
     */
   def train(corpus: DataFrame, vecCol: String, nlist: Int, m: Int = 8,
       nbits: Int = 8, maxIter: Int = 40, seed: Long = 42L,
       space: graft.core.SpaceType = graft.core.SpaceType.L2): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(space == graft.core.SpaceType.L2 || space == graft.core.SpaceType.Ip,
-      s"ivfpq supports l2 and ip spaces, got ${space.name}")
+    require(space == graft.core.SpaceType.L2 || space == graft.core.SpaceType.Ip
+        || space == graft.core.SpaceType.Cos,
+      s"ivfpq supports l2, ip, and cos spaces, got ${space.name}")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dimension $dim not divisible by m=$m") // ivfpq_test parity
     require(nbits >= 1 && nbits <= 8, s"nbits must be in [1,8], got $nbits")
@@ -59,13 +81,20 @@ object IvfPq {
     // (LocalKMeans parallelizes the O(n·k·d) assignment across cores) —
     // m × maxIter distributed rounds would be pure scheduler overhead.
     val (sampleDf, rows) = IvfIndex.trainingSample(corpus, vecCol, 50000L, seed)
-    val sample = sampleDf.as[Seq[Float]].collect().map(_.toArray)
+    val rawSample = sampleDf.as[Seq[Float]].collect().map(_.toArray)
+    // cos: the whole index lives on the unit sphere
+    val sample = if (space == graft.core.SpaceType.Cos)
+      rawSample.map(l2NormalizeLocal) else rawSample
     val coarse =
       if (rows * nlist.toLong * dim <= 200000000L)
         IvfIndex.Model(
           LocalKMeans.fit(sample.map(_.map(_.toDouble)), nlist, maxIter).map(_.map(_.toFloat)),
           space)
-      else IvfIndex.train(corpus, vecCol, nlist, space, maxIter = maxIter, seed = seed)
+      else {
+        val trainCorpus = if (space == graft.core.SpaceType.Cos)
+          corpus.withColumn(vecCol, l2NormalizeCol(col(vecCol))) else corpus
+        IvfIndex.train(trainCorpus, vecCol, nlist, space, maxIter = maxIter, seed = seed)
+      }
     val k = math.min(1 << nbits, sample.length)
 
     val resid = sample.map { v =>
@@ -96,15 +125,21 @@ object IvfPq {
   def encode(corpus: DataFrame, vecCol: String, model: Model): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.{Bridge, PqEncodeCodes}
-    val assigned = IvfIndex.assign(corpus, vecCol, model.coarse)
+    // cos: assignment + residual codes live on the unit sphere; the original
+    // vector column is untouched (exact re-rank reads it)
+    val isCos = model.space == graft.core.SpaceType.Cos
+    val src = if (isCos) corpus.withColumn("__nvec", l2NormalizeCol(col(vecCol))) else corpus
+    val encCol = if (isCos) "__nvec" else vecCol
+    val assigned = IvfIndex.assign(src, encCol, model.coarse)
     val centsLit = Literal.create(
       model.coarse.centroids.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
     // flatten row-major: codeword c of subspace j at index j*k+c
     val cbLit = Literal.create(
       model.codebooks.flatten.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
-    assigned.withColumn("codes", Bridge.column(PqEncodeCodes(
-      Bridge.expression(col(vecCol)), Bridge.expression(col("cluster_id")),
+    val coded = assigned.withColumn("codes", Bridge.column(PqEncodeCodes(
+      Bridge.expression(col(encCol)), Bridge.expression(col("cluster_id")),
       centsLit, cbLit)))
+    if (isCos) coded.drop("__nvec") else coded
   }
 
   /** ADC search over an encoded corpus: per (query, probed-list) distance
@@ -130,10 +165,15 @@ object IvfPq {
     // subspace. ip: −⟨q_j, codeword⟩ per subspace, with the per-list
     // constant −⟨q, cent⟩ folded into subspace 0 so cross-list rankings
     // stay comparable (`ivfpq.go:259-277`'s table shape, ip-extended).
+    // cos: the l2 table over unit-normalized query/index, halved —
+    // ||q̂−x̂||²/2 = 1−⟨q̂,x̂⟩ is EXACTLY the cosine distance, so the ADC
+    // score approximates cos distance directly.
     val isIp = model.space == graft.core.SpaceType.Ip
+    val isCos = model.space == graft.core.SpaceType.Cos
     val tables: Map[(String, Int), Array[Float]] = qRows.flatMap { r =>
       val qid = r.getString(0)
-      val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
+      val qvRaw = r.getAs[scala.collection.Seq[Float]](1).toArray
+      val qv = if (isCos) l2NormalizeLocal(qvRaw) else qvRaw
       model.coarse.probe(qv, nprobe).map { cid =>
         val cent = model.coarse.centroids(cid)
         val tab = new Array[Float](model.m * model.k)
@@ -157,7 +197,7 @@ object IvfPq {
               t += 1
             }
             if (isIp && j == 0) s -= qDotCent
-            tab(j * model.k + c) = s.toFloat
+            tab(j * model.k + c) = (if (isCos) s * 0.5 else s).toFloat
             c += 1
           }
           j += 1

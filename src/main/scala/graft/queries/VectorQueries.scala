@@ -189,10 +189,15 @@ object VectorQueries {
          |WHERE rnk <= $K""".stripMargin)
   }
 
-  /** IVFPQ ADC search with exact re-rank (rows-only; recall gates in PqSpec). */
-  def pqKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** IVFPQ ADC search with exact re-rank. Oracle: exact KNN restricted to
+    * the exported ADC shortlist (`pq_shortlist` aux table) — the re-rank
+    * stage is rank-by-true-distance over exactly those candidates; recall
+    * gates for the ADC stage itself live in PqSpec.
+    */
+  def pqKnn(spark: SparkSession, dir: String,
+      space: SpaceType = SpaceType.L2): DataFrame = {
     val c = corpus(spark, dir)
-    val model = IvfPq.train(c, "embedding", nlist = 10, m = 8)
+    val model = IvfPq.train(c, "embedding", nlist = 10, m = 8, space = space)
     // cache = the materialized encoded layout (production writes it
     // partitionBy(cluster_id); a one-shot query caches it instead)
     val encoded = IvfPq.encode(c, "embedding", model).cache()
@@ -200,6 +205,20 @@ object VectorQueries {
         corpusId = "vec_id", queryId = "qid", queryVec = "qv",
         rerankVecCol = Some("embedding"))
       .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  /** The ADC shortlist pqKnn re-ranks (kTop×rerankFactor per query): same
+    * deterministic training seed → same model → same shortlist as the query
+    * run. Exported by Verify as an oracle input.
+    */
+  def pqShortlistAux(spark: SparkSession, dir: String,
+      space: SpaceType = SpaceType.L2): DataFrame = {
+    val c = corpus(spark, dir)
+    val model = IvfPq.train(c, "embedding", nlist = 10, m = 8, space = space)
+    val encoded = IvfPq.encode(c, "embedding", model).cache()
+    IvfPq.search(encoded, queriesDf(spark, dir), model, kTop = K * 8, nprobe = 10,
+        corpusId = "vec_id", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"))
   }
 
   /** Per-partition NSW graph ANN (rows-only; recall gates in GraphAnnSpec). */
@@ -215,10 +234,53 @@ object VectorQueries {
         corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
       .select(col("qid"), col("vec_id"), col("rnk"))
 
+  // ---- oracle-input exports (Verify writes each to outDir/_aux/<name>) ----
+  // Everything here is deterministic (seeded trainers, no randomness in NSW
+  // build/beam), so recomputing in a separate pass reproduces exactly the
+  // model/candidates the query run used.
+
+  /** Full corpus assignment under the ivf_knn_probe model. */
+  def ivfAssignAux(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val model = IvfIndex.train(c, "embedding", nlist = 10)
+    IvfIndex.assign(c, "embedding", model).select(col("vec_id"), col("cluster_id"))
+  }
+
+  /** Probed cluster ids per query at nprobe=2 (the ivf_knn_probe setting). */
+  def ivfProbesAux(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val c = corpus(spark, dir)
+    val model = IvfIndex.train(c, "embedding", nlist = 10)
+    val q = queriesDf(spark, dir)
+    val rows = q.collect().flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
+      model.probe(qv, 2).map(cid => Row(r.get(0), cid))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("qid", q.schema("qid").dataType),
+      StructField("cid", IntegerType)))
+    )
+  }
+
+  /** LSH bucket-collision candidates for lsh_knn (seeded planes). */
+  def lshCandAux(spark: SparkSession, dir: String): DataFrame =
+    AnnLsh.candidatePairs(corpus(spark, dir), queriesDf(spark, dir),
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"))
+
+  /** Per-partition NSW beam results for graph_knn (pre-merge candidates). */
+  def graphCandAux(spark: SparkSession, dir: String): DataFrame =
+    GraphAnn.localResults(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.L2,
+        ef = 80, corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_knn_full" -> ((s, d) => ivfKnn(s, d, nlist => nlist)),
     "ivf_knn_probe" -> ((s, d) => ivfKnn(s, d, _ => 2)),
     "pq_knn" -> (pqKnn(_, _)),
+    "pq_knn_cos" -> ((s, d) => pqKnn(s, d, SpaceType.Cos)),
     "graph_knn" -> (graphKnn(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
@@ -231,8 +293,61 @@ object VectorQueries {
     "embed_neardup" -> (embedNearDup(_, _)),
     "nn_join" -> (nnJoin(_, _)))
 
+  /** Restricted-KNN oracle: exact KNN replayed over an exported candidate
+    * set (`{AUX}` is substituted by Verify with the aux-table directory).
+    * This is a REAL gate on the re-rank/merge stage — rank-by-true-distance
+    * with id tie-break over exactly the candidates the approximate tier
+    * produced; candidate GENERATION quality is gated by the recall specs.
+    */
+  private def restrictedKnnOracle(candTable: String, orderBy: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |c AS (SELECT DISTINCT qid, vec_id FROM read_parquet('{AUX}/$candTable/*.parquet'))
+       |SELECT qid, vec_id, rnk FROM (
+       |  SELECT c.qid, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.qid ORDER BY $orderBy, c.vec_id ASC) AS rnk
+       |  FROM c JOIN q ON q.qid = c.qid JOIN embeddings e ON e.vec_id = c.vec_id) t
+       |WHERE rnk <= $K""".stripMargin
+
+  /** ivf_knn_probe: exact KNN restricted to the probed clusters, replayed
+    * through the exported assignment + probe-list tables.
+    */
+  private val ivfProbeSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |a AS (SELECT vec_id, cluster_id FROM read_parquet('{AUX}/ivf_assign/*.parquet')),
+       |p AS (SELECT qid, cid FROM read_parquet('{AUX}/ivf_probes/*.parquet'))
+       |SELECT qid, vec_id, rnk FROM (
+       |  SELECT q.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC, a.vec_id ASC) AS rnk
+       |  FROM q JOIN p ON p.qid = q.qid
+       |         JOIN a ON a.cluster_id = p.cid
+       |         JOIN embeddings e ON e.vec_id = a.vec_id) t
+       |WHERE rnk <= $K""".stripMargin
+
+  /** Oracle-input exports: Verify writes each to `outDir/_aux/<key>` before
+    * dumping oracle_sql.json (with `{AUX}` substituted to that directory).
+    */
+  val oracleInputs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_assign" -> (ivfAssignAux(_, _)),
+    "ivf_probes" -> (ivfProbesAux(_, _)),
+    "lsh_cand" -> (lshCandAux(_, _)),
+    "graph_cand" -> (graphCandAux(_, _)),
+    "pq_shortlist" -> (pqShortlistAux(_, _)),
+    "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)))
+
   val oracles: Map[String, String] = Map(
     "ivf_knn_full" -> knnL2Sql, // full probing ≡ exact KNN
+    "ivf_knn_probe" -> ivfProbeSql,
+    "lsh_knn" -> restrictedKnnOracle("lsh_cand",
+      "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC"),
+    "graph_knn" -> restrictedKnnOracle("graph_cand",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "pq_knn" -> restrictedKnnOracle("pq_shortlist",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "pq_knn_cos" -> restrictedKnnOracle("pq_cos_shortlist",
+      "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC"),
     "knn_l2" -> knnL2Sql,
     "knn_sql" -> knnL2Sql, // identical semantics through the SQL surface
     "knn_hamming" -> knnHammingSql,

@@ -83,6 +83,105 @@ case class LshSignatures(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** `nearest_centroids(vector ARRAY<FLOAT>, centroids ARRAY<ARRAY<FLOAT>>,
+  * nprobe INT)` → ARRAY<INT>: the nprobe nearest centroid indices in
+  * ascending-distance order (ties → lowest index) — the distributed probe
+  * kernel: query sets too large to collect driver-side compute their probe
+  * lists row-by-row inside codegen, with the centroid table riding in the
+  * plan as a literal. `ip = true` ranks by negative inner product (the ip
+  * space's coarse metric, `ivf.go:186-201`); otherwise squared L2.
+  * Selection is O(nprobe·nlist) — nprobe is small by construction.
+  */
+case class NearestCentroids(first: Expression, second: Expression,
+    third: Expression, ip: Boolean = false)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(v: Any, cs: Any, np: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val n = cents.numElements()
+    val nprobe = math.min(np.asInstanceOf[Int], n)
+    val d = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val ct = cents.getArray(c)
+      var s = 0.0; var i = 0
+      if (ip) {
+        while (i < dim) { s -= vec.getFloat(i).toDouble * ct.getFloat(i).toDouble; i += 1 }
+      } else {
+        while (i < dim) {
+          val x = vec.getFloat(i).toDouble - ct.getFloat(i).toDouble
+          s += x * x; i += 1
+        }
+      }
+      d(c) = s
+      c += 1
+    }
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](n)
+    var j = 0
+    while (j < nprobe) {
+      var best = -1; var bestD = Double.MaxValue
+      var t = 0
+      while (t < n) {
+        if (!taken(t) && d(t) < bestD) { bestD = d(t); best = t }
+        t += 1
+      }
+      taken(best) = true; out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs, np) => {
+      val dim = ctx.freshName("dim"); val n = ctx.freshName("n")
+      val nprobe = ctx.freshName("nprobe"); val d = ctx.freshName("d")
+      val c = ctx.freshName("c"); val ct = ctx.freshName("ct")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val out = ctx.freshName("out")
+      val taken = ctx.freshName("taken"); val j = ctx.freshName("j")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val t = ctx.freshName("t")
+      val distLoop = if (ip)
+        s"for (int $i = 0; $i < $dim; $i++) { $s -= (double) $v.getFloat($i) * (double) $ct.getFloat($i); }"
+      else
+        s"""for (int $i = 0; $i < $dim; $i++) {
+           |  double $x = (double) $v.getFloat($i) - (double) $ct.getFloat($i);
+           |  $s += $x * $x;
+           |}""".stripMargin
+      s"""int $dim = $v.numElements();
+         |int $n = $cs.numElements();
+         |int $nprobe = Math.min($np, $n);
+         |double[] $d = new double[$n];
+         |for (int $c = 0; $c < $n; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ct = $cs.getArray($c);
+         |  double $s = 0.0;
+         |  $distLoop
+         |  $d[$c] = $s;
+         |}
+         |int[] $out = new int[$nprobe];
+         |boolean[] $taken = new boolean[$n];
+         |for (int $j = 0; $j < $nprobe; $j++) {
+         |  int $best = -1; double $bestD = Double.MAX_VALUE;
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    if (!$taken[$t] && $d[$t] < $bestD) { $bestD = $d[$t]; $best = $t; }
+         |  }
+         |  $taken[$best] = true; $out[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** `pq_encode(vector ARRAY<FLOAT>, cluster_id INT,
   *            centroids ARRAY<ARRAY<FLOAT>>, codebooks ARRAY<ARRAY<FLOAT>>)`
   * → ARRAY<INT>: the m residual sub-space codes of SURVEY F6

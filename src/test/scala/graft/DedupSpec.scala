@@ -90,6 +90,27 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("stars CC: adversarial 1e5-node path graph converges in bounded rounds") {
+    // min-label propagation would need 1e5 rounds here; large-star/small-star
+    // contracts the path in O(log²) rounds
+    val path = spark.range(99999)
+      .select(col("id").as("ia"), (col("id") + 1).as("ib"))
+    val labels = Dedup.connectedComponentsStars(path, maxRounds = 30)
+    assert(labels.count() === 100000L)
+    assert(labels.filter(col("component") =!= 0L).count() === 0L,
+      "every path node must resolve to component 0")
+  }
+
+  test("stars CC ≡ hybrid CC on random graphs (same labels)") {
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 2000)
+      .map(_ => (rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter(e => e._1 != e._2).toDF("ia", "ib")
+    val a = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toSet
+    val b = Dedup.connectedComponentsStars(edges).as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("expansion parity: duplicate texts expand to the brute-force pair set") {
     val common = (1 to 32).map(i => s"w$i").mkString(" ")
     val textA = common + " alpha"

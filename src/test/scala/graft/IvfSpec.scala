@@ -72,6 +72,40 @@ class IvfSpec extends SparkSpec {
     assert(mean >= 0.85, f"mean recall@10 $mean%.3f < 0.85")
   }
 
+  /** The distributed probe path (no driver-side query collect) must produce
+    * IDENTICAL results to the driver-probe path — same probe metric, same
+    * (distance, id) tie-breaks — including for ip, whose coarse metric is
+    * negative inner product.
+    */
+  test("searchDistributed ≡ search for l2 and ip; handles a large query set") {
+    val rnd = new scala.util.Random(21)
+    val pts = (0 until 400).map { i =>
+      val c = i % 8
+      (i.toString, Array.tabulate(16)(j =>
+        (if (j == c * 2) 5f else 0.3f) + rnd.nextGaussian().toFloat * 0.4f).toSeq)
+    }
+    val corpus = pts.toDF("id", "vector")
+    for (space <- Seq(SpaceType.L2, SpaceType.Ip)) {
+      val model = IvfIndex.train(corpus, "vector", nlist = 8, space = space)
+      val assigned = IvfIndex.assign(corpus, "vector", model).cache()
+      val queries = corpus.filter(col("id").cast("int") < 30)
+        .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      val a = IvfIndex.search(assigned, queries, model, k = 5, nprobe = 3)
+        .select("query_id", "id", "rnk").as[(String, String, Long)].collect().toSet
+      val b = IvfIndex.searchDistributed(assigned, queries, model, k = 5, nprobe = 3)
+        .select("query_id", "id", "rnk").as[(String, String, Long)].collect().toSet
+      assert(a === b, s"distributed path diverged from driver-probe path for ${space.name}")
+    }
+    // a query set far beyond sane collect() sizes still plans and runs
+    // (5k here; the plan shape is collect-free so 10^8 scales the same way)
+    val model = IvfIndex.train(corpus, "vector", nlist = 8)
+    val assigned = IvfIndex.assign(corpus, "vector", model).cache()
+    val bigQ = spark.range(5000).select(col("id").cast("string").as("query_id"),
+      array((0 until 16).map(j => (rand(j) * 5).cast("float")): _*).as("query_vec"))
+    val res = IvfIndex.searchDistributed(assigned, bigQ, model, k = 3, nprobe = 2)
+    assert(res.groupBy("query_id").count().count() === 5000L)
+  }
+
   /** nprobe is the recall knob: recall non-decreasing in nprobe on the real
     * (diffuse) embeddings, exact at nprobe = nlist.
     */

@@ -88,10 +88,48 @@ class PqSpec extends SparkSpec {
     assert(exact != l2, "fixture degenerate: ip and l2 rankings coincide")
   }
 
-  test("cos space rejected for ivfpq (no silent metric fallback)") {
+  test("cos space: normalized-residual ADC+rerank matches exact cosine KNN (recall >= 0.9)") {
+    // varied magnitudes so cos and l2 rankings genuinely differ
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 300).map { i =>
+      val scale = 1f + (i % 9)
+      (i.toString, Seq.tabulate(16)(j =>
+        scale * ((if (j % 10 == i % 10) 3f else 0.2f) + rnd.nextGaussian().toFloat * 0.2f)))
+    }.toDF("id", "vector").cache()
+    val queries = corpus.filter(col("id").cast("int") < 10)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val model = IvfPq.train(corpus, "vector", nlist = 5, m = 4, nbits = 6,
+      space = graft.core.SpaceType.Cos)
+    val encoded = IvfPq.encode(corpus, "vector", model).cache()
+
+    val approx = IvfPq.search(encoded, queries, model, kTop = 10, nprobe = 5,
+        rerankVecCol = Some("vector"))
+      .select("query_id", "id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ExactKnn.knn(corpus, queries, 10, SpaceType.Cos)
+      .select("query_id", "id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"cos recall@10 $mean%.3f < 0.9")
+    // the cos results must NOT be the l2 results (the metric genuinely differs)
+    val l2 = ExactKnn.knn(corpus, queries, 10, SpaceType.L2)
+      .select("query_id", "id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact != l2, "fixture degenerate: cos and l2 rankings coincide")
+    // ADC-only distances approximate the true cosine distance scale [0,2]
+    val adcDists = IvfPq.search(encoded, queries, model, kTop = 10, nprobe = 5)
+      .select("distance").as[Double].collect()
+    assert(adcDists.forall(d => d >= -0.1 && d <= 2.1),
+      s"ADC cos distances outside [0,2]: ${adcDists.min} .. ${adcDists.max}")
+  }
+
+  test("hamming space rejected for ivfpq (no silent metric fallback)") {
     val corpus = clustered(50, 8)
     intercept[IllegalArgumentException](
-      IvfPq.train(corpus, "vector", nlist = 2, m = 2, space = graft.core.SpaceType.Cos))
+      IvfPq.train(corpus, "vector", nlist = 2, m = 2, space = graft.core.SpaceType.Hamming))
   }
 
   test("encoded corpus carries m small codes; codes within codebook range") {

@@ -92,8 +92,8 @@ class ReviewRegressionSpec extends SparkSpec {
 
   test("ivfpq with an unsupported space errors at buildIndex instead of wrong rankings") {
     val (e, _) = freshEngine()
-    // ip gained a proper ADC formulation; cos remains unsupported → hard error
-    e.createCollection(CollectionConfig("pq", 8, IndexType.IvfPq, SpaceType.Cos))
+    // l2/ip/cos all have ADC formulations now; hamming has none → hard error
+    e.createCollection(CollectionConfig("pq", 8, IndexType.IvfPq, SpaceType.Hamming))
     e.batchUpsertDocuments("pq",
       (0 until 20).map(i => Document(i.toString, Array.fill(8)(i.toFloat))))
     val ex = intercept[IllegalArgumentException](e.buildIndex("pq", nlist = 2))
