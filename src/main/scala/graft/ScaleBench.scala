@@ -69,8 +69,10 @@ object ScaleBench {
       .select(col("doc_id"), col("text"))
     emb10.count(); docs10.count() // materialize outside timings
 
+    // 100 queries: enough per-row work that plan differences dominate the
+    // ~0.5 s/job Spark fixed cost instead of disappearing under it
     def queriesOf(df: DataFrame): DataFrame =
-      df.filter(col("vec_id") < 10)
+      df.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
 
     def time(fn: => Unit): Double = {
@@ -82,6 +84,10 @@ object ScaleBench {
       df.write.mode("overwrite").format("noop").save()
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // JVM/codegen warmup — not counted, so the 1x numbers aren't polluted
+    drain(ExactKnn.knn(emb1, queriesOf(emb1), 10, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv"))
 
     for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)) {
       val q = queriesOf(corpus)

@@ -239,6 +239,41 @@ class Engine(
     searchOn(corpus, cfg, coll, queries, k, corpusIsFull = true)
   }
 
+  /** DataFrame-in/DataFrame-out batch KNN — the KNN-JOIN surface: queries
+    * stay distributed end to end, so a 10⁸-row query set never touches the
+    * driver. `queries` needs (query_id, query_vec ARRAY<FLOAT>). Dispatch:
+    * ivf_flat → `IvfIndex.searchDistributed` (codegen probe lists, equi-join
+    * on cluster_id); flat → exact KNN (corpus streamed, queries broadcast —
+    * flip the roles upstream if queries outnumber the corpus); hnsw/ivfpq →
+    * their batch paths, which broadcast the query set (documented bound:
+    * fine to ~10⁴ queries; use ivf_flat for bigger joins).
+    */
+  def searchVectorsDf(coll: String, queries: DataFrame, k: Int): DataFrame = {
+    val cfg = configOf(coll)
+    val corpus = store.read(coll)
+    cfg.indexType match {
+      case IndexType.IvfFlat =>
+        val model = ivfModels.get(coll)
+          .orElse {
+            val loaded = ModelStore.loadIvf(ivfSnapshotPath(coll))
+            loaded.foreach(mm => ivfModels(coll) = mm)
+            loaded
+          }
+          .getOrElse(
+            throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
+        val assigned = currentLayout(coll, ivfLayoutPath(coll))
+          .map(_._1).getOrElse(IvfIndex.assign(corpus, "vector", model))
+        IvfIndex.searchDistributed(assigned, queries, model, k, nprobe)
+      case _ =>
+        val collected = queries
+          .select(col("query_id").cast("string"), col("query_vec").cast("array<float>"))
+          .collect()
+          .map(r => (r.getString(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+        searchOn(corpus, cfg, coll, collected.toSeq, k, corpusIsFull = true)
+    }
+  }
+
   private def searchOn(corpus: DataFrame, cfg: CollectionConfig, coll: String,
       queries: Seq[(String, Array[Float])], k: Int,
       corpusIsFull: Boolean = false): DataFrame = {

@@ -161,8 +161,20 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
       threshold: Double = 0.8, maxBucket: Int = 100000,
       expandDuplicates: Boolean = true): DataFrame = {
+    val m = membership(df, idCol, md5(col(textCol).cast("binary"))).cache()
+    minHashLshPairsWith(df, m, idCol, textCol, shingleN, numHashes, bands,
+      threshold, maxBucket, expandDuplicates)
+  }
+
+  /** Core pipeline with the membership frame supplied (and ideally cached)
+    * by the caller — the digest groupBy is a full corpus shuffle, so
+    * consumers that need membership twice (pairs + member edges) must not
+    * recompute it.
+    */
+  private def minHashLshPairsWith(df: DataFrame, m: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int, expandDuplicates: Boolean): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val m = membership(df, idCol, md5(col(textCol).cast("binary")))
     val reps = df.join(
       m.filter(col("__rep") === col("__mid")).select(col("__mid").as(idCol)), Seq(idCol))
     val repSh = shingles(reps, idCol, textCol, shingleN)
@@ -178,15 +190,16 @@ object Dedup {
   /** Duplicate-cluster edges at scale: representative-level near-dup pairs ∪
     * exact-duplicate membership edges — linear in corpus size even when dup
     * groups are huge; `connectedComponents` over these edges yields the same
-    * components as over the fully-expanded pair set.
+    * components as over the fully-expanded pair set. One membership pass
+    * feeds both branches.
     */
   def minHashLshClusterEdges(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
-    val repPairs = minHashLshPairs(df, idCol, textCol, shingleN, numHashes,
-        bands, threshold, maxBucket, expandDuplicates = false)
+    val m = membership(df, idCol, md5(col(textCol).cast("binary"))).cache()
+    val repPairs = minHashLshPairsWith(df, m, idCol, textCol, shingleN,
+        numHashes, bands, threshold, maxBucket, expandDuplicates = false)
       .select(col("ia"), col("ib"))
-    val m = membership(df, idCol, md5(col(textCol).cast("binary")))
     val memberEdges = m.filter(col("__rep") =!= col("__mid"))
       .select(col("__rep").as("ia"), col("__mid").as("ib"))
     repPairs.union(memberEdges)
@@ -204,7 +217,7 @@ object Dedup {
     import graft.functions.vfn
     // exact-dup pre-pass on the vector digest (md5 of the JSON form — only a
     // grouping key, never compared across engines)
-    val m = membership(df, idCol, md5(to_json(struct(col(vecCol)))))
+    val m = membership(df, idCol, md5(to_json(struct(col(vecCol))))).cache()
     val all = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
     val reps = all.join(
       m.filter(col("__rep") === col("__mid")).select(col("__mid").as("__did")), Seq("__did"))
@@ -278,7 +291,7 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 100000,
       expandDuplicates: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only lossless for maxHamming <= 3")
-    val m = membership(df, idCol, md5(col(textCol).cast("binary")))
+    val m = membership(df, idCol, md5(col(textCol).cast("binary"))).cache()
     val reps = df.join(
       m.filter(col("__rep") === col("__mid")).select(col("__mid").as(idCol)), Seq(idCol))
     val sigs = simHash(reps, idCol, textCol)

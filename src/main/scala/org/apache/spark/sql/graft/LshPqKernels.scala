@@ -105,6 +105,11 @@ case class NearestCentroids(first: Expression, second: Expression,
     val cents = cs.asInstanceOf[ArrayData]
     val dim = vec.numElements()
     val n = cents.numElements()
+    // P3 dimension guard: the loops below index raw array storage, so a
+    // mismatched query vector must error, not read out of bounds
+    if (n > 0 && cents.getArray(0).numElements() != dim)
+      throw new IllegalArgumentException(
+        s"query dimension $dim != centroid dimension ${cents.getArray(0).numElements()}")
     val nprobe = math.min(np.asInstanceOf[Int], n)
     val d = new Array[Double](n)
     var c = 0
@@ -157,6 +162,10 @@ case class NearestCentroids(first: Expression, second: Expression,
            |}""".stripMargin
       s"""int $dim = $v.numElements();
          |int $n = $cs.numElements();
+         |if ($n > 0 && $cs.getArray(0).numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "query dimension " + $dim + " != centroid dimension " + $cs.getArray(0).numElements());
+         |}
          |int $nprobe = Math.min($np, $n);
          |double[] $d = new double[$n];
          |for (int $c = 0; $c < $n; $c++) {

@@ -104,6 +104,37 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("searchVectorsDf (KNN-join surface): ivf_flat stays collect-free, matches searchVectors") {
+    import spark.implicits._
+    val e = freshEngine(dim = 8)
+    e.createCollection(CollectionConfig("ivdf", 8, IndexType.IvfFlat))
+    val docs = (0 until 80).map { i =>
+      val base = if (i % 2 == 0) 0f else 10f
+      Document(i.toString, Array.tabulate(8)(j => base + (i % 5) * 0.1f + j * 0.01f))
+    }
+    e.batchUpsertDocuments("ivdf", docs)
+    e.buildIndex("ivdf", nlist = 2)
+    val qDf = Seq(
+      ("a", docs(0).vector.toSeq), ("b", docs(1).vector.toSeq))
+      .toDF("query_id", "query_vec")
+      .select(col("query_id"), col("query_vec").cast("array<float>").as("query_vec"))
+    val viaDf = e.searchVectorsDf("ivdf", qDf, 3)
+      .select("query_id", "id", "rnk").as[(String, String, Long)].collect().toSet
+    val viaSeq = e.searchVectors("ivdf",
+        Seq(("a", docs(0).vector), ("b", docs(1).vector)), 3)
+      .select("query_id", "id", "rnk").as[(String, String, Long)].collect().toSet
+    assert(viaDf === viaSeq)
+    // flat collections route through the exact path and agree too
+    e.createCollection(CollectionConfig("fldf", 8, IndexType.Flat))
+    e.batchUpsertDocuments("fldf", docs)
+    val flatDf = e.searchVectorsDf("fldf", qDf, 3)
+      .select("query_id", "id", "rnk").as[(String, String, Long)].collect().toSet
+    val flatSeq = e.searchVectors("fldf",
+        Seq(("a", docs(0).vector), ("b", docs(1).vector)), 3)
+      .select("query_id", "id", "rnk").as[(String, String, Long)].collect().toSet
+    assert(flatDf === flatSeq)
+  }
+
   test("hnsw collection honors M/efConstruction params and efsearch (F-1 docs3 config)") {
     val e = freshEngine()
     e.createCollection(CollectionConfig("docs3", 3, IndexType.Hnsw,
