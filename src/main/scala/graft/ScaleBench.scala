@@ -65,8 +65,14 @@ object ScaleBench {
     }
     val emb10 = spark.read.parquet(embPath)
     val docs10 = spark.read.parquet(docPath)
-    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    // 1x baselines = the rep0 SLICE of the generated corpus (same jitter,
+    // same " rep0" text suffix): numerator and denominator of every
+    // scaling_* ratio must differ only in SIZE, not corpus shape — using
+    // the original tables would conflate scale growth with distribution
+    // change (e.g. exact dups collapse at 1x but not at Nx)
+    val emb1x = emb10.filter(col("vec_id") < n1)
+    val nd = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val docs1 = docs10.filter(col("doc_id") < nd)
     emb10.count(); docs10.count() // materialize outside timings
 
     // 100 queries: enough per-row work that plan differences dominate the

@@ -270,7 +270,11 @@ class Engine(
           .select(col("query_id").cast("string"), col("query_vec").cast("array<float>"))
           .collect()
           .map(r => (r.getString(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+        // cast query_id back to the caller's type: the result schema of one
+        // API must not depend on the collection's index type
         searchOn(corpus, cfg, coll, collected.toSeq, k, corpusIsFull = true)
+          .withColumn("query_id",
+            col("query_id").cast(queries.schema("query_id").dataType))
     }
   }
 

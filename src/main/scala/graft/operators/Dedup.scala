@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for training-data pipelines: exact (hash-group),
@@ -33,6 +33,12 @@ object Dedup {
     * any bucket self-join is what keeps candidate generation linear — one
     * such cluster would otherwise land in one LSH bucket and emit O(n²)
     * candidate pairs. The 128-bit digest makes false merges negligible.
+    *
+    * Callers `.cache()` this frame (it feeds 2-3 joins per pipeline) and
+    * rely on Spark's LRU storage eviction rather than explicit unpersist —
+    * the frame is two narrow columns (ids only), so even repeated pipeline
+    * invocations hold bounded storage; unpersisting eagerly would force a
+    * recompute on the still-lazy consumer side.
     */
   private def membership(df: DataFrame, idCol: String, keyExpr: Column): DataFrame = {
     val withKey = df.select(keyExpr.as("__gkey"), col(idCol).as("__mid"))
@@ -91,18 +97,43 @@ object Dedup {
     * the self-join at `maxBucket²` pairs per bucket no matter how adversarial
     * the corpus — AQE skew-splitting parallelizes a hot bucket but cannot
     * shrink its pair count; only the cap can.
+    *
+    * Single-pass: a window count over the bucket key (one shuffle, shared
+    * with the downstream bucket join) instead of a groupBy+anti-join, and
+    * the dropped-row accounting rides as an `observe` metric logged on query
+    * completion — an eager stats action here would execute the whole
+    * upstream pipeline (shingles, signatures) a second time.
     */
   private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     if (maxBucket == Int.MaxValue) return rows
-    val sizes = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
-    val over = sizes.filter(col("__bn") > maxBucket).cache()
-    val stats = over.agg(count(lit(1)).as("b"), coalesce(sum(col("__bn")), lit(0L)).as("r")).first()
-    if (stats.getLong(0) > 0)
-      log.warn(s"capBuckets: dropping ${stats.getLong(0)} hot buckets covering " +
-        s"${stats.getLong(1)} rows (cap=$maxBucket); their pairs may still be " +
-        "found via other bands")
-    rows.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
+    ensureCapListener(rows.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    rows
+      .withColumn("__bn", count(lit(1)).over(w))
+      .observe(s"graft_cap_buckets_${capObsId.incrementAndGet()}",
+        sum(when(col("__bn") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+        max(col("__bn")).as("max_bucket"))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
   }
+
+  private val capObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val capListenerSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private def ensureCapListener(spark: SparkSession): Unit =
+    if (capListenerSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_cap_buckets") && !row.isNullAt(0) && row.getLong(0) > 0)
+              log.warn(s"capBuckets: dropped ${row.getLong(0)} rows in over-cap " +
+                s"buckets (largest bucket ${row.getLong(1)}); their pairs may " +
+                "still surface via other bands")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+      })
 
   /** LSH candidate pairs: docs whose signatures collide in ≥1 band.
     * P(candidate) = 1 − (1 − j^rowsPerBand)^bands — with 21×3 a j=0.8 pair
@@ -354,7 +385,11 @@ object Dedup {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
         Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue))
       case org.apache.spark.sql.types.StringType =>
-        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+        // UTF8String binary order, NOT String.compareTo (UTF-16 code units):
+        // the distributed loop's least()/min() compare UTF-8 bytes, and the
+        // elected component label must not depend on which path ran
+        Some(Ordering.by((x: Any) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String])))
       case _ => None // exotic id type: the join loop below handles it via least()
     }
     if (edgeCount <= 1000000L && localOrd.isDefined) {

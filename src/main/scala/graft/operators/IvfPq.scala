@@ -37,13 +37,22 @@ object IvfPq {
     def space: graft.core.SpaceType = coarse.space
   }
 
-  /** Unit-normalize a float-array column (zero vectors pass through
-    * unchanged — downstream cos distance treats them as 1.0 per F3). Built
-    * from higher-order SQL functions, so it stays inside codegen.
+  /** Add `outCol` = unit-normalized `vecCol` (zero vectors pass through
+    * unchanged — downstream cos distance treats them as 1.0 per F3). The
+    * norm is projected ONCE per row and referenced from the transform
+    * lambda: embedding the aggregate inside the lambda would re-run the
+    * sum-of-squares for every element (O(dim²) per row — Spark does not
+    * CSE across higher-order-function lambda invocations), which matters
+    * on the whole-corpus encode path.
     */
-  private[operators] def l2NormalizeCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-    transform(v, x => when(norm === 0.0, x).otherwise((x / norm).cast("float")))
+  private[operators] def withL2Normalized(df: DataFrame, vecCol: String,
+      outCol: String): DataFrame = {
+    val normCol = s"__${outCol}_norm"
+    df.withColumn(normCol,
+        sqrt(aggregate(col(vecCol), lit(0.0), (a, x) => a + x * x)))
+      .withColumn(outCol, transform(col(vecCol),
+        x => when(col(normCol) === 0.0, x).otherwise((x / col(normCol)).cast("float"))))
+      .drop(normCol)
   }
 
   private def l2NormalizeLocal(v: Array[Float]): Array[Float] = {
@@ -92,7 +101,7 @@ object IvfPq {
           space)
       else {
         val trainCorpus = if (space == graft.core.SpaceType.Cos)
-          corpus.withColumn(vecCol, l2NormalizeCol(col(vecCol))) else corpus
+          withL2Normalized(corpus, vecCol, vecCol) else corpus
         IvfIndex.train(trainCorpus, vecCol, nlist, space, maxIter = maxIter, seed = seed)
       }
     val k = math.min(1 << nbits, sample.length)
@@ -128,7 +137,7 @@ object IvfPq {
     // cos: assignment + residual codes live on the unit sphere; the original
     // vector column is untouched (exact re-rank reads it)
     val isCos = model.space == graft.core.SpaceType.Cos
-    val src = if (isCos) corpus.withColumn("__nvec", l2NormalizeCol(col(vecCol))) else corpus
+    val src = if (isCos) withL2Normalized(corpus, vecCol, "__nvec") else corpus
     val encCol = if (isCos) "__nvec" else vecCol
     val assigned = IvfIndex.assign(src, encCol, model.coarse)
     val centsLit = Literal.create(
