@@ -243,10 +243,11 @@ class Engine(
     * stay distributed end to end, so a 10⁸-row query set never touches the
     * driver. `queries` needs (query_id, query_vec ARRAY<FLOAT>). Dispatch:
     * ivf_flat → `IvfIndex.searchDistributed` (codegen probe lists, equi-join
-    * on cluster_id); flat → exact KNN (corpus streamed, queries broadcast —
-    * flip the roles upstream if queries outnumber the corpus); hnsw/ivfpq →
-    * their batch paths, which broadcast the query set (documented bound:
-    * fine to ~10⁴ queries; use ivf_flat for bigger joins).
+    * on cluster_id); ivfpq → `IvfPq.searchDistributed` (codegen probe lists
+    * AND executor-side ADC tables, exact re-rank — no driver table loop);
+    * flat/hnsw → their batch paths, which collect the query set, guarded by
+    * `spark.graft.maxCollectQueries` (default 100k) — route bigger joins to
+    * an ivf_flat/ivfpq collection.
     */
   def searchVectorsDf(coll: String, queries: DataFrame, k: Int): DataFrame = {
     val cfg = configOf(coll)
@@ -265,7 +266,31 @@ class Engine(
         val assigned = currentLayout(coll, ivfLayoutPath(coll))
           .map(_._1).getOrElse(IvfIndex.assign(corpus, "vector", model))
         IvfIndex.searchDistributed(assigned, queries, model, k, nprobe)
+      case IndexType.IvfPq =>
+        val pq = pqModels.get(coll)
+          .orElse {
+            val loaded = ModelStore.loadPq(pqSnapshotPath(coll))
+            loaded.foreach { mm => pqModels(coll) = mm; ivfModels(coll) = mm.coarse }
+            loaded
+          }
+          .getOrElse(
+            throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
+        val encoded = currentLayout(coll, pqLayoutPath(coll))
+          .map(_._1).getOrElse(IvfPq.encode(corpus, "vector", pq))
+        IvfPq.searchDistributed(encoded, queries, pq, k, nprobe,
+          rerankVecCol = Some("vector"))
       case _ =>
+        // flat/hnsw query paths collect the query set; fail fast with a
+        // routing hint instead of letting a 10⁸-row frame OOM the driver
+        val maxCollect = spark.conf.getOption("spark.graft.maxCollectQueries")
+          .map(_.toLong).getOrElse(100000L)
+        if (queries.limit((maxCollect + 1).toInt).count() > maxCollect)
+          throw new IllegalArgumentException(
+            s"query set exceeds $maxCollect rows — too large for the " +
+              s"${cfg.indexType.name} batch path (it collects queries to the " +
+              "driver); route the join to an ivf_flat or ivfpq collection, " +
+              "or raise spark.graft.maxCollectQueries")
         val collected = queries
           .select(col("query_id").cast("string"), col("query_vec").cast("array<float>"))
           .collect()

@@ -48,8 +48,12 @@ object IvfPq {
   private[operators] def withL2Normalized(df: DataFrame, vecCol: String,
       outCol: String): DataFrame = {
     val normCol = s"__${outCol}_norm"
+    // accumulate in DOUBLE (x cast before the multiply): bit-identical to
+    // `l2NormalizeLocal`'s loop, so the distributed and driver query paths
+    // normalize identically and `searchDistributed ≡ search` holds exactly
     df.withColumn(normCol,
-        sqrt(aggregate(col(vecCol), lit(0.0), (a, x) => a + x * x)))
+        sqrt(aggregate(col(vecCol), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))))
       .withColumn(outCol, transform(col(vecCol),
         x => when(col(normCol) === 0.0, x).otherwise((x / col(normCol)).cast("float"))))
       .drop(normCol)
@@ -262,6 +266,86 @@ object IvfPq {
           .filter(col("rnk") <= kTop)
           .select(col("__qid").cast(qidType).as(queryId), col(corpusId),
             col("__exact").as("distance"), col("rnk"))
+    }
+  }
+
+  /** ADC search with NO driver-side query collection — the scale path for
+    * huge query sets (a KNN join of 10⁸ queries routed to an ivfpq
+    * collection must never materialize per-query tables on the driver, which
+    * is where `search` stops scaling). Per-row, inside whole-stage codegen:
+    * probe lists via `NearestCentroids`, then the m×k ADC table via
+    * `PqAdcTable` (centroids + codebooks ride in the plan as literals — one
+    * copy per task, not per row). Each (query, probed-list) row CARRIES its
+    * table through an equi-join on cluster_id (the corpus side stays
+    * partition-local; only the tiny probe frame shuffles), candidates score
+    * with the codegen `AdcLookupSum`, and top-k is the partial-aggregating
+    * bounded heap. Results are identical to `search` — same probe metric,
+    * same table arithmetic (bit-for-bit, see `PqAdcTable`), same
+    * (distance, id) tie-breaks — asserted by `IvfPqDistributedSpec`.
+    */
+  def searchDistributed(
+      encoded: DataFrame,
+      queries: DataFrame,
+      model: Model,
+      kTop: Int,
+      nprobe: Int,
+      corpusId: String = "id",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      rerankVecCol: Option[String] = None,
+      rerankFactor: Int = 8): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{AdcLookupSum, Bridge, NearestCentroids, PqAdcTable}
+    import graft.functions.vfn
+    require(nprobe >= 1 && nprobe <= model.nlist,
+      s"nprobe must be in [1, ${model.nlist}], got $nprobe")
+    val isIp = model.space == graft.core.SpaceType.Ip
+    val isCos = model.space == graft.core.SpaceType.Cos
+    val mode = if (isIp) 1 else if (isCos) 2 else 0
+    val centsLit = Literal.create(
+      model.coarse.centroids.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    val cbLit = Literal.create(
+      model.codebooks.flatten.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    val qBase = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv"))
+    val qn = if (isCos) withL2Normalized(qBase, "__qv", "__qv") else qBase
+    val probed = qn
+      .withColumn("__cid", explode(Bridge.column(NearestCentroids(
+        Bridge.expression(col("__qv")), centsLit, Literal(nprobe), ip = isIp))))
+      .withColumn("__tab", Bridge.column(PqAdcTable(
+        Bridge.expression(col("__qv")), Bridge.expression(col("__cid")),
+        centsLit, cbLit, mode)))
+      .select(col(queryId), col("__cid"), col("__tab"))
+    val shortlistK = rerankVecCol.fold(kTop)(_ => kTop * rerankFactor)
+    // equi-join on the cluster id (corpus stays partitioned by cluster_id,
+    // probe rows shuffle to their target lists), ADC-score, bounded-heap topK
+    val shortlist = encoded
+      .join(probed, col("cluster_id") === col("__cid"))
+      .withColumn("__adc", Bridge.column(AdcLookupSum(
+        Bridge.expression(col("codes")), Bridge.expression(col("__tab")))))
+      .groupBy(col(queryId))
+      .agg(vfn.topKByDistance(col("__adc"), col(corpusId), shortlistK).as("__hits"))
+      .select(col(queryId), explode(col("__hits")).as("__h"))
+      .select(col(queryId), col("__h.id").as(corpusId),
+        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+    rerankVecCol match {
+      case None => shortlist
+      case Some(vecCol) =>
+        // exact re-rank, fully distributed: fetch true vectors for the
+        // shortlist rows (equi-join on id), bring the query vector back by
+        // qid (equi-join — NOT a broadcast of the whole query set), then the
+        // bounded-heap topK again with exact distances
+        val vecs = encoded.select(col(corpusId), col(vecCol))
+        val q2 = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv0"))
+        shortlist
+          .drop("distance", "rnk")
+          .join(vecs, Seq(corpusId))
+          .join(q2, Seq(queryId))
+          .withColumn("__exact", vfn.distance(col(vecCol), col("__qv0"), model.space))
+          .groupBy(col(queryId))
+          .agg(vfn.topKByDistance(col("__exact"), col(corpusId), kTop).as("__hits"))
+          .select(col(queryId), explode(col("__hits")).as("__h"))
+          .select(col(queryId), col("__h.id").as(corpusId),
+            col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
     }
   }
 }

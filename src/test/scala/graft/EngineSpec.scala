@@ -135,6 +135,49 @@ class EngineSpec extends SparkSpec {
     assert(flatDf === flatSeq)
   }
 
+  test("searchVectorsDf: ivfpq routes through the distributed ADC path, matches searchVectors") {
+    import spark.implicits._
+    val e = freshEngine(dim = 8)
+    e.createCollection(CollectionConfig("pqdf", 8, IndexType.IvfPq))
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 120).map { i =>
+      Document(i.toString, Array.tabulate(8)(j =>
+        (if (j == i % 4 * 2) 6f else 0.3f) + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    e.batchUpsertDocuments("pqdf", docs)
+    e.buildIndex("pqdf", nlist = 4)
+    val qDf = Seq(("a", docs(0).vector.toSeq), ("b", docs(1).vector.toSeq))
+      .toDF("query_id", "query_vec")
+      .select(col("query_id"), col("query_vec").cast("array<float>").as("query_vec"))
+    val viaDf = e.searchVectorsDf("pqdf", qDf, 3)
+      .select("query_id", "id", "rnk").as[(String, String, Long)].collect().toSet
+    val viaSeq = e.searchVectors("pqdf",
+        Seq(("a", docs(0).vector), ("b", docs(1).vector)), 3)
+      .select("query_id", "id", "rnk").as[(String, String, Long)].collect().toSet
+    assert(viaDf === viaSeq)
+  }
+
+  test("searchVectorsDf: oversized query set on a flat collection fails fast with routing hint") {
+    import spark.implicits._
+    val e = freshEngine(dim = 4)
+    e.createCollection(CollectionConfig("guard", 4, IndexType.Flat))
+    e.batchUpsertDocuments("guard",
+      (0 until 10).map(i => Document(i.toString, Array(i.toFloat, 0f, 0f, 0f))))
+    spark.conf.set("spark.graft.maxCollectQueries", "50")
+    try {
+      val bigQ = spark.range(51).select(
+        col("id").cast("string").as("query_id"),
+        org.apache.spark.sql.functions.array(
+          col("id").cast("float"), col("id").cast("float"),
+          col("id").cast("float"), col("id").cast("float")).as("query_vec"))
+      val ex = intercept[IllegalArgumentException](e.searchVectorsDf("guard", bigQ, 3))
+      assert(ex.getMessage.contains("ivf_flat"), s"no routing hint in: ${ex.getMessage}")
+      // at the bound it still runs
+      val okQ = bigQ.limit(50)
+      assert(e.searchVectorsDf("guard", okQ, 3).groupBy("query_id").count().count() === 50L)
+    } finally spark.conf.unset("spark.graft.maxCollectQueries")
+  }
+
   test("hnsw collection honors M/efConstruction params and efsearch (F-1 docs3 config)") {
     val e = freshEngine()
     e.createCollection(CollectionConfig("docs3", 3, IndexType.Hnsw,
