@@ -40,25 +40,51 @@ object Dedup {
     * invocations hold bounded storage; unpersisting eagerly would force a
     * recompute on the still-lazy consumer side.
     */
-  private def membership(df: DataFrame, idCol: String, keyExpr: Column): DataFrame = {
+  /** Duplicate-group membership `(__rep, __mid)`, or None when every digest
+    * group is a singleton — and, crucially, restricted to groups of size ≥ 2:
+    * a near-duplicate-free corpus (the COMMON case for an incremental batch)
+    * yields a frame of just the duplicated rows, not one row per document.
+    * Downstream consumers therefore join the corpus against a frame that is
+    * tiny when dups are rare (broadcast joins, no corpus shuffle) and only
+    * degrades to shuffle joins when dup groups are genuinely massive — which
+    * is exactly when the pre-pass is earning its keep. Detection is one
+    * aggregate over the digest groupBy (the shuffle the pre-pass pays
+    * anyway); `None` lets callers skip the rep/expand machinery entirely.
+    */
+  private def membershipIfDups(df: DataFrame, idCol: String,
+      keyExpr: Column): Option[DataFrame] = {
     val withKey = df.select(keyExpr.as("__gkey"), col(idCol).as("__mid"))
-    val repIds = withKey.groupBy(col("__gkey")).agg(min(col("__mid")).as("__rep"))
-    withKey.join(repIds, "__gkey").select(col("__rep"), col("__mid"))
+    val repIds = withKey.groupBy(col("__gkey"))
+      .agg(min(col("__mid")).as("__rep"), count(lit(1)).as("__gn")).cache()
+    val dupReps = repIds.filter(col("__gn") > 1).select(col("__gkey"), col("__rep"))
+    if (dupReps.isEmpty) { repIds.unpersist(); None }
+    else Some(withKey.join(dupReps, "__gkey").select(col("__rep"), col("__mid")).cache())
   }
 
-  /** Expand representative-level candidate pairs back to member-level pairs
-    * (cross-group) plus all within-group pairs. Output size is exactly the
-    * contract's pair set — the quadratic part, if any, is genuinely required
-    * output, never intermediate candidate state.
+  /** All ids that belong to a dup group but are not its representative —
+    * the set a representative-only scan must EXCLUDE (tiny when dups are
+    * rare, so the exclusion is a broadcast anti-join, not a corpus shuffle).
     */
-  private def expandPairs(repPairs: DataFrame, members: DataFrame): DataFrame = {
+  private def dupNonReps(dupMembers: DataFrame, as: String): DataFrame =
+    dupMembers.filter(col("__rep") =!= col("__mid")).select(col("__mid").as(as))
+
+  /** Expand representative-level candidate pairs back to member-level pairs
+    * (cross-group) plus all within-group pairs. `dupMembers` holds ONLY the
+    * duplicated groups, so the expansion joins are left joins against a tiny
+    * frame (a rep with no dup group expands to itself via coalesce). Output
+    * size is exactly the contract's pair set — the quadratic part, if any,
+    * is genuinely required output, never intermediate candidate state.
+    */
+  private def expandPairs(repPairs: DataFrame, dupMembers: DataFrame): DataFrame = {
     val cross = repPairs
-      .join(members.as("ma"), col("ia") === col("ma.__rep"))
-      .join(members.as("mb"), col("ib") === col("mb.__rep"))
-      .select(least(col("ma.__mid"), col("mb.__mid")).as("ia"),
-        greatest(col("ma.__mid"), col("mb.__mid")).as("ib"))
-    val within = members.as("x")
-      .join(members.as("y"),
+      .join(dupMembers.as("ma"), col("ia") === col("ma.__rep"), "left")
+      .join(dupMembers.as("mb"), col("ib") === col("mb.__rep"), "left")
+      .select(coalesce(col("ma.__mid"), col("ia")).as("__ea"),
+        coalesce(col("mb.__mid"), col("ib")).as("__eb"))
+      .select(least(col("__ea"), col("__eb")).as("ia"),
+        greatest(col("__ea"), col("__eb")).as("ib"))
+    val within = dupMembers.as("x")
+      .join(dupMembers.as("y"),
         col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
       .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"))
     cross.union(within).distinct()
@@ -192,30 +218,35 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
       threshold: Double = 0.8, maxBucket: Int = 100000,
       expandDuplicates: Boolean = true): DataFrame = {
-    val m = membership(df, idCol, md5(col(textCol).cast("binary"))).cache()
+    val m = membershipIfDups(df, idCol, md5(col(textCol).cast("binary")))
     minHashLshPairsWith(df, m, idCol, textCol, shingleN, numHashes, bands,
       threshold, maxBucket, expandDuplicates)
   }
 
-  /** Core pipeline with the membership frame supplied (and ideally cached)
-    * by the caller — the digest groupBy is a full corpus shuffle, so
-    * consumers that need membership twice (pairs + member edges) must not
-    * recompute it.
+  /** Core pipeline with the dup-group membership frame supplied (cached, or
+    * None when the corpus is duplicate-free) by the caller — the digest
+    * groupBy is a full corpus shuffle, so consumers that need membership
+    * twice (pairs + member edges) must not recompute it. With `m = None` the
+    * corpus IS its own representative set: no reps join, no pair expansion.
+    * With dups, the representative scan EXCLUDES the non-rep dup members via
+    * an anti-join against the tiny dup frame (broadcast when dups are rare).
     */
-  private def minHashLshPairsWith(df: DataFrame, m: DataFrame, idCol: String,
+  private def minHashLshPairsWith(df: DataFrame, m: Option[DataFrame], idCol: String,
       textCol: String, shingleN: Int, numHashes: Int, bands: Int,
       threshold: Double, maxBucket: Int, expandDuplicates: Boolean): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val reps = df.join(
-      m.filter(col("__rep") === col("__mid")).select(col("__mid").as(idCol)), Seq(idCol))
+    val reps = m.fold(df)(mm => df.join(dupNonReps(mm, idCol), Seq(idCol), "left_anti"))
     val repSh = shingles(reps, idCol, textCol, shingleN)
     val repCand = lshCandidates(
       minHashSignatures(repSh, numHashes), bands, numHashes / bands, maxBucket)
-    val cand = if (expandDuplicates) expandPairs(repCand, m) else repCand
-    // verification joins against the FULL corpus's shingles, so expanded
-    // member pairs score with their own (identical) shingle sets
-    val sh = if (expandDuplicates) shingles(df, idCol, textCol, shingleN) else repSh
-    verifyJaccard(cand, sh, threshold)
+    m match {
+      case Some(mm) if expandDuplicates =>
+        // verification joins against the FULL corpus's shingles, so expanded
+        // member pairs score with their own (identical) shingle sets
+        verifyJaccard(expandPairs(repCand, mm), shingles(df, idCol, textCol, shingleN), threshold)
+      case _ =>
+        verifyJaccard(repCand, repSh, threshold)
+    }
   }
 
   /** Duplicate-cluster edges at scale: representative-level near-dup pairs ∪
@@ -227,13 +258,17 @@ object Dedup {
   def minHashLshClusterEdges(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
-    val m = membership(df, idCol, md5(col(textCol).cast("binary"))).cache()
+    val m = membershipIfDups(df, idCol, md5(col(textCol).cast("binary")))
     val repPairs = minHashLshPairsWith(df, m, idCol, textCol, shingleN,
         numHashes, bands, threshold, maxBucket, expandDuplicates = false)
       .select(col("ia"), col("ib"))
-    val memberEdges = m.filter(col("__rep") =!= col("__mid"))
-      .select(col("__rep").as("ia"), col("__mid").as("ib"))
-    repPairs.union(memberEdges)
+    m match {
+      case None => repPairs // duplicate-free: no membership edges to add
+      case Some(mm) =>
+        val memberEdges = mm.filter(col("__rep") =!= col("__mid"))
+          .select(col("__rep").as("ia"), col("__mid").as("ib"))
+        repPairs.union(memberEdges)
+    }
   }
 
   /** Embedding-cosine near-dup pairs at scale: random-hyperplane LSH bucket
@@ -247,11 +282,11 @@ object Dedup {
       expandDuplicates: Boolean = true): DataFrame = {
     import graft.functions.vfn
     // exact-dup pre-pass on the vector digest (md5 of the JSON form — only a
-    // grouping key, never compared across engines)
-    val m = membership(df, idCol, md5(to_json(struct(col(vecCol))))).cache()
+    // grouping key, never compared across engines); None ⇒ duplicate-free
+    // corpus, whole rep/expand machinery skipped
+    val m = membershipIfDups(df, idCol, md5(to_json(struct(col(vecCol)))))
     val all = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
-    val reps = all.join(
-      m.filter(col("__rep") === col("__mid")).select(col("__mid").as("__did")), Seq("__did"))
+    val reps = m.fold(all)(mm => all.join(dupNonReps(mm, "__did"), Seq("__did"), "left_anti"))
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     // shares AnnLsh's hyperplane/signature/multi-probe machinery — one LSH
     // implementation, two call sites (KNN and near-dup)
@@ -265,23 +300,26 @@ object Dedup {
       .select(col("x.__did").as("ia"), col("y.__did").as("ib"),
         col("x.__v").as("va"), col("y.__v").as("vb"))
       .distinct()
-    val pairs =
-      if (!expandDuplicates) repPairs
-      else {
+    val pairs = m match {
+      case Some(mm) if expandDuplicates =>
+        // left joins against the tiny dup-only frame: reps without a dup
+        // group pass through via coalesce (sim is symmetric — no vector swap)
         val cross = repPairs
-          .join(m.as("ma"), col("ia") === col("ma.__rep"))
-          .join(m.as("mb"), col("ib") === col("mb.__rep"))
-          .select(least(col("ma.__mid"), col("mb.__mid")).as("ia"),
-            greatest(col("ma.__mid"), col("mb.__mid")).as("ib"),
-            col("va"), col("vb")) // sim is symmetric — no need to swap vectors
-        val within = m.as("x")
-          .join(m.as("y"),
+          .join(mm.as("ma"), col("ia") === col("ma.__rep"), "left")
+          .join(mm.as("mb"), col("ib") === col("mb.__rep"), "left")
+          .select(coalesce(col("ma.__mid"), col("ia")).as("__ea"),
+            coalesce(col("mb.__mid"), col("ib")).as("__eb"), col("va"), col("vb"))
+          .select(least(col("__ea"), col("__eb")).as("ia"),
+            greatest(col("__ea"), col("__eb")).as("ib"), col("va"), col("vb"))
+        val within = mm.as("x")
+          .join(mm.as("y"),
             col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
           .join(all.as("bv"), col("x.__mid") === col("bv.__did"))
           .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"),
             col("bv.__v").as("va"), col("bv.__v").as("vb"))
         cross.union(within).distinct()
-      }
+      case _ => repPairs
+    }
     pairs
       .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
       .filter(col("sim") >= simThreshold)
@@ -298,16 +336,20 @@ object Dedup {
   val SimHashBits = 60
 
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one 15-hex-char conv per token (not 15 per-nibble convs): the 60-bit
+    // value packs nibble d at bits (14−d)·4..(14−d)·4+3, so bit j of the
+    // signature = bit (14−j/4)·4+(j%4) — EXACTLY the md5-nibble formulation
+    // the oracle replays (bit (j mod 4) of hex nibble (j div 4)); only the
+    // extraction arithmetic changed, every simhash value is identical
     val tok = df.select(col(idCol).as("__did"),
       explode(split(col(textCol), " ")).as("t"))
-      .withColumn("__md5", md5(col("t").cast("binary")))
-    val nibs = (0 until 15).map(d =>
-      conv(substring(col("__md5"), d + 1, 1), 16, 10).cast("int").as(s"n$d"))
-    val withNibs = tok.select(col("__did") +: nibs: _*)
+      .withColumn("__h",
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
     val votes = (0 until SimHashBits).map { j =>
-      sum(when(expr(s"shiftright(n${j / 4}, ${j % 4}) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
+      val shift = (14 - j / 4) * 4 + (j % 4)
+      sum(when(expr(s"shiftright(__h, $shift) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
     }
-    val agg = withNibs.groupBy(col("__did")).agg(votes.head, votes.tail: _*)
+    val agg = tok.groupBy(col("__did")).agg(votes.head, votes.tail: _*)
     val sig = (0 until SimHashBits).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     agg.select(col("__did"), sig.as("simhash"))
@@ -322,9 +364,8 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 100000,
       expandDuplicates: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding is only lossless for maxHamming <= 3")
-    val m = membership(df, idCol, md5(col(textCol).cast("binary"))).cache()
-    val reps = df.join(
-      m.filter(col("__rep") === col("__mid")).select(col("__mid").as(idCol)), Seq(idCol))
+    val m = membershipIfDups(df, idCol, md5(col(textCol).cast("binary")))
+    val reps = m.fold(df)(mm => df.join(dupNonReps(mm, idCol), Seq(idCol), "left_anti"))
     val sigs = simHash(reps, idCol, textCol)
     val chunks = capBuckets(
       sigs.select(col("__did"), col("simhash"),
@@ -340,20 +381,25 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("ia"), col("ib"), col("hamming"))
-    if (!expandDuplicates) repPairs
-    else {
-      // cross-group member pairs inherit the rep pair's hamming (identical
-      // texts ⇒ identical signatures); within-group pairs are hamming 0
-      val cross = repPairs
-        .join(m.as("ma"), col("ia") === col("ma.__rep"))
-        .join(m.as("mb"), col("ib") === col("mb.__rep"))
-        .select(least(col("ma.__mid"), col("mb.__mid")).as("ia"),
-          greatest(col("ma.__mid"), col("mb.__mid")).as("ib"), col("hamming"))
-      val within = m.as("x")
-        .join(m.as("y"),
-          col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
-        .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"), lit(0L).as("hamming"))
-      cross.union(within).distinct()
+    m match {
+      case Some(mm) if expandDuplicates =>
+        // cross-group member pairs inherit the rep pair's hamming (identical
+        // texts ⇒ identical signatures); within-group pairs are hamming 0.
+        // Left joins against the dup-only frame: singleton reps coalesce to
+        // themselves.
+        val cross = repPairs
+          .join(mm.as("ma"), col("ia") === col("ma.__rep"), "left")
+          .join(mm.as("mb"), col("ib") === col("mb.__rep"), "left")
+          .select(coalesce(col("ma.__mid"), col("ia")).as("__ea"),
+            coalesce(col("mb.__mid"), col("ib")).as("__eb"), col("hamming"))
+          .select(least(col("__ea"), col("__eb")).as("ia"),
+            greatest(col("__ea"), col("__eb")).as("ib"), col("hamming"))
+        val within = mm.as("x")
+          .join(mm.as("y"),
+            col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
+          .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"), lit(0L).as("hamming"))
+        cross.union(within).distinct()
+      case _ => repPairs
     }
   }
 
