@@ -125,9 +125,16 @@ object GraphAnn {
     private val MaxEntries = 256 // global bound across all layouts/collections
     val builds = new java.util.concurrent.atomic.AtomicInteger(0) // test/ops hook
 
+    private val buildLocks =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int), Object]
+
     def getOrBuild(layoutId: String, version: Long, numParts: Int, part: Int,
         rowCount: Int)(build: => NswIndex): NswIndex = {
       val key = (layoutId, version, numParts, part)
+      // per-key lock: concurrent tasks for the same partition (e.g. several
+      // query batches in one job) must not each build the same graph
+      val lock = buildLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
       cache.get(key) match {
         case Some((idx, n)) if n == rowCount => idx
         case _ =>
@@ -138,12 +145,17 @@ object GraphAnn {
             .foreach(cache.remove)
           cache.put(key, (built, rowCount))
           insertOrder.add(key)
-          while (cache.size > MaxEntries) {
+          var evicting = cache.size > MaxEntries
+          while (evicting) {
             val oldest = insertOrder.poll()
-            if (oldest == null) return built
-            cache.remove(oldest)
+            if (oldest == null) evicting = false
+            else {
+              cache.remove(oldest)
+              evicting = cache.size > MaxEntries
+            }
           }
           built
+      }
       }
     }
 
@@ -162,6 +174,16 @@ object GraphAnn {
     * and beam search have no randomness; insertion order is partition row
     * order). Exported as an oracle input by Verify: the global merge is then
     * SQL-replayable as "rank these candidates by exact distance".
+    *
+    * The query set is streamed driver-side in BOUNDED batches
+    * (`toLocalIterator` holds one query partition at a time, never the full
+    * frame): each batch becomes one broadcast + one mapPartitions stage, all
+    * unioned LAZILY — at action time they run as a single job, so a 10⁶-query
+    * search is numBatches×corpusParts tasks with driver memory capped at one
+    * batch + the in-flight partition. Multi-batch runs share the per-
+    * partition graph builds through the executor GraphCache: a caller-less
+    * ephemeral key scopes the sharing to this call when no materialized
+    * layout key exists (one build per partition total, not per batch).
     */
   def localResults(
       corpus: DataFrame,
@@ -175,45 +197,69 @@ object GraphAnn {
       corpusVec: String = "vector",
       queryId: String = "query_id",
       queryVec: String = "query_vec",
-      cacheKey: Option[(String, Long)] = None): DataFrame = {
+      cacheKey: Option[(String, Long)] = None,
+      queryBatchSize: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
-    val qRows = queries.select(col(queryId), col(queryVec)).collect()
-      .map(r => (r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
-    val bcQ = spark.sparkContext.broadcast(qRows)
+    require(queryBatchSize >= 1, s"queryBatchSize must be >= 1, got $queryBatchSize")
     val mVal = m; val efcVal = efConstruction; val efVal = ef; val spaceVal = space
     val kVal = k
 
     val idIdx = 0; val vecIdx = 1
     val selected = corpus.select(col(corpusId), col(corpusVec)).rdd
     val numParts = selected.getNumPartitions
-    val local = selected.mapPartitionsWithIndex { (part, it) =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
-      else {
-        def build: NswIndex = {
-          val dim = rows(0).getAs[scala.collection.Seq[Float]](vecIdx).length
-          val index = new NswIndex(dim, mVal, efcVal, spaceVal)
-          rows.foreach { r =>
-            index.insert(r.get(idIdx), r.getAs[scala.collection.Seq[Float]](vecIdx).toArray)
+
+    def batchRdd(qRows: Array[(Any, Array[Float])],
+        effKey: Option[(String, Long)]): org.apache.spark.rdd.RDD[Row] = {
+      val bcQ = spark.sparkContext.broadcast(qRows)
+      selected.mapPartitionsWithIndex { (part, it) =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          def build: NswIndex = {
+            val dim = rows(0).getAs[scala.collection.Seq[Float]](vecIdx).length
+            val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+            rows.foreach { r =>
+              index.insert(r.get(idIdx), r.getAs[scala.collection.Seq[Float]](vecIdx).toArray)
+            }
+            index
           }
-          index
-        }
-        val index = cacheKey match {
-          case Some((layoutId, version)) =>
-            GraphCache.getOrBuild(layoutId, version, numParts, part, rows.length)(build)
-          case None => build
-        }
-        bcQ.value.iterator.flatMap { case (qid, qv) =>
-          index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+          val index = effKey match {
+            case Some((layoutId, version)) =>
+              GraphCache.getOrBuild(layoutId, version, numParts, part, rows.length)(build)
+            case None => build
+          }
+          bcQ.value.iterator.flatMap { case (qid, qv) =>
+            index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+          }
         }
       }
     }
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Array[(Any, Array[Float])]]
+    val it = queries.select(col(queryId), col(queryVec)).toLocalIterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Float])]
+    while (it.hasNext) {
+      val r = it.next()
+      buf += ((r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+      if (buf.length >= queryBatchSize) { batches += buf.toArray; buf.clear() }
+    }
+    if (buf.nonEmpty) batches += buf.toArray
+    // single batch keeps today's semantics (no cache entry unless the caller
+    // keys one); multi-batch without a layout key shares builds via an
+    // ephemeral per-call key (row-count-checked, LRU-bounded like any entry)
+    val effKey =
+      if (batches.length <= 1 || cacheKey.isDefined) cacheKey
+      else Some((s"__call_${java.util.UUID.randomUUID()}", 0L))
     val qidType = queries.schema(queryId).dataType
     val idType = corpus.schema(corpusId).dataType
-    spark.createDataFrame(local, StructType(Seq(
+    val schema = StructType(Seq(
       StructField(queryId, qidType),
       StructField(corpusId, idType),
-      StructField("distance", DoubleType))))
+      StructField("distance", DoubleType)))
+    val local =
+      if (batches.isEmpty) spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext.union(batches.toSeq.map(b => batchRdd(b, effKey)))
+    spark.createDataFrame(local, schema)
   }
 
   /** Approximate batch KNN: per-partition NSW graphs, queries broadcast,
@@ -233,9 +279,10 @@ object GraphAnn {
       corpusVec: String = "vector",
       queryId: String = "query_id",
       queryVec: String = "query_vec",
-      cacheKey: Option[(String, Long)] = None): DataFrame = {
+      cacheKey: Option[(String, Long)] = None,
+      queryBatchSize: Int = 10000): DataFrame = {
     val localDf = localResults(corpus, queries, k, space, ef, m, efConstruction,
-      corpusId, corpusVec, queryId, queryVec, cacheKey)
+      corpusId, corpusVec, queryId, queryVec, cacheKey, queryBatchSize)
     // global merge: one-pass bounded-heap top-k per query
     import graft.functions.vfn
     localDf.groupBy(col(queryId))

@@ -79,4 +79,28 @@ class GraphAnnSpec extends SparkSpec {
     val hi = recallAt(100)
     assert(hi >= lo, f"recall fell as ef grew: $lo%.3f -> $hi%.3f")
   }
+
+  test("batched query path ≡ single-batch; builds shared across batches; driver never holds the full set") {
+    // 450 queries with a 100-row batch bound → 5 batches in one job
+    val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val nQ = manyQ.count()
+    assert(nQ > 300, s"fixture too small for a multi-batch test: $nQ")
+    val single = GraphAnn.search(emb, manyQ, 5, SpaceType.L2, ef = 40,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv",
+        queryBatchSize = Int.MaxValue)
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    GraphAnn.GraphCache.clear()
+    val b0 = GraphAnn.GraphCache.builds.get()
+    val batched = GraphAnn.search(emb, manyQ, 5, SpaceType.L2, ef = 40,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv",
+        queryBatchSize = 100)
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(batched === single, "batched query path diverged from single-batch path")
+    // the ephemeral per-call cache key shares builds across batches: one
+    // build per corpus partition, NOT per (batch × partition)
+    val builds = GraphAnn.GraphCache.builds.get() - b0
+    assert(builds == emb.rdd.getNumPartitions,
+      s"expected one graph build per partition (${emb.rdd.getNumPartitions}), got $builds")
+  }
 }
