@@ -141,6 +141,61 @@ class Engine(
 
   def compact(coll: String): Unit = { configOf(coll); store.compact(coll) }
 
+  /** Micro-batch upsert that MAINTAINS the ivf_flat layout incrementally —
+    * the streaming-index path: instead of every write staling the layout
+    * (full re-assign on the next search), an INSERT-ONLY batch is assigned
+    * to its clusters (codegen argmin, batch-sized work) and appended to the
+    * partitioned layout, then the layout stamp advances to the new write
+    * version — searches stay physically partition-pruned with no full
+    * re-assignment per batch.
+    *
+    * Falls back to a plain (layout-staling, always-correct) upsert when the
+    * collection isn't ivf_flat, the index isn't built/current, or the batch
+    * touches existing ids (an update's OLD layout row would ghost —
+    * re-resolution would cost the partition pruning this path exists for).
+    * `assumeNewIds = true` skips the existence anti-join for pure-insert
+    * pipelines (event streams with fresh ids) — the streaming caller's
+    * contract. Batches with duplicate ids keep their per-batch LWW winner in
+    * both store and layout. Single streaming writer per collection assumed
+    * (the foreachBatch contract); a racing writer merely stales the layout —
+    * staleness checks make every interleaving fall back, never lie.
+    */
+  def ingestBatchIndexed(coll: String, batch: DataFrame,
+      assumeNewIds: Boolean = false): Unit = {
+    val cfg = configOf(coll)
+    val model = if (cfg.indexType == IndexType.IvfFlat)
+      ivfModels.get(coll).orElse {
+        val loaded = ModelStore.loadIvf(ivfSnapshotPath(coll))
+        loaded.foreach(mm => ivfModels(coll) = mm)
+        loaded
+      }
+    else None
+    val maintainable = model.isDefined &&
+      currentLayout(coll, ivfLayoutPath(coll)).isDefined
+    val insertOnly = maintainable && (assumeNewIds ||
+      batch.select(col("id")).join(store.read(coll).select(col("id")), "id").isEmpty)
+    store.upsertDf(coll, batch)
+    if (!insertOnly) return // layout stale; searches fall back (correct, slower)
+    val v = store.currentVersion(coll)
+    // mirror upsertDf's stamping so layout rows carry the store schema; the
+    // per-batch LWW winner (max seq per id) is what the layout keeps
+    val stamped = batch.select(col("id"), col("vector"), col("params"))
+      .withColumn("version", lit(v))
+      .withColumn("seq", monotonically_increasing_id())
+      .withColumn("is_deleted", lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("seq").desc)
+    val winners = stamped.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    IvfIndex.assign(winners, "vector", model.get)
+      .write.mode("append").partitionBy("cluster_id").parquet(ivfLayoutPath(coll))
+    // advance the stamp only if no write raced us (a racer leaves the stamp
+    // behind → stale → fallback; the appended rows are still consistent)
+    if (store.currentVersion(coll) == v)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
+  }
+
   // ---- runtime search params (POST .../documents/setparams) ----
 
   def setParams(coll: String, params: Map[String, Int]): Unit = {

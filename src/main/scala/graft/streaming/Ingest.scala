@@ -33,6 +33,30 @@ object Ingest {
       }
       .start()
 
+  /** Streaming ingest that keeps the collection's IVF layout CURRENT: each
+    * micro-batch lands via `Engine.ingestBatchIndexed`, so an insert-only
+    * stream never stales the index — searches between batches stay
+    * partition-pruned with no full re-assignment (the reference rebuilds via
+    * its buildindex endpoint; here maintenance is incremental and free with
+    * the batch). `assumeNewIds = true` (default) is the streaming contract:
+    * fresh ids per record; pass false to pay a per-batch existence check.
+    */
+  def streamIntoIndexed(
+      source: DataFrame,
+      engine: graft.api.Engine,
+      coll: String,
+      checkpoint: String,
+      assumeNewIds: Boolean = true,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        engine.ingestBatchIndexed(coll, batch, assumeNewIds)
+      }
+      .start()
+
   /** Streaming tumbling-window aggregation with a watermark (the canonical
     * events_hourly shape as a live query; late rows beyond the watermark are
     * dropped deterministically).

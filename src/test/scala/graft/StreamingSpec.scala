@@ -44,6 +44,56 @@ class StreamingSpec extends SparkSpec {
     assert(store.get("c", "1").get.params("v") === "new") // LWW across micro-batches
   }
 
+  test("indexed ingest stream maintains the IVF layout: no re-assign, search stays pruned") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val src = Files.createTempDirectory("istream-src").toString
+    val ck = Files.createTempDirectory("istream-ck").toString
+    val root = Files.createTempDirectory("istream-root").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 4, IndexType.IvfFlat))
+    // two separated clusters, then buildIndex materializes the layout
+    val seed = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0f else 100f
+      Document(i.toString, Array(base + i * 0.01f, 0f, 0f, 0f))
+    }
+    e.batchUpsertDocuments("c", seed)
+    e.buildIndex("c", nlist = 2)
+    def stampOf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/c/index/layout_version")).trim.toLong
+    val stamp0 = stampOf
+    assert(stamp0 === 1L)
+
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = false)),
+      StructField("params", MapType(StringType, StringType))))
+    // stream two micro-batches of NEW ids near cluster A
+    Seq(("100", Seq(0.5f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params").write.mode("append").parquet(src)
+    Ingest.streamIntoIndexed(spark.readStream.schema(schema).parquet(src),
+      e, "c", ck).awaitTermination()
+    Seq(("101", Seq(0.6f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params").write.mode("append").parquet(src)
+    Ingest.streamIntoIndexed(spark.readStream.schema(schema).parquet(src),
+      e, "c", ck).awaitTermination()
+
+    // the layout stamp tracked BOTH writes — the index is still current, so
+    // searches take the materialized partition-pruned path (no re-assign)
+    assert(stampOf === stamp0 + 2,
+      "layout stamp did not advance with the stream (index went stale)")
+    val hits = e.searchDocuments("c", Array(0.55f, 0f, 0f, 0f), 2)
+    assert(hits.map(_.id).toSet === Set("100", "101"),
+      s"streamed docs not found via the indexed path: ${hits.map(_.id)}")
+    // an UPDATE batch falls back (stale layout) but stays correct
+    e.ingestBatchIndexed("c",
+      Seq(("100", Seq(90f, 0f, 0f, 0f), Map.empty[String, String]))
+        .toDF("id", "vector", "params"))
+    assert(stampOf === stamp0 + 2, "update batch must not advance the stamp")
+    val moved = e.searchDocuments("c", Array(90f, 0f, 0f, 0f), 1)
+    assert(moved.head.id === "100", "post-update search must see the new vector")
+  }
+
   test("stateful sessionization via flatMapGroupsWithState closes sessions on gap + watermark") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize.{Event, Session}
