@@ -14,24 +14,32 @@ import scala.collection.parallel.CollectionConverters._
 object LocalKMeans {
 
   def fit(points: Array[Array[Double]], k: Int, maxIter: Int,
-      tol: Double = 1e-9): Array[Array[Double]] = {
+      tol: Double = 1e-9,
+      warmStart: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     require(points.nonEmpty, "empty training set")
     val dim = points(0).length
     val kEff = math.min(k, points.length)
 
-    // first-k-distinct init (deterministic, matches ivf.go first-k semantics
-    // while avoiding degenerate duplicate centroids)
-    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
-    var pi = 0
-    while (init.length < kEff && pi < points.length) {
-      val p = points(pi)
-      if (seen.add(p.toSeq)) init += p.clone()
-      pi += 1
+    var centroids = warmStart match {
+      // warm start (e.g. OPQ's alternation carries codebooks across
+      // rotation updates — Lloyd from the previous solution keeps the outer
+      // objective monotone where a fresh init could regress)
+      case Some(ws) if ws.length == kEff => ws.map(_.clone())
+      case _ =>
+        // first-k-distinct init (deterministic, matches ivf.go first-k
+        // semantics while avoiding degenerate duplicate centroids)
+        val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+        var pi = 0
+        while (init.length < kEff && pi < points.length) {
+          val p = points(pi)
+          if (seen.add(p.toSeq)) init += p.clone()
+          pi += 1
+        }
+        // fewer distinct points than k: pad with repeats (harmless empty clusters)
+        while (init.length < kEff) init += points(init.length % points.length).clone()
+        init.toArray
     }
-    // fewer distinct points than k: pad with repeats (harmless empty clusters)
-    while (init.length < kEff) init += points(init.length % points.length).clone()
-    var centroids = init.toArray
 
     var iter = 0
     while (iter < maxIter) {

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** OPQ: Optimized Product Quantization — a learned orthonormal rotation R
+  * applied before standard IVFPQ, so the PQ subspaces align with the data's
+  * principal structure instead of arbitrary coordinate blocks (Ge et al.,
+  * CVPR 2013, the non-parametric alternation; faiss's OPQMatrix pretransform
+  * is the same shape). Beyond the reference's fixed-subspace PQ
+  * (`internal/index/ivfpq.go:104-106` caps at m=8,nbits=8 with no
+  * transform): better recall at the SAME code budget whenever dimensions are
+  * correlated.
+  *
+  * Spark-first shape: R is learned driver-side on the bounded training
+  * sample (d×d SVDs are trivial; the alternation is the same LocalKMeans the
+  * PQ trainer uses), then applied corpus-wide as ONE codegen `MatVecMul`
+  * pass with R riding in the plan as a literal — after which everything is
+  * the stock IvfPq machinery (encode kernels, ADC search, distributed path).
+  * Orthonormal R preserves l2/ip/cos exactly, so distances in rotated space
+  * ARE original-space distances.
+  */
+object Opq {
+
+  case class Model(
+      rotation: Array[Array[Float]], // d×d row-major; rotated = R·x
+      pq: IvfPq.Model,
+      trainErrors: Array[Double]) { // per-iteration OPQ objective (decreasing)
+    def dim: Int = rotation.length
+  }
+
+  /** The OPQ-NP alternation on a local sample: (1) PQ-encode the rotated
+    * sample, (2) reconstruct, (3) re-solve R by orthogonal Procrustes
+    * (SVD of the d×d cross-covariance). Returns (R, per-iter objective).
+    */
+  private[operators] def learnRotation(xs: Array[Array[Float]], m: Int, k: Int,
+      iters: Int, kmeansIters: Int = 10): (Array[Array[Float]], Array[Double]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val n = xs.length
+    val d = xs(0).length
+    require(d % m == 0, s"dimension $d not divisible by m=$m")
+    val subDim = d / m
+    var rot = DenseMatrix.eye[Double](d)
+    val X = DenseMatrix.tabulate(n, d)((i, j) => xs(i)(j).toDouble)
+    val errs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // codebooks persist across iterations (warm-started Lloyd): each step —
+    // re-assign, Lloyd update, Procrustes — individually cannot increase the
+    // objective, so the reported errs sequence is monotone non-increasing
+    var books: IndexedSeq[Array[Array[Double]]] = null
+    for (_ <- 0 until iters) {
+      val Y = X * rot.t // y_i = R·x_i as row i
+      // per-subspace codebooks on the rotated sample
+      val yRows = Array.tabulate(n)(i => Array.tabulate(d)(j => Y(i, j)))
+      books = (0 until m).map { j =>
+        val slices = yRows.map(r => java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim))
+        LocalKMeans.fit(slices, k, kmeansIters,
+          warmStart = Option(books).map(_(j)))
+      }
+      // reconstruct each row from its nearest codewords
+      val Yhat = DenseMatrix.zeros[Double](n, d)
+      var err = 0.0
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < m) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < books(j).length) {
+            var s = 0.0; var t = 0
+            while (t < subDim) {
+              val dv = Y(i, j * subDim + t) - books(j)(c)(t); s += dv * dv; t += 1
+            }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < subDim) { Yhat(i, j * subDim + t) = books(j)(best)(t); t += 1 }
+          err += bestD
+          j += 1
+        }
+        i += 1
+      }
+      errs += err / n
+      // Procrustes: max tr(R·B) with B = Σ xᵢŷᵢᵀ = Xᵀ·Ŷ → R = V·Uᵀ
+      val B = X.t * Yhat
+      val svd.SVD(u, _, vt) = svd(B)
+      rot = vt.t * u.t
+    }
+    (Array.tabulate(d, d)((r, c) => rot(r, c).toFloat), errs.toArray)
+  }
+
+  /** Train: learn R on a bounded sample, then stock IVFPQ over the rotated
+    * corpus. Same knobs and spaces as `IvfPq.train`.
+    */
+  def train(corpus: DataFrame, vecCol: String, nlist: Int, m: Int = 8,
+      nbits: Int = 8, maxIter: Int = 40, seed: Long = 42L,
+      space: graft.core.SpaceType = graft.core.SpaceType.L2,
+      opqIters: Int = 10): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(space != graft.core.SpaceType.Hamming,
+      "opq supports l2, ip, and cos spaces (rotation has no hamming form)")
+    val (sampleDf, _) = IvfIndex.trainingSample(corpus, vecCol, 20000L, seed)
+    val collected = sampleDf.as[Seq[Float]].collect().map(_.toArray)
+    // cos: learn the rotation where the index lives — on the unit sphere
+    val raw = if (space == graft.core.SpaceType.Cos)
+      collected.map(IvfPq.l2NormalizeLocal) else collected
+    val k = math.min(1 << nbits, raw.length)
+    // What PQ actually quantizes is the RESIDUAL after coarse assignment, so
+    // that is the distribution the rotation must serve — fit a quick local
+    // coarse quantizer on the sample and learn R on its residuals. Coarse
+    // k-means is rotation-EQUIVARIANT (distances are preserved, so the same
+    // seeded trainer on rotated data yields rotated centroids and identical
+    // assignments), which is why "rotate the whole space, then stock IVFPQ"
+    // downstream produces exactly R·residual at the PQ stage.
+    val nlistLocal = math.max(1, math.min(nlist, raw.length))
+    val cents = LocalKMeans.fit(raw.map(_.map(_.toDouble)), nlistLocal, 15)
+    val resid = raw.map { v =>
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - cents(c)(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      Array.tabulate(v.length)(i => (v(i) - cents(best)(i)).toFloat)
+    }
+    val (rot, errs) = learnRotation(resid, m, k, opqIters)
+    val pq = IvfPq.train(rotate(corpus, vecCol, rot, "__rvec"), "__rvec",
+      nlist, m, nbits, maxIter, seed, space)
+    Model(rot, pq, errs)
+  }
+
+  /** Add `outCol` = R·vecCol via the codegen MatVecMul kernel. */
+  def rotate(df: DataFrame, vecCol: String, rot: Array[Array[Float]],
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{Bridge, MatVecMul}
+    val rLit = Literal.create(rot.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    df.withColumn(outCol, Bridge.column(MatVecMul(
+      Bridge.expression(col(vecCol).cast("array<float>")), rLit)))
+  }
+
+  /** Encode = rotate + stock IVFPQ encode; the rotated column stays on the
+    * frame for exact re-rank (rotated distances ≡ original distances).
+    */
+  def encode(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
+    IvfPq.encode(rotate(corpus, vecCol, model.rotation, "__rvec"), "__rvec", model.pq)
+
+  /** Exact re-rank of an ADC shortlist in ORIGINAL space (not rotated): the
+    * rotation preserves distances mathematically, but re-ranking against the
+    * original vectors keeps the emitted distances bit-comparable with the
+    * exact-KNN oracle (no rotated-float rounding in the ranking).
+    */
+  private def rerankExact(shortlist: DataFrame, encoded: DataFrame,
+      queries: DataFrame, model: Model, kTop: Int, corpusId: String,
+      corpusVec: String, queryId: String, queryVec: String): DataFrame = {
+    import graft.functions.vfn
+    val vecs = encoded.select(col(corpusId), col(corpusVec))
+    val q2 = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv0"))
+    shortlist.drop("distance", "rnk")
+      .join(vecs, Seq(corpusId))
+      .join(q2, Seq(queryId))
+      .withColumn("__exact", vfn.distance(col(corpusVec), col("__qv0"), model.pq.space))
+      .groupBy(col(queryId))
+      .agg(vfn.topKByDistance(col("__exact"), col(corpusId), kTop).as("__hits"))
+      .select(col(queryId), explode(col("__hits")).as("__h"))
+      .select(col(queryId), col("__h.id").as(corpusId),
+        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+  }
+
+  /** ADC search over an OPQ-encoded corpus: rotate the queries, stock ADC
+    * shortlisting in rotated space, exact re-rank in original space.
+    */
+  def search(encoded: DataFrame, queries: DataFrame, model: Model, kTop: Int,
+      nprobe: Int, corpusId: String = "id", corpusVec: String = "vector",
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      rerank: Boolean = true, rerankFactor: Int = 8): DataFrame = {
+    val rq = rotate(queries, queryVec, model.rotation, "__rq")
+    val shortlistK = if (rerank) kTop * rerankFactor else kTop
+    val shortlist = IvfPq.search(encoded, rq, model.pq, shortlistK, nprobe,
+      corpusId, queryId, "__rq", None)
+    if (!rerank) shortlist
+    else rerankExact(shortlist, encoded, queries, model, kTop, corpusId,
+      corpusVec, queryId, queryVec)
+  }
+
+  /** Collect-free variant — same distributed shape as `IvfPq.searchDistributed`
+    * with the rotation applied per-row inside codegen.
+    */
+  def searchDistributed(encoded: DataFrame, queries: DataFrame, model: Model,
+      kTop: Int, nprobe: Int, corpusId: String = "id",
+      corpusVec: String = "vector", queryId: String = "query_id",
+      queryVec: String = "query_vec", rerank: Boolean = true,
+      rerankFactor: Int = 8): DataFrame = {
+    val rq = rotate(queries, queryVec, model.rotation, "__rq")
+    val shortlistK = if (rerank) kTop * rerankFactor else kTop
+    val shortlist = IvfPq.searchDistributed(encoded, rq, model.pq, shortlistK,
+      nprobe, corpusId, queryId, "__rq", None)
+    if (!rerank) shortlist
+    else rerankExact(shortlist, encoded, queries, model, kTop, corpusId,
+      corpusVec, queryId, queryVec)
+  }
+}

@@ -278,3 +278,66 @@ case class PqEncodeCodes(first: Expression, second: Expression,
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
 }
+
+/** `mat_vec_mul(vector ARRAY<FLOAT>, mat ARRAY<ARRAY<FLOAT>>)` →
+  * ARRAY<FLOAT>: out[r] = ⟨mat[r], vector⟩ — the per-row rotation kernel of
+  * the OPQ pre-transform (mat = R, row-major, carried as a plan literal).
+  * Accumulation is double, result cast to float, matching the driver-side
+  * trainer's arithmetic so rotated corpora and rotated queries agree
+  * bit-for-bit.
+  */
+case class MatVecMul(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "mat_vec_mul"
+
+  override protected def nullSafeEval(v: Any, mt: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val mat = mt.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val rows = mat.numElements()
+    if (rows > 0 && mat.getArray(0).numElements() != dim)
+      throw new IllegalArgumentException(
+        s"vector dimension $dim != matrix row width ${mat.getArray(0).numElements()}")
+    val out = new Array[Float](rows)
+    var r = 0
+    while (r < rows) {
+      val row = mat.getArray(r)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += row.getFloat(i).toDouble * vec.getFloat(i).toDouble; i += 1 }
+      out(r) = s.toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mt) => {
+      val dim = ctx.freshName("dim"); val rows = ctx.freshName("rows")
+      val out = ctx.freshName("out"); val r = ctx.freshName("r")
+      val row = ctx.freshName("row"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""int $dim = $v.numElements();
+         |int $rows = $mt.numElements();
+         |if ($rows > 0 && $mt.getArray(0).numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "vector dimension " + $dim + " != matrix row width " + $mt.getArray(0).numElements());
+         |}
+         |float[] $out = new float[$rows];
+         |for (int $r = 0; $r < $rows; $r++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $mt.getArray($r);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $s += (double) $row.getFloat($i) * (double) $v.getFloat($i);
+         |  }
+         |  $out[$r] = (float) $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
