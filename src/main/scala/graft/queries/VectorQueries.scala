@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{SpaceType, Tables}
 import graft.functions.vfn
-import graft.operators.{AnnLsh, ExactKnn, GraphAnn, IvfIndex, IvfPq}
+import graft.operators.{AnnLsh, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
 
 /** Vector query pack over the `embeddings` table (64-d float, L2-normalized,
   * 10 labels): exact KNN in all three metric spaces, search-then-fetch,
@@ -221,6 +221,63 @@ object VectorQueries {
       .select(col("qid"), col("vec_id"))
   }
 
+  /** OPQ: learned-rotation IVFPQ (SURVEY stretch beyond the reference's
+    * fixed-subspace PQ). Same oracle construction as pq_knn: exact KNN
+    * restricted to the exported ADC shortlist; the OPQ-beats-PQ recall gate
+    * lives in OpqSpec. Re-rank runs in original space, so ranks replay
+    * exactly in SQL.
+    */
+  private def opqModelFor(spark: SparkSession, dir: String): (DataFrame, Opq.Model) = {
+    val c = corpus(spark, dir)
+    val model = Opq.train(c, "embedding", nlist = 10, m = 8, opqIters = 6)
+    (c, model)
+  }
+
+  def opqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val (c, model) = opqModelFor(spark, dir)
+    val encoded = Opq.encode(c, "embedding", model).cache()
+    Opq.search(encoded, queriesDf(spark, dir), model, kTop = K, nprobe = 10,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  /** The ADC shortlist opqKnn re-ranks (same deterministic trainer → same
+    * model → same shortlist). Exported by Verify as an oracle input.
+    */
+  def opqShortlistAux(spark: SparkSession, dir: String): DataFrame = {
+    val (c, model) = opqModelFor(spark, dir)
+    val encoded = Opq.encode(c, "embedding", model).cache()
+    Opq.search(encoded, queriesDf(spark, dir), model, kTop = K * 8, nprobe = 10,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid",
+        queryVec = "qv", rerank = false)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** SQ8 scalar-quantized KNN (extra tier beyond the reference): 1-byte/dim
+    * codes, asymmetric-distance scan, exact re-rank. Oracle: exact KNN
+    * restricted to the exported shortlist (same construction as pq_knn);
+    * recall gates live in ScalarQuantSpec.
+    */
+  def sqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val model = ScalarQuant.train(c, "embedding")
+    val encoded = ScalarQuant.encode(c, "embedding", model).cache()
+    ScalarQuant.search(encoded, queriesDf(spark, dir), model, kTop = K,
+        corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+        rerankVecCol = Some("embedding"))
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  /** The SQ shortlist sqKnn re-ranks (min/max training is deterministic). */
+  def sqShortlistAux(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val model = ScalarQuant.train(c, "embedding")
+    val encoded = ScalarQuant.encode(c, "embedding", model).cache()
+    ScalarQuant.search(encoded, queriesDf(spark, dir), model, kTop = K * 4,
+        corpusId = "vec_id", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"))
+  }
+
   /** Per-partition NSW graph ANN (rows-only; recall gates in GraphAnnSpec). */
   def graphKnn(spark: SparkSession, dir: String): DataFrame =
     GraphAnn.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.L2,
@@ -281,6 +338,8 @@ object VectorQueries {
     "ivf_knn_probe" -> ((s, d) => ivfKnn(s, d, _ => 2)),
     "pq_knn" -> (pqKnn(_, _)),
     "pq_knn_cos" -> ((s, d) => pqKnn(s, d, SpaceType.Cos)),
+    "opq_knn" -> (opqKnn(_, _)),
+    "sq_knn" -> (sqKnn(_, _)),
     "graph_knn" -> (graphKnn(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
@@ -335,7 +394,9 @@ object VectorQueries {
     "lsh_cand" -> (lshCandAux(_, _)),
     "graph_cand" -> (graphCandAux(_, _)),
     "pq_shortlist" -> (pqShortlistAux(_, _)),
-    "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)))
+    "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)),
+    "opq_shortlist" -> (opqShortlistAux(_, _)),
+    "sq_shortlist" -> (sqShortlistAux(_, _)))
 
   val oracles: Map[String, String] = Map(
     "ivf_knn_full" -> knnL2Sql, // full probing ≡ exact KNN
@@ -348,6 +409,10 @@ object VectorQueries {
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "pq_knn_cos" -> restrictedKnnOracle("pq_cos_shortlist",
       "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC"),
+    "opq_knn" -> restrictedKnnOracle("opq_shortlist",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "sq_knn" -> restrictedKnnOracle("sq_shortlist",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "knn_l2" -> knnL2Sql,
     "knn_sql" -> knnL2Sql, // identical semantics through the SQL surface
     "knn_hamming" -> knnHammingSql,
