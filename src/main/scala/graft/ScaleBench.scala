@@ -124,6 +124,11 @@ object ScaleBench {
       out(s"pq_adc_search_$tag") = time(drain(
         IvfPq.search(encoded, q, pq, kTop = 10, nprobe = 4,
           corpusId = "vec_id", queryId = "qid", queryVec = "qv")))
+      // distributed ADC path (executor-side tables): same work, no driver
+      // table loop — the variant a 10⁸-row KNN join would run
+      out(s"pq_adc_distributed_$tag") = time(drain(
+        IvfPq.searchDistributed(encoded, q, pq, kTop = 10, nprobe = 4,
+          corpusId = "vec_id", queryId = "qid", queryVec = "qv")))
       assigned.unpersist(); encoded.unpersist()
       // LSH KNN: bucketed candidates vs the exact scan above
       out(s"lsh_knn_$tag") = time(drain(
@@ -161,6 +166,7 @@ object ScaleBench {
       "scaling_exact_knn" -> out(s"exact_knn_$scaled") / out("exact_knn_1x"),
       "scaling_ivf_search" -> out(s"ivf_probe_search_$scaled") / out("ivf_probe_search_1x"),
       "scaling_pq_search" -> out(s"pq_adc_search_$scaled") / out("pq_adc_search_1x"),
+      "scaling_pq_distributed" -> out(s"pq_adc_distributed_$scaled") / out("pq_adc_distributed_1x"),
       "scaling_minhash" -> out(s"minhash_lsh_$scaled") / out("minhash_lsh_1x"))
     val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++
       derived.map { case (k, v) => f""""$k":$v%.2f""" }
