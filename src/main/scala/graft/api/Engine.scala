@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.core.ModelStore
-import graft.operators.{ExactKnn, GraphAnn, IvfIndex, IvfPq}
+import graft.operators.{ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
 import graft.sources.EmbeddingProvider
 
 /** Engine facade — the reference's REST verb set (SURVEY §2.9) as a Scala
@@ -34,14 +34,20 @@ class Engine(
   private val runtime = collection.concurrent.TrieMap.empty[String, Map[String, Int]]
   private val ivfModels = collection.concurrent.TrieMap.empty[String, IvfIndex.Model]
   private val pqModels = collection.concurrent.TrieMap.empty[String, IvfPq.Model]
+  private val opqModels = collection.concurrent.TrieMap.empty[String, Opq.Model]
+  private val sqModels = collection.concurrent.TrieMap.empty[String, ScalarQuant.Model]
   private val cache = new ResultCache(capacity = 128)
   // params epoch: bumped on setParams so cached results keyed on old params miss
   private val paramsEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def ivfSnapshotPath(coll: String) = s"$root/$coll/index/ivf.snapshot"
   private def pqSnapshotPath(coll: String) = s"$root/$coll/index/pq.snapshot"
+  private def opqSnapshotPath(coll: String) = s"$root/$coll/index/opq.snapshot"
+  private def sqSnapshotPath(coll: String) = s"$root/$coll/index/sq.snapshot"
   private def ivfLayoutPath(coll: String) = s"$root/$coll/index/ivf_layout"
   private def pqLayoutPath(coll: String) = s"$root/$coll/index/pq_layout"
+  private def opqLayoutPath(coll: String) = s"$root/$coll/index/opq_layout"
+  private def sqLayoutPath(coll: String) = s"$root/$coll/index/sq_layout"
   private def hnswLayoutPath(coll: String) = s"$root/$coll/index/hnsw_layout"
 
   /** The materialized index layout at `path`, if present AND current (no
@@ -76,6 +82,7 @@ class Engine(
 
   def dropCollection(name: String): Boolean = {
     runtime.remove(name); ivfModels.remove(name); pqModels.remove(name)
+    opqModels.remove(name); sqModels.remove(name)
     // the version counter resets if the collection is recreated, so caches
     // keyed on the old incarnation must not survive the drop
     cache.clear()
@@ -206,11 +213,15 @@ class Engine(
         require(cfg.indexType == IndexType.Hnsw, s"efsearch not valid for ${cfg.indexType.name}")
         require(v > 0, s"efsearch must be positive, got $v")
       case ("nprobe", v) =>
-        require(cfg.indexType == IndexType.IvfFlat || cfg.indexType == IndexType.IvfPq,
+        require(cfg.indexType == IndexType.IvfFlat || cfg.indexType == IndexType.IvfPq
+            || cfg.indexType == IndexType.Opq,
           s"nprobe not valid for ${cfg.indexType.name}")
         val nlist = ivfModels.get(coll)
           .orElse(graft.core.ModelStore.loadIvf(ivfSnapshotPath(coll)))
-          .map(_.nlist).getOrElse(Int.MaxValue)
+          .map(_.nlist)
+          .orElse(opqModels.get(coll).map(_.pq.nlist))
+          .orElse(graft.core.ModelStore.loadOpq(opqSnapshotPath(coll)).map(_.pq.nlist))
+          .getOrElse(Int.MaxValue)
         require(v > 0 && v <= nlist, s"nprobe must be in [1, $nlist], got $v") // ivf.go:407-413
       case (k, _) => throw new IllegalArgumentException(s"unknown search param '$k'") // ivf.go:399-401
     }
@@ -267,6 +278,33 @@ class Engine(
         // materialize the encoded layout (codes, not vectors, do the scan work)
         IvfPq.encode(corpus, "vector", pq)
           .write.mode("overwrite").partitionBy("cluster_id").parquet(pqLayoutPath(coll))
+        stampLayout()
+      case IndexType.Opq =>
+        require(cfg.spaceType == SpaceType.L2 || cfg.spaceType == SpaceType.Ip
+            || cfg.spaceType == SpaceType.Cos,
+          s"opq supports l2, ip, and cos spaces, got ${cfg.spaceType.name}")
+        val corpus = store.read(coll)
+        val n = corpus.count()
+        val k = math.min(nlist.toLong, n).toInt
+        require(k >= 1, "cannot train an index on an empty collection")
+        val m = cfg.params.get("m").map(_.toInt).getOrElse(8)
+        val opq = Opq.train(corpus, "vector", k, m = m, space = cfg.spaceType)
+        opqModels(coll) = opq
+        ivfModels(coll) = opq.pq.coarse // so nprobe validation sees nlist
+        ModelStore.saveOpq(opqSnapshotPath(coll), opq)
+        Opq.encode(corpus, "vector", opq)
+          .write.mode("overwrite").partitionBy("cluster_id").parquet(opqLayoutPath(coll))
+        stampLayout()
+      case IndexType.Sq =>
+        require(cfg.spaceType == SpaceType.L2,
+          s"sq supports only the l2 space, got ${cfg.spaceType.name}") // no silent fallback
+        val corpus = store.read(coll)
+        require(corpus.limit(1).count() >= 1, "cannot train an index on an empty collection")
+        val sq = ScalarQuant.train(corpus, "vector")
+        sqModels(coll) = sq
+        ModelStore.saveSq(sqSnapshotPath(coll), sq)
+        ScalarQuant.encode(corpus, "vector", sq)
+          .write.mode("overwrite").parquet(sqLayoutPath(coll))
         stampLayout()
       case IndexType.Hnsw =>
         // materialize a stable corpus snapshot: deterministic file splits
@@ -335,6 +373,19 @@ class Engine(
           .map(_._1).getOrElse(IvfPq.encode(corpus, "vector", pq))
         IvfPq.searchDistributed(encoded, queries, pq, k, nprobe,
           rerankVecCol = Some("vector"))
+      case IndexType.Opq =>
+        val opq = loadedOpq(coll)
+        val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, opq.pq.nlist))
+        val encoded = currentLayout(coll, opqLayoutPath(coll))
+          .map(_._1).getOrElse(Opq.encode(corpus, "vector", opq))
+        Opq.searchDistributed(encoded, queries, opq, k, nprobe)
+      case IndexType.Sq =>
+        // SQ is a flat-scan tier: queries broadcast as a frame, never
+        // collected to the driver
+        val sq = loadedSq(coll)
+        val encoded = currentLayout(coll, sqLayoutPath(coll))
+          .map(_._1).getOrElse(ScalarQuant.encode(corpus, "vector", sq))
+        ScalarQuant.search(encoded, queries, sq, k, rerankVecCol = Some("vector"))
       case _ =>
         // flat/hnsw query paths collect the query set; fail fast with a
         // routing hint instead of letting a 10⁸-row frame OOM the driver
@@ -357,6 +408,26 @@ class Engine(
             col("query_id").cast(queries.schema("query_id").dataType))
     }
   }
+
+  private def loadedOpq(coll: String): Opq.Model =
+    opqModels.get(coll)
+      .orElse { // recovery: reload the persisted snapshot (SURVEY S7/S8)
+        val loaded = ModelStore.loadOpq(opqSnapshotPath(coll))
+        loaded.foreach { mm => opqModels(coll) = mm; ivfModels(coll) = mm.pq.coarse }
+        loaded
+      }
+      .getOrElse(
+        throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+
+  private def loadedSq(coll: String): ScalarQuant.Model =
+    sqModels.get(coll)
+      .orElse {
+        val loaded = ModelStore.loadSq(sqSnapshotPath(coll))
+        loaded.foreach(mm => sqModels(coll) = mm)
+        loaded
+      }
+      .getOrElse(
+        throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
 
   private def searchOn(corpus: DataFrame, cfg: CollectionConfig, coll: String,
       queries: Seq[(String, Array[Float])], k: Int,
@@ -420,6 +491,17 @@ class Engine(
           m = cfg.params.get("M").map(_.toInt).getOrElse(16),
           efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200),
           cacheKey = cacheKey)
+      case IndexType.Opq =>
+        val opq = loadedOpq(coll)
+        val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, opq.pq.nlist))
+        val encoded = (if (corpusIsFull) currentLayout(coll, opqLayoutPath(coll)) else None)
+          .map(_._1).getOrElse(Opq.encode(corpus, "vector", opq))
+        Opq.search(encoded, qDf, opq, k, nprobe)
+      case IndexType.Sq =>
+        val sq = loadedSq(coll)
+        val encoded = (if (corpusIsFull) currentLayout(coll, sqLayoutPath(coll)) else None)
+          .map(_._1).getOrElse(ScalarQuant.encode(corpus, "vector", sq))
+        ScalarQuant.search(encoded, qDf, sq, k, rerankVecCol = Some("vector"))
       case IndexType.Flat =>
         ExactKnn.knn(corpus, qDf, k, cfg.spaceType)
     }

@@ -3,7 +3,7 @@ package graft.core
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import graft.operators.{IvfIndex, IvfPq}
+import graft.operators.{IvfIndex, IvfPq, Opq, ScalarQuant}
 
 /** Index-snapshot persistence (SURVEY S8): centroids/codebooks as small
   * sidecar artifacts per collection, replacing the reference's gob snapshots
@@ -64,5 +64,50 @@ object ModelStore {
     val m = header(2).toInt; val subDim = header(3).toInt
     val codebooks = Array.fill(m)(readMatrix(it))
     Some(IvfPq.Model(coarse, codebooks, m, subDim))
+  }
+
+  /** OPQ = rotation matrix + the embedded IVFPQ snapshot fields (train
+    * errors are a training-time diagnostic, not persisted).
+    */
+  def saveOpq(path: String, model: Opq.Model): Unit = {
+    val sb = new StringBuilder
+    sb.append("opq ").append(model.pq.coarse.space.name).append(' ')
+      .append(model.pq.m).append(' ').append(model.pq.subDim).append('\n')
+    writeMatrix(sb, model.rotation)
+    writeMatrix(sb, model.pq.coarse.centroids)
+    model.pq.codebooks.foreach(writeMatrix(sb, _))
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def loadOpq(path: String): Option[Opq.Model] = {
+    if (!Files.exists(Paths.get(path))) return None
+    val lines = Files.readAllLines(Paths.get(path)).iterator()
+    val it = new Iterator[String] { def hasNext = lines.hasNext; def next() = lines.next() }
+    val header = it.next().split(' ')
+    require(header(0) == "opq", s"not an opq snapshot: $path")
+    val rotation = readMatrix(it)
+    val coarse = IvfIndex.Model(readMatrix(it), SpaceType.parse(header(1)))
+    val m = header(2).toInt; val subDim = header(3).toInt
+    val codebooks = Array.fill(m)(readMatrix(it))
+    Some(Opq.Model(rotation, IvfPq.Model(coarse, codebooks, m, subDim), Array.empty))
+  }
+
+  /** SQ8 = the per-dimension min/max rows. */
+  def saveSq(path: String, model: ScalarQuant.Model): Unit = {
+    val sb = new StringBuilder
+    sb.append("sq\n")
+    writeMatrix(sb, Array(model.mins, model.maxs))
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def loadSq(path: String): Option[ScalarQuant.Model] = {
+    if (!Files.exists(Paths.get(path))) return None
+    val lines = Files.readAllLines(Paths.get(path)).iterator()
+    val it = new Iterator[String] { def hasNext = lines.hasNext; def next() = lines.next() }
+    require(it.next().startsWith("sq"), s"not an sq snapshot: $path")
+    val m = readMatrix(it)
+    Some(ScalarQuant.Model(m(0), m(1)))
   }
 }

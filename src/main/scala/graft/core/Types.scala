@@ -22,15 +22,20 @@ object SpaceType {
         s"unknown space type '$s' (expected one of ${all.map(_.name).mkString(", ")})"))
 }
 
-/** Index algorithm (reference `internal/index/const.go:10-15`). */
+/** Index algorithm (reference `internal/index/const.go:10-15`, plus two
+  * tiers beyond the reference: `opq` — learned-rotation IVFPQ — and `sq` —
+  * SQ8 scalar quantization).
+  */
 sealed abstract class IndexType(val name: String) extends Serializable
 object IndexType {
   case object Flat extends IndexType("flat")
   case object Hnsw extends IndexType("hnsw")   // capability parity via LSH/partitioned ANN
   case object IvfFlat extends IndexType("ivf_flat")
   case object IvfPq extends IndexType("ivfpq")
+  case object Opq extends IndexType("opq")     // beyond reference: rotated IVFPQ
+  case object Sq extends IndexType("sq")       // beyond reference: SQ8 flat
 
-  val all: Seq[IndexType] = Seq(Flat, Hnsw, IvfFlat, IvfPq)
+  val all: Seq[IndexType] = Seq(Flat, Hnsw, IvfFlat, IvfPq, Opq, Sq)
   def parse(s: String): IndexType =
     all.find(_.name == s.toLowerCase).getOrElse(
       throw new IllegalArgumentException(

@@ -157,6 +157,47 @@ class EngineSpec extends SparkSpec {
     assert(viaDf === viaSeq)
   }
 
+  test("opq and sq collections: buildIndex, search, setparams, snapshot recovery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("engine-extra").toString
+    val e = new Engine(spark, dir)
+    val rnd = new scala.util.Random(3)
+    val docs = (0 until 150).map { i =>
+      Document(i.toString, Array.tabulate(8)(j =>
+        (if (j == (i % 4) * 2) 6f else 0.3f) + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    for ((name, it) <- Seq(("opqc", IndexType.Opq), ("sqc", IndexType.Sq))) {
+      e.createCollection(CollectionConfig(name, 8, it))
+      e.batchUpsertDocuments(name, docs)
+      e.buildIndex(name, nlist = 4)
+      val hits = e.searchDocuments(name, docs(5).vector, 3)
+      assert(hits.head.id === "5" && math.abs(hits.head.distance) < 1e-9,
+        s"$name self-match failed: ${hits.map(h => (h.id, h.distance))}")
+      // DF KNN-join surface agrees with the Seq surface
+      val qDf = Seq(("a", docs(5).vector.toSeq)).toDF("query_id", "query_vec")
+        .select(col("query_id"), col("query_vec").cast("array<float>").as("query_vec"))
+      val viaDf = e.searchVectorsDf(name, qDf, 3)
+        .select("id", "rnk").as[(String, Long)].collect().toSet
+      val viaSeq = e.searchVectors(name, Seq(("a", docs(5).vector)), 3)
+        .select("id", "rnk").as[(String, Long)].collect().toSet
+      assert(viaDf === viaSeq, s"$name DF path diverged")
+    }
+    // nprobe valid for opq, invalid for sq
+    e.setParams("opqc", Map("nprobe" -> 2))
+    intercept[IllegalArgumentException](e.setParams("sqc", Map("nprobe" -> 2)))
+    // a FRESH engine over the same root recovers both models from snapshots
+    val e2 = new Engine(spark, dir)
+    assert(e2.searchDocuments("opqc", docs(7).vector, 1).head.id === "7")
+    assert(e2.searchDocuments("sqc", docs(7).vector, 1).head.id === "7")
+    // hamming rejected for both (no silent fallback)
+    e.createCollection(CollectionConfig("badopq", 8, IndexType.Opq, SpaceType.Hamming))
+    e.batchUpsertDocuments("badopq", docs.take(5))
+    intercept[IllegalArgumentException](e.buildIndex("badopq"))
+    e.createCollection(CollectionConfig("badsq", 8, IndexType.Sq, SpaceType.Cos))
+    e.batchUpsertDocuments("badsq", docs.take(5))
+    intercept[IllegalArgumentException](e.buildIndex("badsq"))
+  }
+
   test("searchVectorsDf: oversized query set on a flat collection fails fast with routing hint") {
     import spark.implicits._
     val e = freshEngine(dim = 4)
