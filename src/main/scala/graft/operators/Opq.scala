@@ -57,11 +57,14 @@ object Opq {
         LocalKMeans.fit(slices, k, kmeansIters,
           warmStart = Option(books).map(_(j)))
       }
-      // reconstruct each row from its nearest codewords
-      val Yhat = DenseMatrix.zeros[Double](n, d)
-      var err = 0.0
-      var i = 0
-      while (i < n) {
+      // reconstruct each row from its nearest codewords — raw arrays and a
+      // parallel row loop (per-element DenseMatrix access in the hot loop
+      // would dominate the whole alternation)
+      val yhat = Array.ofDim[Double](n, d)
+      val errAcc = new java.util.concurrent.atomic.DoubleAdder()
+      import scala.collection.parallel.CollectionConverters._
+      (0 until n).par.foreach { i =>
+        val yr = yRows(i); val out = yhat(i)
         var j = 0
         while (j < m) {
           var best = 0; var bestD = Double.MaxValue
@@ -69,21 +72,20 @@ object Opq {
           while (c < books(j).length) {
             var s = 0.0; var t = 0
             while (t < subDim) {
-              val dv = Y(i, j * subDim + t) - books(j)(c)(t); s += dv * dv; t += 1
+              val dv = yr(j * subDim + t) - books(j)(c)(t); s += dv * dv; t += 1
             }
             if (s < bestD) { bestD = s; best = c }
             c += 1
           }
           var t = 0
-          while (t < subDim) { Yhat(i, j * subDim + t) = books(j)(best)(t); t += 1 }
-          err += bestD
+          while (t < subDim) { out(j * subDim + t) = books(j)(best)(t); t += 1 }
+          errAcc.add(bestD)
           j += 1
         }
-        i += 1
       }
-      errs += err / n
+      errs += errAcc.sum / n
       // Procrustes: max tr(R·B) with B = Σ xᵢŷᵢᵀ = Xᵀ·Ŷ → R = V·Uᵀ
-      val B = X.t * Yhat
+      val B = X.t * DenseMatrix.tabulate(n, d)((i, j) => yhat(i)(j))
       val svd.SVD(u, _, vt) = svd(B)
       rot = vt.t * u.t
     }
@@ -96,12 +98,15 @@ object Opq {
   def train(corpus: DataFrame, vecCol: String, nlist: Int, m: Int = 8,
       nbits: Int = 8, maxIter: Int = 40, seed: Long = 42L,
       space: graft.core.SpaceType = graft.core.SpaceType.L2,
-      opqIters: Int = 10): Model = {
+      opqIters: Int = 10, rotationSampleCap: Long = 8000L): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(space != graft.core.SpaceType.Hamming,
       "opq supports l2, ip, and cos spaces (rotation has no hamming form)")
-    val (sampleDf, _) = IvfIndex.trainingSample(corpus, vecCol, 20000L, seed)
+    // the rotation saturates on a few thousand rows (it has only d² free
+    // parameters) — a smaller cap than the codebook trainer's keeps the
+    // alternation's O(n·k·d) per-iteration cost off the build critical path
+    val (sampleDf, _) = IvfIndex.trainingSample(corpus, vecCol, rotationSampleCap, seed)
     val collected = sampleDf.as[Seq[Float]].collect().map(_.toArray)
     // cos: learn the rotation where the index lives — on the unit sphere
     val raw = if (space == graft.core.SpaceType.Cos)
@@ -126,7 +131,12 @@ object Opq {
       }
       Array.tabulate(v.length)(i => (v(i) - cents(best)(i)).toFloat)
     }
-    val (rot, errs) = learnRotation(resid, m, k, opqIters)
+    // learn against a CAPPED codebook (≤64 codewords): the rotation is
+    // robust to codebook resolution (it has only d² parameters), and the
+    // full-k codebooks are refit on the rotated corpus by IvfPq.train below
+    // — this keeps the alternation's O(n·m·k·subDim) reconstruct off the
+    // build critical path
+    val (rot, errs) = learnRotation(resid, m, math.min(k, 64), opqIters)
     val pq = IvfPq.train(rotate(corpus, vecCol, rot, "__rvec"), "__rvec",
       nlist, m, nbits, maxIter, seed, space)
     Model(rot, pq, errs)
