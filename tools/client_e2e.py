@@ -71,6 +71,19 @@ def main(port):
     except GraftError as e:
         expect(e.status_code == 404, "missing collection → 404")
 
+    # the beyond-reference quantized tiers speak the same wire protocol
+    for qname, itype in [("e2e_opq", "opq"), ("e2e_sq", "sq")]:
+        c.create_collection(qname, 4, index_type=itype, space_type="l2",
+                            parameters={"m": "2"} if itype == "opq" else None)
+        c.batch_upsert_documents(qname, [
+            {"id": str(i), "vector": [float(i), float(i % 3), float((i * 7) % 5), 1.0]}
+            for i in range(30)])
+        c.build_index(qname)
+        qhits = c.search_vectors(qname, [5.0, 2.0, 0.0, 1.0], limit=3)
+        expect(qhits["ids"][0] == "5" and qhits["distances"][0] == 0.0,
+               f"{itype} collection: quantized search self-match")
+        c.delete_collection(qname)
+
     c.delete_collection(name)
     expect(name not in c.list_collections(), "collection deleted")
     print("== client e2e: all checks passed ==")
