@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.SpaceType
-import graft.operators.{AnnLsh, Dedup, ExactKnn, IvfIndex, IvfPq}
+import graft.operators.{AnnLsh, Dedup, ExactKnn, IvfIndex, IvfPq, ScalarQuant}
 
 /** Scale-story benchmark: the sf0.1 numbers in BENCH are Spark-fixed-cost
   * dominated (~0.3–1 s/query floor), so they can't show WHY the approximate
@@ -130,6 +130,20 @@ object ScaleBench {
         IvfPq.searchDistributed(encoded, q, pq, kTop = 10, nprobe = 4,
           corpusId = "vec_id", queryId = "qid", queryVec = "qv")))
       assigned.unpersist(); encoded.unpersist()
+      // SQ8: the compressed-scan story (codes are 4× smaller than floats;
+      // still O(n) but the scan bytes shrink accordingly)
+      var sqm: ScalarQuant.Model = null
+      var sqEnc: DataFrame = null
+      out(s"sq_build_$tag") = time {
+        sqm = ScalarQuant.train(corpus, "embedding")
+        sqEnc = ScalarQuant.encode(corpus, "embedding", sqm)
+          .select(col("vec_id"), col("sq_code")).cache()
+        sqEnc.count()
+      }
+      out(s"sq_scan_search_$tag") = time(drain(
+        ScalarQuant.search(sqEnc, q, sqm, kTop = 10,
+          corpusId = "vec_id", queryId = "qid", queryVec = "qv")))
+      sqEnc.unpersist()
       // LSH KNN: bucketed candidates vs the exact scan above
       out(s"lsh_knn_$tag") = time(drain(
         AnnLsh.search(corpus, q, 10, SpaceType.Cos,
@@ -167,6 +181,8 @@ object ScaleBench {
       "scaling_ivf_search" -> out(s"ivf_probe_search_$scaled") / out("ivf_probe_search_1x"),
       "scaling_pq_search" -> out(s"pq_adc_search_$scaled") / out("pq_adc_search_1x"),
       "scaling_pq_distributed" -> out(s"pq_adc_distributed_$scaled") / out("pq_adc_distributed_1x"),
+      "speedup_sq_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"sq_scan_search_$scaled"),
+      "scaling_sq_search" -> out(s"sq_scan_search_$scaled") / out("sq_scan_search_1x"),
       "scaling_minhash" -> out(s"minhash_lsh_$scaled") / out("minhash_lsh_1x"))
     val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++
       derived.map { case (k, v) => f""""$k":$v%.2f""" }

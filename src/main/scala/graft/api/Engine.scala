@@ -160,12 +160,16 @@ class Engine(
     * collection isn't ivf_flat, the index isn't built/current, or the batch
     * touches existing ids (an update's OLD layout row would ghost —
     * re-resolution would cost the partition pruning this path exists for).
-    * `assumeNewIds = true` skips the existence anti-join for pure-insert
-    * pipelines (event streams with fresh ids) — the streaming caller's
-    * contract. Batches with duplicate ids keep their per-batch LWW winner in
-    * both store and layout. Single streaming writer per collection assumed
-    * (the foreachBatch contract); a racing writer merely stales the layout —
-    * staleness checks make every interleaving fall back, never lie.
+    * `assumeNewIds = true` skips the existence anti-join AND the in-batch
+    * duplicate check for pure-insert pipelines (event streams with fresh,
+    * unique ids) — the streaming caller's contract. Otherwise a batch with
+    * duplicate ids falls back too (the store resolves in-batch duplicates by
+    * arrival order, which a second evaluation of a nondeterministic source
+    * cannot reproduce). Single streaming writer per collection assumed (the
+    * foreachBatch contract); a racing writer merely stales the layout — the
+    * stamp only ever advances to THIS batch's own committed version, and
+    * only while it is still the newest, so staleness checks make every
+    * interleaving fall back, never lie.
     */
   def ingestBatchIndexed(coll: String, batch: DataFrame,
       assumeNewIds: Boolean = false): Unit = {
@@ -179,25 +183,26 @@ class Engine(
     else None
     val maintainable = model.isDefined &&
       currentLayout(coll, ivfLayoutPath(coll)).isDefined
-    val insertOnly = maintainable && (assumeNewIds ||
-      batch.select(col("id")).join(store.read(coll).select(col("id")), "id").isEmpty)
-    store.upsertDf(coll, batch)
+    val insertOnly = maintainable && (assumeNewIds || {
+      val ids = batch.select(col("id"))
+      ids.join(store.read(coll).select(col("id")), "id").isEmpty &&
+        ids.groupBy(col("id")).count().filter(col("count") > 1).isEmpty
+    })
+    // v is OUR batch's committed version — stamping any later version would
+    // mark the layout current while missing an interleaved writer's rows
+    val v = store.upsertDfVersioned(coll, batch)
     if (!insertOnly) return // layout stale; searches fall back (correct, slower)
-    val v = store.currentVersion(coll)
-    // mirror upsertDf's stamping so layout rows carry the store schema; the
-    // per-batch LWW winner (max seq per id) is what the layout keeps
+    // mirror upsertDf's stamping so layout rows carry the store schema
+    // (insert-only + unique ids ⇒ seq never decides a winner)
     val stamped = batch.select(col("id"), col("vector"), col("params"))
       .withColumn("version", lit(v))
       .withColumn("seq", monotonically_increasing_id())
       .withColumn("is_deleted", lit(false))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("seq").desc)
-    val winners = stamped.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    IvfIndex.assign(winners, "vector", model.get)
+    IvfIndex.assign(stamped, "vector", model.get)
       .write.mode("append").partitionBy("cluster_id").parquet(ivfLayoutPath(coll))
-    // advance the stamp only if no write raced us (a racer leaves the stamp
-    // behind → stale → fallback; the appended rows are still consistent)
+    // advance the stamp only if our write is still the newest (a racer
+    // leaves the stamp behind → stale → fallback; the appended rows are
+    // still consistent)
     if (store.currentVersion(coll) == v)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
@@ -216,9 +221,13 @@ class Engine(
         require(cfg.indexType == IndexType.IvfFlat || cfg.indexType == IndexType.IvfPq
             || cfg.indexType == IndexType.Opq,
           s"nprobe not valid for ${cfg.indexType.name}")
-        val nlist = ivfModels.get(coll)
-          .orElse(graft.core.ModelStore.loadIvf(ivfSnapshotPath(coll)))
-          .map(_.nlist)
+        // every index family that understands nprobe gets a snapshot
+        // fallback: a fresh engine must bound nprobe by the REAL nlist, not
+        // accept anything until the first search loads the model
+        val nlist = ivfModels.get(coll).map(_.nlist)
+          .orElse(graft.core.ModelStore.loadIvf(ivfSnapshotPath(coll)).map(_.nlist))
+          .orElse(pqModels.get(coll).map(_.nlist))
+          .orElse(graft.core.ModelStore.loadPq(pqSnapshotPath(coll)).map(_.coarse.nlist))
           .orElse(opqModels.get(coll).map(_.pq.nlist))
           .orElse(graft.core.ModelStore.loadOpq(opqSnapshotPath(coll)).map(_.pq.nlist))
           .getOrElse(Int.MaxValue)
@@ -380,8 +389,10 @@ class Engine(
           .map(_._1).getOrElse(Opq.encode(corpus, "vector", opq))
         Opq.searchDistributed(encoded, queries, opq, k, nprobe)
       case IndexType.Sq =>
-        // SQ is a flat-scan tier: queries broadcast as a frame, never
-        // collected to the driver
+        // SQ is a flat-scan tier: queries ride as a broadcast frame — not a
+        // driver collect, but a broadcast is still driver-materialized and
+        // capped by Spark, so the same row bound applies
+        guardQuerySetSize(queries, cfg)
         val sq = loadedSq(coll)
         val encoded = currentLayout(coll, sqLayoutPath(coll))
           .map(_._1).getOrElse(ScalarQuant.encode(corpus, "vector", sq))
@@ -389,14 +400,7 @@ class Engine(
       case _ =>
         // flat/hnsw query paths collect the query set; fail fast with a
         // routing hint instead of letting a 10⁸-row frame OOM the driver
-        val maxCollect = spark.conf.getOption("spark.graft.maxCollectQueries")
-          .map(_.toLong).getOrElse(100000L)
-        if (queries.limit((maxCollect + 1).toInt).count() > maxCollect)
-          throw new IllegalArgumentException(
-            s"query set exceeds $maxCollect rows — too large for the " +
-              s"${cfg.indexType.name} batch path (it collects queries to the " +
-              "driver); route the join to an ivf_flat or ivfpq collection, " +
-              "or raise spark.graft.maxCollectQueries")
+        guardQuerySetSize(queries, cfg)
         val collected = queries
           .select(col("query_id").cast("string"), col("query_vec").cast("array<float>"))
           .collect()
@@ -407,6 +411,20 @@ class Engine(
           .withColumn("query_id",
             col("query_id").cast(queries.schema("query_id").dataType))
     }
+  }
+
+  /** Fail fast above the configurable query-row bound for paths that must
+    * materialize the query set driver-side (collect or broadcast).
+    */
+  private def guardQuerySetSize(queries: DataFrame, cfg: CollectionConfig): Unit = {
+    val maxCollect = spark.conf.getOption("spark.graft.maxCollectQueries")
+      .map(_.toLong).getOrElse(100000L)
+    if (queries.limit((maxCollect + 1).toInt).count() > maxCollect)
+      throw new IllegalArgumentException(
+        s"query set exceeds $maxCollect rows — too large for the " +
+          s"${cfg.indexType.name} batch path (it materializes queries on the " +
+          "driver); route the join to an ivf_flat, ivfpq, or opq collection, " +
+          "or raise spark.graft.maxCollectQueries")
   }
 
   private def loadedOpq(coll: String): Opq.Model =

@@ -108,14 +108,28 @@ class DocStore(spark: SparkSession, root: String) {
     * one micro-batch resolve deterministically by (partition, offset) order;
     * ordering across micro-batches is exact (version).
     */
-  def upsertDf(name: String, batch: DataFrame): Unit =
+  def upsertDf(name: String, batch: DataFrame): Unit = {
+    upsertDfVersioned(name, batch); ()
+  }
+
+  /** `upsertDf` returning the version THIS batch committed under — for
+    * callers that coordinate derived artifacts (e.g. an incremental index
+    * layout) with exactly this write: stamping the artifact with any version
+    * other than the returned one can mark it current while missing a racing
+    * writer's rows.
+    */
+  def upsertDfVersioned(name: String, batch: DataFrame): Long = {
+    var committed = -1L
     withNextVersion(name) { v =>
+      committed = v
       batch.select(col("id"), col("vector"), col("params"))
         .withColumn("version", lit(v))
         .withColumn("seq", monotonically_increasing_id())
         .withColumn("is_deleted", lit(false))
         .write.mode("append").parquet(dataDir(name))
     }
+    committed
+  }
 
   private def appendRows(name: String, rows: Seq[Row], dim: Int): Unit =
     withNextVersion(name) { v =>

@@ -58,7 +58,14 @@ object Dedup {
       .agg(min(col("__mid")).as("__rep"), count(lit(1)).as("__gn")).cache()
     val dupReps = repIds.filter(col("__gn") > 1).select(col("__gkey"), col("__rep"))
     if (dupReps.isEmpty) { repIds.unpersist(); None }
-    else Some(withKey.join(dupReps, "__gkey").select(col("__rep"), col("__mid")).cache())
+    else {
+      // materialize the (tiny) dup frame NOW so the corpus-sized repIds
+      // cache can be released immediately instead of living for the session
+      val m = withKey.join(dupReps, "__gkey").select(col("__rep"), col("__mid")).cache()
+      m.count()
+      repIds.unpersist()
+      Some(m)
+    }
   }
 
   /** All ids that belong to a dup group but are not its representative —

@@ -164,9 +164,21 @@ object GraphAnn {
       * cannot distinguish incarnations).
       */
     def invalidate(layoutIdPrefix: String): Unit =
-      cache.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach(cache.remove)
+      cache.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach { k =>
+        cache.remove(k); buildLocks.remove(k)
+      }
 
-    def clear(): Unit = cache.clear()
+    /** Drop per-call ephemeral entries (and their build locks) from OTHER
+      * calls — their keys are unique per call, so they can never be hit
+      * again; left alone they would pin dead graphs in the LRU and grow the
+      * lock map without bound.
+      */
+    def evictEphemeralExcept(callId: String): Unit =
+      cache.keys.filter(k => k._1.startsWith("__call_") && k._1 != callId).foreach { k =>
+        cache.remove(k); buildLocks.remove(k)
+      }
+
+    def clear(): Unit = { cache.clear(); buildLocks.clear() }
   }
 
   /** Per-partition beam results (k best per query PER PARTITION, before the
@@ -177,13 +189,18 @@ object GraphAnn {
     *
     * The query set is streamed driver-side in BOUNDED batches
     * (`toLocalIterator` holds one query partition at a time, never the full
-    * frame): each batch becomes one broadcast + one mapPartitions stage, all
-    * unioned LAZILY — at action time they run as a single job, so a 10⁶-query
-    * search is numBatches×corpusParts tasks with driver memory capped at one
-    * batch + the in-flight partition. Multi-batch runs share the per-
-    * partition graph builds through the executor GraphCache: a caller-less
-    * ephemeral key scopes the sharing to this call when no materialized
-    * layout key exists (one build per partition total, not per batch).
+    * frame): each batch is handed straight to a spill-capable broadcast and
+    * its raw array dropped, so the driver HEAP holds one batch at a time
+    * (the full set resides in the block manager as disk-spillable broadcast
+    * blocks — unlike the old collect, which pinned it all on the heap). The
+    * per-batch mapPartitions stages union lazily and run as a single job.
+    * Multi-batch runs share the per-partition graph builds through the
+    * executor GraphCache: a per-call ephemeral key scopes the sharing when
+    * no materialized layout key exists (one BUILD per partition total —
+    * though each batch still adds one corpus-partition scan, so
+    * `queryBatchSize` trades driver memory against scan count; truly huge
+    * query joins belong on the IVF tier). Stale ephemeral entries from
+    * earlier calls are evicted on entry.
     */
   def localResults(
       corpus: DataFrame,
@@ -235,21 +252,29 @@ object GraphAnn {
       }
     }
 
-    val batches = scala.collection.mutable.ArrayBuffer.empty[Array[(Any, Array[Float])]]
     val it = queries.select(col(queryId), col(queryVec)).toLocalIterator()
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Float])]
-    while (it.hasNext) {
-      val r = it.next()
-      buf += ((r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
-      if (buf.length >= queryBatchSize) { batches += buf.toArray; buf.clear() }
+    def nextBatch(): Array[(Any, Array[Float])] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Float])]
+      while (it.hasNext && buf.length < queryBatchSize) {
+        val r = it.next()
+        buf += ((r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+      }
+      buf.toArray
     }
-    if (buf.nonEmpty) batches += buf.toArray
+    val rdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[Row]]
+    val first = nextBatch()
     // single batch keeps today's semantics (no cache entry unless the caller
     // keys one); multi-batch without a layout key shares builds via an
-    // ephemeral per-call key (row-count-checked, LRU-bounded like any entry)
+    // ephemeral per-call key (row-count-checked, evicted by the next call)
     val effKey =
-      if (batches.length <= 1 || cacheKey.isDefined) cacheKey
-      else Some((s"__call_${java.util.UUID.randomUUID()}", 0L))
+      if (!it.hasNext || cacheKey.isDefined) cacheKey
+      else {
+        val callId = s"__call_${java.util.UUID.randomUUID()}"
+        GraphCache.evictEphemeralExcept(callId)
+        Some((callId, 0L))
+      }
+    if (first.nonEmpty) rdds += batchRdd(first, effKey)
+    while (it.hasNext) rdds += batchRdd(nextBatch(), effKey)
     val qidType = queries.schema(queryId).dataType
     val idType = corpus.schema(corpusId).dataType
     val schema = StructType(Seq(
@@ -257,8 +282,8 @@ object GraphAnn {
       StructField(corpusId, idType),
       StructField("distance", DoubleType)))
     val local =
-      if (batches.isEmpty) spark.sparkContext.emptyRDD[Row]
-      else spark.sparkContext.union(batches.toSeq.map(b => batchRdd(b, effKey)))
+      if (rdds.isEmpty) spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext.union(rdds.toSeq)
     spark.createDataFrame(local, schema)
   }
 

@@ -59,7 +59,7 @@ object IvfPq {
       .drop(normCol)
   }
 
-  private def l2NormalizeLocal(v: Array[Float]): Array[Float] = {
+  private[operators] def l2NormalizeLocal(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
     val n = math.sqrt(s)

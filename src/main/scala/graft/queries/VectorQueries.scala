@@ -20,6 +20,18 @@ object VectorQueries {
   private val K = 10
   private val NQ = 10 // queries = vec_id < NQ
 
+  /** Deterministic trainers memoized per (session, dir, key): a query and
+    * its oracle-input aux export recompute the SAME model by construction,
+    * so retraining it is pure waste (Verify runs both; ivf appears in four
+    * entries). The session is part of the key because the *_enc entries hold
+    * cached DataFrames — handing one to a different (possibly stopped)
+    * SparkSession would throw or misbehave.
+    */
+  private val modelCache = collection.concurrent.TrieMap.empty[(Int, String, String), Any]
+  private def cachedModel[T](spark: SparkSession, dir: String, key: String)(f: => T): T =
+    modelCache.getOrElseUpdate((System.identityHashCode(spark), dir, key), f)
+      .asInstanceOf[T]
+
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
 
@@ -163,9 +175,13 @@ object VectorQueries {
     * variant below (nprobe=2) exercises the actual scale path (rows-only
     * check here; recall gates live in IvfSpec).
     */
+  private def ivfModelFor(spark: SparkSession, dir: String): IvfIndex.Model =
+    cachedModel(spark, dir, "ivf10")(
+      IvfIndex.train(corpus(spark, dir), "embedding", nlist = 10))
+
   private def ivfKnn(spark: SparkSession, dir: String, nprobeOf: Int => Int): DataFrame = {
     val c = corpus(spark, dir)
-    val model = IvfIndex.train(c, "embedding", nlist = 10)
+    val model = ivfModelFor(spark, dir)
     val assigned = IvfIndex.assign(c, "embedding", model)
     IvfIndex.search(assigned, queriesDf(spark, dir), model, K, nprobeOf(model.nlist),
         corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
@@ -194,13 +210,21 @@ object VectorQueries {
     * stage is rank-by-true-distance over exactly those candidates; recall
     * gates for the ADC stage itself live in PqSpec.
     */
-  def pqKnn(spark: SparkSession, dir: String,
-      space: SpaceType = SpaceType.L2): DataFrame = {
+  private def pqEncodedFor(spark: SparkSession, dir: String,
+      space: SpaceType): (DataFrame, IvfPq.Model) = {
     val c = corpus(spark, dir)
-    val model = IvfPq.train(c, "embedding", nlist = 10, m = 8, space = space)
+    val model = cachedModel(spark, dir, s"pq_${space.name}")(
+      IvfPq.train(c, "embedding", nlist = 10, m = 8, space = space))
     // cache = the materialized encoded layout (production writes it
     // partitionBy(cluster_id); a one-shot query caches it instead)
-    val encoded = IvfPq.encode(c, "embedding", model).cache()
+    val encoded = cachedModel(spark, dir, s"pq_enc_${space.name}")(
+      IvfPq.encode(c, "embedding", model).cache())
+    (encoded, model)
+  }
+
+  def pqKnn(spark: SparkSession, dir: String,
+      space: SpaceType = SpaceType.L2): DataFrame = {
+    val (encoded, model) = pqEncodedFor(spark, dir, space)
     IvfPq.search(encoded, queriesDf(spark, dir), model, kTop = K, nprobe = 10,
         corpusId = "vec_id", queryId = "qid", queryVec = "qv",
         rerankVecCol = Some("embedding"))
@@ -213,9 +237,7 @@ object VectorQueries {
     */
   def pqShortlistAux(spark: SparkSession, dir: String,
       space: SpaceType = SpaceType.L2): DataFrame = {
-    val c = corpus(spark, dir)
-    val model = IvfPq.train(c, "embedding", nlist = 10, m = 8, space = space)
-    val encoded = IvfPq.encode(c, "embedding", model).cache()
+    val (encoded, model) = pqEncodedFor(spark, dir, space)
     IvfPq.search(encoded, queriesDf(spark, dir), model, kTop = K * 8, nprobe = 10,
         corpusId = "vec_id", queryId = "qid", queryVec = "qv")
       .select(col("qid"), col("vec_id"))
@@ -227,15 +249,17 @@ object VectorQueries {
     * lives in OpqSpec. Re-rank runs in original space, so ranks replay
     * exactly in SQL.
     */
-  private def opqModelFor(spark: SparkSession, dir: String): (DataFrame, Opq.Model) = {
+  private def opqEncodedFor(spark: SparkSession, dir: String): (DataFrame, Opq.Model) = {
     val c = corpus(spark, dir)
-    val model = Opq.train(c, "embedding", nlist = 10, m = 8, opqIters = 6)
-    (c, model)
+    val model = cachedModel(spark, dir, "opq")(
+      Opq.train(c, "embedding", nlist = 10, m = 8, opqIters = 6))
+    val encoded = cachedModel(spark, dir, "opq_enc")(
+      Opq.encode(c, "embedding", model).cache())
+    (encoded, model)
   }
 
   def opqKnn(spark: SparkSession, dir: String): DataFrame = {
-    val (c, model) = opqModelFor(spark, dir)
-    val encoded = Opq.encode(c, "embedding", model).cache()
+    val (encoded, model) = opqEncodedFor(spark, dir)
     Opq.search(encoded, queriesDf(spark, dir), model, kTop = K, nprobe = 10,
         corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
       .select(col("qid"), col("vec_id"), col("rnk"))
@@ -245,8 +269,7 @@ object VectorQueries {
     * model → same shortlist). Exported by Verify as an oracle input.
     */
   def opqShortlistAux(spark: SparkSession, dir: String): DataFrame = {
-    val (c, model) = opqModelFor(spark, dir)
-    val encoded = Opq.encode(c, "embedding", model).cache()
+    val (encoded, model) = opqEncodedFor(spark, dir)
     Opq.search(encoded, queriesDf(spark, dir), model, kTop = K * 8, nprobe = 10,
         corpusId = "vec_id", corpusVec = "embedding", queryId = "qid",
         queryVec = "qv", rerank = false)
@@ -258,10 +281,16 @@ object VectorQueries {
     * restricted to the exported shortlist (same construction as pq_knn);
     * recall gates live in ScalarQuantSpec.
     */
-  def sqKnn(spark: SparkSession, dir: String): DataFrame = {
+  private def sqEncodedFor(spark: SparkSession, dir: String): (DataFrame, ScalarQuant.Model) = {
     val c = corpus(spark, dir)
-    val model = ScalarQuant.train(c, "embedding")
-    val encoded = ScalarQuant.encode(c, "embedding", model).cache()
+    val model = cachedModel(spark, dir, "sq")(ScalarQuant.train(c, "embedding"))
+    val encoded = cachedModel(spark, dir, "sq_enc")(
+      ScalarQuant.encode(c, "embedding", model).cache())
+    (encoded, model)
+  }
+
+  def sqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val (encoded, model) = sqEncodedFor(spark, dir)
     ScalarQuant.search(encoded, queriesDf(spark, dir), model, kTop = K,
         corpusId = "vec_id", queryId = "qid", queryVec = "qv",
         rerankVecCol = Some("embedding"))
@@ -270,9 +299,7 @@ object VectorQueries {
 
   /** The SQ shortlist sqKnn re-ranks (min/max training is deterministic). */
   def sqShortlistAux(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
-    val model = ScalarQuant.train(c, "embedding")
-    val encoded = ScalarQuant.encode(c, "embedding", model).cache()
+    val (encoded, model) = sqEncodedFor(spark, dir)
     ScalarQuant.search(encoded, queriesDf(spark, dir), model, kTop = K * 4,
         corpusId = "vec_id", queryId = "qid", queryVec = "qv")
       .select(col("qid"), col("vec_id"))
@@ -299,7 +326,7 @@ object VectorQueries {
   /** Full corpus assignment under the ivf_knn_probe model. */
   def ivfAssignAux(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val model = IvfIndex.train(c, "embedding", nlist = 10)
+    val model = ivfModelFor(spark, dir)
     IvfIndex.assign(c, "embedding", model).select(col("vec_id"), col("cluster_id"))
   }
 
@@ -307,8 +334,7 @@ object VectorQueries {
   def ivfProbesAux(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-    val c = corpus(spark, dir)
-    val model = IvfIndex.train(c, "embedding", nlist = 10)
+    val model = ivfModelFor(spark, dir)
     val q = queriesDf(spark, dir)
     val rows = q.collect().flatMap { r =>
       val qv = r.getAs[scala.collection.Seq[Float]](1).toArray

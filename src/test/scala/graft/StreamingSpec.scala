@@ -85,6 +85,13 @@ class StreamingSpec extends SparkSpec {
     val hits = e.searchDocuments("c", Array(0.55f, 0f, 0f, 0f), 2)
     assert(hits.map(_.id).toSet === Set("100", "101"),
       s"streamed docs not found via the indexed path: ${hits.map(_.id)}")
+    // a batch with DUPLICATE ids falls back too (in-batch LWW order is not
+    // reproducible across evaluations, so the layout must not guess)
+    e.ingestBatchIndexed("c",
+      Seq(("200", Seq(1f, 0f, 0f, 0f), Map.empty[String, String]),
+          ("200", Seq(2f, 0f, 0f, 0f), Map.empty[String, String]))
+        .toDF("id", "vector", "params"))
+    assert(stampOf === stamp0 + 2, "duplicate-id batch must not advance the stamp")
     // an UPDATE batch falls back (stale layout) but stays correct
     e.ingestBatchIndexed("c",
       Seq(("100", Seq(90f, 0f, 0f, 0f), Map.empty[String, String]))
