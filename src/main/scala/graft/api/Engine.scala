@@ -316,10 +316,14 @@ class Engine(
           .write.mode("overwrite").parquet(sqLayoutPath(coll))
         stampLayout()
       case IndexType.Hnsw =>
-        // materialize a stable corpus snapshot: deterministic file splits
-        // let the per-partition NSW graphs live in the executor-level
-        // GraphCache across searches (built once per layout version)
-        store.read(coll).write.mode("overwrite").parquet(hnswLayoutPath(coll))
+        // materialize the per-partition NSW graphs THEMSELVES (adjacency
+        // export — the reference persists its hnswlib index the same way):
+        // searches reconstruct from stored links instead of re-running beam
+        // insertion, and the executor GraphCache makes even reconstruction a
+        // once-per-layout cost
+        GraphAnn.buildLayout(store.read(coll), hnswLayoutPath(coll), cfg.spaceType,
+          m = cfg.params.get("M").map(_.toInt).getOrElse(16),
+          efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200))
         stampLayout()
       case _ => () // flat: nothing to train
     }
@@ -495,20 +499,22 @@ class Engine(
         // would pin graphs in an executor-level cache keyed by
         // (collection, write-version, partition).
         val ef = getParams(coll).getOrElse("efsearch", 40)
-        // prefer the materialized snapshot + executor graph cache (graphs
-        // built once per layout version); fall back to an uncached pass
-        // over the live corpus when stale or pre-filtered
+        // prefer the PERSISTED graph layout (adjacency reload + executor
+        // cache — no beam re-insertion); fall back to building over the
+        // live corpus when stale or pre-filtered. User M/efConstruction are
+        // honored at build (the reference accepts then silently drops them,
+        // collection.go:64-67 + hnsw.go:25-39 — §7.4).
         val layout = if (corpusIsFull) currentLayout(coll, hnswLayoutPath(coll)) else None
-        val (searchCorpus, cacheKey) = layout match {
-          case Some((df, stamp)) => (df, Some((hnswLayoutPath(coll), stamp)))
-          case None => (corpus, None)
+        layout match {
+          case Some((_, stamp)) =>
+            GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, k,
+              cfg.spaceType, ef = ef,
+              cacheKey = Some((hnswLayoutPath(coll), stamp)))
+          case None =>
+            GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
+              m = cfg.params.get("M").map(_.toInt).getOrElse(16),
+              efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200))
         }
-        // user M/efConstruction are honored (the reference accepts then
-        // silently drops them, collection.go:64-67 + hnsw.go:25-39 — §7.4)
-        GraphAnn.search(searchCorpus, qDf, k, cfg.spaceType, ef = ef,
-          m = cfg.params.get("M").map(_.toInt).getOrElse(16),
-          efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200),
-          cacheKey = cacheKey)
       case IndexType.Opq =>
         val opq = loadedOpq(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, opq.pq.nlist))

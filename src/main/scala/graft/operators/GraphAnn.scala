@@ -108,6 +108,21 @@ object GraphAnn {
     /** Top-k (id, distance) for q with beam width ef (the efsearch knob). */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Any, Double)] =
       beam(q, math.max(ef, k)).take(k).map { case (i, d) => (ids(i), d) }
+
+    /** Adjacency export for the persisted layout: (ordinal, id, vector,
+      * links). Reloading via `loadRaw` in ordinal order reproduces the
+      * graph EXACTLY (same arrays, same beam walks).
+      */
+    private[operators] def exportAll: Iterator[(Int, Any, Array[Float], Array[Int])] =
+      ids.indices.iterator.map(i => (i, ids(i), vecs(i), links(i).toArray))
+
+    /** Append one node with precomputed adjacency (NO beam insertion) —
+      * the reconstruction path for persisted graphs.
+      */
+    private[operators] def loadRaw(id: Any, v: Array[Float], ls: Array[Int]): Unit = {
+      ids += id; vecs += v
+      links += mutable.ArrayBuffer.from(ls)
+    }
   }
 
   /** Executor-level graph cache: per-partition NSW graphs survive across
@@ -285,6 +300,139 @@ object GraphAnn {
       if (rdds.isEmpty) spark.sparkContext.emptyRDD[Row]
       else spark.sparkContext.union(rdds.toSeq)
     spark.createDataFrame(local, schema)
+  }
+
+  /** Materialize the per-partition NSW graphs as a PERSISTED layout:
+    * (part, ord, id, vector, links) parquet — the graph-tier analog of the
+    * reference's hnswlib index save (`hnsw.go` Save/Load): a cold process
+    * reloads adjacency instead of re-running beam insertion (reconstruction
+    * is O(n·M) array fills vs O(n·efC·M·dim) distance work). Build cost is
+    * paid once at buildIndex. Returns the partition count the layout was
+    * built with.
+    */
+  def buildLayout(
+      corpus: DataFrame,
+      path: String,
+      space: SpaceType,
+      m: Int = 16,
+      efConstruction: Int = 200,
+      corpusId: String = "id",
+      corpusVec: String = "vector"): Int = {
+    val spark = corpus.sparkSession
+    val mVal = m; val efcVal = efConstruction; val spaceVal = space
+    val selected = corpus.select(col(corpusId), col(corpusVec)).rdd
+    val numParts = selected.getNumPartitions
+    val rows = selected.mapPartitionsWithIndex { (part, it) =>
+      val rs = it.toArray
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val dim = rs(0).getAs[scala.collection.Seq[Float]](1).length
+        val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+        rs.foreach { r =>
+          index.insert(r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray)
+        }
+        index.exportAll.map { case (ord, id, vec, links) =>
+          Row(part, ord, id, vec.toSeq, links.toSeq)
+        }
+      }
+    }
+    val idType = corpus.schema(corpusId).dataType
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("part", IntegerType, nullable = false),
+        StructField("ord", IntegerType, nullable = false),
+        StructField("id", idType),
+        StructField("vector", ArrayType(FloatType, containsNull = false)),
+        StructField("links", ArrayType(IntegerType, containsNull = false)))))
+      .write.mode("overwrite").parquet(path)
+    numParts
+  }
+
+  /** Batch KNN over a PERSISTED graph layout: graphs are reconstructed from
+    * stored adjacency (no beam insertion) and cached per executor under
+    * `cacheKey`; queries stream through the same bounded-batch machinery as
+    * `localResults`. Results are IDENTICAL to searching the freshly built
+    * graphs — reconstruction replays the exact arrays the builder exported.
+    */
+  def searchFromLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      ef: Int = 40,
+      queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      cacheKey: Option[(String, Long)] = None,
+      queryBatchSize: Int = 10000,
+      corpusIdName: String = "id"): DataFrame = {
+    import graft.functions.vfn
+    val graph = spark.read.parquet(path)
+    val idType = graph.schema("id").dataType
+    val qidType = queries.schema(queryId).dataType
+    val schema = StructType(Seq(
+      StructField(queryId, qidType),
+      StructField(corpusIdName, idType),
+      StructField("distance", DoubleType)))
+    val maxPart = graph.agg(max(col("part"))).first()
+    if (maxPart.isNullAt(0))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .groupBy(col(queryId))
+        .agg(vfn.topKByDistance(col("distance"), col(corpusIdName), k).as("__hits"))
+        .select(col(queryId), explode(col("__hits")).as("__h"))
+        .select(col(queryId), col("__h.id").as(corpusIdName),
+          col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+    val numParts = maxPart.getInt(0) + 1
+    // co-locate each part's rows in one task (hash collisions merely put two
+    // groups in one task — handled by the in-iterator groupBy)
+    val byPart = graph.repartition(numParts, col("part")).rdd
+    val mVal = 16; val efcVal = 200 // reconstruction never inserts: unused
+    val spaceVal = space; val efVal = ef; val kVal = k
+
+    def batchRdd(qRows: Array[(Any, Array[Float])]): org.apache.spark.rdd.RDD[Row] = {
+      val bcQ = spark.sparkContext.broadcast(qRows)
+      byPart.mapPartitions { it =>
+        val groups = it.toArray.groupBy(_.getInt(0))
+        groups.iterator.flatMap { case (part, rs) =>
+          def rebuild: NswIndex = {
+            val sorted = rs.sortBy(_.getInt(1))
+            val dim = sorted(0).getAs[scala.collection.Seq[Float]](3).length
+            val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+            sorted.foreach { r =>
+              index.loadRaw(r.get(2), r.getAs[scala.collection.Seq[Float]](3).toArray,
+                r.getAs[scala.collection.Seq[Int]](4).toArray)
+            }
+            index
+          }
+          val index = cacheKey match {
+            case Some((layoutId, version)) =>
+              GraphCache.getOrBuild(layoutId, version, numParts, part, rs.length)(rebuild)
+            case None => rebuild
+          }
+          bcQ.value.iterator.flatMap { case (qid, qv) =>
+            index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+          }
+        }
+      }
+    }
+
+    val it = queries.select(col(queryId), col(queryVec)).toLocalIterator()
+    val rdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[Row]]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Float])]
+    while (it.hasNext) {
+      val r = it.next()
+      buf += ((r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+      if (buf.length >= queryBatchSize) { rdds += batchRdd(buf.toArray); buf.clear() }
+    }
+    if (buf.nonEmpty) rdds += batchRdd(buf.toArray)
+    val local =
+      if (rdds.isEmpty) spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext.union(rdds.toSeq)
+    spark.createDataFrame(local, schema)
+      .groupBy(col(queryId))
+      .agg(vfn.topKByDistance(col("distance"), col(corpusIdName), k).as("__hits"))
+      .select(col(queryId), explode(col("__hits")).as("__h"))
+      .select(col(queryId), col("__h.id").as(corpusIdName),
+        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
   }
 
   /** Approximate batch KNN: per-partition NSW graphs, queries broadcast,

@@ -80,6 +80,35 @@ class GraphAnnSpec extends SparkSpec {
     assert(hi >= lo, f"recall fell as ef grew: $lo%.3f -> $hi%.3f")
   }
 
+  test("persisted graph layout: reload ≡ fresh build; reconstruction skips beam insertion") {
+    val path = java.nio.file.Files.createTempDirectory("nsw-layout").toString + "/graph"
+    val queries = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 30)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val fresh = GraphAnn.search(emb, queries, 10, SpaceType.L2, ef = 60,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    GraphAnn.buildLayout(emb, path, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val reloaded = GraphAnn.searchFromLayout(spark, path, queries, 10, SpaceType.L2,
+        ef = 60, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id")
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(reloaded === fresh,
+      "search over the reloaded adjacency diverged from the freshly built graphs")
+    // with a cache key, the reconstruction itself is once-per-layout
+    GraphAnn.GraphCache.clear()
+    val b0 = GraphAnn.GraphCache.builds.get()
+    val key = Some((path, 1L))
+    GraphAnn.searchFromLayout(spark, path, queries, 5, SpaceType.L2, ef = 40,
+      queryId = "qid", queryVec = "qv", cacheKey = key, corpusIdName = "vec_id").count()
+    val afterFirst = GraphAnn.GraphCache.builds.get()
+    assert(afterFirst > b0, "first layout search must reconstruct graphs")
+    GraphAnn.searchFromLayout(spark, path, queries, 5, SpaceType.L2, ef = 40,
+      queryId = "qid", queryVec = "qv", cacheKey = key, corpusIdName = "vec_id").count()
+    assert(GraphAnn.GraphCache.builds.get() === afterFirst,
+      "second layout search must reuse cached reconstructions")
+  }
+
   test("batched query path ≡ single-batch; builds shared across batches; driver never holds the full set") {
     // 450 queries with a 100-row batch bound → 5 batches in one job
     val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")
