@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.SpaceType
-import graft.operators.{AnnLsh, ExactKnn, GraphAnn, IvfIndex, IvfPq}
+import graft.operators.{AnnLsh, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
 
 /** Recall/latency sweep across the approximate tiers' knobs — the semantics
   * of the reference's benchmark harness (`benchmarks/run_benchmarks.py`:
@@ -79,6 +79,27 @@ object RecallBench {
         IvfPq.search(encoded, queries, pq, k, nprobe,
           corpusId = "vec_id", queryId = "qid", queryVec = "qv",
           rerankVecCol = if (rerank) Some("embedding") else None))
+
+    // OPQ: same sweep as IVFPQ — the rotated tier's recall at equal budget
+    val opq = Opq.train(emb, "embedding", nlist = 10, m = 8, opqIters = 6)
+    val opqEnc = Opq.encode(emb, "embedding", opq).cache()
+    opqEnc.count()
+    for (nprobe <- Seq(2, 10); rerank <- Seq(false, true))
+      report(if (rerank) "opq_rerank" else "opq_adc", "nprobe", nprobe,
+        Opq.search(opqEnc, queries, opq, k, nprobe,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid",
+          queryVec = "qv", rerank = rerank))
+
+    // SQ8: rerank over-fetch sweep (codes are near-exact; the knob is how
+    // many candidates the exact re-rank sees)
+    val sq = ScalarQuant.train(emb, "embedding")
+    val sqEnc = ScalarQuant.encode(emb, "embedding", sq).cache()
+    sqEnc.count()
+    for (factor <- Seq(1, 2, 4))
+      report("sq8_rerank", "rerank_factor", factor,
+        ScalarQuant.search(sqEnc, queries, sq, k,
+          corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+          rerankVecCol = Some("embedding"), rerankFactor = factor))
 
     spark.stop()
   }
