@@ -375,7 +375,70 @@ object RelationalQueries {
       |FROM part WHERE p_type LIKE '%M%'
       |GROUP BY 1, 2""".stripMargin
 
+  /** TPC-H Q10-style returned-item report: revenue lost to returns per
+    * customer, 4-way join through the nation dimension, global top-20.
+    * Scale: lineitem pre-filtered to returns before the join; nation
+    * broadcast; top-20 via TakeOrderedAndProject.
+    */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val revenue = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q12-style priority classification: conditional CASE-sum counts
+    * per return flag (Q12's shipmode column doesn't exist in this schema;
+    * the conditional-aggregation shape is what's exercised). Scale: one
+    * equi-join shuffle + map-side-combined conditional sums.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_revenue" -> (q10ReturnedRevenue(_, _)),
+    "q12_priority_class" -> (q12PriorityClass(_, _)),
     "q4_late_priority" -> (q4LatePriority(_, _)),
     "part_type_stats" -> (partTypeStats(_, _)),
     "q6_forecast" -> (q6Forecast(_, _)),
@@ -394,6 +457,8 @@ object RelationalQueries {
     "events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_revenue" -> q10Sql,
+    "q12_priority_class" -> q12Sql,
     "q4_late_priority" -> q4Sql,
     "part_type_stats" -> partTypeStatsSql,
     "q6_forecast" -> q6Sql,
