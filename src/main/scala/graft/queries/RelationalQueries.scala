@@ -375,6 +375,49 @@ object RelationalQueries {
       |FROM part WHERE p_type LIKE '%M%'
       |GROUP BY 1, 2""".stripMargin
 
+  /** Batch sessionization: inactivity-gap sessions (30 min) via
+    * lag + running conditional sum — the oracle-checked batch twin of the
+    * streaming `Sessionize` operator (same gap semantics; streaming adds the
+    * watermark-timeout close). ts is nanos (nanosAsLong); boundaries emit as
+    * epoch millis. Scale: two window passes over the same (user, ts)
+    * ordering — one shuffle, both windows share it.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapNs = 30L * 60L * 1000000000L
+    ev.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("ts") - col("__prev") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        expr("min(ts) div 1000000").as("start_ms"),
+        expr("max(ts) div 1000000").as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM o)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_idx""".stripMargin
+
   /** TPC-H Q10-style returned-item report: revenue lost to returns per
     * customer, 4-way join through the nation dimension, global top-20.
     * Scale: lineitem pre-filtered to returns before the join; nation
@@ -439,6 +482,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_returned_revenue" -> (q10ReturnedRevenue(_, _)),
     "q12_priority_class" -> (q12PriorityClass(_, _)),
+    "sessionize_batch" -> (sessionizeBatch(_, _)),
     "q4_late_priority" -> (q4LatePriority(_, _)),
     "part_type_stats" -> (partTypeStats(_, _)),
     "q6_forecast" -> (q6Forecast(_, _)),
@@ -459,6 +503,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q10_returned_revenue" -> q10Sql,
     "q12_priority_class" -> q12Sql,
+    "sessionize_batch" -> sessionizeBatchSql,
     "q4_late_priority" -> q4Sql,
     "part_type_stats" -> partTypeStatsSql,
     "q6_forecast" -> q6Sql,
