@@ -174,13 +174,8 @@ class Engine(
   def ingestBatchIndexed(coll: String, batch: DataFrame,
       assumeNewIds: Boolean = false): Unit = {
     val cfg = configOf(coll)
-    val model = if (cfg.indexType == IndexType.IvfFlat)
-      ivfModels.get(coll).orElse {
-        val loaded = ModelStore.loadIvf(ivfSnapshotPath(coll))
-        loaded.foreach(mm => ivfModels(coll) = mm)
-        loaded
-      }
-    else None
+    val model =
+      if (cfg.indexType == IndexType.IvfFlat) loadedIvfOpt(coll) else None
     val maintainable = model.isDefined &&
       currentLayout(coll, ivfLayoutPath(coll)).isDefined
     val insertOnly = maintainable && (assumeNewIds || {
@@ -360,27 +355,13 @@ class Engine(
     val corpus = store.read(coll)
     cfg.indexType match {
       case IndexType.IvfFlat =>
-        val model = ivfModels.get(coll)
-          .orElse {
-            val loaded = ModelStore.loadIvf(ivfSnapshotPath(coll))
-            loaded.foreach(mm => ivfModels(coll) = mm)
-            loaded
-          }
-          .getOrElse(
-            throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val model = loadedIvf(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
         val assigned = currentLayout(coll, ivfLayoutPath(coll))
           .map(_._1).getOrElse(IvfIndex.assign(corpus, "vector", model))
         IvfIndex.searchDistributed(assigned, queries, model, k, nprobe)
       case IndexType.IvfPq =>
-        val pq = pqModels.get(coll)
-          .orElse {
-            val loaded = ModelStore.loadPq(pqSnapshotPath(coll))
-            loaded.foreach { mm => pqModels(coll) = mm; ivfModels(coll) = mm.coarse }
-            loaded
-          }
-          .getOrElse(
-            throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val pq = loadedPq(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
         val encoded = currentLayout(coll, pqLayoutPath(coll))
           .map(_._1).getOrElse(IvfPq.encode(corpus, "vector", pq))
@@ -417,6 +398,29 @@ class Engine(
     }
   }
 
+  private def notBuilt(coll: String): Nothing =
+    throw new IllegalStateException(s"index for '$coll' not built — call buildIndex")
+
+  private def loadedIvfOpt(coll: String): Option[IvfIndex.Model] =
+    ivfModels.get(coll).orElse {
+      // recovery: reload the persisted snapshot (SURVEY S7/S8)
+      val loaded = ModelStore.loadIvf(ivfSnapshotPath(coll))
+      loaded.foreach(mm => ivfModels(coll) = mm)
+      loaded
+    }
+
+  private def loadedIvf(coll: String): IvfIndex.Model =
+    loadedIvfOpt(coll).getOrElse(notBuilt(coll))
+
+  private def loadedPq(coll: String): IvfPq.Model =
+    pqModels.get(coll)
+      .orElse {
+        val loaded = ModelStore.loadPq(pqSnapshotPath(coll))
+        loaded.foreach { mm => pqModels(coll) = mm; ivfModels(coll) = mm.coarse }
+        loaded
+      }
+      .getOrElse(notBuilt(coll))
+
   /** Fail fast above the configurable query-row bound for paths that must
     * materialize the query set driver-side (collect or broadcast).
     */
@@ -438,8 +442,7 @@ class Engine(
         loaded.foreach { mm => opqModels(coll) = mm; ivfModels(coll) = mm.pq.coarse }
         loaded
       }
-      .getOrElse(
-        throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+      .getOrElse(notBuilt(coll))
 
   private def loadedSq(coll: String): ScalarQuant.Model =
     sqModels.get(coll)
@@ -448,8 +451,7 @@ class Engine(
         loaded.foreach(mm => sqModels(coll) = mm)
         loaded
       }
-      .getOrElse(
-        throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+      .getOrElse(notBuilt(coll))
 
   private def searchOn(corpus: DataFrame, cfg: CollectionConfig, coll: String,
       queries: Seq[(String, Array[Float])], k: Int,
@@ -459,14 +461,7 @@ class Engine(
       .withColumn("query_vec", col("query_vec").cast("array<float>"))
     cfg.indexType match {
       case IndexType.IvfPq =>
-        val pq = pqModels.get(coll)
-          .orElse { // recovery: reload the persisted snapshot (SURVEY S7/S8)
-            val loaded = ModelStore.loadPq(pqSnapshotPath(coll))
-            loaded.foreach { mm => pqModels(coll) = mm; ivfModels(coll) = mm.coarse }
-            loaded
-          }
-          .getOrElse(
-            throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val pq = loadedPq(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
         // prefer the encoded layout materialized at buildIndex (partition-
         // pruned, no per-search re-encoding); re-encode only when stale or
@@ -475,14 +470,7 @@ class Engine(
           .map(_._1).getOrElse(IvfPq.encode(corpus, "vector", pq))
         IvfPq.search(encoded, qDf, pq, k, nprobe, rerankVecCol = Some("vector"))
       case IndexType.IvfFlat =>
-        val model = ivfModels.get(coll)
-          .orElse { // recovery: reload the persisted snapshot (SURVEY S7/S8)
-            val loaded = ModelStore.loadIvf(ivfSnapshotPath(coll))
-            loaded.foreach(mm => ivfModels(coll) = mm)
-            loaded
-          }
-          .getOrElse(
-            throw new IllegalStateException(s"index for '$coll' not built — call buildIndex"))
+        val model = loadedIvf(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
         // prefer the materialized partition-pruned layout (only when
         // searching the FULL corpus — a pre-filtered corpus must be

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.graft.{Bridge, CosDist, HammingNe, L2Sq, NegDot, TopKByDistance}
 import org.apache.spark.sql.types.DoubleType
 
@@ -36,6 +37,18 @@ object vfn {
     Bridge.column(
       TopKByDistance(Bridge.expression(distance), Bridge.expression(id), k)
         .toAggregateExpression())
+
+  /** The canonical top-k result shape: bounded-heap top-k per query over
+    * `distCol`, exploded to `(queryId, corpusId, distance, rnk)` rows — the
+    * tail every KNN path ends with.
+    */
+  def topKHits(df: DataFrame, distCol: Column, queryId: String, corpusId: String,
+      k: Int): DataFrame =
+    df.groupBy(col(queryId))
+      .agg(topKByDistance(distCol, col(corpusId), k).as("__hits"))
+      .select(col(queryId), explode(col("__hits")).as("__h"))
+      .select(col(queryId), col("__h.id").as(corpusId),
+        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
 
   /** Register all distance functions for SQL use on this session. */
   def register(spark: SparkSession): Unit = {

@@ -65,14 +65,33 @@ object ExactKnn {
       queryVec: String = "query_vec"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val dist = vfn.distance(col(corpusVec), col(queryVec), space)
-    corpus
-      .crossJoin(broadcast(queries))
-      .withColumn("__d", dist)
-      .groupBy(col(queryId))
-      .agg(vfn.topKByDistance(col("__d"), col(corpusId), k).as("__hits"))
-      .select(col(queryId), explode(col("__hits")).as("__h"))
-      .select(col(queryId), col("__h.id").as(corpusId),
-        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+    vfn.topKHits(
+      corpus.crossJoin(broadcast(queries)).withColumn("__d", dist),
+      col("__d"), queryId, corpusId, k)
+  }
+
+  /** Exact re-rank of an ANN shortlist, fully distributed: fetch true
+    * vectors by id and the query vector by query id (equi-joins — never a
+    * broadcast/collect of the query set), rank by exact distance with the
+    * bounded-heap top-k. Shared by the PQ/OPQ/SQ quantized tiers.
+    */
+  def exactRerank(
+      shortlist: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val q2 = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv0"))
+    vfn.topKHits(
+      shortlist.drop("distance", "rnk")
+        .join(vectors.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+        .join(q2, Seq(queryId))
+        .withColumn("__exact", vfn.distance(col(corpusVec), col("__qv0"), space)),
+      col("__exact"), queryId, corpusId, k)
   }
 
   /** KNN + metadata fetch: reference's per-hit `GetDocument` N+1 loop becomes

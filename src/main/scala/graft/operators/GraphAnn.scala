@@ -267,29 +267,23 @@ object GraphAnn {
       }
     }
 
-    val it = queries.select(col(queryId), col(queryVec)).toLocalIterator()
-    def nextBatch(): Array[(Any, Array[Float])] = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Float])]
-      while (it.hasNext && buf.length < queryBatchSize) {
-        val r = it.next()
-        buf += ((r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
-      }
-      buf.toArray
-    }
+    val batches = queryBatches(queries, queryId, queryVec, queryBatchSize)
     val rdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[Row]]
-    val first = nextBatch()
-    // single batch keeps today's semantics (no cache entry unless the caller
-    // keys one); multi-batch without a layout key shares builds via an
-    // ephemeral per-call key (row-count-checked, evicted by the next call)
-    val effKey =
-      if (!it.hasNext || cacheKey.isDefined) cacheKey
-      else {
-        val callId = s"__call_${java.util.UUID.randomUUID()}"
-        GraphCache.evictEphemeralExcept(callId)
-        Some((callId, 0L))
-      }
-    if (first.nonEmpty) rdds += batchRdd(first, effKey)
-    while (it.hasNext) rdds += batchRdd(nextBatch(), effKey)
+    if (batches.hasNext) {
+      val first = batches.next()
+      // single batch keeps today's semantics (no cache entry unless the
+      // caller keys one); multi-batch without a layout key shares builds via
+      // an ephemeral per-call key (row-count-checked, evicted by the next call)
+      val effKey =
+        if (!batches.hasNext || cacheKey.isDefined) cacheKey
+        else {
+          val callId = s"__call_${java.util.UUID.randomUUID()}"
+          GraphCache.evictEphemeralExcept(callId)
+          Some((callId, 0L))
+        }
+      rdds += batchRdd(first, effKey)
+      batches.foreach(b => rdds += batchRdd(b, effKey))
+    }
     val qidType = queries.schema(queryId).dataType
     val idType = corpus.schema(corpusId).dataType
     val schema = StructType(Seq(
@@ -300,6 +294,19 @@ object GraphAnn {
       if (rdds.isEmpty) spark.sparkContext.emptyRDD[Row]
       else spark.sparkContext.union(rdds.toSeq)
     spark.createDataFrame(local, schema)
+  }
+
+  /** Bounded query batches off the driver: `toLocalIterator` holds one
+    * query partition at a time and `grouped` buffers exactly one batch —
+    * the shared drain for both the live and persisted-layout search paths.
+    */
+  private def queryBatches(queries: DataFrame, queryId: String, queryVec: String,
+      batchSize: Int): Iterator[Array[(Any, Array[Float])]] = {
+    import scala.jdk.CollectionConverters._
+    queries.select(col(queryId), col(queryVec)).toLocalIterator().asScala
+      .map(r => (r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+      .grouped(batchSize)
+      .map(_.toArray)
   }
 
   /** Materialize the per-partition NSW graphs as a PERSISTED layout:
@@ -375,12 +382,8 @@ object GraphAnn {
       StructField("distance", DoubleType)))
     val maxPart = graph.agg(max(col("part"))).first()
     if (maxPart.isNullAt(0))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        .groupBy(col(queryId))
-        .agg(vfn.topKByDistance(col("distance"), col(corpusIdName), k).as("__hits"))
-        .select(col(queryId), explode(col("__hits")).as("__h"))
-        .select(col(queryId), col("__h.id").as(corpusIdName),
-          col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+      return vfn.topKHits(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        col("distance"), queryId, corpusIdName, k)
     val numParts = maxPart.getInt(0) + 1
     // co-locate each part's rows in one task (hash collisions merely put two
     // groups in one task — handled by the in-iterator groupBy)
@@ -415,24 +418,13 @@ object GraphAnn {
       }
     }
 
-    val it = queries.select(col(queryId), col(queryVec)).toLocalIterator()
-    val rdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[Row]]
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Float])]
-    while (it.hasNext) {
-      val r = it.next()
-      buf += ((r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
-      if (buf.length >= queryBatchSize) { rdds += batchRdd(buf.toArray); buf.clear() }
-    }
-    if (buf.nonEmpty) rdds += batchRdd(buf.toArray)
+    val rdds = queryBatches(queries, queryId, queryVec, queryBatchSize)
+      .map(batchRdd).toSeq
     val local =
       if (rdds.isEmpty) spark.sparkContext.emptyRDD[Row]
-      else spark.sparkContext.union(rdds.toSeq)
-    spark.createDataFrame(local, schema)
-      .groupBy(col(queryId))
-      .agg(vfn.topKByDistance(col("distance"), col(corpusIdName), k).as("__hits"))
-      .select(col(queryId), explode(col("__hits")).as("__h"))
-      .select(col(queryId), col("__h.id").as(corpusIdName),
-        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+      else spark.sparkContext.union(rdds)
+    vfn.topKHits(spark.createDataFrame(local, schema),
+      col("distance"), queryId, corpusIdName, k)
   }
 
   /** Approximate batch KNN: per-partition NSW graphs, queries broadcast,
@@ -457,11 +449,6 @@ object GraphAnn {
     val localDf = localResults(corpus, queries, k, space, ef, m, efConstruction,
       corpusId, corpusVec, queryId, queryVec, cacheKey, queryBatchSize)
     // global merge: one-pass bounded-heap top-k per query
-    import graft.functions.vfn
-    localDf.groupBy(col(queryId))
-      .agg(vfn.topKByDistance(col("distance"), col(corpusId), k).as("__hits"))
-      .select(col(queryId), explode(col("__hits")).as("__h"))
-      .select(col(queryId), col("__h.id").as(corpusId),
-        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+    graft.functions.vfn.topKHits(localDf, col("distance"), queryId, corpusId, k)
   }
 }

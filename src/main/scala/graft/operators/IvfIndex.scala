@@ -222,12 +222,8 @@ object IvfIndex {
     // equi-join on the cluster id: corpus stays partitioned by cluster_id,
     // queries shuffle by probe target — no broadcast, no collect
     val cand = assigned.join(probed, col("cluster_id") === col("__cid"))
-    cand
-      .withColumn("distance", vfn.distance(col(corpusVec), col(queryVec), model.space))
-      .groupBy(col(queryId))
-      .agg(vfn.topKByDistance(col("distance"), col(corpusId), k).as("__hits"))
-      .select(col(queryId), explode(col("__hits")).as("__h"))
-      .select(col(queryId), col("__h.id").as(corpusId),
-        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+    vfn.topKHits(
+      cand.withColumn("distance", vfn.distance(col(corpusVec), col(queryVec), model.space)),
+      col("distance"), queryId, corpusId, k)
   }
 }

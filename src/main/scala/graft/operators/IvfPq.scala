@@ -318,34 +318,17 @@ object IvfPq {
     val shortlistK = rerankVecCol.fold(kTop)(_ => kTop * rerankFactor)
     // equi-join on the cluster id (corpus stays partitioned by cluster_id,
     // probe rows shuffle to their target lists), ADC-score, bounded-heap topK
-    val shortlist = encoded
-      .join(probed, col("cluster_id") === col("__cid"))
-      .withColumn("__adc", Bridge.column(AdcLookupSum(
-        Bridge.expression(col("codes")), Bridge.expression(col("__tab")))))
-      .groupBy(col(queryId))
-      .agg(vfn.topKByDistance(col("__adc"), col(corpusId), shortlistK).as("__hits"))
-      .select(col(queryId), explode(col("__hits")).as("__h"))
-      .select(col(queryId), col("__h.id").as(corpusId),
-        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+    val shortlist = vfn.topKHits(
+      encoded
+        .join(probed, col("cluster_id") === col("__cid"))
+        .withColumn("__adc", Bridge.column(AdcLookupSum(
+          Bridge.expression(col("codes")), Bridge.expression(col("__tab"))))),
+      col("__adc"), queryId, corpusId, shortlistK)
     rerankVecCol match {
       case None => shortlist
       case Some(vecCol) =>
-        // exact re-rank, fully distributed: fetch true vectors for the
-        // shortlist rows (equi-join on id), bring the query vector back by
-        // qid (equi-join — NOT a broadcast of the whole query set), then the
-        // bounded-heap topK again with exact distances
-        val vecs = encoded.select(col(corpusId), col(vecCol))
-        val q2 = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv0"))
-        shortlist
-          .drop("distance", "rnk")
-          .join(vecs, Seq(corpusId))
-          .join(q2, Seq(queryId))
-          .withColumn("__exact", vfn.distance(col(vecCol), col("__qv0"), model.space))
-          .groupBy(col(queryId))
-          .agg(vfn.topKByDistance(col("__exact"), col(corpusId), kTop).as("__hits"))
-          .select(col(queryId), explode(col("__hits")).as("__h"))
-          .select(col(queryId), col("__h.id").as(corpusId),
-            col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+        ExactKnn.exactRerank(shortlist, encoded, queries, kTop, model.space,
+          corpusId, vecCol, queryId, queryVec)
     }
   }
 }

@@ -158,30 +158,11 @@ object Opq {
   def encode(corpus: DataFrame, vecCol: String, model: Model): DataFrame =
     IvfPq.encode(rotate(corpus, vecCol, model.rotation, "__rvec"), "__rvec", model.pq)
 
-  /** Exact re-rank of an ADC shortlist in ORIGINAL space (not rotated): the
+  /** ADC search over an OPQ-encoded corpus: rotate the queries, stock ADC
+    * shortlisting in rotated space, exact re-rank in ORIGINAL space (the
     * rotation preserves distances mathematically, but re-ranking against the
     * original vectors keeps the emitted distances bit-comparable with the
-    * exact-KNN oracle (no rotated-float rounding in the ranking).
-    */
-  private def rerankExact(shortlist: DataFrame, encoded: DataFrame,
-      queries: DataFrame, model: Model, kTop: Int, corpusId: String,
-      corpusVec: String, queryId: String, queryVec: String): DataFrame = {
-    import graft.functions.vfn
-    val vecs = encoded.select(col(corpusId), col(corpusVec))
-    val q2 = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv0"))
-    shortlist.drop("distance", "rnk")
-      .join(vecs, Seq(corpusId))
-      .join(q2, Seq(queryId))
-      .withColumn("__exact", vfn.distance(col(corpusVec), col("__qv0"), model.pq.space))
-      .groupBy(col(queryId))
-      .agg(vfn.topKByDistance(col("__exact"), col(corpusId), kTop).as("__hits"))
-      .select(col(queryId), explode(col("__hits")).as("__h"))
-      .select(col(queryId), col("__h.id").as(corpusId),
-        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
-  }
-
-  /** ADC search over an OPQ-encoded corpus: rotate the queries, stock ADC
-    * shortlisting in rotated space, exact re-rank in original space.
+    * exact-KNN oracle — no rotated-float rounding in the ranking).
     */
   def search(encoded: DataFrame, queries: DataFrame, model: Model, kTop: Int,
       nprobe: Int, corpusId: String = "id", corpusVec: String = "vector",
@@ -192,8 +173,8 @@ object Opq {
     val shortlist = IvfPq.search(encoded, rq, model.pq, shortlistK, nprobe,
       corpusId, queryId, "__rq", None)
     if (!rerank) shortlist
-    else rerankExact(shortlist, encoded, queries, model, kTop, corpusId,
-      corpusVec, queryId, queryVec)
+    else ExactKnn.exactRerank(shortlist, encoded, queries, kTop, model.pq.space,
+      corpusId, corpusVec, queryId, queryVec)
   }
 
   /** Collect-free variant — same distributed shape as `IvfPq.searchDistributed`
@@ -209,7 +190,7 @@ object Opq {
     val shortlist = IvfPq.searchDistributed(encoded, rq, model.pq, shortlistK,
       nprobe, corpusId, queryId, "__rq", None)
     if (!rerank) shortlist
-    else rerankExact(shortlist, encoded, queries, model, kTop, corpusId,
-      corpusVec, queryId, queryVec)
+    else ExactKnn.exactRerank(shortlist, encoded, queries, kTop, model.pq.space,
+      corpusId, corpusVec, queryId, queryVec)
   }
 }

@@ -91,30 +91,18 @@ object ScalarQuant {
     val invsLit = Literal.create(model.invScales.toSeq, ArrayType(FloatType))
     val q = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv"))
     val shortlistK = rerankVecCol.fold(kTop)(_ => kTop * rerankFactor)
-    val shortlist = encoded
-      .crossJoin(broadcast(q))
-      .withColumn("__d", Bridge.column(SqAdcL2(
-        Bridge.expression(col("__qv")), Bridge.expression(col("sq_code")),
-        minsLit, invsLit)))
-      .groupBy(col(queryId))
-      .agg(vfn.topKByDistance(col("__d"), col(corpusId), shortlistK).as("__hits"))
-      .select(col(queryId), explode(col("__hits")).as("__h"))
-      .select(col(queryId), col("__h.id").as(corpusId),
-        col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+    val shortlist = vfn.topKHits(
+      encoded
+        .crossJoin(broadcast(q))
+        .withColumn("__d", Bridge.column(SqAdcL2(
+          Bridge.expression(col("__qv")), Bridge.expression(col("sq_code")),
+          minsLit, invsLit))),
+      col("__d"), queryId, corpusId, shortlistK)
     rerankVecCol match {
       case None => shortlist
       case Some(vecCol) =>
-        val vecs = encoded.select(col(corpusId), col(vecCol))
-        shortlist.drop("distance", "rnk")
-          .join(vecs, Seq(corpusId))
-          .join(q, Seq(queryId))
-          .withColumn("__exact",
-            vfn.distance(col(vecCol), col("__qv"), graft.core.SpaceType.L2))
-          .groupBy(col(queryId))
-          .agg(vfn.topKByDistance(col("__exact"), col(corpusId), kTop).as("__hits"))
-          .select(col(queryId), explode(col("__hits")).as("__h"))
-          .select(col(queryId), col("__h.id").as(corpusId),
-            col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
+        ExactKnn.exactRerank(shortlist, encoded, queries, kTop,
+          graft.core.SpaceType.L2, corpusId, vecCol, queryId, queryVec)
     }
   }
 }
