@@ -71,10 +71,11 @@ object VectorQueries {
     * metadata — the reference's per-hit GetDocument loop as one join.
     */
   def knnFetchJoin(spark: SparkSession, dir: String): DataFrame = {
-    val hits = knnRanks(spark, dir, SpaceType.L2)
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"))
-    docs.join(broadcast(hits), docs("doc_id") === hits("vec_id"))
+    ExactKnn.knnFetch(corpus(spark, dir), queriesDf(spark, dir), docs, K,
+        SpaceType.L2, corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv", docId = "doc_id")
       .select(col("qid"), col("rnk"), col("doc_id"), col("lang"), col("source"))
   }
 
