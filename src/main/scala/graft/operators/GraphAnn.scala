@@ -178,10 +178,12 @@ object GraphAnn {
       * drop/recreate resets the version counter, so version keys alone
       * cannot distinguish incarnations).
       */
-    def invalidate(layoutIdPrefix: String): Unit =
+    def invalidate(layoutIdPrefix: String): Unit = {
       cache.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach { k =>
         cache.remove(k); buildLocks.remove(k)
       }
+      layoutRdds.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach(layoutRdds.remove)
+    }
 
     /** Drop per-call ephemeral entries (and their build locks) from OTHER
       * calls — their keys are unique per call, so they can never be hit
@@ -193,8 +195,18 @@ object GraphAnn {
         cache.remove(k); buildLocks.remove(k)
       }
 
-    def clear(): Unit = { cache.clear(); buildLocks.clear() }
+    def clear(): Unit = { cache.clear(); buildLocks.clear(); layoutRdds.clear() }
   }
+
+  /** Driver-side cache of the co-located layout RDD per (path, version):
+    * the part-wise repartition SHUFFLE and the max-part scan run once per
+    * layout — later searches reference the same RDD, so Spark reuses the
+    * shuffle files (skipped stages) instead of re-shuffling all vectors and
+    * adjacency per search. Older versions of a path are evicted on insert;
+    * collection drops purge via `GraphCache.invalidate`.
+    */
+  private val layoutRdds = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), (Int, org.apache.spark.rdd.RDD[Row])]
 
   /** Per-partition beam results (k best per query PER PARTITION, before the
     * global merge) — deterministic given the corpus partitioning (NSW build
@@ -380,18 +392,32 @@ object GraphAnn {
       StructField(queryId, qidType),
       StructField(corpusIdName, idType),
       StructField("distance", DoubleType)))
-    val maxPart = graph.agg(max(col("part"))).first()
-    if (maxPart.isNullAt(0))
+    // co-locate each part's rows in one task (hash collisions merely put two
+    // groups in one task — handled by the in-iterator groupBy); the shuffle
+    // + max-part scan are cached per (path, version) under a cacheKey
+    def loadColocated(): (Int, org.apache.spark.rdd.RDD[Row]) = {
+      val maxPart = graph.agg(max(col("part"))).first()
+      if (maxPart.isNullAt(0)) (0, spark.sparkContext.emptyRDD[Row])
+      else {
+        val n = maxPart.getInt(0) + 1
+        (n, graph.repartition(n, col("part")).rdd)
+      }
+    }
+    val (numParts, byPart) = cacheKey match {
+      case Some((layoutId, version)) =>
+        layoutRdds.keys.filter(kk => kk._1 == layoutId && kk._2 != version)
+          .foreach(layoutRdds.remove)
+        layoutRdds.getOrElseUpdate((layoutId, version), loadColocated())
+      case None => loadColocated()
+    }
+    if (numParts == 0)
       return vfn.topKHits(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         col("distance"), queryId, corpusIdName, k)
-    val numParts = maxPart.getInt(0) + 1
-    // co-locate each part's rows in one task (hash collisions merely put two
-    // groups in one task — handled by the in-iterator groupBy)
-    val byPart = graph.repartition(numParts, col("part")).rdd
     val mVal = 16; val efcVal = 200 // reconstruction never inserts: unused
     val spaceVal = space; val efVal = ef; val kVal = k
 
-    def batchRdd(qRows: Array[(Any, Array[Float])]): org.apache.spark.rdd.RDD[Row] = {
+    def batchRdd(qRows: Array[(Any, Array[Float])],
+        effKey: Option[(String, Long)]): org.apache.spark.rdd.RDD[Row] = {
       val bcQ = spark.sparkContext.broadcast(qRows)
       byPart.mapPartitions { it =>
         val groups = it.toArray.groupBy(_.getInt(0))
@@ -406,7 +432,7 @@ object GraphAnn {
             }
             index
           }
-          val index = cacheKey match {
+          val index = effKey match {
             case Some((layoutId, version)) =>
               GraphCache.getOrBuild(layoutId, version, numParts, part, rs.length)(rebuild)
             case None => rebuild
@@ -418,11 +444,25 @@ object GraphAnn {
       }
     }
 
-    val rdds = queryBatches(queries, queryId, queryVec, queryBatchSize)
-      .map(batchRdd).toSeq
+    val batches = queryBatches(queries, queryId, queryVec, queryBatchSize)
+    val rdds = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[Row]]
+    if (batches.hasNext) {
+      val first = batches.next()
+      // multi-batch without a layout key shares reconstructions via the same
+      // ephemeral per-call key localResults uses
+      val effKey =
+        if (!batches.hasNext || cacheKey.isDefined) cacheKey
+        else {
+          val callId = s"__call_${java.util.UUID.randomUUID()}"
+          GraphCache.evictEphemeralExcept(callId)
+          Some((callId, 0L))
+        }
+      rdds += batchRdd(first, effKey)
+      batches.foreach(b => rdds += batchRdd(b, effKey))
+    }
     val local =
       if (rdds.isEmpty) spark.sparkContext.emptyRDD[Row]
-      else spark.sparkContext.union(rdds)
+      else spark.sparkContext.union(rdds.toSeq)
     vfn.topKHits(spark.createDataFrame(local, schema),
       col("distance"), queryId, corpusIdName, k)
   }

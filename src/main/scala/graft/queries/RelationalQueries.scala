@@ -407,7 +407,9 @@ object RelationalQueries {
       |  FROM events),
       |s AS (
       |  SELECT user_id, ts, value,
-      |    sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+      |    -- nanosecond arithmetic, matching Spark's nanos-long comparison
+      |    -- (interval comparison would truncate sub-microsecond gaps)
+      |    sum(CASE WHEN prev IS NULL OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000
       |             THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
@@ -466,8 +468,11 @@ object RelationalQueries {
       .agg(
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L)).as("high_line_count"),
-        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-          .otherwise(0L)).as("low_line_count"))
+        // when(IN, 0).otherwise(1) — NOT when(NOT IN, 1) — so a NULL
+        // priority lands in the otherwise branch exactly like the oracle's
+        // CASE WHEN ... THEN 0 ELSE 1 (NOT IN on NULL would yield 0/0)
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
   }
 
   val q12Sql: String =
