@@ -148,18 +148,22 @@ class Engine(
 
   def compact(coll: String): Unit = { configOf(coll); store.compact(coll) }
 
-  /** Micro-batch upsert that MAINTAINS the ivf_flat layout incrementally —
-    * the streaming-index path: instead of every write staling the layout
-    * (full re-assign on the next search), an INSERT-ONLY batch is assigned
-    * to its clusters (codegen argmin, batch-sized work) and appended to the
-    * partitioned layout, then the layout stamp advances to the new write
-    * version — searches stay physically partition-pruned with no full
-    * re-assignment per batch.
+  /** Micro-batch upsert that MAINTAINS the partitioned index layout
+    * incrementally — the streaming-index path for ivf_flat, ivfpq, and opq
+    * collections: instead of every write staling the layout (full
+    * re-assign/re-encode on the next search), an INSERT-ONLY batch is
+    * assigned/encoded with the EXISTING model (codegen kernels, batch-sized
+    * work) and appended to the partitioned layout, then the layout stamp
+    * advances to the new write version — searches stay physically
+    * partition-pruned with no full re-assignment per batch. (Quantized
+    * tiers keep their trained codebooks: standard practice — codebook
+    * drift is a periodic buildIndex, not a per-batch retrain.)
     *
     * Falls back to a plain (layout-staling, always-correct) upsert when the
-    * collection isn't ivf_flat, the index isn't built/current, or the batch
-    * touches existing ids (an update's OLD layout row would ghost —
-    * re-resolution would cost the partition pruning this path exists for).
+    * index type has no partitioned layout, the index isn't built/current,
+    * or the batch touches existing ids (an update's OLD layout row would
+    * ghost — re-resolution would cost the partition pruning this path
+    * exists for).
     * `assumeNewIds = true` skips the existence anti-join AND the in-batch
     * duplicate check for pure-insert pipelines (event streams with fresh,
     * unique ids) — the streaming caller's contract. Otherwise a batch with
@@ -174,10 +178,22 @@ class Engine(
   def ingestBatchIndexed(coll: String, batch: DataFrame,
       assumeNewIds: Boolean = false): Unit = {
     val cfg = configOf(coll)
-    val model =
-      if (cfg.indexType == IndexType.IvfFlat) loadedIvfOpt(coll) else None
-    val maintainable = model.isDefined &&
-      currentLayout(coll, ivfLayoutPath(coll)).isDefined
+    // (batch → layout rows with cluster_id, layout path) per index family
+    val maintain: Option[(DataFrame => DataFrame, String)] = cfg.indexType match {
+      case IndexType.IvfFlat =>
+        loadedIvfOpt(coll).map(m =>
+          ((df: DataFrame) => IvfIndex.assign(df, "vector", m), ivfLayoutPath(coll)))
+      case IndexType.IvfPq =>
+        loadedPqOpt(coll).map(m =>
+          ((df: DataFrame) => IvfPq.encode(df, "vector", m), pqLayoutPath(coll)))
+      case IndexType.Opq =>
+        loadedOpqOpt(coll).map(m =>
+          ((df: DataFrame) => Opq.encode(df, "vector", m), opqLayoutPath(coll)))
+      case _ => None
+    }
+    val maintainable = maintain.exists { case (_, path) =>
+      currentLayout(coll, path).isDefined
+    }
     val insertOnly = maintainable && (assumeNewIds || {
       val ids = batch.select(col("id"))
       ids.join(store.read(coll).select(col("id")), "id").isEmpty &&
@@ -193,8 +209,9 @@ class Engine(
       .withColumn("version", lit(v))
       .withColumn("seq", monotonically_increasing_id())
       .withColumn("is_deleted", lit(false))
-    IvfIndex.assign(stamped, "vector", model.get)
-      .write.mode("append").partitionBy("cluster_id").parquet(ivfLayoutPath(coll))
+    val (encode, layoutPath) = maintain.get
+    encode(stamped)
+      .write.mode("append").partitionBy("cluster_id").parquet(layoutPath)
     // advance the stamp only if our write is still the newest (a racer
     // leaves the stamp behind → stale → fallback; the appended rows are
     // still consistent)
@@ -412,14 +429,22 @@ class Engine(
   private def loadedIvf(coll: String): IvfIndex.Model =
     loadedIvfOpt(coll).getOrElse(notBuilt(coll))
 
+  private def loadedPqOpt(coll: String): Option[IvfPq.Model] =
+    pqModels.get(coll).orElse {
+      val loaded = ModelStore.loadPq(pqSnapshotPath(coll))
+      loaded.foreach { mm => pqModels(coll) = mm; ivfModels(coll) = mm.coarse }
+      loaded
+    }
+
   private def loadedPq(coll: String): IvfPq.Model =
-    pqModels.get(coll)
-      .orElse {
-        val loaded = ModelStore.loadPq(pqSnapshotPath(coll))
-        loaded.foreach { mm => pqModels(coll) = mm; ivfModels(coll) = mm.coarse }
-        loaded
-      }
-      .getOrElse(notBuilt(coll))
+    loadedPqOpt(coll).getOrElse(notBuilt(coll))
+
+  private def loadedOpqOpt(coll: String): Option[Opq.Model] =
+    opqModels.get(coll).orElse {
+      val loaded = ModelStore.loadOpq(opqSnapshotPath(coll))
+      loaded.foreach { mm => opqModels(coll) = mm; ivfModels(coll) = mm.pq.coarse }
+      loaded
+    }
 
   /** Fail fast above the configurable query-row bound for paths that must
     * materialize the query set driver-side (collect or broadcast).
@@ -436,13 +461,7 @@ class Engine(
   }
 
   private def loadedOpq(coll: String): Opq.Model =
-    opqModels.get(coll)
-      .orElse { // recovery: reload the persisted snapshot (SURVEY S7/S8)
-        val loaded = ModelStore.loadOpq(opqSnapshotPath(coll))
-        loaded.foreach { mm => opqModels(coll) = mm; ivfModels(coll) = mm.pq.coarse }
-        loaded
-      }
-      .getOrElse(notBuilt(coll))
+    loadedOpqOpt(coll).getOrElse(notBuilt(coll))
 
   private def loadedSq(coll: String): ScalarQuant.Model =
     sqModels.get(coll)

@@ -101,6 +101,35 @@ class StreamingSpec extends SparkSpec {
     assert(moved.head.id === "100", "post-update search must see the new vector")
   }
 
+  test("indexed ingest maintains ivfpq and opq layouts too (encode with existing codebooks)") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val rnd = new scala.util.Random(17)
+    for ((name, it) <- Seq(("pqs", IndexType.IvfPq), ("opqs", IndexType.Opq))) {
+      val root = Files.createTempDirectory(s"istream-$name").toString
+      val e = new Engine(spark, root)
+      e.createCollection(CollectionConfig(name, 8, it, params = Map("m" -> "2")))
+      e.batchUpsertDocuments(name, (0 until 80).map { i =>
+        Document(i.toString, Array.tabulate(8)(j =>
+          (if (j == (i % 4) * 2) 6f else 0.3f) + rnd.nextGaussian().toFloat * 0.3f))
+      })
+      e.buildIndex(name, nlist = 4)
+      def stampOf = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/$name/index/layout_version")).trim.toLong
+      val stamp0 = stampOf
+      // insert-only batch: encoded with the EXISTING codebooks, stamp advances
+      e.ingestBatchIndexed(name,
+        Seq(("500", Seq(6.05f, 0.3f, 0.3f, 0.3f, 0.3f, 0.3f, 0.3f, 0.3f),
+            Map.empty[String, String]))
+          .toDF("id", "vector", "params"), assumeNewIds = true)
+      assert(stampOf === stamp0 + 1, s"$name: stamp did not track the insert batch")
+      val hits = e.searchDocuments(name,
+        Array(6.05f, 0.3f, 0.3f, 0.3f, 0.3f, 0.3f, 0.3f, 0.3f), 1)
+      assert(hits.head.id === "500",
+        s"$name: streamed doc not found via the maintained quantized layout")
+    }
+  }
+
   test("stateful sessionization via flatMapGroupsWithState closes sessions on gap + watermark") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize.{Event, Session}
