@@ -172,20 +172,67 @@ object Dedup {
     * P(candidate) = 1 − (1 − j^rowsPerBand)^bands — with 21×3 a j=0.8 pair
     * is missed with prob ~3e-7.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** (did, band, bh) banded signature rows — the bucket keys of the LSH
+    * join, shared by the self-join (near-dup) and A×B (decontamination)
+    * candidate generators.
+    */
+  private def bandedRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(lit(b) +: hs: _*).as("bh"))
     }
-    val exploded = capBuckets(
-      sigs.select(col("__did"), explode(array(bandCols: _*)).as("e"))
-        .select(col("__did"), col("e.band").as("band"), col("e.bh").as("bh")),
+    sigs.select(col("__did"), explode(array(bandCols: _*)).as("e"))
+      .select(col("__did"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val exploded = capBuckets(bandedRows(sigs, bands, rowsPerBand),
       Seq("band", "bh"), maxBucket)
     exploded.as("a").join(exploded.as("b"), Seq("band", "bh"))
       .filter(col("a.__did") < col("b.__did"))
       .select(col("a.__did").as("ia"), col("b.__did").as("ib"))
       .distinct()
+  }
+
+  /** Cross-corpus near-duplicates — the DECONTAMINATION pass every training
+    * pipeline runs against its eval/test sets: documents of `corpus` whose
+    * exact n-gram Jaccard against any document of `ref` meets the threshold.
+    * Same bucketed shape as `minHashLshPairs`, but candidates come from an
+    * A×B band equi-join (never a self-join): only cross-corpus collisions
+    * meet, each side independently capped. Output: (ia = corpus id,
+    * ib = ref id, jaccard).
+    */
+  def crossCorpusNearDup(corpus: DataFrame, corpusId: String, corpusText: String,
+      ref: DataFrame, refId: String, refText: String,
+      shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
+      threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rpb = numHashes / bands
+    val shA = shingles(corpus, corpusId, corpusText, shingleN)
+    val shB = shingles(ref, refId, refText, shingleN)
+    val bA = capBuckets(bandedRows(minHashSignatures(shA, numHashes), bands, rpb),
+      Seq("band", "bh"), maxBucket)
+    val bB = capBuckets(bandedRows(minHashSignatures(shB, numHashes), bands, rpb),
+      Seq("band", "bh"), maxBucket)
+    val cand = bA.as("a").join(bB.as("b"), Seq("band", "bh"))
+      .select(col("a.__did").as("ia"), col("b.__did").as("ib"))
+      .distinct()
+    // exact cross-corpus Jaccard over candidate pairs only
+    val sizesA = shA.groupBy(col("__did")).agg(count(lit(1)).as("na"))
+      .withColumnRenamed("__did", "ia")
+    val sizesB = shB.groupBy(col("__did")).agg(count(lit(1)).as("nb"))
+      .withColumnRenamed("__did", "ib")
+    cand
+      .join(shA.as("ta"), col("ia") === col("ta.__did"))
+      .join(shB.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+      .join(sizesA, "ia")
+      .join(sizesB, "ib")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia"), col("ib"), col("jaccard"))
   }
 
   /** Exact Jaccard over candidate pairs only (shingle-set intersection via

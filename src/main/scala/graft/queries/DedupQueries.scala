@@ -43,6 +43,42 @@ object DedupQueries {
       |JOIN sizes sb ON sb.doc_id = ib
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin
 
+  /** Cross-corpus decontamination: "training" docs (doc_id ≥ 100) that
+    * near-duplicate any "eval" doc (doc_id < 100) — the contamination scan
+    * every training pipeline runs against its held-out sets. Bucketed A×B
+    * band join, exact Jaccard verify; the oracle replays the full
+    * brute-force cross join.
+    */
+  def decontamPairs(spark: SparkSession, dir: String): DataFrame = {
+    val train = docs(spark, dir).filter(col("doc_id") >= 100)
+    val eval = docs(spark, dir).filter(col("doc_id") < 100)
+    Dedup.crossCorpusNearDup(train, "doc_id", "text", eval, "doc_id", "text",
+        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8)
+      .select(col("ia"), col("ib"), col("jaccard"))
+  }
+
+  /** Brute-force exact cross-corpus Jaccard (train ≥ 100 × eval < 100). */
+  val decontamPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) >= 3
+      |      THEN list_transform(
+      |        generate_series(1, len(string_split(text, ' ')) - 2),
+      |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      |      ELSE [text] END)) AS s
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  WHERE a.doc_id >= 100 AND b.doc_id < 100
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT ia, ib, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = ia
+      |JOIN sizes sb ON sb.doc_id = ib
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin
+
   /** Keep-one-per-cluster resolution: components of the MinHash near-dup
     * graph; `component` is the surviving doc_id for every clustered doc.
     * Runs over the linear-size cluster-edge set (representative pairs ∪
@@ -136,12 +172,14 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
     "minhash_pairs" -> (minhashPairs(_, _)),
+    "decontam_pairs" -> (decontamPairs(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
     "minhash_pairs" -> minhashPairsSql,
+    "decontam_pairs" -> decontamPairsSql,
     "simhash_pairs" -> simhashPairsSql,
     "doc_fingerprint" -> docFingerprintSql)
 }

@@ -26,6 +26,38 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cross-corpus decontamination == brute-force cross jaccard; no self-pairs leak") {
+    // "train" corpus contains verbatim + lightly-edited copies of "eval" docs
+    val eval = (0 until 20).map(i =>
+      (i.toLong, s"eval document $i with some shared tokens alpha beta gamma delta " +
+        s"epsilon zeta eta theta unique$i"))
+      .toDF("doc_id", "text")
+    val train = ((100 until 160).map(i =>
+      (i.toLong, s"clean train doc $i nothing in common here payload row$i")) ++
+      Seq((200L, eval.filter(col("doc_id") === 3).select("text").first().getString(0)),
+        (201L, "eval document 7 with some shared tokens alpha beta gamma delta " +
+          "epsilon zeta eta theta unique7 EDITED")))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDup(train, "doc_id", "text",
+        eval, "doc_id", "text", threshold = 0.5)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    // brute force over the same shingle sets
+    val shA = Dedup.shingles(train, "doc_id", "text", 3)
+    val shB = Dedup.shingles(eval, "doc_id", "text", 3)
+    val sizesA = shA.groupBy("__did").count().select(col("__did").as("ia"), col("count").as("na"))
+    val sizesB = shB.groupBy("__did").count().select(col("__did").as("ib"), col("count").as("nb"))
+    val want = shA.as("a").join(shB.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.__did").as("ia"), col("b.__did").as("ib")).count()
+      .join(sizesA, "ia").join(sizesB, "ib")
+      .filter(col("count").cast("double") /
+        (col("na") + col("nb") - col("count")).cast("double") >= 0.5)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(got === want, "bucketed cross-corpus pairs diverged from brute force")
+    assert(got.contains((200L, 3L)), "verbatim contamination not detected")
+    assert(got.contains((201L, 7L)), "edited contamination not detected")
+    assert(got.forall { case (ia, _) => ia >= 100L }, "self-side pair leaked")
+  }
+
   test("simhash: near-identical docs within hamming 3; unrelated docs far") {
     val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly " +
       "behind the tall green hills and the river flows gently through the quiet valley " +
