@@ -193,7 +193,39 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Corpus vocabulary statistics: the top-50 word bigrams by document
+    * frequency (ties broken lexicographically) — the frequency-table shape
+    * of vocabulary building / corpus profiling. Scale: explode + one
+    * map-side-combined count on the bigram key, then a global top-k
+    * (TakeOrderedAndProject, no full sort).
+    */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(1)),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("bigram").asc)
+      .limit(50)
+  }
+
+  val topNgramsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS bigram
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2)
+      |SELECT bigram, count(DISTINCT doc_id) AS df
+      |FROM g GROUP BY bigram
+      |ORDER BY df DESC, bigram ASC
+      |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_ngrams" -> (topNgrams(_, _)),
     "media_features" -> (mediaFeatures(_, _)),
     "text_stats" -> (textStats(_, _)),
     "token_count" -> (tokenCount(_, _)),
@@ -204,6 +236,7 @@ object TextQueries {
     "multimodal_meta" -> (multimodalMeta(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "top_ngrams" -> topNgramsSql,
     "text_stats" -> textStatsSql,
     "token_count" -> tokenCountSql,
     "lang_id" -> langIdSql,
