@@ -174,10 +174,30 @@ class Engine(
     * stamp only ever advances to THIS batch's own committed version, and
     * only while it is still the newest, so staleness checks make every
     * interleaving fall back, never lie.
+    *
+    * `batchId` makes replays idempotent (foreachBatch is at-least-once; the
+    * store upsert is LWW-idempotent but a parquet layout append is NOT):
+    * a ledger file records the last FULLY-applied batch id — replays at or
+    * below it are skipped outright — and an intent marker brackets the
+    * layout append, so a replay of a crash-interrupted batch (which may have
+    * committed layout rows without reaching the ledger) re-upserts the store
+    * but leaves the layout stamp behind: the layout reads as stale and
+    * searches fall back to the live corpus (correct, unpruned) instead of
+    * ever serving duplicate layout rows. Monotonically increasing batch ids
+    * per checkpoint are Structured Streaming's contract.
     */
   def ingestBatchIndexed(coll: String, batch: DataFrame,
-      assumeNewIds: Boolean = false): Unit = {
+      assumeNewIds: Boolean = false, batchId: Option[Long] = None): Unit = {
     val cfg = configOf(coll)
+    val ledgerPath = java.nio.file.Paths.get(s"$root/$coll/index/layout_last_batch")
+    val intentPath = java.nio.file.Paths.get(s"$root/$coll/index/layout_batch_intent")
+    def readLong(p: java.nio.file.Path): Option[Long] =
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p).trim.toLong)
+      else None
+    // ledger is written LAST, so ledger >= batchId ⇒ the whole batch
+    // (store commit included) already landed — the replay is a no-op
+    if (batchId.exists(bid => readLong(ledgerPath).exists(_ >= bid))) return
     // (batch → layout rows with cluster_id, layout path) per index family
     val maintain: Option[(DataFrame => DataFrame, String)] = cfg.indexType match {
       case IndexType.IvfFlat =>
@@ -199,10 +219,27 @@ class Engine(
       ids.join(store.read(coll).select(col("id")), "id").isEmpty &&
         ids.groupBy(col("id")).count().filter(col("count") > 1).isEmpty
     })
+    // a lingering intent marker for THIS batch id means a previous attempt
+    // crashed inside the append window and may have committed layout rows —
+    // appending again would duplicate ids in the layout, so take the staling
+    // path instead (the re-upsert below bumps the store version past any
+    // stamp the crashed attempt could have written)
+    val replayAfterPartialAppend =
+      batchId.exists(bid => readLong(intentPath).contains(bid))
     // v is OUR batch's committed version — stamping any later version would
     // mark the layout current while missing an interleaved writer's rows
     val v = store.upsertDfVersioned(coll, batch)
-    if (!insertOnly) return // layout stale; searches fall back (correct, slower)
+    def settleLedger(): Unit = batchId.foreach { bid =>
+      java.nio.file.Files.writeString(ledgerPath, bid.toString)
+      java.nio.file.Files.deleteIfExists(intentPath)
+    }
+    if (!insertOnly || replayAfterPartialAppend) {
+      // layout stale; searches fall back (correct, slower)
+      settleLedger()
+      return
+    }
+    batchId.foreach(bid =>
+      java.nio.file.Files.writeString(intentPath, bid.toString))
     // mirror upsertDf's stamping so layout rows carry the store schema
     // (insert-only + unique ids ⇒ seq never decides a winner)
     val stamped = batch.select(col("id"), col("vector"), col("params"))
@@ -218,6 +255,7 @@ class Engine(
     if (store.currentVersion(coll) == v)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
+    settleLedger()
   }
 
   // ---- runtime search params (POST .../documents/setparams) ----
@@ -452,7 +490,11 @@ class Engine(
   private def guardQuerySetSize(queries: DataFrame, cfg: CollectionConfig): Unit = {
     val maxCollect = spark.conf.getOption("spark.graft.maxCollectQueries")
       .map(_.toLong).getOrElse(100000L)
-    if (queries.limit((maxCollect + 1).toInt).count() > maxCollect)
+    // a bound at or above Int.MaxValue-1 can't overflow limit(): collect
+    // returns a JVM array, so counts beyond Int.MaxValue are moot anyway
+    val probe =
+      if (maxCollect >= Int.MaxValue - 1L) Int.MaxValue else (maxCollect + 1).toInt
+    if (queries.limit(probe).count() > maxCollect)
       throw new IllegalArgumentException(
         s"query set exceeds $maxCollect rows — too large for the " +
           s"${cfg.indexType.name} batch path (it materializes queries on the " +

@@ -143,6 +143,33 @@ object GraphAnn {
     private val buildLocks =
       new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int), Object]
 
+    // Ephemeral per-call graphs (`__call_` keys) expire HERE, executor-side,
+    // where the entries actually live — a driver-side eviction call never
+    // reaches executor JVMs in cluster mode, and "evict everything but my
+    // call" races concurrent searches into rebuild churn. Instead the cache
+    // keeps the most recent `MaxEphemeralCalls` call ids per JVM (each a
+    // bounded set of per-partition graphs) and drops the oldest — with its
+    // build locks — when a NEWER call's first insert arrives.
+    private val ephemeralOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    private val ephemeralSeen = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    private val MaxEphemeralCalls = 4
+
+    private def dropEntriesOf(callId: String): Unit =
+      cache.keys.filter(_._1 == callId).foreach { k =>
+        cache.remove(k); buildLocks.remove(k)
+      }
+
+    private def noteEphemeral(callId: String): Unit =
+      if (ephemeralSeen.putIfAbsent(callId, ()).isEmpty) {
+        ephemeralOrder.add(callId)
+        while (ephemeralSeen.size > MaxEphemeralCalls) {
+          val oldest = ephemeralOrder.poll()
+          if (oldest == null) return
+          else if (oldest == callId) { ephemeralOrder.add(callId); return }
+          else { ephemeralSeen.remove(oldest); dropEntriesOf(oldest) }
+        }
+      }
+
     def getOrBuild(layoutId: String, version: Long, numParts: Int, part: Int,
         rowCount: Int)(build: => NswIndex): NswIndex = {
       val key = (layoutId, version, numParts, part)
@@ -156,16 +183,20 @@ object GraphAnn {
           val built = build
           builds.incrementAndGet()
           // evict stale versions of this layout, then enforce the global cap
+          // (always dropping the evictee's lock object with it — an evicted
+          // entry whose lock lingers leaks the map in long-lived executors)
           cache.keys.filter(k => k._1 == layoutId && k._2 != version)
-            .foreach(cache.remove)
+            .foreach { k => cache.remove(k); if (k != key) buildLocks.remove(k) }
           cache.put(key, (built, rowCount))
           insertOrder.add(key)
+          if (layoutId.startsWith("__call_")) noteEphemeral(layoutId)
           var evicting = cache.size > MaxEntries
           while (evicting) {
             val oldest = insertOrder.poll()
             if (oldest == null) evicting = false
             else {
               cache.remove(oldest)
+              if (oldest != key) buildLocks.remove(oldest)
               evicting = cache.size > MaxEntries
             }
           }
@@ -185,17 +216,16 @@ object GraphAnn {
       layoutRdds.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach(layoutRdds.remove)
     }
 
-    /** Drop per-call ephemeral entries (and their build locks) from OTHER
-      * calls — their keys are unique per call, so they can never be hit
-      * again; left alone they would pin dead graphs in the LRU and grow the
-      * lock map without bound.
-      */
-    def evictEphemeralExcept(callId: String): Unit =
-      cache.keys.filter(k => k._1.startsWith("__call_") && k._1 != callId).foreach { k =>
-        cache.remove(k); buildLocks.remove(k)
-      }
+    def clear(): Unit = {
+      cache.clear(); buildLocks.clear(); layoutRdds.clear()
+      ephemeralOrder.clear(); ephemeralSeen.clear()
+    }
 
-    def clear(): Unit = { cache.clear(); buildLocks.clear(); layoutRdds.clear() }
+    // test/ops hooks: a healthy cache keeps locks ≈ entries (every eviction
+    // path drops the lock with the entry) and ephemeral calls bounded
+    def entryCount: Int = cache.size
+    def lockCount: Int = buildLocks.size
+    def ephemeralCallCount: Int = ephemeralSeen.size
   }
 
   /** Driver-side cache of the co-located layout RDD per (path, version):
@@ -226,8 +256,9 @@ object GraphAnn {
     * no materialized layout key exists (one BUILD per partition total —
     * though each batch still adds one corpus-partition scan, so
     * `queryBatchSize` trades driver memory against scan count; truly huge
-    * query joins belong on the IVF tier). Stale ephemeral entries from
-    * earlier calls are evicted on entry.
+    * query joins belong on the IVF tier). Stale ephemeral entries expire
+    * inside the executor cache itself (bounded recent-calls window), where
+    * they live — never via a driver-side sweep.
     */
   def localResults(
       corpus: DataFrame,
@@ -285,14 +316,11 @@ object GraphAnn {
       val first = batches.next()
       // single batch keeps today's semantics (no cache entry unless the
       // caller keys one); multi-batch without a layout key shares builds via
-      // an ephemeral per-call key (row-count-checked, evicted by the next call)
+      // an ephemeral per-call key (row-count-checked; expired executor-side
+      // by GraphCache's bounded recent-calls window)
       val effKey =
         if (!batches.hasNext || cacheKey.isDefined) cacheKey
-        else {
-          val callId = s"__call_${java.util.UUID.randomUUID()}"
-          GraphCache.evictEphemeralExcept(callId)
-          Some((callId, 0L))
-        }
+        else Some((s"__call_${java.util.UUID.randomUUID()}", 0L))
       rdds += batchRdd(first, effKey)
       batches.foreach(b => rdds += batchRdd(b, effKey))
     }
@@ -449,14 +477,10 @@ object GraphAnn {
     if (batches.hasNext) {
       val first = batches.next()
       // multi-batch without a layout key shares reconstructions via the same
-      // ephemeral per-call key localResults uses
+      // ephemeral per-call key localResults uses (expired executor-side)
       val effKey =
         if (!batches.hasNext || cacheKey.isDefined) cacheKey
-        else {
-          val callId = s"__call_${java.util.UUID.randomUUID()}"
-          GraphCache.evictEphemeralExcept(callId)
-          Some((callId, 0L))
-        }
+        else Some((s"__call_${java.util.UUID.randomUUID()}", 0L))
       rdds += batchRdd(first, effKey)
       batches.foreach(b => rdds += batchRdd(b, effKey))
     }

@@ -27,9 +27,16 @@ object VectorQueries {
     * cached DataFrames — handing one to a different (possibly stopped)
     * SparkSession would throw or misbehave.
     */
-  private val modelCache = collection.concurrent.TrieMap.empty[(Int, String, String), Any]
+  // weak-keyed on the session OBJECT: identity hashes can collide after GC
+  // (handing a dead session's cached frames to its key-reuser), and string
+  // keys would pin dead sessions' models forever — a WeakHashMap drops a
+  // session's whole sub-map when the session is collected
+  private val modelCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      collection.concurrent.TrieMap[(String, String), Any]])
   private def cachedModel[T](spark: SparkSession, dir: String, key: String)(f: => T): T =
-    modelCache.getOrElseUpdate((System.identityHashCode(spark), dir, key), f)
+    modelCache.computeIfAbsent(spark, _ => collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate((dir, key), f)
       .asInstanceOf[T]
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =

@@ -40,6 +40,9 @@ object Ingest {
     * its buildindex endpoint; here maintenance is incremental and free with
     * the batch). `assumeNewIds = true` (default) is the streaming contract:
     * fresh ids per record; pass false to pay a per-batch existence check.
+    * The micro-batch id is forwarded so crash-replayed batches (foreachBatch
+    * is at-least-once) never append the same rows to the index layout twice
+    * — see `Engine.ingestBatchIndexed`'s ledger/intent protocol.
     */
   def streamIntoIndexed(
       source: DataFrame,
@@ -53,7 +56,7 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        engine.ingestBatchIndexed(coll, batch, assumeNewIds)
+        engine.ingestBatchIndexed(coll, batch, assumeNewIds, Some(batchId))
       }
       .start()
 

@@ -132,4 +132,26 @@ class GraphAnnSpec extends SparkSpec {
     assert(builds == emb.rdd.getNumPartitions,
       s"expected one graph build per partition (${emb.rdd.getNumPartitions}), got $builds")
   }
+
+  test("ephemeral call graphs expire executor-side; build locks never outlive their entries") {
+    GraphAnn.GraphCache.clear()
+    val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")).limit(250)
+    // 7 independent multi-batch calls, each minting its own ephemeral key —
+    // the cache must retain only the bounded recent-calls window (old calls'
+    // per-partition graphs AND their lock objects dropped in the executor
+    // JVM itself, not by a driver-side sweep that cluster mode never ships)
+    for (_ <- 0 until 7)
+      GraphAnn.search(emb, manyQ, 5, SpaceType.L2, ef = 40,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv",
+        queryBatchSize = 100).count()
+    val parts = emb.rdd.getNumPartitions
+    assert(GraphAnn.GraphCache.ephemeralCallCount <= 4,
+      s"ephemeral window not bounded: ${GraphAnn.GraphCache.ephemeralCallCount} calls retained")
+    assert(GraphAnn.GraphCache.entryCount <= 4 * parts,
+      s"stale ephemeral graphs retained: ${GraphAnn.GraphCache.entryCount} entries for $parts partitions")
+    assert(GraphAnn.GraphCache.lockCount <= GraphAnn.GraphCache.entryCount,
+      s"lock map leaked past the cache: ${GraphAnn.GraphCache.lockCount} locks vs " +
+        s"${GraphAnn.GraphCache.entryCount} entries")
+  }
 }

@@ -101,6 +101,72 @@ class StreamingSpec extends SparkSpec {
     assert(moved.head.id === "100", "post-update search must see the new vector")
   }
 
+  test("replayed micro-batches never append layout rows twice (at-least-once foreachBatch)") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val root = Files.createTempDirectory("replay-root").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 4, IndexType.IvfFlat))
+    e.batchUpsertDocuments("c", (0 until 20).map { i =>
+      Document(i.toString, Array(if (i % 2 == 0) 0f else 100f, i * 0.01f, 0f, 0f))
+    })
+    e.buildIndex("c", nlist = 2)
+    def stampOf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/c/index/layout_version")).trim.toLong
+    def layoutRows(id: String) = spark.read.parquet(s"$root/c/index/ivf_layout")
+      .filter(col("id") === id).count()
+    val b1 = Seq(("100", Seq(0.5f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+
+    // normal apply, then a FULL replay of the same batch id (checkpoint not
+    // yet committed when the function returned): the replay must be a no-op
+    e.ingestBatchIndexed("c", b1, assumeNewIds = true, batchId = Some(0L))
+    val stamp1 = stampOf
+    assert(layoutRows("100") === 1L)
+    e.ingestBatchIndexed("c", b1, assumeNewIds = true, batchId = Some(0L))
+    assert(layoutRows("100") === 1L,
+      "full replay appended the batch's rows to the layout a second time")
+    assert(stampOf === stamp1, "full replay must not advance the stamp")
+    val hits = e.searchDocuments("c", Array(0.5f, 0f, 0f, 0f), 1)
+    assert(hits.head.id === "100")
+
+    // crash-interrupted attempt: intent marker present, ledger not written —
+    // the previous try may have committed layout rows, so the replay must
+    // NOT append again; it re-upserts the store and leaves the layout stale
+    val b2 = Seq(("101", Seq(0.6f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/c/index/layout_batch_intent"), "1")
+    e.ingestBatchIndexed("c", b2, assumeNewIds = true, batchId = Some(1L))
+    assert(layoutRows("101") === 0L,
+      "replay after a partial append must not append layout rows")
+    assert(stampOf === stamp1, "partial-append replay must leave the stamp behind")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/c/index/layout_last_batch")).trim === "1")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/c/index/layout_batch_intent")))
+    // stale layout ⇒ live-corpus fallback still serves the doc (correctness
+    // never depends on the layout)
+    val h2 = e.searchDocuments("c", Array(0.6f, 0f, 0f, 0f), 1)
+    assert(h2.head.id === "101")
+    // a SECOND replay of the settled batch id is a pure no-op
+    val before = e.documents("c").count()
+    e.ingestBatchIndexed("c", b2, assumeNewIds = true, batchId = Some(1L))
+    assert(e.documents("c").count() === before)
+
+    // stale layout ⇒ later batches keep falling back (correct, unpruned)
+    // until buildIndex re-currents it — then maintenance resumes
+    val b3 = Seq(("102", Seq(0.7f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+    e.ingestBatchIndexed("c", b3, assumeNewIds = true, batchId = Some(2L))
+    assert(layoutRows("102") === 0L, "stale layout must not be appended to")
+    e.buildIndex("c", nlist = 2)
+    val b4 = Seq(("103", Seq(0.8f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+    e.ingestBatchIndexed("c", b4, assumeNewIds = true, batchId = Some(3L))
+    assert(layoutRows("103") === 1L, "rebuilt layout must resume maintenance")
+  }
+
   test("indexed ingest maintains ivfpq and opq layouts too (encode with existing codebooks)") {
     import graft.api.Engine
     import graft.core.{CollectionConfig, IndexType}
