@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-data curation operators a 100 TB pipeline runs between raw
+  * ingest and tokenization: deterministic train/val/test splitting, weighted
+  * source mixing, Gopher/C4-style quality rule filtering, passage-level
+  * exact dedup, token-budget packing, and event-stream as-of alignment.
+  *
+  * Everything is hash-deterministic (md5-derived buckets, exact integer
+  * arithmetic, rank tie-breaks), so the DuckDB oracle replays each operator
+  * bit-for-bit — no RNG, no float aggregation.
+  *
+  * Scale notes are per-operator; the common theme: per-row projections stay
+  * shuffle-free, the only shuffles are constant-width keys (digests, block
+  * ids, user ids), and nothing ever needs a global sort or a driver collect.
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — read as int64 nanos (see
+    * RelationalQueries.events); all ts math is exact long arithmetic.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+  }
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** md5-derived integer bucket in [0, mod): `hexOffset` selects which 4 hex
+    * chars of the digest feed the bucket, so independent decisions (split
+    * assignment vs sampling) draw from decorrelated bits of the same digest.
+    * The digest is over the STRING form of the id — both engines agree on
+    * int64 rendering.
+    */
+  private def hashBucket(id: Column, hexOffset: Int, mod: Int): Column =
+    (conv(substring(md5(id.cast("string").cast("binary")), hexOffset, 4), 16, 10)
+      .cast("long") % mod)
+
+  private def hashBucketSql(id: String, hexOffset: Int, mod: Int): String = {
+    val nib = (0 until 4).map { i =>
+      val w = 1 << (4 * (3 - i))
+      s"(strpos('0123456789abcdef', substr(md5(CAST($id AS VARCHAR)), ${hexOffset + i}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"(($nib) % $mod)"
+  }
+
+  // ---- deterministic train/val/test split --------------------------------
+
+  /** Hash-based corpus split (80/10/10): the assignment is a pure function
+    * of doc_id, so it is stable across runs, machines, and engine versions —
+    * the property a training pipeline needs so eval sets never bleed into
+    * train between re-runs. Scale: a shuffle-free projection; the split
+    * column also works as a partition key for a split-partitioned write.
+    */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = hashBucket(col("doc_id"), 1, 100)
+    docs(spark, dir).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .as("split"))
+  }
+
+  val trainSplitSql: String = {
+    val b = hashBucketSql("doc_id", 1, 100)
+    s"""SELECT doc_id, CAST($b AS BIGINT) AS bucket,
+       |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  // ---- weighted source mixing (stratified sampling) ----------------------
+
+  /** Deterministic per-source downsampling — the "data mixing" step that
+    * reweights corpora (keep 90% of curated sources, 50% of mid, 20% of the
+    * tail). Keep/drop is a pure hash decision per doc (digest chars 5-8, so
+    * it is independent of the split bucket above). Scale: shuffle-free
+    * filter; exact expected fractions need no sampleBy/RNG and replay
+    * identically everywhere.
+    */
+  private val HighSrc = (0 to 4).map(i => s"src$i")
+  private val MidSrc = (5 to 9).map(i => s"src$i")
+
+  def sampleSources(spark: SparkSession, dir: String): DataFrame = {
+    val permille = when(col("source").isin(HighSrc.map(lit(_)): _*), 900)
+      .when(col("source").isin(MidSrc.map(lit(_)): _*), 500)
+      .otherwise(200)
+    docs(spark, dir)
+      .filter(hashBucket(col("doc_id"), 5, 1000) < permille)
+      .select(col("doc_id"), col("source"))
+  }
+
+  val sampleSourcesSql: String = {
+    val high = HighSrc.map(s => s"'$s'").mkString(", ")
+    val mid = MidSrc.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${hashBucketSql("doc_id", 5, 1000)} <
+       |  CASE WHEN source IN ($high) THEN 900
+       |       WHEN source IN ($mid) THEN 500 ELSE 200 END""".stripMargin
+  }
+
+  // ---- Gopher/C4-style quality rule filter -------------------------------
+
+  /** Rule-based quality filtering (the Gopher/C4 family): token-count
+    * bounds, mean-word-length bounds, and top-token repetition cap. All
+    * comparisons are exact-integer (3·n ≤ sum_len, max_freq·5 ≤ n) so no
+    * float thresholds cross engines. Scale: pure per-row projection over the
+    * token array — codegen higher-order functions, no shuffle; the per-doc
+    * max-frequency scan is O(distinct·n) on bounded-length documents.
+    */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, w => length(w)), lit(0), (a, x) => a + x)
+      .cast("long")
+    val maxFreq = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, x => x === w)))).cast("long")
+    docs(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      sumLen.as("sum_len"),
+      maxFreq.as("max_freq"),
+      when(nTok.between(20, 1000), 1L).otherwise(0L).as("ok_len"),
+      when(sumLen >= nTok * 3 && sumLen <= nTok * 12, 1L).otherwise(0L).as("ok_wordlen"),
+      when(maxFreq * 5 <= nTok, 1L).otherwise(0L).as("ok_rep"))
+  }
+
+  val qualityRulesSql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(list_sum(list_transform(t, w -> strlen(w))) AS BIGINT) AS sum_len,
+      |  CAST(list_max(list_transform(list_distinct(t),
+      |    w -> len(list_filter(t, x -> x = w)))) AS BIGINT) AS max_freq
+      | FROM s)
+      |SELECT doc_id, n_tokens, sum_len, max_freq,
+      |  CAST(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+      |  CAST(CASE WHEN sum_len >= 3 * n_tokens AND sum_len <= 12 * n_tokens
+      |    THEN 1 ELSE 0 END AS BIGINT) AS ok_wordlen,
+      |  CAST(CASE WHEN max_freq * 5 <= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS ok_rep
+      |FROM m""".stripMargin
+
+  // ---- passage-level exact dedup -----------------------------------------
+
+  /** Passage-level exact dedup (the CCNet/RefinedWeb line-dedup shape, on
+    * fixed 8-token passages since the synthetic corpus has no line
+    * structure): passages appearing in ≥ 2 distinct documents, with
+    * occurrence counts and the keeper. Scale: explode is linear in corpus
+    * tokens; the groupBy key is the 16-byte digest (never the passage text),
+    * so the shuffle is constant-width; map-side partial aggregation collapses
+    * repeats before the exchange.
+    */
+  private val PassageLen = 8
+
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nFull = (size(toks) / PassageLen).cast("int")
+    val passages = transform(sequence(lit(0), nFull - 1),
+      i => concat_ws(" ", slice(toks, i * PassageLen + 1, lit(PassageLen))))
+    docs(spark, dir)
+      .filter(size(toks) >= PassageLen)
+      .select(col("doc_id"), explode(passages).as("passage"))
+      .groupBy(md5(col("passage").cast("binary")).as("passage_hash"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  val passageDedupSql: String =
+    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(0, CAST(len(t) / $PassageLen AS INT) - 1),
+       |    i -> array_to_string(t[i*$PassageLen+1:i*$PassageLen+$PassageLen], ' '))) AS passage
+       |  FROM s WHERE len(t) >= $PassageLen)
+       |SELECT md5(passage) AS passage_hash,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occur,
+       |  min(doc_id) AS keep_doc
+       |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+
+  // ---- token-budget packing ----------------------------------------------
+
+  /** Greedy context-window packing: docs in doc_id order are concatenated
+    * and each doc lands in the bin where its first token falls
+    * (bin = floor(tokens_before / budget)) — the "concat then chunk"
+    * packing LLM pretraining uses. Scale: a naive global-order cumsum is a
+    * single-partition window; instead the prefix sum is hierarchical —
+    * per-block window (parallel, partitioned by block id) + a tiny
+    * block-totals frame whose own cumsum is broadcast back. Block size
+    * bounds the second stage: 10^6 docs/block keeps the block frame
+    * thousands of rows at 10^9 docs.
+    */
+  private val TokenBudget = 2000L
+  private val PackBlock = 100L // docs per block (small here; 10^6 at scale)
+
+  def tokenPack(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        (col("doc_id") / PackBlock).cast("long").as("blk"))
+    // within-block running total BEFORE each doc (parallel across blocks)
+    val wIn = Window.partitionBy(col("blk"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBlk = base.withColumn("before_in_blk",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    // block totals are ~corpus/PackBlock rows: their prefix sum is the only
+    // sequential step and it runs over the tiny aggregated frame
+    val wBlk = Window.orderBy(col("blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOffsets = base.groupBy(col("blk")).agg(sum(col("n_tokens")).as("blk_total"))
+      .withColumn("blk_before", coalesce(sum(col("blk_total")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("blk_before"))
+    inBlk.join(broadcast(blkOffsets), "blk")
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("blk_before") + col("before_in_blk")) / TokenBudget).cast("long")
+          .as("bin_id"))
+  }
+
+  val tokenPackSql: String =
+    s"""WITH s AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       |  FROM s)
+       |SELECT doc_id, n_tokens,
+       |  CAST(before // $TokenBudget AS BIGINT) AS bin_id
+       |FROM c""".stripMargin
+
+  // ---- event as-of join ---------------------------------------------------
+
+  /** As-of join over the event stream: each purchase aligned to the same
+    * user's most recent view at-or-before it (ties: latest ts, then highest
+    * event_id; purchases with no prior view keep NULL). The classic
+    * time-series alignment operator (attribution, feature backfill).
+    * Scale: ONE shuffle on user_id and a carry-forward window — never the
+    * per-user quadratic view×purchase join the naive formulation (and the
+    * oracle, which is declarative-but-quadratic) implies.
+    * Precision: DuckDB reads the NANOS parquet µs-truncated, so both the
+    * at-or-before comparison and the emitted gap run on `ts div 1000` —
+    * microsecond ticks both engines agree on exactly.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+    // at equal ts the view sorts first (0 < 1), so "at-or-before" includes
+    // it; last() then picks the max-event_id view of the max ts
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc,
+        when(col("event_type") === "view", 0).otherwise(1).asc,
+        col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastView = last(
+      when(col("event_type") === "view", struct(col("ts_us"), col("event_id"))),
+      ignoreNulls = true).over(w)
+    ev.withColumn("lv", lastView)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        col("lv.event_id").as("view_id"),
+        (col("ts_us") - col("lv.ts_us")).as("gap_us"))
+  }
+
+  val asofJoinSql: String =
+    """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events
+      |      WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id, v.event_id AS view_id,
+      |    p.tu - v.tu AS gap_us,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY v.tu DESC, v.event_id DESC) AS rn
+      |  FROM p JOIN v ON p.user_id = v.user_id AND v.tu <= p.tu)
+      |SELECT p.event_id, p.user_id, j.view_id, j.gap_us
+      |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_split" -> (trainSplit(_, _)),
+    "sample_sources" -> (sampleSources(_, _)),
+    "quality_rules" -> (qualityRules(_, _)),
+    "passage_dedup" -> (passageDedup(_, _)),
+    "token_pack" -> (tokenPack(_, _)),
+    "asof_join" -> (asofJoin(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "train_split" -> trainSplitSql,
+    "sample_sources" -> sampleSourcesSql,
+    "quality_rules" -> qualityRulesSql,
+    "passage_dedup" -> passageDedupSql,
+    "token_pack" -> tokenPackSql,
+    "asof_join" -> asofJoinSql)
+}

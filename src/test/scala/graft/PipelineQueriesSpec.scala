@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQueries
+
+/** Semantics gates for the training-pipeline curation operators (the hash
+  * gate in Verify covers engine-vs-DuckDB parity; these pin the *intended*
+  * behavior: split stability, packing boundaries, as-of alignment vs a
+  * brute-force reference, passage-dedup vs a naive recount).
+  */
+class PipelineQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train_split: deterministic, exhaustive, ~80/10/10, stable across runs") {
+    val a = PipelineQueries.trainSplit(spark, sf001).collect()
+    val b = PipelineQueries.trainSplit(spark, sf001).collect()
+    assert(a.sortBy(_.getLong(0)).sameElements(b.sortBy(_.getLong(0))),
+      "split assignment must be a pure function of doc_id")
+    val n = a.length.toDouble
+    val frac = a.groupBy(_.getString(2)).map { case (k, v) => k -> v.length / n }
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train frac ${frac("train")}")
+    assert(frac.values.sum === 1.0)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+  }
+
+  test("sample_sources: kept fraction tracks the per-source weight") {
+    val total = spark.read.parquet(s"$sf001/documents.parquet")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val kept = PipelineQueries.sampleSources(spark, sf001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    def fracOf(srcs: Seq[String]): Double =
+      srcs.map(s => kept.getOrElse(s, 0L)).sum.toDouble / srcs.map(total).sum
+    assert(math.abs(fracOf((0 to 4).map(i => s"src$i")) - 0.9) < 0.1)
+    assert(math.abs(fracOf((5 to 9).map(i => s"src$i")) - 0.5) < 0.15)
+    assert(math.abs(fracOf((10 to 19).map(i => s"src$i")) - 0.2) < 0.12)
+  }
+
+  test("quality_rules: flags match a scala recount on a sample") {
+    val rows = PipelineQueries.qualityRules(spark, sf001).limit(50).collect()
+    val texts = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val t = texts(r.getLong(0)).split(" ", -1)
+      assert(r.getLong(1) === t.length.toLong)
+      assert(r.getLong(2) === t.map(_.length.toLong).sum)
+      assert(r.getLong(3) === t.groupBy(identity).values.map(_.length).max.toLong)
+      assert((r.getLong(4) === 1L) === (t.length >= 20 && t.length <= 1000))
+    }
+  }
+
+  test("passage_dedup: agrees with a naive passage recount") {
+    val naive = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        t.grouped(8).filter(_.length == 8).map(c => (id, c.mkString(" ")))
+      }
+    val expected = naive.groupBy(_._2).collect {
+      case (_, occ) if occ.map(_._1).distinct.length >= 2 =>
+        (occ.map(_._1).distinct.length.toLong, occ.length.toLong, occ.map(_._1).min)
+    }.toSeq.sorted
+    val got = PipelineQueries.passageDedup(spark, sf001)
+      .select("n_docs", "n_occur", "keep_doc").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    assert(got.nonEmpty, "sf0.01 corpus must contain cross-doc duplicate passages")
+    assert(got === expected)
+  }
+
+  test("token_pack: hierarchical prefix sum == single-pass cumsum; bins respect the budget") {
+    val got = PipelineQueries.tokenPack(spark, sf001)
+      .select("doc_id", "n_tokens", "bin_id").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    var before = 0L
+    got.foreach { case (_, n, bin) =>
+      assert(bin === before / 2000L, "bin must be floor(tokens_before / budget)")
+      before += n
+    }
+    // bins are contiguous and non-decreasing in doc order
+    assert(got.map(_._3).sliding(2).forall(p => p.last - p.head >= 0))
+  }
+
+  test("asof_join: matches brute-force most-recent-prior-view per purchase") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val views = ev.filter(_._4 == "view").groupBy(_._2)
+    // µs ticks — the precision both engines share (see asofJoin's scaladoc)
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, u, pts, _) =>
+      val prior = views.getOrElse(u, Array.empty).filter(_._3 / 1000 <= pts / 1000)
+      if (prior.isEmpty) (pid, u, None, None)
+      else {
+        val best = prior.maxBy(v => (v._3 / 1000, v._1))
+        (pid, u, Some(best._1), Some(pts / 1000 - best._3 / 1000))
+      }
+    }.sortBy(_._1)
+    val got = PipelineQueries.asofJoin(spark, sf001)
+      .select("event_id", "user_id", "view_id", "gap_us")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got.length === expected.length)
+    assert(got === expected)
+    assert(got.exists(_._3.isEmpty), "some purchases should have no prior view")
+    assert(got.exists(_._3.nonEmpty))
+  }
+}
