@@ -34,9 +34,13 @@ object Bench {
     SparkEntry.queries.get("point_lookup")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(name, fn)
-    }
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid; the
+    // driver never sets it, so round benches always cover every query)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> time(name, fn) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

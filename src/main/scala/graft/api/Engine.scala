@@ -45,6 +45,9 @@ class Engine(
   private def opqSnapshotPath(coll: String) = s"$root/$coll/index/opq.snapshot"
   private def sqSnapshotPath(coll: String) = s"$root/$coll/index/sq.snapshot"
   private def ivfLayoutPath(coll: String) = s"$root/$coll/index/ivf_layout"
+  private def bucketedDataPath(coll: String) = s"$root/$coll/index/ivf_bucketed"
+  private def bucketedMetaPath(coll: String) =
+    java.nio.file.Paths.get(s"$root/$coll/index/bucketed_meta")
   private def pqLayoutPath(coll: String) = s"$root/$coll/index/pq_layout"
   private def opqLayoutPath(coll: String) = s"$root/$coll/index/opq_layout"
   private def sqLayoutPath(coll: String) = s"$root/$coll/index/sq_layout"
@@ -83,6 +86,13 @@ class Engine(
   def dropCollection(name: String): Boolean = {
     runtime.remove(name); ivfModels.remove(name); pqModels.remove(name)
     opqModels.remove(name); sqModels.remove(name)
+    // unregister the collection's bucketed table (external — dropping the
+    // table leaves the files; they go with the collection dir)
+    if (java.nio.file.Files.exists(bucketedMetaPath(name))) {
+      val table = java.nio.file.Files.readAllLines(bucketedMetaPath(name)).get(0)
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      java.nio.file.Files.deleteIfExists(bucketedMetaPath(name))
+    }
     // the version counter resets if the collection is recreated, so caches
     // keyed on the old incarnation must not survive the drop
     cache.clear()
@@ -317,6 +327,20 @@ class Engine(
         // materialize the inverted-list layout: searches become physically
         // partition-pruned scans of only the probed cluster directories
         IvfIndex.write(corpus, "vector", model, ivfLayoutPath(coll))
+        // optional BUCKETED layout (`bucketed_table` collection param): the
+        // repeated-KNN-join shape — the searchDistributed equi-join reads the
+        // corpus pre-hashed on cluster_id, so only the query frame shuffles.
+        // External table (files under the collection dir) + a meta file so a
+        // fresh session re-registers it (bucketedCorpus); the meta's stamp
+        // commits it to THIS build — any later write stales it exactly like
+        // the partitioned layout.
+        cfg.params.get("bucketed_table").foreach { table =>
+          val buckets = cfg.params.get("buckets").map(_.toInt).getOrElse(64)
+          IvfIndex.writeBucketed(corpus, "vector", model, table, buckets,
+            path = Some(bucketedDataPath(coll)))
+          java.nio.file.Files.writeString(bucketedMetaPath(coll),
+            s"$table\n$buckets\n$stamp")
+        }
         stampLayout()
       case IndexType.IvfPq =>
         // l2, ip, and cos (normalized-residual tables) have proper ADC
@@ -412,8 +436,12 @@ class Engine(
       case IndexType.IvfFlat =>
         val model = loadedIvf(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
-        val assigned = currentLayout(coll, ivfLayoutPath(coll))
-          .map(_._1).getOrElse(IvfIndex.assign(corpus, "vector", model))
+        // bucketed table first (corpus-shuffle-free equi-join), then the
+        // partitioned layout, then live re-assignment — all three produce
+        // identical results; they differ only in how much work the plan skips
+        val assigned = bucketedCorpus(coll)
+          .orElse(currentLayout(coll, ivfLayoutPath(coll)).map(_._1))
+          .getOrElse(IvfIndex.assign(corpus, "vector", model))
         IvfIndex.searchDistributed(assigned, queries, model, k, nprobe)
       case IndexType.IvfPq =>
         val pq = loadedPq(coll)
@@ -451,6 +479,33 @@ class Engine(
           .withColumn("query_id",
             col("query_id").cast(queries.schema("query_id").dataType))
     }
+  }
+
+  /** The collection's bucketed inverted-list table, if built AND current
+    * (meta stamp == live store version — a streaming append or upsert since
+    * the build stales it, exactly like the partitioned layout; searches then
+    * fall back one tier, never serve missing rows). If the files exist but
+    * the table is absent from THIS session's catalog (fresh session after a
+    * restart — the in-memory catalog died with the old one), it is
+    * re-registered as an external bucketed table over the same files, so the
+    * corpus-shuffle-free join shape survives engine restarts.
+    */
+  private def bucketedCorpus(coll: String): Option[DataFrame] = {
+    import java.nio.file.Files
+    val meta = bucketedMetaPath(coll)
+    if (!Files.exists(meta)) return None
+    val lines = Files.readAllLines(meta)
+    val (table, buckets, stamp) = (lines.get(0), lines.get(1).toInt, lines.get(2).toLong)
+    if (stamp != store.currentVersion(coll)) return None
+    if (!spark.catalog.tableExists(table)) {
+      val path = bucketedDataPath(coll)
+      if (!Files.exists(java.nio.file.Paths.get(path))) return None
+      val ddl = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"""CREATE TABLE `$table` ($ddl) USING PARQUET
+        CLUSTERED BY (cluster_id) SORTED BY (cluster_id) INTO $buckets BUCKETS
+        LOCATION '$path'""")
+    }
+    Some(spark.table(table))
   }
 
   private def notBuilt(coll: String): Nothing =

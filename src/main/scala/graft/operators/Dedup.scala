@@ -114,11 +114,17 @@ object Dedup {
     * numHashes permutation hashes are seeded re-hashes of that 8-byte base
     * (variable-length string hashing is the expensive part, so this is
     * ~numHashes× cheaper than hashing the string per permutation).
+    *
+    * Also carries the shingle-set size as `__n`: the exact-Jaccard verify
+    * stage needs per-doc sizes over the SAME frame, and emitting the count
+    * from this aggregation lets that stage reuse this shuffle
+    * (ReusedExchange) instead of re-scanning and re-aggregating the exploded
+    * shingles.
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val based = sh.withColumn("__h", xxhash64(col("s")))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("__h"))).as(s"h$i")) :+ count(lit(1)).as("__n")
     based.groupBy(col("__did")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -211,18 +217,17 @@ object Dedup {
     val rpb = numHashes / bands
     val shA = shingles(corpus, corpusId, corpusText, shingleN)
     val shB = shingles(ref, refId, refText, shingleN)
-    val bA = capBuckets(bandedRows(minHashSignatures(shA, numHashes), bands, rpb),
-      Seq("band", "bh"), maxBucket)
-    val bB = capBuckets(bandedRows(minHashSignatures(shB, numHashes), bands, rpb),
-      Seq("band", "bh"), maxBucket)
+    val sigsA = minHashSignatures(shA, numHashes)
+    val sigsB = minHashSignatures(shB, numHashes)
+    val bA = capBuckets(bandedRows(sigsA, bands, rpb), Seq("band", "bh"), maxBucket)
+    val bB = capBuckets(bandedRows(sigsB, bands, rpb), Seq("band", "bh"), maxBucket)
     val cand = bA.as("a").join(bB.as("b"), Seq("band", "bh"))
       .select(col("a.__did").as("ia"), col("b.__did").as("ib"))
       .distinct()
-    // exact cross-corpus Jaccard over candidate pairs only
-    val sizesA = shA.groupBy(col("__did")).agg(count(lit(1)).as("na"))
-      .withColumnRenamed("__did", "ia")
-    val sizesB = shB.groupBy(col("__did")).agg(count(lit(1)).as("nb"))
-      .withColumnRenamed("__did", "ib")
+    // exact cross-corpus Jaccard over candidate pairs only; sizes ride the
+    // signature aggregation (same shuffle, reused exchange)
+    val sizesA = sigsA.select(col("__did").as("ia"), col("__n").as("na"))
+    val sizesB = sigsB.select(col("__did").as("ib"), col("__n").as("nb"))
     cand
       .join(shA.as("ta"), col("ia") === col("ta.__did"))
       .join(shB.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
@@ -236,10 +241,15 @@ object Dedup {
   }
 
   /** Exact Jaccard over candidate pairs only (shingle-set intersection via
-    * join — never materializes non-candidate pairs).
+    * join — never materializes non-candidate pairs). Pass `sizesOpt` when
+    * per-doc shingle-set sizes already exist upstream (they ride the
+    * signature aggregation) so this stage reuses that shuffle instead of
+    * re-aggregating `sh`.
     */
-  def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("__did")).agg(count(lit(1)).as("n"))
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double,
+      sizesOpt: Option[DataFrame] = None): DataFrame = {
+    val sizes = sizesOpt.getOrElse(
+      sh.groupBy(col("__did")).agg(count(lit(1)).as("n")))
     val inter = cand
       .join(sh.as("ta"), col("ia") === col("ta.__did"))
       .join(sh.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
@@ -291,15 +301,16 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val reps = m.fold(df)(mm => df.join(dupNonReps(mm, idCol), Seq(idCol), "left_anti"))
     val repSh = shingles(reps, idCol, textCol, shingleN)
-    val repCand = lshCandidates(
-      minHashSignatures(repSh, numHashes), bands, numHashes / bands, maxBucket)
+    val repSigs = minHashSignatures(repSh, numHashes)
+    val repCand = lshCandidates(repSigs, bands, numHashes / bands, maxBucket)
     m match {
       case Some(mm) if expandDuplicates =>
         // verification joins against the FULL corpus's shingles, so expanded
         // member pairs score with their own (identical) shingle sets
         verifyJaccard(expandPairs(repCand, mm), shingles(df, idCol, textCol, shingleN), threshold)
       case _ =>
-        verifyJaccard(repCand, repSh, threshold)
+        verifyJaccard(repCand, repSh, threshold,
+          sizesOpt = Some(repSigs.select(col("__did"), col("__n").as("n"))))
     }
   }
 

@@ -139,11 +139,15 @@ object IvfIndex {
     * partition-pruned single-query serving.
     */
   def writeBucketed(corpus: DataFrame, vecCol: String, model: Model,
-      table: String, buckets: Int = 64): Unit =
-    assign(corpus, vecCol, model)
-      .write.mode("overwrite")
+      table: String, buckets: Int = 64, path: Option[String] = None): Unit = {
+    // an explicit path makes the table EXTERNAL: the bucketed files live
+    // with their collection and survive the session catalog — a fresh
+    // session re-registers the same files (Engine.bucketedCorpus)
+    val w = assign(corpus, vecCol, model).write.mode("overwrite")
+    path.fold(w)(p => w.option("path", p))
       .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
       .saveAsTable(table)
+  }
 
   /** nprobe-pruned batch KNN over an assigned (or partitioned-loaded) corpus.
     * Queries (small) are collected driver-side to compute probe lists; the
