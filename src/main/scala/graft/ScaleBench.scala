@@ -144,6 +144,20 @@ object ScaleBench {
         ScalarQuant.search(sqEnc, q, sqm, kTop = 10,
           corpusId = "vec_id", queryId = "qid", queryVec = "qv")))
       sqEnc.unpersist()
+      // OPQ: rotation + ADC — the recall-per-byte upgrade; search cost must
+      // track plain PQ (the rotation is one codegen MatVecMul per row)
+      var opqm: graft.operators.Opq.Model = null
+      var opqEnc: DataFrame = null
+      out(s"opq_build_$tag") = time {
+        opqm = graft.operators.Opq.train(corpus, "embedding", nlist = 40,
+          m = 8, opqIters = 6)
+        opqEnc = graft.operators.Opq.encode(corpus, "embedding", opqm).cache()
+        opqEnc.count()
+      }
+      out(s"opq_adc_search_$tag") = time(drain(
+        graft.operators.Opq.searchDistributed(opqEnc, q, opqm, kTop = 10, nprobe = 4,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
+      opqEnc.unpersist()
       // LSH KNN: bucketed candidates vs the exact scan above
       out(s"lsh_knn_$tag") = time(drain(
         AnnLsh.search(corpus, q, 10, SpaceType.Cos,
@@ -183,6 +197,8 @@ object ScaleBench {
       "scaling_pq_distributed" -> out(s"pq_adc_distributed_$scaled") / out("pq_adc_distributed_1x"),
       "speedup_sq_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"sq_scan_search_$scaled"),
       "scaling_sq_search" -> out(s"sq_scan_search_$scaled") / out("sq_scan_search_1x"),
+      "speedup_opq_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"opq_adc_search_$scaled"),
+      "scaling_opq_search" -> out(s"opq_adc_search_$scaled") / out("opq_adc_search_1x"),
       "scaling_minhash" -> out(s"minhash_lsh_$scaled") / out("minhash_lsh_1x"))
     val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++
       derived.map { case (k, v) => f""""$k":$v%.2f""" }

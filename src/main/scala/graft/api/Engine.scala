@@ -371,7 +371,12 @@ class Engine(
         val k = math.min(nlist.toLong, n).toInt
         require(k >= 1, "cannot train an index on an empty collection")
         val m = cfg.params.get("m").map(_.toInt).getOrElse(8)
-        val opq = Opq.train(corpus, "vector", k, m = m, space = cfg.spaceType)
+        // opq_full_cov=true: every Procrustes step aggregates the
+        // cross-covariance over the WHOLE corpus (treeAggregate) instead of
+        // the bounded driver sample — for corpora whose training distribution
+        // a sample can't represent
+        val opq = Opq.train(corpus, "vector", k, m = m, space = cfg.spaceType,
+          rotationFullCovariance = cfg.params.get("opq_full_cov").exists(_.toBoolean))
         opqModels(coll) = opq
         ivfModels(coll) = opq.pq.coarse // so nprobe validation sees nlist
         ModelStore.saveOpq(opqSnapshotPath(coll), opq)

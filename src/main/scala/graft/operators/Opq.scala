@@ -92,13 +92,112 @@ object Opq {
     (Array.tabulate(d, d)((r, c) => rot(r, c).toFloat), errs.toArray)
   }
 
-  /** Train: learn R on a bounded sample, then stock IVFPQ over the rotated
-    * corpus. Same knobs and spaces as `IvfPq.train`.
+  private def matVec(rot: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val d = rot.length
+    val y = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val r = rot(i); var s = 0.0; var j = 0
+      while (j < d) { s += r(j) * x(j); j += 1 }
+      y(i) = s; i += 1
+    }
+    y
+  }
+
+  /** Distributed rotation learning — for corpora whose TRAINING SET outgrows
+    * the driver sample. Per-subspace codebooks still fit on the bounded
+    * sample (the rotation has only d² free parameters, and the full-k
+    * codebooks are refit on the rotated corpus downstream anyway), but every
+    * Procrustes step aggregates the d×d cross-covariance B = Σ x·ŷᵀ and the
+    * quantization objective over the ENTIRE residual frame with
+    * treeAggregate — the rotation sees every row; the driver only ever holds
+    * d×d matrices (32 KB at d=64) and the d-dim codebooks.
+    */
+  private[operators] def learnRotationDistributed(residDf: DataFrame,
+      vecCol: String, sample: Array[Array[Float]], m: Int, k: Int, iters: Int,
+      kmeansIters: Int = 10): (Array[Array[Float]], Array[Double]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val d = sample(0).length
+    require(d % m == 0, s"dimension $d not divisible by m=$m")
+    val subDim = d / m
+    var rot: Array[Array[Double]] =
+      Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var books: IndexedSeq[Array[Array[Double]]] = null
+    val errs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val rdd = residDf.select(col(vecCol).cast("array<float>")).rdd
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      // driver side: warm-started codebooks on the ROTATED sample (same
+      // monotone alternation as the local path)
+      val ySample = sample.map(x => matVec(rot, x.map(_.toDouble)))
+      books = (0 until m).map { j =>
+        val slices = ySample.map(r =>
+          java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim))
+        LocalKMeans.fit(slices, k, kmeansIters, warmStart = Option(books).map(_(j)))
+      }
+      val bks = books.toArray
+      val rotNow = rot
+      // cluster side: one pass accumulating B (column-major d×d), the
+      // objective, and the row count — constant-size state up the tree
+      val (bArr, errSum, cnt) = rdd.treeAggregate(
+          (new Array[Double](d * d), 0.0, 0L))(
+        seqOp = { case ((acc, e, c), x) =>
+          val y = matVec(rotNow, x)
+          val yhat = new Array[Double](d)
+          var err = 0.0
+          var j = 0
+          while (j < m) {
+            val bk = bks(j)
+            var best = 0; var bestD = Double.MaxValue; var cw = 0
+            while (cw < bk.length) {
+              var s = 0.0; var t = 0
+              while (t < subDim) {
+                val dv = y(j * subDim + t) - bk(cw)(t); s += dv * dv; t += 1
+              }
+              if (s < bestD) { bestD = s; best = cw }
+              cw += 1
+            }
+            var t = 0
+            while (t < subDim) { yhat(j * subDim + t) = bk(best)(t); t += 1 }
+            err += bestD
+            j += 1
+          }
+          // acc(i + j·d) += x(i)·ŷ(j)  — B(i,j) = Σ x(i)·ŷ(j), column-major
+          var jj = 0
+          while (jj < d) {
+            val yj = yhat(jj); val off = jj * d
+            var ii = 0
+            while (ii < d) { acc(off + ii) += x(ii) * yj; ii += 1 }
+            jj += 1
+          }
+          (acc, e + err, c + 1)
+        },
+        combOp = { case ((a1, e1, c1), (a2, e2, c2)) =>
+          var i = 0
+          while (i < a1.length) { a1(i) += a2(i); i += 1 }
+          (a1, e1 + e2, c1 + c2)
+        })
+      require(cnt > 0, "empty residual frame")
+      errs += errSum / cnt
+      val B = new DenseMatrix(d, d, bArr)
+      val svd.SVD(u, _, vt) = svd(B)
+      val nr = vt.t * u.t
+      rot = Array.tabulate(d, d)((r, c) => nr(r, c))
+    }
+    (rot.map(_.map(_.toFloat)), errs.toArray)
+  }
+
+  /** Train: learn R on a bounded sample (or, with
+    * `rotationFullCovariance = true`, with every Procrustes step aggregated
+    * over the full corpus's residuals — see `learnRotationDistributed`),
+    * then stock IVFPQ over the rotated corpus. Same knobs and spaces as
+    * `IvfPq.train`.
     */
   def train(corpus: DataFrame, vecCol: String, nlist: Int, m: Int = 8,
       nbits: Int = 8, maxIter: Int = 40, seed: Long = 42L,
       space: graft.core.SpaceType = graft.core.SpaceType.L2,
-      opqIters: Int = 10, rotationSampleCap: Long = 8000L): Model = {
+      opqIters: Int = 10, rotationSampleCap: Long = 8000L,
+      rotationFullCovariance: Boolean = false): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(space != graft.core.SpaceType.Hamming,
@@ -136,7 +235,30 @@ object Opq {
     // full-k codebooks are refit on the rotated corpus by IvfPq.train below
     // — this keeps the alternation's O(n·m·k·subDim) reconstruct off the
     // build critical path
-    val (rot, errs) = learnRotation(resid, m, math.min(k, 64), opqIters)
+    val (rot, errs) =
+      if (!rotationFullCovariance) learnRotation(resid, m, math.min(k, 64), opqIters)
+      else {
+        // full-corpus residual frame, built distributively with the SAME
+        // local coarse quantizer the sample path uses: normalize (cos),
+        // nearest-centroid via the codegen kernel, residual via zip_with
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.graft.{Bridge, NearestCentroid}
+        val src = if (space == graft.core.SpaceType.Cos)
+          IvfPq.withL2Normalized(corpus, vecCol, "__nv").withColumn("__v", col("__nv"))
+        else corpus.withColumn("__v", col(vecCol).cast("array<float>"))
+        val centsLit = Literal.create(
+          cents.map(_.map(_.toFloat).toSeq).toSeq,
+          ArrayType(ArrayType(FloatType)))
+        val centsCol = Bridge.column(centsLit)
+        val residDf = src
+          .withColumn("__cid",
+            Bridge.column(NearestCentroid(Bridge.expression(col("__v")), centsLit)))
+          .withColumn("__resid",
+            zip_with(col("__v"), element_at(centsCol, col("__cid") + 1),
+              (a, b) => a - b))
+        learnRotationDistributed(residDf, "__resid", resid, m, math.min(k, 64),
+          opqIters)
+      }
     val pq = IvfPq.train(rotate(corpus, vecCol, rot, "__rvec"), "__rvec",
       nlist, m, nbits, maxIter, seed, space)
     Model(rot, pq, errs)

@@ -109,4 +109,55 @@ class OpqSpec extends SparkSpec {
       }
     }
   }
+
+  test("full-covariance rotation (treeAggregate) ≈ sample rotation when the sample IS the corpus") {
+    val corpus = correlated(400).cache()
+    // rotationSampleCap ≥ n ⇒ both paths train codebooks on the same rows;
+    // the distributed path aggregates B over the same set, so the learned
+    // rotations must agree up to summation-order float noise
+    val local = Opq.train(corpus, "vector", nlist = 4, m = 4, nbits = 4,
+      opqIters = 5)
+    val dist = Opq.train(corpus, "vector", nlist = 4, m = 4, nbits = 4,
+      opqIters = 5, rotationFullCovariance = true)
+    // the two paths optimize the same objective over the same rows, so the
+    // per-iteration objective sequences must agree to summation-order noise.
+    // (The rotation MATRICES need not match element-wise: the fixture's
+    // residuals are rank-deficient, so the Procrustes SVD has near-zero
+    // singular directions where any orthonormal completion is optimal —
+    // equal objectives with different R is the expected degeneracy, and the
+    // orthonormality test above covers validity.)
+    local.trainErrors.zip(dist.trainErrors).foreach { case (a, b) =>
+      assert(math.abs(a - b) / math.max(a, 1e-12) < 1e-6, s"objective diverged: $a vs $b")
+    }
+    val d = dist.dim
+    for (r <- 0 until d; c <- 0 until d) {
+      val dot = (0 until d).map(i => dist.rotation(r)(i).toDouble * dist.rotation(c)(i)).sum
+      assert(math.abs(dot - (if (r == c) 1.0 else 0.0)) < 1e-4)
+    }
+    dist.trainErrors.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a * 1.0001, "distributed OPQ objective rose")
+    }
+    // end-to-end: the distributed-rotation model searches correctly
+    val queries = corpus.filter(col("id").cast("int") < 10)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val enc = Opq.encode(corpus, "vector", dist)
+    val res = Opq.search(enc, queries, dist, kTop = 5, nprobe = 4)
+    assert(res.groupBy("query_id").count().count() === 10L)
+  }
+
+  test("full-covariance rotation handles the cos space (normalized residual frame)") {
+    val corpus = correlated(300).cache()
+    val model = Opq.train(corpus, "vector", nlist = 4, m = 4, nbits = 4,
+      opqIters = 3, space = SpaceType.Cos, rotationFullCovariance = true)
+    val d = model.dim
+    for (r <- 0 until d; c <- 0 until d) {
+      val dot = (0 until d).map(i => model.rotation(r)(i).toDouble * model.rotation(c)(i)).sum
+      assert(math.abs(dot - (if (r == c) 1.0 else 0.0)) < 1e-4)
+    }
+    val queries = corpus.filter(col("id").cast("int") < 5)
+      .select(col("id").as("query_id"), col("vector").as("query_vec"))
+    val enc = Opq.encode(corpus, "vector", model)
+    val res = Opq.search(enc, queries, model, kTop = 3, nprobe = 4)
+    assert(res.groupBy("query_id").count().count() === 5L)
+  }
 }
