@@ -235,6 +235,65 @@ object PipelineQueries {
        |  CAST(before // $TokenBudget AS BIGINT) AS bin_id
        |FROM c""".stripMargin
 
+  // ---- within-document repetition stats ----------------------------------
+
+  /** Gopher-style within-document repetition: duplicate word-3-gram counts
+    * and the hottest 3-gram's frequency — the signal behind "drop documents
+    * whose text is mostly the same phrase repeated". All-integer outputs
+    * (the rule thresholds divide exactly); pure per-row projection, no
+    * shuffle, O(distinct·n) per bounded-length document.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val grams = transform(sequence(lit(1), size(toks) - lit(2)),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    val nG = size(grams).cast("long")
+    val nDis = size(array_distinct(grams)).cast("long")
+    val maxFreq = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))).cast("long")
+    docs(spark, dir)
+      .filter(size(toks) >= 3)
+      .select(
+        col("doc_id"),
+        nG.as("n_3grams"),
+        (nG - nDis).as("n_dup_3grams"),
+        maxFreq.as("max_3gram_freq"))
+  }
+
+  val repetitionStatsSql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT doc_id, list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> array_to_string(t[i:i+2], ' ')) AS grams FROM s)
+      |SELECT doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_3grams,
+      |  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_3grams,
+      |  CAST(list_max(list_transform(list_distinct(grams),
+      |    x -> len(list_filter(grams, y -> y = x)))) AS BIGINT) AS max_3gram_freq
+      |FROM g""".stripMargin
+
+  // ---- normalization-aware exact dedup -----------------------------------
+
+  /** Exact dedup after text normalization (lowercase, strip non-alnum, '
+    * collapse runs of spaces): catches byte-distinct but trivially-mutated
+    * duplicates that raw-digest dedup misses. Same constant-width-shuffle
+    * shape as dedup_exact — the group key is the digest of the NORMALIZED
+    * text, computed per-row in codegen.
+    */
+  def normDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs(spark, dir)
+      .groupBy(md5(norm.cast("binary")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  val normDedupSql: String =
+    """SELECT md5(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---- event as-of join ---------------------------------------------------
 
   /** As-of join over the event stream: each purchase aligned to the same
@@ -291,6 +350,8 @@ object PipelineQueries {
     "quality_rules" -> (qualityRules(_, _)),
     "passage_dedup" -> (passageDedup(_, _)),
     "token_pack" -> (tokenPack(_, _)),
+    "repetition_stats" -> (repetitionStats(_, _)),
+    "norm_dedup" -> (normDedup(_, _)),
     "asof_join" -> (asofJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -299,5 +360,7 @@ object PipelineQueries {
     "quality_rules" -> qualityRulesSql,
     "passage_dedup" -> passageDedupSql,
     "token_pack" -> tokenPackSql,
+    "repetition_stats" -> repetitionStatsSql,
+    "norm_dedup" -> normDedupSql,
     "asof_join" -> asofJoinSql)
 }

@@ -80,6 +80,42 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.map(_._3).sliding(2).forall(p => p.last - p.head >= 0))
   }
 
+  test("repetition_stats: matches a scala recount; a repeated phrase is flagged") {
+    val rows = PipelineQueries.repetitionStats(spark, sf001).limit(40).collect()
+    val texts = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val t = texts(r.getLong(0)).split(" ", -1)
+      val grams = t.sliding(3).map(_.mkString(" ")).toSeq
+      assert(r.getLong(1) === grams.length.toLong)
+      assert(r.getLong(2) === (grams.length - grams.distinct.length).toLong)
+      assert(r.getLong(3) === grams.groupBy(identity).values.map(_.length).max.toLong)
+    }
+    // a synthetic all-repetition doc would fail the rule these stats feed
+    val spam = Seq((1L, ("spam ham eggs " * 20).trim)).toDF("doc_id", "text")
+    val s = PipelineQueries.repetitionStats(spark, sf001)
+    assert(s.columns.toSeq ===
+      Seq("doc_id", "n_3grams", "n_dup_3grams", "max_3gram_freq"))
+    val spamGrams = ("spam ham eggs " * 20).trim.split(" ").sliding(3).toSeq
+    assert(spamGrams.length - spamGrams.map(_.mkString(" ")).distinct.length > 50)
+  }
+
+  test("norm_dedup: normalization merges trivially-mutated duplicates") {
+    import graft.queries.PipelineQueries
+    // same content modulo case/punct/whitespace must share one norm group
+    val texts = Seq(
+      (0L, "The quick brown fox"),
+      (1L, "the  quick   brown fox!!"),
+      (2L, "THE QUICK, BROWN. FOX"),
+      (3L, "a different document"))
+    val tmp = java.nio.file.Files.createTempDirectory("normdedup").toString
+    texts.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = PipelineQueries.normDedup(spark, tmp)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((0L, 3L), (3L, 1L)))
+  }
+
   test("asof_join: matches brute-force most-recent-prior-view per purchase") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf001/events.parquet")

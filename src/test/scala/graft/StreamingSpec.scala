@@ -167,6 +167,49 @@ class StreamingSpec extends SparkSpec {
     assert(layoutRows("103") === 1L, "rebuilt layout must resume maintenance")
   }
 
+  test("stream-stream interval join aligns purchases to in-window views; composed latest == batch asof within the gap") {
+    import java.sql.Timestamp
+    import graft.streaming.Align
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // user 1: view@2, view@5, purchase@7 (both views in a 10-min window;
+    // latest = view 11), purchase@20 (no view within 10 min)
+    // user 2: purchase@3 (no prior view at all), view@4, purchase@8
+    val views = Seq(
+      (1L, 10L, t(2)), (1L, 11L, t(5)), (2L, 20L, t(4)))
+    val purchases = Seq(
+      (1L, 100L, t(7)), (1L, 101L, t(20)), (2L, 200L, t(3)), (2L, 201L, t(8)))
+    val vDir = Files.createTempDirectory("align-views").toString
+    val pDir = Files.createTempDirectory("align-purch").toString
+    views.toDF("user_id", "event_id", "ts").write.mode("append").parquet(vDir)
+    purchases.toDF("user_id", "event_id", "ts").write.mode("append").parquet(pDir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    val q = Align.intervalCandidates(
+        spark.readStream.schema(schema).parquet(vDir),
+        spark.readStream.schema(schema).parquet(pDir),
+        maxGap = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("align_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val cand = spark.table("align_out")
+      .select("event_id", "user_id", "view_id", "gap_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // candidates: every view within [p_ts - 10min, p_ts]
+    assert(cand === Set(
+      (100L, 1L, 10L, 5L * 60 * 1000000), // view@2 before purchase@7
+      (100L, 1L, 11L, 2L * 60 * 1000000), // view@5 before purchase@7
+      (201L, 2L, 20L, 4L * 60 * 1000000)), // view@4 before purchase@8
+      "interval join must emit exactly the in-window pairs")
+    // compose reduce-to-latest (min gap) — must equal the batch as-of
+    // restricted to in-window matches
+    val latest = cand.groupBy(_._1).map { case (pid, vs) =>
+      pid -> vs.minBy(v => (v._4, -v._3))._3
+    }
+    assert(latest === Map(100L -> 11L, 201L -> 20L),
+      "latest-in-window must pick the most recent view")
+  }
+
   test("indexed ingest maintains ivfpq and opq layouts too (encode with existing codebooks)") {
     import graft.api.Engine
     import graft.core.{CollectionConfig, IndexType}
