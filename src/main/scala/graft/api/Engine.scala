@@ -53,21 +53,36 @@ class Engine(
   private def sqLayoutPath(coll: String) = s"$root/$coll/index/sq_layout"
   private def hnswLayoutPath(coll: String) = s"$root/$coll/index/hnsw_layout"
 
+  /** Crash-tolerant marker-file IO: writes go through tmp + atomic rename
+    * (a reader never observes a half-written file), reads tolerate corrupt
+    * content (a crash mid-write of a RECOVERY file must degrade to "marker
+    * absent" — fall back / rebuild — never wedge the path that exists to
+    * survive crashes).
+    */
+  private def atomicWrite(p: java.nio.file.Path, content: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readLongSafe(p: java.nio.file.Path): Option[Long] =
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try(java.nio.file.Files.readString(p).trim.toLong).toOption
+
   /** The materialized index layout at `path`, if present AND current (no
     * writes since buildIndex) — otherwise None and the caller recomputes
     * over the live corpus (index staleness never causes wrong results).
     */
   private def currentLayout(coll: String, path: String): Option[(DataFrame, Long)] = {
-    val vf = java.nio.file.Paths.get(s"$root/$coll/index/layout_version")
-    if (!java.nio.file.Files.exists(vf)) return None
     // the returned stamp identifies the LAYOUT BUILD the frame reads — cache
     // keys derive from it, never from a re-read of the live store version
     // (a write racing the search must not poison the cache under a new key)
-    val stamp = java.nio.file.Files.readString(vf).trim.toLong
-    if (stamp == store.currentVersion(coll) &&
+    readLongSafe(java.nio.file.Paths.get(s"$root/$coll/index/layout_version"))
+      .filter(stamp => stamp == store.currentVersion(coll) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      Some((spark.read.parquet(path), stamp))
-    else None
+      .map(stamp => (spark.read.parquet(path), stamp))
   }
 
   // ---- collection DDL (POST/GET/DELETE /v1/collections) ----
@@ -87,10 +102,21 @@ class Engine(
     runtime.remove(name); ivfModels.remove(name); pqModels.remove(name)
     opqModels.remove(name); sqModels.remove(name)
     // unregister the collection's bucketed table (external — dropping the
-    // table leaves the files; they go with the collection dir)
+    // table leaves the files; they go with the collection dir). Only drop a
+    // table that still points at THIS collection's files: another collection
+    // reusing the name has repointed it at its own corpus, which must survive
     if (java.nio.file.Files.exists(bucketedMetaPath(name))) {
-      val table = java.nio.file.Files.readAllLines(bucketedMetaPath(name)).get(0)
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      scala.util.Try(java.nio.file.Files.readAllLines(bucketedMetaPath(name)).get(0))
+        .toOption.foreach { table =>
+          val loc = scala.util.Try(spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+            .location.getPath).toOption
+          val ours = java.nio.file.Paths.get(bucketedDataPath(name))
+            .toAbsolutePath.toString
+          if (loc.exists(l =>
+              java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
+            spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        }
       java.nio.file.Files.deleteIfExists(bucketedMetaPath(name))
     }
     // the version counter resets if the collection is recreated, so caches
@@ -187,27 +213,43 @@ class Engine(
     *
     * `batchId` makes replays idempotent (foreachBatch is at-least-once; the
     * store upsert is LWW-idempotent but a parquet layout append is NOT):
-    * a ledger file records the last FULLY-applied batch id — replays at or
-    * below it are skipped outright — and an intent marker brackets the
-    * layout append, so a replay of a crash-interrupted batch (which may have
-    * committed layout rows without reaching the ledger) re-upserts the store
-    * but leaves the layout stamp behind: the layout reads as stale and
-    * searches fall back to the live corpus (correct, unpruned) instead of
-    * ever serving duplicate layout rows. Monotonically increasing batch ids
-    * per checkpoint are Structured Streaming's contract.
+    * a ledger file records the last FULLY-applied (streamId, batchId) —
+    * replays at or below it are skipped outright — and an intent marker
+    * brackets the layout append, so a replay of a crash-interrupted batch
+    * (which may have committed layout rows without reaching the ledger)
+    * re-upserts the store but leaves the layout stamp behind: the layout
+    * reads as stale and searches fall back to the live corpus (correct,
+    * unpruned) instead of ever serving duplicate layout rows.
+    *
+    * Batch ids increase monotonically only WITHIN one checkpoint (Structured
+    * Streaming's contract), so the ledger also records `streamId` (the
+    * checkpoint identity): a new stream restarting at batch 0 must never
+    * read as "already applied". Ledger/intent writes go through tmp+atomic
+    * rename and tolerate corrupt content (a crash mid-write of the recovery
+    * files themselves must not wedge recovery: corrupt ledger reads as
+    * absent, a present-but-unreadable intent still forces the conservative
+    * staling path).
     */
   def ingestBatchIndexed(coll: String, batch: DataFrame,
-      assumeNewIds: Boolean = false, batchId: Option[Long] = None): Unit = {
+      assumeNewIds: Boolean = false, batchId: Option[Long] = None,
+      streamId: String = "default"): Unit = {
     val cfg = configOf(coll)
-    val ledgerPath = java.nio.file.Paths.get(s"$root/$coll/index/layout_last_batch")
-    val intentPath = java.nio.file.Paths.get(s"$root/$coll/index/layout_batch_intent")
-    def readLong(p: java.nio.file.Path): Option[Long] =
-      if (java.nio.file.Files.exists(p))
-        Some(java.nio.file.Files.readString(p).trim.toLong)
-      else None
-    // ledger is written LAST, so ledger >= batchId ⇒ the whole batch
-    // (store commit included) already landed — the replay is a no-op
-    if (batchId.exists(bid => readLong(ledgerPath).exists(_ >= bid))) return
+    import java.nio.file.{Files, Paths}
+    val indexDir = Paths.get(s"$root/$coll/index")
+    if (batchId.isDefined) Files.createDirectories(indexDir)
+    val ledgerPath = indexDir.resolve("layout_last_batch")
+    val intentPath = indexDir.resolve("layout_batch_intent")
+    // (streamId, batchId), or None when absent/corrupt
+    def readLedger(p: java.nio.file.Path): Option[(String, Long)] =
+      if (!Files.exists(p)) None
+      else scala.util.Try {
+        val lines = Files.readAllLines(p)
+        (lines.get(0), lines.get(1).trim.toLong)
+      }.toOption
+    // ledger is written LAST, so ledger >= batchId FOR THIS STREAM ⇒ the
+    // whole batch (store commit included) already landed — replay is a no-op
+    if (batchId.exists(bid => readLedger(ledgerPath)
+        .exists { case (sid, last) => sid == streamId && last >= bid })) return
     // (batch → layout rows with cluster_id, layout path) per index family
     val maintain: Option[(DataFrame => DataFrame, String)] = cfg.indexType match {
       case IndexType.IvfFlat =>
@@ -229,27 +271,26 @@ class Engine(
       ids.join(store.read(coll).select(col("id")), "id").isEmpty &&
         ids.groupBy(col("id")).count().filter(col("count") > 1).isEmpty
     })
-    // a lingering intent marker for THIS batch id means a previous attempt
-    // crashed inside the append window and may have committed layout rows —
-    // appending again would duplicate ids in the layout, so take the staling
-    // path instead (the re-upsert below bumps the store version past any
-    // stamp the crashed attempt could have written)
-    val replayAfterPartialAppend =
-      batchId.exists(bid => readLong(intentPath).contains(bid))
+    // ANY lingering intent marker means some previous attempt (this stream,
+    // a replaced checkpoint's stream, or an unreadable one) crashed inside
+    // the append window and may have committed layout rows — appending would
+    // risk duplicate ids in the layout, so take the staling path instead
+    // (the re-upsert below bumps the store version past any stamp the
+    // crashed attempt could have written)
+    val replayAfterPartialAppend = batchId.isDefined && Files.exists(intentPath)
     // v is OUR batch's committed version — stamping any later version would
     // mark the layout current while missing an interleaved writer's rows
     val v = store.upsertDfVersioned(coll, batch)
     def settleLedger(): Unit = batchId.foreach { bid =>
-      java.nio.file.Files.writeString(ledgerPath, bid.toString)
-      java.nio.file.Files.deleteIfExists(intentPath)
+      atomicWrite(ledgerPath, s"$streamId\n$bid")
+      Files.deleteIfExists(intentPath)
     }
     if (!insertOnly || replayAfterPartialAppend) {
       // layout stale; searches fall back (correct, slower)
       settleLedger()
       return
     }
-    batchId.foreach(bid =>
-      java.nio.file.Files.writeString(intentPath, bid.toString))
+    batchId.foreach(bid => atomicWrite(intentPath, s"$streamId\n$bid"))
     // mirror upsertDf's stamping so layout rows carry the store schema
     // (insert-only + unique ids ⇒ seq never decides a winner)
     val stamped = batch.select(col("id"), col("vector"), col("params"))
@@ -263,7 +304,7 @@ class Engine(
     // leaves the stamp behind → stale → fallback; the appended rows are
     // still consistent)
     if (store.currentVersion(coll) == v)
-      java.nio.file.Files.writeString(
+      atomicWrite(
         java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
     settleLedger()
   }
@@ -313,7 +354,7 @@ class Engine(
     // currentLayout sees the layout as stale and falls back to the live
     // corpus — the layout can never be marked current while missing a write
     val stamp = store.currentVersion(coll)
-    def stampLayout(): Unit = java.nio.file.Files.writeString(
+    def stampLayout(): Unit = atomicWrite(
       java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), stamp.toString)
     cfg.indexType match {
       case IndexType.IvfFlat =>
@@ -338,8 +379,7 @@ class Engine(
           val buckets = cfg.params.get("buckets").map(_.toInt).getOrElse(64)
           IvfIndex.writeBucketed(corpus, "vector", model, table, buckets,
             path = Some(bucketedDataPath(coll)))
-          java.nio.file.Files.writeString(bucketedMetaPath(coll),
-            s"$table\n$buckets\n$stamp")
+          atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$stamp")
         }
         stampLayout()
       case IndexType.IvfPq =>
@@ -499,17 +539,33 @@ class Engine(
     import java.nio.file.Files
     val meta = bucketedMetaPath(coll)
     if (!Files.exists(meta)) return None
-    val lines = Files.readAllLines(meta)
-    val (table, buckets, stamp) = (lines.get(0), lines.get(1).toInt, lines.get(2).toLong)
+    // corrupt meta (crash mid-write predates atomicWrite, disk fault) reads
+    // as "no bucketed layout" — searches fall back one tier, never throw
+    val parsed = scala.util.Try {
+      val lines = Files.readAllLines(meta)
+      (lines.get(0), lines.get(1).toInt, lines.get(2).toLong)
+    }.toOption
+    if (parsed.isEmpty) return None
+    val (table, buckets, stamp) = parsed.get
     if (stamp != store.currentVersion(coll)) return None
+    val path = bucketedDataPath(coll)
     if (!spark.catalog.tableExists(table)) {
-      val path = bucketedDataPath(coll)
       if (!Files.exists(java.nio.file.Paths.get(path))) return None
       val ddl = spark.read.parquet(path).schema.toDDL
       spark.sql(s"""CREATE TABLE `$table` ($ddl) USING PARQUET
         CLUSTERED BY (cluster_id) SORTED BY (cluster_id) INTO $buckets BUCKETS
         LOCATION '$path'""")
     }
+    // the catalog entry must still point at THIS collection's files: another
+    // collection (or engine root) reusing the same table name repoints it at
+    // its own corpus on build — serving that table here would silently
+    // return the wrong collection's neighbors
+    val loc = scala.util.Try(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.getPath).toOption
+    val ours = java.nio.file.Paths.get(path).toAbsolutePath.toString
+    if (!loc.exists(l => java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
+      return None
     Some(spark.table(table))
   }
 

@@ -157,6 +157,11 @@ object GraphAnn {
     private def dropEntriesOf(callId: String): Unit =
       cache.keys.filter(_._1 == callId).foreach { k =>
         cache.remove(k); buildLocks.remove(k)
+        // and the insertion-order queue: the LRU drain only runs past
+        // MaxEntries, so keys evicted HERE would otherwise accumulate in the
+        // queue forever in a long-lived executor (O(queue) removal is fine —
+        // the queue stays bounded precisely because of this removal)
+        insertOrder.remove(k)
       }
 
     private def noteEphemeral(callId: String): Unit =
@@ -186,7 +191,10 @@ object GraphAnn {
           // (always dropping the evictee's lock object with it — an evicted
           // entry whose lock lingers leaks the map in long-lived executors)
           cache.keys.filter(k => k._1 == layoutId && k._2 != version)
-            .foreach { k => cache.remove(k); if (k != key) buildLocks.remove(k) }
+            .foreach { k =>
+              cache.remove(k); insertOrder.remove(k)
+              if (k != key) buildLocks.remove(k)
+            }
           cache.put(key, (built, rowCount))
           insertOrder.add(key)
           if (layoutId.startsWith("__call_")) noteEphemeral(layoutId)

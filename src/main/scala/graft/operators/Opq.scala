@@ -124,9 +124,14 @@ object Opq {
       Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var books: IndexedSeq[Array[Array[Double]]] = null
     val errs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // each iteration runs one treeAggregate job over this RDD — persist it
+    // so the residual lineage (scan + normalize + assignment + subtraction)
+    // is paid once, not once per Procrustes step; DISK spill keeps huge
+    // corpora viable
     val rdd = residDf.select(col(vecCol).cast("array<float>")).rdd
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray.map(_.toDouble))
-    for (_ <- 0 until iters) {
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try for (_ <- 0 until iters) {
       // driver side: warm-started codebooks on the ROTATED sample (same
       // monotone alternation as the local path)
       val ySample = sample.map(x => matVec(rot, x.map(_.toDouble)))
@@ -183,7 +188,7 @@ object Opq {
       val svd.SVD(u, _, vt) = svd(B)
       val nr = vt.t * u.t
       rot = Array.tabulate(d, d)((r, c) => nr(r, c))
-    }
+    } finally rdd.unpersist(blocking = false)
     (rot.map(_.map(_.toFloat)), errs.toArray)
   }
 

@@ -27,17 +27,27 @@ object VectorQueries {
     * cached DataFrames — handing one to a different (possibly stopped)
     * SparkSession would throw or misbehave.
     */
-  // weak-keyed on the session OBJECT: identity hashes can collide after GC
-  // (handing a dead session's cached frames to its key-reuser), and string
-  // keys would pin dead sessions' models forever — a WeakHashMap drops a
-  // session's whole sub-map when the session is collected
-  private val modelCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      collection.concurrent.TrieMap[(String, String), Any]])
-  private def cachedModel[T](spark: SparkSession, dir: String, key: String)(f: => T): T =
-    modelCache.computeIfAbsent(spark, _ => collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate((dir, key), f)
-      .asInstanceOf[T]
+  // keyed on the stable sessionUUID (identity hashes can collide after GC)
+  // with EXPLICIT bounded eviction: weak references don't work here — the
+  // cached values include DataFrames that strongly reference their session,
+  // and a WeakHashMap value that reaches its key pins the entry forever (the
+  // documented WeakHashMap caveat). Keeping the most recent MaxSessions
+  // sessions bounds memory deterministically; these tools (Verify, Bench,
+  // tests) create sessions serially, so an evicted session is a stopped one.
+  private val MaxSessions = 4
+  private val modelCache = new java.util.LinkedHashMap[
+      String, collection.concurrent.TrieMap[(String, String), Any]](16, 0.75f, false) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, collection.concurrent.TrieMap[(String, String), Any]]): Boolean =
+      size > MaxSessions
+  }
+  private def cachedModel[T](spark: SparkSession, dir: String, key: String)(f: => T): T = {
+    val perSession = modelCache.synchronized {
+      modelCache.computeIfAbsent(org.apache.spark.sql.graft.Bridge.sessionUUID(spark),
+        _ => collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate((dir, key), f).asInstanceOf[T]
+  }
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))

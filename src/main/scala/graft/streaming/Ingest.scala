@@ -56,7 +56,11 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        engine.ingestBatchIndexed(coll, batch, assumeNewIds, Some(batchId))
+        // the checkpoint path identifies the STREAM: batch ids restart at 0
+        // under a new/reset checkpoint, so the replay ledger must never
+        // treat a fresh stream's low ids as already-applied
+        engine.ingestBatchIndexed(coll, batch, assumeNewIds, Some(batchId),
+          streamId = checkpoint)
       }
       .start()
 

@@ -14,6 +14,13 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Stable unique token for a session (`sessionUUID` is `private[sql]`):
+    * survives GC-recycled identity hashes, distinct across sessions sharing
+    * one SparkContext.
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a Catalyst expression builder as a SQL function on this session
     * (usable from `spark.sql`/`expr`). Idempotent.
     */

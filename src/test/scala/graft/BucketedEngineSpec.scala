@@ -79,6 +79,43 @@ class BucketedEngineSpec extends SparkSpec {
     }
   }
 
+  test("a bucketed table name repointed by another collection is never served") {
+    spark.sql("DROP TABLE IF EXISTS eng_bucketed_shared")
+    val rootA = Files.createTempDirectory("eng-bucketed-a").toString
+    val rootB = Files.createTempDirectory("eng-bucketed-b").toString
+    val eA = new Engine(spark, rootA)
+    val eB = new Engine(spark, rootB)
+    try {
+      // A and B both claim the same table name; B builds LAST, repointing
+      // the catalog entry at B's files
+      eA.createCollection(CollectionConfig("ca", 8, IndexType.IvfFlat,
+        params = Map("bucketed_table" -> "eng_bucketed_shared")))
+      eA.batchUpsertDocuments("ca", mkDocs(120))
+      eA.buildIndex("ca", nlist = 2)
+      eB.createCollection(CollectionConfig("cb2", 8, IndexType.IvfFlat,
+        params = Map("bucketed_table" -> "eng_bucketed_shared")))
+      // DIFFERENT corpus (offset ids) so wrong-table results are detectable
+      eB.batchUpsertDocuments("cb2", (1000 until 1120).map { i =>
+        Document(i.toString, Array.tabulate(8)(j =>
+          (if (j == i % 4 * 2) 5f else 0.2f) + (i % 7) * 0.01f))
+      })
+      eB.buildIndex("cb2", nlist = 2)
+      // A's search must NOT serve the repointed table (B's corpus): every
+      // returned id must be from A's id range
+      val q = queries
+      val ids = eA.searchVectorsDf("ca", q, 3)
+        .select("id").as[String].collect()
+      assert(ids.nonEmpty && ids.forall(_.toInt < 1000),
+        s"collection A served another collection's corpus: ${ids.take(5).mkString(",")}")
+      // dropping A must leave the table (it now belongs to B's build)
+      eA.dropCollection("ca")
+      assert(spark.catalog.tableExists("eng_bucketed_shared"),
+        "dropCollection must not drop a table repointed by another collection")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS eng_bucketed_shared")
+    }
+  }
+
   test("dropCollection unregisters the bucketed table") {
     spark.sql("DROP TABLE IF EXISTS eng_bucketed_drop")
     val root = Files.createTempDirectory("eng-bucketed-drop").toString

@@ -17,10 +17,11 @@ class PipelineQueriesSpec extends SparkSpec {
     val b = PipelineQueries.trainSplit(spark, sf001).collect()
     assert(a.sortBy(_.getLong(0)).sameElements(b.sortBy(_.getLong(0))),
       "split assignment must be a pure function of doc_id")
-    val n = a.length.toDouble
-    val frac = a.groupBy(_.getString(2)).map { case (k, v) => k -> v.length / n }
-    assert(math.abs(frac("train") - 0.8) < 0.06, s"train frac ${frac("train")}")
-    assert(frac.values.sum === 1.0)
+    val n = a.length
+    val counts = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.06,
+      s"train frac ${counts("train").toDouble / n}")
+    assert(counts.values.sum === n, "every doc gets exactly one split")
     assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
   }
 

@@ -136,13 +136,13 @@ class StreamingSpec extends SparkSpec {
     val b2 = Seq(("101", Seq(0.6f, 0f, 0f, 0f), Map.empty[String, String]))
       .toDF("id", "vector", "params")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/c/index/layout_batch_intent"), "1")
+      java.nio.file.Paths.get(s"$root/c/index/layout_batch_intent"), "default\n1")
     e.ingestBatchIndexed("c", b2, assumeNewIds = true, batchId = Some(1L))
     assert(layoutRows("101") === 0L,
       "replay after a partial append must not append layout rows")
     assert(stampOf === stamp1, "partial-append replay must leave the stamp behind")
     assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$root/c/index/layout_last_batch")).trim === "1")
+      java.nio.file.Paths.get(s"$root/c/index/layout_last_batch")) === "default\n1")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/c/index/layout_batch_intent")))
     // stale layout ⇒ live-corpus fallback still serves the doc (correctness
@@ -165,6 +165,48 @@ class StreamingSpec extends SparkSpec {
       .toDF("id", "vector", "params")
     e.ingestBatchIndexed("c", b4, assumeNewIds = true, batchId = Some(3L))
     assert(layoutRows("103") === 1L, "rebuilt layout must resume maintenance")
+  }
+
+  test("ledger edge cases: unbuilt collection, checkpoint reset, corrupt ledger") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val root = Files.createTempDirectory("ledger-edge").toString
+    val e = new Engine(spark, root)
+    // streaming with batchId into an UNBUILT ivf collection (no index dir
+    // yet): must not throw and must land in the store (plain staling upsert)
+    e.createCollection(CollectionConfig("u", 4, IndexType.IvfFlat))
+    val b = Seq(("1", Seq(1f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+    e.ingestBatchIndexed("u", b, assumeNewIds = true, batchId = Some(0L),
+      streamId = "ckA")
+    assert(e.documents("u").count() === 1L)
+    // checkpoint reset: stream ckA applied batch 5; a NEW stream ckB
+    // restarting at batch 0 must be APPLIED, not skipped as a replay
+    val b5 = Seq(("2", Seq(2f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+    e.ingestBatchIndexed("u", b5, assumeNewIds = true, batchId = Some(5L),
+      streamId = "ckA")
+    val b0 = Seq(("3", Seq(3f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+    e.ingestBatchIndexed("u", b0, assumeNewIds = true, batchId = Some(0L),
+      streamId = "ckB")
+    assert(e.documents("u").filter(col("id") === "3").count() === 1L,
+      "fresh checkpoint's batch 0 must never read as already-applied")
+    // same stream replay of the settled id is still a no-op
+    val n = e.documents("u").count()
+    e.ingestBatchIndexed("u", b0, assumeNewIds = true, batchId = Some(0L),
+      streamId = "ckB")
+    assert(e.documents("u").count() === n)
+    // corrupt ledger (crash mid-write of an older engine): reads as absent,
+    // the batch applies instead of throwing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/u/index/layout_last_batch"), "")
+    val b9 = Seq(("4", Seq(4f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+    e.ingestBatchIndexed("u", b9, assumeNewIds = true, batchId = Some(9L),
+      streamId = "ckB")
+    assert(e.documents("u").filter(col("id") === "4").count() === 1L,
+      "corrupt ledger must degrade to 'absent', not wedge ingestion")
   }
 
   test("stream-stream interval join aligns purchases to in-window views; composed latest == batch asof within the gap") {
