@@ -1,7 +1,7 @@
 package graft.core
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -76,8 +76,15 @@ class DocStore(spark: SparkSession, root: String) {
     writeLock(name).synchronized {
       val v = currentVersion(name) + 1
       write(v)
-      Files.write(versionFile(name), v.toString.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.TRUNCATE_EXISTING)
+      // tmp + atomic rename: a crash mid-commit must never leave a
+      // truncated/empty counter (which would wedge every subsequent read —
+      // the counter is authoritative, so a corrupt value is NOT recoverable
+      // by defaulting; it must simply never occur)
+      val tmp = versionFile(name).resolveSibling("_version.tmp")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, versionFile(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
 
   /** Append a batch of upserts (one version for the whole batch — the

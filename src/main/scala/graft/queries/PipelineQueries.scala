@@ -176,8 +176,10 @@ object PipelineQueries {
   val passageDedupSql: String =
     s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |ch AS (
+       |  -- // not /: DuckDB / is float division and CAST AS INT *rounds*,
+       |  -- which would add a partial tail chunk whenever len%8 >= 4
        |  SELECT doc_id, unnest(list_transform(
-       |    generate_series(0, CAST(len(t) / $PassageLen AS INT) - 1),
+       |    generate_series(0, CAST(len(t) // $PassageLen AS INT) - 1),
        |    i -> array_to_string(t[i*$PassageLen+1:i*$PassageLen+$PassageLen], ' '))) AS passage
        |  FROM s WHERE len(t) >= $PassageLen)
        |SELECT md5(passage) AS passage_hash,
