@@ -162,6 +162,18 @@ object ScaleBench {
       out(s"lsh_knn_$tag") = time(drain(
         AnnLsh.search(corpus, q, 10, SpaceType.Cos,
           corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
+      // NSW graph tier: one-time per-partition build persisted as adjacency,
+      // then beam searches over the reloaded layout (the executor cache makes
+      // reconstruction once-per-layout; search cost tracks ef·log n, not n)
+      val graphPath = s"$scaleDir/nsw_$tag"
+      out(s"graph_build_$tag") = time {
+        graft.operators.GraphAnn.buildLayout(corpus, graphPath, SpaceType.L2,
+          corpusId = "vec_id", corpusVec = "embedding")
+      }
+      out(s"graph_search_$tag") = time(drain(
+        graft.operators.GraphAnn.searchFromLayout(spark, graphPath, q, 10,
+          SpaceType.L2, ef = 80, queryId = "qid", queryVec = "qv",
+          cacheKey = Some((graphPath, 0L)), corpusIdName = "vec_id")))
     }
 
     for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)) {
@@ -199,6 +211,8 @@ object ScaleBench {
       "scaling_sq_search" -> out(s"sq_scan_search_$scaled") / out("sq_scan_search_1x"),
       "speedup_opq_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"opq_adc_search_$scaled"),
       "scaling_opq_search" -> out(s"opq_adc_search_$scaled") / out("opq_adc_search_1x"),
+      "speedup_graph_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"graph_search_$scaled"),
+      "scaling_graph_search" -> out(s"graph_search_$scaled") / out("graph_search_1x"),
       "scaling_minhash" -> out(s"minhash_lsh_$scaled") / out("minhash_lsh_1x"))
     val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++
       derived.map { case (k, v) => f""""$k":$v%.2f""" }

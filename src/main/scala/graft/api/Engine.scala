@@ -45,9 +45,67 @@ class Engine(
   private def opqSnapshotPath(coll: String) = s"$root/$coll/index/opq.snapshot"
   private def sqSnapshotPath(coll: String) = s"$root/$coll/index/sq.snapshot"
   private def ivfLayoutPath(coll: String) = s"$root/$coll/index/ivf_layout"
-  private def bucketedDataPath(coll: String) = s"$root/$coll/index/ivf_bucketed"
+  private def bucketedDataPath(coll: String, tier: String) =
+    s"$root/$coll/index/${tier}_bucketed"
   private def bucketedMetaPath(coll: String) =
     java.nio.file.Paths.get(s"$root/$coll/index/bucketed_meta")
+
+  /** Materialize `frame` (which carries cluster_id) as the collection's
+    * EXTERNAL bucketed table — the repeated-KNN-join layout: the
+    * searchDistributed equi-join reads it pre-hashed on cluster_id, so only
+    * the query frame shuffles. The meta file (table, buckets, stamp, data
+    * path) lets a fresh session re-register the same files and commits the
+    * table to THIS build — any later write stales it exactly like the
+    * partitioned layout.
+    */
+  private def writeBucketedLayout(coll: String, cfg: CollectionConfig,
+      frame: DataFrame, stamp: Long, tier: String): Unit =
+    cfg.params.get("bucketed_table").foreach { table =>
+      val buckets = cfg.params.get("buckets").map(_.toInt).getOrElse(64)
+      val path = bucketedDataPath(coll, tier)
+      frame.write.mode("overwrite").option("path", path)
+        .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
+        .saveAsTable(table)
+      atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$stamp\n$path")
+    }
+
+  /** (table, buckets, dataPath) when the bucketed table exists, is CURRENT
+    * (meta stamp == live store version), is registered in this session's
+    * catalog (re-registering external files if needed), and still points at
+    * this collection's data directory.
+    */
+  private def currentBucketedMeta(coll: String): Option[(String, Int, String)] = {
+    import java.nio.file.Files
+    val meta = bucketedMetaPath(coll)
+    if (!Files.exists(meta)) return None
+    // corrupt meta (disk fault, pre-atomicWrite crash) reads as "no bucketed
+    // layout" — searches fall back one tier, never throw
+    val parsed = scala.util.Try {
+      val lines = Files.readAllLines(meta)
+      (lines.get(0), lines.get(1).toInt, lines.get(2).toLong, lines.get(3))
+    }.toOption
+    if (parsed.isEmpty) return None
+    val (table, buckets, stamp, path) = parsed.get
+    if (stamp != store.currentVersion(coll)) return None
+    if (!spark.catalog.tableExists(table)) {
+      if (!Files.exists(java.nio.file.Paths.get(path))) return None
+      val ddl = spark.read.parquet(path).schema.toDDL
+      spark.sql(s"""CREATE TABLE `$table` ($ddl) USING PARQUET
+        CLUSTERED BY (cluster_id) SORTED BY (cluster_id) INTO $buckets BUCKETS
+        LOCATION '$path'""")
+    }
+    // the catalog entry must still point at THIS collection's files: another
+    // collection (or engine root) reusing the same table name repoints it at
+    // its own corpus on build — serving that table here would silently
+    // return the wrong collection's neighbors
+    val loc = scala.util.Try(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.getPath).toOption
+    val ours = java.nio.file.Paths.get(path).toAbsolutePath.toString
+    if (!loc.exists(l => java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
+      return None
+    Some((table, buckets, path))
+  }
   private def pqLayoutPath(coll: String) = s"$root/$coll/index/pq_layout"
   private def opqLayoutPath(coll: String) = s"$root/$coll/index/opq_layout"
   private def sqLayoutPath(coll: String) = s"$root/$coll/index/sq_layout"
@@ -106,17 +164,18 @@ class Engine(
     // table that still points at THIS collection's files: another collection
     // reusing the name has repointed it at its own corpus, which must survive
     if (java.nio.file.Files.exists(bucketedMetaPath(name))) {
-      scala.util.Try(java.nio.file.Files.readAllLines(bucketedMetaPath(name)).get(0))
-        .toOption.foreach { table =>
-          val loc = scala.util.Try(spark.sessionState.catalog
-            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-            .location.getPath).toOption
-          val ours = java.nio.file.Paths.get(bucketedDataPath(name))
-            .toAbsolutePath.toString
-          if (loc.exists(l =>
-              java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
-            spark.sql(s"DROP TABLE IF EXISTS `$table`")
-        }
+      scala.util.Try {
+        val lines = java.nio.file.Files.readAllLines(bucketedMetaPath(name))
+        (lines.get(0), lines.get(3))
+      }.toOption.foreach { case (table, path) =>
+        val loc = scala.util.Try(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location.getPath).toOption
+        val ours = java.nio.file.Paths.get(path).toAbsolutePath.toString
+        if (loc.exists(l =>
+            java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      }
       java.nio.file.Files.deleteIfExists(bucketedMetaPath(name))
     }
     // the version counter resets if the collection is recreated, so caches
@@ -278,6 +337,10 @@ class Engine(
     // (the re-upsert below bumps the store version past any stamp the
     // crashed attempt could have written)
     val replayAfterPartialAppend = batchId.isDefined && Files.exists(intentPath)
+    // capture bucketed-table currency BEFORE the upsert bumps the version:
+    // "current" here means it reflects every row up to this batch's
+    // predecessor — exactly the state an append of THIS batch keeps current
+    val bucketedPre = if (maintainable) currentBucketedMeta(coll) else None
     // v is OUR batch's committed version — stamping any later version would
     // mark the layout current while missing an interleaved writer's rows
     val v = store.upsertDfVersioned(coll, batch)
@@ -298,8 +361,23 @@ class Engine(
       .withColumn("seq", monotonically_increasing_id())
       .withColumn("is_deleted", lit(false))
     val (encode, layoutPath) = maintain.get
-    encode(stamped)
-      .write.mode("append").partitionBy("cluster_id").parquet(layoutPath)
+    val encoded = encode(stamped).cache()
+    try {
+      encoded.write.mode("append").partitionBy("cluster_id").parquet(layoutPath)
+      // keep the bucketed table current too (streaming maintenance): append
+      // the same encoded rows bucketed, then advance the meta stamp under the
+      // same still-newest condition. A crash between the two appends leaves
+      // the intent marker in place → the replay stales everything; a crash
+      // before the meta update leaves the meta stale → searches fall back
+      // (the extra table rows are unread until the next buildIndex rewrite)
+      bucketedPre.foreach { case (table, buckets, path) =>
+        encoded.write.mode("append").option("path", path)
+          .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
+          .saveAsTable(table)
+        if (store.currentVersion(coll) == v)
+          atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
+      }
+    } finally encoded.unpersist(blocking = false)
     // advance the stamp only if our write is still the newest (a racer
     // leaves the stamp behind → stale → fallback; the appended rows are
     // still consistent)
@@ -375,12 +453,8 @@ class Engine(
         // fresh session re-registers it (bucketedCorpus); the meta's stamp
         // commits it to THIS build — any later write stales it exactly like
         // the partitioned layout.
-        cfg.params.get("bucketed_table").foreach { table =>
-          val buckets = cfg.params.get("buckets").map(_.toInt).getOrElse(64)
-          IvfIndex.writeBucketed(corpus, "vector", model, table, buckets,
-            path = Some(bucketedDataPath(coll)))
-          atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$stamp")
-        }
+        writeBucketedLayout(coll, cfg,
+          IvfIndex.assign(corpus, "vector", model), stamp, "ivf")
         stampLayout()
       case IndexType.IvfPq =>
         // l2, ip, and cos (normalized-residual tables) have proper ADC
@@ -399,8 +473,12 @@ class Engine(
         ivfModels(coll) = pq.coarse // so nprobe validation sees nlist
         ModelStore.savePq(pqSnapshotPath(coll), pq) // S8 snapshot
         // materialize the encoded layout (codes, not vectors, do the scan work)
-        IvfPq.encode(corpus, "vector", pq)
-          .write.mode("overwrite").partitionBy("cluster_id").parquet(pqLayoutPath(coll))
+        val pqEnc = IvfPq.encode(corpus, "vector", pq).cache()
+        try {
+          pqEnc.write.mode("overwrite").partitionBy("cluster_id")
+            .parquet(pqLayoutPath(coll))
+          writeBucketedLayout(coll, cfg, pqEnc, stamp, "pq")
+        } finally pqEnc.unpersist(blocking = false)
         stampLayout()
       case IndexType.Opq =>
         require(cfg.spaceType == SpaceType.L2 || cfg.spaceType == SpaceType.Ip
@@ -420,8 +498,12 @@ class Engine(
         opqModels(coll) = opq
         ivfModels(coll) = opq.pq.coarse // so nprobe validation sees nlist
         ModelStore.saveOpq(opqSnapshotPath(coll), opq)
-        Opq.encode(corpus, "vector", opq)
-          .write.mode("overwrite").partitionBy("cluster_id").parquet(opqLayoutPath(coll))
+        val opqEnc = Opq.encode(corpus, "vector", opq).cache()
+        try {
+          opqEnc.write.mode("overwrite").partitionBy("cluster_id")
+            .parquet(opqLayoutPath(coll))
+          writeBucketedLayout(coll, cfg, opqEnc, stamp, "opq")
+        } finally opqEnc.unpersist(blocking = false)
         stampLayout()
       case IndexType.Sq =>
         require(cfg.spaceType == SpaceType.L2,
@@ -491,15 +573,17 @@ class Engine(
       case IndexType.IvfPq =>
         val pq = loadedPq(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
-        val encoded = currentLayout(coll, pqLayoutPath(coll))
-          .map(_._1).getOrElse(IvfPq.encode(corpus, "vector", pq))
+        val encoded = bucketedCorpus(coll)
+          .orElse(currentLayout(coll, pqLayoutPath(coll)).map(_._1))
+          .getOrElse(IvfPq.encode(corpus, "vector", pq))
         IvfPq.searchDistributed(encoded, queries, pq, k, nprobe,
           rerankVecCol = Some("vector"))
       case IndexType.Opq =>
         val opq = loadedOpq(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, opq.pq.nlist))
-        val encoded = currentLayout(coll, opqLayoutPath(coll))
-          .map(_._1).getOrElse(Opq.encode(corpus, "vector", opq))
+        val encoded = bucketedCorpus(coll)
+          .orElse(currentLayout(coll, opqLayoutPath(coll)).map(_._1))
+          .getOrElse(Opq.encode(corpus, "vector", opq))
         Opq.searchDistributed(encoded, queries, opq, k, nprobe)
       case IndexType.Sq =>
         // SQ is a flat-scan tier: queries ride as a broadcast frame — not a
@@ -535,39 +619,9 @@ class Engine(
     * re-registered as an external bucketed table over the same files, so the
     * corpus-shuffle-free join shape survives engine restarts.
     */
-  private def bucketedCorpus(coll: String): Option[DataFrame] = {
-    import java.nio.file.Files
-    val meta = bucketedMetaPath(coll)
-    if (!Files.exists(meta)) return None
-    // corrupt meta (crash mid-write predates atomicWrite, disk fault) reads
-    // as "no bucketed layout" — searches fall back one tier, never throw
-    val parsed = scala.util.Try {
-      val lines = Files.readAllLines(meta)
-      (lines.get(0), lines.get(1).toInt, lines.get(2).toLong)
-    }.toOption
-    if (parsed.isEmpty) return None
-    val (table, buckets, stamp) = parsed.get
-    if (stamp != store.currentVersion(coll)) return None
-    val path = bucketedDataPath(coll)
-    if (!spark.catalog.tableExists(table)) {
-      if (!Files.exists(java.nio.file.Paths.get(path))) return None
-      val ddl = spark.read.parquet(path).schema.toDDL
-      spark.sql(s"""CREATE TABLE `$table` ($ddl) USING PARQUET
-        CLUSTERED BY (cluster_id) SORTED BY (cluster_id) INTO $buckets BUCKETS
-        LOCATION '$path'""")
-    }
-    // the catalog entry must still point at THIS collection's files: another
-    // collection (or engine root) reusing the same table name repoints it at
-    // its own corpus on build — serving that table here would silently
-    // return the wrong collection's neighbors
-    val loc = scala.util.Try(spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location.getPath).toOption
-    val ours = java.nio.file.Paths.get(path).toAbsolutePath.toString
-    if (!loc.exists(l => java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
-      return None
-    Some(spark.table(table))
-  }
+  private def bucketedCorpus(coll: String): Option[DataFrame] =
+    currentBucketedMeta(coll).map { case (table, _, _) => spark.table(table) }
+
 
   private def notBuilt(coll: String): Nothing =
     throw new IllegalStateException(s"index for '$coll' not built — call buildIndex")

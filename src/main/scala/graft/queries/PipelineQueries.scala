@@ -116,12 +116,23 @@ object PipelineQueries {
     * max-frequency scan is O(distinct·n) on bounded-length documents.
     */
   def qualityRules(spark: SparkSession, dir: String): DataFrame = {
-    val nTok = size(toks).cast("long")
-    val sumLen = aggregate(transform(toks, w => length(w)), lit(0), (a, x) => a + x)
-      .cast("long")
-    val maxFreq = array_max(transform(array_distinct(toks),
-      w => size(filter(toks, x => x === w)))).cast("long")
-    docs(spark, dir).select(
+    val nTok = size(col("__t")).cast("long")
+    val sumLen = aggregate(transform(col("__t"), w => length(w)), lit(0),
+      (a, x) => a + x).cast("long")
+    // top-token frequency = longest equal-run in the sorted token array —
+    // linear, vs the O(distinct·n) per-distinct filter() spec form the
+    // oracle keeps (identical values)
+    val maxFreq = aggregate(
+      array_sort(col("__t")),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"))
+      },
+      acc => acc.getField("best")).cast("long")
+    docs(spark, dir).withColumn("__t", toks).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       sumLen.as("sum_len"),
@@ -248,17 +259,30 @@ object PipelineQueries {
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     val grams = transform(sequence(lit(1), size(toks) - lit(2)),
       i => concat_ws(" ", slice(toks, i, lit(3))))
-    val nG = size(grams).cast("long")
-    val nDis = size(array_distinct(grams)).cast("long")
-    val maxFreq = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g)))).cast("long")
+    // hottest-gram frequency = longest run of equals in the SORTED gram
+    // array — one linear aggregate pass. The nested per-distinct-gram
+    // filter() formulation is O(g²) with the grams expression re-evaluated
+    // inside every lambda (measured 100× slower); the oracle keeps the
+    // quadratic spec form — values are identical
+    val maxRun = aggregate(
+      array_sort(col("__grams")),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"))
+      },
+      acc => acc.getField("best")).cast("long")
     docs(spark, dir)
       .filter(size(toks) >= 3)
+      .withColumn("__grams", grams)
       .select(
         col("doc_id"),
-        nG.as("n_3grams"),
-        (nG - nDis).as("n_dup_3grams"),
-        maxFreq.as("max_3gram_freq"))
+        size(col("__grams")).cast("long").as("n_3grams"),
+        (size(col("__grams")) - size(array_distinct(col("__grams")))).cast("long")
+          .as("n_dup_3grams"),
+        maxRun.as("max_3gram_freq"))
   }
 
   val repetitionStatsSql: String =

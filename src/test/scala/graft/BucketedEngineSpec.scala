@@ -79,6 +79,64 @@ class BucketedEngineSpec extends SparkSpec {
     }
   }
 
+  test("quantized tiers get bucketed layouts too: pq results equal the twin, corpus side unshuffled") {
+    spark.sql("DROP TABLE IF EXISTS eng_bucketed_pq")
+    val root = Files.createTempDirectory("eng-bucketed-pq").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("qp", 8, IndexType.IvfPq,
+      params = Map("bucketed_table" -> "eng_bucketed_pq", "buckets" -> "8")))
+    e.batchUpsertDocuments("qp", mkDocs(300))
+    e.createCollection(CollectionConfig("qn", 8, IndexType.IvfPq))
+    e.batchUpsertDocuments("qn", mkDocs(300))
+    e.buildIndex("qp", nlist = 4)
+    e.buildIndex("qn", nlist = 4)
+    assert(spark.catalog.tableExists("eng_bucketed_pq"))
+    val q = queries
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = e.searchVectorsDf("qp", q, 3)
+      val corpusShuffled = res.queryExecution.executedPlan
+        .collect { case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x }
+        .exists(_.treeString.contains("eng_bucketed_pq"))
+      assert(!corpusShuffled,
+        "bucketed encoded corpus must feed the ADC join without an Exchange")
+      val got = res.select("query_id", "id", "rnk")
+        .as[(String, String, Long)].collect().toSet
+      val want = e.searchVectorsDf("qn", q, 3).select("query_id", "id", "rnk")
+        .as[(String, String, Long)].collect().toSet
+      assert(got === want, "bucketed pq route must be a pure plan change")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS eng_bucketed_pq")
+    }
+  }
+
+  test("streaming maintenance keeps the bucketed table current (insert-only batches append bucketed)") {
+    spark.sql("DROP TABLE IF EXISTS eng_bucketed_stream")
+    val root = Files.createTempDirectory("eng-bucketed-stream").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("cs", 8, IndexType.IvfFlat,
+      params = Map("bucketed_table" -> "eng_bucketed_stream", "buckets" -> "4")))
+    e.batchUpsertDocuments("cs", mkDocs(100))
+    e.buildIndex("cs", nlist = 2)
+    val probe = Array(9f, 9f, 9f, 9f, 9f, 9f, 9f, 9f)
+    val b = Seq(("new", probe.toSeq, Map.empty[String, String]))
+      .toDF("id", "vector", "params")
+    e.ingestBatchIndexed("cs", b, assumeNewIds = true, batchId = Some(0L))
+    // the batch's row must have landed IN the bucketed table, and the table
+    // must still be the serving path (meta stamp advanced with the batch)
+    assert(spark.table("eng_bucketed_stream").filter(col("id") === "new").count() === 1L,
+      "insert-only batch must append to the bucketed table")
+    val res = e.searchVectorsDf("cs",
+      Seq(("q", probe.toSeq)).toDF("query_id", "query_vec")
+        .select(col("query_id"), col("query_vec").cast("array<float>").as("query_vec")), 1)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("eng_bucketed_stream"),
+      "post-batch search must still serve the (maintained) bucketed table")
+    assert(res.select("id").as[String].collect().head === "new")
+    spark.sql("DROP TABLE IF EXISTS eng_bucketed_stream")
+  }
+
   test("a bucketed table name repointed by another collection is never served") {
     spark.sql("DROP TABLE IF EXISTS eng_bucketed_shared")
     val rootA = Files.createTempDirectory("eng-bucketed-a").toString
