@@ -117,17 +117,11 @@ class Engine(
     * absent" — fall back / rebuild — never wedge the path that exists to
     * survive crashes).
     */
-  private def atomicWrite(p: java.nio.file.Path, content: String): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def atomicWrite(p: java.nio.file.Path, content: String): Unit =
+    graft.core.AtomicFiles.atomicWrite(p, content)
 
   private def readLongSafe(p: java.nio.file.Path): Option[Long] =
-    if (!java.nio.file.Files.exists(p)) None
-    else scala.util.Try(java.nio.file.Files.readString(p).trim.toLong).toOption
+    graft.core.AtomicFiles.readLongSafe(p)
 
   /** The materialized index layout at `path`, if present AND current (no
     * writes since buildIndex) — otherwise None and the caller recomputes

@@ -76,15 +76,11 @@ class DocStore(spark: SparkSession, root: String) {
     writeLock(name).synchronized {
       val v = currentVersion(name) + 1
       write(v)
-      // tmp + atomic rename: a crash mid-commit must never leave a
-      // truncated/empty counter (which would wedge every subsequent read —
-      // the counter is authoritative, so a corrupt value is NOT recoverable
-      // by defaulting; it must simply never occur)
-      val tmp = versionFile(name).resolveSibling("_version.tmp")
-      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, versionFile(name),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // tmp + atomic rename (shared AtomicFiles): a crash mid-commit must
+      // never leave a truncated/empty counter (which would wedge every
+      // subsequent read — the counter is authoritative, so a corrupt value
+      // is NOT recoverable by defaulting; it must simply never occur)
+      AtomicFiles.atomicWrite(versionFile(name), v.toString)
     }
 
   /** Append a batch of upserts (one version for the whole batch — the

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.RangeJoin
+
+/** Corpus-statistics operators for training-data curation at scale:
+  * TF-IDF term ranking, exact order-statistics (percentile_disc-style
+  * quantiles without a global sort), cross-document novelty scoring, and a
+  * binned temporal range join for burst detection.
+  *
+  * Oracle determinism: every emitted float is the result of EXACTLY ONE
+  * IEEE-754 double operation on integer inputs (a single divide) — no
+  * float summation order, no libm (`ln`/`exp`) whose last-ulp behavior can
+  * differ between engines. Ranks/ties always break on an integer or string
+  * column.
+  */
+object CorpusStatsQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — read as int64 nanos; all ts
+    * math is exact long arithmetic in µs ticks (DuckDB reads the same file
+    * µs-truncated, so `ts div 1000` is the shared clock).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+  }
+
+  private def toks: Column = split(col("text"), " ")
+
+  // ---- TF-IDF term ranking ----------------------------------------------
+
+  /** Top-5 terms per document by tf·(N/df) — the rational-idf form of
+    * TF-IDF (monotone in the classic tf·log(N/df) for fixed tf; chosen so
+    * the score is ONE exact double division of integers and replays
+    * bit-for-bit in SQL — `ln` would hand the hash gate to libm rounding).
+    *
+    * Scale: explode → (doc,term) count → term-keyed df aggregation →
+    * term-keyed join back → per-doc top-k window. Two shuffles (term, doc);
+    * df is a map-side-combinable count; no global sort, no collect. At
+    * 100 TB the term join key can be xxhash64(term) to keep shuffle rows
+    * narrow; kept as the raw term here for oracle replayability.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nDocs = d.agg(count(lit(1)).as("n"))
+    val tf = d.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf * n AS DOUBLE) / df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * n AS DOUBLE) / df DESC, term ASC) AS rnk
+      |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score, rnk FROM s WHERE rnk <= 5""".stripMargin
+
+  // ---- exact per-group quantiles (percentile_disc semantics) -------------
+
+  /** Exact p50/p90/p99 of per-document token counts, per source — the
+    * discrete quantile (k-th smallest with k = ⌈q·n⌉, computed in INTEGER
+    * arithmetic: `(n·qnum + 99) div 100`, so no float-times-count rounding
+    * ambiguity between engines).
+    *
+    * Scale: ONE shuffle (the per-source window sort); rank selection
+    * replaces a global sort-and-collect. Groups far larger than a partition
+    * would switch to the two-pass histogram/binary-search form; the
+    * window form is right while per-group data fits a partition spill.
+    */
+  def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("source"), col("doc_id"), size(toks).as("n_tok"))
+    val part = Window.partitionBy(col("source"))
+    val w = part.orderBy(col("n_tok").asc, col("doc_id").asc)
+    val qs = Seq(("p50", 50), ("p90", 90), ("p99", 99))
+    val qdf = broadcast(spark.createDataFrame(qs).toDF("label", "qnum"))
+    t.withColumn("rnk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(part))
+      .crossJoin(qdf)
+      .filter(col("rnk") === expr("(cnt * qnum + 99) div 100"))
+      .select(col("source"), col("label"), col("n_tok").as("v"))
+  }
+
+  val tokenQuantilesSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY len(string_split(text, ' ')) ASC, doc_id ASC) AS rnk,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents),
+      |q(label, qnum) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+      |SELECT source, label, n_tok AS v
+      |FROM t CROSS JOIN q
+      |WHERE rnk = (cnt * qnum + 99) // 100""".stripMargin
+
+  // ---- cross-document novelty -------------------------------------------
+
+  /** Per-document novelty: how many of the doc's distinct bigrams appear in
+    * NO other document (corpus df = 1). The complement of repetition_stats
+    * (within-doc duplication) and decontam (cross-corpus overlap): a
+    * rare-n-gram ratio is the standard cheap proxy for "does this doc add
+    * new content to the corpus". Ratio = one exact double division.
+    *
+    * Scale: same two-shuffle shape as TF-IDF (bigram-keyed df, doc-keyed
+    * recount); df=1 detection is a map-side-combinable count.
+    */
+  def rareBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - lit(1)),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))).as("bigram"))
+    val df_ = grams.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+    grams.join(df_, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("novelty", col("n_rare").cast("double") / col("n_bigrams"))
+  }
+
+  val rareBigramsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS bigram
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |d AS (SELECT bigram, count(*) AS df FROM g GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_bigrams,
+      |  sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_rare,
+      |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS novelty
+      |FROM g JOIN d USING (bigram)
+      |GROUP BY g.doc_id""".stripMargin
+
+  // ---- binned temporal range join (burst detection) ----------------------
+
+  private val BurstWindowUs = 5000000L // ±5 s
+
+  /** Per-event activity burst: how many OTHER events (any user) fall within
+    * ±5 s — a keyless temporal band self-join, the query shape Spark would
+    * otherwise plan as a cartesian product. Routed through the binned
+    * `RangeJoin` operator: intervals [ts−5s, ts+5s] explode into ≤ 2 bins
+    * of width 10 s, points land in one bin, the equi-join meets every
+    * qualifying pair exactly once. Self-match is kept through the join (so
+    * every event survives the groupBy) and subtracted from the count.
+    */
+  def concurrentEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+    val intervals = ev.select(col("event_id"),
+      (col("ts_us") - BurstWindowUs).as("lo"),
+      (col("ts_us") + BurstWindowUs).as("hi"))
+    val points = ev.select(col("ts_us").as("pt"))
+    RangeJoin.intervalPoint(intervals, "lo", "hi", points, "pt",
+        binWidth = 2 * BurstWindowUs)
+      .groupBy(col("event_id"))
+      .agg((count(lit(1)) - 1).as("n_near"))
+  }
+
+  val concurrentEventsSql: String =
+    s"""SELECT a.event_id, count(*) - 1 AS n_near
+       |FROM events a JOIN events b
+       |  ON epoch_us(b.ts) BETWEEN epoch_us(a.ts) - $BurstWindowUs
+       |                        AND epoch_us(a.ts) + $BurstWindowUs
+       |GROUP BY a.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
+    "token_quantiles" -> (tokenQuantiles(_, _)),
+    "rare_bigrams" -> (rareBigrams(_, _)),
+    "concurrent_events" -> (concurrentEvents(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "tfidf_top_terms" -> tfidfTopTermsSql,
+    "token_quantiles" -> tokenQuantilesSql,
+    "rare_bigrams" -> rareBigramsSql,
+    "concurrent_events" -> concurrentEventsSql)
+}

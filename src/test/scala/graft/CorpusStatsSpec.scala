@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.queries.CorpusStatsQueries
+
+/** Semantics gates for the corpus-statistics operators (the Verify hash gate
+  * covers DuckDB parity; these pin intended behavior against brute-force
+  * Scala recounts, and the RangeJoin operator against a cross-join oracle).
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RangeJoin.intervalPoint ≡ cross-join filter, each pair exactly once") {
+    // adversarial values: negatives, bin-boundary hits, zero-width intervals
+    val intervals = Seq(
+      (1L, -25L, -5L), (2L, -10L, 10L), (3L, 0L, 0L), (4L, 7L, 99L),
+      (5L, 100L, 100L), (6L, -100L, 100L)).toDF("iid", "lo", "hi")
+    val points = Seq(-100L, -25L, -10L, -1L, 0L, 1L, 9L, 10L, 50L, 100L)
+      .toDF("pt")
+    val got = RangeJoin.intervalPoint(intervals, "lo", "hi", points, "pt", 10L)
+      .select("iid", "pt").as[(Long, Long)].collect().sorted
+    val want = (for {
+      r <- Seq((1L, -25L, -5L), (2L, -10L, 10L), (3L, 0L, 0L), (4L, 7L, 99L),
+        (5L, 100L, 100L), (6L, -100L, 100L))
+      p <- Seq(-100L, -25L, -10L, -1L, 0L, 1L, 9L, 10L, 50L, 100L)
+      if p >= r._2 && p <= r._3
+    } yield (r._1, p)).sorted
+    assert(got.toSeq === want, "binned join must equal the cross-join filter")
+    assert(got.length === got.distinct.length, "no pair may meet twice")
+  }
+
+  test("concurrent_events ≡ per-event brute-force neighbor count") {
+    val got = CorpusStatsQueries.concurrentEvents(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ts = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), expr("ts div 1000")).as[(Long, Long)].collect()
+    val want = ts.map { case (id, t) =>
+      id -> (ts.count { case (_, u) => math.abs(u - t) <= 5000000L } - 1L)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("tfidf_top_terms: per-doc top-5 matches a brute-force recount") {
+    val rows = CorpusStatsQueries.tfidfTopTerms(spark, sf0001)
+      .select("doc_id", "term", "tf", "df", "rnk")
+      .as[(Long, String, Long, Long, Int)].collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, g) => (id, w, g.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = tf.groupBy(_._1).toSeq.flatMap { case (id, ts) =>
+      ts.sortBy { case (_, w, c) => (-c.toDouble * n / df(w), w) }
+        .take(5).zipWithIndex
+        .map { case ((_, w, c), i) => (id, w, c, df(w), i + 1) }
+    }.toSet
+    assert(rows.length === want.size)
+    assert(rows.toSet === want)
+  }
+
+  test("token_quantiles: ranks select the exact k-th smallest") {
+    val rows = CorpusStatsQueries.tokenQuantiles(spark, sf0001)
+      .as[(String, String, Int)].collect()
+    val bySource = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .as[(String, Int)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val want = for {
+      (src, ns) <- bySource.toSeq
+      (label, q) <- Seq(("p50", 50), ("p90", 90), ("p99", 99))
+    } yield (src, label, ns((ns.length * q + 99) / 100 - 1))
+    assert(rows.sorted === want.sorted.toArray.toSeq)
+    // every (source, label) appears exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+  }
+
+  test("rare_bigrams: novelty ratio matches a brute-force recount") {
+    val rows = CorpusStatsQueries.rareBigrams(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val grams = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toArray.distinct
+    }.filter(_._2.nonEmpty)
+    val df = grams.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val want = grams.map { case (id, gs) =>
+      val rare = gs.count(df(_) == 1).toLong
+      (id, gs.length.toLong, rare, rare.toDouble / gs.length)
+    }.toSet
+    assert(rows.toSet === want)
+  }
+}
