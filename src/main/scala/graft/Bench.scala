@@ -10,14 +10,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EVENTLOG=<dir>: write the Spark event log for offline
+    // stage-level profiling (local diagnosis aid; driver never sets it)
+    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(builder) { d =>
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", d)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -27,7 +34,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $sec%.2f s") // progress → stderr
+      sec
     }
 
     // JVM/codegen warmup on the cheapest query, not counted.

@@ -106,7 +106,22 @@ object Dedup {
       sequence(lit(1), size(toks) - lit(n - 1)),
       i => concat_ws(" ", slice(toks, i, lit(n))))
     val safe = when(size(toks) >= n, grams).otherwise(array(col(textCol)))
-    df.select(col(idCol).as("__did"), explode(array_distinct(safe)).as("s"))
+    widened(df).select(col(idCol).as("__did"), explode(array_distinct(safe)).as("s"))
+  }
+
+  /** The explode + per-shingle hashing above `shingles` is the pipeline's
+    * dominant MAP cost, and its parallelism is inherited from the SCAN —
+    * a corpus packed into few parquet files (one splittable file at small
+    * SF; the common small-file case of any ingest) would run it nearly
+    * single-threaded. Round-robin repartition to the cluster's parallelism
+    * BEFORE exploding when the scan is narrower than that; the explicit
+    * partition count keeps AQE from coalescing the (tiny pre-explode) map
+    * side back down. A 100 TB scan already yields thousands of partitions,
+    * so this is a no-op exactly when the input is already wide.
+    */
+  private[graft] def widened(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
   /** MinHash signatures: numHashes column-wise mins — one aggregation with
@@ -215,8 +230,12 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rpb = numHashes / bands
+    // each side is scanned by its signature aggregation AND the exact-verify
+    // join — persist so the explode+hash map cost is paid once per side
     val shA = shingles(corpus, corpusId, corpusText, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shB = shingles(ref, refId, refText, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigsA = minHashSignatures(shA, numHashes)
     val sigsB = minHashSignatures(shB, numHashes)
     val bA = capBuckets(bandedRows(sigsA, bands, rpb), Seq("band", "bh"), maxBucket)
@@ -248,11 +267,17 @@ object Dedup {
     */
   def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double,
       sizesOpt: Option[DataFrame] = None): DataFrame = {
+    // the shingle frame is scanned 2-3× here (both sides of the
+    // intersection self-join + the sizes fallback) and its lineage carries
+    // the pipeline's dominant map cost (explode + hashing) — persist so
+    // that cost is paid once; LRU/disk-spill bounds the footprint (same
+    // policy as the membership cache above)
+    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sizesOpt.getOrElse(
-      sh.groupBy(col("__did")).agg(count(lit(1)).as("n")))
+      shP.groupBy(col("__did")).agg(count(lit(1)).as("n")))
     val inter = cand
-      .join(sh.as("ta"), col("ia") === col("ta.__did"))
-      .join(sh.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
+      .join(shP.as("ta"), col("ia") === col("ta.__did"))
+      .join(shP.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
     inter
       .join(sizes.select(col("__did").as("ia"), col("n").as("na")), "ia")
@@ -406,7 +431,9 @@ object Dedup {
     // signature = bit (14−j/4)·4+(j%4) — EXACTLY the md5-nibble formulation
     // the oracle replays (bit (j mod 4) of hex nibble (j div 4)); only the
     // extraction arithmetic changed, every simhash value is identical
-    val tok = df.select(col(idCol).as("__did"),
+    // widened: the per-token md5+conv map cost must not inherit a narrow
+    // small-file scan's parallelism (see `widened`)
+    val tok = widened(df).select(col(idCol).as("__did"),
       explode(split(col(textCol), " ")).as("t"))
       .withColumn("__h",
         conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
