@@ -122,7 +122,10 @@ object IvfPq {
       val ct = coarse.centroids(best)
       Array.tabulate(v.length)(i => v(i).toDouble - ct(i))
     }
-    val codebooks = (0 until m).map { j =>
+    // the m per-subspace fits are independent — run them in parallel (each
+    // deterministic; order preserved by the indexed map)
+    import scala.collection.parallel.CollectionConverters._
+    val codebooks = (0 until m).par.map { j =>
       val slices = resid.map(r => java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim))
       LocalKMeans.fit(slices, k, maxIter).map(_.map(_.toFloat))
     }.toArray

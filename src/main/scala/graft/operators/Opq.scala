@@ -37,6 +37,7 @@ object Opq {
   private[operators] def learnRotation(xs: Array[Array[Float]], m: Int, k: Int,
       iters: Int, kmeansIters: Int = 10): (Array[Array[Float]], Array[Double]) = {
     import breeze.linalg.{svd, DenseMatrix}
+    import scala.collection.parallel.CollectionConverters._
     val n = xs.length
     val d = xs(0).length
     require(d % m == 0, s"dimension $d not divisible by m=$m")
@@ -50,13 +51,16 @@ object Opq {
     var books: IndexedSeq[Array[Array[Double]]] = null
     for (_ <- 0 until iters) {
       val Y = X * rot.t // y_i = R·x_i as row i
-      // per-subspace codebooks on the rotated sample
+      // per-subspace codebooks on the rotated sample — the m fits are
+      // independent, so they run in parallel (each is deterministic; the
+      // shared ForkJoinPool absorbs the nested assignment parallelism)
       val yRows = Array.tabulate(n)(i => Array.tabulate(d)(j => Y(i, j)))
-      books = (0 until m).map { j =>
+      val prevBooks = books
+      books = (0 until m).par.map { j =>
         val slices = yRows.map(r => java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim))
         LocalKMeans.fit(slices, k, kmeansIters,
-          warmStart = Option(books).map(_(j)))
-      }
+          warmStart = Option(prevBooks).map(_(j)))
+      }.toIndexedSeq
       // reconstruct each row from its nearest codewords — raw arrays and a
       // parallel row loop (per-element DenseMatrix access in the hot loop
       // would dominate the whole alternation)
@@ -117,6 +121,7 @@ object Opq {
       vecCol: String, sample: Array[Array[Float]], m: Int, k: Int, iters: Int,
       kmeansIters: Int = 10): (Array[Array[Float]], Array[Double]) = {
     import breeze.linalg.{svd, DenseMatrix}
+    import scala.collection.parallel.CollectionConverters._
     val d = sample(0).length
     require(d % m == 0, s"dimension $d not divisible by m=$m")
     val subDim = d / m
@@ -135,11 +140,12 @@ object Opq {
       // driver side: warm-started codebooks on the ROTATED sample (same
       // monotone alternation as the local path)
       val ySample = sample.map(x => matVec(rot, x.map(_.toDouble)))
-      books = (0 until m).map { j =>
+      val prevBooks = books
+      books = (0 until m).par.map { j =>
         val slices = ySample.map(r =>
           java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim))
-        LocalKMeans.fit(slices, k, kmeansIters, warmStart = Option(books).map(_(j)))
-      }
+        LocalKMeans.fit(slices, k, kmeansIters, warmStart = Option(prevBooks).map(_(j)))
+      }.toIndexedSeq
       val bks = books.toArray
       val rotNow = rot
       // cluster side: one pass accumulating B (column-major d×d), the
