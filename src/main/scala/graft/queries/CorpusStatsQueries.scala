@@ -157,6 +157,72 @@ object CorpusStatsQueries {
       |FROM g JOIN d USING (bigram)
       |GROUP BY g.doc_id""".stripMargin
 
+  // ---- KMV distinct-count sketch ----------------------------------------
+
+  private val KmvK = 256
+
+  /** Per-source distinct-bigram cardinality via the KMV sketch — the
+    * mergeable-sketch alternative to exact `countDistinct`: map tasks ship
+    * ≤ k longs per group to the shuffle instead of every distinct value
+    * (at 100 TB an exact distinct over n-grams IS the job; the sketch makes
+    * it a constant-width aggregation). The md5-based hash makes the sketch
+    * DETERMINISTIC AND REPLAYABLE: the oracle reproduces the exact k-th
+    * minimum and the exact estimate, so even the approximate operator gets
+    * a full hash gate — accuracy itself is spec-gated in CorpusStatsSpec.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, KmvDistinct}
+    val grams = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("source"),
+        explode(transform(
+          sequence(lit(1), size(toks) - lit(1)),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+    grams.groupBy(col("source"))
+      .agg(Bridge.column(
+        KmvDistinct(Bridge.expression(col("bigram")), KmvK)
+          .toAggregateExpression()).as("sk"))
+      .select(col("source"), col("sk.n_minima").as("n_minima"),
+        col("sk.kth_min").as("kth_min"), col("sk.est").as("est"))
+  }
+
+  /** Replays the sketch exactly: same 60-bit md5-prefix hash (15-nibble
+    * positional sum), same k minima over DISTINCT hashes, same estimator
+    * arithmetic (255·2⁶⁰ is exact in double, one division).
+    */
+  val kmvDistinctSql: String = {
+    val nib = (0 until 15).map { d =>
+      val w = java.math.BigInteger.valueOf(16L).pow(14 - d)
+      s"(strpos('0123456789abcdef', substr(md5(bigram), ${d + 1}, 1)) - 1) * $w"
+    }.mkString(" +\n      ")
+    s"""WITH g AS (
+       |  SELECT DISTINCT source, unnest(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - 1),
+       |    i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |h AS (
+       |  SELECT DISTINCT source, CAST($nib AS BIGINT) AS h FROM g),
+       |r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM h),
+       |k AS (
+       |  SELECT source,
+       |    least(max(cnt), $KmvK) AS n_minima,
+       |    max(CASE WHEN rn <= $KmvK THEN h END) AS kth_min,
+       |    max(cnt) AS cnt
+       |  FROM r GROUP BY source)
+       |SELECT source,
+       |  CAST(n_minima AS BIGINT) AS n_minima,
+       |  CAST(kth_min AS BIGINT) AS kth_min,
+       |  CASE WHEN cnt < $KmvK THEN CAST(n_minima AS DOUBLE)
+       |       ELSE ${(KmvK - 1).toDouble} * 1152921504606846976.0
+       |            / CAST(kth_min AS DOUBLE) END AS est
+       |FROM k""".stripMargin
+  }
+
   // ---- binned temporal range join (burst detection) ----------------------
 
   private val BurstWindowUs = 5000000L // ±5 s
@@ -193,11 +259,13 @@ object CorpusStatsQueries {
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "token_quantiles" -> (tokenQuantiles(_, _)),
     "rare_bigrams" -> (rareBigrams(_, _)),
+    "kmv_distinct" -> (kmvDistinct(_, _)),
     "concurrent_events" -> (concurrentEvents(_, _)))
 
   val oracles: Map[String, String] = Map(
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "token_quantiles" -> tokenQuantilesSql,
     "rare_bigrams" -> rareBigramsSql,
+    "kmv_distinct" -> kmvDistinctSql,
     "concurrent_events" -> concurrentEventsSql)
 }

@@ -79,6 +79,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
   }
 
+  test("kmv sketch: partition-invariant, exhaustive below k, ~accurate above") {
+    import org.apache.spark.sql.graft.{Bridge, KmvDistinct}
+    def sketch(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .groupBy(col("g"))
+      .agg(Bridge.column(KmvDistinct(Bridge.expression(col("v")), k)
+        .toAggregateExpression()).as("sk"))
+      .select(col("g"), col("sk.n_minima"), col("sk.kth_min"), col("sk.est"))
+    // 10k values with duplicates across one group
+    val vals = (0 until 10000).map(i => ("a", s"v${i % 3137}")).toDF("g", "v")
+    val one = sketch(vals.repartition(1), 256).collect().head
+    val many = sketch(vals.repartition(13), 256).collect().head
+    assert(one === many, "merge across partitions must be exact")
+    val est = one.getDouble(3)
+    assert(math.abs(est - 3137) / 3137 < 0.25,
+      s"estimate $est too far from true 3137 at k=256")
+    // below k the sketch is exhaustive: est exactly the distinct count
+    val small = sketch(vals.filter(col("v").isin((0 until 100).map(i => s"v$i"): _*))
+      .repartition(7), 256).collect().head
+    assert(small.getLong(1) === 100L && small.getDouble(3) === 100.0)
+  }
+
   test("rare_bigrams: novelty ratio matches a brute-force recount") {
     val rows = CorpusStatsQueries.rareBigrams(spark, sf0001)
       .as[(Long, Long, Long, Double)].collect()
