@@ -58,7 +58,7 @@ object CorpusStatsQueries {
       .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rnk"))
@@ -92,7 +92,7 @@ object CorpusStatsQueries {
     */
   def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val t = docs(spark, dir)
-      .select(col("source"), col("doc_id"), size(toks).as("n_tok"))
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tok"))
     val part = Window.partitionBy(col("source"))
     val w = part.orderBy(col("n_tok").asc, col("doc_id").asc)
     val qs = Seq(("p50", 50), ("p90", 90), ("p99", 99))
@@ -151,7 +151,7 @@ object CorpusStatsQueries {
       |  WHERE len(string_split(text, ' ')) >= 2),
       |d AS (SELECT bigram, count(*) AS df FROM g GROUP BY 1)
       |SELECT g.doc_id, count(*) AS n_bigrams,
-      |  sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_rare,
+      |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
       |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
       |    AS novelty
       |FROM g JOIN d USING (bigram)

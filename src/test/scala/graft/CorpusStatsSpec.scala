@@ -46,7 +46,7 @@ class CorpusStatsSpec extends SparkSpec {
   test("tfidf_top_terms: per-doc top-5 matches a brute-force recount") {
     val rows = CorpusStatsQueries.tfidfTopTerms(spark, sf0001)
       .select("doc_id", "term", "tf", "df", "rnk")
-      .as[(Long, String, Long, Long, Int)].collect()
+      .as[(Long, String, Long, Long, Long)].collect()
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
     val n = docs.length.toLong
@@ -57,7 +57,7 @@ class CorpusStatsSpec extends SparkSpec {
     val want = tf.groupBy(_._1).toSeq.flatMap { case (id, ts) =>
       ts.sortBy { case (_, w, c) => (-c.toDouble * n / df(w), w) }
         .take(5).zipWithIndex
-        .map { case ((_, w, c), i) => (id, w, c, df(w), i + 1) }
+        .map { case ((_, w, c), i) => (id, w, c, df(w), (i + 1).toLong) }
     }.toSet
     assert(rows.length === want.size)
     assert(rows.toSet === want)
@@ -65,7 +65,7 @@ class CorpusStatsSpec extends SparkSpec {
 
   test("token_quantiles: ranks select the exact k-th smallest") {
     val rows = CorpusStatsQueries.tokenQuantiles(spark, sf0001)
-      .as[(String, String, Int)].collect()
+      .as[(String, String, Long)].collect()
     val bySource = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"), size(split(col("text"), " ")).as("n"))
       .as[(String, Int)].collect().groupBy(_._1).view
@@ -73,7 +73,7 @@ class CorpusStatsSpec extends SparkSpec {
     val want = for {
       (src, ns) <- bySource.toSeq
       (label, q) <- Seq(("p50", 50), ("p90", 90), ("p99", 99))
-    } yield (src, label, ns((ns.length * q + 99) / 100 - 1))
+    } yield (src, label, ns((ns.length * q + 99) / 100 - 1).toLong)
     assert(rows.sorted === want.sorted.toArray.toSeq)
     // every (source, label) appears exactly once
     assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
