@@ -259,6 +259,67 @@ object Dedup {
       .select(col("ia"), col("ib"), col("jaccard"))
   }
 
+  /** Incremental near-dup for a STREAMING corpus: dedups an arriving batch
+    * against everything ingested before it WITHOUT touching the old corpus'
+    * texts — the accumulated state is the banded signature table
+    * (`(did, band, bh)`, ~`bands` rows/doc), which is what `streamDedupInto`
+    * persists per batch.
+    *
+    * Per batch: (1) full self-dedup of the batch (the stock oracle-gated
+    * pipeline); (2) batch bands ⋈ stored bands — an equi-join against state
+    * that is LINEAR in corpus size and never re-shingles it; (3) exact
+    * verify of cross candidates by re-shingling ONLY the candidate partner
+    * docs (fetched from `storedTexts` by id — the few docs that actually
+    * collided, not the corpus). Identical docs across batches collide in
+    * every band, so cross pairs subsume the exact-dup case. Output pair ids
+    * are (batch id, stored id) for cross pairs; `newBands` is the state
+    * increment the caller persists.
+    */
+  def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
+      storedBands: Option[DataFrame], storedTexts: Option[DataFrame],
+      shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
+      threshold: Double = 0.8, maxBucket: Int = 100000)
+      : (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(storedBands.isEmpty == storedTexts.isEmpty,
+      "storedBands and storedTexts must be supplied together")
+    val rpb = numHashes / bands
+    val shN = shingles(batch, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedN = bandedRows(minHashSignatures(shN, numHashes), bands, rpb)
+    val within = minHashLshPairs(batch, idCol, textCol, shingleN, numHashes,
+      bands, threshold, maxBucket)
+    val pairs = (storedBands, storedTexts) match {
+      case (Some(sb), Some(texts)) =>
+        val cand = capBuckets(bandedN, Seq("band", "bh"), maxBucket).as("a")
+          .join(capBuckets(sb.select(col("__did"), col("band"), col("bh")),
+            Seq("band", "bh"), maxBucket).as("b"), Seq("band", "bh"))
+          .select(col("a.__did").as("ia"), col("b.__did").as("ib"))
+          .distinct()
+        // partner shingles: only docs that collided — a semi-join-sized
+        // re-shingle, not a corpus re-scan
+        val partners = texts
+          .join(cand.select(col("ib").as(idCol)).distinct(), Seq(idCol), "left_semi")
+        val shP = shingles(partners, idCol, textCol, shingleN)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizesN = shN.groupBy(col("__did")).agg(count(lit(1)).as("n"))
+        val sizesP = shP.groupBy(col("__did")).agg(count(lit(1)).as("n"))
+        val cross = cand
+          .join(shN.as("ta"), col("ia") === col("ta.__did"))
+          .join(shP.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
+          .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+          .join(sizesN.select(col("__did").as("ia"), col("n").as("na")), "ia")
+          .join(sizesP.select(col("__did").as("ib"), col("n").as("nb")), "ib")
+          .withColumn("jaccard",
+            col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("ia"), col("ib"), col("jaccard"))
+        within.union(cross)
+      case _ => within
+    }
+    (pairs, bandedN)
+  }
+
   /** Exact Jaccard over candidate pairs only (shingle-set intersection via
     * join — never materializes non-candidate pairs). Pass `sizesOpt` when
     * per-doc shingle-set sizes already exist upstream (they ride the

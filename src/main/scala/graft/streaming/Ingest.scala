@@ -64,6 +64,57 @@ object Ingest {
       }
       .start()
 
+  /** Streaming corpus deduplication: every arriving micro-batch is deduped
+    * against ALL previously ingested documents, the way a production
+    * training-data pipeline ingests — incrementally, never re-shingling the
+    * accumulated corpus (state = the banded signature table; cross-batch
+    * verification re-shingles only colliding partner docs — see
+    * `Dedup.incrementalNearDup`).
+    *
+    * State layout under `stateDir`: `bands/batch=<id>` (signature bands),
+    * `texts/batch=<id>` (id, text), `pairs/batch=<id>` (the batch's emitted
+    * near-dup pairs). Everything is written per-batch with OVERWRITE, and
+    * reads exclude the current batch id, so an at-least-once foreachBatch
+    * replay rewrites byte-identical state instead of duplicating it — no
+    * ledger needed.
+    */
+  def streamDedupInto(
+      source: DataFrame, // schema: id LONG (or string), text STRING
+      stateDir: String,
+      checkpoint: String,
+      idCol: String = "id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bandsDir = s"$stateDir/bands"
+        val textsDir = s"$stateDir/texts"
+        def priorState(dir: String): Option[DataFrame] =
+          if (!new java.io.File(dir).exists()) None
+          else Some(spark.read.parquet(dir).filter(col("batch") < batchId))
+        // batch may be empty on some triggers — nothing to dedup or record
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          val (pairs, newBands) = graft.operators.Dedup.incrementalNearDup(
+            b, idCol, textCol,
+            priorState(bandsDir).map(_.select(col("__did"), col("band"), col("bh"))),
+            priorState(textsDir).map(_.select(col(idCol), col(textCol))),
+            threshold = threshold)
+          pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$batchId")
+          newBands.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+          b.select(col(idCol), col(textCol))
+            .write.mode("overwrite").parquet(s"$textsDir/batch=$batchId")
+          b.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming tumbling-window aggregation with a watermark (the canonical
     * events_hourly shape as a live query; late rows beyond the watermark are
     * dropped deterministically).

@@ -14,6 +14,48 @@ import graft.streaming.Ingest
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming dedup: batches dedup against accumulated state, ≡ batch twin") {
+    val src = Files.createTempDirectory("dedup-src").toString
+    val ck = Files.createTempDirectory("dedup-ck").toString
+    val state = Files.createTempDirectory("dedup-state").toString
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hill before dawn breaks"
+    val docs1 = Seq(
+      (0L, base),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omicron"), // ≈ 1
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "completely different words about spark shuffles and parquet row groups here"))
+    val docs2 = Seq(
+      (10L, base.replace("dawn", "dusk")), // ≈ 0 (cross-batch edit)
+      (11L, "one two three four five six seven eight nine ten eleven twelve"), // == 3
+      (12L, "neural networks learn token embeddings from massive corpora very very quickly today"),
+      (13L, "neural networks learn token embeddings from massive corpora very very quickly now")) // ≈ 12
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+
+    docs1.toDF("id", "text").write.mode("append").parquet(src)
+    Ingest.streamDedupInto(spark.readStream.schema(schema).parquet(src),
+      state, ck, threshold = 0.6).awaitTermination()
+    docs2.toDF("id", "text").write.mode("append").parquet(src)
+    Ingest.streamDedupInto(spark.readStream.schema(schema).parquet(src),
+      state, ck, threshold = 0.6).awaitTermination()
+
+    val got = spark.read.parquet(s"$state/pairs")
+      .select(least(col("ia"), col("ib")).as("lo"),
+        greatest(col("ia"), col("ib")).as("hi"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val want = graft.operators.Dedup.minHashLshPairs(
+        (docs1 ++ docs2).toDF("id", "text"), "id", "text", threshold = 0.6)
+      .select(least(col("ia"), col("ib")).as("lo"),
+        greatest(col("ia"), col("ib")).as("hi"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "incremental pairs must equal the batch-twin pair set")
+    assert(want.map(p => (p._1, p._2)) ===
+      Set((0L, 10L), (1L, 2L), (3L, 11L), (12L, 13L)))
+    // state grew one partition per batch
+    assert(new java.io.File(s"$state/bands").listFiles().count(_.getName.startsWith("batch=")) === 2)
+  }
+
   test("file stream ingests into DocStore with LWW across batches") {
     val src = Files.createTempDirectory("stream-src").toString
     val ck = Files.createTempDirectory("stream-ck").toString
