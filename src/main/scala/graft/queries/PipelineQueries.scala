@@ -116,30 +116,24 @@ object PipelineQueries {
     * max-frequency scan is O(distinct·n) on bounded-length documents.
     */
   def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, GramStats}
+    // one-pass codegen kernel for the token stats (the interpreted-HOF
+    // formulation it replaces is quarantined in ReviewRegressionSpec's
+    // equivalence gate via the oracle's quadratic spec form)
     val nTok = size(col("__t")).cast("long")
-    val sumLen = aggregate(transform(col("__t"), w => length(w)), lit(0),
-      (a, x) => a + x).cast("long")
-    // top-token frequency = longest equal-run in the sorted token array —
-    // linear, vs the O(distinct·n) per-distinct filter() spec form the
-    // oracle keeps (identical values)
-    val maxFreq = aggregate(
-      array_sort(col("__t")),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), newRun.as("run"),
-          greatest(acc.getField("best"), newRun).as("best"))
-      },
-      acc => acc.getField("best")).cast("long")
-    docs(spark, dir).withColumn("__t", toks).select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      sumLen.as("sum_len"),
-      maxFreq.as("max_freq"),
-      when(nTok.between(20, 1000), 1L).otherwise(0L).as("ok_len"),
-      when(sumLen >= nTok * 3 && sumLen <= nTok * 12, 1L).otherwise(0L).as("ok_wordlen"),
-      when(maxFreq * 5 <= nTok, 1L).otherwise(0L).as("ok_rep"))
+    val sumLen = col("__gs.sum_len")
+    val maxFreq = col("__gs.max_freq")
+    docs(spark, dir).withColumn("__t", toks)
+      .withColumn("__gs",
+        Bridge.column(GramStats(Bridge.expression(col("__t")), 1)))
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        sumLen.as("sum_len"),
+        maxFreq.as("max_freq"),
+        when(nTok.between(20, 1000), 1L).otherwise(0L).as("ok_len"),
+        when(sumLen >= nTok * 3 && sumLen <= nTok * 12, 1L).otherwise(0L).as("ok_wordlen"),
+        when(maxFreq * 5 <= nTok, 1L).otherwise(0L).as("ok_rep"))
   }
 
   val qualityRulesSql: String =
@@ -257,32 +251,20 @@ object PipelineQueries {
     * shuffle, O(distinct·n) per bounded-length document.
     */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val grams = transform(sequence(lit(1), size(toks) - lit(2)),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
-    // hottest-gram frequency = longest run of equals in the SORTED gram
-    // array — one linear aggregate pass. The nested per-distinct-gram
-    // filter() formulation is O(g²) with the grams expression re-evaluated
-    // inside every lambda (measured 100× slower); the oracle keeps the
-    // quadratic spec form — values are identical
-    val maxRun = aggregate(
-      array_sort(col("__grams")),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), newRun.as("run"),
-          greatest(acc.getField("best"), newRun).as("best"))
-      },
-      acc => acc.getField("best")).cast("long")
+    import org.apache.spark.sql.graft.{Bridge, GramStats}
+    // ONE hash-count pass per row inside whole-stage codegen (gram build,
+    // dup count, top multiplicity) — replaces three interpreted HOF walks
+    // (sorted-run aggregate + transform + array_distinct); the oracle keeps
+    // the quadratic declarative spec form, values identical
     docs(spark, dir)
       .filter(size(toks) >= 3)
-      .withColumn("__grams", grams)
+      .withColumn("__gs",
+        Bridge.column(GramStats(Bridge.expression(toks), 3)))
       .select(
         col("doc_id"),
-        size(col("__grams")).cast("long").as("n_3grams"),
-        (size(col("__grams")) - size(array_distinct(col("__grams")))).cast("long")
-          .as("n_dup_3grams"),
-        maxRun.as("max_3gram_freq"))
+        col("__gs.n_grams").as("n_3grams"),
+        col("__gs.n_dup").as("n_dup_3grams"),
+        col("__gs.max_freq").as("max_3gram_freq"))
   }
 
   val repetitionStatsSql: String =

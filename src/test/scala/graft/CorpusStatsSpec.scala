@@ -79,6 +79,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
   }
 
+  test("gram_stats kernel: counts match brute force incl. edges") {
+    import org.apache.spark.sql.graft.{Bridge, GramStats}
+    val df = Seq(
+      "a b a b a",              // 3-grams: aba, bab, aba → dup
+      "x",                      // shorter than n
+      "",                       // one empty token
+      "the the the the",        // max repetition
+      "émoji ünïcode chars ok"  // non-ascii numChars
+    ).toDF("t")
+    def stats(n: Int) = df.select(
+      Bridge.column(GramStats(Bridge.expression(split(col("t"), " ")), n)).as("g"))
+      .select("g.n_grams", "g.n_dup", "g.max_freq", "g.sum_len")
+      .as[(Long, Long, Long, Long)].collect()
+    val got3 = stats(3)
+    val want3 = Seq("a b a b a", "x", "", "the the the the", "émoji ünïcode chars ok")
+      .map { s =>
+        val t = s.split(" ", -1)
+        val g = t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+        val counts = g.groupBy(identity).values.map(_.length).toSeq
+        (g.length.toLong, (g.length - counts.length).toLong,
+          if (counts.isEmpty) 0L else counts.max.toLong,
+          t.map(_.length.toLong).sum)
+      }
+    assert(got3.toSeq === want3)
+    // n=1: max token multiplicity (the quality_rules signal)
+    assert(stats(1).map(_._3).toSeq === Seq(3L, 1L, 1L, 4L, 1L))
+  }
+
   test("kmv sketch: partition-invariant, exhaustive below k, ~accurate above") {
     import org.apache.spark.sql.graft.{Bridge, KmvDistinct}
     def sketch(df: org.apache.spark.sql.DataFrame, k: Int) = df
