@@ -29,6 +29,13 @@ object vfn {
     case SpaceType.Hamming => hammingNe(a, b).cast(DoubleType)
   }
 
+  /** Codegen word-n-gram construction (stride 1 = sliding shingles,
+    * stride n = disjoint passages); empty array below n tokens.
+    */
+  def ngrams(tokens: Column, n: Int, stride: Int = 1): Column =
+    Bridge.column(org.apache.spark.sql.graft.NGrams(
+      Bridge.expression(tokens), n, stride))
+
   /** One-pass bounded top-k aggregate: ARRAY<STRUCT<id, distance, rnk>> of
     * the k smallest distances (ties by id). Partial-aggregatable — map tasks
     * ship ≤ k entries per group to the shuffle.

@@ -102,9 +102,10 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")
-    val grams = transform(
-      sequence(lit(1), size(toks) - lit(n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    // codegen NGrams kernel (vfn.ngrams) — the gram build is the dominant
+    // map cost of every shingle pipeline; the HOF formulation it replaces
+    // re-walked an interpreted lambda per gram
+    val grams = graft.functions.vfn.ngrams(toks, n)
     val safe = when(size(toks) >= n, grams).otherwise(array(col(textCol)))
     widened(df).select(col(idCol).as("__did"), explode(array_distinct(safe)).as("s"))
   }

@@ -131,9 +131,7 @@ object CorpusStatsQueries {
     val grams = docs(spark, dir)
       .filter(size(toks) >= 2)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(toks) - lit(1)),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))).as("bigram"))
+        explode(array_distinct(graft.functions.vfn.ngrams(toks, 2))).as("bigram"))
     val df_ = grams.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
     grams.join(df_, "bigram")
       .groupBy(col("doc_id"))
@@ -175,9 +173,7 @@ object CorpusStatsQueries {
     val grams = docs(spark, dir)
       .filter(size(toks) >= 2)
       .select(col("source"),
-        explode(transform(
-          sequence(lit(1), size(toks) - lit(1)),
-          i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+        explode(graft.functions.vfn.ngrams(toks, 2)).as("bigram"))
     grams.groupBy(col("source"))
       .agg(Bridge.column(
         KmvDistinct(Bridge.expression(col("bigram")), KmvK)

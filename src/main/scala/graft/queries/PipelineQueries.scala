@@ -164,9 +164,8 @@ object PipelineQueries {
   private val PassageLen = 8
 
   def passageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val nFull = (size(toks) / PassageLen).cast("int")
-    val passages = transform(sequence(lit(0), nFull - 1),
-      i => concat_ws(" ", slice(toks, i * PassageLen + 1, lit(PassageLen))))
+    // stride = n: disjoint full passages (codegen NGrams kernel)
+    val passages = graft.functions.vfn.ngrams(toks, PassageLen, stride = PassageLen)
     docs(spark, dir)
       .filter(size(toks) >= PassageLen)
       .select(col("doc_id"), explode(passages).as("passage"))

@@ -200,9 +200,7 @@ object TextQueries {
     * (TakeOrderedAndProject, no full sort).
     */
   def topNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - lit(1)),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val grams = graft.functions.vfn.ngrams(toks, 2)
     docs(spark, dir)
       .filter(size(toks) >= 2)
       .select(col("doc_id"), explode(array_distinct(grams)).as("bigram"))
