@@ -78,6 +78,17 @@ object Ingest {
     * replay rewrites byte-identical state instead of duplicating it — no
     * ledger needed.
     */
+  /** `compactEvery`: once the live state spans that many per-batch
+    * partitions, the current batch folds ALL prior state into its own
+    * partition and advances an atomic `compacted_through` marker; stale
+    * partitions are physically deleted only by a LATER batch (a replay of
+    * the compacting batch still finds the raw partitions it read — the
+    * marker only redirects reads once a newer batch is processing). State
+    * reads therefore stay O(compactEvery) partitions for any stream
+    * length, and every step is replay-idempotent: decisions are a
+    * deterministic function of (marker, partition set, batchId), and all
+    * writes are per-batch overwrites or atomic marker renames.
+    */
   def streamDedupInto(
       source: DataFrame, // schema: id LONG (or string), text STRING
       stateDir: String,
@@ -85,6 +96,7 @@ object Ingest {
       idCol: String = "id",
       textCol: String = "text",
       threshold: Double = 0.8,
+      compactEvery: Int = 16,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     source.writeStream
       .outputMode("append")
@@ -94,21 +106,57 @@ object Ingest {
         val spark = batch.sparkSession
         val bandsDir = s"$stateDir/bands"
         val textsDir = s"$stateDir/texts"
+        val marker = java.nio.file.Paths.get(s"$stateDir/compacted_through")
+        // compacted-through as of THIS batch's read view (never this batch)
+        val t0 = graft.core.AtomicFiles.readLongSafe(marker).filter(_ < batchId)
+        def livePartitions(dir: String): Seq[Long] = {
+          val d = new java.io.File(dir)
+          if (!d.exists()) Seq.empty
+          else d.listFiles().toSeq.map(_.getName)
+            .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+            .filter(b => b < batchId && t0.forall(b >= _))
+        }
         def priorState(dir: String): Option[DataFrame] =
-          if (!new java.io.File(dir).exists()) None
-          else Some(spark.read.parquet(dir).filter(col("batch") < batchId))
+          if (livePartitions(dir).isEmpty) None
+          else Some(spark.read.parquet(dir)
+            .filter(col("batch") < batchId &&
+              t0.map(col("batch") >= _).getOrElse(lit(true))))
+        // delete partitions superseded by an EARLIER batch's compaction —
+        // safe: any replayable batch reads only partitions >= t0
+        t0.foreach { t =>
+          for (dir <- Seq(bandsDir, textsDir);
+               b <- Seq(new java.io.File(dir)).filter(_.exists())
+                 .flatMap(_.listFiles()) if {
+                 val n = b.getName
+                 n.startsWith("batch=") && n.stripPrefix("batch=").toLong < t
+               }) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            rm(b)
+          }
+        }
         // batch may be empty on some triggers — nothing to dedup or record
         if (!batch.isEmpty) {
           val b = batch.persist()
+          val bands0 = priorState(bandsDir)
+            .map(_.select(col("__did"), col("band"), col("bh")))
+          val texts0 = priorState(textsDir).map(_.select(col(idCol), col(textCol)))
           val (pairs, newBands) = graft.operators.Dedup.incrementalNearDup(
-            b, idCol, textCol,
-            priorState(bandsDir).map(_.select(col("__did"), col("band"), col("bh"))),
-            priorState(textsDir).map(_.select(col(idCol), col(textCol))),
-            threshold = threshold)
+            b, idCol, textCol, bands0, texts0, threshold = threshold)
           pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$batchId")
-          newBands.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
-          b.select(col(idCol), col(textCol))
-            .write.mode("overwrite").parquet(s"$textsDir/batch=$batchId")
+          // deterministic compaction decision: fold prior state into this
+          // batch's partition once the live span reaches compactEvery
+          val compact = compactEvery > 0 &&
+            livePartitions(bandsDir).size + 1 >= compactEvery
+          val bandsOut = if (compact) bands0.fold(newBands)(newBands.union) else newBands
+          val textsOut0 = b.select(col(idCol), col(textCol))
+          val textsOut = if (compact) texts0.fold(textsOut0)(textsOut0.union) else textsOut0
+          bandsOut.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+          textsOut.write.mode("overwrite").parquet(s"$textsDir/batch=$batchId")
+          if (compact)
+            graft.core.AtomicFiles.atomicWrite(marker, batchId.toString)
           b.unpersist()
           ()
         }

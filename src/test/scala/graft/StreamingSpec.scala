@@ -56,6 +56,43 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$state/bands").listFiles().count(_.getName.startsWith("batch=")) === 2)
   }
 
+  test("streaming dedup compaction: bounded partitions, same pairs, stale state deleted") {
+    val src = Files.createTempDirectory("cdedup-src").toString
+    val ck = Files.createTempDirectory("cdedup-ck").toString
+    val state = Files.createTempDirectory("cdedup-state").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // 4 batches; near-dups span batches 0↔2 and 1↔3 so PRE-compaction state
+    // must survive the folds for the pairs to come out
+    val batches = Seq(
+      Seq((0L, "aa bb cc dd ee ff gg hh ii jj kk ll")),
+      Seq((10L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen")),
+      Seq((20L, "aa bb cc dd ee ff gg hh ii jj kk zz")), // ≈ 0
+      Seq((30L, "one two three four five six seven eight nine ten eleven twelve thirteen zz"))) // ≈ 10
+    def runStream(): Unit =
+      Ingest.streamDedupInto(spark.readStream.schema(schema).parquet(src),
+        state, ck, threshold = 0.5, compactEvery = 2).awaitTermination()
+    batches.foreach { b =>
+      b.toDF("id", "text").write.mode("append").parquet(src)
+      runStream()
+    }
+    val got = spark.read.parquet(s"$state/pairs")
+      .select(least(col("ia"), col("ib")).as("lo"),
+        greatest(col("ia"), col("ib")).as("hi"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 20L), (10L, 30L)),
+      "cross-batch pairs must survive state compaction")
+    // marker advanced and superseded partitions were physically deleted
+    val marker = java.nio.file.Paths.get(s"$state/compacted_through")
+    val t = graft.core.AtomicFiles.readLongSafe(marker)
+    assert(t.nonEmpty && t.get >= 1L, s"marker should have advanced, got $t")
+    val live = new java.io.File(s"$state/bands").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    assert(live.forall(_ >= t.get - 2), s"stale partitions linger: ${live.toSeq.sorted}")
+    assert(live.length <= 3, s"compaction must bound partitions: ${live.toSeq.sorted}")
+  }
+
   test("file stream ingests into DocStore with LWW across batches") {
     val src = Files.createTempDirectory("stream-src").toString
     val ck = Files.createTempDirectory("stream-ck").toString
