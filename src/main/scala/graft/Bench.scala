@@ -27,7 +27,13 @@ object Bench {
     }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_CLEARCACHE=1: drop all cached/persisted frames between
+    // queries — isolates per-query timing from cross-query storage/LRU
+    // interactions at the cost of realism (default off; driver never sets
+    // it, so round benches measure the shared-session behavior)
+    val clearCache = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("1")
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      if (clearCache) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>

@@ -207,6 +207,18 @@ object Dedup {
       .select(col("__did"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
+  /** `(did, band, bh)` banded signature rows straight from texts — the
+    * persisted STATE of the incremental/streaming dedup path (what a new
+    * batch's bands equi-join against).
+    */
+  def signatureBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    bandedRows(minHashSignatures(shingles(df, idCol, textCol, shingleN),
+        numHashes), bands, numHashes / bands)
+      .select(col("__did"), col("band"), col("bh"))
+  }
+
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val exploded = capBuckets(bandedRows(sigs, bands, rowsPerBand),
@@ -288,6 +300,7 @@ object Dedup {
     val shN = shingles(batch, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandedN = bandedRows(minHashSignatures(shN, numHashes), bands, rpb)
+      .select(col("__did"), col("band"), col("bh"))
     val within = minHashLshPairs(batch, idCol, textCol, shingleN, numHashes,
       bands, threshold, maxBucket)
     val pairs = (storedBands, storedTexts) match {
