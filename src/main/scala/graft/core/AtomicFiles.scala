@@ -27,4 +27,36 @@ object AtomicFiles {
   def readLongSafe(p: Path): Option[Long] =
     if (!Files.exists(p)) None
     else scala.util.Try(Files.readString(p).trim.toLong).toOption
+
+  /** Hadoop-FS twins for state that must live WHERE THE DATA LIVES
+    * (streaming dedup state rides the same `stateDir` as its parquet
+    * partitions — hdfs://, s3a://, or plain local paths): write tmp then
+    * rename-with-overwrite via `FileContext`, whose rename contract is
+    * atomic on HDFS and POSIX-rename on the local FS. The java.nio variants
+    * above stay for engine-local control files.
+    */
+  def atomicWriteHadoop(conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  def readLongSafeHadoop(conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }.toOption
+  }
 }

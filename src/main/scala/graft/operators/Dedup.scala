@@ -35,10 +35,11 @@ object Dedup {
     * candidate pairs. The 128-bit digest makes false merges negligible.
     *
     * Callers `.cache()` this frame (it feeds 2-3 joins per pipeline) and
-    * rely on Spark's LRU storage eviction rather than explicit unpersist —
-    * the frame is two narrow columns (ids only), so even repeated pipeline
-    * invocations hold bounded storage; unpersisting eagerly would force a
-    * recompute on the still-lazy consumer side.
+    * MUST release it via `released(...)` once the pipeline's result is
+    * materialized: `Dataset.persist` registers the relation in the session
+    * CacheManager, which holds it until an explicit unpersist — LRU only
+    * rotates blocks between memory and disk, and ContextCleaner never fires
+    * while the CacheManager still references the plan.
     */
   /** Duplicate-group membership `(__rep, __mid)`, or None when every digest
     * group is a singleton — and, crucially, restricted to groups of size ≥ 2:
@@ -66,6 +67,27 @@ object Dedup {
       repIds.unpersist()
       Some(m)
     }
+  }
+
+  /** Eagerly materialize a pipeline's (small, threshold-filtered) result and
+    * RELEASE the corpus-scale caches that fed it. Without this every
+    * invocation leaks an exploded-shingle-sized cached relation into the
+    * session CacheManager for the session's lifetime (explicit unpersist is
+    * the ONLY release path for cached relations; r4's shared-session bench
+    * degraded 10-80× per query from exactly that accumulation).
+    *
+    * `localCheckpoint` stores just the result rows and cuts the lineage, so
+    * the caches are safe to drop immediately; its blocks are reclaimed by
+    * ContextCleaner once the result frame is unreachable — unlike
+    * CacheManager entries. Trade-off (deliberate): localCheckpoint blocks
+    * are not recomputable after executor loss — a consumer re-runs the
+    * pipeline call instead, the right recovery unit for a terminal
+    * pair-set this small.
+    */
+  private def released(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    caches.foreach(_.unpersist(false))
+    out
   }
 
   /** All ids that belong to a dup group but are not its representative —
@@ -122,7 +144,30 @@ object Dedup {
     */
   private[graft] def widened(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // Width must come from the UNEXECUTED plan: `Dataset.rdd` under AQE
+    // finalizes the adaptive plan, which MATERIALIZES every upstream shuffle
+    // stage just to read a partition count — a derived input (e.g. the
+    // partner join inside incrementalNearDup) would run its whole upstream
+    // job once for the count and again for the real query. Any Exchange in
+    // the plan already re-partitions downstream work to the session's
+    // shuffle parallelism, so only an exchange-free narrow chain over a
+    // file scan can be under-parallel; its width is the scan's split count
+    // (driver-side file-split arithmetic, no job). Unknown leaves (local
+    // relations, cached frames — small inputs) conservatively count as
+    // narrow: one round-robin shuffle of a tiny pre-explode projection is
+    // noise, while under-parallel shingle hashing measured 5-10×.
+    val plan = df.queryExecution.sparkPlan
+    val hasExchange = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) df
+    else {
+      val width = plan.collectLeaves().map {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          scala.util.Try(f.inputRDDs().map(_.getNumPartitions).sum).getOrElse(0)
+        case _ => 0
+      }.sum
+      if (width >= target) df else df.repartition(target)
+    }
   }
 
   /** MinHash signatures: numHashes column-wise mins — one aggregation with
@@ -260,7 +305,7 @@ object Dedup {
     // signature aggregation (same shuffle, reused exchange)
     val sizesA = sigsA.select(col("__did").as("ia"), col("__n").as("na"))
     val sizesB = sigsB.select(col("__did").as("ib"), col("__n").as("nb"))
-    cand
+    released(cand
       .join(shA.as("ta"), col("ia") === col("ta.__did"))
       .join(shB.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
@@ -269,7 +314,7 @@ object Dedup {
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("ia"), col("ib"), col("jaccard"))
+      .select(col("ia"), col("ib"), col("jaccard")), shA, shB)
   }
 
   /** Incremental near-dup for a STREAMING corpus: dedups an arriving batch
@@ -303,7 +348,7 @@ object Dedup {
       .select(col("__did"), col("band"), col("bh"))
     val within = minHashLshPairs(batch, idCol, textCol, shingleN, numHashes,
       bands, threshold, maxBucket)
-    val pairs = (storedBands, storedTexts) match {
+    val (pairs, crossCaches) = (storedBands, storedTexts) match {
       case (Some(sb), Some(texts)) =>
         val cand = capBuckets(bandedN, Seq("band", "bh"), maxBucket).as("a")
           .join(capBuckets(sb.select(col("__did"), col("band"), col("bh")),
@@ -328,10 +373,15 @@ object Dedup {
             col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
           .filter(col("jaccard") >= threshold)
           .select(col("ia"), col("ib"), col("jaccard"))
-        within.union(cross)
-      case _ => within
+        (within.union(cross), Seq(shP))
+      case _ => (within, Seq.empty[DataFrame])
     }
-    (pairs, bandedN)
+    // both outputs derive from shN — materialize both (batch-bounded: pairs
+    // are threshold-filtered, bands are ~`bands` rows per batch doc), then
+    // release the shingle caches this batch created
+    val pairsOut = released(pairs, crossCaches: _*)
+    val bandsOut = released(bandedN, shN)
+    (pairsOut, bandsOut)
   }
 
   /** Exact Jaccard over candidate pairs only (shingle-set intersection via
@@ -345,8 +395,8 @@ object Dedup {
     // the shingle frame is scanned 2-3× here (both sides of the
     // intersection self-join + the sizes fallback) and its lineage carries
     // the pipeline's dominant map cost (explode + hashing) — persist so
-    // that cost is paid once; LRU/disk-spill bounds the footprint (same
-    // policy as the membership cache above)
+    // that cost is paid once; `released` materializes the (tiny) verified
+    // pair set and drops the cache before returning
     val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sizesOpt.getOrElse(
       shP.groupBy(col("__did")).agg(count(lit(1)).as("n")))
@@ -354,13 +404,13 @@ object Dedup {
       .join(shP.as("ta"), col("ia") === col("ta.__did"))
       .join(shP.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
-    inter
+    released(inter
       .join(sizes.select(col("__did").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("__did").as("ib"), col("n").as("nb")), "ib")
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("ia"), col("ib"), col("jaccard"))
+      .select(col("ia"), col("ib"), col("jaccard")), shP)
   }
 
   /** Full MinHash+LSH near-dup pipeline: pairs with exact n-gram Jaccard ≥
@@ -383,8 +433,12 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 100000,
       expandDuplicates: Boolean = true): DataFrame = {
     val m = membershipIfDups(df, idCol, md5(col(textCol).cast("binary")))
-    minHashLshPairsWith(df, m, idCol, textCol, shingleN, numHashes, bands,
-      threshold, maxBucket, expandDuplicates)
+    // the result is already materialized (verifyJaccard is the terminal
+    // stage), so the membership cache can be dropped immediately
+    val out = minHashLshPairsWith(df, m, idCol, textCol, shingleN, numHashes,
+      bands, threshold, maxBucket, expandDuplicates)
+    m.foreach(_.unpersist(false))
+    out
   }
 
   /** Core pipeline with the dup-group membership frame supplied (cached, or
@@ -432,7 +486,7 @@ object Dedup {
       case Some(mm) =>
         val memberEdges = mm.filter(col("__rep") =!= col("__mid"))
           .select(col("__rep").as("ia"), col("__mid").as("ib"))
-        repPairs.union(memberEdges)
+        released(repPairs.union(memberEdges), mm)
     }
   }
 
@@ -485,10 +539,11 @@ object Dedup {
         cross.union(within).distinct()
       case _ => repPairs
     }
-    pairs
+    val out = pairs
       .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
       .filter(col("sim") >= simThreshold)
       .select(col("ia"), col("ib"), col("sim"))
+    released(out, m.toSeq: _*)
   }
 
   /** 60-bit SimHash per doc: sign of per-bit vote sums over token hashes.
@@ -565,8 +620,9 @@ object Dedup {
           .join(mm.as("y"),
             col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
           .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"), lit(0L).as("hamming"))
-        cross.union(within).distinct()
-      case _ => repPairs
+        released(cross.union(within).distinct(), mm)
+      case Some(mm) => released(repPairs, mm) // reps derive from mm's anti-join
+      case None => repPairs.localCheckpoint()
     }
   }
 
@@ -665,8 +721,9 @@ object Dedup {
         s"connected components did not converge in $maxRounds rounds " +
           "(graph diameter too large) — raise maxRounds; refusing to return " +
           "partially-propagated labels")
-    // `labels` stays cached for the caller's consumption (one row per node)
-    labels
+    // hand the caller a checkpointed copy (one row per dup-graph node) and
+    // release the loop's cache — cached relations outlive the call otherwise
+    released(labels, labels)
   }
 
   /** Connected components via alternating large-star/small-star rounds
@@ -753,7 +810,7 @@ object Dedup {
     val labels = edges.groupBy(col("v").as("node")).agg(min(col("u")).as("component"))
     val roots = allNodes.join(labels, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
-    labels.union(roots)
+    released(labels.union(roots), allNodes)
   }
 
   /** Document fingerprint: lexicographic-min md5 over word 5-gram shingles

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Binned interval×point range join — the band-join shape the reference's
   * single-node engine never needs (its scans are in-process) but a
@@ -25,11 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Floor division as exact long arithmetic (`/` on negatives truncates
-    * toward zero; pmod fixes the sign so bins tile correctly).
+  /** Floor division as exact LONG arithmetic end to end. `/` on long
+    * columns is Spark's `Divide`, which casts both operands to double —
+    * for |c| > 2^53 (raw nanosecond timestamps, ~1.7e18) the bin id would
+    * silently round and qualifying pairs land in wrong bins. `IntegralDivide`
+    * keeps the quotient integral; `c - pmod(c, w)` is an exact multiple of
+    * `w` (pmod fixes the sign, so bins tile correctly across zero), so the
+    * quotient is the mathematical floor for either sign.
     */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    Bridge.column(new IntegralDivide(
+      Bridge.expression(c - pmod(c, lit(w))), Bridge.expression(lit(w))))
 
   /** Join `intervals` (with long columns `loCol` ≤ `hiCol`) to `points`
     * (long column `ptCol`) on `lo ≤ pt ≤ hi`. Column sets must be disjoint

@@ -106,16 +106,26 @@ object Ingest {
         val spark = batch.sparkSession
         val bandsDir = s"$stateDir/bands"
         val textsDir = s"$stateDir/texts"
-        val marker = java.nio.file.Paths.get(s"$stateDir/compacted_through")
+        // state control IO goes through the Hadoop FS of `stateDir` — the
+        // state lives WITH the data (hdfs://, s3a://, or local); java.io
+        // listings would silently return empty on any non-local FS, so every
+        // batch would dedup only against itself and cross-batch pairs would
+        // be dropped with no error
+        val hconf = spark.sessionState.newHadoopConf()
+        val marker = new org.apache.hadoop.fs.Path(s"$stateDir/compacted_through")
+        val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(hconf)
         // compacted-through as of THIS batch's read view (never this batch)
-        val t0 = graft.core.AtomicFiles.readLongSafe(marker).filter(_ < batchId)
-        def livePartitions(dir: String): Seq[Long] = {
-          val d = new java.io.File(dir)
-          if (!d.exists()) Seq.empty
-          else d.listFiles().toSeq.map(_.getName)
-            .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-            .filter(b => b < batchId && t0.forall(b >= _))
+        val t0 = graft.core.AtomicFiles.readLongSafeHadoop(hconf, marker)
+          .filter(_ < batchId)
+        def batchDirs(dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+          val d = new org.apache.hadoop.fs.Path(dir)
+          if (!fs.exists(d)) Seq.empty
+          else fs.listStatus(d).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith("batch="))
+            .map(p => p.getName.stripPrefix("batch=").toLong -> p)
         }
+        def livePartitions(dir: String): Seq[Long] =
+          batchDirs(dir).map(_._1).filter(b => b < batchId && t0.forall(b >= _))
         def priorState(dir: String): Option[DataFrame] =
           if (livePartitions(dir).isEmpty) None
           else Some(spark.read.parquet(dir)
@@ -125,17 +135,7 @@ object Ingest {
         // safe: any replayable batch reads only partitions >= t0
         t0.foreach { t =>
           for (dir <- Seq(bandsDir, textsDir);
-               b <- Seq(new java.io.File(dir)).filter(_.exists())
-                 .flatMap(_.listFiles()) if {
-                 val n = b.getName
-                 n.startsWith("batch=") && n.stripPrefix("batch=").toLong < t
-               }) {
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(); ()
-            }
-            rm(b)
-          }
+               (b, p) <- batchDirs(dir) if b < t) fs.delete(p, true)
         }
         // batch may be empty on some triggers — nothing to dedup or record
         if (!batch.isEmpty) {
@@ -156,7 +156,7 @@ object Ingest {
           bandsOut.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
           textsOut.write.mode("overwrite").parquet(s"$textsDir/batch=$batchId")
           if (compact)
-            graft.core.AtomicFiles.atomicWrite(marker, batchId.toString)
+            graft.core.AtomicFiles.atomicWriteHadoop(hconf, marker, batchId.toString)
           b.unpersist()
           ()
         }

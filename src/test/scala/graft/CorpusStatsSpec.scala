@@ -31,6 +31,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.length === got.distinct.length, "no pair may meet twice")
   }
 
+  test("RangeJoin.intervalPoint is exact beyond 2^53 (raw-nanosecond range)") {
+    // double arithmetic rounds longs above 2^53 (~9.0e15): a Divide-based
+    // bin id would place these in the wrong bin and silently drop pairs.
+    // 4e18 ≈ raw nanosecond epoch scale; offsets straddle a bin boundary
+    // at width 1000 (base is a multiple of 1000).
+    val base = 4000000000000000000L
+    val intervals = Seq(
+      (1L, base - 3L, base + 3L),        // straddles the boundary
+      (2L, base + 1L, base + 999L),      // inside one bin
+      (3L, base - 2000L, base - 1001L)). // entirely one bin below
+      toDF("iid", "lo", "hi")
+    val points = Seq(base - 1500L, base - 3L, base - 1L, base, base + 3L,
+      base + 4L, base + 999L, base + 1000L).toDF("pt")
+    val got = RangeJoin.intervalPoint(intervals, "lo", "hi", points, "pt", 1000L)
+      .select("iid", "pt").as[(Long, Long)].collect().sorted
+    val want = (for {
+      r <- Seq((1L, base - 3L, base + 3L), (2L, base + 1L, base + 999L),
+        (3L, base - 2000L, base - 1001L))
+      p <- Seq(base - 1500L, base - 3L, base - 1L, base, base + 3L,
+        base + 4L, base + 999L, base + 1000L)
+      if p >= r._2 && p <= r._3
+    } yield (r._1, p)).sorted
+    assert(got.toSeq === want,
+      "bin ids must stay exact in long arithmetic above 2^53")
+  }
+
   test("concurrent_events ≡ per-event brute-force neighbor count") {
     val got = CorpusStatsQueries.concurrentEvents(spark, sf0001)
       .as[(Long, Long)].collect().toMap
