@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.{SpaceType, Tables}
 import graft.operators.ExactKnn
-import graft.queries.{CorpusStatsQueries, DedupQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, CorpusStatsQueries, DedupQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,11 +23,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ PipelineQueries.queries ++ CorpusStatsQueries.queries
+      DedupQueries.queries ++ PipelineQueries.queries ++
+      CorpusStatsQueries.queries ++ AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ PipelineQueries.oracles ++ CorpusStatsQueries.oracles
+      DedupQueries.oracles ++ PipelineQueries.oracles ++
+      CorpusStatsQueries.oracles ++ AnalyticsQueries.oracles
 
   /** Deterministic oracle-input tables (candidate/probe/assignment sets of
     * the approximate ANN tiers). Verify writes each to `outDir/_aux/<name>`

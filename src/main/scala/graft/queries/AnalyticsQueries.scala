@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-analytics and retrieval operators: cohort retention, histogram
+  * binning, semi-structured (JSON) extraction, an inverted text index, and
+  * BM25-ranked keyword retrieval.
+  *
+  * Oracle determinism (same discipline as CorpusStatsQueries): every float
+  * crossing the hash gate is ONE IEEE-754 double operation on exact integer
+  * inputs — BM25's score is a single division of two BIGINT-exact products
+  * (the k1=5/4, b=3/4 parameters fold into integer arithmetic), histogram
+  * bins floor one double division, and everything else is integer counts.
+  * No libm, no float summation order.
+  */
+object AnalyticsQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) — see CorpusStatsQueries: read
+    * as int64 nanos, share DuckDB's µs clock via `ts div 1000`.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+  }
+
+  private def toks: Column = split(col("text"), " ")
+
+  // ---- retention cohorts --------------------------------------------------
+
+  private val DayUs = 86400000000L
+
+  /** Classic cohort-retention matrix: users grouped by first-active day,
+    * distinct active users per (cohort, age-in-days). All integer arithmetic
+    * (µs ticks div'd to days).
+    *
+    * Scale: one user-keyed aggregation (first day), one user-keyed join
+    * (both sides pre-shuffled on user_id — AQE plans it as one exchange
+    * reuse), one (cohort, age) aggregation whose key space is tiny. The
+    * distinct-user count is the only wide state; at 100 TB it would switch
+    * to the KMV sketch (kmv_distinct) — exact here, where the gate demands
+    * exactness.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $DayUs").as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionCohortsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+       |SELECT c.cohort_day, ev.day - c.cohort_day AS age_days,
+       |  count(DISTINCT ev.user_id) AS n_users
+       |FROM ev JOIN c USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---- histogram binning --------------------------------------------------
+
+  private val HistBinWidth = 25.0
+
+  /** Fixed-width histogram over `events.value`: bin id, count, bin min/max.
+    * The bin id is floor(value / 25.0) — one double division + floor, both
+    * fully specified by IEEE-754, so the same everywhere; min/max of doubles
+    * are order-independent (sum would not be).
+    *
+    * Scale: a single map-side-combinable aggregation on a bounded key space
+    * — the canonical "histogram of a 100 TB column in one pass" shape.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(floor(col("value") / HistBinWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+
+  val valueHistogramSql: String =
+    s"""SELECT CAST(floor(value / $HistBinWidth) AS BIGINT) AS bin,
+       |  count(*) AS n, min(value) AS vmin, max(value) AS vmax
+       |FROM events GROUP BY 1""".stripMargin
+
+  // ---- semi-structured (JSON) extraction ----------------------------------
+
+  /** Per-event-type stats over a field parsed OUT OF A JSON STRING column
+    * (`props` = `{"k": <int>}`): the semi-structured path every event
+    * pipeline needs. Spark side uses the real JSON parser
+    * (`get_json_object`, codegen'd); the oracle replays the same extraction
+    * with a regex, which is equivalent on this field and keeps the oracle
+    * independent of DuckDB's JSON extension. The sum is over BIGINTs —
+    * exact, order-free.
+    */
+  def jsonPropsStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), sum(col("k")).as("k_sum"),
+        countDistinct(col("k")).as("k_distinct"))
+
+  val jsonPropsStatsSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n, min(k) AS k_min, max(k) AS k_max,
+      |  CAST(sum(k) AS BIGINT) AS k_sum, count(DISTINCT k) AS k_distinct
+      |FROM e GROUP BY 1""".stripMargin
+
+  // ---- inverted index ------------------------------------------------------
+
+  private val IndexTerms = 5
+
+  /** Posting lists for the corpus' top-5 terms (by total frequency, ties on
+    * term): (term, doc_id, first_pos, tf) — the inverted-index build step of
+    * a text search engine, exposed as rows so the gate can hash it.
+    * Positions are 1-based.
+    *
+    * Scale: positions ride the explode (posexplode — no second tokenize
+    * pass); the term-total aggregation is map-side combinable; the top-k
+    * cut is a broadcast semi-join against a 5-row frame, so the posting
+    * build shuffles only rows for indexed terms.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val posts = docs(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("term"))
+    val top = posts.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(IndexTerms)
+      .select(col("term"))
+    posts.join(broadcast(top), "term")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("tf"))
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, u.term, CAST(u.pos AS BIGINT) AS pos
+       |  FROM documents,
+       |    unnest(list_transform(string_split(text, ' '), (t, i) -> {'term': t, 'pos': i}))
+       |      AS x(u)),
+       |top AS (
+       |  SELECT term FROM p GROUP BY term
+       |  ORDER BY count(*) DESC, term ASC LIMIT $IndexTerms)
+       |SELECT term, doc_id, min(pos) AS first_pos, count(*) AS tf
+       |FROM p JOIN top USING (term)
+       |GROUP BY term, doc_id""".stripMargin
+
+  // ---- BM25 keyword retrieval ---------------------------------------------
+
+  private val Bm25K = 10
+
+  /** Top-10 documents per query term under BM25 (k1 = 5/4, b = 3/4), for the
+    * corpus' 5 highest-df terms as the query set. The parameters are chosen
+    * dyadic so the whole score folds into EXACT integer arithmetic with one
+    * final double division:
+    *
+    *   score = 36·T·tf·(2N−2df+1) / ((2df+1)·(16·tf·T + 5·T + 15·dl·N))
+    *
+    * where N = #docs, T = total tokens, dl = doc length, tf/df as usual —
+    * algebraically identical to idf_rational·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    * with idf = (N−df+½)/(df+½) and avgdl = T/N. Rank ties break on doc_id.
+    * (The classic ln-idf is monotone in this rational idf for fixed tf/dl,
+    * and `ln` would hand the hash gate to libm — same trade as TF-IDF.)
+    *
+    * Scale: tf/df/dl are the inverted-index aggregations; the score join
+    * broadcasts 5 query terms + two scalar literals; top-k per term is a
+    * rank window over term-partitioned scores (WindowGroupLimit pushes the
+    * k cut into the sort). BIGINT products stay < 2⁶³ up to ~10¹² tokens;
+    * beyond that the factors shift into DOUBLE with documented rank risk.
+    */
+  def bm25Keyword(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // widened: the tokenize+explode map cost must not inherit a narrow
+    // small-file scan's parallelism (same rationale as Dedup.widened)
+    val tf = graft.operators.Dedup.widened(d)
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val queryTerms = dfc.orderBy(col("df").desc, col("term").asc).limit(IndexTerms)
+    val totals = d.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("t_tokens"))
+    // plain (non-broadcast-hinted) join on term: the probe side needs tf
+    // exchanged by term, which is EXACTLY the exchange dfc already paid —
+    // ReusedExchange makes the query-term cut free, where a broadcast hint
+    // would recompute the whole tf subtree for the probe side
+    val scored = tf
+      .join(queryTerms, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        (lit(36L) * col("t_tokens") * col("tf") *
+          (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))).cast("double") /
+        ((lit(2L) * col("df") + lit(1L)) *
+          (lit(16L) * col("tf") * col("t_tokens") + lit(5L) * col("t_tokens") +
+            lit(15L) * col("dl") * col("n_docs"))))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Bm25K)
+      .select(col("term"), col("doc_id"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
+  val bm25KeywordSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+       |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT term, df FROM dfc ORDER BY df DESC, term ASC LIMIT $IndexTerms),
+       |tot AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens
+       |  FROM documents),
+       |s AS (
+       |  SELECT tf.term, tf.doc_id, tf.tf, q.df,
+       |    CAST(36 * t_tokens * tf.tf * (2 * n_docs - 2 * q.df + 1) AS DOUBLE)
+       |      / ((2 * q.df + 1) * (16 * tf.tf * t_tokens + 5 * t_tokens
+       |          + 15 * tf.dl * n_docs)) AS score
+       |  FROM tf JOIN q USING (term) CROSS JOIN tot),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY term
+       |    ORDER BY score DESC, doc_id ASC) AS rnk FROM s)
+       |SELECT term, doc_id, tf, df, score, rnk FROM r WHERE rnk <= $Bm25K""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention_cohorts" -> (retentionCohorts(_, _)),
+    "value_histogram" -> (valueHistogram(_, _)),
+    "json_props_stats" -> (jsonPropsStats(_, _)),
+    "inverted_index" -> (invertedIndex(_, _)),
+    "bm25_keyword" -> (bm25Keyword(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "retention_cohorts" -> retentionCohortsSql,
+    "value_histogram" -> valueHistogramSql,
+    "json_props_stats" -> jsonPropsStatsSql,
+    "inverted_index" -> invertedIndexSql,
+    "bm25_keyword" -> bm25KeywordSql)
+}
