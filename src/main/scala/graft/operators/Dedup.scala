@@ -157,9 +157,12 @@ object Dedup {
     // narrow: one round-robin shuffle of a tiny pre-explode projection is
     // noise, while under-parallel shingle hashing measured 5-10×.
     val plan = df.queryExecution.sparkPlan
-    val hasExchange = plan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-    if (hasExchange) df
+    // SHUFFLE exchanges only: a BroadcastExchange (e.g. the rep anti-join
+    // against the tiny dup frame) leaves the probe side's narrow scan
+    // partitioning untouched, so it must not suppress widening
+    val hasShuffle = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    if (hasShuffle) df
     else {
       val width = plan.collectLeaves().map {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>

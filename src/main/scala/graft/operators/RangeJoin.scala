@@ -54,4 +54,25 @@ object RangeJoin {
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join: `a.lo ≤ b.hi AND b.lo ≤ a.hi` (closed
+    * intervals). Both sides explode into their bins; an overlapping pair
+    * co-occurs in every bin both intervals touch, so the meet-exactly-once
+    * rule keeps only the FIRST common bin — `bin = max(firstBin(a),
+    * firstBin(b))` — and the exact predicate filters bin-mates that don't
+    * truly overlap. No post-dedup, same shuffle shape as `intervalPoint`.
+    * Column sets must be disjoint.
+    */
+  def intervalInterval(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String, first: String) = df
+      .withColumn(first, floorDiv(col(lo), binWidth))
+      .withColumn("__bin",
+        explode(sequence(col(first), floorDiv(col(hi), binWidth))))
+    binned(a, aLo, aHi, "__fa").join(binned(b, bLo, bHi, "__fb"), "__bin")
+      .filter(col("__bin") === greatest(col("__fa"), col("__fb")) &&
+        col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .drop("__bin", "__fa", "__fb")
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.RangeJoin
 
 /** Event-analytics and retrieval operators: cohort retention, histogram
   * binning, semi-structured (JSON) extraction, an inverted text index, and
@@ -235,17 +236,128 @@ object AnalyticsQueries {
        |    ORDER BY score DESC, doc_id ASC) AS rnk FROM s)
        |SELECT term, doc_id, tf, df, score, rnk FROM r WHERE rnk <= $Bm25K""".stripMargin
 
+  // ---- ordered funnel -----------------------------------------------------
+
+  /** Strictly-ordered 3-step funnel (view → click → error) per user: the
+    * first view, the first click AFTER it, the first error after THAT.
+    * Event-sequence analytics in three user-keyed aggregations — left joins
+    * keep users who stall mid-funnel (NULL later steps), and every timestamp
+    * is exact µs integer arithmetic.
+    *
+    * Scale: all three joins and aggregations shuffle on user_id, so AQE
+    * plans one exchange per side with reuse; no windows over the full event
+    * stream, no per-user sorting (min beats sort for first-match).
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"),
+      col("event_type"), expr("ts div 1000").as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("__cu"), col("ts_us").as("__cts"))
+    val s2 = v.join(clicks,
+        v("user_id") === clicks("__cu") && col("__cts") > col("t1_us"), "left")
+      .groupBy(col("user_id"), col("t1_us")).agg(min(col("__cts")).as("t2_us"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("__eu"), col("ts_us").as("__ets"))
+    s2.join(errs,
+        s2("user_id") === errs("__eu") && col("__ets") > col("t2_us"), "left")
+      .groupBy(col("user_id"), col("t1_us"), col("t2_us"))
+      .agg(min(col("__ets")).as("t3_us"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t1 FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT v.user_id, v.t1, min(e.ts) AS t2
+      |      FROM v LEFT JOIN ev e ON e.user_id = v.user_id
+      |        AND e.event_type = 'click' AND e.ts > v.t1
+      |      GROUP BY 1, 2)
+      |SELECT c.user_id, c.t1 AS t1_us, c.t2 AS t2_us, min(e.ts) AS t3_us
+      |FROM c LEFT JOIN ev e ON e.user_id = c.user_id
+      |  AND e.event_type = 'error' AND e.ts > c.t2
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- concurrent sessions (interval×interval overlap join) ---------------
+
+  private val SessionBinMs = 3600000L // 1 h bins over session [start,end] ms
+
+  /** Per-session concurrency: how many OTHER sessions (any user) overlap
+    * this session's [start_ms, end_ms] — the interval×interval twin of
+    * `concurrent_events`, routed through `RangeJoin.intervalInterval` so the
+    * keyless overlap self-join is a binned equi-join instead of a cartesian
+    * product. The self-pair is kept through the join (every session overlaps
+    * itself, so every session survives the groupBy) and subtracted.
+    */
+  def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    val s = RelationalQueries.sessionizeBatch(spark, dir)
+      .select(col("user_id"), col("session_idx"),
+        col("start_ms"), col("end_ms"))
+    val b = s.select(col("user_id").as("__bu"), col("session_idx").as("__bs"),
+      col("start_ms").as("__blo"), col("end_ms").as("__bhi"))
+    RangeJoin.intervalInterval(s, "start_ms", "end_ms",
+        b, "__blo", "__bhi", SessionBinMs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg((count(lit(1)) - 1).as("n_overlap"))
+  }
+
+  val concurrentSessionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, ts,
+      |    sum(CASE WHEN prev IS NULL OR epoch_ns(ts) - epoch_ns(prev) > 1800000000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM o),
+      |s AS (
+      |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |    epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+      |  FROM x GROUP BY 1, 2)
+      |SELECT a.user_id, a.session_idx, count(*) - 1 AS n_overlap
+      |FROM s a JOIN s b
+      |  ON a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- CUBE aggregation ----------------------------------------------------
+
+  /** Corpus composition at every (lang, source) granularity in one pass —
+    * GROUP BY CUBE, the OLAP rollup surface (Spark expands to grouping
+    * sets; partial aggregation still combines map-side). Counts and BIGINT
+    * sums only.
+    */
+  def cubeDocCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  val cubeDocCountsSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "value_histogram" -> (valueHistogram(_, _)),
     "json_props_stats" -> (jsonPropsStats(_, _)),
     "inverted_index" -> (invertedIndex(_, _)),
-    "bm25_keyword" -> (bm25Keyword(_, _)))
+    "bm25_keyword" -> (bm25Keyword(_, _)),
+    "funnel_steps" -> (funnelSteps(_, _)),
+    "concurrent_sessions" -> (concurrentSessions(_, _)),
+    "cube_doc_counts" -> (cubeDocCounts(_, _)))
 
   val oracles: Map[String, String] = Map(
     "retention_cohorts" -> retentionCohortsSql,
     "value_histogram" -> valueHistogramSql,
     "json_props_stats" -> jsonPropsStatsSql,
     "inverted_index" -> invertedIndexSql,
-    "bm25_keyword" -> bm25KeywordSql)
+    "bm25_keyword" -> bm25KeywordSql,
+    "funnel_steps" -> funnelStepsSql,
+    "concurrent_sessions" -> concurrentSessionsSql,
+    "cube_doc_counts" -> cubeDocCountsSql)
 }

@@ -96,4 +96,71 @@ class AnalyticsSpec extends SparkSpec {
     // (sf0.001 has >10 docs per common term)
     assert(got.groupBy(_._1).forall(_._2.size == 10))
   }
+
+  test("funnel_steps ≡ brute-force first-view/first-click-after/first-error-after") {
+    val ev = eventRows.map(e => (e._3, e._4, e._2))
+    val want = ev.filter(_._2 == "view").groupBy(_._1).map { case (u, vs) =>
+      val t1 = vs.map(_._3).min
+      val t2 = ev.filter(e => e._1 == u && e._2 == "click" && e._3 > t1)
+        .map(_._3).minOption
+      val t3 = t2.flatMap(t => ev.filter(e => e._1 == u && e._2 == "error" && e._3 > t)
+        .map(_._3).minOption)
+      (u, t1, t2, t3)
+    }.toSet
+    val got = AnalyticsQueries.funnelSteps(spark, sf0001)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got === want)
+    // mid-funnel stalls must survive the left joins
+    assert(want.exists(_._4.isEmpty) === got.exists(_._4.isEmpty))
+  }
+
+  test("concurrent_sessions ≡ brute-force overlap recount") {
+    import graft.queries.RelationalQueries
+    val sessions = RelationalQueries.sessionizeBatch(spark, sf0001)
+      .select(col("user_id"), col("session_idx"), col("start_ms"), col("end_ms"))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = sessions.map { a =>
+      val n = sessions.count(b => a._3 <= b._4 && b._3 <= a._4) - 1L
+      (a._1, a._2, n)
+    }.toSet
+    val got = AnalyticsQueries.concurrentSessions(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("RangeJoin.intervalInterval ≡ cross-join overlap filter, once per pair") {
+    val a = Seq((1L, 0L, 10L), (2L, 5L, 5L), (3L, -20L, -1L), (4L, 90L, 200L))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 10L, 12L), (11L, -5L, 0L), (12L, 6L, 7L), (13L, 300L, 301L))
+      .toDF("bid", "blo", "bhi")
+    val got = graft.operators.RangeJoin
+      .intervalInterval(a, "alo", "ahi", b, "blo", "bhi", 10L)
+      .select("aid", "bid").as[(Long, Long)].collect().sorted
+    val want = (for {
+      x <- Seq((1L, 0L, 10L), (2L, 5L, 5L), (3L, -20L, -1L), (4L, 90L, 200L))
+      y <- Seq((10L, 10L, 12L), (11L, -5L, 0L), (12L, 6L, 7L), (13L, 300L, 301L))
+      if x._2 <= y._3 && y._2 <= x._3
+    } yield (x._1, y._1)).sorted
+    assert(got.toSeq === want)
+    assert(got.length === got.distinct.length, "no pair may meet twice")
+  }
+
+  test("cube_doc_counts ≡ brute-force grouping-sets recount") {
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), col("source"), col("n_chars"))
+      .as[(String, String, Long)].collect()
+    def agg(key: (Option[String], Option[String])) = {
+      val g = rows.filter(r => key._1.forall(_ == r._1) && key._2.forall(_ == r._2))
+      (key._1, key._2, g.length.toLong, g.map(_._3).sum)
+    }
+    val keys =
+      rows.map(r => (Option(r._1), Option(r._2))).distinct ++
+      rows.map(r => (Option(r._1), None: Option[String])).distinct ++
+      rows.map(r => (None: Option[String], Option(r._2))).distinct ++
+      Seq((None, None))
+    val want = keys.distinct.map(agg).toSet
+    val got = AnalyticsQueries.cubeDocCounts(spark, sf0001)
+      .as[(Option[String], Option[String], Long, Long)].collect().toSet
+    assert(got === want)
+  }
 }

@@ -54,4 +54,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("pq_encode"), s"expected the codegen kernel in:\n$p")
     assert(!p.contains("UDF("), s"pq_knn plan must not contain a Scala UDF:\n$p")
   }
+
+  test("range joins plan as equi-joins — never cartesian/nested-loop") {
+    for (q <- Seq("concurrent_events", "concurrent_sessions")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q must bin-equi-join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q should hash/merge join on bins:\n$p")
+    }
+  }
+
+  test("bm25/inverted index: posting aggregation is partial (map-side combine)") {
+    val p = plan("bm25_keyword")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"tf aggregation should partial-aggregate map-side:\n$p")
+    assert(!p.contains("UDF("), s"bm25 plan must stay UDF-free:\n$p")
+  }
 }
