@@ -214,9 +214,13 @@ object ScaleBench {
       val arriving = docs1.select(
         (col("doc_id") + 50000000L).as("doc_id"),
         expr("array_join(reverse(split(text, ' ')), ' ')").as("text"))
-      out(s"incr_dedup_batch_$tag") = time(drain(
-        Dedup.incrementalNearDup(arriving, "doc_id", "text",
-          Some(stateBands), Some(docs.select(col("doc_id"), col("text"))))._1))
+      out(s"incr_dedup_batch_$tag") = time {
+        val (incPairs, _, incRelease) = Dedup.incrementalNearDup(
+          arriving, "doc_id", "text",
+          Some(stateBands), Some(docs.select(col("doc_id"), col("text"))))
+        drain(incPairs)
+        incRelease() // bands never consumed here — the row times dedup only
+      }
       stateBands.unpersist()
     }
 

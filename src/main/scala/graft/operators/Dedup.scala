@@ -143,33 +143,44 @@ object Dedup {
     * so this is a no-op exactly when the input is already wide.
     */
   private[graft] def widened(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // Width must come from the UNEXECUTED plan: `Dataset.rdd` under AQE
-    // finalizes the adaptive plan, which MATERIALIZES every upstream shuffle
-    // stage just to read a partition count — a derived input (e.g. the
-    // partner join inside incrementalNearDup) would run its whole upstream
-    // job once for the count and again for the real query. Any Exchange in
-    // the plan already re-partitions downstream work to the session's
-    // shuffle parallelism, so only an exchange-free narrow chain over a
-    // file scan can be under-parallel; its width is the scan's split count
-    // (driver-side file-split arithmetic, no job). Unknown leaves (local
-    // relations, cached frames — small inputs) conservatively count as
-    // narrow: one round-robin shuffle of a tiny pre-explode projection is
-    // noise, while under-parallel shingle hashing measured 5-10×.
-    val plan = df.queryExecution.sparkPlan
-    // SHUFFLE exchanges only: a BroadcastExchange (e.g. the rep anti-join
-    // against the tiny dup frame) leaves the probe side's narrow scan
-    // partitioning untouched, so it must not suppress widening
-    val hasShuffle = plan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
-    if (hasShuffle) df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // The decision must come from the UNEXECUTED plan: `Dataset.rdd` under
+    // AQE finalizes the adaptive plan, which MATERIALIZES every upstream
+    // shuffle stage just to read a partition count — a derived input (e.g.
+    // the partner join inside incrementalNearDup) would run its whole
+    // upstream job once for the count and again for the real query. And the
+    // pre-execution physical plan cannot answer "how many partitions will
+    // this have" either: EnsureRequirements/AQE insert and re-coalesce
+    // exchanges later (AQE coalesces a small join output to ~one 64 MB
+    // partition — exactly the under-parallel explode this function exists
+    // to prevent).
+    //
+    // So decide by SIZE, which the optimizer estimates without running
+    // anything: an input whose estimated bytes would already yield >=
+    // `target` scan splits keeps its partitioning (at 100 TB this is every
+    // real corpus — the repartition is a no-op exactly when it would be
+    // expensive); a small input pays one cheap round-robin shuffle of
+    // pre-explode rows unless it is a bare file scan that is already wide
+    // enough (split count = driver-side file-split arithmetic, no job).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec}
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes >= BigInt(maxPart) * target) df
     else {
-      val width = plan.collectLeaves().map {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          scala.util.Try(f.inputRDDs().map(_.getNumPartitions).sum).getOrElse(0)
-        case _ => 0
-      }.sum
-      if (width >= target) df else df.repartition(target)
+      val plan = df.queryExecution.sparkPlan
+      val bareScanWidth = plan.collect {
+        case p if !p.isInstanceOf[ProjectExec] && !p.isInstanceOf[FilterExec] &&
+          !p.isInstanceOf[FileSourceScanExec] => p
+      } match {
+        case Seq() => plan.collectLeaves() match {
+          case Seq(f: FileSourceScanExec) =>
+            scala.util.Try(f.inputRDDs().map(_.getNumPartitions).sum).getOrElse(0)
+          case _ => 0
+        }
+        case _ => 0 // joins/aggregates/local relations: width unknowable pre-AQE
+      }
+      if (bareScanWidth >= target) df else df.repartition(target)
     }
   }
 
@@ -336,11 +347,18 @@ object Dedup {
     * are (batch id, stored id) for cross pairs; `newBands` is the state
     * increment the caller persists.
     */
+  /** Returns (pairs, newBands, release): `pairs` is materialized (its
+    * corpus-scale caches already dropped); `newBands` stays LAZY over the
+    * batch's persisted shingle cache — consumers that never write the state
+    * increment (a pure dedup check) never pay its build. Call `release()`
+    * after consuming (or deciding to skip) `newBands`; a later consumption
+    * still works, it just recomputes the batch shingles.
+    */
   def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
       storedBands: Option[DataFrame], storedTexts: Option[DataFrame],
       shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21,
       threshold: Double = 0.8, maxBucket: Int = 100000)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(storedBands.isEmpty == storedTexts.isEmpty,
       "storedBands and storedTexts must be supplied together")
@@ -379,12 +397,11 @@ object Dedup {
         (within.union(cross), Seq(shP))
       case _ => (within, Seq.empty[DataFrame])
     }
-    // both outputs derive from shN — materialize both (batch-bounded: pairs
-    // are threshold-filtered, bands are ~`bands` rows per batch doc), then
-    // release the shingle caches this batch created
+    // pairs materialize now (threshold-filtered — small) and drop the
+    // partner-shingle cache; bandedN stays lazy over the still-cached shN,
+    // which the caller releases once the state increment is written
     val pairsOut = released(pairs, crossCaches: _*)
-    val bandsOut = released(bandedN, shN)
-    (pairsOut, bandsOut)
+    (pairsOut, bandedN, () => shN.unpersist(false))
   }
 
   /** Exact Jaccard over candidate pairs only (shingle-set intersection via

@@ -49,8 +49,15 @@ object AnalyticsQueries {
     * exactness.
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    // day = FLOOR division of the µs tick (pmod fixes the sign): DuckDB's
+    // `//` floors, while Spark's `div` truncates toward zero — they differ
+    // on pre-epoch timestamps. (The ns→µs step itself truncates toward
+    // zero in BOTH engines — measured against DuckDB's NANOS parquet read
+    // — so `ts div 1000` is the shared µs clock and only the day step
+    // needs the floor form.)
     val ev = events(spark, dir)
-      .select(col("user_id"), expr(s"(ts div 1000) div $DayUs").as("day"))
+      .select(col("user_id"),
+        expr(s"((ts div 1000) - pmod(ts div 1000, $DayUs)) div $DayUs").as("day"))
     val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     ev.join(cohort, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
@@ -174,10 +181,14 @@ object AnalyticsQueries {
     * and `ln` would hand the hash gate to libm — same trade as TF-IDF.)
     *
     * Scale: tf/df/dl are the inverted-index aggregations; the score join
-    * broadcasts 5 query terms + two scalar literals; top-k per term is a
+    * broadcasts 5 query terms + two scalar literals (the tf subtree is
+    * recomputed for the probe side — at corpus scale recompute beats
+    * persisting a corpus-wide (doc, term) relation); top-k per term is a
     * rank window over term-partitioned scores (WindowGroupLimit pushes the
-    * k cut into the sort). BIGINT products stay < 2⁶³ up to ~10¹² tokens;
-    * beyond that the factors shift into DOUBLE with documented rank risk.
+    * k cut into the sort). The integer products run in DECIMAL(38,0) —
+    * BIGINT overflows around 10¹¹ total tokens once n_docs rides along —
+    * then BOTH sides cast to double (round-to-nearest in every engine)
+    * for the one division.
     */
   def bm25Keyword(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -192,19 +203,17 @@ object AnalyticsQueries {
     val queryTerms = dfc.orderBy(col("df").desc, col("term").asc).limit(IndexTerms)
     val totals = d.agg(count(lit(1)).as("n_docs"),
       sum(size(toks).cast("long")).as("t_tokens"))
-    // plain (non-broadcast-hinted) join on term: the probe side needs tf
-    // exchanged by term, which is EXACTLY the exchange dfc already paid —
-    // ReusedExchange makes the query-term cut free, where a broadcast hint
-    // would recompute the whole tf subtree for the probe side
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val scored = tf
-      .join(queryTerms, "term")
+      .join(broadcast(queryTerms), "term")
       .crossJoin(broadcast(totals))
       .withColumn("score",
-        (lit(36L) * col("t_tokens") * col("tf") *
-          (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))).cast("double") /
-        ((lit(2L) * col("df") + lit(1L)) *
-          (lit(16L) * col("tf") * col("t_tokens") + lit(5L) * col("t_tokens") +
-            lit(15L) * col("dl") * col("n_docs"))))
+        (dec(lit(36L)) * dec(col("t_tokens")) * dec(col("tf")) *
+          dec(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))).cast("double") /
+        ((dec(lit(2L) * col("df") + lit(1L)) *
+          (dec(lit(16L)) * dec(col("tf")) * dec(col("t_tokens")) +
+            dec(lit(5L)) * dec(col("t_tokens")) +
+            dec(lit(15L)) * dec(col("dl")) * dec(col("n_docs")))).cast("double")))
     val w = Window.partitionBy(col("term"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -226,10 +235,15 @@ object AnalyticsQueries {
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens
        |  FROM documents),
        |s AS (
+       |  -- HUGEINT products (Spark side: DECIMAL(38,0)) then one double
+       |  -- division of the two exactly-computed sides — BIGINT would
+       |  -- overflow around 1e11 tokens once n_docs rides along
        |  SELECT tf.term, tf.doc_id, tf.tf, q.df,
-       |    CAST(36 * t_tokens * tf.tf * (2 * n_docs - 2 * q.df + 1) AS DOUBLE)
-       |      / ((2 * q.df + 1) * (16 * tf.tf * t_tokens + 5 * t_tokens
-       |          + 15 * tf.dl * n_docs)) AS score
+       |    CAST(CAST(36 AS HUGEINT) * t_tokens * tf.tf
+       |        * (2 * n_docs - 2 * q.df + 1) AS DOUBLE)
+       |      / CAST((CAST(2 AS HUGEINT) * q.df + 1)
+       |          * (CAST(16 AS HUGEINT) * tf.tf * t_tokens + 5 * t_tokens
+       |              + 15 * tf.dl * n_docs) AS DOUBLE) AS score
        |  FROM tf JOIN q USING (term) CROSS JOIN tot),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY term

@@ -143,7 +143,7 @@ object Ingest {
           val bands0 = priorState(bandsDir)
             .map(_.select(col("__did"), col("band"), col("bh")))
           val texts0 = priorState(textsDir).map(_.select(col(idCol), col(textCol)))
-          val (pairs, newBands) = graft.operators.Dedup.incrementalNearDup(
+          val (pairs, newBands, release) = graft.operators.Dedup.incrementalNearDup(
             b, idCol, textCol, bands0, texts0, threshold = threshold)
           pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$batchId")
           // deterministic compaction decision: fold prior state into this
@@ -157,6 +157,7 @@ object Ingest {
           textsOut.write.mode("overwrite").parquet(s"$textsDir/batch=$batchId")
           if (compact)
             graft.core.AtomicFiles.atomicWriteHadoop(hconf, marker, batchId.toString)
+          release() // state increment written — drop the batch shingle cache
           b.unpersist()
           ()
         }
