@@ -351,7 +351,29 @@ object PipelineQueries {
       |SELECT p.event_id, p.user_id, j.view_id, j.gap_us
       |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.event_id""".stripMargin
 
+  // ---- PII / blocklist scrubbing -----------------------------------------
+
+  /** The privacy/content-policy redaction pass (C4-style badwords + standard
+    * email/SSN/phone/IP redactors) over the corpus. The synthetic corpus
+    * carries no real PII — the PII counts gate the zero path end to end
+    * (pattern compilation, counting, redaction no-ops), the blocklist terms
+    * DO hit, and `ScrubSpec` drives the PII patterns through the same
+    * operator on crafted rows. Scale: a pure per-row codegen map stage — no
+    * shuffle, no UDF, patterns are plan literals.
+    */
+  private val ScrubBlocklist = Seq("vector", "stream", "batch")
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scrub.scrub(docs(spark, dir), "text", ScrubBlocklist)
+      .select(col("doc_id"), col("n_email"), col("n_ssn"), col("n_phone"),
+        col("n_ip"), col("n_blocked"), col("clean"), col("pii_free"))
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,${graft.operators.Scrub.scrubSql("text", ScrubBlocklist)}
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub" -> (piiScrub(_, _)),
     "train_split" -> (trainSplit(_, _)),
     "sample_sources" -> (sampleSources(_, _)),
     "quality_rules" -> (qualityRules(_, _)),
@@ -362,6 +384,7 @@ object PipelineQueries {
     "asof_join" -> (asofJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "pii_scrub" -> piiScrubSql,
     "train_split" -> trainSplitSql,
     "sample_sources" -> sampleSourcesSql,
     "quality_rules" -> qualityRulesSql,

@@ -484,7 +484,217 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY l_returnflag""".stripMargin
 
+  /** TPC-H Q13-style customer order-count distribution: conditional LEFT
+    * join (the join predicate filters the right side, not the result), then
+    * a two-level aggregation. Scale: one custkey shuffle for the join+count,
+    * one (tiny) shuffle on the count value for the distribution.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    cust.join(ord,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q14-style promo-revenue share: join + two conditional decimal
+    * sums, ONE double division at the end (exact-decimal numerator and
+    * denominator → the ratio is bit-deterministic in any engine). Scale:
+    * part is the small side (broadcast); lineitem pre-filtered by shipdate
+    * before the join.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(
+      col("l_shipdate") >= lit("1995-09-01 00:00:00").cast(TimestampType) &&
+      col("l_shipdate") < lit("1995-10-01 00:00:00").cast(TimestampType))
+    val part = Tables(spark, dir, "part")
+    val revenue = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast(DecimalType(18, 4))))
+          .as("__promo"),
+        sum(revenue).as("__total"))
+      .select(
+        col("__promo").cast(DoubleType).as("promo_revenue"),
+        col("__total").cast(DoubleType).as("total_revenue"),
+        (col("__promo").cast(DoubleType) / col("__total").cast(DoubleType) * lit(100.0))
+          .as("promo_pct"))
+  }
+
+  val q14Sql: String =
+    """WITH t AS (
+      |  SELECT p_type,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |         AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00')
+      |SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(sum(rev) AS DOUBLE) * 100.0 AS promo_pct
+      |FROM t""".stripMargin
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, then the
+    * supplier(s) achieving the maximum. The max comparison runs on the EXACT
+    * decimal sums (a double compare could disagree across engines on ties).
+    * Scale: revenue is one suppkey shuffle; the max is a single-row
+    * broadcast back against it — no second scan of lineitem.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(
+      col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+      col("l_shipdate") < lit("1996-04-01 00:00:00").cast(TimestampType))
+    val revenue = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+    val rev = li.groupBy(col("l_suppkey")).agg(sum(revenue).as("__r"))
+    val top = rev.agg(max(col("__r")).as("__rmax"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("__r") === col("__rmax"))
+      .join(broadcast(Tables(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__r").cast(DoubleType).as("total_revenue"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        AS DECIMAL(18,4))) AS r
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE r = (SELECT max(r) FROM rev)""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: rows whose quantity is below
+    * 20% of their part's average. The correlated AVG subquery becomes one
+    * per-part aggregation joined back; the 0.2·avg comparison is kept in
+    * EXACT integer/decimal form (5·qty·n < sum_qty) so no float rounding
+    * decides membership. Scale: two partkey shuffles (agg + join), part
+    * broadcast; the avg side never rescans lineitem.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part").filter(col("p_brand") === "Brand#11")
+    val perPart = li.groupBy(col("l_partkey").as("__pk"))
+      .agg(sum(dec(col("l_quantity"))).as("__sq"), count(lit(1)).as("__n"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("__pk"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("__n") < col("__sq"))
+      .agg(
+        sum(dec(col("l_extendedprice"))).as("__se"),
+        count(lit(1)).as("n"))
+      .select(
+        (col("__se").cast(DoubleType) / lit(7.0)).as("avg_yearly"),
+        col("n"))
+  }
+
+  val q17Sql: String =
+    """WITH agg AS (
+      |  SELECT l_partkey AS pk,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq, count(*) AS n
+      |  FROM lineitem GROUP BY 1)
+      |SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  count(*) AS n
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN agg ON pk = l_partkey
+      |WHERE p_brand = 'Brand#11'
+      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq""".stripMargin
+
+  /** TPC-H Q18-style large orders: orders whose total quantity exceeds 300,
+    * with customer detail. The HAVING side aggregates lineitem FIRST (the
+    * group-filter result is tiny), then joins orders/customer — never the
+    * other way around. Scale: one orderkey shuffle; the filtered key set
+    * rides a broadcast join.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("__qty"))
+      .filter(col("__qty") > lit(300).cast(D))
+    Tables(spark, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast(TimestampType)).as("o_orderdate_ms"),
+        col("o_totalprice"),
+        col("__qty").cast(DoubleType).as("sum_qty"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice,
+      |  CAST(qty AS DOUBLE) AS sum_qty
+      |FROM (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** TPC-H Q19-style OR-of-ANDs revenue: three brand/size/quantity predicate
+    * branches OR'd together. The disjunction references BOTH sides of the
+    * join, so only the common conjuncts (join key) push below it — the shape
+    * that exercises CNF extraction. Scale: part broadcast; lineitem scans
+    * once.
+    */
+  def q19Discounted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    val revenue = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+    val branch = (
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(sum(revenue).cast(DoubleType).as("revenue"), count(lit(1)).as("n"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_order_distribution" -> (q13OrderDistribution(_, _)),
+    "q14_promo_revenue" -> (q14PromoRevenue(_, _)),
+    "q15_top_supplier" -> (q15TopSupplier(_, _)),
+    "q17_small_quantity" -> (q17SmallQuantity(_, _)),
+    "q18_large_orders" -> (q18LargeOrders(_, _)),
+    "q19_discounted" -> (q19Discounted(_, _)),
     "q10_returned_revenue" -> (q10ReturnedRevenue(_, _)),
     "q12_priority_class" -> (q12PriorityClass(_, _)),
     "sessionize_batch" -> (sessionizeBatch(_, _)),
@@ -506,6 +716,12 @@ object RelationalQueries {
     "events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q13_order_distribution" -> q13Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q17_small_quantity" -> q17Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_discounted" -> q19Sql,
     "q10_returned_revenue" -> q10Sql,
     "q12_priority_class" -> q12Sql,
     "sessionize_batch" -> sessionizeBatchSql,
