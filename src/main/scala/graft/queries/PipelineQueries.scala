@@ -372,7 +372,39 @@ object PipelineQueries {
     s"""SELECT doc_id,${graft.operators.Scrub.scrubSql("text", ScrubBlocklist)}
        |FROM documents""".stripMargin
 
+  // ---- Z-order layout key ------------------------------------------------
+
+  /** The Morton key `Layout.zorder2` clusters by, emitted per event over the
+    * (user_id, ts) plane — the layout operator's determinism gate (the
+    * reorder itself is value-invariant, so gating the KEY is what proves
+    * engines agree on where every row lands). All arithmetic is exact
+    * integer shifts/masks/integral division; the domain min/max ride the
+    * query. Scale: a second scan-tiny-result agg pass + a shuffle-free
+    * projection; `LayoutSpec` gates the actual file-clustering benefit.
+    */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val r = ev.agg(
+      min(col("user_id")), max(col("user_id")),
+      expr("min(ts) div 1000"), expr("max(ts) div 1000")).first()
+    ev.select(col("event_id"),
+      graft.operators.Layout.zkey2(
+        col("user_id"), (r.getLong(0), r.getLong(1)),
+        expr("ts div 1000"), (r.getLong(2), r.getLong(3))).as("zkey"))
+  }
+
+  val zorderKeySql: String =
+    s"""WITH d AS (
+       |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+       |    min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+       |  FROM events)
+       |SELECT event_id,
+       |  ${graft.operators.Layout.zkey2SqlDyn(
+            "user_id", "umin", "umax", "epoch_us(ts)", "tmin", "tmax")} AS zkey
+       |FROM events CROSS JOIN d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_key" -> (zorderKey(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
     "train_split" -> (trainSplit(_, _)),
     "sample_sources" -> (sampleSources(_, _)),
@@ -384,6 +416,7 @@ object PipelineQueries {
     "asof_join" -> (asofJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "zorder_key" -> zorderKeySql,
     "pii_scrub" -> piiScrubSql,
     "train_split" -> trainSplitSql,
     "sample_sources" -> sampleSourcesSql,

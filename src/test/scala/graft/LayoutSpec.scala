@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order layout: Morton-code arithmetic on crafted points, wide-domain
+  * safety (the exact-integral-division contract), and the actual clustering
+  * benefit — a 2-D box predicate touches far fewer files after zorder2 than
+  * under hash layout.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keyOf(v1: Long, d1: (Long, Long), v2: Long, d2: (Long, Long)): Long =
+    Seq((v1, v2)).toDF("a", "b")
+      .select(Layout.zkey2(col("a"), d1, col("b"), d2).as("k"))
+      .first().getLong(0)
+
+  test("morton interleave: known codes on an exact 16-bit domain") {
+    val d = (0L, 65535L) // divisor 1: values pass through untouched
+    assert(keyOf(0, d, 0, d) === 0L)
+    assert(keyOf(1, d, 0, d) === 1L) // x bit 0 → key bit 0
+    assert(keyOf(0, d, 1, d) === 2L) // y bit 0 → key bit 1
+    assert(keyOf(3, d, 5, d) === 39L) // x=011,y=101 → 100111
+    assert(keyOf(65535, d, 65535, d) === 0xFFFFFFFFL)
+  }
+
+  test("locality: adjacent values differ in low key bits, distant in high") {
+    val d = (0L, 65535L)
+    val base = keyOf(1000, d, 2000, d)
+    assert((keyOf(1001, d, 2000, d) ^ base) < 16L)
+    assert((keyOf(33768, d, 2000, d) ^ base) >= (1L << 30))
+  }
+
+  test("wide int64 domains (nanosecond-scale) normalize without overflow") {
+    val d = (0L, 1700000000000000000L) // ~2^60.6 span
+    val lo = keyOf(0L, d, 0L, d)
+    val hi = keyOf(1700000000000000000L, d, 1700000000000000000L, d)
+    assert(lo === 0L)
+    // top of the domain maps to the top normalized cell on both axes
+    assert(hi === 0xFFFFFFFFL)
+    // monotone along each axis
+    val mid = keyOf(850000000000000000L, d, 0L, d)
+    assert(mid > lo && mid < hi)
+  }
+
+  test("constant dimension degrades to a plain sort on the other") {
+    val d = (0L, 65535L)
+    // max == min → that axis normalizes to 0 → key is the other axis alone
+    assert(keyOf(123, d, 7L, (7L, 7L)) === keyOf(123, d, 0L, d))
+  }
+
+  test("zorder2 clusters a 2-D box into few files; hash layout does not") {
+    val n = 40000
+    val rows = (0 until n).map { i =>
+      val r = new scala.util.Random(i).nextLong()
+      (i.toLong, math.abs(r) % 1000L, math.abs(r / 7) % 1000000L)
+    }
+    val df = rows.toDF("id", "ua", "tb")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val files = 16
+    Layout.zorder2(df, "ua", "tb", files)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    df.repartition(files).write.mode("overwrite").parquet(s"$dir/h")
+    def touched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("ua").between(100, 160) && col("tb").between(100000, 160000))
+        .select(input_file_name()).distinct().count()
+    val matches = spark.read.parquet(s"$dir/z")
+      .filter(col("ua").between(100, 160) && col("tb").between(100000, 160000)).count()
+    assert(matches > 0, "box must be non-empty for the test to mean anything")
+    val zt = touched(s"$dir/z"); val ht = touched(s"$dir/h")
+    // hash layout smears the box over every file; z-order confines it
+    assert(ht === files.toLong)
+    assert(zt <= files / 4, s"z-ordered box touched $zt of $files files")
+  }
+
+  test("zorder2 preserves the data exactly (layout is value-invariant)") {
+    val df = (0 until 5000).map(i => (i.toLong, (i * 37 % 100).toLong, (i * 91 % 1000).toLong))
+      .toDF("id", "a", "b")
+    val back = Layout.zorder2(df, "a", "b", 8)
+    assert(back.columns.toSeq === df.columns.toSeq)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+}
