@@ -156,31 +156,35 @@ object Dedup {
     // partition — exactly the under-parallel explode this function exists
     // to prevent).
     //
-    // So decide by SIZE, which the optimizer estimates without running
-    // anything: an input whose estimated bytes would already yield >=
-    // `target` scan splits keeps its partitioning (at 100 TB this is every
-    // real corpus — the repartition is a no-op exactly when it would be
-    // expensive); a small input pays one cheap round-robin shuffle of
-    // pre-explode rows unless it is a bare file scan that is already wide
-    // enough (split count = driver-side file-split arithmetic, no job).
+    // Two driver-side signals, neither running a job:
+    //  - a BARE scan chain exposes its ACTUAL split count (file-split
+    //    arithmetic) — authoritative, and the only signal that catches an
+    //    unsplittable big input (one 100 GB gzip = 1 split no matter how
+    //    many bytes the optimizer estimates);
+    //  - everything else (joins/aggregates/local relations) falls back to
+    //    the optimizer's SIZE estimate: big derived inputs already carry
+    //    exchanges that re-parallelize downstream work (AQE's re-coalesce
+    //    only bites small outputs), while a small one pays one cheap
+    //    round-robin shuffle of pre-explode rows.
     import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec}
-    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes >= BigInt(maxPart) * target) df
-    else {
-      val plan = df.queryExecution.sparkPlan
-      val bareScanWidth = plan.collect {
-        case p if !p.isInstanceOf[ProjectExec] && !p.isInstanceOf[FilterExec] &&
-          !p.isInstanceOf[FileSourceScanExec] => p
-      } match {
-        case Seq() => plan.collectLeaves() match {
-          case Seq(f: FileSourceScanExec) =>
-            scala.util.Try(f.inputRDDs().map(_.getNumPartitions).sum).getOrElse(0)
-          case _ => 0
-        }
-        case _ => 0 // joins/aggregates/local relations: width unknowable pre-AQE
+    val plan = df.queryExecution.sparkPlan
+    val bareScanWidth: Option[Int] = plan.collect {
+      case p if !p.isInstanceOf[ProjectExec] && !p.isInstanceOf[FilterExec] &&
+        !p.isInstanceOf[FileSourceScanExec] => p
+    } match {
+      case Seq() => plan.collectLeaves() match {
+        case Seq(f: FileSourceScanExec) =>
+          scala.util.Try(f.inputRDDs().map(_.getNumPartitions).sum).toOption
+        case _ => None
       }
-      if (bareScanWidth >= target) df else df.repartition(target)
+      case _ => None // width unknowable pre-AQE
+    }
+    bareScanWidth match {
+      case Some(w) => if (w >= target) df else df.repartition(target)
+      case None =>
+        val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+        val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (estBytes >= BigInt(maxPart) * target) df else df.repartition(target)
     }
   }
 

@@ -51,12 +51,24 @@ object Layout {
   }
 
   /** Overflow-free divisor mapping the domain [min, max] into [0, 65535]:
-    * (v−min) div (((max−min) div 65536) + 1) — never multiplies, so a
-    * full-range int64 domain (raw nanosecond timestamps) cannot overflow,
-    * and (D div (D div 65536 + 1)) < 65536 for every D ≥ 0.
+    * (v−min) div ((span div 65536) + 1) — never multiplies, and
+    * (D div (D div 65536 + 1)) < 65536 for every D ≥ 0. The span is
+    * computed in BigInt: a full-range SIGNED domain (e.g. raw xxhash64
+    * ids, min ≈ −2⁶³) overflows `max − min` in long arithmetic, which
+    * would produce a zero/negative divisor (ANSI divide-by-zero at best,
+    * silently garbage keys at worst). Domains whose span itself exceeds
+    * int64 are pre-halved — see `normCol`.
     */
-  private[operators] def normDivisor(min: Long, max: Long): Long =
-    Math.floorDiv(max - min, 65536L) + 1L
+  private[operators] def span(min: Long, max: Long): BigInt =
+    BigInt(max) - BigInt(min)
+
+  private[operators] def normDivisor(min: Long, max: Long): Long = {
+    val s = span(min, max)
+    // CEILING halving: (max>>1 − min>>1) can reach ⌈span/2⌉ when the span
+    // is odd, and the <65536 bound needs divisor ≥ floor(maxInput/65536)+1
+    val halved = if (s > Long.MaxValue) (s + 1) / 2 else s
+    (halved / 65536 + 1).toLong
+  }
 
   /** Exact integral division (Column `/` is double division — silently
     * lossy past 2^53; same fix as RangeJoin.floorDiv). Operands here are
@@ -66,11 +78,21 @@ object Layout {
     Bridge.column(new IntegralDivide(
       Bridge.expression(c), Bridge.expression(lit(d))))
 
+  /** (v − min) needs the same care: when the span exceeds int64, both v
+    * and min are arithmetic-shifted right first (floor halving — monotone,
+    * exact), after which the difference and the divisor both fit. The
+    * halved path costs one bit of resolution out of 63 — irrelevant at 16
+    * output bits.
+    */
   private def normCol(v: Column, min: Long, max: Long): Column =
-    idiv(v - lit(min), normDivisor(min, max))
+    if (span(min, max) > Long.MaxValue)
+      idiv(shiftright(v, 1) - lit(min >> 1), normDivisor(min, max))
+    else idiv(v - lit(min), normDivisor(min, max))
 
   private def normSql(v: String, min: Long, max: Long): String =
-    s"(($v - ($min)) // ${normDivisor(min, max)})"
+    if (span(min, max) > Long.MaxValue)
+      s"((($v >> 1) - (${min >> 1})) // ${normDivisor(min, max)})"
+    else s"(($v - ($min)) // ${normDivisor(min, max)})"
 
   /** The 2-D Morton key of (c1, c2) over the given inclusive domains:
     * interleaved bits, c1 on even positions. Inputs must be integral.

@@ -38,11 +38,19 @@ object Scrub {
     */
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Whole-word alternation over the blocklist terms. Callers pass literal
-    * words (no regex metacharacters) — the terms are interpolated verbatim.
+  /** Whole-word alternation over the blocklist terms. Terms must be plain
+    * words: interpolated verbatim, so a metacharacter would corrupt the
+    * pattern, and an empty list would yield `\b()\b` — which matches the
+    * EMPTY STRING at every word boundary and shreds the text. Both are
+    * hard errors, not silent.
     */
-  def blocklistRe(terms: Seq[String]): String =
+  def blocklistRe(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "empty blocklist — omit the pass instead")
+    terms.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
+      s"blocklist term '$t' is not a plain word (regex metacharacters and " +
+        "non-word chars would corrupt the word-boundary pattern)"))
     terms.mkString("\\b(", "|", ")\\b")
+  }
 
   /** The fixed redaction order: email first (its local part can contain
     * digits/dots that the numeric patterns would otherwise bite into), then

@@ -49,15 +49,14 @@ object AnalyticsQueries {
     * exactness.
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    // day = FLOOR division of the µs tick (pmod fixes the sign): DuckDB's
-    // `//` floors, while Spark's `div` truncates toward zero — they differ
-    // on pre-epoch timestamps. (The ns→µs step itself truncates toward
-    // zero in BOTH engines — measured against DuckDB's NANOS parquet read
-    // — so `ts div 1000` is the shared µs clock and only the day step
-    // needs the floor form.)
+    // day = TRUNCATING division of the µs tick, matching the oracle's
+    // integer `//` exactly: DuckDB's integer `//` truncates toward zero
+    // just like Spark's `div` (measured on the oracle library:
+    // (-1)//86400000000 = 0, not -1) — so the truncating form is the one
+    // that stays hash-identical on pre-epoch timestamps too. (The ns→µs
+    // step also truncates toward zero in BOTH engines.)
     val ev = events(spark, dir)
-      .select(col("user_id"),
-        expr(s"((ts div 1000) - pmod(ts div 1000, $DayUs)) div $DayUs").as("day"))
+      .select(col("user_id"), expr(s"(ts div 1000) div $DayUs").as("day"))
     val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     ev.join(cohort, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
@@ -181,9 +180,9 @@ object AnalyticsQueries {
     * and `ln` would hand the hash gate to libm — same trade as TF-IDF.)
     *
     * Scale: tf/df/dl are the inverted-index aggregations; the score join
-    * broadcasts 5 query terms + two scalar literals (the tf subtree is
-    * recomputed for the probe side — at corpus scale recompute beats
-    * persisting a corpus-wide (doc, term) relation); top-k per term is a
+    * keeps the query-term cut on the term exchange tf already paid
+    * (ReusedExchange — broadcasting would recompute the tf subtree to
+    * build the broadcast); top-k per term is a
     * rank window over term-partitioned scores (WindowGroupLimit pushes the
     * k cut into the sort). The integer products run in DECIMAL(38,0) —
     * BIGINT overflows around 10¹¹ total tokens once n_docs rides along —
@@ -203,9 +202,14 @@ object AnalyticsQueries {
     val queryTerms = dfc.orderBy(col("df").desc, col("term").asc).limit(IndexTerms)
     val totals = d.agg(count(lit(1)).as("n_docs"),
       sum(size(toks).cast("long")).as("t_tokens"))
+    // plain (non-broadcast-hinted) join on term: the probe side needs tf
+    // exchanged by term, which is EXACTLY the exchange dfc already paid —
+    // ReusedExchange makes the query-term cut free, where a broadcast hint
+    // would recompute the whole tf subtree (the corpus-dominant cost) a
+    // second time just to build the broadcast
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val scored = tf
-      .join(broadcast(queryTerms), "term")
+      .join(queryTerms, "term")
       .crossJoin(broadcast(totals))
       .withColumn("score",
         (dec(lit(36L)) * dec(col("t_tokens")) * dec(col("tf")) *

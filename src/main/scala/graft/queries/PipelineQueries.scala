@@ -387,6 +387,7 @@ object PipelineQueries {
     val r = ev.agg(
       min(col("user_id")), max(col("user_id")),
       expr("min(ts) div 1000"), expr("max(ts) div 1000")).first()
+    require(!r.isNullAt(0), "zorder_key on an empty events table")
     ev.select(col("event_id"),
       graft.operators.Layout.zkey2(
         col("user_id"), (r.getLong(0), r.getLong(1)),

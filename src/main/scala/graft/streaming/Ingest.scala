@@ -145,20 +145,27 @@ object Ingest {
           val texts0 = priorState(textsDir).map(_.select(col(idCol), col(textCol)))
           val (pairs, newBands, release) = graft.operators.Dedup.incrementalNearDup(
             b, idCol, textCol, bands0, texts0, threshold = threshold)
-          pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$batchId")
-          // deterministic compaction decision: fold prior state into this
-          // batch's partition once the live span reaches compactEvery
-          val compact = compactEvery > 0 &&
-            livePartitions(bandsDir).size + 1 >= compactEvery
-          val bandsOut = if (compact) bands0.fold(newBands)(newBands.union) else newBands
-          val textsOut0 = b.select(col(idCol), col(textCol))
-          val textsOut = if (compact) texts0.fold(textsOut0)(textsOut0.union) else textsOut0
-          bandsOut.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
-          textsOut.write.mode("overwrite").parquet(s"$textsDir/batch=$batchId")
-          if (compact)
-            graft.core.AtomicFiles.atomicWriteHadoop(hconf, marker, batchId.toString)
-          release() // state increment written — drop the batch shingle cache
-          b.unpersist()
+          // release in finally: a failed state write retries the whole batch
+          // (at-least-once), and each attempt persists a fresh shingle cache
+          // — skipping release on failure would leak one corpus-scale cache
+          // per retry into the session CacheManager
+          try {
+            pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$batchId")
+            // deterministic compaction decision: fold prior state into this
+            // batch's partition once the live span reaches compactEvery
+            val compact = compactEvery > 0 &&
+              livePartitions(bandsDir).size + 1 >= compactEvery
+            val bandsOut = if (compact) bands0.fold(newBands)(newBands.union) else newBands
+            val textsOut0 = b.select(col(idCol), col(textCol))
+            val textsOut = if (compact) texts0.fold(textsOut0)(textsOut0.union) else textsOut0
+            bandsOut.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+            textsOut.write.mode("overwrite").parquet(s"$textsDir/batch=$batchId")
+            if (compact)
+              graft.core.AtomicFiles.atomicWriteHadoop(hconf, marker, batchId.toString)
+          } finally {
+            release()
+            b.unpersist()
+          }
           ()
         }
       }

@@ -45,6 +45,20 @@ class LayoutSpec extends SparkSpec {
     assert(mid > lo && mid < hi)
   }
 
+  test("full signed int64 domain (span > Long.MaxValue) takes the halved path safely") {
+    val d = (Long.MinValue, Long.MaxValue) // span 2^64−1: max−min overflows long
+    val lo = keyOf(Long.MinValue, d, Long.MinValue, d)
+    val hi = keyOf(Long.MaxValue, d, Long.MaxValue, d)
+    assert(lo === 0L)
+    assert(hi === 0xFFFFFFFFL) // top cell, never wrapped past 16 bits
+    val mid = keyOf(0L, d, Long.MinValue, d)
+    assert(mid > lo && mid < hi)
+    // odd-span worst case: normalized value must stay < 65536 (a wrap would
+    // send the domain top to cell 0 and break monotonicity at the boundary)
+    assert(keyOf(Long.MaxValue, d, Long.MinValue, d) <
+      keyOf(Long.MaxValue, d, Long.MaxValue, d))
+  }
+
   test("constant dimension degrades to a plain sort on the other") {
     val d = (0L, 65535L)
     // max == min → that axis normalizes to 0 → key is the other axis alone
