@@ -91,11 +91,18 @@ object ScaleBench {
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // SPARK_GRAFT_SCALE_SECTIONS=ann,dedup restricts the run (local
+    // re-measurement aid on a noisy host — the rows are independent per
+    // section; ratios are only emitted when both inputs exist)
+    val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set("ann", "dedup"))
+
     // JVM/codegen warmup — not counted, so the 1x numbers aren't polluted
     drain(ExactKnn.knn(emb1, queriesOf(emb1), 10, SpaceType.L2,
       corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv"))
 
-    for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)) {
+    for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)
+         if sections("ann")) {
       val q = queriesOf(corpus)
       // exact KNN: the naive full-scan baseline (linear in corpus)
       out(s"exact_knn_$tag") = time(drain(
@@ -176,7 +183,8 @@ object ScaleBench {
           cacheKey = Some((graphPath, 0L)), corpusIdName = "vec_id")))
     }
 
-    for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)) {
+    for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)
+         if sections("dedup")) {
       // MinHash-LSH near-dup (bucketed) vs brute-force all-pairs jaccard
       out(s"minhash_lsh_$tag") = time(drain(
         Dedup.minHashLshPairs(docs, "doc_id", "text")))
@@ -225,22 +233,24 @@ object ScaleBench {
     }
 
     val scaled = s"${factor}x"
+    // ratio rows emit only when both inputs were measured (sections filter)
     val derived = Seq(
-      "speedup_ivf_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"ivf_probe_search_$scaled"),
-      "speedup_pq_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"pq_adc_search_$scaled"),
-      "scaling_exact_knn" -> out(s"exact_knn_$scaled") / out("exact_knn_1x"),
-      "scaling_ivf_search" -> out(s"ivf_probe_search_$scaled") / out("ivf_probe_search_1x"),
-      "scaling_pq_search" -> out(s"pq_adc_search_$scaled") / out("pq_adc_search_1x"),
-      "scaling_pq_distributed" -> out(s"pq_adc_distributed_$scaled") / out("pq_adc_distributed_1x"),
-      "speedup_sq_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"sq_scan_search_$scaled"),
-      "scaling_sq_search" -> out(s"sq_scan_search_$scaled") / out("sq_scan_search_1x"),
-      "speedup_opq_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"opq_adc_search_$scaled"),
-      "scaling_opq_search" -> out(s"opq_adc_search_$scaled") / out("opq_adc_search_1x"),
-      "speedup_graph_vs_exact_at_scale" -> out(s"exact_knn_$scaled") / out(s"graph_search_$scaled"),
-      "scaling_graph_search" -> out(s"graph_search_$scaled") / out("graph_search_1x"),
-      "scaling_minhash" -> out(s"minhash_lsh_$scaled") / out("minhash_lsh_1x"),
-      "scaling_incr_dedup_batch" ->
-        out(s"incr_dedup_batch_$scaled") / out("incr_dedup_batch_1x"))
+      ("speedup_ivf_vs_exact_at_scale", s"exact_knn_$scaled", s"ivf_probe_search_$scaled"),
+      ("speedup_pq_vs_exact_at_scale", s"exact_knn_$scaled", s"pq_adc_search_$scaled"),
+      ("scaling_exact_knn", s"exact_knn_$scaled", "exact_knn_1x"),
+      ("scaling_ivf_search", s"ivf_probe_search_$scaled", "ivf_probe_search_1x"),
+      ("scaling_pq_search", s"pq_adc_search_$scaled", "pq_adc_search_1x"),
+      ("scaling_pq_distributed", s"pq_adc_distributed_$scaled", "pq_adc_distributed_1x"),
+      ("speedup_sq_vs_exact_at_scale", s"exact_knn_$scaled", s"sq_scan_search_$scaled"),
+      ("scaling_sq_search", s"sq_scan_search_$scaled", "sq_scan_search_1x"),
+      ("speedup_opq_vs_exact_at_scale", s"exact_knn_$scaled", s"opq_adc_search_$scaled"),
+      ("scaling_opq_search", s"opq_adc_search_$scaled", "opq_adc_search_1x"),
+      ("speedup_graph_vs_exact_at_scale", s"exact_knn_$scaled", s"graph_search_$scaled"),
+      ("scaling_graph_search", s"graph_search_$scaled", "graph_search_1x"),
+      ("scaling_minhash", s"minhash_lsh_$scaled", "minhash_lsh_1x"),
+      ("scaling_incr_dedup_batch", s"incr_dedup_batch_$scaled", "incr_dedup_batch_1x"))
+      .collect { case (k, num, den) if out.contains(num) && out.contains(den) =>
+        k -> out(num) / out(den) }
     val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++
       derived.map { case (k, v) => f""""$k":$v%.2f""" }
     println(s"""{"metric":"scalebench","factor":$factor,${all.mkString(",")}}""")

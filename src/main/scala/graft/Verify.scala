@@ -22,10 +22,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // oracle-input tables (deterministic candidate/probe sets) — written
-    // under ONE _aux dir so the driver's outDir listing sees a single
-    // non-query entry; oracleSql references them via the {AUX} placeholder
-    val auxDir = s"$outDir/_aux"
+    // oracle-input tables (deterministic candidate/probe sets) — written to
+    // a SIBLING of outDir so the driver's outDir listing never sees them as
+    // a query entry (an in-outDir `_aux` kept showing up as a no-oracle row
+    // in CORRECTNESS_r*.json); oracleSql references the absolute path via
+    // the {AUX} placeholder, so location is otherwise immaterial
+    val auxDir = outDir.stripSuffix("/") + "_aux"
     SparkEntry.oracleInputs.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxDir/$name")

@@ -149,42 +149,33 @@ object Dedup {
     // AQE finalizes the adaptive plan, which MATERIALIZES every upstream
     // shuffle stage just to read a partition count — a derived input (e.g.
     // the partner join inside incrementalNearDup) would run its whole
-    // upstream job once for the count and again for the real query. And the
-    // pre-execution physical plan cannot answer "how many partitions will
-    // this have" either: EnsureRequirements/AQE insert and re-coalesce
-    // exchanges later (AQE coalesces a small join output to ~one 64 MB
-    // partition — exactly the under-parallel explode this function exists
-    // to prevent).
+    // upstream job once for the count and again for the real query.
     //
-    // Two driver-side signals, neither running a job:
-    //  - a BARE scan chain exposes its ACTUAL split count (file-split
-    //    arithmetic) — authoritative, and the only signal that catches an
-    //    unsplittable big input (one 100 GB gzip = 1 split no matter how
-    //    many bytes the optimizer estimates);
-    //  - everything else (joins/aggregates/local relations) falls back to
-    //    the optimizer's SIZE estimate: big derived inputs already carry
-    //    exchanges that re-parallelize downstream work (AQE's re-coalesce
-    //    only bites small outputs), while a small one pays one cheap
-    //    round-robin shuffle of pre-explode rows.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec}
+    // SHUFFLE exchanges are the one trustworthy signal: any ShuffleExchange
+    // in the plan re-partitions downstream work to the session's shuffle
+    // parallelism, so those inputs are left alone. A BroadcastExchange is
+    // NOT enough (e.g. the partner semi-join against a tiny collision set:
+    // the probe side keeps its narrow scan partitioning — measured 8× at
+    // 10× state when this case was mis-classified), so a shuffle-free plan
+    // takes its width from the FileSourceScan leaves' ACTUAL split counts
+    // (driver-side file-split arithmetic, no job) — which also catches an
+    // unsplittable big input (one 100 GB gzip = 1 split regardless of
+    // estimated bytes). Plans with no file leaves at all (local relations,
+    // cached frames — small inputs) conservatively count as narrow: one
+    // round-robin shuffle of a tiny pre-explode projection is noise, while
+    // under-parallel shingle hashing measured 5-10×.
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val plan = df.queryExecution.sparkPlan
-    val bareScanWidth: Option[Int] = plan.collect {
-      case p if !p.isInstanceOf[ProjectExec] && !p.isInstanceOf[FilterExec] &&
-        !p.isInstanceOf[FileSourceScanExec] => p
-    } match {
-      case Seq() => plan.collectLeaves() match {
-        case Seq(f: FileSourceScanExec) =>
-          scala.util.Try(f.inputRDDs().map(_.getNumPartitions).sum).toOption
-        case _ => None
-      }
-      case _ => None // width unknowable pre-AQE
-    }
-    bareScanWidth match {
-      case Some(w) => if (w >= target) df else df.repartition(target)
-      case None =>
-        val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-        val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (estBytes >= BigInt(maxPart) * target) df else df.repartition(target)
+    val hasShuffle = plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    if (hasShuffle) df
+    else {
+      val width = plan.collectLeaves().map {
+        case f: FileSourceScanExec =>
+          scala.util.Try(f.inputRDDs().map(_.getNumPartitions).sum).getOrElse(0)
+        case _ => 0
+      }.sum
+      if (width >= target) df else df.repartition(target)
     }
   }
 
