@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.{SpaceType, Tables}
 import graft.operators.ExactKnn
-import graft.queries.{AnalyticsQueries, CorpusStatsQueries, DedupQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, CorpusStatsQueries, DedupQueries, PipelineQueries, RelationalQueries, TextQueries, TpchQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,17 +22,19 @@ object SparkEntry {
     VectorQueries.queries("knn_fetch_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++ TextQueries.queries ++
+    RelationalQueries.queries ++ TpchQueries.queries ++
+      VectorQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ PipelineQueries.queries ++
       CorpusStatsQueries.queries ++ AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ VectorQueries.oracles ++ TextQueries.oracles ++
+    RelationalQueries.oracles ++ TpchQueries.oracles ++
+      VectorQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ PipelineQueries.oracles ++
       CorpusStatsQueries.oracles ++ AnalyticsQueries.oracles
 
   /** Deterministic oracle-input tables (candidate/probe/assignment sets of
-    * the approximate ANN tiers). Verify writes each to `outDir/_aux/<name>`
+    * the approximate ANN tiers). Verify writes each to `<outDir>_aux/<name>`
     * and substitutes `{AUX}` in oracleSql with that directory, so DuckDB can
     * replay "exact KNN restricted to these candidates" as a full
     * rows+schema+hash gate on queries whose candidate generation is not

@@ -170,19 +170,32 @@ class DocStore(spark: SparkSession, root: String) {
 
   /** Compaction: rewrite the log keeping only LWW winners (drops overwritten
     * versions AND tombstones — `tree_compact.go:266-291` capability).
+    *
+    * `clusterById = true` additionally writes the winners as key-sorted
+    * runs with DISJOINT per-file id ranges (range-partition + in-partition
+    * sort) — the declarative form of the reference's sorted-SSTable level
+    * (`tree_compact.go:109-130`): parquet min/max footer stats then prune
+    * point/range lookups on `id` to the one file whose range covers the
+    * key, instead of probing every compacted file. `files` bounds the run
+    * count (at real scale: size for ~0.5–1 GB files).
     */
-  def compact(name: String): Unit = writeLock(name).synchronized {
-    // under the write lock: an append racing the directory swap below would
-    // otherwise land its batch file between the delete and the move and be lost
-    val winners = read(name).cache()
-    winners.count() // materialize before overwriting the source
-    val tmp = s"$root/$name/data_compacting"
-    winners.write.mode("overwrite").parquet(tmp)
-    winners.unpersist()
-    val dir = Paths.get(dataDir(name))
-    deleteRecursively(dir)
-    Files.move(Paths.get(tmp), dir)
-  }
+  def compact(name: String, clusterById: Boolean = false, files: Int = 8): Unit =
+    writeLock(name).synchronized {
+      // under the write lock: an append racing the directory swap below would
+      // otherwise land its batch file between the delete and the move and be lost
+      val winners = read(name).cache()
+      winners.count() // materialize before overwriting the source
+      val out =
+        if (clusterById)
+          winners.repartitionByRange(files, col("id")).sortWithinPartitions("id")
+        else winners
+      val tmp = s"$root/$name/data_compacting"
+      out.write.mode("overwrite").parquet(tmp)
+      winners.unpersist()
+      val dir = Paths.get(dataDir(name))
+      deleteRecursively(dir)
+      Files.move(Paths.get(tmp), dir)
+    }
 
   def drop(name: String): Unit = deleteRecursively(Paths.get(s"$root/$name"))
 

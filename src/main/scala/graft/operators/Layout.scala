@@ -62,12 +62,18 @@ object Layout {
   private[operators] def span(min: Long, max: Long): BigInt =
     BigInt(max) - BigInt(min)
 
-  private[operators] def normDivisor(min: Long, max: Long): Long = {
+  private[operators] def normDivisor(min: Long, max: Long): Long =
+    normDivisorB(min, max, BitsPerDim)
+
+  /** Divisor mapping [min, max] into [0, 2^bits−1] — same construction for
+    * any per-dimension resolution.
+    */
+  private[operators] def normDivisorB(min: Long, max: Long, bits: Int): Long = {
     val s = span(min, max)
     // CEILING halving: (max>>1 − min>>1) can reach ⌈span/2⌉ when the span
-    // is odd, and the <65536 bound needs divisor ≥ floor(maxInput/65536)+1
+    // is odd, and the <2^bits bound needs divisor ≥ floor(maxInput/2^bits)+1
     val halved = if (s > Long.MaxValue) (s + 1) / 2 else s
-    (halved / 65536 + 1).toLong
+    (halved / (1L << bits) + 1).toLong
   }
 
   /** Exact integral division (Column `/` is double division — silently
@@ -84,15 +90,17 @@ object Layout {
     * halved path costs one bit of resolution out of 63 — irrelevant at 16
     * output bits.
     */
-  private def normCol(v: Column, min: Long, max: Long): Column =
+  private def normCol(v: Column, min: Long, max: Long,
+      bits: Int = BitsPerDim): Column =
     if (span(min, max) > Long.MaxValue)
-      idiv(shiftright(v, 1) - lit(min >> 1), normDivisor(min, max))
-    else idiv(v - lit(min), normDivisor(min, max))
+      idiv(shiftright(v, 1) - lit(min >> 1), normDivisorB(min, max, bits))
+    else idiv(v - lit(min), normDivisorB(min, max, bits))
 
-  private def normSql(v: String, min: Long, max: Long): String =
+  private def normSql(v: String, min: Long, max: Long,
+      bits: Int = BitsPerDim): String =
     if (span(min, max) > Long.MaxValue)
-      s"((($v >> 1) - (${min >> 1})) // ${normDivisor(min, max)})"
-    else s"(($v - ($min)) // ${normDivisor(min, max)})"
+      s"((($v >> 1) - (${min >> 1})) // ${normDivisorB(min, max, bits)})"
+    else s"(($v - ($min)) // ${normDivisorB(min, max, bits)})"
 
   /** The 2-D Morton key of (c1, c2) over the given inclusive domains:
     * interleaved bits, c1 on even positions. Inputs must be integral.
@@ -121,6 +129,49 @@ object Layout {
       s"(${spread16Sql(norm(c2, min2, max2))} << 1))"
   }
 
+  /** Per-dimension resolution for an n-dim key: 16 bits up to 3 dims, then
+    * shrink so the whole key stays inside 60 bits (positive long with
+    * headroom). 4 dims × 15 bits = 60; 6 dims × 10 = 60. File-level
+    * clustering needs far fewer cells than any of these provide.
+    */
+  private[operators] def bitsFor(n: Int): Int = {
+    require(n >= 2 && n <= 6, s"z-order supports 2..6 dimensions, got $n")
+    math.min(BitsPerDim, 60 / n)
+  }
+
+  /** The n-dim Morton key: bit i of (normalized) dimension d lands at key
+    * position i·n + d — dimension 0 on the lowest stride, matching
+    * `zkey2`'s (c1 even, c2 odd) layout exactly at n = 2. The generic
+    * bit-gather is a flat OR of b shift/mask terms per dimension (all
+    * exact long arithmetic, fully codegen); the 2-D cascade in `spread16`
+    * is just the strength-reduced special case.
+    */
+  def zkeyN(dims: Seq[(Column, (Long, Long))]): Column = {
+    val n = dims.size
+    val b = bitsFor(n)
+    dims.zipWithIndex.map { case ((c, (mn, mx)), d) =>
+      val x = normCol(c, mn, mx, b)
+      (0 until b).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * n + d)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** The n-dim key as DuckDB SQL with domain endpoints as SQL expressions
+    * (columns of a min/max CTE) — the oracle computes domains in-query.
+    */
+  def zkeyNSqlDyn(dims: Seq[(String, String, String)]): String = {
+    val n = dims.size
+    val b = bitsFor(n)
+    val cells = 1L << b
+    dims.zipWithIndex.map { case ((v, mn, mx), d) =>
+      val x = s"(($v - $mn) // ((($mx - $mn) // $cells) + 1))"
+      (0 until b).map { i =>
+        s"((($x >> $i) & 1) << ${i * n + d})"
+      }.mkString("(", " | ", ")")
+    }.mkString("(", " | ", ")")
+  }
+
   /** Z-order `df` by two integral columns: one tiny agg pass computes the
     * domains, then range-partition + in-partition sort by the Morton key.
     * `files` bounds the output width (at real scale: size so each file is
@@ -139,6 +190,28 @@ object Layout {
     val k = zkey2(col(col1).cast("long"), (r.getLong(0), r.getLong(1)),
       col(col2).cast("long"), (r.getLong(2), r.getLong(3)))
     df.withColumn("__zkey", k)
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
+
+  /** Z-order by 2..6 integral columns — the n-dim generalization of
+    * `zorder2` (same single domain-agg pass + one range shuffle; the key is
+    * `zkeyN`). More dimensions trade per-dimension resolution for
+    * multi-column pruning: each file becomes a compact n-orthotope, so a
+    * selective predicate on ANY keyed column (or several) prunes.
+    */
+  def zorderN(df: DataFrame, cols: Seq[String], files: Int): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 6,
+      s"zorderN supports 2..6 columns, got ${cols.size}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).first()
+    require(!r.isNullAt(0), "zorderN on an empty frame")
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      (col(c).cast("long"), (r.getLong(2 * i), r.getLong(2 * i + 1)))
+    }
+    df.withColumn("__zkey", zkeyN(dims))
       .repartitionByRange(files, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")

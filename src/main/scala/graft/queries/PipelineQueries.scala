@@ -404,8 +404,41 @@ object PipelineQueries {
             "user_id", "umin", "umax", "epoch_us(ts)", "tmin", "tmax")} AS zkey
        |FROM events CROSS JOIN d""".stripMargin
 
+  /** The 3-D Morton key (`Layout.zkeyN`) over lineitem's
+    * (orderkey, partkey, suppkey) — the n-dim generalization's determinism
+    * gate, same construction as `zorder_key`: exact shifts/masks/integral
+    * division, domains ride the query.
+    */
+  def zorder3Key(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val r = li.agg(
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).first()
+    require(!r.isNullAt(0), "zorder3_key on an empty lineitem table")
+    li.select(col("l_orderkey"), col("l_linenumber"),
+      graft.operators.Layout.zkeyN(Seq(
+        (col("l_orderkey"), (r.getLong(0), r.getLong(1))),
+        (col("l_partkey"), (r.getLong(2), r.getLong(3))),
+        (col("l_suppkey"), (r.getLong(4), r.getLong(5))))).as("zkey"))
+  }
+
+  val zorder3KeySql: String =
+    s"""WITH d AS (
+       |  SELECT min(l_orderkey) AS omin, max(l_orderkey) AS omax,
+       |    min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber,
+       |  ${graft.operators.Layout.zkeyNSqlDyn(Seq(
+            ("l_orderkey", "omin", "omax"),
+            ("l_partkey", "pmin", "pmax"),
+            ("l_suppkey", "smin", "smax")))} AS zkey
+       |FROM lineitem CROSS JOIN d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_key" -> (zorderKey(_, _)),
+    "zorder3_key" -> (zorder3Key(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
     "train_split" -> (trainSplit(_, _)),
     "sample_sources" -> (sampleSources(_, _)),
@@ -418,6 +451,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> zorderKeySql,
+    "zorder3_key" -> zorder3KeySql,
     "pii_scrub" -> piiScrubSql,
     "train_split" -> trainSplitSql,
     "sample_sources" -> sampleSourcesSql,

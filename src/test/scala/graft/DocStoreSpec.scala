@@ -71,4 +71,29 @@ class DocStoreSpec extends SparkSpec {
     // compaction physically dropped shadowed versions
     assert(s.log("c").count() === 2)
   }
+
+  test("clustered compaction writes disjoint sorted id runs (LSM sorted-SSTable invariant)") {
+    import org.apache.spark.sql.functions._
+    val (s, _) = freshStore(); s.init("c")
+    val n = 2000
+    // insert in a scrambled order so clustering has real work to do
+    val scrambled = (0 until n).map(i => doc(f"id-${(i * 733) % n}%06d", i.toFloat))
+    scrambled.grouped(500).foreach(b => s.upsert("c", b, dim))
+    s.compact("c", clusterById = true, files = 8)
+    // value-invariant: same winners as a plain read
+    assert(s.read("c").count() === n.toLong)
+    // per-file id ranges are pairwise disjoint — the property parquet
+    // min/max pruning needs to confine a point lookup to ONE file
+    val ranges = s.log("c")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple files")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlapping id ranges: $hi1 >= $lo2")
+    }
+    // still a functioning store afterwards
+    assert(s.get("c", "id-000000").isDefined)
+  }
 }

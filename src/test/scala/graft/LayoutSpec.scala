@@ -90,6 +90,79 @@ class LayoutSpec extends SparkSpec {
     assert(zt <= files / 4, s"z-ordered box touched $zt of $files files")
   }
 
+  test("zkeyN at n=2 is bit-identical to zkey2 (generic gather ≡ cascade)") {
+    val rnd = new scala.util.Random(7)
+    val d1 = (-500L, 12345678L); val d2 = (0L, 999999L)
+    val pts = (0 until 200).map { _ =>
+      (d1._1 + math.abs(rnd.nextLong()) % (d1._2 - d1._1 + 1),
+        math.abs(rnd.nextLong()) % (d2._2 + 1))
+    }
+    val df = pts.toDF("a", "b")
+    val mismatches = df.select(
+      Layout.zkey2(col("a"), d1, col("b"), d2).as("k2"),
+      Layout.zkeyN(Seq((col("a"), d1), (col("b"), d2))).as("kn"))
+      .filter(col("k2") =!= col("kn")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("zkeyN 3-D known codes on an exact-bit domain") {
+    val d = (0L, 65535L) // divisor 1 at 16 bits/dim
+    def key3(a: Long, b: Long, c: Long): Long =
+      Seq((a, b, c)).toDF("a", "b", "c")
+        .select(Layout.zkeyN(Seq(
+          (col("a"), d), (col("b"), d), (col("c"), d))).as("k"))
+        .first().getLong(0)
+    assert(key3(0, 0, 0) === 0L)
+    assert(key3(1, 0, 0) === 1L) // dim0 bit0 → key bit 0
+    assert(key3(0, 1, 0) === 2L) // dim1 bit0 → key bit 1
+    assert(key3(0, 0, 1) === 4L) // dim2 bit0 → key bit 2
+    assert(key3(2, 0, 0) === 8L) // dim0 bit1 → key bit 3
+    // x=1,y=1,z=1 → bits 0,1,2 set
+    assert(key3(1, 1, 1) === 7L)
+    // full domain top: 48 bits set
+    assert(key3(65535, 65535, 65535) === (1L << 48) - 1)
+  }
+
+  test("zorderN 3-D layout prunes a box on any single keyed column") {
+    val n = 40000
+    val rows = (0 until n).map { i =>
+      val r = new scala.util.Random(i + 1).nextLong()
+      (i.toLong, math.abs(r) % 1024L, math.abs(r / 7) % 1024L,
+        math.abs(r / 13) % 1024L)
+    }
+    val df = rows.toDF("id", "a", "b", "c")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    val files = 27
+    Layout.zorderN(df, Seq("a", "b", "c"), files)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    df.repartition(files).write.mode("overwrite").parquet(s"$dir/h")
+    // 27 files ≈ 4.75 boundary bits of the z-key, shared across 3 dims →
+    // ~1.6 bits (~3×) of pruning per single dimension, less when range
+    // boundaries straddle bit cells — so a tight range on ONE dim prunes
+    // ~⅓–⅔ of files, and constraining TWO dims compounds to ~1/5–1/9
+    def touched(path: String, p: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(p)
+        .select(input_file_name()).distinct().count()
+    val oneDim = col("a") <= 63
+    val twoDim = col("a") <= 63 && col("b") <= 63
+    assert(spark.read.parquet(s"$dir/z").filter(twoDim).count() > 0)
+    assert(touched(s"$dir/h", oneDim) === files.toLong)
+    assert(touched(s"$dir/h", twoDim) === files.toLong)
+    assert(touched(s"$dir/z", oneDim) <= 2 * files / 3,
+      s"3-D z-ordered single-dim box touched ${touched(s"$dir/z", oneDim)} of $files files")
+    assert(touched(s"$dir/z", twoDim) <= files / 3,
+      s"3-D z-ordered two-dim box touched ${touched(s"$dir/z", twoDim)} of $files files")
+  }
+
+  test("zorderN preserves the data exactly") {
+    val df = (0 until 5000).map(i =>
+      (i.toLong, (i * 37 % 100).toLong, (i * 91 % 1000).toLong, (i * 13 % 50).toLong))
+      .toDF("id", "a", "b", "c")
+    val back = Layout.zorderN(df, Seq("a", "b", "c"), 8)
+    assert(back.columns.toSeq === df.columns.toSeq)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("zorder2 preserves the data exactly (layout is value-invariant)") {
     val df = (0 until 5000).map(i => (i.toLong, (i * 37 % 100).toLong, (i * 91 % 1000).toLong))
       .toDF("id", "a", "b")
