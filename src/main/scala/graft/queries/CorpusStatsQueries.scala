@@ -219,6 +219,95 @@ object CorpusStatsQueries {
        |FROM k""".stripMargin
   }
 
+  // ---- KMV theta-sketch set algebra (cross-source overlap) ---------------
+
+  /** Pairwise cross-source overlap via theta-sketch set algebra on the raw
+    * KMV minima: per-source `kmv_minima` sketches (one constant-width array
+    * per source), then EVERY pairwise Jaccard/union/intersection estimate
+    * as plain array expressions over the tiny sketch frame. This is the
+    * 100 TB corpus-comparison shape: the corpus is read ONCE for the
+    * sketches; the O(sources²) pair algebra runs on ≤ k longs per source,
+    * never touching the data again (an exact pairwise Jaccard would rescan
+    * the corpus per pair). Estimator: U = k smallest of A ∪ B (θ = max U);
+    * jaccard ≈ |{h ∈ A∩B : h ≤ θ}| / |U| — one exact int division, so the
+    * whole thing (hash, minima, set ops, estimate) replays in DuckDB
+    * bit-for-bit. Accuracy + merge invariance are spec-gated.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, KmvMinima}
+    val grams = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("source"),
+        explode(graft.functions.vfn.ngrams(toks, 2)).as("bigram"))
+    val sk = grams.groupBy(col("source"))
+      .agg(Bridge.column(
+        KmvMinima(Bridge.expression(col("bigram")), KmvK)
+          .toAggregateExpression()).as("mins"))
+    val a = sk.select(col("source").as("source_a"), col("mins").as("__ma"))
+    val b = sk.select(col("source").as("source_b"), col("mins").as("__mb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("__u",
+        slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, KmvK))
+      .withColumn("__theta", element_at(col("__u"), size(col("__u"))))
+      .withColumn("union_size", size(col("__u")).cast("long"))
+      .withColumn("inter_size",
+        size(filter(array_intersect(col("__ma"), col("__mb")),
+          h => h <= col("__theta"))).cast("long"))
+      .select(col("source_a"), col("source_b"), col("union_size"),
+        col("inter_size"),
+        (col("inter_size").cast("double") / col("union_size").cast("double"))
+          .as("jaccard_est"))
+  }
+
+  /** Replays the sketch sets and the pair algebra exactly: same 60-bit
+    * hash, same per-source k minima, same union-top-k/θ/intersection
+    * construction, same single division.
+    */
+  val kmvOverlapSql: String = {
+    val nib = (0 until 15).map { d =>
+      val w = java.math.BigInteger.valueOf(16L).pow(14 - d)
+      s"(strpos('0123456789abcdef', substr(md5(bigram), ${d + 1}, 1)) - 1) * $w"
+    }.mkString(" +\n      ")
+    s"""WITH g AS (
+       |  SELECT DISTINCT source, unnest(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - 1),
+       |    i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |h AS (
+       |  SELECT DISTINCT source, CAST($nib AS BIGINT) AS h FROM g),
+       |r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+       |  FROM h),
+       |s AS (SELECT source, h FROM r WHERE rn <= $KmvK),
+       |p AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM (SELECT DISTINCT source FROM s) a
+       |  JOIN (SELECT DISTINCT source FROM s) b ON a.source < b.source),
+       |uh AS (
+       |  SELECT DISTINCT p.sa, p.sb, s.h
+       |  FROM p JOIN s ON s.source = p.sa OR s.source = p.sb),
+       |ur AS (
+       |  SELECT sa, sb, h,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rn
+       |  FROM uh),
+       |uk AS (
+       |  SELECT sa, sb, max(h) AS theta, count(*) AS usz
+       |  FROM ur WHERE rn <= $KmvK GROUP BY 1, 2),
+       |ix AS (
+       |  SELECT a.source AS sa, b.source AS sb, a.h
+       |  FROM s a JOIN s b ON a.source < b.source AND a.h = b.h)
+       |SELECT uk.sa AS source_a, uk.sb AS source_b,
+       |  CAST(uk.usz AS BIGINT) AS union_size,
+       |  CAST(coalesce(sum(CASE WHEN ix.h <= uk.theta THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS inter_size,
+       |  CAST(coalesce(sum(CASE WHEN ix.h <= uk.theta THEN 1 ELSE 0 END), 0)
+       |    AS DOUBLE) / CAST(uk.usz AS DOUBLE) AS jaccard_est
+       |FROM uk LEFT JOIN ix ON uk.sa = ix.sa AND uk.sb = ix.sb
+       |GROUP BY uk.sa, uk.sb, uk.usz, uk.theta""".stripMargin
+  }
+
   // ---- binned temporal range join (burst detection) ----------------------
 
   private val BurstWindowUs = 5000000L // ±5 s
@@ -256,6 +345,7 @@ object CorpusStatsQueries {
     "token_quantiles" -> (tokenQuantiles(_, _)),
     "rare_bigrams" -> (rareBigrams(_, _)),
     "kmv_distinct" -> (kmvDistinct(_, _)),
+    "kmv_overlap" -> (kmvOverlap(_, _)),
     "concurrent_events" -> (concurrentEvents(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -263,5 +353,6 @@ object CorpusStatsQueries {
     "token_quantiles" -> tokenQuantilesSql,
     "rare_bigrams" -> rareBigramsSql,
     "kmv_distinct" -> kmvDistinctSql,
+    "kmv_overlap" -> kmvOverlapSql,
     "concurrent_events" -> concurrentEventsSql)
 }

@@ -65,22 +65,11 @@ case class KmvDistinct(
     StructField("kth_min", LongType, nullable = false),
     StructField("est", DoubleType, nullable = false)))
 
-  /** First 15 hex nibbles of md5 = first 8 bytes big-endian >>> 4. */
-  private def hash60(bytes: Array[Byte]): Long = {
-    val d = KmvDistinct.md5Local.get()
-    d.reset()
-    val h = d.digest(bytes)
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
-
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = value.eval(input)
-    if (v != null) buf.insert(hash60(v.asInstanceOf[UTF8String].getBytes))
+    if (v != null) buf.insert(KmvDistinct.hash60(v.asInstanceOf[UTF8String].getBytes))
     buf
   }
 
@@ -133,4 +122,90 @@ object KmvDistinct {
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+
+  /** First 15 hex nibbles of md5 = first 8 bytes big-endian >>> 4 — the
+    * shared 60-bit replayable hash of the KMV sketch family.
+    */
+  private[graft] def hash60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** `kmv_minima(value, k)` → ARRAY<BIGINT>: the raw KMV sketch — the k
+  * smallest DISTINCT 60-bit md5-prefix hashes, ascending. Exposing the
+  * minima SET (rather than `KmvDistinct`'s scalar summary) is what makes
+  * the sketch COMPOSABLE: theta-sketch set algebra (union / intersection /
+  * Jaccard between groups) runs as plain array expressions on the
+  * constant-width sketch frame, executor-side, long after the corpus-sized
+  * input is gone. Same buffer, same hash, same mergeability — and the same
+  * exact DuckDB replay, since the array is a deterministic function of the
+  * value set.
+  */
+case class KmvMinima(
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with ImplicitCastInputTypes {
+
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(value)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = value.eval(input)
+    if (v != null) buf.insert(KmvDistinct.hash60(v.asInstanceOf[UTF8String].getBytes))
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = {
+    // TreeSet iterates ascending — emit in that order
+    val arr = new Array[Long](buf.set.size)
+    val it = buf.set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k); out.writeInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KmvBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.insert(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvMinima =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvMinima =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(value = newChildren(0))
+  override def prettyName: String = "kmv_minima"
 }

@@ -154,6 +154,51 @@ class CorpusStatsSpec extends SparkSpec {
     assert(small.getLong(1) === 100L && small.getDouble(3) === 100.0)
   }
 
+  test("kmv overlap: Jaccard estimate tracks ground truth; merge-invariant") {
+    import org.apache.spark.sql.graft.{Bridge, KmvMinima}
+    // two synthetic value sets with known Jaccard: |A|=|B|=4000, overlap
+    // 2000 → J = 2000/6000 = 1/3
+    val a = (0 until 4000).map(i => ("A", s"v$i"))
+    val b = (2000 until 6000).map(i => ("B", s"v$i"))
+    val df = (a ++ b).toDF("g", "v")
+    def sketches(parts: Int) = df.repartition(parts)
+      .groupBy(col("g"))
+      .agg(Bridge.column(KmvMinima(Bridge.expression(col("v")), 256)
+        .toAggregateExpression()).as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val s1 = sketches(1); val s13 = sketches(13)
+    assert(s1 === s13, "minima sketch must be partition-invariant")
+    // ascending, distinct, bounded
+    assert(s1("A").length === 256 && s1("A") === s1("A").distinct.sorted)
+    // theta-sketch Jaccard on the minima
+    val u = (s1("A") ++ s1("B")).distinct.sorted.take(256)
+    val theta = u.last
+    val inter = s1("A").toSet.intersect(s1("B").toSet).count(_ <= theta)
+    val est = inter.toDouble / u.length
+    assert(math.abs(est - 1.0 / 3) < 0.12, s"J estimate $est vs 1/3")
+  }
+
+  test("kmv_overlap query: estimates track per-pair ground truth at sf0.001") {
+    val rows = CorpusStatsQueries.kmvOverlap(spark, sf0001)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // ground truth per pair from the raw bigram sets
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    val sets = docs.groupBy(_._1).view.mapValues(_.flatMap { case (_, t) =>
+      val w = t.split(" ", -1)
+      if (w.length < 2) Array.empty[String]
+      else w.sliding(2).map(_.mkString(" ")).toArray
+    }.toSet).toMap
+    rows.foreach { case (sa, sb, usz, isz, est) =>
+      assert(est === isz.toDouble / usz)
+      val (ta, tb) = (sets(sa), sets(sb))
+      val truth = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      // k=256 sketch over small per-source sets is near-exhaustive here
+      assert(math.abs(est - truth) < 0.15, s"($sa,$sb): $est vs $truth")
+    }
+  }
+
   test("rare_bigrams: novelty ratio matches a brute-force recount") {
     val rows = CorpusStatsQueries.rareBigrams(spark, sf0001)
       .as[(Long, Long, Long, Double)].collect()
