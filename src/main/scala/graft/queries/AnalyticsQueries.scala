@@ -359,7 +359,45 @@ object AnalyticsQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
 
+  // ---- regular-grid resampling (gap fill + carry forward) ----------------
+
+  /** Hourly per-user resampling of the event stream through the
+    * `Resample.carryForwardGrid` operator: every (user, hour) cell between
+    * the user's first and last activity, event count per cell (0 on gaps),
+    * last observed `value` carried forward. The in-cell winner picks by
+    * (ts, event_id) — deterministic; the carried value is a raw column
+    * passthrough, so the whole frame hash-replays. Scale notes on the
+    * operator; the grid here is users × ~700 h.
+    */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600000000000L
+    graft.operators.Resample.carryForwardGrid(
+        events(spark, dir), "user_id", "ts", "event_id", "value", hourNs)
+      .select(col("user_id"), (col("bin") * 3600000L).as("hour_ms"),
+        col("n_events"), col("value"))
+  }
+
+  val resampleHourlySql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS bin, value,
+      |    row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |c AS (SELECT user_id, bin, count(*) AS n,
+      |        max(CASE WHEN rn = 1 THEN value END) AS v
+      |      FROM e GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(bin) AS b0, max(bin) AS b1 FROM c GROUP BY 1),
+      |s AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bin FROM b),
+      |j AS (SELECT s.user_id, s.bin, coalesce(c.n, 0) AS n_events, c.v
+      |      FROM s LEFT JOIN c USING (user_id, bin))
+      |SELECT user_id, bin * 3600000 AS hour_ms,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "resample_hourly" -> (resampleHourly(_, _)),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "value_histogram" -> (valueHistogram(_, _)),
     "json_props_stats" -> (jsonPropsStats(_, _)),
@@ -370,6 +408,7 @@ object AnalyticsQueries {
     "cube_doc_counts" -> (cubeDocCounts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "resample_hourly" -> resampleHourlySql,
     "retention_cohorts" -> retentionCohortsSql,
     "value_histogram" -> valueHistogramSql,
     "json_props_stats" -> jsonPropsStatsSql,
