@@ -36,6 +36,14 @@ object vfn {
     Bridge.column(org.apache.spark.sql.graft.NGrams(
       Bridge.expression(tokens), n, stride))
 
+  /** Codegen Bloom membership probe against a filter serialized at plan
+    * time — the broadcast-side join pruner (no false negatives; see
+    * BloomKernels).
+    */
+  def bloomMightContain(s: Column, bloomBytes: Array[Byte]): Column =
+    Bridge.column(org.apache.spark.sql.graft.BloomMightContain(
+      Bridge.expression(s), bloomBytes))
+
   /** One-pass bounded top-k aggregate: ARRAY<STRUCT<id, distance, rnk>> of
     * the k smallest distances (ties by id). Partial-aggregatable — map tasks
     * ship ≤ k entries per group to the shuffle.

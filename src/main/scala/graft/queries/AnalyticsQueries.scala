@@ -396,7 +396,84 @@ object AnalyticsQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
       |FROM j""".stripMargin
 
+  // ---- snapshot diff (CDC between time halves) ---------------------------
+
+  /** Per-user state diff between the event stream's first and second time
+    * halves: latest (event_type, value) per user in each half, classified
+    * added / removed / changed by `SnapshotDiff.diff` (unchanged users are
+    * suppressed — the CDC contract: output is proportional to churn).
+    * Midpoint and in-half winners are exact integer/tick math, so the full
+    * frame hash-replays.
+    */
+  def stateDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val b = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(expr("t0 + (t1 - t0) div 2").as("mid")) // t0+t1 would overflow ns
+    val e = ev.crossJoin(broadcast(b))
+    def latest(half: Column): DataFrame = e.filter(half)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("st"))
+      .select(col("user_id"), col("st.event_type").as("event_type"),
+        col("st.value").as("value"))
+    graft.operators.SnapshotDiff.diff(
+      latest(col("ts") < col("mid")), latest(col("ts") >= col("mid")),
+      "user_id", Seq("event_type", "value"))
+  }
+
+  val stateDiffSql: String =
+    """WITH b AS (
+      |  SELECT min(epoch_ns(ts)) + (max(epoch_ns(ts)) - min(epoch_ns(ts))) // 2 AS mid
+      |  FROM events),
+      |e AS (SELECT user_id, event_type, value, epoch_ns(ts) AS tn, event_id
+      |      FROM events),
+      |o AS (SELECT user_id, event_type, value FROM (
+      |    SELECT user_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY tn DESC, event_id DESC) AS rn
+      |    FROM e, b WHERE tn < mid) WHERE rn = 1),
+      |n AS (SELECT user_id, event_type, value FROM (
+      |    SELECT user_id, event_type, value,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY tn DESC, event_id DESC) AS rn
+      |    FROM e, b WHERE tn >= mid) WHERE rn = 1),
+      |d AS (
+      |  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+      |    CASE WHEN o.user_id IS NULL THEN 'added'
+      |         WHEN n.user_id IS NULL THEN 'removed'
+      |         WHEN o.event_type IS DISTINCT FROM n.event_type
+      |           OR o.value IS DISTINCT FROM n.value THEN 'changed' END AS status,
+      |    o.event_type AS old_event_type, o.value AS old_value,
+      |    n.event_type AS new_event_type, n.value AS new_value
+      |  FROM o FULL JOIN n ON o.user_id = n.user_id)
+      |SELECT * FROM d WHERE status IS NOT NULL""".stripMargin
+
+  // ---- pivot (wide per-entity feature row) -------------------------------
+
+  /** Per-user event-type count matrix — the `pivot` relational operator
+    * producing the wide feature row a training pipeline feeds downstream.
+    * The value domain is EXPLICIT (the five event types): Spark skips the
+    * extra distinct-values job and the output schema is fixed at plan time
+    * — at 100 TB an implicit pivot would first scan everything just to
+    * discover columns. One shuffle (user_id), map-side partial counts.
+    */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val eventTypePivotSql: String =
+    """SELECT user_id,
+      |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+      |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "state_diff" -> (stateDiff(_, _)),
+    "event_type_pivot" -> (eventTypePivot(_, _)),
     "resample_hourly" -> (resampleHourly(_, _)),
     "retention_cohorts" -> (retentionCohorts(_, _)),
     "value_histogram" -> (valueHistogram(_, _)),
@@ -408,6 +485,8 @@ object AnalyticsQueries {
     "cube_doc_counts" -> (cubeDocCounts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "state_diff" -> stateDiffSql,
+    "event_type_pivot" -> eventTypePivotSql,
     "resample_hourly" -> resampleHourlySql,
     "retention_cohorts" -> retentionCohortsSql,
     "value_histogram" -> valueHistogramSql,

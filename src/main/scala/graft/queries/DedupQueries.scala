@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.{Decontam, Dedup}
 
 /** Dedup query pack over `documents`. `minhash_pairs` is the flagship:
   * MinHash+LSH candidates verified with exact 3-gram Jaccard must reproduce
@@ -78,6 +78,38 @@ object DedupQueries {
       |JOIN sizes sa ON sa.doc_id = ia
       |JOIN sizes sb ON sb.doc_id = ib
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8""".stripMargin
+
+  /** Exact 5-gram containment decontamination, Bloom-pruned: training docs
+    * (doc_id ≥ 100) sharing any 5-gram with an eval doc (doc_id < 100),
+    * with the count of shared grams. Unlike `decontam_pairs` (Jaccard
+    * near-dup), this is the long-n-gram EXACT overlap scan; the corpus
+    * gram stream is pre-filtered by a broadcast Bloom over eval grams, so
+    * only matching grams (+ ~1% false positives) ever reach the shuffle —
+    * the join is exact, so the result is too.
+    */
+  def contamNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Decontam.ngramContamination(
+      d.filter(col("doc_id") >= 100), "doc_id", "text",
+      d.filter(col("doc_id") < 100), "doc_id", "text", n = 5)
+  }
+
+  /** Brute-force exact 5-gram overlap counts (the Bloom never changes the
+    * answer — it only prunes).
+    */
+  val contamNgramsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(string_split(text, ' ')) >= 5
+      |      THEN list_transform(
+      |        generate_series(1, len(string_split(text, ' ')) - 4),
+      |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))
+      |      ELSE [text] END)) AS s
+      |  FROM documents)
+      |SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sh a JOIN sh b ON a.s = b.s
+      |WHERE a.doc_id >= 100 AND b.doc_id < 100
+      |GROUP BY 1, 2""".stripMargin
 
   /** Keep-one-per-cluster resolution: components of the MinHash near-dup
     * graph; `component` is the surviving doc_id for every clustered doc.
@@ -173,6 +205,7 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters(_, _)),
     "minhash_pairs" -> (minhashPairs(_, _)),
     "decontam_pairs" -> (decontamPairs(_, _)),
+    "contam_ngrams" -> (contamNgrams(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)))
 
@@ -180,6 +213,7 @@ object DedupQueries {
     "dedup_clusters" -> dedupClustersSql,
     "minhash_pairs" -> minhashPairsSql,
     "decontam_pairs" -> decontamPairsSql,
+    "contam_ngrams" -> contamNgramsSql,
     "simhash_pairs" -> simhashPairsSql,
     "doc_fingerprint" -> docFingerprintSql)
 }

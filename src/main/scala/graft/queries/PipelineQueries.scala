@@ -436,7 +436,47 @@ object PipelineQueries {
             ("l_suppkey", "smin", "smax")))} AS zkey
        |FROM lineitem CROSS JOIN d""".stripMargin
 
+  // ---- edit-distance similarity join (entity resolution) -----------------
+
+  /** Fuzzy name matching over the part catalog: all distinct `p_name` pairs
+    * within Levenshtein distance 2 via the chunk-signature join
+    * (`FuzzyJoin.editDistanceSelfJoin` — no n² comparison), each annotated
+    * with both names' row counts. The record-linkage primitive: cluster
+    * near-identical names, then merge their members.
+    *
+    * Scale: the signature join is linear in DISTINCT names (constant ~45
+    * signatures each); counts are one map-side-combined aggregation; the
+    * final annotate joins broadcast against the (tiny) pair set.
+    */
+  def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    val pairs = graft.operators.FuzzyJoin
+      .editDistanceSelfJoin(counts.select(col("p_name")), "p_name", 2)
+    pairs
+      .join(counts.withColumnRenamed("p_name", "a").withColumnRenamed("n", "n_a"), "a")
+      .join(counts.withColumnRenamed("p_name", "b").withColumnRenamed("n", "n_b"), "b")
+      .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** Oracle: brute-force distinct-pair Levenshtein with the same binary
+    * pair ordering. Sound as a gate because the Spark side's blocking is
+    * provably complete (FuzzyJoinSpec's brute-force equivalence) — the
+    * oracle checks END results, cheaply, on the low-cardinality name set.
+    */
+  val fuzzyPartNamesSql: String =
+    """WITH d AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+      |  a.n AS n_a, b.n AS n_b
+      |FROM d a JOIN d b
+      |  ON a.p_name < b.p_name
+      | AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_part_names" -> (fuzzyPartNames(_, _)),
     "zorder_key" -> (zorderKey(_, _)),
     "zorder3_key" -> (zorder3Key(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
@@ -450,6 +490,7 @@ object PipelineQueries {
     "asof_join" -> (asofJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_part_names" -> fuzzyPartNamesSql,
     "zorder_key" -> zorderKeySql,
     "zorder3_key" -> zorder3KeySql,
     "pii_scrub" -> piiScrubSql,
