@@ -216,4 +216,35 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** Persist `df` as a bucketed (+ per-file sorted) managed table — the
+    * co-located-join layout: two tables bucketed on their join key with the
+    * same bucket count join with NO shuffle on either side (Spark maps
+    * bucket i ⋈ bucket i directly), and with `sortCols` = join key the
+    * sort-merge join's sort is satisfied by the file order too. This is the
+    * "pre-shuffle once at write time, join forever for free" trade every
+    * 100 TB star-schema pipeline makes for its fact↔fact joins.
+    *
+    * The repartition BEFORE the write aligns write tasks with buckets
+    * (`repartition(n, key)` and bucketing share Murmur3 hashing), so each
+    * bucket is exactly ONE file — without it, every write task can emit a
+    * file into every bucket (tasks × buckets small files), and multi-file
+    * buckets forfeit the sort elision.
+    *
+    * Read side: the shuffle elision is automatic; to ALSO elide the
+    * sort-merge join's sorts, set
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (off by
+    * default since Spark 3.0 because multi-file buckets make the check
+    * costly — this writer's one-file-per-bucket layout is the case it
+    * exists for).
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val w = df.repartition(buckets, col(keyCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
 }
