@@ -838,4 +838,65 @@ object Dedup {
     shingles(df, idCol, textCol, n)
       .groupBy(col("__did"))
       .agg(min(md5(col("s").cast("binary"))).as("fingerprint"))
+
+  /** Character-level long-substring dedup (the ExactSubstr construction of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — public literature): all doc pairs sharing at least one
+    * `gramLen`-character substring, with the count of DISTINCT shared
+    * grams. Catches verbatim boilerplate/quotation overlap that token-level
+    * shingles dilute. Docs shorter than `gramLen` emit nothing.
+    *
+    * Scale: the same two defenses as the MinHash pipeline — (1) the
+    * exact-dup pre-pass collapses byte-identical clusters BEFORE the gram
+    * join (a 10⁶-identical-doc cluster contributes ONE doc to the join;
+    * its quadratic pair set is emitted directly from group membership,
+    * which is required output, not intermediate state); (2) gram
+    * construction is a stride-1 sliding window — linear in corpus chars —
+    * and the equi-join key (40 raw chars) is high-cardinality, so bucket
+    * skew is boilerplate-driven and surfaces in counts rather than
+    * exploding candidates. Output: (ia, ib, n_shared).
+    */
+  def charGramPairs(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val base = widened(df)
+      .select(col(idCol).as("__did"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= gramLen)
+    val mmOpt = membershipIfDups(base, "__did", md5(col("__t")))
+    val reps = mmOpt match {
+      case Some(mm) => base.join(dupNonReps(mm, "__did"), Seq("__did"), "left_anti")
+      case None => base
+    }
+    val grams = reps.select(col("__did"), explode(array_distinct(
+        expr(s"transform(sequence(1, length(__t) - ${gramLen - 1}), " +
+          s"i -> substring(__t, i, $gramLen))"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = grams.as("a").join(grams.as("b"), "s")
+      .filter(col("a.__did") < col("b.__did"))
+      .groupBy(col("a.__did").as("ia"), col("b.__did").as("ib"))
+      .agg(count(lit(1)).as("n_shared"))
+    mmOpt match {
+      case Some(mm) =>
+        // cross-group: identical texts have identical gram sets, so every
+        // member pair inherits its rep pair's count verbatim
+        val cross = repPairs
+          .join(mm.as("ma"), col("ia") === col("ma.__rep"), "left")
+          .join(mm.as("mb"), col("ib") === col("mb.__rep"), "left")
+          .select(coalesce(col("ma.__mid"), col("ia")).as("__ea"),
+            coalesce(col("mb.__mid"), col("ib")).as("__eb"), col("n_shared"))
+          .select(least(col("__ea"), col("__eb")).as("ia"),
+            greatest(col("__ea"), col("__eb")).as("ib"), col("n_shared"))
+        // within-group: a pair of identical docs shares ALL of the doc's
+        // distinct grams
+        val gramCounts = grams.groupBy(col("__did"))
+          .agg(count(lit(1)).as("n_shared"))
+        val within = mm.as("x")
+          .join(mm.as("y"),
+            col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
+          .join(gramCounts, col("x.__rep") === gramCounts("__did"))
+          .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"), col("n_shared"))
+        released(cross.union(within), grams, mm)
+      case None => released(repPairs, grams)
+    }
+  }
 }

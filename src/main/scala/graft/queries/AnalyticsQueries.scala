@@ -298,6 +298,51 @@ object AnalyticsQueries {
       |  AND e.event_type = 'error' AND e.ts > c.t2
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ---- event-type co-occurrence (market-basket lift) ----------------------
+
+  /** Association mining over per-user event baskets: for every unordered
+    * event-type pair, how many users did both, and the lift
+    * `P(a∧b) / (P(a)·P(b))` — the signal a behavioral pipeline uses to find
+    * correlated actions. Exact arithmetic: integer counts, ONE double
+    * division (`(n_both·n_users) / (n_a·n_b)`), so the frame hash-replays.
+    *
+    * Scale: baskets = one distinct over (user, type) — user-keyed shuffle
+    * with map-side partials; the pair self-join is per-user over that
+    * user's DISTINCT types (bounded by the type vocabulary, not event
+    * count); per-type counts broadcast back onto the (tiny) pair table.
+    */
+  def eventCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = events(spark, dir).select(col("user_id")).distinct().count()
+    val perType = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = baskets.as("x").join(baskets.as("y"), "user_id")
+      .filter(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        (((col("n_both") * nUsers)).cast("double") / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  val eventCooccurrenceSql: String =
+    """WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      |u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+      |p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |        CAST(count(*) AS BIGINT) AS n_both
+      |      FROM b x JOIN b y ON x.user_id = y.user_id
+      |        AND x.event_type < y.event_type
+      |      GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, p.n_both, ta.n AS n_a, tb.n AS n_b,
+      |  CAST(p.n_both * u.nu AS DOUBLE) / CAST(ta.n * tb.n AS DOUBLE) AS lift
+      |FROM p
+      |JOIN t ta ON ta.event_type = p.type_a
+      |JOIN t tb ON tb.event_type = p.type_b
+      |CROSS JOIN u""".stripMargin
+
   // ---- concurrent sessions (interval×interval overlap join) ---------------
 
   private val SessionBinMs = 3600000L // 1 h bins over session [start,end] ms
@@ -472,6 +517,7 @@ object AnalyticsQueries {
       |FROM events GROUP BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_cooccurrence" -> (eventCooccurrence(_, _)),
     "state_diff" -> (stateDiff(_, _)),
     "event_type_pivot" -> (eventTypePivot(_, _)),
     "resample_hourly" -> (resampleHourly(_, _)),
@@ -485,6 +531,7 @@ object AnalyticsQueries {
     "cube_doc_counts" -> (cubeDocCounts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "event_cooccurrence" -> eventCooccurrenceSql,
     "state_diff" -> stateDiffSql,
     "event_type_pivot" -> eventTypePivotSql,
     "resample_hourly" -> resampleHourlySql,

@@ -111,6 +111,26 @@ object DedupQueries {
       |WHERE a.doc_id >= 100 AND b.doc_id < 100
       |GROUP BY 1, 2""".stripMargin
 
+  /** Character-level 40-gram substring dedup (Lee et al. ExactSubstr
+    * flavor): doc pairs sharing any verbatim 40-char run, with the distinct
+    * shared-gram count — catches boilerplate/quotation overlap that
+    * token-shingle Jaccard dilutes. Exact-dup pre-pass + member expansion
+    * keep the gram join linear (see `Dedup.charGramPairs`).
+    */
+  def substrDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.charGramPairs(docs(spark, dir), "doc_id", "text", gramLen = 40)
+
+  /** Brute-force sliding-window char-gram join. */
+  val substrDedupSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, length(text) - 39), i -> substr(text, i, 40)))) AS s
+      |  FROM documents WHERE length(text) >= 40)
+      |SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM g a JOIN g b ON a.s = b.s
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** Keep-one-per-cluster resolution: components of the MinHash near-dup
     * graph; `component` is the surviving doc_id for every clustered doc.
     * Runs over the linear-size cluster-edge set (representative pairs ∪
@@ -206,6 +226,7 @@ object DedupQueries {
     "minhash_pairs" -> (minhashPairs(_, _)),
     "decontam_pairs" -> (decontamPairs(_, _)),
     "contam_ngrams" -> (contamNgrams(_, _)),
+    "substr_dedup" -> (substrDedup(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)))
 
@@ -214,6 +235,7 @@ object DedupQueries {
     "minhash_pairs" -> minhashPairsSql,
     "decontam_pairs" -> decontamPairsSql,
     "contam_ngrams" -> contamNgramsSql,
+    "substr_dedup" -> substrDedupSql,
     "simhash_pairs" -> simhashPairsSql,
     "doc_fingerprint" -> docFingerprintSql)
 }

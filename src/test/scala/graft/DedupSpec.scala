@@ -194,4 +194,42 @@ class DedupSpec extends SparkSpec {
       .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L), (3L, 1L)))
   }
+
+  test("charGramPairs: shared-substring pairs with exact distinct-gram counts") {
+    // L=10. Docs 1/2 share the run " abcdefghijklm " (15 chars incl. both
+    // flanking spaces → 6 distinct 10-grams); doc 3 is unrelated; doc 4 is
+    // too short to emit grams.
+    val data = Seq(
+      (1L, "xx abcdefghijklm yy"),
+      (2L, "zz abcdefghijklm qq"),
+      (3L, "completely different content"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val got = Dedup.charGramPairs(data, "doc_id", "text", gramLen = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 6L)))
+  }
+
+  test("charGramPairs: exact-dup groups expand with verbatim counts") {
+    // Docs 10/11 identical (dup group, 31 chars → 22 distinct 10-grams);
+    // doc 12 shares a 12-char run with both (3 shared grams). The rep-level
+    // pair (10, 12) must expand to (11, 12) with the SAME count, plus the
+    // within-group pair (10, 11) with the doc's own gram count.
+    val t = "shared-run-0123456789 tail-abcd" // 31 chars
+    val data = Seq((10L, t), (11L, t), (12L, "pp shared-run-01 qq zz"))
+      .toDF("doc_id", "text")
+    val got = Dedup.charGramPairs(data, "doc_id", "text", gramLen = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = {
+      def grams(s: String) = s.sliding(10).toSet
+      val m = Map(10L -> t, 11L -> t, 12L -> "pp shared-run-01 qq zz")
+      (for {
+        a <- m.keys; b <- m.keys if a < b
+        c = (grams(m(a)) intersect grams(m(b))).size if c > 0
+      } yield (a, b, c.toLong)).toSet
+    }
+    assert(got === brute)
+    assert(got.contains((10L, 11L, 22L))) // within-group pair, full gram count
+    assert(got.exists { case (a, b, c) => a == 11L && b == 12L &&
+      c == got.collectFirst { case (10L, 12L, n) => n }.get }) // expansion copies count
+  }
 }
