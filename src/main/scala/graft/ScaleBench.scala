@@ -95,7 +95,8 @@ object ScaleBench {
     // re-measurement aid on a noisy host — the rows are independent per
     // section; ratios are only emitted when both inputs exist)
     val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set("ann", "dedup"))
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("ann", "dedup", "textops"))
 
     // JVM/codegen warmup — not counted, so the 1x numbers aren't polluted
     drain(ExactKnn.knn(emb1, queriesOf(emb1), 10, SpaceType.L2,
@@ -232,6 +233,29 @@ object ScaleBench {
       stateBands.unpersist()
     }
 
+    for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)
+         if sections("textops")) {
+      spark.catalog.clearCache()
+      // fuzzy edit-distance join over per-doc name-ish strings: the DISTINCT
+      // string set grows linearly with the corpus, so this times the
+      // signature-join machinery's scaling (constant ~45 sigs/string)
+      val names = docs.select(
+        concat(substring(col("text"), 1, 24), lit(" #"), col("doc_id")).as("s"))
+      out(s"fuzzy_join_$tag") = time(drain(
+        graft.operators.FuzzyJoin.editDistanceSelfJoin(names, "s", 2)))
+      // char-gram substring dedup: replicas share most 40-grams, so the
+      // PAIR OUTPUT grows quadratically in replica count — required output;
+      // the row shows candidate generation itself staying linear
+      out(s"substr_dedup_$tag") = time(drain(
+        Dedup.charGramPairs(docs, "doc_id", "text", gramLen = 40)))
+      // bloom decontam: fixed 100-doc eval side against the growing corpus —
+      // the filtered-scan story (corpus grams die at the bloom, pre-shuffle)
+      val evalSide = docs1.filter(col("doc_id") < 100)
+      out(s"bloom_decontam_$tag") = time(drain(
+        graft.operators.Decontam.ngramContamination(
+          docs, "doc_id", "text", evalSide, "doc_id", "text", n = 5)))
+    }
+
     val scaled = s"${factor}x"
     // ratio rows emit only when both inputs were measured (sections filter)
     val derived = Seq(
@@ -248,7 +272,10 @@ object ScaleBench {
       ("speedup_graph_vs_exact_at_scale", s"exact_knn_$scaled", s"graph_search_$scaled"),
       ("scaling_graph_search", s"graph_search_$scaled", "graph_search_1x"),
       ("scaling_minhash", s"minhash_lsh_$scaled", "minhash_lsh_1x"),
-      ("scaling_incr_dedup_batch", s"incr_dedup_batch_$scaled", "incr_dedup_batch_1x"))
+      ("scaling_incr_dedup_batch", s"incr_dedup_batch_$scaled", "incr_dedup_batch_1x"),
+      ("scaling_fuzzy_join", s"fuzzy_join_$scaled", "fuzzy_join_1x"),
+      ("scaling_substr_dedup", s"substr_dedup_$scaled", "substr_dedup_1x"),
+      ("scaling_bloom_decontam", s"bloom_decontam_$scaled", "bloom_decontam_1x"))
       .collect { case (k, num, den) if out.contains(num) && out.contains(den) =>
         k -> out(num) / out(den) }
     val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++
