@@ -104,19 +104,43 @@ object Dedup {
     * size is exactly the contract's pair set — the quadratic part, if any,
     * is genuinely required output, never intermediate candidate state.
     */
-  private def expandPairs(repPairs: DataFrame, dupMembers: DataFrame): DataFrame = {
-    val cross = repPairs
+  private def expandPairs(repPairs: DataFrame, dupMembers: DataFrame): DataFrame =
+    expandCross(repPairs, dupMembers, Nil)
+      .union(withinGroupPairs(dupMembers))
+      .distinct()
+
+  /** Cross-group half of the expansion, payload-preserving: each member
+    * pair inherits its rep pair's `payload` columns verbatim (identical
+    * texts/vectors ⇒ identical pairwise measures). This is the
+    * invariant-critical coalesce/least/greatest algebra — every pipeline
+    * that expands rep pairs MUST route through here rather than re-rolling
+    * it (simhash, embedding, char-gram, and the plain pair expansion all
+    * do).
+    */
+  private def expandCross(repPairs: DataFrame, dupMembers: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val p = payload.map(col)
+    repPairs
       .join(dupMembers.as("ma"), col("ia") === col("ma.__rep"), "left")
       .join(dupMembers.as("mb"), col("ib") === col("mb.__rep"), "left")
-      .select(coalesce(col("ma.__mid"), col("ia")).as("__ea"),
-        coalesce(col("mb.__mid"), col("ib")).as("__eb"))
-      .select(least(col("__ea"), col("__eb")).as("ia"),
-        greatest(col("__ea"), col("__eb")).as("ib"))
-    val within = dupMembers.as("x")
+      .select(coalesce(col("ma.__mid"), col("ia")).as("__ea") +:
+        coalesce(col("mb.__mid"), col("ib")).as("__eb") +: p: _*)
+      .select(least(col("__ea"), col("__eb")).as("ia") +:
+        greatest(col("__ea"), col("__eb")).as("ib") +: p: _*)
+  }
+
+  /** All within-group member pairs (ia < ib); `keepRep` retains the group
+    * representative for callers that join per-rep payload back on.
+    */
+  private def withinGroupPairs(dupMembers: DataFrame,
+      keepRep: Boolean = false): DataFrame = {
+    val base = dupMembers.as("x")
       .join(dupMembers.as("y"),
         col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
-      .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"))
-    cross.union(within).distinct()
+    if (keepRep)
+      base.select(col("x.__mid").as("ia"), col("y.__mid").as("ib"),
+        col("x.__rep").as("__rep"))
+    else base.select(col("x.__mid").as("ia"), col("y.__mid").as("ib"))
   }
 
   /** Distinct word n-gram shingles per doc: (id, s). Docs shorter than n
@@ -536,20 +560,11 @@ object Dedup {
       .distinct()
     val pairs = m match {
       case Some(mm) if expandDuplicates =>
-        // left joins against the tiny dup-only frame: reps without a dup
-        // group pass through via coalesce (sim is symmetric — no vector swap)
-        val cross = repPairs
-          .join(mm.as("ma"), col("ia") === col("ma.__rep"), "left")
-          .join(mm.as("mb"), col("ib") === col("mb.__rep"), "left")
-          .select(coalesce(col("ma.__mid"), col("ia")).as("__ea"),
-            coalesce(col("mb.__mid"), col("ib")).as("__eb"), col("va"), col("vb"))
-          .select(least(col("__ea"), col("__eb")).as("ia"),
-            greatest(col("__ea"), col("__eb")).as("ib"), col("va"), col("vb"))
-        val within = mm.as("x")
-          .join(mm.as("y"),
-            col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
-          .join(all.as("bv"), col("x.__mid") === col("bv.__did"))
-          .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"),
+        // sim is symmetric — no vector swap needed in the cross expansion
+        val cross = expandCross(repPairs, mm, Seq("va", "vb"))
+        val within = withinGroupPairs(mm)
+          .join(all.as("bv"), col("ia") === col("bv.__did"))
+          .select(col("ia"), col("ib"),
             col("bv.__v").as("va"), col("bv.__v").as("vb"))
         cross.union(within).distinct()
       case _ => repPairs
@@ -624,17 +639,8 @@ object Dedup {
         // texts ⇒ identical signatures); within-group pairs are hamming 0.
         // Left joins against the dup-only frame: singleton reps coalesce to
         // themselves.
-        val cross = repPairs
-          .join(mm.as("ma"), col("ia") === col("ma.__rep"), "left")
-          .join(mm.as("mb"), col("ib") === col("mb.__rep"), "left")
-          .select(coalesce(col("ma.__mid"), col("ia")).as("__ea"),
-            coalesce(col("mb.__mid"), col("ib")).as("__eb"), col("hamming"))
-          .select(least(col("__ea"), col("__eb")).as("ia"),
-            greatest(col("__ea"), col("__eb")).as("ib"), col("hamming"))
-        val within = mm.as("x")
-          .join(mm.as("y"),
-            col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
-          .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"), lit(0L).as("hamming"))
+        val cross = expandCross(repPairs, mm, Seq("hamming"))
+        val within = withinGroupPairs(mm).withColumn("hamming", lit(0L))
         released(cross.union(within).distinct(), mm)
       case Some(mm) => released(repPairs, mm) // reps derive from mm's anti-join
       case None => repPairs.localCheckpoint()
@@ -879,22 +885,14 @@ object Dedup {
       case Some(mm) =>
         // cross-group: identical texts have identical gram sets, so every
         // member pair inherits its rep pair's count verbatim
-        val cross = repPairs
-          .join(mm.as("ma"), col("ia") === col("ma.__rep"), "left")
-          .join(mm.as("mb"), col("ib") === col("mb.__rep"), "left")
-          .select(coalesce(col("ma.__mid"), col("ia")).as("__ea"),
-            coalesce(col("mb.__mid"), col("ib")).as("__eb"), col("n_shared"))
-          .select(least(col("__ea"), col("__eb")).as("ia"),
-            greatest(col("__ea"), col("__eb")).as("ib"), col("n_shared"))
+        val cross = expandCross(repPairs, mm, Seq("n_shared"))
         // within-group: a pair of identical docs shares ALL of the doc's
         // distinct grams
         val gramCounts = grams.groupBy(col("__did"))
           .agg(count(lit(1)).as("n_shared"))
-        val within = mm.as("x")
-          .join(mm.as("y"),
-            col("x.__rep") === col("y.__rep") && col("x.__mid") < col("y.__mid"))
-          .join(gramCounts, col("x.__rep") === gramCounts("__did"))
-          .select(col("x.__mid").as("ia"), col("y.__mid").as("ib"), col("n_shared"))
+        val within = withinGroupPairs(mm, keepRep = true)
+          .join(gramCounts, col("__rep") === gramCounts("__did"))
+          .select(col("ia"), col("ib"), col("n_shared"))
         released(cross.union(within), grams, mm)
       case None => released(repPairs, grams)
     }

@@ -92,6 +92,14 @@ object FuzzyJoin {
     * the probe's substrings at the chunk position shifted by -k..k (clipped
     * to the string); plus the short bucket when length ≤ 2k. Deduplicated —
     * shifts often alias at chunk boundaries.
+    *
+    * l ranges over [length-k, length] only (NOT length+k): in any pair the
+    * NOT-SHORTER string can serve as probe, so partitioning only the
+    * shorter side keeps the pigeonhole complete while halving signature
+    * volume and candidate-join output — each qualifying pair is generated
+    * in one orientation instead of two. Strings of length ≤ k never need
+    * long-probe signatures: any partner within distance k is then ≤ 2k,
+    * and both sides meet in the short bucket.
     */
   private def probeSigs(c: String, k: Int) = expr({
     val k1 = k + 1
@@ -100,9 +108,9 @@ object FuzzyJoin {
     s"""array_distinct(concat(
        |  filter(array(named_struct('l', -1, 'i', 0, 'sub', '')),
        |         x -> length($c) <= ${2 * k}),
-       |  if(length($c) >= 1,
+       |  if(length($c) >= $k1,
        |    flatten(transform(
-       |      sequence(greatest($k1, length($c) - $k), length($c) + $k), l ->
+       |      sequence(greatest($k1, length($c) - $k), length($c)), l ->
        |        flatten(transform(sequence(0, $k), i ->
        |          filter(
        |            transform(sequence(-$k, $k), sh -> named_struct(

@@ -314,7 +314,9 @@ object AnalyticsQueries {
   def eventCooccurrence(spark: SparkSession, dir: String): DataFrame = {
     val baskets = events(spark, dir)
       .select(col("user_id"), col("event_type")).distinct()
-    val nUsers = events(spark, dir).select(col("user_id")).distinct().count()
+    // one lazy scalar folded in via broadcast — not a driver-side action
+    val nUsers = baskets.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
     val perType = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val pairs = baskets.as("x").join(baskets.as("y"), "user_id")
       .filter(col("x.event_type") < col("y.event_type"))
@@ -323,8 +325,10 @@ object AnalyticsQueries {
     pairs
       .join(broadcast(perType.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
       .join(broadcast(perType.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
       .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
-        (((col("n_both") * nUsers)).cast("double") / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        ((col("n_both") * col("n_users")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
   val eventCooccurrenceSql: String =
@@ -505,7 +509,9 @@ object AnalyticsQueries {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // scoped fill: an unscoped fill(0) would also rewrite a null GROUP KEY
+      // to user_id=0, silently colliding with a real user
+      .na.fill(0L, Seq("click", "view", "signup", "purchase", "error"))
 
   val eventTypePivotSql: String =
     """SELECT user_id,

@@ -29,8 +29,7 @@ case class BloomMightContain(child: Expression, bytes: Array[Byte])
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
-  @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  @transient private lazy val bloom: BloomFilter = BloomMightContain.deserialize(bytes)
 
   override protected def nullSafeEval(v: Any): Any =
     bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
@@ -38,10 +37,15 @@ case class BloomMightContain(child: Expression, bytes: Array[Byte])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bytesRef = ctx.addReferenceObj("bloomBytes", bytes, "byte[]")
     val cls = classOf[BloomFilter].getName
+    val helper = BloomMightContain.getClass.getName.stripSuffix("$") + ".deserialize"
     val bloomVar = ctx.addMutableState(cls, "bloomFilter")
+    // deserialization goes through the Scala helper: BloomFilter.readFrom
+    // declares a checked IOException, which generated Java cannot throw —
+    // calling it directly makes Janino reject the WHOLE generated class and
+    // the predicate silently drops to interpreted mode
     nullSafeCodeGen(ctx, ev, c =>
       s"""if ($bloomVar == null) {
-         |  $bloomVar = $cls.readFrom(new java.io.ByteArrayInputStream($bytesRef));
+         |  $bloomVar = $helper($bytesRef);
          |}
          |${ev.value} = $bloomVar.mightContainBinary($c.getBytes());""".stripMargin)
   }
@@ -57,4 +61,10 @@ object BloomMightContain {
     bf.writeTo(bos)
     bos.toByteArray
   }
+
+  /** Checked-exception-free deserialization entry point for generated code
+    * (Scala methods carry no `throws` clause).
+    */
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
 }
