@@ -377,7 +377,79 @@ object VectorQueries {
         queryId = "qid", queryVec = "qv")
       .select(col("qid"), col("vec_id"))
 
+  // ---- filtered KNN (metadata pre-filter — SURVEY P2) ----------------------
+
+  /** Exact KNN restricted to even-labeled corpus vectors — the filtered
+    * vector search the reference parses but silently IGNORES
+    * (SURVEY P2); here it is a real pre-filter with full top-k semantics
+    * (every query still gets k hits from the eligible subset). The filter
+    * lands in the scan (PushedFilters), so the distance kernel only ever
+    * sees eligible rows — at 100 TB the predicate prunes before compute,
+    * not after ranking (a post-filter would return < k hits).
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame =
+    ExactKnn.knn(
+      corpus(spark, dir).filter(col("label") % 2 === 0),
+      queriesDf(spark, dir), K, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+
+  val knnFilteredSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQ)
+       |SELECT qid, vec_id, rnk FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC,
+       |               e.vec_id ASC) AS rnk
+       |  FROM q CROSS JOIN embeddings e WHERE e.label % 2 = 0) t
+       |WHERE rnk <= $K""".stripMargin
+
+  // ---- hybrid retrieval (reciprocal-rank fusion) ---------------------------
+
+  /** RRF fusion of two retrievers over the same query set (the l2 and cos
+    * exact rankers — rank-only fusion needs no score calibration, which is
+    * the point of RRF). Routed through `Fusion.rrf`; score = one double
+    * division per list + a two-term sum, so the frame hash-replays.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Fusion.rrf(
+      knnRanks(spark, dir, SpaceType.L2),
+      knnRanks(spark, dir, SpaceType.Cos),
+      qCol = "qid", idCol = "vec_id", rnkCol = "rnk", kRrf = 60, topK = K)
+
+  val hybridRrfSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |a AS (SELECT qid, vec_id, rnk FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC,
+       |               e.vec_id ASC) AS rnk
+       |  FROM q CROSS JOIN embeddings e) t WHERE rnk <= $K),
+       |b AS (SELECT qid, vec_id, rnk FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+       |               e.vec_id ASC) AS rnk
+       |  FROM q CROSS JOIN embeddings e) t WHERE rnk <= $K),
+       |f AS (
+       |  SELECT coalesce(a.qid, b.qid) AS qid,
+       |    coalesce(a.vec_id, b.vec_id) AS vec_id,
+       |    -- CAST: a bare 1.0 is DECIMAL in DuckDB; the gate needs the
+       |    -- same IEEE double division Spark performs
+       |    coalesce(CAST(1 AS DOUBLE) / (60 + a.rnk), CAST(0 AS DOUBLE))
+       |      + coalesce(CAST(1 AS DOUBLE) / (60 + b.rnk), CAST(0 AS DOUBLE)) AS rrf_score
+       |  FROM a FULL JOIN b ON a.qid = b.qid AND a.vec_id = b.vec_id)
+       |SELECT qid, vec_id, rrf_score, rnk FROM (
+       |  SELECT qid, vec_id, rrf_score,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf_score DESC, vec_id ASC) AS rnk FROM f) t
+       |WHERE rnk <= $K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_filtered" -> (knnFiltered(_, _)),
+    "hybrid_rrf" -> (hybridRrf(_, _)),
     "ivf_knn_full" -> ((s, d) => ivfKnn(s, d, nlist => nlist)),
     "ivf_knn_probe" -> ((s, d) => ivfKnn(s, d, _ => 2)),
     "pq_knn" -> (pqKnn(_, _)),
@@ -443,6 +515,8 @@ object VectorQueries {
     "sq_shortlist" -> (sqShortlistAux(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "knn_filtered" -> knnFilteredSql,
+    "hybrid_rrf" -> hybridRrfSql,
     "ivf_knn_full" -> knnL2Sql, // full probing ≡ exact KNN
     "ivf_knn_probe" -> ivfProbeSql,
     "lsh_knn" -> restrictedKnnOracle("lsh_cand",
