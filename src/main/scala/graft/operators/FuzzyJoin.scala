@@ -42,12 +42,35 @@ object FuzzyJoin {
     * distance `k` (1 ≤ k ≤ 9). Output columns: `a`, `b` (binary-ordered,
     * a < b), `dist` (exact distance, IntegerType). Input rows are
     * deduplicated; null strings are dropped.
+    *
+    * `maxSigBucket` (opt-in): drop signature buckets with more than that
+    * many BUILD members before the candidate join — the same adversarial
+    * defense as the LSH pipelines' bucket cap. A boilerplate chunk shared
+    * by 10⁶ strings (every string starting "https://www.", say) makes the
+    * candidate set quadratic in that group; capping trades those
+    * candidates away EXPLICITLY (logged via the "fuzzyjoin.droppedBuckets"
+    * observation) instead of letting one hot chunk own the job. A pair is
+    * only lost if ALL of its shared chunks are over-cap — unlike LSH this
+    * blocking is complete, so with the cap off (default) results are
+    * exact.
     */
-  def editDistanceSelfJoin(df: DataFrame, strCol: String, k: Int): DataFrame = {
+  def editDistanceSelfJoin(df: DataFrame, strCol: String, k: Int,
+      maxSigBucket: Option[Int] = None): DataFrame = {
     require(k >= 1 && k <= 9, s"k must be in [1, 9], got $k")
+    require(maxSigBucket.forall(_ >= 1), s"maxSigBucket must be >= 1")
     val strs = df.select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
-    val build = strs.select(col("s"), explode(buildSigs("s", k)).as("sig"))
+    val buildAll = strs.select(col("s"), explode(buildSigs("s", k)).as("sig"))
       .select(col("s"), col("sig.l"), col("sig.i"), col("sig.sub"))
+    val build = maxSigBucket.fold(buildAll) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l"), col("i"), col("sub"))
+      buildAll
+        .withColumn("__bn", count(lit(1)).over(w))
+        .observe("fuzzyjoin.droppedBuckets",
+          sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("over_cap_rows"))
+        .filter(col("__bn") <= cap)
+        .drop("__bn")
+    }
     val probe = strs.select(col("s").as("t"))
       .select(col("t"), explode(probeSigs("t", k)).as("sig"))
       .select(col("t"), col("sig.l"), col("sig.i"), col("sig.sub"))

@@ -34,6 +34,52 @@ object Resample {
     */
   def carryForwardGrid(df: DataFrame, keyCol: String, tsCol: String,
       orderCol: String, valueCol: String, stepTicks: Long): DataFrame = {
+    val (spineCells, _) = gridCells(df, keyCol, tsCol, orderCol, valueCol, stepTicks)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spineCells
+      .select(col(keyCol), col("bin"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("__v"), ignoreNulls = true).over(w).as(valueCol))
+  }
+
+  /** Same grid, LINEAR interpolation instead of carry-forward: an empty
+    * cell takes `v0 + (v1 − v0)·(bin − b0)/(b1 − b0)` between its nearest
+    * observed neighbors (the other classic `resample` fill mode). The
+    * formula is per-row IEEE arithmetic in a FIXED operation order — one
+    * multiply, one divide, one add on already-exact inputs — so it
+    * hash-replays; observed cells reduce to their own value exactly
+    * (bin = b0). Same shuffle shape as `carryForwardGrid` plus one more
+    * window pass (the forward-looking neighbor).
+    */
+  def interpolateGrid(df: DataFrame, keyCol: String, tsCol: String,
+      orderCol: String, valueCol: String, stepTicks: Long): DataFrame = {
+    val (spineCells, _) = gridCells(df, keyCol, tsCol, orderCol, valueCol, stepTicks)
+    val back = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBin = when(col("__v").isNotNull, col("bin"))
+    spineCells
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(obsBin, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(obsBin, ignoreNulls = true).over(fwd))
+      .select(col(keyCol), col("bin"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("__nb") === col("__pb"), col("__pv"))
+          .otherwise(col("__pv") +
+            (col("__nv") - col("__pv")) * (col("bin") - col("__pb")) /
+              (col("__nb") - col("__pb")))
+          .as(valueCol))
+  }
+
+  /** Shared grid construction: per-cell aggregation + dense per-key spine
+    * left-joined back. Returns (spine⋈cells with nullable `n_events`/`__v`,
+    * the cells frame).
+    */
+  private def gridCells(df: DataFrame, keyCol: String, tsCol: String,
+      orderCol: String, valueCol: String, stepTicks: Long): (DataFrame, DataFrame) = {
     require(stepTicks > 0, s"stepTicks must be positive, got $stepTicks")
     val bin = expr(s"$tsCol div $stepTicks")
     val cells = df
@@ -46,11 +92,6 @@ object Resample {
       .agg(min(col("bin")).as("__b0"), max(col("bin")).as("__b1"))
     val spine = bounds.select(col(keyCol),
       explode(sequence(col("__b0"), col("__b1"))).as("bin"))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(cells, Seq(keyCol, "bin"), "left_outer")
-      .select(col(keyCol), col("bin"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("__v"), ignoreNulls = true).over(w).as(valueCol))
+    (spine.join(cells, Seq(keyCol, "bin"), "left_outer"), cells)
   }
 }

@@ -522,7 +522,52 @@ object AnalyticsQueries {
       |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Linear-interpolation twin of `resample_hourly`: gap cells take the
+    * straight line between their nearest observed neighbors — fixed-order
+    * per-row IEEE arithmetic, so the frame hash-replays.
+    */
+  def resampleInterp(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600000000000L
+    graft.operators.Resample.interpolateGrid(
+        events(spark, dir), "user_id", "ts", "event_id", "value", hourNs)
+      .select(col("user_id"), (col("bin") * 3600000L).as("hour_ms"),
+        col("n_events"), col("value"))
+  }
+
+  val resampleInterpSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS bin, value,
+      |    row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |c AS (SELECT user_id, bin, count(*) AS n,
+      |        max(CASE WHEN rn = 1 THEN value END) AS v
+      |      FROM e GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(bin) AS b0, max(bin) AS b1 FROM c GROUP BY 1),
+      |s AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bin FROM b),
+      |j AS (SELECT s.user_id, s.bin, coalesce(c.n, 0) AS n_events, c.v
+      |      FROM s LEFT JOIN c USING (user_id, bin)),
+      |w AS (
+      |  SELECT user_id, bin, n_events,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN bin END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bin
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN bin END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY bin
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      |  FROM j)
+      |SELECT user_id, bin * 3600000 AS hour_ms,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CASE WHEN nb = pb THEN pv
+      |       ELSE pv + (nv - pv) * (bin - pb) / (nb - pb) END AS value
+      |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "resample_interp" -> (resampleInterp(_, _)),
     "event_cooccurrence" -> (eventCooccurrence(_, _)),
     "state_diff" -> (stateDiff(_, _)),
     "event_type_pivot" -> (eventTypePivot(_, _)),
@@ -537,6 +582,7 @@ object AnalyticsQueries {
     "cube_doc_counts" -> (cubeDocCounts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "resample_interp" -> resampleInterpSql,
     "event_cooccurrence" -> eventCooccurrenceSql,
     "state_diff" -> stateDiffSql,
     "event_type_pivot" -> eventTypePivotSql,

@@ -106,6 +106,38 @@ object PipelineQueries {
        |       WHEN source IN ($mid) THEN 500 ELSE 200 END""".stripMargin
   }
 
+  // ---- fixed-size per-group sampling -------------------------------------
+
+  /** Exactly-n-per-group deterministic sampling: the n docs per source with
+    * the smallest md5 digests (digest order = a fixed random permutation,
+    * so this IS a uniform sample — but a pure function of ids, replayable
+    * anywhere, stable under reruns/partitioning). The companion to
+    * `sample_sources` (expected-fraction keep): audits, eval slices, and
+    * per-source quotas want exact counts, not rates.
+    *
+    * Scale: one source-keyed window for the rank — and at 100 TB the
+    * rank's sort state per group is bounded by WindowGroupLimit pushing
+    * the n-cut into the sort (same mechanism the top-k queries assert).
+    */
+  private val PerSourceN = 20
+
+  def sampleFixed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= PerSourceN)
+      .select(col("doc_id"), col("source"), col("rnk"))
+  }
+
+  val sampleFixedSql: String =
+    s"""SELECT doc_id, source, rnk FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
+       |  FROM documents) t
+       |WHERE rnk <= $PerSourceN""".stripMargin
+
   // ---- Gopher/C4-style quality rule filter -------------------------------
 
   /** Rule-based quality filtering (the Gopher/C4 family): token-count
@@ -482,6 +514,7 @@ object PipelineQueries {
     "pii_scrub" -> (piiScrub(_, _)),
     "train_split" -> (trainSplit(_, _)),
     "sample_sources" -> (sampleSources(_, _)),
+    "sample_fixed" -> (sampleFixed(_, _)),
     "quality_rules" -> (qualityRules(_, _)),
     "passage_dedup" -> (passageDedup(_, _)),
     "token_pack" -> (tokenPack(_, _)),
@@ -496,6 +529,7 @@ object PipelineQueries {
     "pii_scrub" -> piiScrubSql,
     "train_split" -> trainSplitSql,
     "sample_sources" -> sampleSourcesSql,
+    "sample_fixed" -> sampleFixedSql,
     "quality_rules" -> qualityRulesSql,
     "passage_dedup" -> passageDedupSql,
     "token_pack" -> tokenPackSql,

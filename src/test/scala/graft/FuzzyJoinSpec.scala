@@ -74,4 +74,23 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.editDistanceSelfJoin(Seq("a").toDF("s"), "s", 0)
     }
   }
+
+  test("signature-bucket cap drops hot-chunk candidates; off by default") {
+    // 40 strings sharing the FULL common prefix chunk; pairwise distances
+    // are small only between adjacent ids
+    val strs = (0 until 40).map(i => f"commonprefix-$i%02d")
+    // uncapped: exact
+    assert(run(strs, 1) === brute(strs, 1))
+    // cap of 8: every chunk bucket holds all 40 strings (identical prefix
+    // chunks AND the shared suffix shape), so all buckets are over-cap and
+    // the result collapses to empty — the explicit trade, never a hang
+    val capped = FuzzyJoin.editDistanceSelfJoin(
+      strs.toDF("s"), "s", 1, maxSigBucket = Some(8))
+    assert(capped.count() === 0)
+    // a cap above the group size changes nothing
+    val loose = FuzzyJoin.editDistanceSelfJoin(
+      strs.toDF("s"), "s", 1, maxSigBucket = Some(100))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(loose === brute(strs, 1))
+  }
 }

@@ -44,4 +44,24 @@ class ResampleSpec extends SparkSpec {
       Resample.carryForwardGrid(df, "k", "ts", "id", "v", 0L)
     }
   }
+
+  test("linear interpolation: gaps take the straight line, observed cells exact") {
+    // key a: observed bins 0 (v=1.0), 2 (v=3.0), 5 (v=9.0) → bin 1 = 2.0,
+    // bins 3,4 = 5.0, 7.0 (line from 3.0 at bin 2 to 9.0 at bin 5)
+    val rows = Seq(
+      ("a", 0L, 1L, 1.0), ("a", 25L, 2L, 3.0), ("a", 55L, 3L, 9.0),
+      ("b", 100L, 7L, 4.0)) // single observation: nb = pb → its own value
+    val got = Resample.interpolateGrid(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "id", "v", 10L)
+      .orderBy("k", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("a", 0L, 1L, 1.0),
+      ("a", 1L, 0L, 2.0),
+      ("a", 2L, 1L, 3.0),
+      ("a", 3L, 0L, 5.0),
+      ("a", 4L, 0L, 7.0),
+      ("a", 5L, 1L, 9.0),
+      ("b", 10L, 1L, 4.0)))
+  }
 }
