@@ -155,6 +155,53 @@ object CorpusStatsQueries {
       |FROM g JOIN d USING (bigram)
       |GROUP BY g.doc_id""".stripMargin
 
+  // ---- Count-Min frequency sketch ----------------------------------------
+
+  private val CmsTopN = 20
+
+  /** Token frequencies estimated through a 4×256 Count-Min sketch, for the
+    * corpus' top-20 exact-frequency tokens (exact counts ride along for
+    * the error audit). The counter matrix is a (row, bucket) groupBy —
+    * constant width at any corpus size — and the md5-nibble row hashes
+    * make the whole sketch ORACLE-REPLAYABLE (see `CountMin`); the
+    * overestimate bound is spec-gated.
+    */
+  def cmsTokenFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = docs(spark, dir).select(explode(toks).as("token"))
+    val counters = graft.operators.CountMin.sketch(toksDf, "token")
+    val top = toksDf.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token").asc).limit(CmsTopN)
+    graft.operators.CountMin.estimates(counters, top, "token")
+      .join(top, "token")
+      .select(col("token"), col("n_exact"), col("est"))
+  }
+
+  /** Replays the sketch exactly: same two-nibble row buckets, same exact
+    * integer counters, same min-over-rows estimate.
+    */
+  val cmsTokenFreqSql: String = {
+    // bucket for row r (r is a COLUMN here): md5 hex chars 2r+1, 2r+2
+    val bucket =
+      """((strpos('0123456789abcdef', substr(md5(token), 2 * r + 1, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(token), 2 * r + 2, 1)) - 1))""".stripMargin
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |e AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM t GROUP BY 1
+       |  ORDER BY n_exact DESC, token ASC LIMIT $CmsTopN),
+       |r4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |m AS (
+       |  SELECT r, $bucket AS bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM t CROSS JOIN r4 GROUP BY 1, 2),
+       |q AS (SELECT token, r, $bucket AS bucket FROM e CROSS JOIN r4)
+       |SELECT q.token, e.n_exact,
+       |  CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS est
+       |FROM q
+       |JOIN e ON e.token = q.token
+       |LEFT JOIN m ON m.r = q.r AND m.bucket = q.bucket
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- KMV distinct-count sketch ----------------------------------------
 
   private val KmvK = 256
@@ -345,6 +392,7 @@ object CorpusStatsQueries {
     "token_quantiles" -> (tokenQuantiles(_, _)),
     "rare_bigrams" -> (rareBigrams(_, _)),
     "kmv_distinct" -> (kmvDistinct(_, _)),
+    "cms_token_freq" -> (cmsTokenFreq(_, _)),
     "kmv_overlap" -> (kmvOverlap(_, _)),
     "concurrent_events" -> (concurrentEvents(_, _)))
 
@@ -353,6 +401,7 @@ object CorpusStatsQueries {
     "token_quantiles" -> tokenQuantilesSql,
     "rare_bigrams" -> rareBigramsSql,
     "kmv_distinct" -> kmvDistinctSql,
+    "cms_token_freq" -> cmsTokenFreqSql,
     "kmv_overlap" -> kmvOverlapSql,
     "concurrent_events" -> concurrentEventsSql)
 }

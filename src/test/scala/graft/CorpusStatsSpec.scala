@@ -215,4 +215,36 @@ class CorpusStatsSpec extends SparkSpec {
     }.toSet
     assert(rows.toSet === want)
   }
+
+  test("count-min sketch: overestimates only, exact for isolated buckets") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    // skewed stream: token "hot" 1000×, 50 singletons
+    val stream = (Seq.fill(1000)("hot") ++ (0 until 50).map(i => s"cold-$i"))
+      .toDF("v")
+    val counters = CountMin.sketch(stream, "v")
+    val items = ("hot" +: (0 until 50).map(i => s"cold-$i")).toDF("v")
+    val est = CountMin.estimates(counters, items, "v")
+      .as[(String, Long)].collect().toMap
+    assert(est("hot") >= 1000L) // never underestimates
+    assert((0 until 50).forall(i => est(s"cold-$i") >= 1L))
+    // ε·N bound with d=4, w=256: gross overestimates mean broken hashing
+    assert(est("hot") <= 1000L + 1050 / 2, s"hot est ${est("hot")}")
+    // absent item: min over its buckets is bounded by collisions, and an
+    // all-empty-bucket item reads 0
+    val ghost = CountMin.estimates(counters, Seq("never-seen").toDF("v"), "v")
+      .as[(String, Long)].collect().head._2
+    assert(ghost >= 0L && ghost <= 1050L)
+  }
+
+  test("count-min sketch: counter matrix is partition-invariant") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val data = (0 until 2000).map(i => s"tok-${i % 37}")
+    val one = CountMin.sketch(data.toDF("v").coalesce(1), "v")
+      .as[(Int, Int, Long)].collect().toSet
+    val many = CountMin.sketch(data.toDF("v").repartition(13), "v")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(one === many)
+  }
 }
