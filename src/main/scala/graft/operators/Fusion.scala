@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: each term is ONE IEEE double division and the fused score
   * is a sum of exactly two terms — bit-identical in any engine; ties (same
-  * rank multiset) break on id then on source-A presence.
+  * rank multiset) break on id ascending.
   *
   * Scale: one co-partitioned full outer join on (query, id) — both inputs
   * are already top-k-truncated per query, so the join state is k-bounded

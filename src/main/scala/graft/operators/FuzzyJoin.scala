@@ -38,6 +38,8 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  private val capCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** All unordered pairs of distinct values of `strCol` within Levenshtein
     * distance `k` (1 ≤ k ≤ 9). Output columns: `a`, `b` (binary-ordered,
     * a < b), `dist` (exact distance, IntegerType). Input rows are
@@ -66,7 +68,9 @@ object FuzzyJoin {
         .partitionBy(col("l"), col("i"), col("sub"))
       buildAll
         .withColumn("__bn", count(lit(1)).over(w))
-        .observe("fuzzyjoin.droppedBuckets",
+        // unique metric name per call: observed-metric names must be unique
+        // within a query, and one plan may combine several capped joins
+        .observe(s"fuzzyjoin.droppedBuckets.${capCalls.incrementAndGet()}",
           sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("over_cap_rows"))
         .filter(col("__bn") <= cap)
         .drop("__bn")

@@ -34,7 +34,7 @@ object Resample {
     */
   def carryForwardGrid(df: DataFrame, keyCol: String, tsCol: String,
       orderCol: String, valueCol: String, stepTicks: Long): DataFrame = {
-    val (spineCells, _) = gridCells(df, keyCol, tsCol, orderCol, valueCol, stepTicks)
+    val spineCells = gridCells(df, keyCol, tsCol, orderCol, valueCol, stepTicks)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spineCells
@@ -54,17 +54,21 @@ object Resample {
     */
   def interpolateGrid(df: DataFrame, keyCol: String, tsCol: String,
       orderCol: String, valueCol: String, stepTicks: Long): DataFrame = {
-    val (spineCells, _) = gridCells(df, keyCol, tsCol, orderCol, valueCol, stepTicks)
+    val spineCells = gridCells(df, keyCol, tsCol, orderCol, valueCol, stepTicks)
     val back = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward neighbor = last non-null over a DESCENDING running frame:
+    // a [currentRow, unboundedFollowing) frame would make Spark re-scan to
+    // the partition end for every row (O(cells²) per key); the descending
+    // running frame is the streaming O(cells) evaluator, same semantics
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsBin = when(col("__v").isNotNull, col("bin"))
     spineCells
       .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
       .withColumn("__pb", last(obsBin, ignoreNulls = true).over(back))
-      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
-      .withColumn("__nb", first(obsBin, ignoreNulls = true).over(fwd))
+      .withColumn("__nv", last(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", last(obsBin, ignoreNulls = true).over(fwd))
       .select(col(keyCol), col("bin"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         when(col("__nb") === col("__pb"), col("__pv"))
@@ -75,11 +79,10 @@ object Resample {
   }
 
   /** Shared grid construction: per-cell aggregation + dense per-key spine
-    * left-joined back. Returns (spine⋈cells with nullable `n_events`/`__v`,
-    * the cells frame).
+    * left-joined back; `n_events`/`__v` are null on gap cells.
     */
   private def gridCells(df: DataFrame, keyCol: String, tsCol: String,
-      orderCol: String, valueCol: String, stepTicks: Long): (DataFrame, DataFrame) = {
+      orderCol: String, valueCol: String, stepTicks: Long): DataFrame = {
     require(stepTicks > 0, s"stepTicks must be positive, got $stepTicks")
     val bin = expr(s"$tsCol div $stepTicks")
     val cells = df
@@ -92,6 +95,6 @@ object Resample {
       .agg(min(col("bin")).as("__b0"), max(col("bin")).as("__b1"))
     val spine = bounds.select(col(keyCol),
       explode(sequence(col("__b0"), col("__b1"))).as("bin"))
-    (spine.join(cells, Seq(keyCol, "bin"), "left_outer"), cells)
+    spine.join(cells, Seq(keyCol, "bin"), "left_outer")
   }
 }

@@ -379,17 +379,19 @@ object VectorQueries {
 
   // ---- filtered KNN (metadata pre-filter — SURVEY P2) ----------------------
 
-  /** Exact KNN restricted to even-labeled corpus vectors — the filtered
+  /** Exact KNN restricted to corpus vectors with label < 5 — the filtered
     * vector search the reference parses but silently IGNORES
     * (SURVEY P2); here it is a real pre-filter with full top-k semantics
-    * (every query still gets k hits from the eligible subset). The filter
-    * lands in the scan (PushedFilters), so the distance kernel only ever
-    * sees eligible rows — at 100 TB the predicate prunes before compute,
-    * not after ranking (a post-filter would return < k hits).
+    * (every query still gets k hits from the eligible subset). The
+    * attribute-vs-literal predicate lands in the parquet scan
+    * (`PushedFilters: [LessThan(label,5)]` — plan-asserted), so ineligible
+    * row groups are pruned by footer stats before the distance kernel ever
+    * runs — at 100 TB the predicate prunes before compute, not after
+    * ranking (a post-filter would return < k hits).
     */
   def knnFiltered(spark: SparkSession, dir: String): DataFrame =
     ExactKnn.knn(
-      corpus(spark, dir).filter(col("label") % 2 === 0),
+      corpus(spark, dir).filter(col("label") < 5),
       queriesDf(spark, dir), K, SpaceType.L2,
       corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
       .select(col("qid"), col("vec_id"), col("rnk"))
@@ -402,7 +404,7 @@ object VectorQueries {
        |    row_number() OVER (PARTITION BY q.qid
        |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC,
        |               e.vec_id ASC) AS rnk
-       |  FROM q CROSS JOIN embeddings e WHERE e.label % 2 = 0) t
+       |  FROM q CROSS JOIN embeddings e WHERE e.label < 5) t
        |WHERE rnk <= $K""".stripMargin
 
   // ---- hybrid retrieval (reciprocal-rank fusion) ---------------------------

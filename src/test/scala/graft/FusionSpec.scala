@@ -43,6 +43,7 @@ class FusionSpec extends SparkSpec {
   test("filtered KNN pushes the label predicate into the parquet scan") {
     val plan = graft.queries.VectorQueries.queries("knn_filtered")(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("label"), plan)
+    // the comparison itself must reach PushedFilters — not just IsNotNull
+    assert(plan.contains("LessThan(label,5)"), plan)
   }
 }

@@ -81,9 +81,10 @@ class FuzzyJoinSpec extends SparkSpec {
     val strs = (0 until 40).map(i => f"commonprefix-$i%02d")
     // uncapped: exact
     assert(run(strs, 1) === brute(strs, 1))
-    // cap of 8: every chunk bucket holds all 40 strings (identical prefix
-    // chunks AND the shared suffix shape), so all buckets are over-cap and
-    // the result collapses to empty — the explicit trade, never a hang
+    // cap of 8: the shared-prefix chunk's bucket holds all 40 strings
+    // (over-cap, dropped) while the per-string suffix chunks are singleton
+    // buckets that match nothing — so qualifying pairs, which share ONLY
+    // the prefix chunk, all vanish: the explicit trade, never a hang
     val capped = FuzzyJoin.editDistanceSelfJoin(
       strs.toDF("s"), "s", 1, maxSigBucket = Some(8))
     assert(capped.count() === 0)
