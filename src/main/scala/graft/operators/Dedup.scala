@@ -897,4 +897,76 @@ object Dedup {
       case None => released(repPairs, grams)
     }
   }
+
+  /** Passage-level boilerplate SCRUB — the transform that REMOVES
+    * cross-document duplicated passages from each doc's text (the
+    * RefinedWeb/CCNet line-dedup shape, on fixed `n`-token passages since
+    * the corpus has no line structure; `passage_dedup` only DETECTS them).
+    * A passage is scrubbed when it appears verbatim in ≥ `minDocs` distinct
+    * docs; the ≤ n−1 tail tokens past the last full passage can never be a
+    * shared passage and are kept verbatim. Output: (id, clean_text) for
+    * every input doc — docs that were entirely boilerplate come back empty.
+    *
+    * Scale: three linear shuffles — the distinct-doc count per passage
+    * (two-phase aggregate on the passage key), the anti-join of passage
+    * occurrences against the duplicated set (same key, exchange reused),
+    * and the per-doc reassembly groupBy. No pair enumeration anywhere: a
+    * passage shared by 10⁶ docs costs 10⁶ occurrence rows, not 10¹² pairs,
+    * so the exact-dup pre-pass the pair pipelines need is unnecessary here.
+    */
+  def passageScrub(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"passage length must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = widened(df)
+      .select(col(idCol).as("__did"), split(col(textCol), " ").as("__toks"))
+      .withColumn("__ch", graft.functions.vfn.ngrams(col("__toks"), n, stride = n))
+    val occ = base.select(col("__did"),
+      posexplode(col("__ch")).as(Seq("pos", "chunk")))
+    val dup = occ.groupBy(col("chunk"))
+      .agg(countDistinct(col("__did")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("chunk"))
+    val kept = occ.join(dup, Seq("chunk"), "left_anti")
+      .groupBy(col("__did"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        x => x("chunk")).as("__kept"))
+    base
+      .join(kept, Seq("__did"), "left_outer")
+      .select(col("__did"),
+        array_join(
+          concat(
+            coalesce(col("__kept"), typedlit(Seq.empty[String])),
+            slice(col("__toks"), size(col("__ch")) * n + 1,
+              size(col("__toks")) - size(col("__ch")) * n)),
+          " ").as("clean_text"))
+  }
+
+  /** The keep-one-per-cluster curation DECISION: given the corpus and the
+    * near-dup component labels (`connectedComponents` output — clustered
+    * docs only), mark exactly one survivor per cluster — the best-scoring
+    * member by `scoreCol` (exact ordering, ties to the smallest id), the
+    * policy every dedup pipeline applies after clustering (keep the
+    * longest/highest-quality copy, drop the rest). Docs absent from the
+    * label frame are singletons: their own component, always kept.
+    *
+    * Output: all of `df`'s columns + `component` + `keep` (1/0 long).
+    *
+    * Scale: one equi-join on id (the label frame is one row per CLUSTERED
+    * doc — duplicate-graph-sized, not corpus-sized) and one per-component
+    * window; component cardinality ≈ corpus size (singletons dominate), so
+    * the window shuffle is no hotter than any group-by-key pass, and each
+    * partition's heap state is one row per component.
+    */
+  def resolveKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+      clusterLabels: DataFrame): DataFrame = {
+    val labels = clusterLabels.select(col("node").as(idCol), col("component"))
+    val labeled = df.join(labels, Seq(idCol), "left_outer")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled.withColumn("keep",
+      when(row_number().over(w) === 1, 1L).otherwise(0L))
+  }
 }

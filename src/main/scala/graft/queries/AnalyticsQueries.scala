@@ -566,7 +566,38 @@ object AnalyticsQueries {
       |       ELSE pv + (nv - pv) * (bin - pb) / (nb - pb) END AS value
       |FROM w""".stripMargin
 
+  // ---- exact-arithmetic outlier flags -------------------------------------
+
+  /** Per-type z-score outlier flags over the JSON `props.k` field, in the
+    * EXACT integer form 4·(n·k − S1)² > 9·(n·S2 − S1²) — i.e. |k − μ| >
+    * 1.5σ with the mean and variance never materialized as floats (see
+    * `Outliers.zScoreFlags`). 1.5σ because the field is uniform 0..99
+    * (max |z| ≈ 1.7): the tails flag, the bulk doesn't, and the threshold
+    * algebra is exercised with a non-integral rational.
+    */
+  def outlierEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    graft.operators.Outliers.zScoreFlags(ev, "event_type", "k", 3, 2)
+      .select(col("event_id"), col("event_type"), col("k"), col("is_outlier"))
+  }
+
+  /** Same algebra over HUGEINT (int128) — exact on both engines. */
+  val outlierEventsSql: String =
+    """WITH k AS (SELECT event_id, event_type,
+      |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |  FROM events),
+      |s AS (SELECT event_type, count(*) AS n, sum(k) AS s1, sum(k*k) AS s2
+      |  FROM k GROUP BY 1)
+      |SELECT k.event_id, k.event_type, k.k,
+      |  CAST(CASE WHEN
+      |      4 * CAST(n*k.k - s1 AS HUGEINT) * CAST(n*k.k - s1 AS HUGEINT)
+      |      > 9 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      |FROM k JOIN s USING (event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "outlier_events" -> (outlierEvents(_, _)),
     "resample_interp" -> (resampleInterp(_, _)),
     "event_cooccurrence" -> (eventCooccurrence(_, _)),
     "state_diff" -> (stateDiff(_, _)),
@@ -582,6 +613,7 @@ object AnalyticsQueries {
     "cube_doc_counts" -> (cubeDocCounts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "outlier_events" -> outlierEventsSql,
     "resample_interp" -> resampleInterpSql,
     "event_cooccurrence" -> eventCooccurrenceSql,
     "state_diff" -> stateDiffSql,

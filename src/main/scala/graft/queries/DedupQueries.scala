@@ -171,6 +171,57 @@ object DedupQueries {
       |SELECT a AS doc_id, least(a, min(b)) AS component
       |FROM reach GROUP BY a""".stripMargin
 
+  /** The full curation decision: near-dup clusters (MinHash graph) resolved
+    * to one survivor each — the longest member (`n_chars`, ties to the
+    * smallest doc_id). Every doc gets a row: `component` = its cluster label
+    * (own id for singletons), `keep` = 1 iff it survives the dedup pass.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.minHashLshClusterEdges(d, "doc_id", "text",
+        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8))
+    Dedup.resolveKeepBest(d, "doc_id", "n_chars", cc)
+      .select(col("doc_id"), col("component"), col("keep"))
+  }
+
+  /** Oracle: the recursive-CTE transitive closure (as `dedup_clusters`),
+    * left-joined onto the full corpus, survivor by the same exact ordering.
+    */
+  val dedupKeepBestSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  WITH sh AS (
+      |    SELECT doc_id, unnest(list_distinct(
+      |      CASE WHEN len(string_split(text, ' ')) >= 3
+      |        THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      |        ELSE [text] END)) AS s
+      |    FROM documents),
+      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |  inter AS (
+      |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |    FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id
+      |    GROUP BY a.doc_id, b.doc_id)
+      |  SELECT ia, ib FROM inter
+      |  JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+      |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT doc_id, component,
+      |  CAST(CASE WHEN row_number() OVER (PARTITION BY component
+      |      ORDER BY n_chars DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS keep
+      |FROM lab""".stripMargin
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
 
@@ -223,6 +274,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters(_, _)),
+    "dedup_keep_best" -> (dedupKeepBest(_, _)),
     "minhash_pairs" -> (minhashPairs(_, _)),
     "decontam_pairs" -> (decontamPairs(_, _)),
     "contam_ngrams" -> (contamNgrams(_, _)),
@@ -232,6 +284,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "minhash_pairs" -> minhashPairsSql,
     "decontam_pairs" -> decontamPairsSql,
     "contam_ngrams" -> contamNgramsSql,

@@ -224,6 +224,36 @@ object PipelineQueries {
        |  min(doc_id) AS keep_doc
        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
+  /** The passage-level boilerplate REMOVAL transform (`passage_dedup` only
+    * detects): each doc's text with every cross-doc duplicated 8-token
+    * passage cut out, tail tokens kept (see `Dedup.passageScrub`).
+    */
+  def passageScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.passageScrub(docs(spark, dir), "doc_id", "text",
+        n = PassageLen, minDocs = 2)
+      .select(col("__did").as("doc_id"), col("clean_text"))
+
+  val passageScrubSql: String =
+    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(0, CAST(len(t) // $PassageLen AS INT) - 1),
+       |    i -> {'pos': i, 'chunk':
+       |      array_to_string(t[i*$PassageLen+1:i*$PassageLen+$PassageLen], ' ')})) AS u
+       |  FROM s WHERE len(t) >= $PassageLen),
+       |occ AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM ch),
+       |dup AS (SELECT chunk FROM occ GROUP BY chunk
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (
+       |  SELECT doc_id, list(chunk ORDER BY pos) AS kc FROM occ
+       |  WHERE chunk NOT IN (SELECT chunk FROM dup) GROUP BY doc_id)
+       |-- array_to_string on an EMPTY list is NULL in DuckDB (Spark's
+       |-- array_join gives '') — coalesce aligns the fully-scrubbed docs
+       |SELECT s.doc_id, coalesce(array_to_string(
+       |    coalesce(k.kc, []) || t[len(t) // $PassageLen * $PassageLen + 1:],
+       |    ' '), '') AS clean_text
+       |FROM s LEFT JOIN kept k ON s.doc_id = k.doc_id""".stripMargin
+
   // ---- token-budget packing ----------------------------------------------
 
   /** Greedy context-window packing: docs in doc_id order are concatenated
@@ -517,6 +547,7 @@ object PipelineQueries {
     "sample_fixed" -> (sampleFixed(_, _)),
     "quality_rules" -> (qualityRules(_, _)),
     "passage_dedup" -> (passageDedup(_, _)),
+    "passage_scrub" -> (passageScrub(_, _)),
     "token_pack" -> (tokenPack(_, _)),
     "repetition_stats" -> (repetitionStats(_, _)),
     "norm_dedup" -> (normDedup(_, _)),
@@ -532,6 +563,7 @@ object PipelineQueries {
     "sample_fixed" -> sampleFixedSql,
     "quality_rules" -> qualityRulesSql,
     "passage_dedup" -> passageDedupSql,
+    "passage_scrub" -> passageScrubSql,
     "token_pack" -> tokenPackSql,
     "repetition_stats" -> repetitionStatsSql,
     "norm_dedup" -> normDedupSql,

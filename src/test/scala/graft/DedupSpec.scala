@@ -232,4 +232,37 @@ class DedupSpec extends SparkSpec {
     assert(got.exists { case (a, b, c) => a == 11L && b == 12L &&
       c == got.collectFirst { case (10L, 12L, n) => n }.get }) // expansion copies count
   }
+
+  test("passageScrub removes shared passages, keeps tails, empties boilerplate docs") {
+    // n=3 passages; docs 1 and 2 share their first passage verbatim,
+    // doc 3 is entirely that shared passage, doc 4 is short (< n tokens)
+    val data = Seq(
+      (1L, "a b c d e f tail1"),   // passages: "a b c", "d e f"; tail "tail1"
+      (2L, "a b c x y z"),          // passages: "a b c", "x y z"
+      (3L, "a b c"),                // one passage, fully boilerplate
+      (4L, "u v")).toDF("doc_id", "text")
+    val got = Dedup.passageScrub(data, "doc_id", "text", n = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "d e f tail1", // shared passage cut, unique passage + tail kept
+      2L -> "x y z",
+      3L -> "",            // entirely boilerplate
+      4L -> "u v"))        // short doc: no passages, text is all tail
+  }
+
+  test("resolveKeepBest: one survivor per cluster by (score desc, id asc); singletons kept") {
+    // cluster {1,2,3}: 2 has the best score; {5,6}: tied scores → smaller id
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 30L), (4L, 7L), (5L, 20L), (6L, 20L))
+      .toDF("doc_id", "score")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "component")
+    val got = Dedup.resolveKeepBest(docs, "doc_id", "score", labels)
+      .select("doc_id", "component", "keep")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L),
+      (4L, 4L, 1L),               // singleton: own component, kept
+      (5L, 5L, 1L), (6L, 5L, 0L)))
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Outliers
+
+/** Exact-arithmetic z-score flags: equivalence with the naive float form
+  * away from the boundary, exactness past long-overflow magnitudes, and
+  * per-group isolation.
+  */
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags match the naive float z-score away from the boundary") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      ("g" + (i % 3), i.toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("g", "id", "v")
+    val got = Outliers.zScoreFlags(df, "g", "v", 3, 2)
+      .select("id", "is_outlier").as[(Long, Long)].collect().toMap
+    // naive driver-side recompute (population sigma)
+    val byG = rows.groupBy(_._1)
+    val want = rows.map { case (g, id, v) =>
+      val vs = byG(g).map(_._3.toDouble)
+      val mu = vs.sum / vs.size
+      val sd = math.sqrt(vs.map(x => (x - mu) * (x - mu)).sum / vs.size)
+      id -> (if (math.abs(v - mu) > 1.5 * sd) 1L else 0L)
+    }.toMap
+    assert(got === want)
+    assert(got.values.sum > 0, "fixture should flag some outliers")
+    assert(got.values.sum < rows.size, "fixture should keep some inliers")
+  }
+
+  test("exact past long range: squares that overflow Long still flag correctly") {
+    // values ~1e9 over ~1e3 rows: (n·x − S1)² ~ 1e24 — far past Long.Max;
+    // a long-arithmetic implementation wraps and misflags
+    val base = 1000000000L
+    val vals = (0 until 1000).map(i => base + (i % 10)) :+ (base + 1000000L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "v")
+    val flagged = Outliers.zScoreFlags(df, "g", "v", 3, 1)
+      .filter(col("is_outlier") === 1L)
+      .select("v").as[Long].collect().toSet
+    assert(flagged === Set(base + 1000000L))
+  }
+
+  test("groups are independent; singleton groups never flag") {
+    val df = Seq(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1000L), ("a", 4L, 0L),
+      ("b", 5L, 999999L)).toDF("g", "id", "v")
+    val got = Outliers.zScoreFlags(df, "g", "v", 3, 2)
+      .select("id", "is_outlier").as[(Long, Long)].collect().toMap
+    assert(got(3L) === 1L) // the spike in a's tight cluster
+    assert(got(5L) === 0L) // singleton: sigma 0, never an outlier
+    assert(got(1L) === 0L && got(2L) === 0L && got(4L) === 0L)
+  }
+
+  test("rejects non-positive thresholds") {
+    val df = Seq(("a", 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Outliers.zScoreFlags(df, "g", "v", 0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Outliers.zScoreFlags(df, "g", "v", 3, 0)
+    }
+  }
+}
