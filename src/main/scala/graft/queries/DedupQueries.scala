@@ -137,10 +137,20 @@ object DedupQueries {
     * exact-dup membership edges) — identical components to CC over the fully
     * expanded pair set, without quadratic intermediate state.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
+  /** Component labels of the MinHash near-dup graph, memoized per
+    * (session, dir): `connectedComponents` returns a localCheckpointed
+    * (materialized) frame, and both `dedup_clusters` and `dedup_keep_best`
+    * consume the identical pipeline — in a real curation run the clusters
+    * are computed once and both views derive from them.
+    */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    QueryMemo.cached(spark, dir, "minhash_cc")(
+      Dedup.connectedComponents(
         Dedup.minHashLshClusterEdges(docs(spark, dir), "doc_id", "text",
-          shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8))
+          shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8)))
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
       .select(col("node").as("doc_id"), col("component"))
 
   /** Oracle: transitive closure by recursive CTE over the brute-force pair
@@ -176,14 +186,10 @@ object DedupQueries {
     * smallest doc_id). Every doc gets a row: `component` = its cluster label
     * (own id for singletons), `keep` = 1 iff it survives the dedup pass.
     */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val cc = Dedup.connectedComponents(
-      Dedup.minHashLshClusterEdges(d, "doc_id", "text",
-        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8))
-    Dedup.resolveKeepBest(d, "doc_id", "n_chars", cc)
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveKeepBest(docs(spark, dir), "doc_id", "n_chars",
+        clusterLabels(spark, dir))
       .select(col("doc_id"), col("component"), col("keep"))
-  }
 
   /** Oracle: the recursive-CTE transitive closure (as `dedup_clusters`),
     * left-joined onto the full corpus, survivor by the same exact ordering.

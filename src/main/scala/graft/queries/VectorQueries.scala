@@ -20,34 +20,13 @@ object VectorQueries {
   private val K = 10
   private val NQ = 10 // queries = vec_id < NQ
 
-  /** Deterministic trainers memoized per (session, dir, key): a query and
-    * its oracle-input aux export recompute the SAME model by construction,
-    * so retraining it is pure waste (Verify runs both; ivf appears in four
-    * entries). The session is part of the key because the *_enc entries hold
-    * cached DataFrames — handing one to a different (possibly stopped)
-    * SparkSession would throw or misbehave.
+  /** Deterministic trainers memoized per (session, dir, key) — see
+    * `QueryMemo` for the keying/eviction rationale. A query and its
+    * oracle-input aux export recompute the SAME model by construction
+    * (Verify runs both; ivf appears in four entries).
     */
-  // keyed on the stable sessionUUID (identity hashes can collide after GC)
-  // with EXPLICIT bounded eviction: weak references don't work here — the
-  // cached values include DataFrames that strongly reference their session,
-  // and a WeakHashMap value that reaches its key pins the entry forever (the
-  // documented WeakHashMap caveat). Keeping the most recent MaxSessions
-  // sessions bounds memory deterministically; these tools (Verify, Bench,
-  // tests) create sessions serially, so an evicted session is a stopped one.
-  private val MaxSessions = 4
-  private val modelCache = new java.util.LinkedHashMap[
-      String, collection.concurrent.TrieMap[(String, String), Any]](16, 0.75f, false) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[String, collection.concurrent.TrieMap[(String, String), Any]]): Boolean =
-      size > MaxSessions
-  }
-  private def cachedModel[T](spark: SparkSession, dir: String, key: String)(f: => T): T = {
-    val perSession = modelCache.synchronized {
-      modelCache.computeIfAbsent(org.apache.spark.sql.graft.Bridge.sessionUUID(spark),
-        _ => collection.concurrent.TrieMap.empty)
-    }
-    perSession.getOrElseUpdate((dir, key), f).asInstanceOf[T]
-  }
+  private def cachedModel[T](spark: SparkSession, dir: String, key: String)(f: => T): T =
+    QueryMemo.cached(spark, dir, key)(f)
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
