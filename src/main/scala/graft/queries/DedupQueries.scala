@@ -137,28 +137,17 @@ object DedupQueries {
     * exact-dup membership edges) — identical components to CC over the fully
     * expanded pair set, without quadratic intermediate state.
     */
-  /** Component labels of the MinHash near-dup graph, computed once per
-    * (session, dir) and spilled to a temp parquet — the "dedup manifest" a
-    * real curation run materializes before deriving its views; both
-    * `dedup_clusters` and `dedup_keep_best` re-read it as a plain file
-    * scan. A parquet spill rather than a memoized localCheckpointed frame:
-    * checkpoint blocks die with any cache-clearing pass (Bench isolates
-    * reps exactly that way) and their lineage is deliberately truncated, so
-    * a consumer after the clear would hit CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
-    * — a file scan is recomputable forever. The dir lives until JVM exit
-    * (label frames are dup-graph-sized, not corpus-sized).
+  /** Component labels of the MinHash near-dup graph — the "dedup manifest"
+    * a real curation run materializes before deriving its views; both
+    * `dedup_clusters` and `dedup_keep_best` re-read the one spill (see
+    * `QueryMemo.spilled` for why a spill and not a cached/checkpointed
+    * frame). Label frames are dup-graph-sized, not corpus-sized.
     */
-  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = QueryMemo.cached(spark, dir, "minhash_cc_path") {
-      val p = java.nio.file.Files.createTempDirectory("graft_cc_").toString
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    QueryMemo.spilled(spark, dir, "minhash_cc")(
       Dedup.connectedComponents(
-          Dedup.minHashLshClusterEdges(docs(spark, dir), "doc_id", "text",
-            shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8))
-        .write.mode("overwrite").parquet(p)
-      p
-    }
-    spark.read.parquet(path)
-  }
+        Dedup.minHashLshClusterEdges(docs(spark, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8)))
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterLabels(spark, dir)

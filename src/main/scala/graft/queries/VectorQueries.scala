@@ -212,10 +212,11 @@ object VectorQueries {
     val c = corpus(spark, dir)
     val model = cachedModel(spark, dir, s"pq_${space.name}")(
       IvfPq.train(c, "embedding", nlist = 10, m = 8, space = space))
-    // cache = the materialized encoded layout (production writes it
-    // partitionBy(cluster_id); a one-shot query caches it instead)
-    val encoded = cachedModel(spark, dir, s"pq_enc_${space.name}")(
-      IvfPq.encode(c, "embedding", model).cache())
+    // spill = the materialized encoded layout (production writes it
+    // partitionBy(cluster_id); the query pack writes one temp parquet) —
+    // consumers get a file scan, robust to cache clearing between reps
+    val encoded = QueryMemo.spilled(spark, dir, s"pq_enc_${space.name}")(
+      IvfPq.encode(c, "embedding", model))
     (encoded, model)
   }
 
@@ -250,8 +251,8 @@ object VectorQueries {
     val c = corpus(spark, dir)
     val model = cachedModel(spark, dir, "opq")(
       Opq.train(c, "embedding", nlist = 10, m = 8, opqIters = 6))
-    val encoded = cachedModel(spark, dir, "opq_enc")(
-      Opq.encode(c, "embedding", model).cache())
+    val encoded = QueryMemo.spilled(spark, dir, "opq_enc")(
+      Opq.encode(c, "embedding", model))
     (encoded, model)
   }
 
@@ -281,8 +282,8 @@ object VectorQueries {
   private def sqEncodedFor(spark: SparkSession, dir: String): (DataFrame, ScalarQuant.Model) = {
     val c = corpus(spark, dir)
     val model = cachedModel(spark, dir, "sq")(ScalarQuant.train(c, "embedding"))
-    val encoded = cachedModel(spark, dir, "sq_enc")(
-      ScalarQuant.encode(c, "embedding", model).cache())
+    val encoded = QueryMemo.spilled(spark, dir, "sq_enc")(
+      ScalarQuant.encode(c, "embedding", model))
     (encoded, model)
   }
 

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan regressions: the properties that make these queries scale —
   * pushdown, pruning, broadcast choice, partial group-limit — must survive
   * refactors. (The 100 TB argument lives in these assertions.)
@@ -49,10 +51,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("UDF("), s"lsh_knn plan must not contain a Scala UDF:\n$p")
   }
 
-  test("pq encode path is a codegen kernel, not a UDF") {
+  test("pq serving plan scans the encoded layout and scores via codegen ADC, not a UDF") {
+    // encoding runs once at build/spill time — the SERVING plan must read
+    // the pre-encoded codes from parquet (no re-encode per query) and do
+    // its ADC scoring through the codegen kernel
     val p = plan("pq_knn")
-    assert(p.contains("pq_encode"), s"expected the codegen kernel in:\n$p")
+    assert(p.contains("adc_lookup_sum"), s"expected the ADC kernel in:\n$p")
+    assert(!p.contains("pq_encode"),
+      s"serving must read pre-encoded codes, not re-encode the corpus:\n$p")
     assert(!p.contains("UDF("), s"pq_knn plan must not contain a Scala UDF:\n$p")
+  }
+
+  test("pq encode (build) path is a codegen kernel, not a UDF") {
+    import graft.operators.IvfPq
+    val c = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val model = IvfPq.train(c, "embedding", nlist = 10, m = 8)
+    val p = IvfPq.encode(c, "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("pq_encode"), s"expected the codegen kernel in:\n$p")
+    assert(!p.contains("UDF("), s"encode plan must not contain a Scala UDF:\n$p")
   }
 
   test("range joins plan as equi-joins — never cartesian/nested-loop") {
