@@ -117,7 +117,7 @@ object AnalyticsQueries {
   val jsonPropsStatsSql: String =
     """WITH e AS (
       |  SELECT event_type,
-      |    CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k
+      |    CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS k
       |  FROM events)
       |SELECT event_type, count(*) AS n, min(k) AS k_min, max(k) AS k_max,
       |  CAST(sum(k) AS BIGINT) AS k_sum, count(DISTINCT k) AS k_distinct
@@ -585,7 +585,9 @@ object AnalyticsQueries {
   /** Same algebra over HUGEINT (int128) — exact on both engines. */
   val outlierEventsSql: String =
     """WITH k AS (SELECT event_id, event_type,
-      |    CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+      |    -- NULLIF: a row without the field extracts '' and CAST('') errors;
+      |    -- Spark's get_json_object yields NULL there — align the engines
+      |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
       |  FROM events),
       |s AS (SELECT event_type, count(*) AS n, sum(k) AS s1, sum(k*k) AS s2
       |  FROM k GROUP BY 1)
