@@ -237,7 +237,7 @@ object Dedup {
     * completion — an eager stats action here would execute the whole
     * upstream pipeline (shingles, signatures) a second time.
     */
-  private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+  private[operators] def capBuckets(rows: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
     if (maxBucket == Int.MaxValue) return rows
     ensureCapListener(rows.sparkSession)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
@@ -262,7 +262,7 @@ object Dedup {
             if (name.startsWith("graft_cap_buckets") && !row.isNullAt(0) && row.getLong(0) > 0)
               log.warn(s"capBuckets: dropped ${row.getLong(0)} rows in over-cap " +
                 s"buckets (largest bucket ${row.getLong(1)}); their pairs may " +
-                "still surface via other bands")
+                "still surface via other bands/signatures")
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
@@ -918,11 +918,14 @@ object Dedup {
       n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"passage length must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = widened(df)
+    val prep = widened(df)
       .select(col(idCol).as("__did"), split(col(textCol), " ").as("__toks"))
-      .withColumn("__ch", graft.functions.vfn.ngrams(col("__toks"), n, stride = n))
-    val occ = base.select(col("__did"),
-      posexplode(col("__ch")).as(Seq("pos", "chunk")))
+    // the gram kernel — the dominant map cost of every shingle pipeline —
+    // runs on the occurrence lineage ONLY; the reassembly side derives the
+    // tail boundary arithmetically (full chunks = size div n)
+    val occ = prep.select(col("__did"),
+      posexplode(graft.functions.vfn.ngrams(col("__toks"), n, stride = n))
+        .as(Seq("pos", "chunk")))
     val dup = occ.groupBy(col("chunk"))
       .agg(countDistinct(col("__did")).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -931,14 +934,15 @@ object Dedup {
       .groupBy(col("__did"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
         x => x("chunk")).as("__kept"))
-    base
+    val nFull = expr(s"size(__toks) div $n").cast("int")
+    prep
       .join(kept, Seq("__did"), "left_outer")
       .select(col("__did"),
         array_join(
           concat(
             coalesce(col("__kept"), typedlit(Seq.empty[String])),
-            slice(col("__toks"), size(col("__ch")) * n + 1,
-              size(col("__toks")) - size(col("__ch")) * n)),
+            slice(col("__toks"), nFull * lit(n) + lit(1),
+              size(col("__toks")) - nFull * lit(n))),
           " ").as("clean_text"))
   }
 

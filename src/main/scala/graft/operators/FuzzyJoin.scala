@@ -38,8 +38,6 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  private val capCalls = new java.util.concurrent.atomic.AtomicLong(0L)
-
   /** All unordered pairs of distinct values of `strCol` within Levenshtein
     * distance `k` (1 ≤ k ≤ 9). Output columns: `a`, `b` (binary-ordered,
     * a < b), `dist` (exact distance, IntegerType). Input rows are
@@ -50,8 +48,9 @@ object FuzzyJoin {
     * defense as the LSH pipelines' bucket cap. A boilerplate chunk shared
     * by 10⁶ strings (every string starting "https://www.", say) makes the
     * candidate set quadratic in that group; capping trades those
-    * candidates away EXPLICITLY (logged via the "fuzzyjoin.droppedBuckets"
-    * observation) instead of letting one hot chunk own the job. A pair is
+    * candidates away EXPLICITLY (warn-logged through `Dedup.capBuckets`'
+    * observed-metric listener) instead of letting one hot chunk own the
+    * job. A pair is
     * only lost if ALL of its shared chunks are over-cap — unlike LSH this
     * blocking is complete, so with the cap off (default) results are
     * exact.
@@ -63,18 +62,11 @@ object FuzzyJoin {
     val strs = df.select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
     val buildAll = strs.select(col("s"), explode(buildSigs("s", k)).as("sig"))
       .select(col("s"), col("sig.l"), col("sig.i"), col("sig.sub"))
-    val build = maxSigBucket.fold(buildAll) { cap =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l"), col("i"), col("sub"))
-      buildAll
-        .withColumn("__bn", count(lit(1)).over(w))
-        // unique metric name per call: observed-metric names must be unique
-        // within a query, and one plan may combine several capped joins
-        .observe(s"fuzzyjoin.droppedBuckets.${capCalls.incrementAndGet()}",
-          sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("over_cap_rows"))
-        .filter(col("__bn") <= cap)
-        .drop("__bn")
-    }
+    // shared with the LSH pipelines: window count + uniquely-named observe
+    // + filter, with the registered listener that actually LOGS drops —
+    // the earlier local reimplementation observed a metric nothing read
+    val build = maxSigBucket.fold(buildAll)(cap =>
+      Dedup.capBuckets(buildAll, Seq("l", "i", "sub"), cap))
     val probe = strs.select(col("s").as("t"))
       .select(col("t"), explode(probeSigs("t", k)).as("sig"))
       .select(col("t"), col("sig.l"), col("sig.i"), col("sig.sub"))

@@ -11,46 +11,64 @@ import org.apache.spark.sql.functions._
   * The naive form `|x − μ| > t·σ` needs a float mean and a square root —
   * both order-dependent and libm-bound, so neither hash-replays across
   * engines. Squaring and clearing denominators gives the EQUIVALENT
-  * integer-only test (population σ, threshold t = tNumer/tDenom):
+  * integer-only test (population σ over the OBSERVED values, threshold
+  * t = tNumer/tDenom):
   *
   *   d²·(n·x − S1)²  >  t²·(n·S2 − S1²)        [d = tDenom, t² = tNumer²]
   *
-  * with S1 = Σx, S2 = Σx² per group — every quantity an exact integer
-  * aggregate, every comparison exact, so Spark and any SQL engine agree to
-  * the last bit. Rational thresholds (e.g. 1.5σ = 3/2) stay exact too.
+  * with n = count of non-null values, S1 = Σx, S2 = Σx² per group — every
+  * quantity an exact integer aggregate, every comparison exact, so Spark
+  * and any SQL engine agree to the last bit. Rational thresholds (e.g.
+  * 1.5σ = 3/2) stay exact too.
   *
-  * Scale: one constant-width groupBy over the group key (two long sums + a
-  * count ride one shuffle) and a broadcast join of the tiny stats frame
-  * back onto the stream — the flagging itself is a codegen'd per-row
-  * comparison, no window, no second shuffle. Arithmetic is DECIMAL(38,0),
-  * so the squares stay exact far past long range: safe while
-  * |n·x − S1| < 10¹⁹ and n·S2 < 10³⁷ (e.g. a trillion rows of |x| ≤ 10⁶).
+  * Overflow contract: exact or LOUD, never silently wrong. Values are cast
+  * to DECIMAL(19,0) — which holds every long exactly — before squaring, so
+  * a per-row square tops out at ~8.5·10³⁷ inside DECIMAL(38,0); only the
+  * group sums and the final products can exceed 38 digits (needs
+  * d²·(n·x − S1)² or t²·(n·S2 − S1²) ≥ 10³⁸). When they do, ANSI mode
+  * (the Spark 4 default) raises on the spot, and with ANSI off the NULL
+  * that decimal overflow produces is converted to an explicit error below
+  * — an extreme spike can never be silently un-flagged.
+  *
+  * Scale: one constant-width groupBy over the group key (two decimal sums
+  * + a count ride one shuffle) and a broadcast join of the tiny stats
+  * frame back onto the stream — the flagging itself is a codegen'd
+  * per-row comparison, no window, no second shuffle.
   */
 object Outliers {
 
   /** Flag rows of `df` whose `valCol` (integral) deviates from its
     * `keyCol`-group mean by more than (tNumer/tDenom)·σ. Output: all input
-    * columns + `is_outlier` (1/0 long). Groups of size 1 have σ = 0 — their
-    * single row is never an outlier (0 > 0 fails), matching the math.
+    * columns + `is_outlier` (1/0 long). Rows with a NULL value (or a NULL
+    * group key, which no stats row matches) are never outliers and don't
+    * contribute to the group's moments. Groups of size 1 have σ = 0 —
+    * their single row is never an outlier (0 > 0 fails), matching the
+    * math.
     */
   def zScoreFlags(df: DataFrame, keyCol: String, valCol: String,
       tNumer: Int, tDenom: Int): DataFrame = {
     require(tNumer > 0 && tDenom > 0,
       s"threshold must be a positive rational, got $tNumer/$tDenom")
     val dec = "decimal(38,0)"
-    // Σx² via a pre-squared decimal so no intermediate overflows long:
-    // v ≤ 1e18 squares inside decimal(38,0) exactly
-    val v = col(valCol).cast("decimal(18,0)")
+    val v = col(valCol).cast("decimal(19,0)")
     val stats = df.groupBy(col(keyCol)).agg(
-      count(lit(1)).cast(dec).as("__n"),
-      sum(col(valCol)).cast(dec).as("__s1"),
+      count(col(valCol)).cast(dec).as("__n"), // observed values only
+      sum(v).cast(dec).as("__s1"),
       sum(v * v).cast(dec).as("__s2"))
-    val dev = col("__n") * col(valCol).cast(dec) - col("__s1")
-    val varN = col("__n") * col("__s2") - col("__s1") * col("__s1")
-    df.join(broadcast(stats), Seq(keyCol))
+    val dev = col("__n") * v - col("__s1")
+    val lhs = lit(tDenom.toLong * tDenom).cast(dec) * dev * dev
+    val rhs = lit(tNumer.toLong * tNumer).cast(dec) *
+      (col("__n") * col("__s2") - col("__s1") * col("__s1"))
+    df.join(broadcast(stats), Seq(keyCol), "left_outer")
       .withColumn("is_outlier",
-        when(lit(tDenom.toLong * tDenom).cast(dec) * dev * dev >
-             lit(tNumer.toLong * tNumer).cast(dec) * varN, 1L).otherwise(0L))
+        when(col(valCol).isNull || col("__n").isNull, 0L)
+          .when(lhs > rhs, 1L)
+          .when(lhs <= rhs, 0L)
+          // both comparisons NULL ⇔ a decimal product overflowed with ANSI
+          // off (ANSI already threw) — refuse to guess
+          .otherwise(raise_error(lit(
+            "zScoreFlags: decimal(38,0) overflow computing the z-score " +
+              "test — group moments too large for exact arithmetic"))))
       .drop("__n", "__s1", "__s2")
   }
 }

@@ -589,14 +589,14 @@ object AnalyticsQueries {
       |    -- Spark's get_json_object yields NULL there — align the engines
       |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
       |  FROM events),
-      |s AS (SELECT event_type, count(*) AS n, sum(k) AS s1, sum(k*k) AS s2
+      |s AS (SELECT event_type, count(k) AS n, sum(k) AS s1, sum(k*k) AS s2
       |  FROM k GROUP BY 1)
       |SELECT k.event_id, k.event_type, k.k,
       |  CAST(CASE WHEN
       |      4 * CAST(n*k.k - s1 AS HUGEINT) * CAST(n*k.k - s1 AS HUGEINT)
       |      > 9 * (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
-      |FROM k JOIN s USING (event_type)""".stripMargin
+      |FROM k LEFT JOIN s USING (event_type)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "outlier_events" -> (outlierEvents(_, _)),

@@ -153,49 +153,13 @@ object DedupQueries {
     clusterLabels(spark, dir)
       .select(col("node").as("doc_id"), col("component"))
 
-  /** Oracle: transitive closure by recursive CTE over the brute-force pair
-    * set, component = least reachable id.
+  /** The recursive-CTE transitive closure over the brute-force near-dup
+    * pair set — shared by BOTH cluster oracles so the definition of "a
+    * cluster" (shingle size, threshold, closure algebra) lives in exactly
+    * one place. Ends with `comp` = (doc_id, component = least reachable).
     */
-  val dedupClustersSql: String =
-    """WITH RECURSIVE pairs AS (
-      |  WITH sh AS (
-      |    SELECT doc_id, unnest(list_distinct(
-      |      CASE WHEN len(string_split(text, ' ')) >= 3
-      |        THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-      |          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
-      |        ELSE [text] END)) AS s
-      |    FROM documents),
-      |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |  inter AS (
-      |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-      |    FROM sh a JOIN sh b ON a.s = b.s WHERE a.doc_id < b.doc_id
-      |    GROUP BY a.doc_id, b.doc_id)
-      |  SELECT ia, ib FROM inter
-      |  JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
-      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
-      |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
-      |reach AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      |SELECT a AS doc_id, least(a, min(b)) AS component
-      |FROM reach GROUP BY a""".stripMargin
-
-  /** The full curation decision: near-dup clusters (MinHash graph) resolved
-    * to one survivor each — the longest member (`n_chars`, ties to the
-    * smallest doc_id). Every doc gets a row: `component` = its cluster label
-    * (own id for singletons), `keep` = 1 iff it survives the dedup pass.
-    */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
-    Dedup.resolveKeepBest(docs(spark, dir), "doc_id", "n_chars",
-        clusterLabels(spark, dir))
-      .select(col("doc_id"), col("component"), col("keep"))
-
-  /** Oracle: the recursive-CTE transitive closure (as `dedup_clusters`),
-    * left-joined onto the full corpus, survivor by the same exact ordering.
-    */
-  val dedupKeepBestSql: String =
-    """WITH RECURSIVE pairs AS (
+  private val nearDupClosureCtes: String =
+    """pairs AS (
       |  WITH sh AS (
       |    SELECT doc_id, unnest(list_distinct(
       |      CASE WHEN len(string_split(text, ' ')) >= 3
@@ -218,15 +182,36 @@ object DedupQueries {
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       |comp AS (
       |  SELECT a AS doc_id, least(a, min(b)) AS component
-      |  FROM reach GROUP BY a),
-      |lab AS (
-      |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
-      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
-      |SELECT doc_id, component,
-      |  CAST(CASE WHEN row_number() OVER (PARTITION BY component
-      |      ORDER BY n_chars DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END
-      |    AS BIGINT) AS keep
-      |FROM lab""".stripMargin
+      |  FROM reach GROUP BY a)""".stripMargin
+
+  /** Oracle: the shared closure, clustered docs only. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $nearDupClosureCtes
+       |SELECT doc_id, component FROM comp""".stripMargin
+
+  /** The full curation decision: near-dup clusters (MinHash graph) resolved
+    * to one survivor each — the longest member (`n_chars`, ties to the
+    * smallest doc_id). Every doc gets a row: `component` = its cluster label
+    * (own id for singletons), `keep` = 1 iff it survives the dedup pass.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveKeepBest(docs(spark, dir), "doc_id", "n_chars",
+        clusterLabels(spark, dir))
+      .select(col("doc_id"), col("component"), col("keep"))
+
+  /** Oracle: the shared closure, left-joined onto the full corpus,
+    * survivor by the same exact ordering.
+    */
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $nearDupClosureCtes,
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, component,
+       |  CAST(CASE WHEN row_number() OVER (PARTITION BY component
+       |      ORDER BY n_chars DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS keep
+       |FROM lab""".stripMargin
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)

@@ -51,10 +51,30 @@ private[queries] object QueryMemo {
   def spilled(spark: SparkSession, dir: String, key: String)(
       f: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val path = cached(spark, dir, key + "__spill") {
-      val p = java.nio.file.Files.createTempDirectory(s"graft_${key}_").toString
-      f.write.mode("overwrite").parquet(p)
-      p
+      val p = java.nio.file.Files.createTempDirectory(s"graft_${key}_")
+      registerSpill(p)
+      f.write.mode("overwrite").parquet(p.toString)
+      p.toString
     }
     spark.read.parquet(path)
+  }
+
+  // spills are deleted on JVM exit (a shutdown hook, since the memo — and
+  // consumers holding the returned scans — live as long as the process);
+  // without it every Verify/Bench/test run would strand an encoded-corpus
+  // copy in the temp dir
+  private val spillDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      spillDirs.forEach { p =>
+        scala.util.Try {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      }))
+  private def registerSpill(p: java.nio.file.Path): Unit = {
+    cleanupHook
+    spillDirs.add(p)
   }
 }

@@ -55,6 +55,31 @@ class OutliersSpec extends SparkSpec {
     assert(got(1L) === 0L && got(2L) === 0L && got(4L) === 0L)
   }
 
+  test("null values don't skew the moments and are never flagged") {
+    // group stats must come from OBSERVED values only: with 98 null rows,
+    // a count(*)-based n would drag the mean to ~1 and misflag v=100
+    val rows = Seq(("a", 1L, Some(0L)), ("a", 2L, Some(100L))) ++
+      (3 to 100).map(i => ("a", i.toLong, None: Option[Long]))
+    val df = rows.toDF("g", "id", "v")
+    val got = Outliers.zScoreFlags(df, "g", "v", 3, 2)
+      .select("id", "is_outlier").as[(Long, Long)].collect().toMap
+    // observed {0, 100}: sigma = 50, |v - 50| = 50 < 1.5*50 — no outliers
+    assert(got.values.forall(_ == 0L))
+    assert(got.size === rows.size, "null-value rows must still come back")
+  }
+
+  test("overflow errors loudly instead of misflagging") {
+    // two rows near Long.Max: n*S2 exceeds decimal(38,0) in the variance
+    // product — the contract is exact-or-error, never a silent wrong flag
+    val df = Seq(("g", 1L, 0L), ("g", 2L, 9000000000000000000L))
+      .toDF("g", "id", "v")
+    val e = intercept[Exception] {
+      Outliers.zScoreFlags(df, "g", "v", 3, 1).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("overflow") || msg.contains("38"), msg)
+  }
+
   test("rejects non-positive thresholds") {
     val df = Seq(("a", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
