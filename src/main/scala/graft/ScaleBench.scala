@@ -254,6 +254,11 @@ object ScaleBench {
       out(s"bloom_decontam_$tag") = time(drain(
         graft.operators.Decontam.ngramContamination(
           docs, "doc_id", "text", evalSide, "doc_id", "text", n = 5)))
+      // passage scrub: the REMOVAL transform — replicas make every passage
+      // cross-doc-duplicated, but output stays one row per doc and all
+      // three shuffles are linear (occurrence rows, never pairs)
+      out(s"passage_scrub_$tag") = time(drain(
+        Dedup.passageScrub(docs, "doc_id", "text", n = 8)))
     }
 
     val scaled = s"${factor}x"
@@ -275,7 +280,8 @@ object ScaleBench {
       ("scaling_incr_dedup_batch", s"incr_dedup_batch_$scaled", "incr_dedup_batch_1x"),
       ("scaling_fuzzy_join", s"fuzzy_join_$scaled", "fuzzy_join_1x"),
       ("scaling_substr_dedup", s"substr_dedup_$scaled", "substr_dedup_1x"),
-      ("scaling_bloom_decontam", s"bloom_decontam_$scaled", "bloom_decontam_1x"))
+      ("scaling_bloom_decontam", s"bloom_decontam_$scaled", "bloom_decontam_1x"),
+      ("scaling_passage_scrub", s"passage_scrub_$scaled", "passage_scrub_1x"))
       .collect { case (k, num, den) if out.contains(num) && out.contains(den) =>
         k -> out(num) / out(den) }
     val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++
