@@ -71,4 +71,58 @@ object Outliers {
               "test — group moments too large for exact arithmetic"))))
       .drop("__n", "__s1", "__s2")
   }
+
+  /** Robust (quartile-fence) per-group outlier flags in EXACT arithmetic —
+    * the Tukey-fence complement to `zScoreFlags` for heavy-tailed metrics
+    * where one extreme value drags the mean/σ themselves (σ-based flags
+    * then MISS the spike that caused them; quartiles don't move).
+    *
+    * Quartiles are percentile_disc-style rank selections (k = ⌈q·n⌉ in
+    * integer arithmetic — the same selection `token_quantiles` gates), so
+    * p25/p75 are actual data values, and the fence test clears the
+    * rational multiplier m = mNumer/mDenom into integers:
+    *
+    *   flag  ⇔  d·x > d·p75 + m·(p75 − p25)  or  d·x < d·p25 − m·(p75 − p25)
+    *
+    * [d = mDenom, m = mNumer] — exact in any engine. Tie values make the
+    * k-th SMALLEST value deterministic regardless of row_number tie
+    * choice. DECIMAL(38,0) arithmetic: int multipliers × long values top
+    * out near 10²⁸, far inside range — no overflow path exists.
+    *
+    * Scale: one per-group window sort (rank selection — no global sort, no
+    * collect) + a broadcast join of the two-value stats frame back onto
+    * the stream. Groups far larger than a partition would switch to the
+    * two-pass histogram form; the window form is right while per-group
+    * data fits a partition spill (same stance as `token_quantiles`).
+    */
+  def iqrFlags(df: DataFrame, keyCol: String, valCol: String,
+      mNumer: Int, mDenom: Int): DataFrame = {
+    require(mNumer >= 0 && mDenom > 0,
+      s"fence multiplier must be a non-negative rational, got $mNumer/$mDenom")
+    val dec = "decimal(38,0)"
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val w = part.orderBy(col(valCol).asc)
+    val ranked = df.filter(col(valCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), col(valCol))
+      .withColumn("__rnk", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(part))
+    val k25 = expr("(__cnt + 3) div 4")
+    val k75 = expr("(__cnt * 3 + 3) div 4")
+    val stats = ranked
+      .filter(col("__rnk") === k25 || col("__rnk") === k75)
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(col("__rnk") === k25, col(valCol))).cast(dec).as("__p25"),
+        min(when(col("__rnk") === k75, col(valCol))).cast(dec).as("__p75"))
+    val v = col(valCol).cast(dec)
+    val iqrM = lit(mNumer.toLong).cast(dec) * (col("__p75") - col("__p25"))
+    val dv = lit(mDenom.toLong).cast(dec) * v
+    df.join(broadcast(stats), Seq(keyCol), "left_outer")
+      .withColumn("is_outlier",
+        when(col(valCol).isNull || col("__p25").isNull, 0L)
+          .when(dv > lit(mDenom.toLong).cast(dec) * col("__p75") + iqrM ||
+                dv < lit(mDenom.toLong).cast(dec) * col("__p25") - iqrM, 1L)
+          .otherwise(0L))
+      .drop("__p25", "__p75")
+  }
 }

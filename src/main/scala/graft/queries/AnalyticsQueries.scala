@@ -598,7 +598,38 @@ object AnalyticsQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
       |FROM k LEFT JOIN s USING (event_type)""".stripMargin
 
+  /** Robust quartile-fence outliers over per-doc length, per language —
+    * the heavy-tail-safe counterpart to `outlier_events` (see
+    * `Outliers.iqrFlags`). Fence multiplier 1/2 (an inner fence: this
+    * corpus has no 1.5·IQR tails) exercises the rational algebra with a
+    * non-trivial denominator.
+    */
+  def outlierIqr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.iqrFlags(
+        docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", mNumer = 1, mDenom = 2)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("is_outlier"))
+
+  /** Same rank selection (k = ⌈q·n⌉) and cleared-denominator fence. */
+  val outlierIqrSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars ASC, doc_id ASC) AS rnk,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents),
+      |s AS (SELECT lang,
+      |    min(CASE WHEN rnk = (cnt + 3) // 4 THEN n_chars END) AS p25,
+      |    min(CASE WHEN rnk = (cnt * 3 + 3) // 4 THEN n_chars END) AS p75
+      |  FROM t GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  CAST(CASE WHEN 2 * d.n_chars > 2 * p75 + 1 * (p75 - p25)
+      |         OR 2 * d.n_chars < 2 * p25 - 1 * (p75 - p25)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      |FROM documents d LEFT JOIN s USING (lang)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "outlier_iqr" -> (outlierIqr(_, _)),
     "outlier_events" -> (outlierEvents(_, _)),
     "resample_interp" -> (resampleInterp(_, _)),
     "event_cooccurrence" -> (eventCooccurrence(_, _)),
@@ -615,6 +646,7 @@ object AnalyticsQueries {
     "cube_doc_counts" -> (cubeDocCounts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "outlier_iqr" -> outlierIqrSql,
     "outlier_events" -> outlierEventsSql,
     "resample_interp" -> resampleInterpSql,
     "event_cooccurrence" -> eventCooccurrenceSql,

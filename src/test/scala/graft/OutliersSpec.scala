@@ -88,5 +88,57 @@ class OutliersSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Outliers.zScoreFlags(df, "g", "v", 3, 0)
     }
+    intercept[IllegalArgumentException] {
+      Outliers.iqrFlags(df, "g", "v", 3, 0)
+    }
+  }
+
+  test("iqrFlags matches a naive quartile-fence recount on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map(i =>
+      ("g" + (i % 3), i.toLong, rnd.nextInt(100).toLong)) ++
+      Seq(("g0", 9001L, 100000L), ("g1", 9002L, -100000L)) // planted spikes
+    val df = rows.toDF("g", "id", "v")
+    val got = Outliers.iqrFlags(df, "g", "v", 3, 2)
+      .select("id", "is_outlier").as[(Long, Long)].collect().toMap
+    val byG = rows.groupBy(_._1)
+    val want = rows.map { case (g, id, v) =>
+      val vs = byG(g).map(_._3).sorted
+      val n = vs.size
+      def kth(q: Int) = vs((n * q + 3) / 4 - 1) // ceil(q/4 * n), 1-indexed
+      val (p25, p75) = (kth(1), kth(3))
+      val out = 2 * v > 2 * p75 + 3 * (p75 - p25) ||
+        2 * v < 2 * p25 - 3 * (p75 - p25)
+      id -> (if (out) 1L else 0L)
+    }.toMap
+    assert(got === want)
+    assert(got(9001L) === 1L && got(9002L) === 1L)
+  }
+
+  test("iqrFlags is robust where zScoreFlags is dragged by the spike") {
+    // one huge spike inflates sigma enough to hide itself at 3-sigma in a
+    // tight cluster? no — but it DOES hide a second, smaller spike: the
+    // classic masking failure the quartile fence is immune to
+    val base = (0 until 200).map(i => ("g", i.toLong, 100L + (i % 5)))
+    val rows = base ++ Seq(("g", 9001L, 10000000L), ("g", 9002L, 2000L))
+    val df = rows.toDF("g", "id", "v")
+    val z = Outliers.zScoreFlags(df, "g", "v", 3, 1)
+      .select("id", "is_outlier").as[(Long, Long)].collect().toMap
+    val iqr = Outliers.iqrFlags(df, "g", "v", 3, 2)
+      .select("id", "is_outlier").as[(Long, Long)].collect().toMap
+    assert(z(9002L) === 0L, "sigma dragged by the big spike masks the small one")
+    assert(iqr(9002L) === 1L && iqr(9001L) === 1L, "quartile fence catches both")
+    assert(base.forall { case (_, id, _) => iqr(id) === 0L })
+  }
+
+  test("iqrFlags: singleton and tiny groups never flag; nulls pass through") {
+    val df = Seq(("a", 1L, Some(5L)), ("b", 2L, Some(1L)), ("b", 3L, Some(100L)),
+      ("b", 4L, None: Option[Long])).toDF("g", "id", "v")
+    val got = Outliers.iqrFlags(df, "g", "v", 3, 2)
+      .select("id", "is_outlier").as[(Long, Long)].collect().toMap
+    // a: singleton (p25=p75=5, IQR 0, v inside). b: n=2 -> k25=1, k75=2,
+    // fence = [1 - 148.5, 100 + 148.5] — both inside. null row: never flagged
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    assert(got.size === 4)
   }
 }
