@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of `Outliers.zScoreFlags`: per-key z-score outlier flags
+  * over an UNBOUNDED stream, each micro-batch's events judged against the
+  * exact cumulative moments of everything ingested so far (including the
+  * batch itself) — the live quality monitor a curation pipeline runs at
+  * the ingest edge, where the batch operator would need a full re-scan per
+  * arrival.
+  *
+  * The moments (n, Σx, Σx²) are order-free integer sums, so the flags are
+  * DETERMINISTIC for any partitioning of the stream into micro-batches:
+  * an event's flag depends only on WHICH prefix of the stream it arrived
+  * in, never on ordering inside a batch — the property the batch-twin
+  * spec replays. State is three numbers per key, carried as decimal
+  * strings and summed in BigInt: exact at ANY stream length (the batch
+  * operator's DECIMAL(38,0) envelope doesn't bound the streaming state).
+  *
+  * Scale: state is hash-partitioned by key across executors (constant
+  * width per key); a micro-batch touches only keys with new events. No
+  * timeout — monitored populations don't expire (callers with cohort
+  * churn can wrap keys with a window epoch).
+  */
+object Monitor {
+
+  case class Obs(key: String, id: Long, value: Long)
+  case class Moments(n: Long, s1: String, s2: String)
+  case class Flag(key: String, id: Long, value: Long, isOutlier: Long)
+
+  def zScoreFlags(obs: Dataset[Obs], tNumer: Int, tDenom: Int): Dataset[Flag] = {
+    require(tNumer > 0 && tDenom > 0,
+      s"threshold must be a positive rational, got $tNumer/$tDenom")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[Moments, Flag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key, evts, state) => updateKey(key, evts, state, tNumer, tDenom))
+  }
+
+  /** Unit-testable core: fold the batch into the cumulative moments, flag
+    * every batch event against the UPDATED (prefix-inclusive) moments.
+    */
+  private[graft] def updateKey(key: String, evts: Iterator[Obs],
+      state: GroupState[Moments], tNumer: Int, tDenom: Int): Iterator[Flag] = {
+    val batch = evts.toArray
+    val prev = state.getOption.getOrElse(Moments(0L, "0", "0"))
+    var n = prev.n
+    var s1 = BigInt(prev.s1)
+    var s2 = BigInt(prev.s2)
+    batch.foreach { e =>
+      n += 1; s1 += e.value; s2 += BigInt(e.value) * e.value
+    }
+    state.update(Moments(n, s1.toString, s2.toString))
+    val d2 = BigInt(tDenom) * tDenom
+    val t2 = BigInt(tNumer) * tNumer
+    val varN = BigInt(n) * s2 - s1 * s1
+    batch.iterator.map { e =>
+      val dev = BigInt(n) * e.value - s1
+      Flag(key, e.id, e.value, if (d2 * dev * dev > t2 * varN) 1L else 0L)
+    }
+  }
+}

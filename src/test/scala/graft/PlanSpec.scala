@@ -89,4 +89,20 @@ class PlanSpec extends SparkSpec {
       s"tf aggregation should partial-aggregate map-side:\n$p")
     assert(!p.contains("UDF("), s"bm25 plan must stay UDF-free:\n$p")
   }
+
+  test("outlier flags broadcast the tiny stats frame back — the stream side never re-shuffles") {
+    for (q <- Seq("outlier_events", "outlier_iqr")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q stats join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle the event/doc stream for the stats join:\n$p")
+    }
+  }
+
+  test("passage_scrub: occurrence-row equi-joins only — never a pair/cartesian plan") {
+    val p = plan("passage_scrub")
+    assert(!p.contains("CartesianProduct"), s"must not cross-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"must equi-join:\n$p")
+    assert(!p.contains("UDF("), s"gram build must stay codegen:\n$p")
+  }
 }

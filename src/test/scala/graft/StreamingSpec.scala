@@ -421,4 +421,38 @@ class StreamingSpec extends SparkSpec {
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
     assert(got === want && got.nonEmpty)
   }
+
+  test("streaming z-score flags ≡ batch-twin prefix computation across micro-batches") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Monitor
+    import graft.streaming.Monitor.{Flag, Obs}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Obs]
+    val q = Monitor.zScoreFlags(src.toDS(), 3, 2)
+      .writeStream.outputMode("append").format("memory").queryName("zflags").start()
+    val b1 = Seq(Obs("a", 1, 10), Obs("a", 2, 12), Obs("a", 3, 11), Obs("b", 4, 5))
+    val b2 = Seq(Obs("a", 5, 1000), Obs("a", 6, 11), Obs("b", 7, 5))
+    val b3 = Seq(Obs("a", 8, 11)) // judged with the spike already in-state
+    for (b <- Seq(b1, b2, b3)) { src.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("zflags").as[Flag].collect()
+      .map(f => f.id -> f.isOutlier).toMap
+    // contract: an event's flag depends only on the stream PREFIX ending
+    // with its own micro-batch — replay it directly
+    val want = Seq(b1, b2, b3).zipWithIndex.flatMap { case (batch, i) =>
+      val pre = Seq(b1, b2, b3).take(i + 1).flatten
+      batch.map { e =>
+        val vs = pre.filter(_.key == e.key).map(o => BigInt(o.value))
+        val n = BigInt(vs.size); val s1 = vs.sum
+        val s2 = vs.map(v => v * v).sum
+        val dev = n * e.value - s1
+        e.id -> (if (BigInt(4) * dev * dev > BigInt(9) * (n * s2 - s1 * s1)) 1L
+                 else 0L)
+      }
+    }.toMap
+    assert(got === want)
+    assert(got.values.sum > 0 && got.values.sum < got.size,
+      s"fixture should mix flags: $got")
+  }
 }
