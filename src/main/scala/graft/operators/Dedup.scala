@@ -576,6 +576,44 @@ object Dedup {
     released(out, m.toSeq: _*)
   }
 
+  /** Cross-corpus SEMANTIC leakage scan at scale: training vectors whose
+    * cosine similarity against any eval/reference vector meets the
+    * threshold — the embedding-space counterpart of `crossCorpusNearDup`
+    * (n-gram decontamination misses paraphrases; embeddings don't).
+    * Random-hyperplane LSH bucket collisions generate candidates (A×B
+    * band join, never a self-join — no within-corpus pairs arise), exact
+    * cosine verifies. Multi-probe on the eval side widens recall; recall
+    * is gated in spec against the brute-force cross join (`embed_leakage`
+    * is the oracled exactness baseline).
+    *
+    * No exact-dup pre-pass: the self-join quadratic (a 10⁶-identical
+    * cluster meeting ITSELF) cannot arise in A×B — identical train vectors
+    * each meeting an eval match is output-proportional, and hot buckets
+    * are capped per side. Output: (ia = train id, ib = eval id, sim).
+    */
+  def crossEmbeddingLeakage(train: DataFrame, trainId: String, trainVec: String,
+      ref: DataFrame, refId: String, refVec: String, simThreshold: Double,
+      numTables: Int = 8, nbits: Int = 6, seed: Long = 42L,
+      maxBucket: Int = 100000): DataFrame = {
+    import graft.functions.vfn
+    val a = train.select(col(trainId).as("__did"), col(trainVec).as("__v"))
+    val b = ref.select(col(refId).as("__did"), col(refVec).as("__v"))
+    val dim = a.select(size(col("__v"))).first().getInt(0)
+    val pl = AnnLsh.planesFor(dim, numTables, nbits, seed)
+    val sa = capBuckets(AnnLsh.signaturesFor(a, "__v", Seq("__did", "__v"), pl),
+      Seq("__table", "__bucket"), maxBucket)
+    val sb = capBuckets(AnnLsh.signaturesFor(b, "__v", Seq("__did", "__v"), pl),
+      Seq("__table", "__bucket"), maxBucket)
+    AnnLsh.multiProbe(sb, nbits).as("y")
+      .join(sa.as("x"), Seq("__table", "__bucket"))
+      .select(col("x.__did").as("ia"), col("y.__did").as("ib"),
+        col("x.__v").as("va"), col("y.__v").as("vb"))
+      .distinct()
+      .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
+      .filter(col("sim") >= simThreshold)
+      .select(col("ia"), col("ib"), col("sim"))
+  }
+
   /** 60-bit SimHash per doc: sign of per-bit vote sums over token hashes.
     * The per-token hash is the 15-nibble prefix of md5 (not xxhash64): md5 is
     * the one hash both Spark and external SQL engines share, which makes the

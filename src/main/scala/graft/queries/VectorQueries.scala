@@ -140,6 +140,30 @@ object VectorQueries {
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
 
+  /** Cross-split SEMANTIC leakage (embedding-space decontamination): train
+    * vectors (vec_id ≥ 100) cosine-similar to any eval vector (< 100) —
+    * catches the paraphrase contamination n-gram decontam misses. This is
+    * the exact cross-join baseline; `Dedup.crossEmbeddingLeakage` is the
+    * LSH-bucketed scale path, recall-gated against it in DedupSpec.
+    */
+  def embedLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val t = corpus(spark, dir).filter(col("vec_id") >= 100)
+      .select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val e = corpus(spark, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    t.crossJoin(broadcast(e))
+      .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
+      .filter(col("sim") >= 0.45)
+      .select(col("ia"), col("ib"))
+  }
+
+  val embedLeakageSql: String =
+    """SELECT a.vec_id AS ia, b.vec_id AS ib
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.vec_id >= 100 AND b.vec_id < 100
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
+
   /** Nearest-neighbor self-join: each vector's single nearest other vector —
     * the k=1 all-pairs KNN a dedup pipeline runs before clustering dups.
     */
@@ -448,6 +472,7 @@ object VectorQueries {
     "knn_fetch_join" -> (knnFetchJoin(_, _)),
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
+    "embed_leakage" -> (embedLeakage(_, _)),
     "nn_join" -> (nnJoin(_, _)))
 
   /** Restricted-KNN oracle: exact KNN replayed over an exported candidate
@@ -521,5 +546,6 @@ object VectorQueries {
     "knn_fetch_join" -> knnFetchJoinSql,
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
+    "embed_leakage" -> embedLeakageSql,
     "nn_join" -> nnJoinSql)
 }

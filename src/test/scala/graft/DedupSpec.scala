@@ -110,6 +110,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, f"LSH near-dup recall $recall%.3f < 0.9")
   }
 
+  test("cross-corpus embedding leakage via LSH ⊆ brute force, recall >= 0.9 (sf0.001)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val train = emb.filter(col("vec_id") >= 100)
+    val eval = emb.filter(col("vec_id") < 100)
+    val threshold = 0.4
+    val exact = train.as("a").crossJoin(eval.as("b"))
+      .withColumn("sim", lit(1.0) -
+        graft.functions.vfn.cosDist(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain cross-split near pairs")
+    val lsh = Dedup.crossEmbeddingLeakage(train, "vec_id", "embedding",
+        eval, "vec_id", "embedding", threshold)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, f"cross-corpus LSH recall $recall%.3f < 0.9")
+    // orientation: ia always train-side, ib always eval-side
+    assert(lsh.forall { case (ia, ib) => ia >= 100 && ib < 100 })
+  }
+
   test("connected components: chains and separate clusters resolve to min labels") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // chain -> all label 1
