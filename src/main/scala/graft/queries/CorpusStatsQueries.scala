@@ -387,7 +387,61 @@ object CorpusStatsQueries {
        |                        AND epoch_us(a.ts) + $BurstWindowUs
        |GROUP BY a.event_id""".stripMargin
 
+  // ---- n-gram LM corpus-fit scoring ---------------------------------------
+
+  /** Per-doc bigram language-model fit — the CCNet/Gopher "LM quality
+    * score" shape in hash-replayable form. A bigram MLE model assigns each
+    * occurrence P(w2|w1) = c(w1w2)/c(w1·); instead of the libm-bound mean
+    * of log-probs (perplexity), score MICRO-averaged: fit = Σc(w1w2) /
+    * Σc(w1·) over the doc's bigram occurrences — two exact BIGINT sums and
+    * ONE IEEE double division. High = the doc's transitions are common
+    * corpus-wide (conformant/boilerplate-leaning), low = novel text. The
+    * occurrence-frequency complement of `rare_bigrams` (distinct-df
+    * novelty).
+    *
+    * Scale: bigram-keyed count + prefix-keyed count (two constant-width
+    * aggregations over the exploded stream), two equi-joins back onto the
+    * occurrences, one doc-keyed sum — all linear, no pair enumeration;
+    * codegen NGrams kernel builds the grams.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.vfn
+    val occ = docs(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(vfn.ngrams(toks, 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val bgCount = occ.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val pfCount = occ.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    occ.join(bgCount, Seq("bg")).join(pfCount, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_bg")).as("fit_num"), sum(col("c_w1")).as("fit_den"))
+      .withColumn("fit",
+        col("fit_num").cast("double") / col("fit_den").cast("double"))
+  }
+
+  /** Same counts; bigram construction replayed with list_transform. Tokens
+    * never contain spaces (the tokenizer split on them), so
+    * substring_index(bg, ' ', 1) ≡ the first token on both engines.
+    */
+  val lmScoreSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |occ AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(tk) - 1),
+      |    i -> array_to_string(tk[i:i+1], ' '))) AS bg
+      |  FROM t WHERE len(tk) >= 2),
+      |o AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM occ),
+      |bc AS (SELECT bg, count(*) AS c_bg FROM o GROUP BY bg),
+      |pc AS (SELECT w1, count(*) AS c_w1 FROM o GROUP BY w1)
+      |SELECT doc_id,
+      |  CAST(sum(c_bg) AS BIGINT) AS fit_num,
+      |  CAST(sum(c_w1) AS BIGINT) AS fit_den,
+      |  CAST(sum(c_bg) AS DOUBLE) / CAST(sum(c_w1) AS DOUBLE) AS fit
+      |FROM o JOIN bc USING (bg) JOIN pc USING (w1)
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_score" -> (lmScore(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "token_quantiles" -> (tokenQuantiles(_, _)),
     "rare_bigrams" -> (rareBigrams(_, _)),
@@ -397,6 +451,7 @@ object CorpusStatsQueries {
     "concurrent_events" -> (concurrentEvents(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "lm_score" -> lmScoreSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "token_quantiles" -> tokenQuantilesSql,
     "rare_bigrams" -> rareBigramsSql,

@@ -216,6 +216,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.toSet === want)
   }
 
+  test("lm_score: micro-averaged bigram fit matches a brute-force recount") {
+    val rows = CorpusStatsQueries.lmScore(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val occ = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(w => (id, w.mkString(" "), w(0))).toArray
+    }
+    val bc = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pc = occ.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val want = occ.groupBy(_._1).map { case (id, os) =>
+      val num = os.map(o => bc(o._2)).sum
+      val den = os.map(o => pc(o._3)).sum
+      (id, num, den, num.toDouble / den.toDouble)
+    }.toSet
+    assert(rows.toSet === want && want.nonEmpty)
+  }
+
   test("count-min sketch: overestimates only, exact for isolated buckets") {
     import spark.implicits._
     import graft.operators.CountMin
