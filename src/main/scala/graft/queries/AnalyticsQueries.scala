@@ -628,7 +628,37 @@ object AnalyticsQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
       |FROM documents d LEFT JOIN s USING (lang)""".stripMargin
 
+  /** Rate-spike detection — windowed counts composed with the exact
+    * z-score flags: hourly event counts per type, each hour flagged
+    * against its type's own rate distribution. The operator-composition
+    * shape of a monitoring pipeline (aggregate → flag), all integer-exact
+    * end to end.
+    */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy((expr("ts div 3600000000000") * 3600000L).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Outliers.zScoreFlags(hourly, "event_type", "n", 3, 2)
+      .select(col("event_type"), col("hour_ms"), col("n"), col("is_outlier"))
+  }
+
+  val hourlyAnomaliesSql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, count(n) AS cnt, sum(n) AS s1, sum(n*n) AS s2
+      |  FROM h GROUP BY 1)
+      |SELECT h.event_type, h.hour_ms, h.n,
+      |  CAST(CASE WHEN
+      |      4 * CAST(cnt*h.n - s1 AS HUGEINT) * CAST(cnt*h.n - s1 AS HUGEINT)
+      |      > 9 * (CAST(cnt AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+      |FROM h LEFT JOIN s USING (event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_anomalies" -> (hourlyAnomalies(_, _)),
     "outlier_iqr" -> (outlierIqr(_, _)),
     "outlier_events" -> (outlierEvents(_, _)),
     "resample_interp" -> (resampleInterp(_, _)),
@@ -646,6 +676,7 @@ object AnalyticsQueries {
     "cube_doc_counts" -> (cubeDocCounts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "hourly_anomalies" -> hourlyAnomaliesSql,
     "outlier_iqr" -> outlierIqrSql,
     "outlier_events" -> outlierEventsSql,
     "resample_interp" -> resampleInterpSql,
