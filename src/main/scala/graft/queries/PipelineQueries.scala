@@ -254,6 +254,44 @@ object PipelineQueries {
        |    ' '), '') AS clean_text
        |FROM s LEFT JOIN kept k ON s.doc_id = k.doc_id""".stripMargin
 
+  /** The end-of-pipeline CLEAN CORPUS: passage-scrubbed text with a
+    * post-scrub token floor (scrubbing can gut a doc to seams; a C4-style
+    * pipeline drops what's left below a minimum length). Output is the
+    * frame that ships to tokenization.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.passageScrub(docs(spark, dir), "doc_id", "text",
+        n = PassageLen, minDocs = 2)
+      .withColumn("n_clean_tokens",
+        size(split(col("clean_text"), " ")).cast("long"))
+      .filter(col("clean_text") =!= "" && col("n_clean_tokens") >= 20)
+      .select(col("__did").as("doc_id"), col("clean_text"),
+        col("n_clean_tokens"))
+
+  val cleanCorpusSql: String =
+    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(0, CAST(len(t) // $PassageLen AS INT) - 1),
+       |    i -> {'pos': i, 'chunk':
+       |      array_to_string(t[i*$PassageLen+1:i*$PassageLen+$PassageLen], ' ')})) AS u
+       |  FROM s WHERE len(t) >= $PassageLen),
+       |occ AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM ch),
+       |dup AS (SELECT chunk FROM occ GROUP BY chunk
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (
+       |  SELECT doc_id, list(chunk ORDER BY pos) AS kc FROM occ
+       |  WHERE chunk NOT IN (SELECT chunk FROM dup) GROUP BY doc_id),
+       |clean AS (
+       |  SELECT s.doc_id, coalesce(array_to_string(
+       |      coalesce(k.kc, []) || t[len(t) // $PassageLen * $PassageLen + 1:],
+       |      ' '), '') AS clean_text
+       |  FROM s LEFT JOIN kept k ON s.doc_id = k.doc_id)
+       |SELECT doc_id, clean_text,
+       |  CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_clean_tokens
+       |FROM clean
+       |WHERE clean_text <> '' AND len(string_split(clean_text, ' ')) >= 20""".stripMargin
+
   // ---- token-budget packing ----------------------------------------------
 
   /** Greedy context-window packing: docs in doc_id order are concatenated
@@ -548,6 +586,7 @@ object PipelineQueries {
     "quality_rules" -> (qualityRules(_, _)),
     "passage_dedup" -> (passageDedup(_, _)),
     "passage_scrub" -> (passageScrub(_, _)),
+    "clean_corpus" -> (cleanCorpus(_, _)),
     "token_pack" -> (tokenPack(_, _)),
     "repetition_stats" -> (repetitionStats(_, _)),
     "norm_dedup" -> (normDedup(_, _)),
@@ -564,6 +603,7 @@ object PipelineQueries {
     "quality_rules" -> qualityRulesSql,
     "passage_dedup" -> passageDedupSql,
     "passage_scrub" -> passageScrubSql,
+    "clean_corpus" -> cleanCorpusSql,
     "token_pack" -> tokenPackSql,
     "repetition_stats" -> repetitionStatsSql,
     "norm_dedup" -> normDedupSql,

@@ -62,4 +62,52 @@ object Monitor {
       Flag(key, e.id, e.value, if (d2 * dev * dev > t2 * varN) 1L else 0L)
     }
   }
+
+  /** Streaming twin of `Outliers.iqrFlags`: Tukey-fence flags against the
+    * EXACT cumulative quartiles of everything ingested so far. State is a
+    * per-key value→count histogram — exact quantiles at any stream length
+    * when the value domain is bounded (scores, ratings, bucketed metrics:
+    * state width = distinct values per key, NOT stream length; an
+    * unbounded-domain stream needs a sketch tier instead, documented
+    * trade). Same determinism contract as `zScoreFlags`: histograms are
+    * order-free, so a flag depends only on which prefix the event arrived
+    * in.
+    */
+  def iqrFlags(obs: Dataset[Obs], mNumer: Int, mDenom: Int): Dataset[Flag] = {
+    require(mNumer >= 0 && mDenom > 0,
+      s"fence multiplier must be a non-negative rational, got $mNumer/$mDenom")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[Hist, Flag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key, evts, state) => updateKeyIqr(key, evts, state, mNumer, mDenom))
+  }
+
+  case class Hist(counts: Map[Long, Long])
+
+  private[graft] def updateKeyIqr(key: String, evts: Iterator[Obs],
+      state: GroupState[Hist], mNumer: Int, mDenom: Int): Iterator[Flag] = {
+    val batch = evts.toArray
+    var h = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+    batch.foreach(e => h = h.updated(e.value, h.getOrElse(e.value, 0L) + 1L))
+    state.update(Hist(h))
+    // exact rank selection off the cumulative histogram: k(q) = ceil(q·n)
+    val sorted = h.toArray.sortBy(_._1)
+    val n = sorted.map(_._2).sum
+    def kth(k: Long): Long = {
+      var acc = 0L; var i = 0
+      while (acc + sorted(i)._2 < k) { acc += sorted(i)._2; i += 1 }
+      sorted(i)._1
+    }
+    val p25 = kth((n + 3) / 4)
+    val p75 = kth((n * 3 + 3) / 4)
+    val iqrM = BigInt(mNumer) * (BigInt(p75) - BigInt(p25))
+    val d = BigInt(mDenom)
+    batch.iterator.map { e =>
+      val dv = d * e.value
+      val out = dv > d * p75 + iqrM || dv < d * p25 - iqrM
+      Flag(key, e.id, e.value, if (out) 1L else 0L)
+    }
+  }
 }

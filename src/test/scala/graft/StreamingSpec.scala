@@ -455,4 +455,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum > 0 && got.values.sum < got.size,
       s"fixture should mix flags: $got")
   }
+
+  test("streaming IQR flags ≡ batch-twin prefix quartile fences across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Monitor
+    import graft.streaming.Monitor.{Flag, Obs}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Obs]
+    val q = Monitor.iqrFlags(src.toDS(), 3, 2)
+      .writeStream.outputMode("append").format("memory").queryName("iqrflags").start()
+    val b1 = (1 to 20).map(i => Obs("a", i.toLong, 100L + (i % 5)))
+    val b2 = Seq(Obs("a", 100L, 5000L), Obs("a", 101L, 102L))
+    val b3 = Seq(Obs("a", 102L, 5000L)) // spike repeats; quartiles unmoved
+    for (b <- Seq(b1, b2, b3)) { src.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("iqrflags").as[Flag].collect()
+      .map(f => f.id -> f.isOutlier).toMap
+    val want = Seq(b1, b2, b3).zipWithIndex.flatMap { case (batch, i) =>
+      val pre = Seq(b1, b2, b3).take(i + 1).flatten.filter(_.key == "a")
+      val vs = pre.map(_.value).sorted
+      val n = vs.size
+      def kth(q: Int) = vs((n * q + 3) / 4 - 1)
+      val (p25, p75) = (kth(1), kth(3))
+      batch.map { e =>
+        val out = 2 * e.value > 2 * p75 + 3 * (p75 - p25) ||
+          2 * e.value < 2 * p25 - 3 * (p75 - p25)
+        e.id -> (if (out) 1L else 0L)
+      }
+    }.toMap
+    assert(got === want)
+    assert(got(100L) === 1L && got(102L) === 1L, s"spikes must flag: $got")
+    assert(got(101L) === 0L)
+  }
 }
