@@ -411,6 +411,41 @@ object VectorQueries {
        |  FROM q CROSS JOIN embeddings e WHERE e.label < 5) t
        |WHERE rnk <= $K""".stripMargin
 
+  /** Filtered ANN on the INDEXED tier: metadata predicate composed with
+    * IVF partition pruning — eligibility filters the probed clusters'
+    * members BEFORE ranking, so every query still gets k hits from the
+    * eligible subset of its probed lists (exact-tier filtered search is
+    * `knn_filtered`; the reference parses the filter and IGNORES it on
+    * every tier). Same model/nprobe as `ivf_knn_probe`, so the oracle
+    * reuses its assignment + probe-list aux exports with the predicate
+    * added.
+    */
+  def ivfKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val model = ivfModelFor(spark, dir)
+    val assigned = IvfIndex.assign(c, "embedding", model)
+      .filter(col("label") < 5)
+    IvfIndex.search(assigned, queriesDf(spark, dir), model, K, nprobe = 2,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  private val ivfFilteredSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |a AS (SELECT vec_id, cluster_id FROM read_parquet('{AUX}/ivf_assign/*.parquet')),
+       |p AS (SELECT qid, cid FROM read_parquet('{AUX}/ivf_probes/*.parquet'))
+       |SELECT qid, vec_id, rnk FROM (
+       |  SELECT q.qid, a.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC, a.vec_id ASC) AS rnk
+       |  FROM q JOIN p ON p.qid = q.qid
+       |         JOIN a ON a.cluster_id = p.cid
+       |         JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE e.label < 5) t
+       |WHERE rnk <= $K""".stripMargin
+
   // ---- hybrid retrieval (reciprocal-rank fusion) ---------------------------
 
   /** RRF fusion of two retrievers over the same query set (the l2 and cos
@@ -458,6 +493,7 @@ object VectorQueries {
     "hybrid_rrf" -> (hybridRrf(_, _)),
     "ivf_knn_full" -> ((s, d) => ivfKnn(s, d, nlist => nlist)),
     "ivf_knn_probe" -> ((s, d) => ivfKnn(s, d, _ => 2)),
+    "ivf_knn_filtered" -> (ivfKnnFiltered(_, _)),
     "pq_knn" -> (pqKnn(_, _)),
     "pq_knn_cos" -> ((s, d) => pqKnn(s, d, SpaceType.Cos)),
     "opq_knn" -> (opqKnn(_, _)),
@@ -526,6 +562,7 @@ object VectorQueries {
     "hybrid_rrf" -> hybridRrfSql,
     "ivf_knn_full" -> knnL2Sql, // full probing ≡ exact KNN
     "ivf_knn_probe" -> ivfProbeSql,
+    "ivf_knn_filtered" -> ivfFilteredSql,
     "lsh_knn" -> restrictedKnnOracle("lsh_cand",
       "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC"),
     "graph_knn" -> restrictedKnnOracle("graph_cand",
