@@ -93,6 +93,25 @@ class OutliersSpec extends SparkSpec {
     }
   }
 
+  test("flags are exactly affine-invariant (x -> a·x + b): both operators") {
+    // z-score: dev' = a·dev, varN' = a²·varN — both sides of the test
+    // scale by a², so flags are IDENTICAL, not approximately so; same for
+    // the quartile fences. Exact arithmetic makes this hold to the bit —
+    // a float implementation would drift on the transformed copy.
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map(i =>
+      ("g" + (i % 2), i.toLong, rnd.nextInt(2000).toLong - 700))
+    val df = rows.toDF("g", "id", "v")
+    val dfT = rows.map { case (g, id, v) => (g, id, 7L * v - 300L) }
+      .toDF("g", "id", "v")
+    def flagsOf(d: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.DataFrame, String, String, Int, Int) => org.apache.spark.sql.DataFrame) =
+      f(d, "g", "v", 3, 2).select("id", "is_outlier")
+        .as[(Long, Long)].collect().toMap
+    assert(flagsOf(df, Outliers.zScoreFlags) === flagsOf(dfT, Outliers.zScoreFlags))
+    assert(flagsOf(df, Outliers.iqrFlags) === flagsOf(dfT, Outliers.iqrFlags))
+  }
+
   test("iqrFlags matches a naive quartile-fence recount on random data") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 400).map(i =>
