@@ -610,14 +610,20 @@ object AnalyticsQueries {
         "lang", "n_chars", mNumer = 1, mDenom = 2)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("is_outlier"))
 
-  /** Same rank selection (k = ⌈q·n⌉) and cleared-denominator fence. */
+  /** Same rank selection (k = ⌈q·n⌉) and cleared-denominator fence. The
+    * stats CTE excludes NULL value/key rows exactly as the operator does
+    * (they'd otherwise rank last and inflate cnt, shifting k); the final
+    * projection still emits every doc — NULL comparisons fall to flag 0
+    * on both engines.
+    */
   val outlierIqrSql: String =
     """WITH t AS (
       |  SELECT doc_id, lang, n_chars,
       |    row_number() OVER (PARTITION BY lang
       |      ORDER BY n_chars ASC, doc_id ASC) AS rnk,
       |    count(*) OVER (PARTITION BY lang) AS cnt
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
       |s AS (SELECT lang,
       |    min(CASE WHEN rnk = (cnt + 3) // 4 THEN n_chars END) AS p25,
       |    min(CASE WHEN rnk = (cnt * 3 + 3) // 4 THEN n_chars END) AS p75

@@ -86,39 +86,22 @@ object DedupQueries {
     * pipeline stage actually trains on.
     */
   def decontamClean(spark: SparkSession, dir: String): DataFrame = {
-    val train = docs(spark, dir).filter(col("doc_id") >= 100)
-    val eval = docs(spark, dir).filter(col("doc_id") < 100)
-    val contaminated = Dedup.crossCorpusNearDup(train, "doc_id", "text",
-        eval, "doc_id", "text",
-        shingleN = 3, numHashes = 63, bands = 21, threshold = 0.8)
-      .select(col("ia").as("doc_id"))
-    train.join(contaminated, Seq("doc_id"), "left_anti")
+    // builds ON decontam_pairs — one definition of "contaminated"
+    val contaminated = decontamPairs(spark, dir).select(col("ia").as("doc_id"))
+    docs(spark, dir).filter(col("doc_id") >= 100)
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
-  /** Oracle: NOT EXISTS over the brute-force cross-corpus Jaccard. */
+  /** Oracle: the `decontam_pairs` oracle AS a CTE, anti-joined — the two
+    * queries cannot drift apart on what "contaminated" means.
+    */
   val decontamCleanSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    CASE WHEN len(string_split(text, ' ')) >= 3
-      |      THEN list_transform(
-      |        generate_series(1, len(string_split(text, ' ')) - 2),
-      |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
-      |      ELSE [text] END)) AS s
-      |  FROM documents),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |contaminated AS (
-      |  SELECT DISTINCT a.doc_id
-      |  FROM sh a JOIN sh b ON a.s = b.s
-      |  JOIN sizes sa ON sa.doc_id = a.doc_id
-      |  JOIN sizes sb ON sb.doc_id = b.doc_id
-      |  WHERE a.doc_id >= 100 AND b.doc_id < 100
-      |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
-      |  HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.8)
-      |SELECT doc_id, lang, source, n_chars
-      |FROM documents
-      |WHERE doc_id >= 100
-      |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+    s"""WITH pairs AS ($decontamPairsSql)
+       |SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE doc_id >= 100
+       |  AND doc_id NOT IN (SELECT ia FROM pairs)""".stripMargin
 
   /** Exact 5-gram containment decontamination, Bloom-pruned: training docs
     * (doc_id ≥ 100) sharing any 5-gram with an eval doc (doc_id < 100),

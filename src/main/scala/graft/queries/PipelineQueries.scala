@@ -260,33 +260,18 @@ object PipelineQueries {
     * frame that ships to tokenization.
     */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.passageScrub(docs(spark, dir), "doc_id", "text",
-        n = PassageLen, minDocs = 2)
+    // builds ON passage_scrub — one definition of the scrub transform
+    passageScrub(spark, dir)
       .withColumn("n_clean_tokens",
         size(split(col("clean_text"), " ")).cast("long"))
       .filter(col("clean_text") =!= "" && col("n_clean_tokens") >= 20)
-      .select(col("__did").as("doc_id"), col("clean_text"),
-        col("n_clean_tokens"))
+      .select(col("doc_id"), col("clean_text"), col("n_clean_tokens"))
 
+  /** Oracle: the `passage_scrub` oracle AS a CTE plus the floor — the two
+    * queries cannot drift apart on the scrub semantics.
+    */
   val cleanCorpusSql: String =
-    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |ch AS (
-       |  SELECT doc_id, unnest(list_transform(
-       |    generate_series(0, CAST(len(t) // $PassageLen AS INT) - 1),
-       |    i -> {'pos': i, 'chunk':
-       |      array_to_string(t[i*$PassageLen+1:i*$PassageLen+$PassageLen], ' ')})) AS u
-       |  FROM s WHERE len(t) >= $PassageLen),
-       |occ AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM ch),
-       |dup AS (SELECT chunk FROM occ GROUP BY chunk
-       |  HAVING count(DISTINCT doc_id) >= 2),
-       |kept AS (
-       |  SELECT doc_id, list(chunk ORDER BY pos) AS kc FROM occ
-       |  WHERE chunk NOT IN (SELECT chunk FROM dup) GROUP BY doc_id),
-       |clean AS (
-       |  SELECT s.doc_id, coalesce(array_to_string(
-       |      coalesce(k.kc, []) || t[len(t) // $PassageLen * $PassageLen + 1:],
-       |      ' '), '') AS clean_text
-       |  FROM s LEFT JOIN kept k ON s.doc_id = k.doc_id)
+    s"""WITH clean AS ($passageScrubSql)
        |SELECT doc_id, clean_text,
        |  CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_clean_tokens
        |FROM clean
