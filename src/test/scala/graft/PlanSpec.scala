@@ -91,7 +91,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("outlier flags broadcast the tiny stats frame back — the stream side never re-shuffles") {
-    for (q <- Seq("outlier_events", "outlier_iqr")) {
+    for (q <- Seq("outlier_events", "outlier_iqr", "hourly_anomalies")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q stats join must broadcast:\n$p")
       assert(!p.contains("SortMergeJoin"),
