@@ -151,6 +151,30 @@ object Ingest {
           // per retry into the session CacheManager
           try {
             pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$batchId")
+            // incremental duplicate-CLUSTER labels: components of (prior
+            // labels replayed as star edges ∪ this batch's pairs) — the
+            // standard incremental-CC construction. Cost per batch is
+            // linear in the ACCUMULATED DUP GRAPH (≪ corpus; no
+            // re-shingling, no full recluster), and a batch that bridges
+            // two old clusters merges them through their label edges.
+            // Replay-safe like everything here: the read view is the
+            // newest partition STRICTLY BEFORE this batch, the write is a
+            // per-batch overwrite, and only partitions older than that
+            // read view are deleted — a replay of THIS batch still finds
+            // its input.
+            val labelsDir = s"$stateDir/labels"
+            val priorLabelParts = batchDirs(labelsDir).map(_._1).filter(_ < batchId)
+            val labelEdges =
+              if (priorLabelParts.isEmpty) None
+              else Some(spark.read.parquet(s"$labelsDir/batch=${priorLabelParts.max}")
+                .select(col("node").as("ia"), col("component").as("ib")))
+            val newPairEdges = pairs.select(col("ia"), col("ib"))
+            val labels = graft.operators.Dedup.connectedComponents(
+              labelEdges.fold(newPairEdges)(_.union(newPairEdges)))
+            labels.write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+            priorLabelParts.sorted.lastOption.foreach { keep =>
+              for ((bb, p) <- batchDirs(labelsDir) if bb < keep) fs.delete(p, true)
+            }
             // deterministic compaction decision: fold prior state into this
             // batch's partition once the live span reaches compactEvery
             val compact = compactEvery > 0 &&

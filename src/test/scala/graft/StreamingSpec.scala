@@ -29,7 +29,8 @@ class StreamingSpec extends SparkSpec {
       (10L, base.replace("dawn", "dusk")), // ≈ 0 (cross-batch edit)
       (11L, "one two three four five six seven eight nine ten eleven twelve"), // == 3
       (12L, "neural networks learn token embeddings from massive corpora very very quickly today"),
-      (13L, "neural networks learn token embeddings from massive corpora very very quickly now")) // ≈ 12
+      (13L, "neural networks learn token embeddings from massive corpora very very quickly now"), // ≈ 12
+      (14L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu pi")) // joins batch-1 cluster {1,2}
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
 
@@ -51,9 +52,25 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got === want, "incremental pairs must equal the batch-twin pair set")
     assert(want.map(p => (p._1, p._2)) ===
-      Set((0L, 10L), (1L, 2L), (3L, 11L), (12L, 13L)))
+      Set((0L, 10L), (1L, 2L), (3L, 11L), (12L, 13L), (1L, 14L), (2L, 14L)))
     // state grew one partition per batch
     assert(new java.io.File(s"$state/bands").listFiles().count(_.getName.startsWith("batch=")) === 2)
+
+    // incremental cluster labels ≡ full-corpus CC: doc 14 (batch 2) joined
+    // batch 1's {1,2} cluster THROUGH the prior labels' star edges
+    val labelParts = new java.io.File(s"$state/labels").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    val gotLabels = spark.read.parquet(s"$state/labels/batch=${labelParts.max}")
+      .as[(Long, Long)].collect().toMap
+    val wantLabels = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.minHashLshPairs(
+          (docs1 ++ docs2).toDF("id", "text"), "id", "text", threshold = 0.6)
+          .select(col("ia"), col("ib")))
+      .as[(Long, Long)].collect().toMap
+    assert(gotLabels === wantLabels)
+    assert(gotLabels(14L) === 1L && gotLabels(2L) === 1L,
+      s"doc 14 must merge into the batch-1 cluster: $gotLabels")
   }
 
   test("streaming dedup compaction: bounded partitions, same pairs, stale state deleted") {
