@@ -195,6 +195,40 @@ object Ingest {
       }
       .start()
 
+  /** Streaming decontamination at the ingest edge: every micro-batch is
+    * scanned against a FIXED eval/reference corpus (`crossCorpusNearDup` —
+    * bucketed A×B band join, exact Jaccard verify) and the contaminated
+    * pairs append to `outDir/pairs`. Stateless across batches by
+    * construction — contamination is a property of (doc, eval set), not of
+    * the stream prefix — so the union of per-batch pair sets IS the batch
+    * twin's answer; replays overwrite their own partition. The eval side's
+    * banded signatures are recomputed per batch: bounded (eval sets are
+    * small) and cheap next to the batch scan; a long-lived deployment
+    * would snapshot them once via `signatureBands`.
+    */
+  def streamDecontamInto(
+      source: DataFrame, // schema: id, text
+      ref: DataFrame, // static eval/reference corpus: id, text
+      outDir: String,
+      checkpoint: String,
+      idCol: String = "id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.crossCorpusNearDup(
+              batch, idCol, textCol, ref, idCol, textCol, threshold = threshold)
+            .write.mode("overwrite").parquet(s"$outDir/pairs/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
   /** Streaming tumbling-window aggregation with a watermark (the canonical
     * events_hourly shape as a live query; late rows beyond the watermark are
     * dropped deterministically).

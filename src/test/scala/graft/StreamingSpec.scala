@@ -110,6 +110,37 @@ class StreamingSpec extends SparkSpec {
     assert(live.length <= 3, s"compaction must bound partitions: ${live.toSeq.sorted}")
   }
 
+  test("streaming decontamination: per-batch pairs union ≡ full-corpus scan") {
+    val src = Files.createTempDirectory("decon-src").toString
+    val ck = Files.createTempDirectory("decon-ck").toString
+    val out = Files.createTempDirectory("decon-out").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val ref = Seq(
+      (900L, "held out evaluation question about gradient descent convergence rates in deep networks"),
+      (901L, "completely unrelated benchmark prompt concerning medieval trade routes and taxation"))
+      .toDF("id", "text")
+    val batches = Seq(
+      Seq((1L, "held out evaluation question about gradient descent convergence rates in deep nets"), // ≈ 900
+        (2L, "fresh original writing about cooking pasta with garlic and olive oil tonight")),
+      Seq((3L, "completely unrelated benchmark prompt concerning medieval trade routes and tariffs"), // ≈ 901
+        (4L, "more clean text describing a mountain hike in early autumn weather")))
+    def run(): Unit =
+      Ingest.streamDecontamInto(spark.readStream.schema(schema).parquet(src),
+        ref, out, ck, threshold = 0.6).awaitTermination()
+    batches.foreach { b =>
+      b.toDF("id", "text").write.mode("append").parquet(src); run()
+    }
+    val got = spark.read.parquet(s"$out/pairs")
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val want = graft.operators.Dedup.crossCorpusNearDup(
+        batches.flatten.toDF("id", "text"), "id", "text", ref, "id", "text",
+        threshold = 0.6)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(got === want, "per-batch union must equal the batch twin")
+    assert(got === Set((1L, 900L), (3L, 901L)))
+  }
+
   test("file stream ingests into DocStore with LWW across batches") {
     val src = Files.createTempDirectory("stream-src").toString
     val ck = Files.createTempDirectory("stream-ck").toString
