@@ -164,16 +164,25 @@ object Ingest {
             // its input.
             val labelsDir = s"$stateDir/labels"
             val priorLabelParts = batchDirs(labelsDir).map(_._1).filter(_ < batchId)
-            val labelEdges =
-              if (priorLabelParts.isEmpty) None
-              else Some(spark.read.parquet(s"$labelsDir/batch=${priorLabelParts.max}")
-                .select(col("node").as("ia"), col("component").as("ib")))
-            val newPairEdges = pairs.select(col("ia"), col("ib"))
-            val labels = graft.operators.Dedup.connectedComponents(
-              labelEdges.fold(newPairEdges)(_.union(newPairEdges)))
-            labels.write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
-            priorLabelParts.sorted.lastOption.foreach { keep =>
-              for ((bb, p) <- batchDirs(labelsDir) if bb < keep) fs.delete(p, true)
+            // a pair-free batch changes NO labels — skip the CC entirely
+            // (the prior partition stays the newest read view; at scale
+            // most batches are pair-free and would otherwise pay a full
+            // label-graph CC + rewrite each). The emptiness probe reads
+            // the just-written parquet footers, not the pair plan again.
+            val hasNewPairs = spark.read
+              .parquet(s"$stateDir/pairs/batch=$batchId").limit(1).count() > 0
+            if (hasNewPairs) {
+              val labelEdges =
+                if (priorLabelParts.isEmpty) None
+                else Some(spark.read.parquet(s"$labelsDir/batch=${priorLabelParts.max}")
+                  .select(col("node").as("ia"), col("component").as("ib")))
+              val newPairEdges = pairs.select(col("ia"), col("ib"))
+              val labels = graft.operators.Dedup.connectedComponents(
+                labelEdges.fold(newPairEdges)(_.union(newPairEdges)))
+              labels.write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+              priorLabelParts.sorted.lastOption.foreach { keep =>
+                for ((bb, p) <- batchDirs(labelsDir) if bb < keep) fs.delete(p, true)
+              }
             }
             // deterministic compaction decision: fold prior state into this
             // batch's partition once the live span reaches compactEvery

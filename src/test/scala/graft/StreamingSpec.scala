@@ -71,6 +71,20 @@ class StreamingSpec extends SparkSpec {
     assert(gotLabels === wantLabels)
     assert(gotLabels(14L) === 1L && gotLabels(2L) === 1L,
       s"doc 14 must merge into the batch-1 cluster: $gotLabels")
+
+    // a pair-free batch must not recompute or rewrite labels
+    Seq((99L, "entirely novel third batch text with no duplicate partner anywhere at all"))
+      .toDF("id", "text").write.mode("append").parquet(src)
+    Ingest.streamDedupInto(spark.readStream.schema(schema).parquet(src),
+      state, ck, threshold = 0.6).awaitTermination()
+    val partsAfter = new java.io.File(s"$state/labels").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    assert(partsAfter.max === labelParts.max,
+      s"pair-free batch must not write a labels partition: ${partsAfter.toSeq.sorted}")
+    val labelsAfter = spark.read.parquet(s"$state/labels/batch=${partsAfter.max}")
+      .as[(Long, Long)].collect().toMap
+    assert(labelsAfter === wantLabels)
   }
 
   test("streaming dedup compaction: bounded partitions, same pairs, stale state deleted") {
