@@ -250,6 +250,16 @@ object Dedup {
       .drop("__bn")
   }
 
+  /** Vector dimensionality for LSH plane generation: the caller-supplied
+    * value when positive (no driver job at plan time), else one bounded
+    * lookup on the `__v` column — 0 on an empty frame so callers take their
+    * graceful no-pair path instead of throwing NoSuchElementException.
+    */
+  private def inferDim(vecs: DataFrame, given: Int): Int =
+    if (given > 0) given
+    else vecs.select(size(col("__v"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   private val capObsId = new java.util.concurrent.atomic.AtomicLong(0L)
   private val capListenerSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
@@ -537,18 +547,21 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
       simThreshold: Double, numTables: Int = 8, nbits: Int = 6,
       seed: Long = 42L, maxBucket: Int = 100000,
-      expandDuplicates: Boolean = true): DataFrame = {
+      expandDuplicates: Boolean = true, dim: Int = -1): DataFrame = {
     import graft.functions.vfn
+    val all = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
+    val d = inferDim(all, dim)
+    if (d <= 0) // empty input: no pairs, id types preserved
+      return all.select(col("__did").as("ia"), col("__did").as("ib"),
+        lit(1.0).as("sim")).limit(0)
     // exact-dup pre-pass on the vector digest (md5 of the JSON form — only a
     // grouping key, never compared across engines); None ⇒ duplicate-free
     // corpus, whole rep/expand machinery skipped
     val m = membershipIfDups(df, idCol, md5(to_json(struct(col(vecCol)))))
-    val all = df.select(col(idCol).as("__did"), col(vecCol).as("__v"))
     val reps = m.fold(all)(mm => all.join(dupNonReps(mm, "__did"), Seq("__did"), "left_anti"))
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
     // shares AnnLsh's hyperplane/signature/multi-probe machinery — one LSH
     // implementation, two call sites (KNN and near-dup)
-    val pl = AnnLsh.planesFor(dim, numTables, nbits, seed)
+    val pl = AnnLsh.planesFor(d, numTables, nbits, seed)
     val sigs = capBuckets(
       AnnLsh.signaturesFor(reps, "__v", Seq("__did", "__v"), pl),
       Seq("__table", "__bucket"), maxBucket)
@@ -594,12 +607,16 @@ object Dedup {
   def crossEmbeddingLeakage(train: DataFrame, trainId: String, trainVec: String,
       ref: DataFrame, refId: String, refVec: String, simThreshold: Double,
       numTables: Int = 8, nbits: Int = 6, seed: Long = 42L,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000, dim: Int = -1): DataFrame = {
     import graft.functions.vfn
     val a = train.select(col(trainId).as("__did"), col(trainVec).as("__v"))
     val b = ref.select(col(refId).as("__did"), col(refVec).as("__v"))
-    val dim = a.select(size(col("__v"))).first().getInt(0)
-    val pl = AnnLsh.planesFor(dim, numTables, nbits, seed)
+    val d = inferDim(a, dim)
+    if (d <= 0) // empty train side: no leakage pairs, both id types preserved
+      return a.select(col("__did").as("ia")).limit(0)
+        .crossJoin(b.select(col("__did").as("ib")).limit(0))
+        .withColumn("sim", lit(1.0))
+    val pl = AnnLsh.planesFor(d, numTables, nbits, seed)
     val sa = capBuckets(AnnLsh.signaturesFor(a, "__v", Seq("__did", "__v"), pl),
       Seq("__table", "__bucket"), maxBucket)
     val sb = capBuckets(AnnLsh.signaturesFor(b, "__v", Seq("__did", "__v"), pl),

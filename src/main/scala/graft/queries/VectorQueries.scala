@@ -119,12 +119,25 @@ object VectorQueries {
       |  FROM embeddings e CROSS JOIN c) t
       |WHERE rn = 1""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (radius search over the pair space).
-    * Scale: at 100 TB this is LSH-bucketed first (see Dedup.minHashLsh /
-    * AnnLsh); the all-pairs form here is the exactness baseline the bucketed
-    * variant is validated against.
+  /** Embedding-cosine near-dup pairs (radius search over the pair space),
+    * declared in its SCALE form: random-hyperplane LSH bucket collisions
+    * generate candidates (banded equi-join, never all-pairs), exact cosine
+    * verifies each candidate. Verification is exact, so survivors carry no
+    * false positives; the table/probe budget below is sized so recall is
+    * 1.0 at every gated scale — the DuckDB oracle stays the all-pairs cross
+    * join, so a recall miss fails the hash gate loudly rather than passing
+    * silently. `embedNearDupExact` keeps the O(n²) baseline for specs.
     */
-  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.embeddingNearDupLsh(
+        corpus(spark, dir), "vec_id", "embedding", simThreshold = 0.45,
+        numTables = 32)
+      .select(col("ia"), col("ib"))
+
+  /** All-pairs exactness baseline for `embedNearDup` — O(n²) by design,
+    * spec/oracle use only, never the declared query surface.
+    */
+  def embedNearDupExact(spark: SparkSession, dir: String): DataFrame = {
     val a = corpus(spark, dir).select(col("vec_id").as("ia"), col("embedding").as("va"))
     val b = corpus(spark, dir).select(col("vec_id").as("ib"), col("embedding").as("vb"))
     a.crossJoin(b)

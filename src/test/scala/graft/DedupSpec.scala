@@ -110,6 +110,35 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, f"LSH near-dup recall $recall%.3f < 0.9")
   }
 
+  test("declared embed_neardup (LSH form) == all-pairs exact baseline at all three SFs") {
+    // the declared query surface is the bucketed form; the DuckDB oracle is
+    // the cross join — this gate proves set equality (recall 1.0 AND zero
+    // false positives) at the verify scale AND the bench scale, so the
+    // driver hash gate holds and the bench measures the same result set
+    for (dir <- Seq(sf0001, sf001, sf01)) {
+      val got = SparkEntry.queries("embed_neardup")(spark, dir)
+        .as[(Long, Long)].collect().toSet
+      val want = graft.queries.VectorQueries.embedNearDupExact(spark, dir)
+        .as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty, s"fixture at $dir should contain near pairs")
+      assert(got === want, s"declared LSH form must equal exact baseline at $dir")
+    }
+  }
+
+  test("embeddingNearDupLsh / crossEmbeddingLeakage: empty input yields empty pairs, no throw") {
+    val empty = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 0)
+    val nd = Dedup.embeddingNearDupLsh(empty, "vec_id", "embedding", 0.4)
+    assert(nd.columns.toSeq === Seq("ia", "ib", "sim"))
+    assert(nd.count() === 0)
+    val some = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val lk = Dedup.crossEmbeddingLeakage(empty, "vec_id", "embedding",
+      some, "vec_id", "embedding", 0.4)
+    assert(lk.columns.toSeq === Seq("ia", "ib", "sim"))
+    assert(lk.count() === 0)
+  }
+
   test("cross-corpus embedding leakage via LSH ⊆ brute force, recall >= 0.9 (sf0.001)") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

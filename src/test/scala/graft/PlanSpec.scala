@@ -83,6 +83,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embed_neardup declares the banded LSH plan — never cartesian/nested-loop") {
+    val p = plan("embed_neardup")
+    assert(!p.contains("CartesianProduct"), s"embed_neardup must not cross-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"embed_neardup must band-equi-join:\n$p")
+  }
+
   test("bm25/inverted index: posting aggregation is partial (map-side combine)") {
     val p = plan("bm25_keyword")
     assert(p.contains("partial_count") || p.contains("Partial"),

@@ -8,6 +8,7 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
   def sf001 = "/root/testdata/sf0.01"
+  def sf01 = "/root/testdata/sf0.1"
 }
 
 object SparkSpec {
