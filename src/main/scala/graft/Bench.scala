@@ -77,9 +77,21 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> time(name, fn) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses a ~2 KiB tail of the run output; with 112 queries
+    // the full per-query line is ~3 KiB and its head gets truncated away
+    // (r5's bench came back parsed:null). So: full record to BENCH.out and
+    // stdout for humans, then a compact line LAST — total plus the slowest
+    // queries — sized to always land complete inside the tail capture.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.out"),
+      (full + "\n").getBytes("UTF-8"))
+    println(full)
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val slowJson = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowJson,"nqueries":${results.size},"queries_full":"BENCH.out","sf":"$sfDir"}""")
     spark.stop()
   }
 }
