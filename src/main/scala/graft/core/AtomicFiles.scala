@@ -34,6 +34,17 @@ object AtomicFiles {
     * rename-with-overwrite via `FileContext`, whose rename contract is
     * atomic on HDFS and POSIX-rename on the local FS. The java.nio variants
     * above stay for engine-local control files.
+    *
+    * ATOMICITY CONTRACT: the rename is transactional ONLY on HDFS/POSIX
+    * filesystems. On object stores (s3a://, gs://) rename is copy+delete —
+    * a crash inside it can leave the `.tmp` stranded next to a stale or
+    * fresh marker, and the two writes are separately visible. Callers that
+    * target object stores must therefore tolerate BOTH staleness and a
+    * leftover `.tmp` (monotone markers that only advance, readers that
+    * treat corrupt/absent as "no progress", idempotent re-writes — exactly
+    * the `readLongSafe*` discipline). Markers whose read-back must be
+    * authoritative belong on a rename-atomic FS or behind a
+    * conditional-put primitive, not this helper.
     */
   def atomicWriteHadoop(conf: org.apache.hadoop.conf.Configuration,
       p: org.apache.hadoop.fs.Path, content: String): Unit = {

@@ -183,12 +183,8 @@ object Layout {
     * cost as any global sort, amortized over every pruned read after it.
     */
   def zorder2(df: DataFrame, col1: String, col2: String, files: Int): DataFrame = {
-    val r = df.agg(
-      min(col(col1).cast("long")), max(col(col1).cast("long")),
-      min(col(col2).cast("long")), max(col(col2).cast("long"))).first()
-    require(!r.isNullAt(0) && !r.isNullAt(2), "zorder2 on an empty frame")
-    val k = zkey2(col(col1).cast("long"), (r.getLong(0), r.getLong(1)),
-      col(col2).cast("long"), (r.getLong(2), r.getLong(3)))
+    val Seq(d1, d2) = zDomains(df, Seq(col1, col2))
+    val k = zkey2(col(col1).cast("long"), d1, col(col2).cast("long"), d2)
     df.withColumn("__zkey", k)
       .repartitionByRange(files, col("__zkey"))
       .sortWithinPartitions("__zkey")
@@ -204,17 +200,35 @@ object Layout {
   def zorderN(df: DataFrame, cols: Seq[String], files: Int): DataFrame = {
     require(cols.size >= 2 && cols.size <= 6,
       s"zorderN supports 2..6 columns, got ${cols.size}")
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
-    val r = df.agg(aggs.head, aggs.tail: _*).first()
-    require(!r.isNullAt(0), "zorderN on an empty frame")
-    val dims = cols.zipWithIndex.map { case (c, i) =>
-      (col(c).cast("long"), (r.getLong(2 * i), r.getLong(2 * i + 1)))
-    }
+    val doms = zDomains(df, cols)
+    val dims = cols.zip(doms).map { case (c, dom) => (col(c).cast("long"), dom) }
     df.withColumn("__zkey", zkeyN(dims))
       .repartitionByRange(files, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
+  }
+
+  /** One-pass per-dimension domain (min, max) plus NULL audit for z-order
+    * keys. CONTRACT: every z-column must be non-NULL on every row — a NULL
+    * in any dimension makes the interleaved key NULL, which would silently
+    * range-partition all such rows into one hotspot file and drop them from
+    * every min/max-pruned read. Fail loudly, per column, instead.
+    */
+  private def zDomains(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
+    val aggs = count(lit(1)) +: cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long")), count(col(c))))
+    val r = df.agg(aggs.head, aggs.tail: _*).first()
+    val total = r.getLong(0)
+    require(total > 0, "z-order on an empty frame")
+    cols.zipWithIndex.map { case (c, i) =>
+      val (mi, ma, cnt) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
+      require(r.getLong(cnt) == total,
+        s"z-order column '$c' has ${total - r.getLong(cnt)} NULL row(s); " +
+          "z-columns must be non-NULL in every dimension")
+      require(!r.isNullAt(mi) && !r.isNullAt(ma),
+        s"z-order column '$c' has no non-NULL values")
+      (r.getLong(mi), r.getLong(ma))
+    }
   }
 
   /** Persist `df` as a bucketed (+ per-file sorted) managed table — the

@@ -649,9 +649,12 @@ object AnalyticsQueries {
       .select(col("event_type"), col("hour_ms"), col("n"), col("is_outlier"))
   }
 
+  // hour bucket = TRUNCATING division of the ns tick on BOTH sides (Spark
+  // `div`, DuckDB integer `//` — see retentionCohorts), NOT date_trunc:
+  // date_trunc floors, which diverges from `div` on pre-epoch timestamps.
   val hourlyAnomaliesSql: String =
     """WITH h AS (
-      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 * 3600000 AS hour_ms,
       |    count(*) AS n
       |  FROM events GROUP BY 1, 2),
       |s AS (SELECT event_type, count(n) AS cnt, sum(n) AS s1, sum(n*n) AS s2

@@ -256,8 +256,11 @@ object RelationalQueries {
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
   }
 
+  // hour bucket = truncating ns-tick division on both sides (Spark `div` ≡
+  // DuckDB integer `//`), not date_trunc — date_trunc floors and diverges
+  // on pre-epoch timestamps (see AnalyticsQueries.retentionCohorts).
   val eventsHourlySql: String =
-    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+    """SELECT epoch_ns(ts) // 3600000000000 * 3600000 AS hour_ms, event_type,
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin

@@ -193,6 +193,13 @@ object Ingest {
             val textsOut = if (compact) texts0.fold(textsOut0)(textsOut0.union) else textsOut0
             bandsOut.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
             textsOut.write.mode("overwrite").parquet(s"$textsDir/batch=$batchId")
+            // marker semantics survive non-atomic renames (object stores do
+            // copy+delete — see AtomicFiles.atomicWriteHadoop's contract):
+            // it is MONOTONE (only ever advances), readers treat corrupt or
+            // absent as "no compaction yet" (readLongSafeHadoop), and a
+            // stale value only widens the read span — correctness never
+            // depends on the rename being transactional, only liveness of
+            // eventual compaction, which the next compact batch restores
             if (compact)
               graft.core.AtomicFiles.atomicWriteHadoop(hconf, marker, batchId.toString)
           } finally {

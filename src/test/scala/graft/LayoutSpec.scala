@@ -163,6 +163,25 @@ class LayoutSpec extends SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("z-order rejects NULLs in ANY keyed dimension with a clear per-column error") {
+    // per-row NULL in a later dimension: would otherwise NPE opaquely or
+    // silently co-locate all NULL rows in one range — must fail loudly
+    val withNull = Seq((1L, Some(10L), Some(5L)), (2L, Some(20L), None),
+      (3L, Some(30L), Some(7L))).toDF("id", "a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.zorderN(withNull, Seq("a", "b"), 2)
+    }
+    assert(e1.getMessage.contains("'b'") && e1.getMessage.contains("NULL"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.zorder2(withNull, "a", "b", 2)
+    }
+    assert(e2.getMessage.contains("'b'") && e2.getMessage.contains("NULL"))
+    // empty frame still rejected
+    intercept[IllegalArgumentException] {
+      Layout.zorderN(withNull.filter(col("id") < 0), Seq("a", "b"), 2)
+    }
+  }
+
   test("zorder2 preserves the data exactly (layout is value-invariant)") {
     val df = (0 until 5000).map(i => (i.toLong, (i * 37 % 100).toLong, (i * 91 % 1000).toLong))
       .toDF("id", "a", "b")
