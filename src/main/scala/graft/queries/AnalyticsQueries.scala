@@ -23,13 +23,11 @@ object AnalyticsQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — see CorpusStatsQueries: read
-    * as int64 nanos, share DuckDB's µs clock via `ts div 1000`.
+  /** events with `ts` normalized to int64 nanos (Tables.events handles the
+    * driver's parquet encodings); DuckDB's µs clock is `ts div 1000`.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(spark, dir, "events")
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
 
   private def toks: Column = split(col("text"), " ")
 

@@ -23,14 +23,12 @@ object CorpusStatsQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — read as int64 nanos; all ts
-    * math is exact long arithmetic in µs ticks (DuckDB reads the same file
-    * µs-truncated, so `ts div 1000` is the shared clock).
+  /** events with `ts` normalized to int64 nanos (Tables.events handles the
+    * driver's parquet encodings); all ts math is exact long arithmetic and
+    * `ts div 1000` is the µs clock DuckDB shares.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(spark, dir, "events")
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
 
   private def toks: Column = split(col("text"), " ")
 

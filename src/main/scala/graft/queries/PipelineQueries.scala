@@ -24,13 +24,11 @@ object PipelineQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — read as int64 nanos (see
-    * RelationalQueries.events); all ts math is exact long arithmetic.
+  /** events with `ts` normalized to int64 nanos (Tables.events handles the
+    * driver's parquet encodings); all ts math is exact long arithmetic.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(spark, dir, "events")
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
 
   private def toks: Column = split(col("text"), " ")
 

@@ -219,14 +219,12 @@ object RelationalQueries {
     * DocStore.compact uses. Scale: WindowGroupLimit prunes to 1 row per
     * (user, partition) before the shuffle.
     */
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a long
-    * (nanos since epoch) under this legacy flag; all ts math below is exact
-    * int64 nanos, so ordering/truncation agree with DuckDB's TIMESTAMP_NS.
+  /** events with `ts` normalized to int64 nanos since epoch (Tables.events
+    * handles the driver's parquet encodings); all ts math below is exact
+    * int64 nanos, so ordering/truncation agree with DuckDB's epoch clock.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(spark, dir, "events")
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
 
   def lwwLatestEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)

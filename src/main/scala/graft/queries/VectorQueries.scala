@@ -347,6 +347,32 @@ object VectorQueries {
         queryId = "qid", queryVec = "qv")
       .select(col("qid"), col("vec_id"), col("rnk"))
 
+  private val RouteNlist = 16
+  private val RouteNprobe = 4
+
+  /** Deterministic router quantizer shared by the routed query and its
+    * candidate aux export (seeded k-means — recompute ≡ replay).
+    */
+  private def routeModelFor(spark: SparkSession, dir: String): IvfIndex.Model =
+    cachedModel(spark, dir, "graph_route") {
+      IvfIndex.train(corpus(spark, dir), "embedding", RouteNlist)
+    }
+
+  /** Coarse-routed graph ANN: k-means cells + per-cell NSW beams, each query
+    * probing only its RouteNprobe nearest cells (GraphAnn.searchRouted — the
+    * scale path for the graph tier: per-query cost is routeNprobe·ef,
+    * independent of how many partition graphs a 100 TB corpus shards into).
+    * Merge is hash-gated against the exact-distance replay of the exported
+    * candidates; candidate recall is gated in GraphAnnSpec.
+    */
+  def graphKnnRouted(spark: SparkSession, dir: String): DataFrame =
+    GraphAnn.searchRouted(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.L2,
+        nlist = RouteNlist, routeNprobe = RouteNprobe, ef = 80,
+        corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv",
+        model = Some(routeModelFor(spark, dir)))
+      .select(col("qid"), col("vec_id"), col("rnk"))
+
   /** LSH ANN tier (HNSW-capability): rows-only check; recall gates in AnnLshSpec. */
   def lshKnn(spark: SparkSession, dir: String): DataFrame =
     AnnLsh.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.Cos,
@@ -392,6 +418,17 @@ object VectorQueries {
     GraphAnn.localResults(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.L2,
         ef = 80, corpusId = "vec_id", corpusVec = "embedding",
         queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"))
+
+  /** Per-cell routed beam results for graph_knn_routed (pre-merge
+    * candidates; same router model as the query by construction).
+    */
+  def graphRoutedCandAux(spark: SparkSession, dir: String): DataFrame =
+    GraphAnn.routedLocalResults(corpus(spark, dir), queriesDf(spark, dir), K,
+        SpaceType.L2, nlist = RouteNlist, routeNprobe = RouteNprobe, ef = 80,
+        corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv",
+        model = Some(routeModelFor(spark, dir)))
       .select(col("qid"), col("vec_id"))
 
   // ---- filtered KNN (metadata pre-filter — SURVEY P2) ----------------------
@@ -512,6 +549,7 @@ object VectorQueries {
     "opq_knn" -> (opqKnn(_, _)),
     "sq_knn" -> (sqKnn(_, _)),
     "graph_knn" -> (graphKnn(_, _)),
+    "graph_knn_routed" -> (graphKnnRouted(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
     "knn_sql" -> (knnSql(_, _)),
@@ -565,6 +603,7 @@ object VectorQueries {
     "ivf_probes" -> (ivfProbesAux(_, _)),
     "lsh_cand" -> (lshCandAux(_, _)),
     "graph_cand" -> (graphCandAux(_, _)),
+    "graph_routed_cand" -> (graphRoutedCandAux(_, _)),
     "pq_shortlist" -> (pqShortlistAux(_, _)),
     "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)),
     "opq_shortlist" -> (opqShortlistAux(_, _)),
@@ -579,6 +618,8 @@ object VectorQueries {
     "lsh_knn" -> restrictedKnnOracle("lsh_cand",
       "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC"),
     "graph_knn" -> restrictedKnnOracle("graph_cand",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "graph_knn_routed" -> restrictedKnnOracle("graph_routed_cand",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "pq_knn" -> restrictedKnnOracle("pq_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),

@@ -11,8 +11,7 @@ class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
   private def eventRows = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf0001/events.parquet")
+    graft.core.Tables.events(spark, sf0001)
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .as[(Long, Long, Long, String, Double, String)].collect()

@@ -60,8 +60,7 @@ class CorpusStatsSpec extends SparkSpec {
   test("concurrent_events ≡ per-event brute-force neighbor count") {
     val got = CorpusStatsQueries.concurrentEvents(spark, sf0001)
       .as[(Long, Long)].collect().toMap
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ts = spark.read.parquet(s"$sf0001/events.parquet")
+    val ts = graft.core.Tables.events(spark, sf0001)
       .select(col("event_id"), expr("ts div 1000")).as[(Long, Long)].collect()
     val want = ts.map { case (id, t) =>
       id -> (ts.count { case (_, u) => math.abs(u - t) <= 5000000L } - 1L)

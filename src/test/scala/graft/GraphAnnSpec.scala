@@ -133,6 +133,72 @@ class GraphAnnSpec extends SparkSpec {
       s"expected one graph build per partition (${emb.rdd.getNumPartitions}), got $builds")
   }
 
+  test("coarse routing: probe accounting bounded by routeNprobe; recall survives; full probe ≡ every cell") {
+    val nQ = queries.count()
+    val nlist = 8
+    // routed: each query beams through at most routeNprobe cells
+    val probes = spark.sparkContext.longAccumulator("probes")
+    val mdl = graft.operators.IvfIndex.train(emb, "embedding", nlist)
+    val routed = GraphAnn.searchRouted(emb, queries, 10, SpaceType.L2,
+        nlist = nlist, routeNprobe = 3, ef = 100,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv",
+        model = Some(mdl), probeCounter = Some(probes))
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(probes.value <= nQ * 3,
+      s"routed search touched ${probes.value} (query, cell) pairs > ${nQ * 3}")
+    assert(probes.value < nQ * nlist,
+      "routing did not reduce the probe fan-out at all")
+    val recall = exact.map { case (q, t) =>
+      routed.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / exact.size
+    assert(recall >= 0.6, f"routed recall@10 $recall%.3f < 0.6 at routeNprobe=3/$nlist")
+    // full probe: every query hits every non-empty cell — recall can only rise
+    val probesFull = spark.sparkContext.longAccumulator("probesFull")
+    val full = GraphAnn.searchRouted(emb, queries, 10, SpaceType.L2,
+        nlist = nlist, routeNprobe = nlist, ef = 100,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv",
+        model = Some(mdl), probeCounter = Some(probesFull))
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recallFull = exact.map { case (q, t) =>
+      full.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / exact.size
+    assert(recallFull >= recall,
+      f"full-probe recall $recallFull%.3f below routed recall $recall%.3f")
+    assert(recallFull >= 0.9, f"full-probe recall@10 $recallFull%.3f < 0.9")
+  }
+
+  test("routed layout round-trip: searchFromLayout(routeNprobe) ≡ live searchRouted, bit-exact") {
+    val path = java.nio.file.Files.createTempDirectory("nsw-routed").toString + "/graph"
+    val nlist = 8
+    val mdl = GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = nlist,
+      corpusId = "vec_id", corpusVec = "embedding")
+    assert(mdl.nlist === nlist)
+    val live = GraphAnn.searchRouted(emb, queries, 10, SpaceType.L2,
+        nlist = nlist, routeNprobe = 3, ef = 80,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv",
+        model = Some(mdl))
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val persisted = GraphAnn.searchFromLayout(spark, path, queries, 10, SpaceType.L2,
+        ef = 80, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id",
+        routeNprobe = Some(3))
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(persisted === live,
+      "routed search over the persisted layout diverged from the live cells")
+    // back-compat: the routed layout is a plain layout to an unrouted reader,
+    // and full-probe routing over it is exactly the unrouted fan-out
+    val unrouted = GraphAnn.searchFromLayout(spark, path, queries, 10, SpaceType.L2,
+        ef = 80, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id")
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val fullProbe = GraphAnn.searchFromLayout(spark, path, queries, 10, SpaceType.L2,
+        ef = 80, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id",
+        routeNprobe = Some(nlist))
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(fullProbe === unrouted,
+      "full-probe routing must degenerate to the unrouted fan-out")
+  }
+
   test("ephemeral call graphs expire executor-side; build locks never outlive their entries") {
     GraphAnn.GraphCache.clear()
     val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")

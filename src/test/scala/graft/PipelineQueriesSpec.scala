@@ -118,8 +118,7 @@ class PipelineQueriesSpec extends SparkSpec {
   }
 
   test("asof_join: matches brute-force most-recent-prior-view per purchase") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = graft.core.Tables.events(spark, sf001)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .as[(Long, Long, Long, String)].collect()
     val views = ev.filter(_._4 == "view").groupBy(_._2)
