@@ -182,6 +182,24 @@ object ScaleBench {
         graft.operators.GraphAnn.searchFromLayout(spark, graphPath, q, 10,
           SpaceType.L2, ef = 80, queryId = "qid", queryVec = "qv",
           cacheKey = Some((graphPath, 0L)), corpusIdName = "vec_id")))
+      // ROUTED graph tier: k-means cells + centroid routing — per-query beam
+      // work is routeNprobe·ef, independent of how many cell graphs the
+      // corpus sharded into (the unrouted row above probes every partition)
+      val routedPath = s"$scaleDir/nsw_routed_$tag"
+      out(s"graph_routed_build_$tag") = time {
+        graft.operators.GraphAnn.buildRoutedLayout(corpus, routedPath,
+          SpaceType.L2, nlist = 32, corpusId = "vec_id", corpusVec = "embedding")
+      }
+      val probes = spark.sparkContext.longAccumulator("routed_probes")
+      out(s"graph_routed_search_$tag") = time(drain(
+        graft.operators.GraphAnn.searchFromLayout(spark, routedPath, q, 10,
+          SpaceType.L2, ef = 80, queryId = "qid", queryVec = "qv",
+          cacheKey = Some((routedPath, 0L)), corpusIdName = "vec_id",
+          routeNprobe = Some(4), probeCounter = Some(probes))))
+      // at local[32]'s 32 cells the wall clock is Spark-fixed-cost bound;
+      // the (query, cell) probe count is the term that explodes at 10⁴–10⁵
+      // partitions, so report the per-query beam fan-out directly
+      out(s"graph_routed_probes_per_query_$tag") = probes.value.toDouble / 100.0
     }
 
     for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)
@@ -276,6 +294,9 @@ object ScaleBench {
       ("scaling_opq_search", s"opq_adc_search_$scaled", "opq_adc_search_1x"),
       ("speedup_graph_vs_exact_at_scale", s"exact_knn_$scaled", s"graph_search_$scaled"),
       ("scaling_graph_search", s"graph_search_$scaled", "graph_search_1x"),
+      ("speedup_graph_routed_vs_exact_at_scale", s"exact_knn_$scaled", s"graph_routed_search_$scaled"),
+      ("speedup_routed_vs_unrouted_graph_at_scale", s"graph_search_$scaled", s"graph_routed_search_$scaled"),
+      ("scaling_graph_routed_search", s"graph_routed_search_$scaled", "graph_routed_search_1x"),
       ("scaling_minhash", s"minhash_lsh_$scaled", "minhash_lsh_1x"),
       ("scaling_incr_dedup_batch", s"incr_dedup_batch_$scaled", "incr_dedup_batch_1x"),
       ("scaling_fuzzy_join", s"fuzzy_join_$scaled", "fuzzy_join_1x"),

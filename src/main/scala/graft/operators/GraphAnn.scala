@@ -29,47 +29,117 @@ import graft.core.SpaceType
   */
 object GraphAnn {
 
-  /** In-memory single-partition NSW graph. Not thread-safe; build then search. */
-  final class NswIndex(dim: Int, m: Int, efConstruction: Int, space: SpaceType) {
+  /** In-memory single-partition HNSW graph — the reference's actual
+    * hierarchical shape (`hnswalg.h:1381-1440`: greedy descent through the
+    * upper layers to a good entry point, then one beam at layer 0), built
+    * fresh in Scala. Node levels are drawn from the standard geometric
+    * distribution with multiplier 1/ln(M), but from a DETERMINISTIC
+    * splitmix hash of the insertion ordinal rather than an RNG: the graph —
+    * and so every exported candidate set — replays bit-identically, which
+    * the oracle construction requires. `levelMult = 0.0` degenerates to the
+    * flat single-layer NSW (every node at layer 0) — the comparison
+    * baseline GraphAnnSpec uses to assert the hierarchy's visit savings.
+    *
+    * Not thread-safe; build then search.
+    */
+  final class NswIndex(dim: Int, m: Int, efConstruction: Int, space: SpaceType,
+      levelMult: Double = Double.NaN) {
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private val ids = mutable.ArrayBuffer.empty[Any]
-    private val links = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
-    private val maxM = 2 * m
+    // links(node)(layer) — a node participates in layers 0..levels(node)
+    private val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private val levels = mutable.ArrayBuffer.empty[Int]
+    private var entryNode = -1
+    private var maxLevel = -1
+    private val maxM0 = 2 * m
+    private val mL =
+      if (levelMult.isNaN) 1.0 / math.log(math.max(2, m).toDouble) else levelMult
 
-    private def dist(a: Array[Float], b: Array[Float]): Double = space match {
-      case SpaceType.Ip =>
-        var s = 0.0; var i = 0
-        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-        -s
-      case SpaceType.Cos =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
-      case _ =>
-        var s = 0.0; var i = 0
-        while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-        s
+    /** Distance computations since the last reset — the work metric the
+      * hierarchy exists to shrink (spec-asserted).
+      */
+    private var distCalls = 0L
+    private[graft] def visitedDistances: Long = distCalls
+    private[graft] def resetVisited(): Unit = distCalls = 0L
+
+    /** Geometric level from a splitmix64 hash of the ordinal: P(level ≥ l)
+      * = e^(-l/mL); capped at 24 (astronomically unlikely beyond).
+      */
+    private def levelOf(ord: Int): Int = {
+      if (mL <= 0.0) return 0
+      var h = ord.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+      h ^= h >>> 27; h *= 0x94D049BB133111EBL
+      h ^= h >>> 31
+      val u = ((h >>> 11).toDouble + 0.5) / (1L << 53).toDouble // uniform (0,1)
+      math.min((-math.log(u) * mL).toInt, 24)
     }
 
-    /** Beam search over the current graph: ef best candidates for q. */
-    private def beam(q: Array[Float], ef: Int): Seq[(Int, Double)] = {
-      if (vecs.isEmpty) return Seq.empty
-      val entry = 0
+    private def dist(a: Array[Float], b: Array[Float]): Double = {
+      distCalls += 1
+      space match {
+        case SpaceType.Ip =>
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          -s
+        case SpaceType.Cos =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+        case _ =>
+          var s = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+          s
+      }
+    }
+
+    /** Greedy hill-climb at one layer: follow the closest-improving link
+      * until a local minimum (the hnswlib upper-layer descent, ef=1).
+      */
+    private def greedyClosest(q: Array[Float], start: Int, layer: Int): Int = {
+      var cur = start
+      var curD = dist(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val ls = links(cur)(layer)
+        var i = 0
+        while (i < ls.length) {
+          val n = ls(i)
+          val dn = dist(q, vecs(n))
+          if (dn < curD) { cur = n; curD = dn; improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Beam search at one layer from the given entry points: ef best
+      * candidates for q (hnswlib searchBaseLayer).
+      */
+    private def beamLayer(q: Array[Float], eps: Seq[Int], ef: Int,
+        layer: Int): Seq[(Int, Double)] = {
       val visited = new java.util.BitSet(vecs.length)
       // candidates: min-heap by distance; result: max-heap (worst first)
       implicit val byDistAsc: Ordering[(Int, Double)] = Ordering.by(-_._2)
       val cand = mutable.PriorityQueue.empty[(Int, Double)] // closest first (reverse)
       val res = mutable.PriorityQueue.empty[(Int, Double)](Ordering.by(_._2)) // furthest first
-      val d0 = dist(q, vecs(entry))
-      cand.enqueue((entry, d0)); res.enqueue((entry, d0)); visited.set(entry)
+      eps.foreach { e =>
+        if (!visited.get(e)) {
+          visited.set(e)
+          val d = dist(q, vecs(e))
+          cand.enqueue((e, d)); res.enqueue((e, d))
+          if (res.size > ef) res.dequeue()
+        }
+      }
       while (cand.nonEmpty) {
         val (c, dc) = cand.dequeue()
         if (dc > res.head._2 && res.size >= ef) { cand.clear() } // done
         else {
-          val ls = links(c)
+          val ls = links(c)(layer)
           var i = 0
           while (i < ls.length) {
             val n = ls(i)
@@ -90,38 +160,68 @@ object GraphAnn {
 
     def insert(id: Any, v: Array[Float]): Unit = {
       val idx = vecs.length
-      vecs += v; ids += id; links += mutable.ArrayBuffer.empty[Int]
-      if (idx == 0) return
-      val nbrs = beam(v, efConstruction).take(m)
-      nbrs.foreach { case (n, _) =>
-        links(idx) += n
-        links(n) += idx
-        if (links(n).length > maxM) {
-          // prune the neighbor's list back to its maxM closest
-          val pruned = links(n).map(x => (x, dist(vecs(n), vecs(x))))
-            .sortBy(_._2).take(maxM).map(_._1)
-          links(n).clear(); links(n) ++= pruned
+      val lvl = levelOf(idx)
+      vecs += v; ids += id; levels += lvl
+      links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      if (idx == 0) { entryNode = 0; maxLevel = lvl; return }
+      var cur = entryNode
+      // descend the layers above the new node's level greedily (ef=1)
+      var l = maxLevel
+      while (l > lvl) { cur = greedyClosest(v, cur, l); l -= 1 }
+      // beam-wire each shared layer, top down; this layer's candidates seed
+      // the next layer's entry points (hnswlib's ep=W chaining)
+      var eps: Seq[Int] = Seq(cur)
+      l = math.min(maxLevel, lvl)
+      while (l >= 0) {
+        val found = beamLayer(v, eps, efConstruction, l)
+        val cap = if (l == 0) maxM0 else m
+        found.take(m).foreach { case (n, _) =>
+          links(idx)(l) += n
+          links(n)(l) += idx
+          if (links(n)(l).length > cap) {
+            // prune the neighbor's list back to its cap closest
+            val pruned = links(n)(l).map(x => (x, dist(vecs(n), vecs(x))))
+              .sortBy(_._2).take(cap).map(_._1)
+            links(n)(l).clear(); links(n)(l) ++= pruned
+          }
         }
+        eps = found.map(_._1)
+        l -= 1
       }
+      // strict >: the FIRST node to reach the running max stays the entry
+      if (lvl > maxLevel) { maxLevel = lvl; entryNode = idx }
     }
 
-    /** Top-k (id, distance) for q with beam width ef (the efsearch knob). */
-    def search(q: Array[Float], k: Int, ef: Int): Seq[(Any, Double)] =
-      beam(q, math.max(ef, k)).take(k).map { case (i, d) => (ids(i), d) }
-
-    /** Adjacency export for the persisted layout: (ordinal, id, vector,
-      * links). Reloading via `loadRaw` in ordinal order reproduces the
-      * graph EXACTLY (same arrays, same beam walks).
+    /** Top-k (id, distance) for q with beam width ef (the efsearch knob):
+      * greedy descent from the top layer, one beam at layer 0.
       */
-    private[operators] def exportAll: Iterator[(Int, Any, Array[Float], Array[Int])] =
-      ids.indices.iterator.map(i => (i, ids(i), vecs(i), links(i).toArray))
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Any, Double)] = {
+      if (vecs.isEmpty) return Seq.empty
+      var cur = entryNode
+      var l = maxLevel
+      while (l >= 1) { cur = greedyClosest(q, cur, l); l -= 1 }
+      beamLayer(q, Seq(cur), math.max(ef, k), 0)
+        .take(k).map { case (i, d) => (ids(i), d) }
+    }
 
-    /** Append one node with precomputed adjacency (NO beam insertion) —
-      * the reconstruction path for persisted graphs.
+    /** Per-layer adjacency export for the persisted layout: (ordinal, id,
+      * vector, links(layer)(..)). Reloading via `loadRaw` in ordinal order
+      * reproduces the graph EXACTLY (same arrays, same walks — entry node
+      * and max level are functions of the per-node layer counts).
       */
-    private[operators] def loadRaw(id: Any, v: Array[Float], ls: Array[Int]): Unit = {
-      ids += id; vecs += v
-      links += mutable.ArrayBuffer.from(ls)
+    private[operators] def exportAll: Iterator[(Int, Any, Array[Float], Array[Array[Int]])] =
+      ids.indices.iterator.map(i => (i, ids(i), vecs(i), links(i).map(_.toArray)))
+
+    /** Append one node with precomputed per-layer adjacency (NO beam
+      * insertion) — the reconstruction path for persisted graphs.
+      */
+    private[operators] def loadRaw(id: Any, v: Array[Float],
+        ls: Array[Array[Int]]): Unit = {
+      val idx = ids.length
+      val lvl = ls.length - 1
+      ids += id; vecs += v; levels += lvl
+      links += ls.map(a => mutable.ArrayBuffer.from(a))
+      if (lvl > maxLevel) { maxLevel = lvl; entryNode = idx }
     }
   }
 
@@ -436,7 +536,7 @@ object GraphAnn {
           index.insert(r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray)
         }
         index.exportAll.map { case (ord, id, vec, links) =>
-          Row(part, ord, id, vec.toSeq, links.toSeq)
+          Row(part, ord, id, vec.toSeq, links.map(_.toSeq).toSeq)
         }
       }
     }
@@ -446,7 +546,9 @@ object GraphAnn {
         StructField("ord", IntegerType, nullable = false),
         StructField("id", idType),
         StructField("vector", ArrayType(FloatType, containsNull = false)),
-        StructField("links", ArrayType(IntegerType, containsNull = false)))))
+        StructField("links",
+          ArrayType(ArrayType(IntegerType, containsNull = false),
+            containsNull = false)))))
       .write.mode("overwrite").parquet(path)
     numParts
   }
@@ -489,7 +591,7 @@ object GraphAnn {
         val index = new NswIndex(dim, mVal, efcVal, spaceVal)
         rs.foreach { case (id, v) => index.insert(id, v) }
         index.exportAll.map { case (ord, id, vec, links) =>
-          Row(cell, ord, id, vec.toSeq, links.toSeq)
+          Row(cell, ord, id, vec.toSeq, links.map(_.toSeq).toSeq)
         }
       }
     }
@@ -499,7 +601,9 @@ object GraphAnn {
         StructField("ord", IntegerType, nullable = false),
         StructField("id", idType),
         StructField("vector", ArrayType(FloatType, containsNull = false)),
-        StructField("links", ArrayType(IntegerType, containsNull = false)))))
+        StructField("links",
+          ArrayType(ArrayType(IntegerType, containsNull = false),
+            containsNull = false)))))
       .write.mode("overwrite").parquet(path)
     val centRows = mdl.centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
     spark.createDataFrame(java.util.Arrays.asList(centRows: _*), StructType(Seq(
@@ -731,7 +835,8 @@ object GraphAnn {
               val index = new NswIndex(dim, mVal, efcVal, spaceVal)
               sorted.foreach { r =>
                 index.loadRaw(r.get(2), r.getAs[scala.collection.Seq[Float]](3).toArray,
-                  r.getAs[scala.collection.Seq[Int]](4).toArray)
+                  r.getAs[scala.collection.Seq[scala.collection.Seq[Int]]](4)
+                    .map(_.toArray).toArray)
               }
               index
             }

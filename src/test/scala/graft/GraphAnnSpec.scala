@@ -133,6 +133,51 @@ class GraphAnnSpec extends SparkSpec {
       s"expected one graph build per partition (${emb.rdd.getNumPartitions}), got $builds")
   }
 
+  test("layer hierarchy: fewer distance computations than flat NSW at equal ef, recall preserved (hnswalg.h descent)") {
+    // deterministic synthetic corpus: CLUSTERED (real embeddings are), so a
+    // far-off entry point costs the flat beam real work to escape — the
+    // case the hierarchy's descent exists for; tight ef stresses it
+    val n = 8000; val dim = 16; val nClusters = 40
+    def noise(seed: Long, scale: Float): Array[Float] = {
+      var h = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        ((((h >>> 33).toDouble / (1L << 31).toDouble) - 0.5) * scale).toFloat
+      }
+    }
+    val centers = (0 until nClusters).map(c => noise(c.toLong, 10f))
+    def vec(seed: Int): Array[Float] = {
+      val c = centers(seed % nClusters)
+      val d = noise(seed.toLong + 5000000L, 1f)
+      Array.tabulate(dim)(i => c(i) + d(i))
+    }
+    val corpus = (0 until n).map(i => (i, vec(i)))
+    val qs = (0 until 50).map(i => vec(1000000 + i))
+    val truth = qs.map { q =>
+      corpus.map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = (q(i) - v(i)).toDouble; s += d * d; i += 1 }
+        (id, s)
+      }.sortBy(_._2).take(10).map(_._1).toSet
+    }
+    def runWith(levelMult: Double): (Double, Long) = {
+      val idx = new GraphAnn.NswIndex(dim, 16, 100, SpaceType.L2, levelMult)
+      corpus.foreach { case (id, v) => idx.insert(id, v) }
+      idx.resetVisited()
+      val recalls = qs.zip(truth).map { case (q, t) =>
+        idx.search(q, 10, 40).map(_._1.asInstanceOf[Int]).toSet.intersect(t).size / 10.0
+      }
+      (recalls.sum / recalls.size, idx.visitedDistances)
+    }
+    val (recallHier, visitsHier) = runWith(Double.NaN) // default 1/ln(M) hierarchy
+    val (recallFlat, visitsFlat) = runWith(0.0)        // every node at layer 0
+    assert(visitsHier < visitsFlat,
+      s"hierarchy did not reduce search work: $visitsHier vs flat $visitsFlat distance calls")
+    assert(recallHier >= recallFlat - 0.03,
+      f"hierarchy recall $recallHier%.3f fell more than 3pp below flat $recallFlat%.3f")
+    assert(recallHier >= 0.85, f"hierarchical recall@10 $recallHier%.3f < 0.85")
+  }
+
   test("coarse routing: probe accounting bounded by routeNprobe; recall survives; full probe ≡ every cell") {
     val nQ = queries.count()
     val nlist = 8
