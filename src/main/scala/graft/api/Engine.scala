@@ -405,6 +405,13 @@ class Engine(
           .orElse(graft.core.ModelStore.loadOpq(opqSnapshotPath(coll)).map(_.pq.nlist))
           .getOrElse(Int.MaxValue)
         require(v > 0 && v <= nlist, s"nprobe must be in [1, $nlist], got $v") // ivf.go:407-413
+      case ("routeNprobe", v) =>
+        require(cfg.indexType == IndexType.Hnsw,
+          s"routeNprobe not valid for ${cfg.indexType.name}")
+        val nl = cfg.params.get("routeNlist").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            "routeNprobe requires a collection created with routeNlist (routed graph layout)"))
+        require(v > 0 && v <= nl, s"routeNprobe must be in [1, $nl], got $v")
       case (k, _) => throw new IllegalArgumentException(s"unknown search param '$k'") // ivf.go:399-401
     }
     runtime.updateWith(coll)(old => Some(old.getOrElse(Map.empty) ++ params))
@@ -511,14 +518,25 @@ class Engine(
           .write.mode("overwrite").parquet(sqLayoutPath(coll))
         stampLayout()
       case IndexType.Hnsw =>
-        // materialize the per-partition NSW graphs THEMSELVES (adjacency
+        // materialize the per-partition HNSW graphs THEMSELVES (adjacency
         // export — the reference persists its hnswlib index the same way):
         // searches reconstruct from stored links instead of re-running beam
         // insertion, and the executor GraphCache makes even reconstruction a
-        // once-per-layout cost
-        GraphAnn.buildLayout(store.read(coll), hnswLayoutPath(coll), cfg.spaceType,
-          m = cfg.params.get("M").map(_.toInt).getOrElse(16),
-          efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200))
+        // once-per-layout cost. A `routeNlist` collection param builds the
+        // ROUTED layout instead: k-means cells + centroid sidecar, so
+        // searches with the `routeNprobe` runtime param beam through only
+        // the nearest cells (the coarse routing a 10⁴-partition corpus
+        // needs).
+        val hm = cfg.params.get("M").map(_.toInt).getOrElse(16)
+        val hefc = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200)
+        cfg.params.get("routeNlist").map(_.toInt) match {
+          case Some(nl) =>
+            GraphAnn.buildRoutedLayout(store.read(coll), hnswLayoutPath(coll),
+              cfg.spaceType, nlist = nl, m = hm, efConstruction = hefc)
+          case None =>
+            GraphAnn.buildLayout(store.read(coll), hnswLayoutPath(coll),
+              cfg.spaceType, m = hm, efConstruction = hefc)
+        }
         stampLayout()
       case _ => () // flat: nothing to train
     }
@@ -720,9 +738,14 @@ class Engine(
         val layout = if (corpusIsFull) currentLayout(coll, hnswLayoutPath(coll)) else None
         layout match {
           case Some((_, stamp)) =>
+            // routeNprobe (setparams; only settable on routeNlist-built
+            // collections) narrows the beam to the query's nearest cells;
+            // the stale-layout fallback below ignores it — full fan-out is
+            // a recall superset, never a correctness change
             GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, k,
               cfg.spaceType, ef = ef,
-              cacheKey = Some((hnswLayoutPath(coll), stamp)))
+              cacheKey = Some((hnswLayoutPath(coll), stamp)),
+              routeNprobe = getParams(coll).get("routeNprobe"))
           case None =>
             GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
               m = cfg.params.get("M").map(_.toInt).getOrElse(16),

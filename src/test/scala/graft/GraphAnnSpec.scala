@@ -244,6 +244,33 @@ class GraphAnnSpec extends SparkSpec {
       "full-probe routing must degenerate to the unrouted fan-out")
   }
 
+  test("engine routed hnsw: routeNlist builds the routed layout; routeNprobe is a validated runtime knob") {
+    import graft.api.Engine
+    import graft.core._
+    val root = java.nio.file.Files.createTempDirectory("routed-engine").toString
+    val e = new Engine(spark, root)
+    // two far-apart clusters of 4-d points; routing must still find the
+    // true nearest neighbor with routeNprobe=1 (query sits inside a cluster)
+    e.createCollection(CollectionConfig("g", 4, IndexType.Hnsw,
+      params = Map("routeNlist" -> "4")))
+    val docs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 0f else 100f
+      Document(i.toString, Array(base + i.toFloat / 100, base, 0f, 0f))
+    }
+    e.batchUpsertDocuments("g", docs)
+    e.buildIndex("g")
+    e.setParams("g", Map("routeNprobe" -> 1))
+    val near42 = e.searchDocuments("g", Array(100.42f, 100f, 0f, 0f), 1)
+    assert(near42.head.id === "41" || near42.head.id === "43",
+      s"routed engine search missed the local cluster: got ${near42.head.id}")
+    // knob validation: bound by routeNlist; rejected without a routed layout
+    intercept[IllegalArgumentException](e.setParams("g", Map("routeNprobe" -> 5)))
+    e.createCollection(CollectionConfig("plain", 4, IndexType.Hnsw))
+    intercept[IllegalArgumentException](e.setParams("plain", Map("routeNprobe" -> 1)))
+    e.createCollection(CollectionConfig("flat", 4, IndexType.Flat))
+    intercept[IllegalArgumentException](e.setParams("flat", Map("routeNprobe" -> 1)))
+  }
+
   test("ephemeral call graphs expire executor-side; build locks never outlive their entries") {
     GraphAnn.GraphCache.clear()
     val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")
