@@ -596,6 +596,8 @@ object GraphAnn {
       }
     }
     val idType = corpus.schema(corpusId).dataType
+    // dir-partitioned by cell: point-serve reads prune to the probed cells'
+    // directories (scan bytes ∝ routeNprobe/nlist — searchRoutedPruned)
     spark.createDataFrame(rows, StructType(Seq(
         StructField("part", IntegerType, nullable = false),
         StructField("ord", IntegerType, nullable = false),
@@ -604,7 +606,7 @@ object GraphAnn {
         StructField("links",
           ArrayType(ArrayType(IntegerType, containsNull = false),
             containsNull = false)))))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").partitionBy("part").parquet(path)
     val centRows = mdl.centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
     spark.createDataFrame(java.util.Arrays.asList(centRows: _*), StructType(Seq(
         StructField("part", IntegerType, nullable = false),
@@ -769,7 +771,12 @@ object GraphAnn {
       routeNprobe: Option[Int] = None,
       probeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import graft.functions.vfn
+    // canonical column order by NAME: a dir-partitioned routed layout reads
+    // with the `part` partition column LAST, a flat layout with it first —
+    // the batchRdd below accesses by ordinal
     val graph = spark.read.parquet(path)
+      .select(col("part").cast(IntegerType), col("ord"), col("id"),
+        col("vector"), col("links"))
     val idType = graph.schema("id").dataType
     val qidType = queries.schema(queryId).dataType
     val schema = StructType(Seq(
@@ -797,7 +804,6 @@ object GraphAnn {
     if (numParts == 0)
       return vfn.topKHits(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         col("distance"), queryId, corpusIdName, k)
-    val mVal = 16; val efcVal = 200 // reconstruction never inserts: unused
     val spaceVal = space; val efVal = ef; val kVal = k
     // routing centroids: the `_route` sidecar buildRoutedLayout wrote (cell
     // ids ARE the layout's `part` values, so the per-batch routing table
@@ -829,17 +835,7 @@ object GraphAnn {
           if (qIdx.isEmpty) Iterator.empty
           else {
             counter.foreach(_.add(qIdx.length))
-            def rebuild: NswIndex = {
-              val sorted = rs.sortBy(_.getInt(1))
-              val dim = sorted(0).getAs[scala.collection.Seq[Float]](3).length
-              val index = new NswIndex(dim, mVal, efcVal, spaceVal)
-              sorted.foreach { r =>
-                index.loadRaw(r.get(2), r.getAs[scala.collection.Seq[Float]](3).toArray,
-                  r.getAs[scala.collection.Seq[scala.collection.Seq[Int]]](4)
-                    .map(_.toArray).toArray)
-              }
-              index
-            }
+            def rebuild: NswIndex = reconstructCell(rs, spaceVal)
             val index = effKey match {
               case Some((layoutId, version)) =>
                 GraphCache.getOrBuild(layoutId, version, numParts, part, rs.length)(rebuild)
@@ -856,6 +852,105 @@ object GraphAnn {
 
     val local = unionBatches(spark,
       queryBatches(queries, queryId, queryVec, queryBatchSize), cacheKey, batchRdd)
+    vfn.topKHits(spark.createDataFrame(local, schema),
+      col("distance"), queryId, corpusIdName, k)
+  }
+
+  /** Rebuild one cell's graph from its exported (part, ord, id, vector,
+    * links) rows — ord-sorted replay of `loadRaw`, NO beam insertion.
+    * Shared by the batch and point-serve reload paths, so their executor
+    * cache entries are interchangeable.
+    */
+  private def reconstructCell(rs: Array[Row], space: SpaceType): NswIndex = {
+    val sorted = rs.sortBy(_.getInt(1))
+    val dim = sorted(0).getAs[scala.collection.Seq[Float]](3).length
+    val index = new NswIndex(dim, 16, 200, space) // reconstruction never inserts
+    sorted.foreach { r =>
+      index.loadRaw(r.get(2), r.getAs[scala.collection.Seq[Float]](3).toArray,
+        r.getAs[scala.collection.Seq[scala.collection.Seq[Int]]](4)
+          .map(_.toArray).toArray)
+    }
+    index
+  }
+
+  /** Cold point-serve over a dir-partitioned ROUTED layout: reads ONLY the
+    * probed cells' directories (partition pruning — `part IN (...)` lands
+    * in the scan's PartitionFilters, so scan bytes are ∝ routeNprobe/nlist
+    * of the layout, the property that matters when the layout is 100 TB
+    * and the caller has ONE query). The batch path (`searchFromLayout`)
+    * instead pays one full co-located shuffle and amortizes it across
+    * every query batch via the driver/executor caches; this path skips
+    * that machinery entirely, so it stays cheap when the caller would
+    * never amortize it. Results are identical to the batch path at the
+    * same routeNprobe (same cells, same reconstruction, same beams).
+    */
+  def searchRoutedPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      ef: Int = 40,
+      routeNprobe: Int = 4,
+      queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      cacheKey: Option[(String, Long)] = None,
+      corpusIdName: String = "id",
+      maxQueries: Int = 1000,
+      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import graft.functions.vfn
+    val cents = spark.read.parquet(s"$path/_route").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    require(cents.nonEmpty,
+      s"$path has no _route sidecar (write the layout with buildRoutedLayout)")
+    require(routeNprobe >= 1 && routeNprobe <= cents.length,
+      s"routeNprobe must be in [1, ${cents.length}], got $routeNprobe")
+    val mdl = IvfIndex.Model(cents, space)
+    val qRows = queries.select(col(queryId), col(queryVec)).collect()
+      .map(r => (r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+    require(qRows.length <= maxQueries,
+      s"searchRoutedPruned is the point-serve path (${qRows.length} queries > " +
+        s"$maxQueries); use searchFromLayout(routeNprobe) for batches")
+    val routing = routingFor(qRows, mdl, routeNprobe)
+    val cells = routing.indices.filter(routing(_).nonEmpty).map(Int.box)
+    val qidType = queries.schema(queryId).dataType
+    val graph = spark.read.parquet(path)
+      .filter(col("part").isin(cells: _*)) // partition pruning: probed dirs only
+      .select(col("part").cast(IntegerType), col("ord"), col("id"),
+        col("vector"), col("links"))
+    val idType = graph.schema("id").dataType
+    val schema = StructType(Seq(
+      StructField(queryId, qidType),
+      StructField(corpusIdName, idType),
+      StructField("distance", DoubleType)))
+    val spaceVal = space; val efVal = ef; val kVal = k
+    val nCells = cents.length
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcRoute = spark.sparkContext.broadcast(routing)
+    val counter = probeCounter
+    val eff = cacheKey
+    val local = graph.repartition(math.max(1, cells.length), col("part")).rdd
+      .mapPartitions { it =>
+        val groups = it.toArray.groupBy(_.getInt(0))
+        groups.iterator.flatMap { case (cell, rs) =>
+          val qIdx = bcRoute.value(cell)
+          if (qIdx.isEmpty) Iterator.empty
+          else {
+            counter.foreach(_.add(qIdx.length))
+            def rebuild: NswIndex = reconstructCell(rs, spaceVal)
+            val index = eff match {
+              case Some((layoutId, version)) =>
+                GraphCache.getOrBuild(layoutId, version, nCells, cell, rs.length)(rebuild)
+              case None => rebuild
+            }
+            qIdx.iterator.flatMap { qi =>
+              val (qid, qv) = bcQ.value(qi)
+              index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+            }
+          }
+        }
+      }
     vfn.topKHits(spark.createDataFrame(local, schema),
       col("distance"), queryId, corpusIdName, k)
   }

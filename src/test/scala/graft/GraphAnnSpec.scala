@@ -244,6 +244,37 @@ class GraphAnnSpec extends SparkSpec {
       "full-probe routing must degenerate to the unrouted fan-out")
   }
 
+  test("point-serve over dir-partitioned routed layout: partition-pruned scan, ≡ batch path, bounded queries") {
+    val path = java.nio.file.Files.createTempDirectory("nsw-pruned").toString + "/graph"
+    val nlist = 8
+    GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = nlist,
+      corpusId = "vec_id", corpusVec = "embedding")
+    // the layout is physically partitioned by cell, and a probed-cells read
+    // plans a PartitionFilters prune (scan bytes ∝ routeNprobe/nlist)
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("part=")),
+      "routed layout must be dir-partitioned by cell")
+    val prunedPlan = spark.read.parquet(path).filter(col("part").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("part"),
+      s"probed-cells read did not plan a partition prune:\n$prunedPlan")
+    val probes = spark.sparkContext.longAccumulator("pointProbes")
+    val point = GraphAnn.searchRoutedPruned(spark, path, queries, 10, SpaceType.L2,
+        ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+        corpusIdName = "vec_id", probeCounter = Some(probes))
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val batch = GraphAnn.searchFromLayout(spark, path, queries, 10, SpaceType.L2,
+        ef = 80, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id",
+        routeNprobe = Some(3))
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(point === batch,
+      "point-serve diverged from the batch routed path over the same layout")
+    assert(probes.value <= queries.count() * 3)
+    // the guard that keeps this the POINT path
+    intercept[IllegalArgumentException](
+      GraphAnn.searchRoutedPruned(spark, path, queries, 10, SpaceType.L2,
+        queryId = "qid", queryVec = "qv", maxQueries = 5))
+  }
+
   test("engine routed hnsw: routeNlist builds the routed layout; routeNprobe is a validated runtime knob") {
     import graft.api.Engine
     import graft.core._

@@ -109,6 +109,30 @@ class ServerSpec extends SparkSpec {
       """{"parameters":{"nprobe":5}}""")._1 === 400)
   }
 
+  test("routed hnsw over the wire: routeNlist collection param + routeNprobe setparams knob") {
+    assert(req("POST", "/v1/collections",
+      """{"name":"rt","dimension":2,"index_type":"hnsw","parameters":{"routeNlist":"4"}}""")._1 === 200)
+    val docs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0 else 100
+      s"""{"id":"$i","vector":[${base + i % 7},$base]}"""
+    }.mkString("[", ",", "]")
+    assert(req("POST", "/v1/collections/rt/buildindex",
+      s"""{"documents":$docs}""")._1 === 200)
+    assert(req("POST", "/v1/collections/rt/documents/setparams",
+      """{"parameters":{"routeNprobe":1}}""")._1 === 200)
+    val (cs, vs) = req("POST", "/v1/collections/rt/vectors/search",
+      """{"vector":[103,100],"limit":1}""")
+    assert(cs === 200)
+    val hit = vs.asObj("ids").asArr.head.asStr.toInt
+    assert(hit % 2 == 1, s"routed wire search left the query's cluster: id $hit")
+    // validation over the wire: beyond routeNlist → 400; non-routed coll → 400
+    assert(req("POST", "/v1/collections/rt/documents/setparams",
+      """{"parameters":{"routeNprobe":9}}""")._1 === 400)
+    req("POST", "/v1/collections", """{"name":"rt2","dimension":2,"index_type":"hnsw"}""")
+    assert(req("POST", "/v1/collections/rt2/documents/setparams",
+      """{"parameters":{"routeNprobe":1}}""")._1 === 400)
+  }
+
   test("buildindex endpoint: accepts reference body AND actually trains (§7.4)") {
     req("POST", "/v1/collections", """{"name":"iv","dimension":2,"index_type":"ivf_flat"}""")
     val docs = (0 until 30).map { i =>
