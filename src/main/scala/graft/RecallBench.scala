@@ -150,6 +150,13 @@ object RecallBench {
         queryId = "qid", queryVec = "qv", cacheKey = Some((servePath, 0L)),
         corpusIdName = "vec_id", routeNprobe = Some(2))
     }
+    // partition-pruned point-serve: reads only the probed cells' dirs —
+    // the cold-single-query shape (scan bytes ∝ routeNprobe/nlist)
+    serveLatency("graph_routed_pruned") { q =>
+      GraphAnn.searchRoutedPruned(spark, servePath, q, k, SpaceType.L2, ef = 80,
+        routeNprobe = 2, queryId = "qid", queryVec = "qv",
+        cacheKey = Some((servePath, 0L)), corpusIdName = "vec_id")
+    }
 
     spark.stop()
   }

@@ -741,11 +741,24 @@ class Engine(
             // routeNprobe (setparams; only settable on routeNlist-built
             // collections) narrows the beam to the query's nearest cells;
             // the stale-layout fallback below ignores it — full fan-out is
-            // a recall superset, never a correctness change
-            GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, k,
-              cfg.spaceType, ef = ef,
-              cacheKey = Some((hnswLayoutPath(coll), stamp)),
-              routeNprobe = getParams(coll).get("routeNprobe"))
+            // a recall superset, never a correctness change. SMALL routed
+            // query sets take the partition-pruned point-serve path (scan
+            // only the probed cells' directories — the single-request REST
+            // case); batches amortize the co-located shuffle instead.
+            // Both paths share executor cache entries, so mixing them
+            // never rebuilds a cell twice.
+            val routeP = getParams(coll).get("routeNprobe")
+            routeP match {
+              case Some(p) if queries.size <= 64 =>
+                GraphAnn.searchRoutedPruned(spark, hnswLayoutPath(coll), qDf, k,
+                  cfg.spaceType, ef = ef, routeNprobe = p,
+                  cacheKey = Some((hnswLayoutPath(coll), stamp)))
+              case _ =>
+                GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, k,
+                  cfg.spaceType, ef = ef,
+                  cacheKey = Some((hnswLayoutPath(coll), stamp)),
+                  routeNprobe = routeP)
+            }
           case None =>
             GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
               m = cfg.params.get("M").map(_.toInt).getOrElse(16),

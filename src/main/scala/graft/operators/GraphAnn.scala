@@ -20,12 +20,14 @@ import graft.core.SpaceType
   * to search (queries broadcast; each partition answers from its local
   * graph; the global answer is the one-pass TopK merge of per-partition
   * top-k's). Search cost scales with numPartitions·ef instead of corpus
-  * size — the greedy-descent saving applies within every partition.
+  * size — and with COARSE ROUTING (`searchRouted` / `routeNprobe`), with
+  * routeNprobe·ef: k-means cells make partitions spatially coherent, and
+  * each query beams only through its nearest cells, the step that keeps
+  * this tier viable at the 10⁴–10⁵ partitions a 100 TB corpus shards into.
   *
-  * The graph itself is a fresh, single-layer NSW: greedy beam insertion
-  * wiring each node to its M nearest discovered neighbors (bidirectional,
-  * pruned to maxM) — the level-0 machinery of HNSW without the layer
-  * hierarchy, which partition-local sizes don't need.
+  * The graph itself is a fresh multi-layer HNSW (`NswIndex`): hierarchical
+  * greedy descent + layer-0 beam, with deterministic hash-derived levels so
+  * every search replays bit-identically for the oracle gates.
   */
 object GraphAnn {
 
