@@ -158,6 +158,52 @@ object RecallBench {
         cacheKey = Some((servePath, 0L)), corpusIdName = "vec_id")
     }
 
+    // ---- REST wire floor -------------------------------------------------
+    // The numbers above time the ENGINE call; a serving caller pays the full
+    // wire: HTTP parse → Engine dispatch (small routed query sets take the
+    // partition-pruned point path) → JSON response. Same p50/p95 protocol,
+    // one POST vectors/search per query against an in-process Server —
+    // quantifies the whole REST floor, not just the Spark job.
+    {
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val root = java.nio.file.Files.createTempDirectory("recall-rest").toString
+      val engine = new graft.api.Engine(spark, root)
+      val server = new graft.api.Server(engine)
+      val port = server.start()
+      try {
+        engine.createCollection(graft.core.CollectionConfig(
+          "serve", 64, graft.core.IndexType.Hnsw, SpaceType.L2,
+          params = Map("routeNlist" -> "32")))
+        val docs = emb.collect().map { r =>
+          graft.core.Document(r.getLong(0).toString,
+            r.getAs[scala.collection.Seq[Float]](1).toArray)
+        }
+        engine.batchUpsertDocuments("serve", docs.toSeq)
+        engine.buildIndex("serve")
+        engine.setParams("serve", Map("routeNprobe" -> 2))
+        val client = HttpClient.newHttpClient()
+        def post(vec: Array[Float]): Int = {
+          val body = s"""{"vector":[${vec.mkString(",")}],"limit":$k}"""
+          val req = HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"http://127.0.0.1:$port/v1/collections/serve/vectors/search"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+          client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+        }
+        val wireQs = qRows.map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+        require(post(wireQs.head) == 200, "warm-up search failed") // codegen + caches
+        val times = wireQs.map { v =>
+          val t0 = System.nanoTime()
+          val rc = post(v)
+          require(rc == 200, s"wire search failed: $rc")
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        val p50 = times(times.length / 2)
+        val p95 = times(math.min(times.length - 1, (times.length * 95) / 100))
+        println(f"""{"mode":"serve_latency","index":"rest_routed_hnsw","queries":${times.length},"p50_ms":$p50%.1f,"p95_ms":$p95%.1f}""")
+      } finally server.stop()
+    }
+
     spark.stop()
   }
 }

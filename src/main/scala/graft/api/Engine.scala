@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.core.ModelStore
-import graft.operators.{ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
+import graft.operators.{BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
 import graft.sources.EmbeddingProvider
 
 /** Engine facade — the reference's REST verb set (SURVEY §2.9) as a Scala
@@ -36,6 +36,7 @@ class Engine(
   private val pqModels = collection.concurrent.TrieMap.empty[String, IvfPq.Model]
   private val opqModels = collection.concurrent.TrieMap.empty[String, Opq.Model]
   private val sqModels = collection.concurrent.TrieMap.empty[String, ScalarQuant.Model]
+  private val bqModels = collection.concurrent.TrieMap.empty[String, BinaryQuant.Model]
   private val cache = new ResultCache(capacity = 128)
   // params epoch: bumped on setParams so cached results keyed on old params miss
   private val paramsEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -44,6 +45,7 @@ class Engine(
   private def pqSnapshotPath(coll: String) = s"$root/$coll/index/pq.snapshot"
   private def opqSnapshotPath(coll: String) = s"$root/$coll/index/opq.snapshot"
   private def sqSnapshotPath(coll: String) = s"$root/$coll/index/sq.snapshot"
+  private def bqSnapshotPath(coll: String) = s"$root/$coll/index/bq.snapshot"
   private def ivfLayoutPath(coll: String) = s"$root/$coll/index/ivf_layout"
   private def bucketedDataPath(coll: String, tier: String) =
     s"$root/$coll/index/${tier}_bucketed"
@@ -109,6 +111,7 @@ class Engine(
   private def pqLayoutPath(coll: String) = s"$root/$coll/index/pq_layout"
   private def opqLayoutPath(coll: String) = s"$root/$coll/index/opq_layout"
   private def sqLayoutPath(coll: String) = s"$root/$coll/index/sq_layout"
+  private def bqLayoutPath(coll: String) = s"$root/$coll/index/bq_layout"
   private def hnswLayoutPath(coll: String) = s"$root/$coll/index/hnsw_layout"
 
   /** Crash-tolerant marker-file IO: writes go through tmp + atomic rename
@@ -152,7 +155,7 @@ class Engine(
 
   def dropCollection(name: String): Boolean = {
     runtime.remove(name); ivfModels.remove(name); pqModels.remove(name)
-    opqModels.remove(name); sqModels.remove(name)
+    opqModels.remove(name); sqModels.remove(name); bqModels.remove(name)
     // unregister the collection's bucketed table (external — dropping the
     // table leaves the files; they go with the collection dir). Only drop a
     // table that still points at THIS collection's files: another collection
@@ -412,6 +415,10 @@ class Engine(
           throw new IllegalArgumentException(
             "routeNprobe requires a collection created with routeNlist (routed graph layout)"))
         require(v > 0 && v <= nl, s"routeNprobe must be in [1, $nl], got $v")
+      case ("rerankFactor", v) =>
+        require(cfg.indexType == IndexType.Sq || cfg.indexType == IndexType.Bq,
+          s"rerankFactor not valid for ${cfg.indexType.name}")
+        require(v > 0, s"rerankFactor must be positive, got $v")
       case (k, _) => throw new IllegalArgumentException(s"unknown search param '$k'") // ivf.go:399-401
     }
     runtime.updateWith(coll)(old => Some(old.getOrElse(Map.empty) ++ params))
@@ -517,6 +524,17 @@ class Engine(
         ScalarQuant.encode(corpus, "vector", sq)
           .write.mode("overwrite").parquet(sqLayoutPath(coll))
         stampLayout()
+      case IndexType.Bq =>
+        // BQ serves every space: the Hamming shortlist is metric-agnostic
+        // candidate generation; the exact re-rank carries cfg.spaceType
+        val corpus = store.read(coll)
+        require(corpus.limit(1).count() >= 1, "cannot train an index on an empty collection")
+        val bq = BinaryQuant.train(corpus, "vector")
+        bqModels(coll) = bq
+        ModelStore.saveBq(bqSnapshotPath(coll), bq)
+        BinaryQuant.encode(corpus, "vector", bq)
+          .write.mode("overwrite").parquet(bqLayoutPath(coll))
+        stampLayout()
       case IndexType.Hnsw =>
         // materialize the per-partition HNSW graphs THEMSELVES (adjacency
         // export — the reference persists its hnswlib index the same way):
@@ -529,13 +547,19 @@ class Engine(
         // needs).
         val hm = cfg.params.get("M").map(_.toInt).getOrElse(16)
         val hefc = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200)
+        // levelMult: HNSW level multiplier (default 1/ln M; 0 = flat NSW).
+        // A BUILD-time knob — it shapes the persisted adjacency, so it lives
+        // on the collection, not in setparams.
+        val hlm = cfg.params.get("levelMult").map(_.toDouble).getOrElse(Double.NaN)
+        require(hlm.isNaN || hlm >= 0.0, s"levelMult must be >= 0, got $hlm")
         cfg.params.get("routeNlist").map(_.toInt) match {
           case Some(nl) =>
             GraphAnn.buildRoutedLayout(store.read(coll), hnswLayoutPath(coll),
-              cfg.spaceType, nlist = nl, m = hm, efConstruction = hefc)
+              cfg.spaceType, nlist = nl, m = hm, efConstruction = hefc,
+              levelMult = hlm)
           case None =>
             GraphAnn.buildLayout(store.read(coll), hnswLayoutPath(coll),
-              cfg.spaceType, m = hm, efConstruction = hefc)
+              cfg.spaceType, m = hm, efConstruction = hefc, levelMult = hlm)
         }
         stampLayout()
       case _ => () // flat: nothing to train
@@ -605,7 +629,17 @@ class Engine(
         val sq = loadedSq(coll)
         val encoded = currentLayout(coll, sqLayoutPath(coll))
           .map(_._1).getOrElse(ScalarQuant.encode(corpus, "vector", sq))
-        ScalarQuant.search(encoded, queries, sq, k, rerankVecCol = Some("vector"))
+        ScalarQuant.search(encoded, queries, sq, k, rerankVecCol = Some("vector"),
+          rerankFactor = getParams(coll).getOrElse("rerankFactor", 4))
+      case IndexType.Bq =>
+        // same flat-scan shape as SQ: broadcast queries, codes-only scan
+        guardQuerySetSize(queries, cfg)
+        val bq = loadedBq(coll)
+        val encoded = currentLayout(coll, bqLayoutPath(coll))
+          .map(_._1).getOrElse(BinaryQuant.encode(corpus, "vector", bq))
+        BinaryQuant.search(encoded, queries, bq, k, cfg.spaceType,
+          rerankVecCol = Some("vector"),
+          rerankFactor = getParams(coll).getOrElse("rerankFactor", 8))
       case _ =>
         // flat/hnsw query paths collect the query set; fail fast with a
         // routing hint instead of letting a 10⁸-row frame OOM the driver
@@ -696,6 +730,15 @@ class Engine(
       }
       .getOrElse(notBuilt(coll))
 
+  private def loadedBq(coll: String): BinaryQuant.Model =
+    bqModels.get(coll)
+      .orElse {
+        val loaded = ModelStore.loadBq(bqSnapshotPath(coll))
+        loaded.foreach(mm => bqModels(coll) = mm)
+        loaded
+      }
+      .getOrElse(notBuilt(coll))
+
   private def searchOn(corpus: DataFrame, cfg: CollectionConfig, coll: String,
       queries: Seq[(String, Array[Float])], k: Int,
       corpusIsFull: Boolean = false): DataFrame = {
@@ -762,7 +805,8 @@ class Engine(
           case None =>
             GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
               m = cfg.params.get("M").map(_.toInt).getOrElse(16),
-              efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200))
+              efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200),
+              levelMult = cfg.params.get("levelMult").map(_.toDouble).getOrElse(Double.NaN))
         }
       case IndexType.Opq =>
         val opq = loadedOpq(coll)
@@ -774,7 +818,15 @@ class Engine(
         val sq = loadedSq(coll)
         val encoded = (if (corpusIsFull) currentLayout(coll, sqLayoutPath(coll)) else None)
           .map(_._1).getOrElse(ScalarQuant.encode(corpus, "vector", sq))
-        ScalarQuant.search(encoded, qDf, sq, k, rerankVecCol = Some("vector"))
+        ScalarQuant.search(encoded, qDf, sq, k, rerankVecCol = Some("vector"),
+          rerankFactor = getParams(coll).getOrElse("rerankFactor", 4))
+      case IndexType.Bq =>
+        val bq = loadedBq(coll)
+        val encoded = (if (corpusIsFull) currentLayout(coll, bqLayoutPath(coll)) else None)
+          .map(_._1).getOrElse(BinaryQuant.encode(corpus, "vector", bq))
+        BinaryQuant.search(encoded, qDf, bq, k, cfg.spaceType,
+          rerankVecCol = Some("vector"),
+          rerankFactor = getParams(coll).getOrElse("rerankFactor", 8))
       case IndexType.Flat =>
         ExactKnn.knn(corpus, qDf, k, cfg.spaceType)
     }

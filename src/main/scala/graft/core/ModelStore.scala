@@ -3,7 +3,7 @@ package graft.core
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import graft.operators.{IvfIndex, IvfPq, Opq, ScalarQuant}
+import graft.operators.{BinaryQuant, IvfIndex, IvfPq, Opq, ScalarQuant}
 
 /** Index-snapshot persistence (SURVEY S8): centroids/codebooks as small
   * sidecar artifacts per collection, replacing the reference's gob snapshots
@@ -109,5 +109,22 @@ object ModelStore {
     require(it.next().startsWith("sq"), s"not an sq snapshot: $path")
     val m = readMatrix(it)
     Some(ScalarQuant.Model(m(0), m(1)))
+  }
+
+  /** BQ = the per-dimension threshold row. */
+  def saveBq(path: String, model: BinaryQuant.Model): Unit = {
+    val sb = new StringBuilder
+    sb.append("bq\n")
+    writeMatrix(sb, Array(model.thresholds))
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def loadBq(path: String): Option[BinaryQuant.Model] = {
+    if (!Files.exists(Paths.get(path))) return None
+    val lines = Files.readAllLines(Paths.get(path)).iterator()
+    val it = new Iterator[String] { def hasNext = lines.hasNext; def next() = lines.next() }
+    require(it.next().startsWith("bq"), s"not a bq snapshot: $path")
+    Some(BinaryQuant.Model(readMatrix(it)(0)))
   }
 }

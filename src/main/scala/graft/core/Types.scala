@@ -22,9 +22,9 @@ object SpaceType {
         s"unknown space type '$s' (expected one of ${all.map(_.name).mkString(", ")})"))
 }
 
-/** Index algorithm (reference `internal/index/const.go:10-15`, plus two
-  * tiers beyond the reference: `opq` — learned-rotation IVFPQ — and `sq` —
-  * SQ8 scalar quantization).
+/** Index algorithm (reference `internal/index/const.go:10-15`, plus three
+  * tiers beyond the reference: `opq` — learned-rotation IVFPQ — `sq` —
+  * SQ8 scalar quantization — and `bq` — 1-bit binary quantization).
   */
 sealed abstract class IndexType(val name: String) extends Serializable
 object IndexType {
@@ -34,8 +34,9 @@ object IndexType {
   case object IvfPq extends IndexType("ivfpq")
   case object Opq extends IndexType("opq")     // beyond reference: rotated IVFPQ
   case object Sq extends IndexType("sq")       // beyond reference: SQ8 flat
+  case object Bq extends IndexType("bq")       // beyond reference: 1-bit sign codes
 
-  val all: Seq[IndexType] = Seq(Flat, Hnsw, IvfFlat, IvfPq, Opq, Sq)
+  val all: Seq[IndexType] = Seq(Flat, Hnsw, IvfFlat, IvfPq, Opq, Sq, Bq)
   def parse(s: String): IndexType =
     all.find(_.name == s.toLowerCase).getOrElse(
       throw new IllegalArgumentException(

@@ -383,11 +383,12 @@ object GraphAnn {
       queryId: String = "query_id",
       queryVec: String = "query_vec",
       cacheKey: Option[(String, Long)] = None,
-      queryBatchSize: Int = 10000): DataFrame = {
+      queryBatchSize: Int = 10000,
+      levelMult: Double = Double.NaN): DataFrame = {
     val spark = corpus.sparkSession
     require(queryBatchSize >= 1, s"queryBatchSize must be >= 1, got $queryBatchSize")
     val mVal = m; val efcVal = efConstruction; val efVal = ef; val spaceVal = space
-    val kVal = k
+    val kVal = k; val lmVal = levelMult
 
     val idIdx = 0; val vecIdx = 1
     val selected = corpus.select(col(corpusId), col(corpusVec)).rdd
@@ -402,7 +403,7 @@ object GraphAnn {
         else {
           def build: NswIndex = {
             val dim = rows(0).getAs[scala.collection.Seq[Float]](vecIdx).length
-            val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+            val index = new NswIndex(dim, mVal, efcVal, spaceVal, lmVal)
             rows.foreach { r =>
               index.insert(r.get(idIdx), r.getAs[scala.collection.Seq[Float]](vecIdx).toArray)
             }
@@ -523,9 +524,11 @@ object GraphAnn {
       m: Int = 16,
       efConstruction: Int = 200,
       corpusId: String = "id",
-      corpusVec: String = "vector"): Int = {
+      corpusVec: String = "vector",
+      levelMult: Double = Double.NaN): Int = {
     val spark = corpus.sparkSession
     val mVal = m; val efcVal = efConstruction; val spaceVal = space
+    val lmVal = levelMult
     val selected = corpus.select(col(corpusId), col(corpusVec)).rdd
     val numParts = selected.getNumPartitions
     val rows = selected.mapPartitionsWithIndex { (part, it) =>
@@ -533,7 +536,7 @@ object GraphAnn {
       if (rs.isEmpty) Iterator.empty
       else {
         val dim = rs(0).getAs[scala.collection.Seq[Float]](1).length
-        val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+        val index = new NswIndex(dim, mVal, efcVal, spaceVal, lmVal)
         rs.foreach { r =>
           index.insert(r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray)
         }
@@ -580,9 +583,11 @@ object GraphAnn {
       efConstruction: Int = 200,
       corpusId: String = "id",
       corpusVec: String = "vector",
-      model: Option[IvfIndex.Model] = None): IvfIndex.Model = {
+      model: Option[IvfIndex.Model] = None,
+      levelMult: Double = Double.NaN): IvfIndex.Model = {
     val spark = corpus.sparkSession
     val mVal = m; val efcVal = efConstruction; val spaceVal = space
+    val lmVal = levelMult
     val mdl = model.getOrElse(IvfIndex.train(corpus, corpusVec, nlist, space))
     val cells = cellRows(corpus, corpusId, corpusVec, mdl)
     val rows = cells.mapPartitionsWithIndex { (cell, it) =>
@@ -590,7 +595,7 @@ object GraphAnn {
       if (rs.isEmpty) Iterator.empty
       else {
         val dim = rs(0)._2.length
-        val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+        val index = new NswIndex(dim, mVal, efcVal, spaceVal, lmVal)
         rs.foreach { case (id, v) => index.insert(id, v) }
         index.exportAll.map { case (ord, id, vec, links) =>
           Row(cell, ord, id, vec.toSeq, links.map(_.toSeq).toSeq)
@@ -660,11 +665,12 @@ object GraphAnn {
       cacheKey: Option[(String, Long)] = None,
       queryBatchSize: Int = 10000,
       model: Option[IvfIndex.Model] = None,
-      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      levelMult: Double = Double.NaN): DataFrame = {
     val spark = corpus.sparkSession
     require(queryBatchSize >= 1, s"queryBatchSize must be >= 1, got $queryBatchSize")
     val mVal = m; val efcVal = efConstruction; val efVal = ef; val spaceVal = space
-    val kVal = k
+    val kVal = k; val lmVal = levelMult
     val mdl = model.getOrElse(IvfIndex.train(corpus, corpusVec, nlist, space))
     require(routeNprobe >= 1 && routeNprobe <= mdl.nlist,
       s"routeNprobe must be in [1, ${mdl.nlist}], got $routeNprobe")
@@ -686,7 +692,7 @@ object GraphAnn {
             counter.foreach(_.add(qIdx.length))
             def build: NswIndex = {
               val dim = rs(0)._2.length
-              val index = new NswIndex(dim, mVal, efcVal, spaceVal)
+              val index = new NswIndex(dim, mVal, efcVal, spaceVal, lmVal)
               rs.foreach { case (id, v) => index.insert(id, v) }
               index
             }
@@ -735,10 +741,11 @@ object GraphAnn {
       cacheKey: Option[(String, Long)] = None,
       queryBatchSize: Int = 10000,
       model: Option[IvfIndex.Model] = None,
-      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      levelMult: Double = Double.NaN): DataFrame = {
     val localDf = routedLocalResults(corpus, queries, k, space, nlist, routeNprobe,
       ef, m, efConstruction, corpusId, corpusVec, queryId, queryVec,
-      cacheKey, queryBatchSize, model, probeCounter)
+      cacheKey, queryBatchSize, model, probeCounter, levelMult)
     graft.functions.vfn.topKHits(localDf, col("distance"), queryId, corpusId, k)
   }
 
@@ -975,9 +982,10 @@ object GraphAnn {
       queryId: String = "query_id",
       queryVec: String = "query_vec",
       cacheKey: Option[(String, Long)] = None,
-      queryBatchSize: Int = 10000): DataFrame = {
+      queryBatchSize: Int = 10000,
+      levelMult: Double = Double.NaN): DataFrame = {
     val localDf = localResults(corpus, queries, k, space, ef, m, efConstruction,
-      corpusId, corpusVec, queryId, queryVec, cacheKey, queryBatchSize)
+      corpusId, corpusVec, queryId, queryVec, cacheKey, queryBatchSize, levelMult)
     // global merge: one-pass bounded-heap top-k per query
     graft.functions.vfn.topKHits(localDf, col("distance"), queryId, corpusId, k)
   }

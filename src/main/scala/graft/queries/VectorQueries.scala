@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{SpaceType, Tables}
 import graft.functions.vfn
-import graft.operators.{AnnLsh, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
+import graft.operators.{AnnLsh, BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
 
 /** Vector query pack over the `embeddings` table (64-d float, L2-normalized,
   * 10 labels): exact KNN in all three metric spaces, search-then-fetch,
@@ -340,6 +340,39 @@ object VectorQueries {
       .select(col("qid"), col("vec_id"))
   }
 
+  /** BQ binary-quantized KNN (extra tier beyond the reference): 1-bit/dim
+    * sign codes (32× compression), XOR+POPCNT Hamming shortlist, exact
+    * re-rank with 8× over-fetch (1-bit codes generate candidates, the
+    * re-rank ranks them). Oracle: exact KNN restricted to the exported
+    * shortlist (the pq_knn/sq_knn construction); recall gates live in
+    * BinaryQuantSpec.
+    */
+  private def bqEncodedFor(spark: SparkSession, dir: String): (DataFrame, BinaryQuant.Model) = {
+    val c = corpus(spark, dir)
+    val model = cachedModel(spark, dir, "bq")(BinaryQuant.train(c, "embedding"))
+    val encoded = QueryMemo.spilled(spark, dir, "bq_enc")(
+      BinaryQuant.encode(c, "embedding", model))
+    (encoded, model)
+  }
+
+  def bqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val (encoded, model) = bqEncodedFor(spark, dir)
+    BinaryQuant.search(encoded, queriesDf(spark, dir), model, kTop = K,
+        corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+        rerankVecCol = Some("embedding"), rerankFactor = 8)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  /** The Hamming shortlist bqKnn re-ranks (min/max-midpoint training is
+    * deterministic; Hamming ties break by id in the bounded heap).
+    */
+  def bqShortlistAux(spark: SparkSession, dir: String): DataFrame = {
+    val (encoded, model) = bqEncodedFor(spark, dir)
+    BinaryQuant.search(encoded, queriesDf(spark, dir), model, kTop = K * 8,
+        corpusId = "vec_id", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"))
+  }
+
   /** Per-partition NSW graph ANN (rows-only; recall gates in GraphAnnSpec). */
   def graphKnn(spark: SparkSession, dir: String): DataFrame =
     GraphAnn.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.L2,
@@ -548,6 +581,7 @@ object VectorQueries {
     "pq_knn_cos" -> ((s, d) => pqKnn(s, d, SpaceType.Cos)),
     "opq_knn" -> (opqKnn(_, _)),
     "sq_knn" -> (sqKnn(_, _)),
+    "bq_knn" -> (bqKnn(_, _)),
     "graph_knn" -> (graphKnn(_, _)),
     "graph_knn_routed" -> (graphKnnRouted(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
@@ -607,7 +641,8 @@ object VectorQueries {
     "pq_shortlist" -> (pqShortlistAux(_, _)),
     "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)),
     "opq_shortlist" -> (opqShortlistAux(_, _)),
-    "sq_shortlist" -> (sqShortlistAux(_, _)))
+    "sq_shortlist" -> (sqShortlistAux(_, _)),
+    "bq_shortlist" -> (bqShortlistAux(_, _)))
 
   val oracles: Map[String, String] = Map(
     "knn_filtered" -> knnFilteredSql,
@@ -628,6 +663,8 @@ object VectorQueries {
     "opq_knn" -> restrictedKnnOracle("opq_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "sq_knn" -> restrictedKnnOracle("sq_shortlist",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "bq_knn" -> restrictedKnnOracle("bq_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "knn_l2" -> knnL2Sql,
     "knn_sql" -> knnL2Sql, // identical semantics through the SQL surface

@@ -198,6 +198,42 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](e.buildIndex("badsq"))
   }
 
+  test("bq collection: buildIndex, search across spaces, rerankFactor knob, snapshot recovery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("engine-bq").toString
+    val e = new Engine(spark, dir)
+    val rnd = new scala.util.Random(9)
+    val docs = (0 until 150).map { i =>
+      Document(i.toString, Array.tabulate(8)(j =>
+        (if (j == (i % 4) * 2) 6f else 0.3f) + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    // bq serves every space: hamming candidates + exact re-rank in cfg space
+    for ((name, space) <- Seq(("bql2", SpaceType.L2), ("bqcos", SpaceType.Cos))) {
+      e.createCollection(CollectionConfig(name, 8, IndexType.Bq, space))
+      e.batchUpsertDocuments(name, docs)
+      e.buildIndex(name)
+      val hits = e.searchDocuments(name, docs(5).vector, 3)
+      assert(hits.head.id === "5" && math.abs(hits.head.distance) < 1e-6,
+        s"$name self-match failed: ${hits.map(h => (h.id, h.distance))}")
+      val viaDf = e.searchVectorsDf(name,
+          Seq(("a", docs(5).vector.toSeq)).toDF("query_id", "query_vec")
+            .select(col("query_id"), col("query_vec").cast("array<float>").as("query_vec")), 3)
+        .select("id", "rnk").as[(String, Long)].collect().toSet
+      val viaSeq = e.searchVectors(name, Seq(("a", docs(5).vector)), 3)
+        .select("id", "rnk").as[(String, Long)].collect().toSet
+      assert(viaDf === viaSeq, s"$name DF path diverged")
+    }
+    // rerankFactor is a validated bq/sq knob; nprobe/efsearch are not bq knobs
+    e.setParams("bql2", Map("rerankFactor" -> 16))
+    assert(e.searchDocuments("bql2", docs(7).vector, 1).head.id === "7")
+    intercept[IllegalArgumentException](e.setParams("bql2", Map("nprobe" -> 2)))
+    intercept[IllegalArgumentException](e.setParams("bql2", Map("efsearch" -> 10)))
+    intercept[IllegalArgumentException](e.setParams("bql2", Map("rerankFactor" -> 0)))
+    // a FRESH engine over the same root recovers the model from its snapshot
+    val e2 = new Engine(spark, dir)
+    assert(e2.searchDocuments("bql2", docs(7).vector, 1).head.id === "7")
+  }
+
   test("searchVectorsDf: oversized query set on a flat collection fails fast with routing hint") {
     import spark.implicits._
     val e = freshEngine(dim = 4)

@@ -109,6 +109,35 @@ class GraphAnnSpec extends SparkSpec {
       "second layout search must reuse cached reconstructions")
   }
 
+  test("levelMult plumbing: levelMult=0 builds single-layer layouts end to end (collection knob)") {
+    // buildLayout(levelMult = 0) must export ONLY layer-0 adjacency — the
+    // flat-NSW degenerate the docstring promises for the engine param
+    val path = java.nio.file.Files.createTempDirectory("nsw-lm").toString + "/graph"
+    GraphAnn.buildLayout(emb, path, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding", levelMult = 0.0)
+    val layers = spark.read.parquet(path)
+      .select(max(size(col("links")))).first().getInt(0)
+    assert(layers === 1, s"levelMult=0 layout exported $layers layers, want 1")
+    // default (NaN -> 1/ln M) builds a real hierarchy on the same corpus
+    val path2 = java.nio.file.Files.createTempDirectory("nsw-lm2").toString + "/graph"
+    GraphAnn.buildLayout(emb, path2, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val layers2 = spark.read.parquet(path2)
+      .select(max(size(col("links")))).first().getInt(0)
+    assert(layers2 > 1, "default levelMult should produce multi-layer nodes")
+    // and the live search path accepts the knob (flat ≡ its own layout replay)
+    val flatLive = GraphAnn.search(emb, queries, 10, SpaceType.L2, ef = 60,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid",
+        queryVec = "qv", levelMult = 0.0)
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val flatLayout = GraphAnn.searchFromLayout(spark, path, queries, 10,
+        SpaceType.L2, ef = 60, queryId = "qid", queryVec = "qv",
+        corpusIdName = "vec_id")
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(flatLive === flatLayout,
+      "levelMult=0 live search diverged from its own persisted layout")
+  }
+
   test("batched query path ≡ single-batch; builds shared across batches; driver never holds the full set") {
     // 450 queries with a 100-row batch bound → 5 batches in one job
     val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")
