@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.SpaceType
-import graft.operators.{AnnLsh, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
+import graft.operators.{AnnLsh, BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
 
 /** Recall/latency sweep across the approximate tiers' knobs — the semantics
   * of the reference's benchmark harness (`benchmarks/run_benchmarks.py`:
@@ -108,6 +108,17 @@ object RecallBench {
     for (factor <- Seq(1, 2, 4))
       report("sq8_rerank", "rerank_factor", factor,
         ScalarQuant.search(sqEnc, queries, sq, k,
+          corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+          rerankVecCol = Some("embedding"), rerankFactor = factor))
+
+    // BQ: 1-bit codes rank only coarsely, so the re-rank over-fetch factor
+    // IS the recall knob (the scan itself is XOR+POPCNT at 32× compression)
+    val bq = BinaryQuant.train(emb, "embedding")
+    val bqEnc = BinaryQuant.encode(emb, "embedding", bq).cache()
+    bqEnc.count()
+    for (factor <- Seq(2, 4, 8, 16))
+      report("bq_rerank", "rerank_factor", factor,
+        BinaryQuant.search(bqEnc, queries, bq, k, SpaceType.L2,
           corpusId = "vec_id", queryId = "qid", queryVec = "qv",
           rerankVecCol = Some("embedding"), rerankFactor = factor))
 

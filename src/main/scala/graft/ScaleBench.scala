@@ -152,6 +152,22 @@ object ScaleBench {
         ScalarQuant.search(sqEnc, q, sqm, kTop = 10,
           corpusId = "vec_id", queryId = "qid", queryVec = "qv")))
       sqEnc.unpersist()
+      // BQ: the 32×-compressed scan — still O(n) like SQ8 but the scan is
+      // XOR+POPCNT over 8 bytes/vector, so the linear constant collapses
+      // (scan bytes shrink 8× vs SQ8, 32× vs floats); re-rank touches only
+      // the shortlisted float rows
+      var bqm: graft.operators.BinaryQuant.Model = null
+      var bqEnc: DataFrame = null
+      out(s"bq_build_$tag") = time {
+        bqm = graft.operators.BinaryQuant.train(corpus, "embedding")
+        bqEnc = graft.operators.BinaryQuant.encode(corpus, "embedding", bqm).cache()
+        bqEnc.count()
+      }
+      out(s"bq_scan_rerank_$tag") = time(drain(
+        graft.operators.BinaryQuant.search(bqEnc, q, bqm, kTop = 10, space = SpaceType.L2,
+          corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+          rerankVecCol = Some("embedding"), rerankFactor = 8)))
+      bqEnc.unpersist()
       // OPQ: rotation + ADC — the recall-per-byte upgrade; search cost must
       // track plain PQ (the rotation is one codegen MatVecMul per row)
       var opqm: graft.operators.Opq.Model = null
@@ -290,6 +306,8 @@ object ScaleBench {
       ("scaling_pq_distributed", s"pq_adc_distributed_$scaled", "pq_adc_distributed_1x"),
       ("speedup_sq_vs_exact_at_scale", s"exact_knn_$scaled", s"sq_scan_search_$scaled"),
       ("scaling_sq_search", s"sq_scan_search_$scaled", "sq_scan_search_1x"),
+      ("speedup_bq_vs_exact_at_scale", s"exact_knn_$scaled", s"bq_scan_rerank_$scaled"),
+      ("scaling_bq_search", s"bq_scan_rerank_$scaled", "bq_scan_rerank_1x"),
       ("speedup_opq_vs_exact_at_scale", s"exact_knn_$scaled", s"opq_adc_search_$scaled"),
       ("scaling_opq_search", s"opq_adc_search_$scaled", "opq_adc_search_1x"),
       ("speedup_graph_vs_exact_at_scale", s"exact_knn_$scaled", s"graph_search_$scaled"),

@@ -306,20 +306,31 @@ class Engine(
     // whole batch (store commit included) already landed — replay is a no-op
     if (batchId.exists(bid => readLedger(ledgerPath)
         .exists { case (sid, last) => sid == streamId && last >= bid })) return
-    // (batch → layout rows with cluster_id, layout path) per index family
-    val maintain: Option[(DataFrame => DataFrame, String)] = cfg.indexType match {
+    // (batch → layout rows, layout path, cluster-partitioned?) per index
+    // family. The quantized flat tiers (sq/bq) maintain too: their models
+    // are FIXED at buildIndex, so encoding the batch with the loaded model
+    // appends exactly the rows a full re-encode would produce — searches
+    // keep scanning codes instead of falling back to re-encoding the whole
+    // live corpus after every ingest batch.
+    val maintain: Option[(DataFrame => DataFrame, String, Boolean)] = cfg.indexType match {
       case IndexType.IvfFlat =>
         loadedIvfOpt(coll).map(m =>
-          ((df: DataFrame) => IvfIndex.assign(df, "vector", m), ivfLayoutPath(coll)))
+          ((df: DataFrame) => IvfIndex.assign(df, "vector", m), ivfLayoutPath(coll), true))
       case IndexType.IvfPq =>
         loadedPqOpt(coll).map(m =>
-          ((df: DataFrame) => IvfPq.encode(df, "vector", m), pqLayoutPath(coll)))
+          ((df: DataFrame) => IvfPq.encode(df, "vector", m), pqLayoutPath(coll), true))
       case IndexType.Opq =>
         loadedOpqOpt(coll).map(m =>
-          ((df: DataFrame) => Opq.encode(df, "vector", m), opqLayoutPath(coll)))
+          ((df: DataFrame) => Opq.encode(df, "vector", m), opqLayoutPath(coll), true))
+      case IndexType.Sq =>
+        loadedSqOpt(coll).map(m =>
+          ((df: DataFrame) => ScalarQuant.encode(df, "vector", m), sqLayoutPath(coll), false))
+      case IndexType.Bq =>
+        loadedBqOpt(coll).map(m =>
+          ((df: DataFrame) => BinaryQuant.encode(df, "vector", m), bqLayoutPath(coll), false))
       case _ => None
     }
-    val maintainable = maintain.exists { case (_, path) =>
+    val maintainable = maintain.exists { case (_, path, _) =>
       currentLayout(coll, path).isDefined
     }
     val insertOnly = maintainable && (assumeNewIds || {
@@ -357,10 +368,13 @@ class Engine(
       .withColumn("version", lit(v))
       .withColumn("seq", monotonically_increasing_id())
       .withColumn("is_deleted", lit(false))
-    val (encode, layoutPath) = maintain.get
+    val (encode, layoutPath, clustered) = maintain.get
     val encoded = encode(stamped).cache()
     try {
-      encoded.write.mode("append").partitionBy("cluster_id").parquet(layoutPath)
+      if (clustered)
+        encoded.write.mode("append").partitionBy("cluster_id").parquet(layoutPath)
+      else
+        encoded.write.mode("append").parquet(layoutPath)
       // keep the bucketed table current too (streaming maintenance): append
       // the same encoded rows bucketed, then advance the meta stamp under the
       // same still-newest condition. A crash between the two appends leaves
@@ -721,23 +735,27 @@ class Engine(
   private def loadedOpq(coll: String): Opq.Model =
     loadedOpqOpt(coll).getOrElse(notBuilt(coll))
 
-  private def loadedSq(coll: String): ScalarQuant.Model =
+  private def loadedSqOpt(coll: String): Option[ScalarQuant.Model] =
     sqModels.get(coll)
       .orElse {
         val loaded = ModelStore.loadSq(sqSnapshotPath(coll))
         loaded.foreach(mm => sqModels(coll) = mm)
         loaded
       }
-      .getOrElse(notBuilt(coll))
 
-  private def loadedBq(coll: String): BinaryQuant.Model =
+  private def loadedSq(coll: String): ScalarQuant.Model =
+    loadedSqOpt(coll).getOrElse(notBuilt(coll))
+
+  private def loadedBqOpt(coll: String): Option[BinaryQuant.Model] =
     bqModels.get(coll)
       .orElse {
         val loaded = ModelStore.loadBq(bqSnapshotPath(coll))
         loaded.foreach(mm => bqModels(coll) = mm)
         loaded
       }
-      .getOrElse(notBuilt(coll))
+
+  private def loadedBq(coll: String): BinaryQuant.Model =
+    loadedBqOpt(coll).getOrElse(notBuilt(coll))
 
   private def searchOn(corpus: DataFrame, cfg: CollectionConfig, coll: String,
       queries: Seq[(String, Array[Float])], k: Int,

@@ -355,10 +355,11 @@ object VectorQueries {
     (encoded, model)
   }
 
-  def bqKnn(spark: SparkSession, dir: String): DataFrame = {
+  def bqKnn(spark: SparkSession, dir: String,
+      space: SpaceType = SpaceType.L2): DataFrame = {
     val (encoded, model) = bqEncodedFor(spark, dir)
     BinaryQuant.search(encoded, queriesDf(spark, dir), model, kTop = K,
-        corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+        space = space, corpusId = "vec_id", queryId = "qid", queryVec = "qv",
         rerankVecCol = Some("embedding"), rerankFactor = 8)
       .select(col("qid"), col("vec_id"), col("rnk"))
   }
@@ -582,6 +583,9 @@ object VectorQueries {
     "opq_knn" -> (opqKnn(_, _)),
     "sq_knn" -> (sqKnn(_, _)),
     "bq_knn" -> (bqKnn(_, _)),
+    // the Hamming candidate set is space-agnostic, so the cos variant
+    // re-ranks the SAME shortlist — one aux export serves both oracles
+    "bq_knn_cos" -> ((s, d) => bqKnn(s, d, SpaceType.Cos)),
     "graph_knn" -> (graphKnn(_, _)),
     "graph_knn_routed" -> (graphKnnRouted(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
@@ -666,6 +670,8 @@ object VectorQueries {
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "bq_knn" -> restrictedKnnOracle("bq_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "bq_knn_cos" -> restrictedKnnOracle("bq_shortlist",
+      "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC"),
     "knn_l2" -> knnL2Sql,
     "knn_sql" -> knnL2Sql, // identical semantics through the SQL surface
     "knn_hamming" -> knnHammingSql,

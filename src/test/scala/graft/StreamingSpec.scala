@@ -242,6 +242,45 @@ class StreamingSpec extends SparkSpec {
     assert(moved.head.id === "100", "post-update search must see the new vector")
   }
 
+  test("indexed ingest maintains the quantized-flat (sq/bq) code layouts too") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val root = Files.createTempDirectory("qflat-root").toString
+    val e = new Engine(spark, root)
+    for ((coll, it, codeCol) <- Seq(("s", IndexType.Sq, "sq_code"),
+        ("b", IndexType.Bq, "bq_code"))) {
+      e.createCollection(CollectionConfig(coll, 4, it))
+      e.batchUpsertDocuments(coll, (0 until 30).map { i =>
+        Document(i.toString, Array(i * 1f, (i % 7) * 1f, 0f, 0f))
+      })
+      e.buildIndex(coll)
+      def stampOf = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/$coll/index/layout_version")).trim.toLong
+      val stamp0 = stampOf
+      val layoutPath = s"$root/$coll/index/${it.name}_layout"
+      // insert-only batch: codes for the new rows are APPENDED with the
+      // frozen model (≡ what a full re-encode would produce), stamp advances
+      e.ingestBatchIndexed(coll,
+        Seq(("100", Seq(5.5f, 2f, 0f, 0f), Map.empty[String, String]))
+          .toDF("id", "vector", "params"),
+        assumeNewIds = true, batchId = Some(0L))
+      assert(stampOf === stamp0 + 1,
+        s"$coll: insert-only batch must keep the code layout current")
+      val appended = spark.read.parquet(layoutPath).filter(col("id") === "100")
+      assert(appended.count() === 1L, s"$coll: appended row missing from layout")
+      assert(appended.schema.fieldNames.contains(codeCol),
+        s"$coll: appended row carries no $codeCol")
+      val hits = e.searchDocuments(coll, Array(5.5f, 2f, 0f, 0f), 1)
+      assert(hits.head.id === "100", s"$coll: streamed doc not served")
+      // an UPDATE batch stales the layout (fallback, still correct)
+      e.ingestBatchIndexed(coll,
+        Seq(("100", Seq(20f, 1f, 0f, 0f), Map.empty[String, String]))
+          .toDF("id", "vector", "params"))
+      assert(stampOf === stamp0 + 1, s"$coll: update batch must not advance the stamp")
+      assert(e.searchDocuments(coll, Array(20f, 1f, 0f, 0f), 1).head.id === "100")
+    }
+  }
+
   test("replayed micro-batches never append layout rows twice (at-least-once foreachBatch)") {
     import graft.api.Engine
     import graft.core.{CollectionConfig, IndexType}

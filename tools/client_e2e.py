@@ -72,7 +72,7 @@ def main(port):
         expect(e.status_code == 404, "missing collection → 404")
 
     # the beyond-reference quantized tiers speak the same wire protocol
-    for qname, itype in [("e2e_opq", "opq"), ("e2e_sq", "sq")]:
+    for qname, itype in [("e2e_opq", "opq"), ("e2e_sq", "sq"), ("e2e_bq", "bq")]:
         c.create_collection(qname, 4, index_type=itype, space_type="l2",
                             parameters={"m": "2"} if itype == "opq" else None)
         c.batch_upsert_documents(qname, [
