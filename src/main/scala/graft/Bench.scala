@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the f"" interpolator is locale-sensitive: a comma-decimal default
+    // locale (de_DE, fr_FR, ...) would turn every number in the JSON lines
+    // below into invalid JSON — pin ROOT before any formatting
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -41,8 +45,12 @@ object Bench {
     // The min across reps is the standard noisy-host estimator of what the
     // query actually costs; caches are cleared before every rep, so reps
     // re-do the full work rather than replaying a cache.
+    // Default 3: with best-of-2, a single contended window (observed: 18 s
+    // best-of-2 on a query that costs 1.6 s best-of-3 minutes later on the
+    // same host) still lands in the round record; a third rep makes the min
+    // robust to one bad window per query at ~50% extra wall clock.
     val runs = sys.env.get("SPARK_GRAFT_RUNS")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(2)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(3)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       if (clearCache) {
         spark.catalog.clearCache()

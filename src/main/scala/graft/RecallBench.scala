@@ -13,6 +13,9 @@ import graft.operators.{AnnLsh, BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq
   */
 object RecallBench {
   def main(args: Array[String]): Unit = {
+    // pin ROOT: the f"" interpolator is locale-sensitive and every line
+    // printed below must stay valid JSON (see Bench.main)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -99,8 +99,10 @@ object BinaryQuant {
     import org.apache.spark.sql.graft.{Bridge, BqEncode, BqHamming}
     import graft.functions.vfn
     val thrLit = Literal.create(model.thresholds.toSeq, ArrayType(FloatType))
+    // codes only — the float query vectors are NOT carried through the
+    // broadcast/cross-join (the re-rank joins back to `queries` itself), so
+    // the scan streams 1-bit codes on both sides
     val q = queries.select(col(queryId),
-      col(queryVec).cast("array<float>").as("__qv"),
       Bridge.column(BqEncode(
         Bridge.expression(col(queryVec).cast("array<float>")), thrLit)).as("__qcode"))
     val shortlistK = rerankVecCol.fold(kTop)(_ => kTop * rerankFactor)

@@ -324,11 +324,12 @@ object GraphAnn {
         cache.remove(k); buildLocks.remove(k)
       }
       layoutRdds.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach(layoutRdds.remove)
+      dropCachedRoutes(layoutIdPrefix)
     }
 
     def clear(): Unit = {
       cache.clear(); buildLocks.clear(); layoutRdds.clear()
-      ephemeralOrder.clear(); ephemeralSeen.clear()
+      ephemeralOrder.clear(); ephemeralSeen.clear(); clearCachedRoutes()
     }
 
     // test/ops hooks: a healthy cache keeps locks ≈ entries (every eviction
@@ -347,6 +348,69 @@ object GraphAnn {
     */
   private val layoutRdds = scala.collection.concurrent.TrieMap
     .empty[(String, Long), (Int, org.apache.spark.rdd.RDD[Row])]
+
+  /** Driver-side cache of a routed layout's `_route` centroids per
+    * (layout id, version): the sidecar is immutable per version and tiny,
+    * but reading+collecting it per request would put a parquet scan job on
+    * the point-serve path that exists to minimize per-request work. Evicted
+    * alongside `layoutRdds`.
+    */
+  private val routeCentroids = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Array[Array[Float]]]
+
+  private[operators] def dropCachedRoutes(layoutIdPrefix: String): Unit =
+    routeCentroids.keys.filter(_._1.startsWith(layoutIdPrefix))
+      .foreach(routeCentroids.remove)
+
+  private[operators] def clearCachedRoutes(): Unit = routeCentroids.clear()
+
+  /** A layout's graph table in canonical column order, with the links
+    * column normalized to the current multi-layer ARRAY<ARRAY<INT>> schema.
+    * Layouts persisted by the pre-hierarchy builder store flat ARRAY<INT>
+    * adjacency (single-layer NSW); wrapping each as a one-layer list makes
+    * them reconstruct exactly as the graphs they were, instead of failing
+    * the search path with a cast error until a manual re-build.
+    */
+  private def readLayoutGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val links = raw.schema("links").dataType match {
+      case ArrayType(ArrayType(_, _), _) => col("links")
+      case _ => array(col("links")) // legacy single-layer adjacency
+    }
+    // canonical column order by NAME: a dir-partitioned routed layout reads
+    // with the `part` partition column LAST, a flat layout with it first —
+    // downstream RDD code accesses by ordinal
+    raw.select(col("part").cast(IntegerType), col("ord"), col("id"),
+      col("vector"), links.as("links"))
+  }
+
+  /** Centroids of a routed layout's `_route` sidecar, id-sorted; cached per
+    * (layout id, version) when a cacheKey is given. A layout without the
+    * sidecar (plain `buildLayout`) fails with an actionable message rather
+    * than a raw missing-path error.
+    */
+  private def loadRouteCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, cacheKey: Option[(String, Long)]): Array[Array[Float]] = {
+    def load(): Array[Array[Float]] = {
+      val side = new org.apache.hadoop.fs.Path(s"$path/_route")
+      val fs = side.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(side), s"$path has no _route sidecar " +
+        "(write the layout with buildRoutedLayout to use routeNprobe)")
+      val cents = spark.read.parquet(s"$path/_route").collect()
+        .sortBy(_.getInt(0))
+        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+      require(cents.nonEmpty, s"$path/_route exists but holds no centroids")
+      cents
+    }
+    cacheKey match {
+      case Some((layoutId, version)) =>
+        routeCentroids.keys.filter(kk => kk._1 == layoutId && kk._2 != version)
+          .foreach(routeCentroids.remove)
+        routeCentroids.getOrElseUpdate((layoutId, version), load())
+      case None => load()
+    }
+  }
 
   /** Per-partition beam results (k best per query PER PARTITION, before the
     * global merge) — deterministic given the corpus partitioning (NSW build
@@ -672,14 +736,17 @@ object GraphAnn {
     val mVal = m; val efcVal = efConstruction; val efVal = ef; val spaceVal = space
     val kVal = k; val lmVal = levelMult
     val mdl = model.getOrElse(IvfIndex.train(corpus, corpusVec, nlist, space))
-    require(routeNprobe >= 1 && routeNprobe <= mdl.nlist,
-      s"routeNprobe must be in [1, ${mdl.nlist}], got $routeNprobe")
+    require(routeNprobe >= 1, s"routeNprobe must be >= 1, got $routeNprobe")
+    // clamp to the trained cell count (k-means returns fewer centroids than
+    // k on small corpora) — over-probing degrades to full fan-out, a recall
+    // superset, instead of failing every search after an accepted setparams
+    val pEff = math.min(routeNprobe, mdl.nlist)
     val cells = cellRows(corpus, corpusId, corpusVec, mdl)
 
     def batchRdd(qRows: Array[(Any, Array[Float])],
         effKey: Option[(String, Long)]): org.apache.spark.rdd.RDD[Row] = {
       val bcQ = spark.sparkContext.broadcast(qRows)
-      val bcRoute = spark.sparkContext.broadcast(routingFor(qRows, mdl, routeNprobe))
+      val bcRoute = spark.sparkContext.broadcast(routingFor(qRows, mdl, pEff))
       val counter = probeCounter
       val nCells = mdl.nlist
       cells.mapPartitionsWithIndex { (cell, it) =>
@@ -780,12 +847,7 @@ object GraphAnn {
       routeNprobe: Option[Int] = None,
       probeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import graft.functions.vfn
-    // canonical column order by NAME: a dir-partitioned routed layout reads
-    // with the `part` partition column LAST, a flat layout with it first —
-    // the batchRdd below accesses by ordinal
-    val graph = spark.read.parquet(path)
-      .select(col("part").cast(IntegerType), col("ord"), col("id"),
-        col("vector"), col("links"))
+    val graph = readLayoutGraph(spark, path)
     val idType = graph.schema("id").dataType
     val qidType = queries.schema(queryId).dataType
     val schema = StructType(Seq(
@@ -816,23 +878,26 @@ object GraphAnn {
     val spaceVal = space; val efVal = ef; val kVal = k
     // routing centroids: the `_route` sidecar buildRoutedLayout wrote (cell
     // ids ARE the layout's `part` values, so the per-batch routing table
-    // keys straight into the part groups below)
+    // keys straight into the part groups below). An nprobe above the
+    // trained cell count clamps to full fan-out (the trained count can be
+    // below the configured nlist when k-means saw fewer points than k) —
+    // a recall superset, never an error on the serving path.
     val routeModel = routeNprobe.map { p =>
-      val cents = spark.read.parquet(s"$path/_route").collect()
-        .sortBy(_.getInt(0))
-        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
-      require(cents.nonEmpty, s"routeNprobe set but $path has no _route sidecar " +
-        "(write the layout with buildRoutedLayout)")
-      require(p >= 1 && p <= cents.length,
-        s"routeNprobe must be in [1, ${cents.length}], got $p")
-      IvfIndex.Model(cents, space)
+      require(p >= 1, s"routeNprobe must be >= 1, got $p")
+      IvfIndex.Model(loadRouteCentroids(spark, path, cacheKey), space)
     }
+    val effNprobe = routeModel.map(m => math.min(routeNprobe.get, m.nlist))
+    // the executor cache key must name the CELL STRUCTURE, not the observed
+    // data partition count: a routed layout with empty trailing cells has
+    // maxPart+1 < nlist, and the point-serve path keys with nlist — one key
+    // convention or cells cached by one path miss for the other
+    val cacheParts = routeModel.map(_.nlist).getOrElse(numParts)
 
     def batchRdd(qRows: Array[(Any, Array[Float])],
         effKey: Option[(String, Long)]): org.apache.spark.rdd.RDD[Row] = {
       val bcQ = spark.sparkContext.broadcast(qRows)
       val bcRoute = routeModel.map(m =>
-        spark.sparkContext.broadcast(routingFor(qRows, m, routeNprobe.get)))
+        spark.sparkContext.broadcast(routingFor(qRows, m, effNprobe.get)))
       val counter = probeCounter
       byPart.mapPartitions { it =>
         val groups = it.toArray.groupBy(_.getInt(0))
@@ -847,7 +912,7 @@ object GraphAnn {
             def rebuild: NswIndex = reconstructCell(rs, spaceVal)
             val index = effKey match {
               case Some((layoutId, version)) =>
-                GraphCache.getOrBuild(layoutId, version, numParts, part, rs.length)(rebuild)
+                GraphCache.getOrBuild(layoutId, version, cacheParts, part, rs.length)(rebuild)
               case None => rebuild
             }
             qIdx.iterator.flatMap { qi =>
@@ -908,26 +973,23 @@ object GraphAnn {
       maxQueries: Int = 1000,
       probeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import graft.functions.vfn
-    val cents = spark.read.parquet(s"$path/_route").collect()
-      .sortBy(_.getInt(0))
-      .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
-    require(cents.nonEmpty,
-      s"$path has no _route sidecar (write the layout with buildRoutedLayout)")
-    require(routeNprobe >= 1 && routeNprobe <= cents.length,
-      s"routeNprobe must be in [1, ${cents.length}], got $routeNprobe")
+    require(routeNprobe >= 1, s"routeNprobe must be >= 1, got $routeNprobe")
+    val cents = loadRouteCentroids(spark, path, cacheKey)
+    // clamp like the batch path: nprobe beyond the trained cell count is
+    // full fan-out, not an error (trained count < configured nlist happens
+    // whenever k-means saw fewer points than k)
+    val effNprobe = math.min(routeNprobe, cents.length)
     val mdl = IvfIndex.Model(cents, space)
     val qRows = queries.select(col(queryId), col(queryVec)).collect()
       .map(r => (r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
     require(qRows.length <= maxQueries,
       s"searchRoutedPruned is the point-serve path (${qRows.length} queries > " +
         s"$maxQueries); use searchFromLayout(routeNprobe) for batches")
-    val routing = routingFor(qRows, mdl, routeNprobe)
+    val routing = routingFor(qRows, mdl, effNprobe)
     val cells = routing.indices.filter(routing(_).nonEmpty).map(Int.box)
     val qidType = queries.schema(queryId).dataType
-    val graph = spark.read.parquet(path)
+    val graph = readLayoutGraph(spark, path)
       .filter(col("part").isin(cells: _*)) // partition pruning: probed dirs only
-      .select(col("part").cast(IntegerType), col("ord"), col("id"),
-        col("vector"), col("links"))
     val idType = graph.schema("id").dataType
     val schema = StructType(Seq(
       StructField(queryId, qidType),

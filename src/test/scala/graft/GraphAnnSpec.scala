@@ -331,6 +331,102 @@ class GraphAnnSpec extends SparkSpec {
     intercept[IllegalArgumentException](e.setParams("flat", Map("routeNprobe" -> 1)))
   }
 
+  test("legacy single-layer layout (flat ARRAY<INT> links) still searches after the multi-layer schema change") {
+    // pre-hierarchy builders persisted links as ARRAY<INT>; the reader must
+    // reconstruct those as the one-layer graphs they are, not crash with a
+    // cast error until a manual re-build
+    val dir = java.nio.file.Files.createTempDirectory("nsw-legacy").toString
+    val modern = s"$dir/modern"; val legacy = s"$dir/legacy"
+    GraphAnn.buildLayout(emb, modern, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding", levelMult = 0.0)
+    // levelMult=0 graphs are single-layer: links == [layer0] exactly, so the
+    // legacy rewrite (strip the layer nesting) preserves the adjacency
+    spark.read.parquet(modern)
+      .withColumn("links", element_at(col("links"), 1))
+      .write.parquet(legacy)
+    import org.apache.spark.sql.types._
+    val legacyLinks = spark.read.parquet(legacy).schema("links").dataType
+    assert(legacyLinks === ArrayType(IntegerType, containsNull = true) ||
+      legacyLinks === ArrayType(IntegerType, containsNull = false))
+    def run(path: String) = GraphAnn.searchFromLayout(spark, path, queries, 10,
+        SpaceType.L2, ef = 80, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id")
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(run(legacy) === run(modern),
+      "legacy flat-links layout diverged from the same graph in modern schema")
+  }
+
+  test("routeNprobe above the trained cell count clamps to full fan-out instead of failing the search") {
+    // k-means returns fewer centroids than the configured nlist on small
+    // corpora; an accepted setparams routeNprobe must not turn every later
+    // search into a 500
+    import graft.api.Engine
+    import graft.core._
+    val root = java.nio.file.Files.createTempDirectory("routed-clamp").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 4, IndexType.Hnsw,
+      params = Map("routeNlist" -> "32")))
+    e.batchUpsertDocuments("c",
+      (0 until 10).map(i => Document(i.toString, Array(i.toFloat, 0f, 0f, 0f))))
+    e.buildIndex("c") // trains at most 10 cells
+    e.setParams("c", Map("routeNprobe" -> 16)) // valid vs configured nlist=32
+    val hits = e.searchDocuments("c", Array(3.1f, 0f, 0f, 0f), 2)
+    assert(hits.map(_.id) === Seq("3", "4"),
+      s"clamped routed search wrong: ${hits.map(_.id)}")
+    // and the direct layout paths agree with explicit full fan-out
+    val path = java.nio.file.Files.createTempDirectory("clamp-direct").toString + "/g"
+    GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 4,
+      corpusId = "vec_id", corpusVec = "embedding")
+    def run(p: Int) = GraphAnn.searchFromLayout(spark, path, queries, 10,
+        SpaceType.L2, ef = 80, queryId = "qid", queryVec = "qv",
+        corpusIdName = "vec_id", routeNprobe = Some(p))
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(run(999) === run(4), "over-probe must clamp to the full fan-out")
+  }
+
+  test("missing _route sidecar yields the actionable error, not a raw path failure") {
+    val path = java.nio.file.Files.createTempDirectory("no-route").toString + "/g"
+    GraphAnn.buildLayout(emb, path, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val ex = intercept[IllegalArgumentException](
+      GraphAnn.searchFromLayout(spark, path, queries, 10, SpaceType.L2,
+        queryId = "qid", queryVec = "qv", corpusIdName = "vec_id",
+        routeNprobe = Some(2)))
+    assert(ex.getMessage.contains("buildRoutedLayout"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](
+      GraphAnn.searchRoutedPruned(spark, path, queries, 10, SpaceType.L2,
+        routeNprobe = 2, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id"))
+    assert(ex2.getMessage.contains("buildRoutedLayout"), ex2.getMessage)
+  }
+
+  test("batch and point-serve share cache entries even with empty trailing cells") {
+    import graft.operators.IvfIndex
+    // a far-away last centroid attracts no points → the layout's observed
+    // maxPart+1 < nlist; the cache key must name the CELL STRUCTURE so the
+    // two paths still hit each other's entries
+    val mdl = IvfIndex.train(emb, "embedding", 3, SpaceType.L2)
+    val far = Array.fill(mdl.centroids(0).length)(1e6f)
+    val padded = IvfIndex.Model(mdl.centroids :+ far, SpaceType.L2)
+    val path = java.nio.file.Files.createTempDirectory("empty-cell").toString + "/g"
+    GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 4,
+      corpusId = "vec_id", corpusVec = "embedding", model = Some(padded))
+    assert(!new java.io.File(path).listFiles().exists(_.getName == "part=3"),
+      "test setup: the far cell was supposed to stay empty")
+    GraphAnn.GraphCache.clear()
+    val key = Some((path, 1L))
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val batch = collectSet(GraphAnn.searchFromLayout(spark, path, queries, 10,
+      SpaceType.L2, ef = 80, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", routeNprobe = Some(2), cacheKey = key))
+    val builds = GraphAnn.GraphCache.builds.get()
+    val point = collectSet(GraphAnn.searchRoutedPruned(spark, path, queries, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 2, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key))
+    assert(point === batch)
+    assert(GraphAnn.GraphCache.builds.get() === builds,
+      "point-serve rebuilt cells the batch path had already cached")
+  }
+
   test("ephemeral call graphs expire executor-side; build locks never outlive their entries") {
     GraphAnn.GraphCache.clear()
     val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")
