@@ -24,6 +24,9 @@ import graft.operators.{AnnLsh, Dedup, ExactKnn, IvfIndex, IvfPq, ScalarQuant}
 object ScaleBench {
 
   def main(args: Array[String]): Unit = {
+    // pin ROOT: the f"" interpolator is locale-sensitive and the line
+    // printed below must stay valid JSON (see Bench.main)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10x")

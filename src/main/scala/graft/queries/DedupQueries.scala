@@ -237,6 +237,43 @@ object DedupQueries {
        |    AS BIGINT) AS keep
        |FROM lab""".stripMargin
 
+  /** Leakage-safe train/val/test split: the split hash is computed on each
+    * doc's near-dup CLUSTER label (connected component of the MinHash
+    * graph; own id for singletons), so near-duplicates always land on the
+    * same side of the split. The plain `train_split` hash-of-own-id lets a
+    * near-identical train/test pair leak eval content into training — the
+    * contamination mode that inflates benchmark scores at corpus scale.
+    * Same digest algebra as `train_split` (decorrelated digest chars drive
+    * independent decisions). Scale: the label frame is dup-graph-sized and
+    * left-joined onto the corpus (broadcast at any realistic dup rate);
+    * the split itself is a shuffle-free projection.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(spark, dir)
+      .select(col("node").as("doc_id"), col("component"))
+    val rep = coalesce(col("component"), col("doc_id"))
+    val bucket = PipelineQueries.hashBucket(rep, 1, 100)
+    docs(spark, dir).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), rep.as("rep"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+  }
+
+  /** Oracle: the shared near-dup closure, then the identical bucket CASE
+    * over the representative instead of the doc's own id.
+    */
+  val leakageSafeSplitSql: String = {
+    val b = PipelineQueries.hashBucketSql("rep", 1, 100)
+    s"""WITH RECURSIVE $nearDupClosureCtes,
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, rep,
+       |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM lab""".stripMargin
+  }
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxHamming = 3)
 
@@ -296,7 +333,8 @@ object DedupQueries {
     "contam_ngrams" -> (contamNgrams(_, _)),
     "substr_dedup" -> (substrDedup(_, _)),
     "simhash_pairs" -> (simhashPairs(_, _)),
-    "doc_fingerprint" -> (docFingerprint(_, _)))
+    "doc_fingerprint" -> (docFingerprint(_, _)),
+    "leakage_safe_split" -> (leakageSafeSplit(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
@@ -307,5 +345,6 @@ object DedupQueries {
     "contam_ngrams" -> contamNgramsSql,
     "substr_dedup" -> substrDedupSql,
     "simhash_pairs" -> simhashPairsSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "leakage_safe_split" -> leakageSafeSplitSql)
 }

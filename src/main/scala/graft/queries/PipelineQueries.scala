@@ -38,11 +38,11 @@ object PipelineQueries {
     * The digest is over the STRING form of the id — both engines agree on
     * int64 rendering.
     */
-  private def hashBucket(id: Column, hexOffset: Int, mod: Int): Column =
+  private[queries] def hashBucket(id: Column, hexOffset: Int, mod: Int): Column =
     (conv(substring(md5(id.cast("string").cast("binary")), hexOffset, 4), 16, 10)
       .cast("long") % mod)
 
-  private def hashBucketSql(id: String, hexOffset: Int, mod: Int): String = {
+  private[queries] def hashBucketSql(id: String, hexOffset: Int, mod: Int): String = {
     val nib = (0 until 4).map { i =>
       val w = 1 << (4 * (3 - i))
       s"(strpos('0123456789abcdef', substr(md5(CAST($id AS VARCHAR)), ${hexOffset + i}, 1)) - 1) * $w"

@@ -302,6 +302,25 @@ class DedupSpec extends SparkSpec {
       4L -> "u v"))        // short doc: no passages, text is all tail
   }
 
+  test("leakage-safe split: every near-dup cluster lands entirely on one side") {
+    import graft.queries.DedupQueries
+    val split = DedupQueries.leakageSafeSplit(spark, sf0001).cache()
+    // the leakage property itself: one distinct split value per cluster rep
+    val mixed = split.groupBy("rep").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(mixed === 0, s"$mixed clusters straddle the split boundary")
+    // clustered docs exist at this sf and inherit their rep, singletons
+    // keep their own id — and every doc gets exactly one row
+    val clustered = split.filter(col("rep") =!= col("doc_id")).count()
+    assert(clustered > 0, "test data has no near-dup clusters — property vacuous")
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(split.count() === total)
+    // proportions stay near 80/10/10 (hash quality over reps)
+    val train = split.filter(col("split") === "train").count().toDouble / total
+    assert(train > 0.7 && train < 0.9, s"train fraction $train off 0.8")
+    split.unpersist()
+  }
+
   test("resolveKeepBest: one survivor per cluster by (score desc, id asc); singletons kept") {
     // cluster {1,2,3}: 2 has the best score; {5,6}: tied scores → smaller id
     val docs = Seq(
