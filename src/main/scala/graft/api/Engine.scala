@@ -113,6 +113,13 @@ class Engine(
   private def sqLayoutPath(coll: String) = s"$root/$coll/index/sq_layout"
   private def bqLayoutPath(coll: String) = s"$root/$coll/index/bq_layout"
   private def hnswLayoutPath(coll: String) = s"$root/$coll/index/hnsw_layout"
+  // streaming-insert sidecar of the graph layout: underscore-prefixed, so
+  // the graph reader's listing never sees it (same convention as `_route`)
+  private def hnswDeltaPath(coll: String) = s"${hnswLayoutPath(coll)}/_delta"
+  // the version at which the ADJACENCY was last built — delta appends keep
+  // layout_version current without touching this, so executor graph caches
+  // and the co-located layout RDD stay hot across streaming batches
+  private def hnswEpochPath(coll: String) = s"$root/$coll/index/hnsw_epoch"
 
   /** Crash-tolerant marker-file IO: writes go through tmp + atomic rename
     * (a reader never observes a half-written file), reads tolerate corrupt
@@ -306,32 +313,47 @@ class Engine(
     // whole batch (store commit included) already landed — replay is a no-op
     if (batchId.exists(bid => readLedger(ledgerPath)
         .exists { case (sid, last) => sid == streamId && last >= bid })) return
-    // (batch → layout rows, layout path, cluster-partitioned?) per index
-    // family. The quantized flat tiers (sq/bq) maintain too: their models
-    // are FIXED at buildIndex, so encoding the batch with the loaded model
-    // appends exactly the rows a full re-encode would produce — searches
-    // keep scanning codes instead of falling back to re-encoding the whole
-    // live corpus after every ingest batch.
-    val maintain: Option[(DataFrame => DataFrame, String, Boolean)] = cfg.indexType match {
+    // (batch → layout rows, currency-check path, append path,
+    // cluster-partitioned?) per index family. The quantized flat tiers
+    // (sq/bq) maintain too: their models are FIXED at buildIndex, so
+    // encoding the batch with the loaded model appends exactly the rows a
+    // full re-encode would produce — searches keep scanning codes instead
+    // of falling back to re-encoding the whole live corpus after every
+    // ingest batch. The GRAPH tier maintains via a DELTA SIDECAR: new rows
+    // can't be appended into persisted adjacency, so they land as plain
+    // (id, vector) rows under `_delta` (hidden from the graph reader like
+    // `_route`); searches beam the graph AND exact-scan the small delta,
+    // merging top-k — the LSM shape (graph = sorted runs, delta =
+    // memtable), folded back in at the next buildIndex. A 100 TB graph
+    // layout thus absorbs streaming inserts without a rebuild per batch.
+    val maintain: Option[(DataFrame => DataFrame, String, String, Boolean)] = cfg.indexType match {
       case IndexType.IvfFlat =>
         loadedIvfOpt(coll).map(m =>
-          ((df: DataFrame) => IvfIndex.assign(df, "vector", m), ivfLayoutPath(coll), true))
+          ((df: DataFrame) => IvfIndex.assign(df, "vector", m),
+            ivfLayoutPath(coll), ivfLayoutPath(coll), true))
       case IndexType.IvfPq =>
         loadedPqOpt(coll).map(m =>
-          ((df: DataFrame) => IvfPq.encode(df, "vector", m), pqLayoutPath(coll), true))
+          ((df: DataFrame) => IvfPq.encode(df, "vector", m),
+            pqLayoutPath(coll), pqLayoutPath(coll), true))
       case IndexType.Opq =>
         loadedOpqOpt(coll).map(m =>
-          ((df: DataFrame) => Opq.encode(df, "vector", m), opqLayoutPath(coll), true))
+          ((df: DataFrame) => Opq.encode(df, "vector", m),
+            opqLayoutPath(coll), opqLayoutPath(coll), true))
       case IndexType.Sq =>
         loadedSqOpt(coll).map(m =>
-          ((df: DataFrame) => ScalarQuant.encode(df, "vector", m), sqLayoutPath(coll), false))
+          ((df: DataFrame) => ScalarQuant.encode(df, "vector", m),
+            sqLayoutPath(coll), sqLayoutPath(coll), false))
       case IndexType.Bq =>
         loadedBqOpt(coll).map(m =>
-          ((df: DataFrame) => BinaryQuant.encode(df, "vector", m), bqLayoutPath(coll), false))
+          ((df: DataFrame) => BinaryQuant.encode(df, "vector", m),
+            bqLayoutPath(coll), bqLayoutPath(coll), false))
+      case IndexType.Hnsw =>
+        Some(((df: DataFrame) => df.select(col("id"), col("vector")),
+          hnswLayoutPath(coll), hnswDeltaPath(coll), false))
       case _ => None
     }
-    val maintainable = maintain.exists { case (_, path, _) =>
-      currentLayout(coll, path).isDefined
+    val maintainable = maintain.exists { case (_, checkPath, _, _) =>
+      currentLayout(coll, checkPath).isDefined
     }
     val insertOnly = maintainable && (assumeNewIds || {
       val ids = batch.select(col("id"))
@@ -368,7 +390,7 @@ class Engine(
       .withColumn("version", lit(v))
       .withColumn("seq", monotonically_increasing_id())
       .withColumn("is_deleted", lit(false))
-    val (encode, layoutPath, clustered) = maintain.get
+    val (encode, _, layoutPath, clustered) = maintain.get
     val encoded = encode(stamped).cache()
     try {
       if (clustered)
@@ -575,6 +597,10 @@ class Engine(
             GraphAnn.buildLayout(store.read(coll), hnswLayoutPath(coll),
               cfg.spaceType, m = hm, efConstruction = hefc, levelMult = hlm)
         }
+        // fresh adjacency (the overwrite also dropped any `_delta` rows —
+        // they're in the corpus the build just read): advance the graph
+        // epoch so executor caches of the OLD adjacency are superseded
+        atomicWrite(java.nio.file.Paths.get(hnswEpochPath(coll)), stamp.toString)
         stampLayout()
       case _ => () // flat: nothing to train
     }
@@ -809,17 +835,37 @@ class Engine(
             // Both paths share executor cache entries, so mixing them
             // never rebuilds a cell twice.
             val routeP = getParams(coll).get("routeNprobe")
-            routeP match {
+            // cache under the GRAPH EPOCH, not the store version: streaming
+            // delta appends advance layout_version (the layout IS current)
+            // without touching the adjacency, so per-batch re-stamps must
+            // not evict executor graph caches or re-shuffle the layout RDD
+            val epoch = readLongSafe(
+              java.nio.file.Paths.get(hnswEpochPath(coll))).getOrElse(stamp)
+            val graphHits = routeP match {
               case Some(p) if queries.size <= 64 =>
                 GraphAnn.searchRoutedPruned(spark, hnswLayoutPath(coll), qDf, k,
                   cfg.spaceType, ef = ef, routeNprobe = p,
-                  cacheKey = Some((hnswLayoutPath(coll), stamp)))
+                  cacheKey = Some((hnswLayoutPath(coll), epoch)))
               case _ =>
                 GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, k,
                   cfg.spaceType, ef = ef,
-                  cacheKey = Some((hnswLayoutPath(coll), stamp)),
+                  cacheKey = Some((hnswLayoutPath(coll), epoch)),
                   routeNprobe = routeP)
             }
+            // streaming-insert delta: rows ingested since buildIndex live as
+            // plain (id, vector) under `_delta` — exact-scan them (exact ≥
+            // graph recall for those rows) and merge top-k. The delta is
+            // micro-batch-sized by construction; buildIndex folds it back
+            // into the adjacency.
+            if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(hnswDeltaPath(coll)))) {
+              val delta = spark.read.parquet(hnswDeltaPath(coll))
+              val deltaHits = ExactKnn.knn(delta, qDf, k, cfg.spaceType)
+              graft.functions.vfn.topKHits(
+                graphHits.select(col("query_id"), col("id"), col("distance"))
+                  .union(deltaHits.select(col("query_id"), col("id"), col("distance"))),
+                col("distance"), "query_id", "id", k)
+            } else graphHits
           case None =>
             GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
               m = cfg.params.get("M").map(_.toInt).getOrElse(16),

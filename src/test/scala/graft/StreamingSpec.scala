@@ -281,6 +281,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("indexed ingest maintains the graph (hnsw) layout via a delta sidecar — no rebuild per batch") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val root = Files.createTempDirectory("hnsw-delta-root").toString
+    val e = new Engine(spark, root)
+    for ((coll, params) <- Seq(("g", Map.empty[String, String]),
+        ("gr", Map("routeNlist" -> "4")))) {
+      e.createCollection(CollectionConfig(coll, 4, IndexType.Hnsw, params = params))
+      e.batchUpsertDocuments(coll, (0 until 40).map { i =>
+        Document(i.toString, Array(i * 1f, (i % 5) * 1f, 0f, 0f))
+      })
+      e.buildIndex(coll)
+      if (params.nonEmpty) e.setParams(coll, Map("routeNprobe" -> 2))
+      def stampOf = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/$coll/index/layout_version")).trim.toLong
+      def epochOf = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/$coll/index/hnsw_epoch")).trim.toLong
+      val deltaDir = java.nio.file.Paths.get(s"$root/$coll/index/hnsw_layout/_delta")
+      val stamp0 = stampOf; val epoch0 = epochOf
+      // insert-only batch: rows land in the delta sidecar; the layout stays
+      // CURRENT (stamp advances — no fallback to a live rebuild) while the
+      // adjacency epoch is untouched (executor graph caches stay hot)
+      e.ingestBatchIndexed(coll,
+        Seq(("100", Seq(7.5f, 100f, 0f, 0f), Map.empty[String, String]))
+          .toDF("id", "vector", "params"),
+        assumeNewIds = true, batchId = Some(0L))
+      assert(stampOf === stamp0 + 1,
+        s"$coll: insert-only batch must keep the graph layout current")
+      assert(epochOf === epoch0,
+        s"$coll: a delta append must not re-epoch the adjacency")
+      assert(java.nio.file.Files.exists(deltaDir), s"$coll: no delta sidecar")
+      // the streamed doc is served: exact scan over the delta merges with
+      // the graph beams
+      assert(e.searchDocuments(coll, Array(7.5f, 100f, 0f, 0f), 1).head.id === "100",
+        s"$coll: streamed doc not served from the delta")
+      // pre-existing docs still come from the graph
+      assert(e.searchDocuments(coll, Array(12f, 2f, 0f, 0f), 1).head.id === "12")
+      // buildIndex folds the delta into fresh adjacency and clears it
+      e.buildIndex(coll)
+      assert(!java.nio.file.Files.exists(deltaDir),
+        s"$coll: buildIndex must fold the delta away")
+      assert(epochOf > epoch0, s"$coll: rebuild must advance the graph epoch")
+      assert(e.searchDocuments(coll, Array(7.5f, 100f, 0f, 0f), 1).head.id === "100")
+      // an UPDATE batch stales the layout (fallback, still correct)
+      e.ingestBatchIndexed(coll,
+        Seq(("100", Seq(20f, 1f, 0f, 0f), Map.empty[String, String]))
+          .toDF("id", "vector", "params"))
+      assert(e.searchDocuments(coll, Array(20f, 1f, 0f, 0f), 1).head.id === "100")
+    }
+  }
+
   test("replayed micro-batches never append layout rows twice (at-least-once foreachBatch)") {
     import graft.api.Engine
     import graft.core.{CollectionConfig, IndexType}
