@@ -185,10 +185,6 @@ object ScaleBench {
         graft.operators.Opq.searchDistributed(opqEnc, q, opqm, kTop = 10, nprobe = 4,
           corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
       opqEnc.unpersist()
-      // LSH KNN: bucketed candidates vs the exact scan above
-      out(s"lsh_knn_$tag") = time(drain(
-        AnnLsh.search(corpus, q, 10, SpaceType.Cos,
-          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
       // NSW graph tier: one-time per-partition build persisted as adjacency,
       // then beam searches over the reloaded layout (the executor cache makes
       // reconstruction once-per-layout; search cost tracks ef·log n, not n)
@@ -219,6 +215,16 @@ object ScaleBench {
       // the (query, cell) probe count is the term that explodes at 10⁴–10⁵
       // partitions, so report the per-query beam fan-out directly
       out(s"graph_routed_probes_per_query_$tag") = probes.value.toDouble / 100.0
+    }
+
+    // LSH KNN: bucketed candidates vs the exact scan (own section so the
+    // auto-bit fix could be re-measured without re-running the full matrix)
+    for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)
+         if sections("ann") || sections("lsh")) {
+      val q = queriesOf(corpus)
+      out(s"lsh_knn_$tag") = time(drain(
+        AnnLsh.search(corpus, q, 10, SpaceType.Cos,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
     }
 
     for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)

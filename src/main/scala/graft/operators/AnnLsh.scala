@@ -74,19 +74,40 @@ object AnnLsh {
     * in `search` ranks, exported as an oracle input by Verify (an external
     * SQL engine replays "exact KNN restricted to these candidates").
     */
+  /** nbits=0 (the default) → auto: enough hyperplane bits that expected
+    * bucket occupancy stays near 256 rows — ceil(log2(n/256)), clamped to
+    * [8, 20]. A FIXED bit width is a scale bug: at 8 bits (256 buckets per
+    * table) a 2M-row corpus put ~29% of the corpus into every query's
+    * candidate set and this "approximate" tier measured 1.6× SLOWER than
+    * the exact scan (SCALE_r06 ann_1000x, pre-fix); the bit count must grow
+    * with log(n) for the candidate fraction to shrink as the corpus grows.
+    * The floor adapts DOWN too (min 4 bits): 8 fixed bits on a few hundred
+    * rows leaves near-singleton buckets and recall collapses.
+    * Deterministic (a pure function of the corpus row count), so the aux
+    * oracle replay regenerates identical planes; costs one count() job when
+    * auto is active.
+    */
+  private[graft] def autoBits(n: Long): Int = {
+    val buckets = math.max(1L, n / 256L)
+    math.min(20, math.max(4,
+      math.ceil(math.log(buckets.toDouble) / math.log(2.0)).toInt))
+  }
+
   def candidatePairs(
       corpus: DataFrame,
       queries: DataFrame,
       numTables: Int = 8,
-      nbits: Int = 8,
+      nbits: Int = 0, // 0 = auto-scale with corpus size (see autoBits)
       multiProbe: Boolean = true,
       seed: Long = 42L,
       corpusId: String = "id",
       corpusVec: String = "vector",
       queryId: String = "query_id",
       queryVec: String = "query_vec"): DataFrame = {
+    require(nbits >= 0, s"nbits must be >= 0 (0 = auto), got $nbits")
+    val nb = if (nbits > 0) nbits else autoBits(corpus.count())
     val dim = corpus.select(size(col(corpusVec))).first().getInt(0)
-    val pl = planes(dim, numTables, nbits, seed)
+    val pl = planes(dim, numTables, nb, seed)
 
     val cSig = signatures(corpus.select(col(corpusId), col(corpusVec)), corpusVec,
       Seq(corpusId, corpusVec), pl)
@@ -95,7 +116,7 @@ object AnnLsh {
     // Multi-probe (query side only, corpus table untouched): additionally
     // probe every bucket at Hamming distance 1 from the query signature —
     // recall of ~(1+nbits)× more buckets for zero extra corpus-side state.
-    val qSig = if (!multiProbe) qSigExact else AnnLsh.multiProbe(qSigExact, nbits)
+    val qSig = if (!multiProbe) qSigExact else AnnLsh.multiProbe(qSigExact, nb)
 
     cSig.join(broadcast(qSig), Seq("__table", "__bucket"))
       .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
@@ -111,7 +132,7 @@ object AnnLsh {
       k: Int,
       space: SpaceType,
       numTables: Int = 8,
-      nbits: Int = 8,
+      nbits: Int = 0, // 0 = auto-scale with corpus size (see autoBits)
       multiProbe: Boolean = true,
       seed: Long = 42L,
       corpusId: String = "id",

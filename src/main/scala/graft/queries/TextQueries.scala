@@ -102,6 +102,78 @@ object TextQueries {
       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
       |  FROM documents) t""".stripMargin
 
+  /** Per-source best-N curation: the 20 highest-lexical-diversity documents
+    * of each source (ties → smallest doc_id) — the "keep the best of every
+    * domain" selection step of a mixing pipeline. Scale: one shuffle on
+    * source; the rank<=N filter plans as a WindowGroupLimit, so each map
+    * task forwards at most N rows per source instead of sorting whole
+    * partitions through the exchange.
+    */
+  def bestPerSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(toks).cast("long")
+    val nDis = size(array_distinct(toks)).cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("diversity").desc, col("doc_id").asc)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (nDis.cast("double") / nTok.cast("double")).as("diversity"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select(col("doc_id"), col("source"), col("rnk"))
+  }
+
+  val bestPerSourceSql: String =
+    """SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC,
+      |        doc_id ASC) AS rnk
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |    FROM documents) t) r
+      |WHERE rnk <= 20""".stripMargin
+
+  /** Per-source top-quartile filter: keep each source's best 25% by lexical
+    * diversity — proportional quality thresholding normalized WITHIN each
+    * domain (a global cutoff would let one high-scoring source crowd out
+    * every other, and a global rank needs a total sort; per-source windows
+    * shuffle once on source and scale like any groupBy). Exact integer
+    * algebra: rank*4 <= source count, no percentile interpolation to
+    * diverge between engines.
+    */
+  def qualityQuartile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(toks).cast("long")
+    val nDis = size(array_distinct(toks)).cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("diversity").desc, col("doc_id").asc)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (nDis.cast("double") / nTok.cast("double")).as("diversity"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rnk") * 4 <= col("n_src"))
+      .select(col("doc_id"), col("source"), col("rnk"), col("n_src"))
+  }
+
+  val qualityQuartileSql: String =
+    """SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
+      |  CAST(n_src AS BIGINT) AS n_src
+      |FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC,
+      |        doc_id ASC) AS rnk,
+      |    count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |    FROM documents) t) r
+      |WHERE rnk * 4 <= n_src""".stripMargin
+
   /** Exact dedup (hash-groupBy): one surviving doc_id per distinct text.
     * Scale: group key is the text digest, not the text itself — the shuffle
     * carries 16 bytes + id per row regardless of document size.
@@ -229,6 +301,8 @@ object TextQueries {
     "token_count" -> (tokenCount(_, _)),
     "lang_id" -> (langId(_, _)),
     "quality_score" -> (qualityScore(_, _)),
+    "best_per_source" -> (bestPerSource(_, _)),
+    "quality_quartile" -> (qualityQuartile(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "jaccard_pairs" -> (jaccardPairs(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)))
@@ -239,6 +313,8 @@ object TextQueries {
     "token_count" -> tokenCountSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
+    "best_per_source" -> bestPerSourceSql,
+    "quality_quartile" -> qualityQuartileSql,
     "dedup_exact" -> dedupExactSql,
     "jaccard_pairs" -> jaccardPairsSql,
     "multimodal_meta" -> multimodalMetaSql,

@@ -41,4 +41,23 @@ class AnnLshSpec extends SparkSpec {
     val hi = recallAt(8, 6)
     assert(hi >= lo, f"recall decreased with more tables: $lo%.3f -> $hi%.3f")
   }
+
+  test("auto bit width grows with log(corpus) so the candidate fraction shrinks at scale") {
+    // fixed 8 bits made the 2M-row tier slower than the exact scan
+    // (SCALE_r06 ann_1000x pre-fix) — bits must track corpus size
+    assert(AnnLsh.autoBits(0L) === 4)             // floor: tiny corpora get
+    assert(AnnLsh.autoBits(2000L) === 4)          //   coarse, high-recall buckets
+    assert(AnnLsh.autoBits(256L * 1024) === 10)   // 1024 buckets
+    assert(AnnLsh.autoBits(2000000L) === 13)      // the measured regression point
+    assert(AnnLsh.autoBits(Long.MaxValue) === 20) // clamped
+    // default (auto) search still answers correctly on a small corpus
+    val got = AnnLsh.search(emb, queries, 10, SpaceType.Cos)
+      .select("query_id", "id").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rs = exact.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val r = rs.sum / rs.size
+    assert(r >= 0.8, f"auto-bit recall@10 $r%.3f < 0.8")
+  }
 }

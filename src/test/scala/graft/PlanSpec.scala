@@ -40,6 +40,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("best_per_source: rank filter plans a partial window group-limit before the exchange") {
+    val p = plan("best_per_source")
+    val partialIdx = p.indexOf("row_number(), 20, Partial")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"per-source top-N must forward at most N rows per source map-side:\n$p")
+  }
+
   test("nn_join: custom topk aggregate does partial aggregation map-side") {
     val p = plan("nn_join")
     assert(p.contains("partial_topk_by_distance"))
