@@ -218,13 +218,27 @@ object ScaleBench {
     }
 
     // LSH KNN: bucketed candidates vs the exact scan (own section so the
-    // auto-bit fix could be re-measured without re-running the full matrix)
+    // auto-bit fix could be re-measured without re-running the full matrix).
+    // SPARK_GRAFT_SCALE_RECALL=1 additionally scores recall@10 against the
+    // exact ground truth at each tag — the auto-bit width must not buy its
+    // speedup by silently starving candidates.
     for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)
          if sections("ann") || sections("lsh")) {
       val q = queriesOf(corpus)
-      out(s"lsh_knn_$tag") = time(drain(
-        AnnLsh.search(corpus, q, 10, SpaceType.Cos,
-          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
+      val lsh = AnnLsh.search(corpus, q, 10, SpaceType.Cos,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      out(s"lsh_knn_$tag") = time(drain(lsh))
+      if (sys.env.get("SPARK_GRAFT_SCALE_RECALL").contains("1")) {
+        val truth = ExactKnn.knn(corpus, q, 10, SpaceType.Cos,
+            corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+          .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val got = lsh.select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val rs = truth.map { case (qid, t) =>
+          got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+        out(s"lsh_recall_$tag") = rs.sum / rs.size
+      }
     }
 
     for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)

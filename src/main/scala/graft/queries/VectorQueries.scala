@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{SpaceType, Tables}
 import graft.functions.vfn
-import graft.operators.{AnnLsh, BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
+import graft.operators.{AnnLsh, BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Mmr, Opq, ScalarQuant}
 
 /** Vector query pack over the `embeddings` table (64-d float, L2-normalized,
   * 10 labels): exact KNN in all three metric spaces, search-then-fetch,
@@ -589,6 +589,7 @@ object VectorQueries {
     "graph_knn" -> (graphKnn(_, _)),
     "graph_knn_routed" -> (graphKnnRouted(_, _)),
     "lsh_knn" -> (lshKnn(_, _)),
+    "mmr_rerank" -> (mmrRerank(_, _)),
     "knn_l2" -> ((s, d) => knnRanks(s, d, SpaceType.L2)),
     "knn_sql" -> (knnSql(_, _)),
     "knn_hamming" -> ((s, d) => knnRanks(s, d, SpaceType.Hamming)),
@@ -599,6 +600,102 @@ object VectorQueries {
     "embed_neardup" -> (embedNearDup(_, _)),
     "embed_leakage" -> (embedLeakage(_, _)),
     "nn_join" -> (nnJoin(_, _)))
+
+  // ---- MMR diversified re-rank -------------------------------------------
+
+  private val MmrM = 30  // candidates per query (exact cosine top-m)
+  private val MmrK = 10
+  // λ = 0.5 on purpose: 1−λ equals λ EXACTLY in binary, so the Spark-side
+  // `λ·rel − (1−λ)·maxsim` and the oracle's literal `0.5*rel − 0.5*m` are
+  // the same doubles (any other λ would need a 17-digit 1−λ literal)
+  private val MmrLambda = 0.5
+
+  /** Per-query candidate set for MMR: exact cosine top-30 with rel =
+    * 1 − distance (the cosine similarity), vectors joined back on.
+    */
+  private def mmrCandidates(spark: SparkSession, dir: String): DataFrame =
+    ExactKnn.knn(corpus(spark, dir), queriesDf(spark, dir), MmrM, SpaceType.Cos,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), (lit(1.0) - col("distance")).as("rel"))
+      .join(corpus(spark, dir), "vec_id")
+
+  /** Diversified top-k: greedy MMR over the candidate set (see
+    * `operators.Mmr`) — the curation op that picks SPREAD exemplars where
+    * plain top-k returns k near-copies of the same boilerplate.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    Mmr.rerank(mmrCandidates(spark, dir), MmrK, MmrLambda,
+      queryId = "qid", corpusId = "vec_id", vecCol = "embedding", relCol = "rel")
+
+  /** Aux: candidate relevances (qid, vec_id, rel). */
+  def mmrCandAux(spark: SparkSession, dir: String): DataFrame =
+    mmrCandidates(spark, dir).select(col("qid"), col("vec_id"), col("rel"))
+
+  /** Aux: the pairwise cosine-similarity matrix within each query's
+    * candidate set — computed through the SAME `Mmr.cosSim` the greedy
+    * loop uses, so the oracle replays the selection over identical
+    * doubles. Bounded: NQ queries × m(m−1)/2 pairs.
+    */
+  def mmrSimsAux(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val cs = mmrCandidates(spark, dir)
+      .select(col("qid"), col("vec_id"), col("embedding")).collect()
+    val qidType = mmrCandidates(spark, dir).schema("qid").dataType
+    val idType = mmrCandidates(spark, dir).schema("vec_id").dataType
+    val rows = cs.groupBy(_.get(0)).iterator.flatMap { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      for {
+        i <- sorted.indices.iterator
+        j <- (i + 1) until sorted.length
+      } yield Row(qid, sorted(i).get(1), sorted(j).get(1),
+        Mmr.cosSim(sorted(i).getAs[scala.collection.Seq[Float]](2).toArray,
+          sorted(j).getAs[scala.collection.Seq[Float]](2).toArray))
+    }.toSeq
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+      StructField("qid", qidType), StructField("ia", idType),
+      StructField("ib", idType), StructField("sim", DoubleType))))
+  }
+
+  /** Oracle: the greedy MMR selection replayed as MmrK unrolled SQL steps
+    * over the exported relevances + similarity matrix (same doubles, same
+    * tie-breaks) — a full rows+schema+hash gate on an operator no single
+    * SQL query expresses. Every CTE is MATERIALIZED: each sel_i references
+    * sel_{i-1} twice (the step join AND the union), so DuckDB's default
+    * CTE inlining would expand sel_k to 2^k copies of the whole chain —
+    * the un-hinted query never finished; materialized it runs in 0.1 s.
+    */
+  val mmrRerankSql: String = {
+    val steps = (2 to MmrK).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT qid, vec_id, $i AS step FROM (
+         |  SELECT c.qid, c.vec_id,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY 0.5 * c.rel - 0.5 * ms.m DESC, c.vec_id ASC) AS rn
+         |  FROM cand c
+         |  JOIN (SELECT ss.qid, ss.ia AS vec_id, max(ss.sim) AS m
+         |        FROM symsims ss JOIN sel${i - 1} p
+         |          ON ss.qid = p.qid AND ss.ib = p.vec_id
+         |        GROUP BY ss.qid, ss.ia) ms
+         |    ON ms.qid = c.qid AND ms.vec_id = c.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} p
+         |                    WHERE p.qid = c.qid AND p.vec_id = c.vec_id)
+         |  ) t WHERE rn = 1),
+         |sel$i AS MATERIALIZED (SELECT qid, vec_id, step FROM sel${i - 1}
+         |          UNION ALL SELECT qid, vec_id, step FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS MATERIALIZED (SELECT qid, vec_id, rel
+       |              FROM read_parquet('{AUX}/mmr_cand/*.parquet')),
+       |sims AS MATERIALIZED (SELECT qid, ia, ib, sim
+       |         FROM read_parquet('{AUX}/mmr_sims/*.parquet')),
+       |symsims AS MATERIALIZED (SELECT qid, ia, ib, sim FROM sims
+       |            UNION ALL SELECT qid, ib, ia, sim FROM sims),
+       |sel1 AS MATERIALIZED (SELECT qid, vec_id, 1 AS step FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn
+       |  FROM cand) t WHERE rn = 1),
+       |$steps
+       |SELECT qid, vec_id, CAST(step AS BIGINT) AS step FROM sel$MmrK""".stripMargin
+  }
 
   /** Restricted-KNN oracle: exact KNN replayed over an exported candidate
     * set (`{AUX}` is substituted by Verify with the aux-table directory).
@@ -646,7 +743,9 @@ object VectorQueries {
     "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)),
     "opq_shortlist" -> (opqShortlistAux(_, _)),
     "sq_shortlist" -> (sqShortlistAux(_, _)),
-    "bq_shortlist" -> (bqShortlistAux(_, _)))
+    "bq_shortlist" -> (bqShortlistAux(_, _)),
+    "mmr_cand" -> (mmrCandAux(_, _)),
+    "mmr_sims" -> (mmrSimsAux(_, _)))
 
   val oracles: Map[String, String] = Map(
     "knn_filtered" -> knnFilteredSql,
@@ -654,6 +753,7 @@ object VectorQueries {
     "ivf_knn_full" -> knnL2Sql, // full probing ≡ exact KNN
     "ivf_knn_probe" -> ivfProbeSql,
     "ivf_knn_filtered" -> ivfFilteredSql,
+    "mmr_rerank" -> mmrRerankSql,
     "lsh_knn" -> restrictedKnnOracle("lsh_cand",
       "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC"),
     "graph_knn" -> restrictedKnnOracle("graph_cand",
