@@ -174,6 +174,35 @@ object TextQueries {
       |    FROM documents) t) r
       |WHERE rnk * 4 <= n_src""".stripMargin
 
+  /** Sliding-window chunking (64-token windows, stride 32): the
+    * embedding-prep step that turns documents into overlapping passages
+    * before encoding — overlap keeps boundary-straddling context retrievable.
+    * Every chunk row carries (doc_id, chunk_id, chunk_text); the final
+    * window is the natural remainder (never re-padded, so short docs emit
+    * exactly one chunk). Scale: a pure per-row explode — no shuffle at all;
+    * output rows ≈ n_tokens/stride per doc.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks)
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("t"), n.as("n"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(32))))
+      .select(col("doc_id"),
+        (col("start") / 32).cast("long").as("chunk_id"),
+        array_join(slice(col("t"), col("start") + 1,
+          least(lit(64), col("n") - col("start"))), " ").as("chunk_text"))
+  }
+
+  val chunkOverlapSql: String =
+    """SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,
+      |  array_to_string(t[start + 1 : least(start + 64, n)], ' ') AS chunk_text
+      |FROM (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS n,
+      |    unnest(generate_series(0, len(string_split(text, ' ')) - 1, 32)) AS start
+      |  FROM documents) d""".stripMargin
+
   /** Exact dedup (hash-groupBy): one surviving doc_id per distinct text.
     * Scale: group key is the text digest, not the text itself — the shuffle
     * carries 16 bytes + id per row regardless of document size.
@@ -303,6 +332,7 @@ object TextQueries {
     "quality_score" -> (qualityScore(_, _)),
     "best_per_source" -> (bestPerSource(_, _)),
     "quality_quartile" -> (qualityQuartile(_, _)),
+    "chunk_overlap" -> (chunkOverlap(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "jaccard_pairs" -> (jaccardPairs(_, _)),
     "multimodal_meta" -> (multimodalMeta(_, _)))
@@ -315,6 +345,7 @@ object TextQueries {
     "quality_score" -> qualityScoreSql,
     "best_per_source" -> bestPerSourceSql,
     "quality_quartile" -> qualityQuartileSql,
+    "chunk_overlap" -> chunkOverlapSql,
     "dedup_exact" -> dedupExactSql,
     "jaccard_pairs" -> jaccardPairsSql,
     "multimodal_meta" -> multimodalMetaSql,
