@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
       s"per-source top-N must forward at most N rows per source map-side:\n$p")
   }
 
+  test("chunk_overlap: pure per-row explode — zero exchanges") {
+    val p = plan("chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("quality_quartile: both windows share one source shuffle") {
+    val p = plan("quality_quartile")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"rank + count windows over the same key must reuse one exchange:\n$p")
+  }
+
   test("nn_join: custom topk aggregate does partial aggregation map-side") {
     val p = plan("nn_join")
     assert(p.contains("partial_topk_by_distance"))
