@@ -121,6 +121,27 @@ class Engine(
   // and the co-located layout RDD stay hot across streaming batches
   private def hnswEpochPath(coll: String) = s"$root/$coll/index/hnsw_epoch"
 
+  /** Micro-batch-sized delta rows cached per (delta path, layout stamp):
+    * steady streaming serving reads the delta parquet once per INGEST
+    * BATCH (each advances the stamp), not once per request — the same
+    * reasoning as the `_route` centroid cache on the point-serve path.
+    * Older stamps of a path are unpersisted on insert.
+    */
+  private val deltaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), DataFrame]
+
+  private def cachedDelta(path: String, stamp: Long): Option[DataFrame] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) None
+    else Some(deltaCache.getOrElseUpdate((path, stamp), {
+      deltaCache.keys.filter(k => k._1 == path && k._2 != stamp).foreach { k =>
+        deltaCache.remove(k).foreach(_.unpersist(false))
+      }
+      val df = spark.read.parquet(path).select(col("id"), col("vector"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize once, off the per-request path
+      df
+    }))
+
   /** Crash-tolerant marker-file IO: writes go through tmp + atomic rename
     * (a reader never observes a half-written file), reads tolerate corrupt
     * content (a crash mid-write of a RECOVERY file must degrade to "marker
@@ -186,6 +207,9 @@ class Engine(
     // keyed on the old incarnation must not survive the drop
     cache.clear()
     GraphAnn.GraphCache.invalidate(s"$root/$name/")
+    deltaCache.keys.filter(_._1.startsWith(s"$root/$name/")).foreach { k =>
+      deltaCache.remove(k).foreach(_.unpersist(false))
+    }
     catalog.drop(name)
   }
 
@@ -855,17 +879,18 @@ class Engine(
             // streaming-insert delta: rows ingested since buildIndex live as
             // plain (id, vector) under `_delta` — exact-scan them (exact ≥
             // graph recall for those rows) and merge top-k. The delta is
-            // micro-batch-sized by construction; buildIndex folds it back
+            // micro-batch-sized by construction and cached per (path, stamp)
+            // so steady serving never re-reads it; buildIndex folds it back
             // into the adjacency.
-            if (java.nio.file.Files.exists(
-                java.nio.file.Paths.get(hnswDeltaPath(coll)))) {
-              val delta = spark.read.parquet(hnswDeltaPath(coll))
-              val deltaHits = ExactKnn.knn(delta, qDf, k, cfg.spaceType)
-              graft.functions.vfn.topKHits(
-                graphHits.select(col("query_id"), col("id"), col("distance"))
-                  .union(deltaHits.select(col("query_id"), col("id"), col("distance"))),
-                col("distance"), "query_id", "id", k)
-            } else graphHits
+            cachedDelta(hnswDeltaPath(coll), stamp) match {
+              case Some(delta) =>
+                val deltaHits = ExactKnn.knn(delta, qDf, k, cfg.spaceType)
+                graft.functions.vfn.topKHits(
+                  graphHits.select(col("query_id"), col("id"), col("distance"))
+                    .union(deltaHits.select(col("query_id"), col("id"), col("distance"))),
+                  col("distance"), "query_id", "id", k)
+              case None => graphHits
+            }
           case None =>
             GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
               m = cfg.params.get("M").map(_.toInt).getOrElse(16),

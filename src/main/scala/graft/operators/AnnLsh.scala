@@ -76,7 +76,7 @@ object AnnLsh {
     */
   /** nbits=0 (the default) → auto: enough hyperplane bits that expected
     * bucket occupancy stays near 256 rows — ceil(log2(n/256)), clamped to
-    * [8, 20]. A FIXED bit width is a scale bug: at 8 bits (256 buckets per
+    * [4, 20]. A FIXED bit width is a scale bug: at 8 bits (256 buckets per
     * table) a 2M-row corpus put ~29% of the corpus into every query's
     * candidate set and this "approximate" tier measured 1.6× SLOWER than
     * the exact scan (SCALE_r06 ann_1000x, pre-fix); the bit count must grow

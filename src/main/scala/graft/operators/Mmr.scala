@@ -67,6 +67,10 @@ object Mmr {
         }
         i += 1
       }
+      // all remaining scores NaN (a caller fed NaN relevances/vectors):
+      // stop selecting instead of indexing with -1 — partial output, not a
+      // task-killing ArrayIndexOutOfBounds
+      if (best < 0) return out.toArray
       picked(best) = true
       out += best
       var j = 0

@@ -109,7 +109,13 @@ object TextQueries {
     * task forwards at most N rows per source instead of sorting whole
     * partitions through the exchange.
     */
-  def bestPerSource(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared diversity ranking: (doc_id, source, diversity, rnk) with rnk =
+    * per-source row_number by (diversity desc, doc_id asc) — ONE definition
+    * of the ordering for both per-source curation queries, and one SQL
+    * fragment mirroring it, so a tie-break or scoring change can't diverge
+    * a query from its oracle by missing a copy.
+    */
+  private def diversityRanked(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTok = size(toks).cast("long")
     val nDis = size(array_distinct(toks)).cast("long")
@@ -119,21 +125,28 @@ object TextQueries {
       .select(col("doc_id"), col("source"),
         (nDis.cast("double") / nTok.cast("double")).as("diversity"))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 20)
-      .select(col("doc_id"), col("source"), col("rnk"))
   }
 
-  val bestPerSourceSql: String =
-    """SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk FROM (
-      |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+  private val diversityRankedSql: String =
+    """SELECT doc_id, source, row_number() OVER (PARTITION BY source
       |      ORDER BY CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC,
-      |        doc_id ASC) AS rnk
+      |        doc_id ASC) AS rnk,
+      |    count(*) OVER (PARTITION BY source) AS n_src
       |  FROM (
       |    SELECT doc_id, source,
       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-      |    FROM documents) t) r
-      |WHERE rnk <= 20""".stripMargin
+      |    FROM documents) t""".stripMargin
+
+  def bestPerSource(spark: SparkSession, dir: String): DataFrame =
+    diversityRanked(spark, dir)
+      .filter(col("rnk") <= 20)
+      .select(col("doc_id"), col("source"), col("rnk"))
+
+  val bestPerSourceSql: String =
+    s"""SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  $diversityRankedSql) r
+       |WHERE rnk <= 20""".stripMargin
 
   /** Per-source top-quartile filter: keep each source's best 25% by lexical
     * diversity — proportional quality thresholding normalized WITHIN each
@@ -145,34 +158,18 @@ object TextQueries {
     */
   def qualityQuartile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nTok = size(toks).cast("long")
-    val nDis = size(array_distinct(toks)).cast("long")
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("diversity").desc, col("doc_id").asc)
-    docs(spark, dir)
-      .select(col("doc_id"), col("source"),
-        (nDis.cast("double") / nTok.cast("double")).as("diversity"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    diversityRanked(spark, dir)
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
       .filter(col("rnk") * 4 <= col("n_src"))
       .select(col("doc_id"), col("source"), col("rnk"), col("n_src"))
   }
 
   val qualityQuartileSql: String =
-    """SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
-      |  CAST(n_src AS BIGINT) AS n_src
-      |FROM (
-      |  SELECT doc_id, source,
-      |    row_number() OVER (PARTITION BY source
-      |      ORDER BY CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) DESC,
-      |        doc_id ASC) AS rnk,
-      |    count(*) OVER (PARTITION BY source) AS n_src
-      |  FROM (
-      |    SELECT doc_id, source,
-      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-      |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-      |    FROM documents) t) r
-      |WHERE rnk * 4 <= n_src""".stripMargin
+    s"""SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(n_src AS BIGINT) AS n_src
+       |FROM (
+       |  $diversityRankedSql) r
+       |WHERE rnk * 4 <= n_src""".stripMargin
 
   /** Sliding-window chunking (64-token windows, stride 32): the
     * embedding-prep step that turns documents into overlapping passages
@@ -184,10 +181,17 @@ object TextQueries {
     */
   def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
     val n = size(toks)
+    // NULL text emits no chunks, explicitly on BOTH sides: split(NULL)
+    // would otherwise take the Spark side through greatest()/sequence()
+    // into one null chunk while the oracle's generate_series(0, NULL, 32)
+    // unnests to zero rows — a silent hash divergence. For non-null text
+    // split() never returns an empty array, so n >= 1 and sequence's
+    // bounds need no guard.
     docs(spark, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), toks.as("t"), n.as("n"))
       .withColumn("start",
-        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(32))))
+        explode(sequence(lit(0), col("n") - 1, lit(32))))
       .select(col("doc_id"),
         (col("start") / 32).cast("long").as("chunk_id"),
         array_join(slice(col("t"), col("start") + 1,
@@ -201,7 +205,7 @@ object TextQueries {
       |  SELECT doc_id, string_split(text, ' ') AS t,
       |    len(string_split(text, ' ')) AS n,
       |    unnest(generate_series(0, len(string_split(text, ' ')) - 1, 32)) AS start
-      |  FROM documents) d""".stripMargin
+      |  FROM documents WHERE text IS NOT NULL) d""".stripMargin
 
   /** Exact dedup (hash-groupBy): one surviving doc_id per distinct text.
     * Scale: group key is the text digest, not the text itself — the shuffle

@@ -639,10 +639,10 @@ object VectorQueries {
   def mmrSimsAux(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-    val cs = mmrCandidates(spark, dir)
-      .select(col("qid"), col("vec_id"), col("embedding")).collect()
-    val qidType = mmrCandidates(spark, dir).schema("qid").dataType
-    val idType = mmrCandidates(spark, dir).schema("vec_id").dataType
+    val cand = mmrCandidates(spark, dir)
+    val cs = cand.select(col("qid"), col("vec_id"), col("embedding")).collect()
+    val qidType = cand.schema("qid").dataType
+    val idType = cand.schema("vec_id").dataType
     val rows = cs.groupBy(_.get(0)).iterator.flatMap { case (qid, rs) =>
       val sorted = rs.sortBy(_.getLong(1))
       for {
