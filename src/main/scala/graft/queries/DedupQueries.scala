@@ -247,6 +247,13 @@ object DedupQueries {
     * independent decisions). Scale: the label frame is dup-graph-sized and
     * left-joined onto the corpus (broadcast at any realistic dup rate);
     * the split itself is a shuffle-free projection.
+    *
+    * Stability contract: assignments are deterministic PER CORPUS SNAPSHOT.
+    * A late-arriving near-duplicate can merge two clusters and change the
+    * representative — legitimately moving members to the new rep's side
+    * (keeping them together is the point). A pipeline that has already
+    * SERVED eval examples must therefore pin the split at eval-freeze time
+    * (persist this frame) rather than re-deriving it over a grown corpus.
     */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val labels = clusterLabels(spark, dir)

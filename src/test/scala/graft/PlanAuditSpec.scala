@@ -1,0 +1,52 @@
+package graft
+
+/** Whole-surface plan audit: every declared query's physical plan, at once.
+  *
+  * An accidental CartesianProduct is the classic silent scale-killer — it
+  * passes every correctness gate at sf0.01 and detonates at 100 TB. The
+  * per-query PlanSpec assertions guard the queries we KNEW were risky;
+  * this sweep guards the ones we didn't. BroadcastNestedLoopJoin is
+  * allowed only for the query families that use it BY DESIGN (a bounded
+  * broadcast side — query vectors or a tiny centroid/stats frame —
+  * streamed against the corpus), and that allowlist is exact: a new query
+  * that introduces one must either justify itself here or restructure.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // BNLJ-by-design: small broadcast side × corpus scan, cost ∝ corpus.
+  // (knn family: broadcast query vectors; cluster_assign: broadcast
+  // centroids; quantizer tiers: broadcast encoded queries; mmr: exact
+  // candidate generation = knn.)
+  private val bnljByDesign = Set(
+    "knn_l2", "knn_ip", "knn_cos", "knn_hamming", "knn_sql", "knn_filtered",
+    "knn_fetch_join", "nn_join", "cluster_assign", "hybrid_rrf",
+    "ivf_knn_full", "sq_knn", "bq_knn", "bq_knn_cos", "mmr_rerank",
+    "embed_leakage", "outlier_events", "outlier_iqr") ++
+    // scalar folds: crossJoin(broadcast(<single-row aggregate or k-row
+    // sketch>)) — a 1-row (or sketch-bounded) build side stamped onto every
+    // probe row. Constant-size broadcast at ANY corpus scale: bm25/tfidf
+    // fold corpus-level stats (avgdl, N), token_quantiles folds the
+    // quantile thresholds, q11/q22 fold a global HAVING threshold,
+    // state_diff folds the time midpoint, kmv_overlap joins two k-row
+    // sketches, event_cooccurrence folds the distinct-user count.
+    Set("bm25_keyword", "tfidf_top_terms", "token_quantiles",
+      "q11_important_parts", "q22_idle_customers", "state_diff",
+      "kmv_overlap", "event_cooccurrence")
+
+  test("no declared query plans a CartesianProduct; BNLJ only where it is the design") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf0001).queryExecution.executedPlan.toString
+        catch { case e: Throwable =>
+          fail(s"$name failed to plan: ${e.getMessage}")
+        }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile plans:\n  ${offenders.mkString("\n  ")}")
+  }
+}
