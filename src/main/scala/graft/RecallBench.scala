@@ -171,6 +171,21 @@ object RecallBench {
         routeNprobe = 2, queryId = "qid", queryVec = "qv",
         cacheKey = Some((servePath, 0L)), corpusIdName = "vec_id")
     }
+    // driver-local point serve: warm queries launch ZERO Spark jobs — beams
+    // run on the driver against cached cell graphs, so this row isolates
+    // the pure in-memory serving cost the two rows above bury under the
+    // per-job scheduling floor. Pre-warm with the full query set once (the
+    // per-query warm-up below only heats ONE query's cells; a steady
+    // serving loop is warm by definition — cold-cell cost is the
+    // `graph_routed_pruned` row above).
+    GraphAnn.searchPointLocal(spark, servePath, queries.limit(20), k,
+      SpaceType.L2, ef = 80, routeNprobe = 2, queryId = "qid", queryVec = "qv",
+      cacheKey = Some((servePath, 0L)), corpusIdName = "vec_id").collect()
+    serveLatency("graph_local_serve") { q =>
+      GraphAnn.searchPointLocal(spark, servePath, q, k, SpaceType.L2, ef = 80,
+        routeNprobe = 2, queryId = "qid", queryVec = "qv",
+        cacheKey = Some((servePath, 0L)), corpusIdName = "vec_id")
+    }
 
     // ---- REST wire floor -------------------------------------------------
     // The numbers above time the ENGINE call; a serving caller pays the full
@@ -205,7 +220,22 @@ object RecallBench {
           client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
         }
         val wireQs = qRows.map(_.getAs[scala.collection.Seq[Float]](1).toArray)
-        require(post(wireQs.head) == 200, "warm-up search failed") // codegen + caches
+        // full warm-up pass (same convention as graph_local_serve): each
+        // query probes different cells, so one warm query leaves the rest
+        // paying cold-cell loads that a steady serving loop never sees
+        wireQs.foreach(v => require(post(v) == 200, "warm-up search failed"))
+        // engine-dispatch floor (no HTTP): isolates Engine.searchVectors
+        // overhead from the wire cost in the row below
+        locally {
+          val times = wireQs.map { v =>
+            val t0 = System.nanoTime()
+            engine.searchVectors("serve", Seq(("q", v)), k).collect()
+            (System.nanoTime() - t0) / 1e6
+          }.sorted
+          val p50 = times(times.length / 2)
+          val p95 = times(math.min(times.length - 1, (times.length * 95) / 100))
+          println(f"""{"mode":"serve_latency","index":"engine_routed_hnsw","queries":${times.length},"p50_ms":$p50%.1f,"p95_ms":$p95%.1f}""")
+        }
         val times = wireQs.map { v =>
           val t0 = System.nanoTime()
           val rc = post(v)

@@ -142,6 +142,22 @@ class Engine(
       df
     }))
 
+  /** The delta as driver-resident rows for the zero-job local-serve path
+    * (micro-batch-sized by construction; collected once per ingest batch).
+    */
+  private val deltaRowsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Array[(Any, Array[Float])]]
+
+  private def cachedDeltaRows(path: String, stamp: Long): Array[(Any, Array[Float])] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Array.empty
+    else deltaRowsCache.getOrElseUpdate((path, stamp), {
+      deltaRowsCache.keys.filter(k => k._1 == path && k._2 != stamp)
+        .foreach(deltaRowsCache.remove)
+      cachedDelta(path, stamp).map(_.collect().map(r =>
+        (r.get(0): Any, r.getAs[scala.collection.Seq[Float]](1).toArray)))
+        .getOrElse(Array.empty)
+    })
+
   /** Crash-tolerant marker-file IO: writes go through tmp + atomic rename
     * (a reader never observes a half-written file), reads tolerate corrupt
     * content (a crash mid-write of a RECOVERY file must degrade to "marker
@@ -158,15 +174,22 @@ class Engine(
     * writes since buildIndex) — otherwise None and the caller recomputes
     * over the live corpus (index staleness never causes wrong results).
     */
-  private def currentLayout(coll: String, path: String): Option[(DataFrame, Long)] = {
+  private def currentLayout(coll: String, path: String): Option[(DataFrame, Long)] =
     // the returned stamp identifies the LAYOUT BUILD the frame reads — cache
     // keys derive from it, never from a re-read of the live store version
     // (a write racing the search must not poison the cache under a new key)
+    currentLayoutStamp(coll, path).map(stamp => (spark.read.parquet(path), stamp))
+
+  /** Currency check WITHOUT constructing the layout DataFrame:
+    * `spark.read.parquet` eagerly lists files and reads footers for schema
+    * inference — ~100+ ms on a dir-partitioned layout — which the serving
+    * paths that only need the stamp (the graph tier passes a PATH to its
+    * search functions) must not pay per request.
+    */
+  private def currentLayoutStamp(coll: String, path: String): Option[Long] =
     readLongSafe(java.nio.file.Paths.get(s"$root/$coll/index/layout_version"))
       .filter(stamp => stamp == store.currentVersion(coll) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      .map(stamp => (spark.read.parquet(path), stamp))
-  }
 
   // ---- collection DDL (POST/GET/DELETE /v1/collections) ----
 
@@ -210,6 +233,8 @@ class Engine(
     deltaCache.keys.filter(_._1.startsWith(s"$root/$name/")).foreach { k =>
       deltaCache.remove(k).foreach(_.unpersist(false))
     }
+    deltaRowsCache.keys.filter(_._1.startsWith(s"$root/$name/"))
+      .foreach(deltaRowsCache.remove)
     catalog.drop(name)
   }
 
@@ -642,8 +667,7 @@ class Engine(
       require(v.length == cfg.dimension,
         s"query '$qid' dimension ${v.length} != collection dimension ${cfg.dimension}")
     }
-    val corpus = store.read(coll)
-    searchOn(corpus, cfg, coll, queries, k, corpusIsFull = true)
+    searchOn(store.read(coll), cfg, coll, queries, k, corpusIsFull = true)
   }
 
   /** DataFrame-in/DataFrame-out batch KNN — the KNN-JOIN surface: queries
@@ -807,10 +831,15 @@ class Engine(
   private def loadedBq(coll: String): BinaryQuant.Model =
     loadedBqOpt(coll).getOrElse(notBuilt(coll))
 
-  private def searchOn(corpus: DataFrame, cfg: CollectionConfig, coll: String,
+  // `corpus` is BY-NAME: constructing the store frame eagerly costs a
+  // parquet listing + schema inference (~100+ ms) per request, and the
+  // layout-backed serving branches never touch it — only the stale-layout
+  // fallbacks and the flat tier do
+  private def searchOn(corpusThunk: => DataFrame, cfg: CollectionConfig, coll: String,
       queries: Seq[(String, Array[Float])], k: Int,
       corpusIsFull: Boolean = false): DataFrame = {
     import spark.implicits._
+    lazy val corpus = corpusThunk // force at most once, only on branches that read it
     val qDf = queries.toDF("query_id", "query_vec")
       .withColumn("query_vec", col("query_vec").cast("array<float>"))
     cfg.indexType match {
@@ -846,9 +875,9 @@ class Engine(
         // live corpus when stale or pre-filtered. User M/efConstruction are
         // honored at build (the reference accepts then silently drops them,
         // collection.go:64-67 + hnsw.go:25-39 — §7.4).
-        val layout = if (corpusIsFull) currentLayout(coll, hnswLayoutPath(coll)) else None
+        val layout = if (corpusIsFull) currentLayoutStamp(coll, hnswLayoutPath(coll)) else None
         layout match {
-          case Some((_, stamp)) =>
+          case Some(stamp) =>
             // routeNprobe (setparams; only settable on routeNlist-built
             // collections) narrows the beam to the query's nearest cells;
             // the stale-layout fallback below ignores it — full fan-out is
@@ -865,31 +894,45 @@ class Engine(
             // not evict executor graph caches or re-shuffle the layout RDD
             val epoch = readLongSafe(
               java.nio.file.Paths.get(hnswEpochPath(coll))).getOrElse(stamp)
-            val graphHits = routeP match {
-              case Some(p) if queries.size <= 64 =>
-                GraphAnn.searchRoutedPruned(spark, hnswLayoutPath(coll), qDf, k,
-                  cfg.spaceType, ef = ef, routeNprobe = p,
-                  cacheKey = Some((hnswLayoutPath(coll), epoch)))
-              case _ =>
-                GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, k,
-                  cfg.spaceType, ef = ef,
-                  cacheKey = Some((hnswLayoutPath(coll), epoch)),
-                  routeNprobe = routeP)
-            }
-            // streaming-insert delta: rows ingested since buildIndex live as
-            // plain (id, vector) under `_delta` — exact-scan them (exact ≥
-            // graph recall for those rows) and merge top-k. The delta is
-            // micro-batch-sized by construction and cached per (path, stamp)
-            // so steady serving never re-reads it; buildIndex folds it back
-            // into the adjacency.
-            cachedDelta(hnswDeltaPath(coll), stamp) match {
-              case Some(delta) =>
-                val deltaHits = ExactKnn.knn(delta, qDf, k, cfg.spaceType)
-                graft.functions.vfn.topKHits(
-                  graphHits.select(col("query_id"), col("id"), col("distance"))
-                    .union(deltaHits.select(col("query_id"), col("id"), col("distance"))),
-                  col("distance"), "query_id", "id", k)
-              case None => graphHits
+            if (routeP.isDefined && queries.size <= 16) {
+              // TRUE point requests: serve from driver-cached cell graphs —
+              // a warm query launches ZERO Spark jobs (the ~100-300 ms
+              // job-scheduling floor the latency harness measures on the
+              // pruned path is gone). Results ≡ searchRoutedPruned at equal
+              // knobs: same reconstruction, same beams, same (distance, id)
+              // merge; delta rows exact-scanned with the kernels' exact
+              // arithmetic and merged the same way.
+              GraphAnn.searchPointLocal(spark, hnswLayoutPath(coll), qDf, k,
+                cfg.spaceType, ef = ef, routeNprobe = routeP.get,
+                cacheKey = Some((hnswLayoutPath(coll), epoch)),
+                deltaRows = cachedDeltaRows(hnswDeltaPath(coll), stamp))
+            } else {
+              val graphHits = routeP match {
+                case Some(p) if queries.size <= 64 =>
+                  GraphAnn.searchRoutedPruned(spark, hnswLayoutPath(coll), qDf, k,
+                    cfg.spaceType, ef = ef, routeNprobe = p,
+                    cacheKey = Some((hnswLayoutPath(coll), epoch)))
+                case _ =>
+                  GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, k,
+                    cfg.spaceType, ef = ef,
+                    cacheKey = Some((hnswLayoutPath(coll), epoch)),
+                    routeNprobe = routeP)
+              }
+              // streaming-insert delta: rows ingested since buildIndex live
+              // as plain (id, vector) under `_delta` — exact-scan them
+              // (exact ≥ graph recall for those rows) and merge top-k. The
+              // delta is micro-batch-sized by construction and cached per
+              // (path, stamp) so steady serving never re-reads it;
+              // buildIndex folds it back into the adjacency.
+              cachedDelta(hnswDeltaPath(coll), stamp) match {
+                case Some(delta) =>
+                  val deltaHits = ExactKnn.knn(delta, qDf, k, cfg.spaceType)
+                  graft.functions.vfn.topKHits(
+                    graphHits.select(col("query_id"), col("id"), col("distance"))
+                      .union(deltaHits.select(col("query_id"), col("id"), col("distance"))),
+                    col("distance"), "query_id", "id", k)
+                case None => graphHits
+              }
             }
           case None =>
             GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
@@ -936,7 +979,9 @@ class Engine(
       case _ => None
     }
     cacheKey.flatMap(cache.get).foreach(cached => return cached)
-    val corpus = store.read(coll)
+    // lazy: the unfiltered path hands this to searchOn by name — a
+    // layout-served request never pays the store's schema inference
+    lazy val corpus = store.read(coll)
     val hits = filter match {
       case Some(pred) if preFilter =>
         searchOn(corpus.filter(pred), cfg, coll, Seq(("q", query)), k)

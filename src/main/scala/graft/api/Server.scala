@@ -206,8 +206,12 @@ class Server(engine: Engine, port: Int = 0) {
     val o = body(ex).asObj
     val vec = vectorOf(req(o, "vector"))
     val limit = o.get("limit").orElse(o.get("top_k")).map(_.asInt).getOrElse(10)
+    // rank-sort DRIVER-side: .orderBy over the serving path's local result
+    // relation would plan a Sort node Catalyst can't collapse, turning the
+    // zero-job point-serve response into one Spark job per request
     val hits = engine.searchVectors(name, Seq(("q", vec)), limit)
-      .orderBy("rnk").collect()
+      .collect()
+      .sortBy(r => r.getLong(r.fieldIndex("rnk")))
       .map(r => (r.getString(r.fieldIndex("id")), r.getDouble(r.fieldIndex("distance"))))
     reply(ex, 200, Obj.of(
       "ids" -> Arr(hits.toSeq.map(h => Str(h._1))),

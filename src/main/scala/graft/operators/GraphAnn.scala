@@ -325,11 +325,13 @@ object GraphAnn {
       }
       layoutRdds.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach(layoutRdds.remove)
       dropCachedRoutes(layoutIdPrefix)
+      dropLocalCells(layoutIdPrefix)
     }
 
     def clear(): Unit = {
       cache.clear(); buildLocks.clear(); layoutRdds.clear()
       ephemeralOrder.clear(); ephemeralSeen.clear(); clearCachedRoutes()
+      clearLocalCells()
     }
 
     // test/ops hooks: a healthy cache keeps locks ≈ entries (every eviction
@@ -363,6 +365,171 @@ object GraphAnn {
       .foreach(routeCentroids.remove)
 
   private[operators] def clearCachedRoutes(): Unit = routeCentroids.clear()
+
+  /** Scalar distance with EXACTLY the codegen kernels' arithmetic
+    * (`VectorExpressions`: double accumulation in index order, cos
+    * zero-norm → 1.0, hamming = element-!= count) — the driver-local
+    * serving path must produce bit-identical distances to the distributed
+    * `ExactKnn` scan it replaces.
+    */
+  private[graft] def spaceDist(a: Array[Float], b: Array[Float],
+      space: SpaceType): Double = space match {
+    case SpaceType.Ip =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      -s
+    case SpaceType.Cos =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+    case SpaceType.Hamming =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { if (a(i) != b(i)) s += 1.0; i += 1 }
+      s
+    case _ =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+  }
+
+  /** Driver-resident cell graphs for the ZERO-JOB point-serve path:
+    * (layout id, version, cell) → reconstructed graph, or None for a cell
+    * the layout holds no rows for (cached too — probing an empty cell must
+    * not re-scan parquet every request). Bounded (`MaxLocalCells`,
+    * insertion order) and version-evicted like the executor GraphCache.
+    */
+  private val localCells = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int), Option[NswIndex]]
+  private val localCellOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]
+  private val localIdTypes = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), org.apache.spark.sql.types.DataType]
+  private val MaxLocalCells = 64
+
+  private[operators] def dropLocalCells(layoutIdPrefix: String): Unit = {
+    localCells.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach { k =>
+      localCells.remove(k); localCellOrder.remove(k)
+    }
+    localIdTypes.keys.filter(_._1.startsWith(layoutIdPrefix))
+      .foreach(localIdTypes.remove)
+  }
+
+  private[operators] def clearLocalCells(): Unit = {
+    localCells.clear(); localCellOrder.clear(); localIdTypes.clear()
+  }
+
+  // test/ops hook: loads since process start (a steady-state serving loop
+  // must not grow this)
+  val localCellLoads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** ZERO-SPARK-JOB point serving over a routed layout: beams run on the
+    * DRIVER against cached cell graphs, so a warm single-query request
+    * launches no job at all — the ~100–300 ms Spark job-scheduling floor
+    * the latency harness measures on the pruned path disappears, leaving
+    * in-memory beam cost (µs–ms). Cold cells load once per (layout,
+    * version) via ONE partition-pruned job covering every missing probed
+    * cell. This is the architecture serving deployments actually run:
+    * Spark builds/maintains the layout, a thin reader serves points from
+    * it. Results are IDENTICAL to `searchRoutedPruned` at equal knobs
+    * (same reconstruction, same beams, same (distance, id) merge order);
+    * `deltaRows` (streaming inserts since buildIndex, collected + cached
+    * by the caller) are exact-scanned with the codegen kernels' exact
+    * arithmetic and merged, mirroring the distributed delta union.
+    */
+  def searchPointLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      space: SpaceType,
+      ef: Int = 40,
+      routeNprobe: Int = 4,
+      queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      cacheKey: Option[(String, Long)] = None,
+      corpusIdName: String = "id",
+      maxQueries: Int = 64,
+      deltaRows: Array[(Any, Array[Float])] = Array.empty): DataFrame = {
+    require(routeNprobe >= 1, s"routeNprobe must be >= 1, got $routeNprobe")
+    val (layoutId, version) = cacheKey.getOrElse((path, 0L))
+    val cents = loadRouteCentroids(spark, path, cacheKey)
+    val effNprobe = math.min(routeNprobe, cents.length)
+    val mdl = IvfIndex.Model(cents, space)
+    val qRows = queries.select(col(queryId), col(queryVec)).collect()
+      .map(r => (r.get(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+    require(qRows.length <= maxQueries,
+      s"searchPointLocal is the driver-serve path (${qRows.length} queries > " +
+        s"$maxQueries); use searchRoutedPruned/searchFromLayout for batches")
+    val probed = qRows.map(q => mdl.probe(q._2, effNprobe))
+    val needed = probed.flatten.distinct.sorted
+    val missing = needed.filterNot(c => localCells.contains((layoutId, version, c)))
+    if (missing.nonEmpty || !localIdTypes.contains((layoutId, version))) {
+      // one pruned job loads EVERY missing probed cell of this version
+      val graph = readLayoutGraph(spark, path)
+        .filter(col("part").isin(missing.map(Int.box): _*))
+      localIdTypes.getOrElseUpdate((layoutId, version),
+        graph.schema("id").dataType)
+      val byCell = graph.collect().groupBy(_.getInt(0))
+      localCellLoads.incrementAndGet()
+      missing.foreach { c =>
+        val idx = byCell.get(c).map(rs => reconstructCell(rs, space))
+        val key = (layoutId, version, c)
+        if (localCells.putIfAbsent(key, idx).isEmpty) {
+          localCellOrder.add(key)
+          // stale versions of this layout die on insert; then the global cap
+          localCells.keys.filter(kk => kk._1 == layoutId && kk._2 != version)
+            .foreach { kk => localCells.remove(kk); localCellOrder.remove(kk) }
+          var evicting = localCells.size > MaxLocalCells
+          while (evicting) {
+            val oldest = localCellOrder.poll()
+            if (oldest == null) evicting = false
+            else {
+              localCells.remove(oldest)
+              evicting = localCells.size > MaxLocalCells
+            }
+          }
+        }
+      }
+    }
+    val idType = localIdTypes((layoutId, version))
+    val idOrd: (Any, Any) => Boolean = idLt
+    val out = new scala.collection.mutable.ArrayBuffer[Row]()
+    var qi = 0
+    while (qi < qRows.length) {
+      val (qid, qv) = qRows(qi)
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
+      probed(qi).foreach { c =>
+        localCells.getOrElse((layoutId, version, c), None).foreach { index =>
+          hits ++= index.search(qv, k, ef)
+        }
+      }
+      var di = 0
+      while (di < deltaRows.length) {
+        val (id, v) = deltaRows(di)
+        hits += ((id, spaceDist(qv, v, space)))
+        di += 1
+      }
+      // the distributed paths rank via TopKByDistance: (distance asc, id asc)
+      val ranked = hits.toArray
+        .sortWith((a, b) => a._2 < b._2 || (a._2 == b._2 && idOrd(a._1, b._1)))
+        .take(k)
+      var r = 0
+      while (r < ranked.length) {
+        out += Row(qid, ranked(r)._1, ranked(r)._2, (r + 1).toLong)
+        r += 1
+      }
+      qi += 1
+    }
+    val schema = StructType(Seq(
+      StructField(queryId, queries.schema(queryId).dataType),
+      StructField(corpusIdName, idType),
+      StructField("distance", DoubleType),
+      StructField("rnk", LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), schema)
+  }
 
   /** A layout's graph table in canonical column order, with the links
     * column normalized to the current multi-layer ARRAY<ARRAY<INT>> schema.

@@ -427,6 +427,51 @@ class GraphAnnSpec extends SparkSpec {
       "point-serve rebuilt cells the batch path had already cached")
   }
 
+  test("driver-local point serve ≡ distributed pruned path; warm queries load nothing") {
+    val path = java.nio.file.Files.createTempDirectory("local-serve").toString + "/g"
+    GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 8,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val key = Some((path, 1L))
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val q3 = queries.limit(3)
+    val pruned = collectSet(GraphAnn.searchRoutedPruned(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key))
+    val local = collectSet(GraphAnn.searchPointLocal(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key))
+    assert(local === pruned,
+      "driver-local serving diverged from the distributed pruned path")
+    // warm repeat: every probed cell cached driver-side — no further loads
+    val loads = GraphAnn.localCellLoads.get()
+    val again = collectSet(GraphAnn.searchPointLocal(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key))
+    assert(again === local)
+    assert(GraphAnn.localCellLoads.get() === loads,
+      "warm point-serve queries must not reload cells")
+    // delta rows merge exactly like the distributed exact-scan union: a
+    // far-away synthetic vector must surface as the top hit for its query
+    val far = Array.fill(spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("embedding")).first().getAs[scala.collection.Seq[Float]](0).length)(50f)
+    val qFar = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(999L, far.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val withDelta = GraphAnn.searchPointLocal(spark, path, qFar, 1,
+      SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key,
+      deltaRows = Array((12345L: Any, far)))
+      .select("vec_id").as[Long].collect()
+    assert(withDelta.toSeq === Seq(12345L),
+      "delta row at distance 0 must rank first on the local path")
+  }
+
   test("ephemeral call graphs expire executor-side; build locks never outlive their entries") {
     GraphAnn.GraphCache.clear()
     val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")
