@@ -136,17 +136,20 @@ object RecallBench {
     val qRows = queries.limit(20).collect()
     def oneQueryDf(r: org.apache.spark.sql.Row) =
       spark.createDataFrame(java.util.Arrays.asList(r), queries.schema)
-    def serveLatency(name: String)(f: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.DataFrame): Unit = {
-      f(oneQueryDf(qRows.head)).collect() // warm-up: codegen + caches
-      val times = qRows.map { r =>
-        val t0 = System.nanoTime()
-        f(oneQueryDf(r)).collect()
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
+    def reportLatency(name: String, unsorted: Seq[Double]): Unit = {
+      val times = unsorted.sorted
       val p50 = times(times.length / 2)
       val p95 = times(math.min(times.length - 1, (times.length * 95) / 100))
       println(f"""{"mode":"serve_latency","index":"$name","queries":${times.length},"p50_ms":$p50%.1f,"p95_ms":$p95%.1f}""")
+    }
+    def serveLatency(name: String)(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      f(oneQueryDf(qRows.head)).collect() // warm-up: codegen + caches
+      reportLatency(name, qRows.toSeq.map { r =>
+        val t0 = System.nanoTime()
+        f(oneQueryDf(r)).collect()
+        (System.nanoTime() - t0) / 1e6
+      })
     }
     serveLatency("exact_scan") { q =>
       ExactKnn.knn(emb, q, k, SpaceType.L2,
@@ -178,9 +181,11 @@ object RecallBench {
     // per-query warm-up below only heats ONE query's cells; a steady
     // serving loop is warm by definition — cold-cell cost is the
     // `graph_routed_pruned` row above).
-    GraphAnn.searchPointLocal(spark, servePath, queries.limit(20), k,
-      SpaceType.L2, ef = 80, routeNprobe = 2, queryId = "qid", queryVec = "qv",
-      cacheKey = Some((servePath, 0L)), corpusIdName = "vec_id").collect()
+    GraphAnn.searchPointLocal(spark, servePath,
+      spark.createDataFrame(java.util.Arrays.asList(qRows: _*), queries.schema),
+      k, SpaceType.L2, ef = 80, routeNprobe = 2, queryId = "qid",
+      queryVec = "qv", cacheKey = Some((servePath, 0L)),
+      corpusIdName = "vec_id").collect()
     serveLatency("graph_local_serve") { q =>
       GraphAnn.searchPointLocal(spark, servePath, q, k, SpaceType.L2, ef = 80,
         routeNprobe = 2, queryId = "qid", queryVec = "qv",
@@ -226,25 +231,17 @@ object RecallBench {
         wireQs.foreach(v => require(post(v) == 200, "warm-up search failed"))
         // engine-dispatch floor (no HTTP): isolates Engine.searchVectors
         // overhead from the wire cost in the row below
-        locally {
-          val times = wireQs.map { v =>
-            val t0 = System.nanoTime()
-            engine.searchVectors("serve", Seq(("q", v)), k).collect()
-            (System.nanoTime() - t0) / 1e6
-          }.sorted
-          val p50 = times(times.length / 2)
-          val p95 = times(math.min(times.length - 1, (times.length * 95) / 100))
-          println(f"""{"mode":"serve_latency","index":"engine_routed_hnsw","queries":${times.length},"p50_ms":$p50%.1f,"p95_ms":$p95%.1f}""")
-        }
-        val times = wireQs.map { v =>
+        reportLatency("engine_routed_hnsw", wireQs.toSeq.map { v =>
+          val t0 = System.nanoTime()
+          engine.searchVectors("serve", Seq(("q", v)), k).collect()
+          (System.nanoTime() - t0) / 1e6
+        })
+        reportLatency("rest_routed_hnsw", wireQs.toSeq.map { v =>
           val t0 = System.nanoTime()
           val rc = post(v)
           require(rc == 200, s"wire search failed: $rc")
           (System.nanoTime() - t0) / 1e6
-        }.sorted
-        val p50 = times(times.length / 2)
-        val p95 = times(math.min(times.length - 1, (times.length * 95) / 100))
-        println(f"""{"mode":"serve_latency","index":"rest_routed_hnsw","queries":${times.length},"p50_ms":$p50%.1f,"p95_ms":$p95%.1f}""")
+        })
       } finally server.stop()
     }
 

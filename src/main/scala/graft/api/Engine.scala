@@ -682,7 +682,9 @@ class Engine(
     */
   def searchVectorsDf(coll: String, queries: DataFrame, k: Int): DataFrame = {
     val cfg = configOf(coll)
-    val corpus = store.read(coll)
+    // lazy: layout-served branches (and searchOn's by-name corpus) must not
+    // pay the store's parquet listing + schema inference
+    lazy val corpus = store.read(coll)
     cfg.indexType match {
       case IndexType.IvfFlat =>
         val model = loadedIvf(coll)

@@ -77,25 +77,17 @@ object GraphAnn {
       math.min((-math.log(u) * mL).toInt, 24)
     }
 
+    // beam distances in l2 for the Hamming space (graphs need a geometric
+    // metric; element-!= counts don't navigate) — otherwise the shared
+    // scalar kernel replica, so there is exactly ONE hand-rolled copy of
+    // the must-stay-bit-identical arithmetic (`spaceDist`)
+    private val beamSpace = space match {
+      case SpaceType.Hamming => SpaceType.L2
+      case s => s
+    }
     private def dist(a: Array[Float], b: Array[Float]): Double = {
       distCalls += 1
-      space match {
-        case SpaceType.Ip =>
-          var s = 0.0; var i = 0
-          while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-          -s
-        case SpaceType.Cos =>
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < a.length) {
-            val x = a(i).toDouble; val y = b(i).toDouble
-            dot += x * y; na += x * x; nb += y * y; i += 1
-          }
-          if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
-        case _ =>
-          var s = 0.0; var i = 0
-          while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-          s
-      }
+      spaceDist(a, b, beamSpace)
     }
 
     /** Greedy hill-climb at one layer: follow the closest-improving link
@@ -402,23 +394,62 @@ object GraphAnn {
     * insertion order) and version-evicted like the executor GraphCache.
     */
   private val localCells = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int), Option[NswIndex]]
+    .empty[(String, Long, Int), (Option[NswIndex], Int)] // (graph-or-empty, rows)
   private val localCellOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]
+  private val localCellRowCount = new java.util.concurrent.atomic.AtomicLong(0)
   private val localIdTypes = scala.collection.concurrent.TrieMap
     .empty[(String, Long), org.apache.spark.sql.types.DataType]
   private val MaxLocalCells = 64
+  // the bound that actually protects the driver heap: resident ROWS, not
+  // entries — 64 cells of a big layout would OOM long before the count cap
+  // fires. ~4M rows ≈ 1 GiB of 64-d vectors + adjacency.
+  private val MaxLocalRows = 4000000L
+
+  private def removeLocalCell(key: (String, Long, Int)): Unit = {
+    localCells.remove(key).foreach { case (_, n) =>
+      localCellRowCount.addAndGet(-n.toLong)
+    }
+    localCellOrder.remove(key)
+  }
+
+  /** Insert under the entry + row budgets. Eviction here can only cost a
+    * future reload — in-flight requests hold direct references to the
+    * graphs they use, never re-read the evictable map mid-request.
+    */
+  private def insertLocalCell(key: (String, Long, Int),
+      idx: Option[NswIndex], rows: Int): Unit =
+    if (localCells.putIfAbsent(key, (idx, rows)).isEmpty) {
+      localCellOrder.add(key)
+      localCellRowCount.addAndGet(rows.toLong)
+      // stale versions of this layout die on insert
+      localCells.keys.filter(kk => kk._1 == key._1 && kk._2 != key._2)
+        .foreach(removeLocalCell)
+      var evicting = localCells.size > MaxLocalCells ||
+        localCellRowCount.get() > MaxLocalRows
+      while (evicting) {
+        val oldest = localCellOrder.poll()
+        if (oldest == null) evicting = false
+        else {
+          localCells.remove(oldest).foreach { case (_, n) =>
+            localCellRowCount.addAndGet(-n.toLong)
+          }
+          evicting = localCells.size > MaxLocalCells ||
+            localCellRowCount.get() > MaxLocalRows
+        }
+      }
+    }
 
   private[operators] def dropLocalCells(layoutIdPrefix: String): Unit = {
-    localCells.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach { k =>
-      localCells.remove(k); localCellOrder.remove(k)
-    }
+    localCells.keys.filter(_._1.startsWith(layoutIdPrefix))
+      .foreach(removeLocalCell)
     localIdTypes.keys.filter(_._1.startsWith(layoutIdPrefix))
       .foreach(localIdTypes.remove)
   }
 
   private[operators] def clearLocalCells(): Unit = {
     localCells.clear(); localCellOrder.clear(); localIdTypes.clear()
+    localCellRowCount.set(0)
   }
 
   // test/ops hook: loads since process start (a steady-state serving loop
@@ -465,36 +496,37 @@ object GraphAnn {
         s"$maxQueries); use searchRoutedPruned/searchFromLayout for batches")
     val probed = qRows.map(q => mdl.probe(q._2, effNprobe))
     val needed = probed.flatten.distinct.sorted
-    val missing = needed.filterNot(c => localCells.contains((layoutId, version, c)))
-    if (missing.nonEmpty || !localIdTypes.contains((layoutId, version))) {
+    // per-request view: DIRECT references to the graphs this request uses.
+    // The shared cache is concurrently evictable (budget overflow, another
+    // request's inserts, a collection drop) — re-reading it mid-request
+    // could silently drop a probed cell's hits; holding references here
+    // makes eviction a pure reload cost, never a correctness event.
+    val held = scala.collection.mutable.Map.empty[Int, Option[NswIndex]]
+    needed.foreach { c =>
+      localCells.get((layoutId, version, c)).foreach(v => held(c) = v._1)
+    }
+    val missing = needed.filterNot(held.contains)
+    var idTypeOpt = localIdTypes.get((layoutId, version))
+    if (missing.nonEmpty || idTypeOpt.isEmpty) {
       // one pruned job loads EVERY missing probed cell of this version
       val graph = readLayoutGraph(spark, path)
         .filter(col("part").isin(missing.map(Int.box): _*))
-      localIdTypes.getOrElseUpdate((layoutId, version),
-        graph.schema("id").dataType)
+      if (idTypeOpt.isEmpty) {
+        idTypeOpt = Some(graph.schema("id").dataType)
+        localIdTypes.keys.filter(kk => kk._1 == layoutId && kk._2 != version)
+          .foreach(localIdTypes.remove) // superseded epochs must not pile up
+        localIdTypes.putIfAbsent((layoutId, version), idTypeOpt.get)
+      }
       val byCell = graph.collect().groupBy(_.getInt(0))
       localCellLoads.incrementAndGet()
       missing.foreach { c =>
         val idx = byCell.get(c).map(rs => reconstructCell(rs, space))
-        val key = (layoutId, version, c)
-        if (localCells.putIfAbsent(key, idx).isEmpty) {
-          localCellOrder.add(key)
-          // stale versions of this layout die on insert; then the global cap
-          localCells.keys.filter(kk => kk._1 == layoutId && kk._2 != version)
-            .foreach { kk => localCells.remove(kk); localCellOrder.remove(kk) }
-          var evicting = localCells.size > MaxLocalCells
-          while (evicting) {
-            val oldest = localCellOrder.poll()
-            if (oldest == null) evicting = false
-            else {
-              localCells.remove(oldest)
-              evicting = localCells.size > MaxLocalCells
-            }
-          }
-        }
+        held(c) = idx
+        insertLocalCell((layoutId, version, c), idx,
+          byCell.get(c).map(_.length).getOrElse(0))
       }
     }
-    val idType = localIdTypes((layoutId, version))
+    val idType = idTypeOpt.get
     val idOrd: (Any, Any) => Boolean = idLt
     val out = new scala.collection.mutable.ArrayBuffer[Row]()
     var qi = 0
@@ -502,7 +534,7 @@ object GraphAnn {
       val (qid, qv) = qRows(qi)
       val hits = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
       probed(qi).foreach { c =>
-        localCells.getOrElse((layoutId, version, c), None).foreach { index =>
+        held.getOrElse(c, None).foreach { index =>
           hits ++= index.search(qv, k, ef)
         }
       }
@@ -720,9 +752,18 @@ object GraphAnn {
   private def idLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Int, y: Int) => x < y
-    case (x: String, y: String) => x < y
-    case _ => String.valueOf(a) < String.valueOf(b)
+    // UTF-8 BYTE order, not Java's UTF-16 code-unit order: the distributed
+    // paths break distance ties through UTF8String comparisons, and the two
+    // orders diverge for supplementary-plane characters — the local merge
+    // must match them exactly
+    case (x: String, y: String) => utf8Lt(x, y)
+    case _ => utf8Lt(String.valueOf(a), String.valueOf(b))
   }
+
+  private def utf8Lt(x: String, y: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
 
   /** Per-cell query assignment for one batch: cell id → indices into the
     * batch array of the queries whose `routeNprobe` nearest centroids
