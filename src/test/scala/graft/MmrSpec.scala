@@ -85,6 +85,20 @@ class MmrSpec extends SparkSpec {
     assert(r1.toSeq === r2.toSeq)
   }
 
+  test("NaN relevances stop selection instead of crashing the task") {
+    val rows = Seq(
+      (1L, 1L, 0.9, Seq(1f, 0f)),
+      (1L, 2L, Double.NaN, Seq(0f, 1f)),
+      (1L, 3L, Double.NaN, Seq(0.5f, 0.5f)))
+      .toDF("qid", "vec_id", "rel", "embedding")
+    // step 1 picks the one finite-scored candidate; every remaining score
+    // is NaN → selection stops with partial output, no AIOOBE
+    val got = Mmr.rerank(rows, 3, 0.5, queryId = "qid", corpusId = "vec_id",
+        vecCol = "embedding", relCol = "rel")
+      .orderBy("step").select("vec_id").as[Long].collect()
+    assert(got.toSeq === Seq(1L))
+  }
+
   test("fewer candidates than k: selects all, steps stay dense") {
     val rows = Seq((1L, 1L, 0.9, Seq(1f, 0f)), (1L, 2L, 0.8, Seq(0f, 1f)))
       .toDF("qid", "vec_id", "rel", "embedding")
