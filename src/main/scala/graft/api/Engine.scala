@@ -402,7 +402,7 @@ class Engine(
       case _ => None
     }
     val maintainable = maintain.exists { case (_, checkPath, _, _) =>
-      currentLayout(coll, checkPath).isDefined
+      currentLayoutStamp(coll, checkPath).isDefined // stamp check only — no schema inference
     }
     val insertOnly = maintainable && (assumeNewIds || {
       val ids = batch.select(col("id"))
@@ -466,6 +466,22 @@ class Engine(
     if (store.currentVersion(coll) == v)
       atomicWrite(
         java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
+    // size-triggered delta compaction (the LSM fold policy): once the hnsw
+    // delta sidecar holds >= `deltaCompactRows` rows, fold it into fresh
+    // adjacency RIGHT HERE — a stream that never sees a manual buildIndex
+    // still bounds its exact-scan share. Cost is amortized: one rebuild per
+    // `deltaCompactRows` streamed rows. Crash-safety is the existing
+    // protocol's: a crash mid-rebuild leaves the intent marker, the replay
+    // stales the layout, and searches fall back until the next successful
+    // build. (The count job runs only when the knob is configured.)
+    if (cfg.indexType == IndexType.Hnsw)
+      cfg.params.get("deltaCompactRows").map(_.toLong).foreach { limit =>
+        require(limit > 0, s"deltaCompactRows must be positive, got $limit")
+        val deltaDir = java.nio.file.Paths.get(hnswDeltaPath(coll))
+        if (java.nio.file.Files.exists(deltaDir) &&
+            spark.read.parquet(hnswDeltaPath(coll)).count() >= limit)
+          buildIndex(coll)
+      }
     settleLedger()
   }
 

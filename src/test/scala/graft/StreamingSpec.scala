@@ -332,6 +332,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("deltaCompactRows folds the hnsw delta into fresh adjacency once the threshold is met") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val root = Files.createTempDirectory("delta-compact").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 4, IndexType.Hnsw,
+      params = Map("routeNlist" -> "4", "deltaCompactRows" -> "3")))
+    e.batchUpsertDocuments("c", (0 until 30).map { i =>
+      Document(i.toString, Array(i * 1f, (i % 5) * 1f, 0f, 0f))
+    })
+    e.buildIndex("c")
+    e.setParams("c", Map("routeNprobe" -> 2))
+    def epochOf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/c/index/hnsw_epoch")).trim.toLong
+    val deltaDir = java.nio.file.Paths.get(s"$root/c/index/hnsw_layout/_delta")
+    val epoch0 = epochOf
+    // 2 streamed rows: below the threshold — delta persists, no rebuild
+    e.ingestBatchIndexed("c",
+      Seq(("100", Seq(50f, 50f, 0f, 0f), Map.empty[String, String]),
+          ("101", Seq(51f, 50f, 0f, 0f), Map.empty[String, String]))
+        .toDF("id", "vector", "params"),
+      assumeNewIds = true, batchId = Some(0L))
+    assert(java.nio.file.Files.exists(deltaDir), "sub-threshold delta must persist")
+    assert(epochOf === epoch0, "sub-threshold batch must not rebuild")
+    // one more row crosses the threshold: the batch folds the delta itself
+    e.ingestBatchIndexed("c",
+      Seq(("102", Seq(52f, 50f, 0f, 0f), Map.empty[String, String]))
+        .toDF("id", "vector", "params"),
+      assumeNewIds = true, batchId = Some(1L))
+    assert(!java.nio.file.Files.exists(deltaDir),
+      "threshold batch must fold the delta into the adjacency")
+    assert(epochOf > epoch0, "the fold must advance the graph epoch")
+    // every streamed row is served from the REBUILT graph (no delta left)
+    for (id <- Seq("100", "101", "102"))
+      assert(e.searchDocuments("c", Array(50f + (id.toInt - 100), 50f, 0f, 0f), 1)
+        .head.id === id, s"streamed doc $id not served post-fold")
+  }
+
   test("replayed micro-batches never append layout rows twice (at-least-once foreachBatch)") {
     import graft.api.Engine
     import graft.core.{CollectionConfig, IndexType}
