@@ -269,10 +269,22 @@ class Engine(
     store.upsert(coll, Seq(Document(id, v, params)), cfg.dimension)
   }
 
-  /** Deleted/tombstoned ids read as absent (divergence fix, SURVEY §7.4). */
+  /** Deleted/tombstoned ids read as absent (divergence fix, SURVEY §7.4).
+    * Serves from driver-local footer-pruned parquet reads (zero Spark
+    * jobs); any IO race falls back to the Spark plan inside `getFast`.
+    */
   def getDocument(coll: String, id: String): Option[Document] = {
     configOf(coll)
-    store.get(coll, id)
+    store.getFast(coll, id)
+  }
+
+  /** Batch point fetch for the serving path (documents/search metadata
+    * join): LWW winners for `ids`, absent/tombstoned omitted. Zero Spark
+    * jobs on the happy path (`DocStore.getMany`).
+    */
+  def fetchDocuments(coll: String, ids: Seq[String]): Map[String, Document] = {
+    configOf(coll)
+    store.getMany(coll, ids)
   }
 
   def deleteDocument(coll: String, id: String): Unit = {

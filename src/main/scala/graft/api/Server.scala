@@ -231,20 +231,10 @@ class Server(engine: Engine, port: Int = 0) {
       }.reduce(_ && _)
     }
     val hits = engine.searchDocuments(name, vec, limit, filter)
-    // fetch all hit documents in ONE filtered scan (the reference's per-hit
-    // GetDocument loop is the N+1 shape SURVEY J1 exists to avoid)
-    val ids = hits.map(_.id)
-    val fetched = engine.documents(name)
-      .filter(org.apache.spark.sql.functions.col("id").isin(ids: _*))
-      .collect()
-      .map { r =>
-        val d = Document(
-          r.getAs[String]("id"),
-          Option(r.getAs[scala.collection.Seq[Float]]("vector")).map(_.toArray).orNull,
-          Option(r.getAs[scala.collection.Map[String, String]]("params"))
-            .map(_.toMap).getOrElse(Map.empty))
-        d.id -> d
-      }.toMap
+    // fetch all hit documents in ONE batch point-read (the reference's
+    // per-hit GetDocument loop is the N+1 shape SURVEY J1 exists to avoid);
+    // driver-local footer-pruned parquet reads — no Spark job per request
+    val fetched = engine.fetchDocuments(name, hits.map(_.id))
     val docs = hits.flatMap(h => fetched.get(h.id)
       .map(d => docJson(d, "distance" -> Num(h.distance))))
     reply(ex, 200, Obj.of(

@@ -168,6 +168,30 @@ class DocStore(spark: SparkSession, root: String) {
     rows.headOption.map(fromRow)
   }
 
+  /** Point lookup on the SERVING path: driver-local footer-pruned parquet
+    * reads (zero Spark jobs — `LocalPointReader`), falling back to the
+    * always-correct Spark plan on any IO race (e.g. a concurrent
+    * `compact()` swapping the directory mid-read). Result ≡ `get`.
+    */
+  def getFast(name: String, id: String): Option[Document] =
+    getMany(name, Seq(id)).get(id)
+
+  /** Batch point lookup (the documents/search metadata-fetch shape): one
+    * local pass over the runs resolves every id, LWW semantics identical to
+    * `read`. Absent and tombstoned ids are omitted.
+    */
+  def getMany(name: String, ids: Seq[String]): Map[String, Document] =
+    if (ids.isEmpty) Map.empty
+    else try LocalPointReader.readDocs(dataDir(name), ids.toSet)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // tests set graft.pointreader.strict so a local-reader defect can
+        // never hide behind the always-correct fallback
+        if (java.lang.Boolean.getBoolean("graft.pointreader.strict")) throw e
+        latestWins(log(name).filter(col("id").isin(ids: _*))).collect()
+          .map(r => r.getAs[String]("id") -> fromRow(r)).toMap
+    }
+
   /** Compaction: rewrite the log keeping only LWW winners (drops overwritten
     * versions AND tombstones — `tree_compact.go:266-291` capability).
     *
