@@ -495,6 +495,120 @@ class Engine(
           buildIndex(coll)
       }
     settleLedger()
+    // small-files compaction for the APPENDED tiers (ivf/pq/opq/sq/bq): each
+    // streamed batch adds ~one file per write task, so a long stream turns
+    // the layout into thousands of tiny parquet files (listing + footer
+    // overhead per search). Once the layout holds >= `layoutCompactFiles`
+    // data files, rewrite it coalesced — a pure byte rewrite keyed off the
+    // file listing, no re-encode, no retrain. Runs AFTER the ledger settles:
+    // a crash mid-compaction leaves the batch fully applied and the layout
+    // merely stale (searches fall back to the live corpus until the next
+    // buildIndex), never partially served.
+    if (cfg.indexType != IndexType.Hnsw)
+      cfg.params.get("layoutCompactFiles").map(_.toInt).foreach { limit =>
+        require(limit > 0, s"layoutCompactFiles must be positive, got $limit")
+        if (countLayoutDataFiles(maintain.get._3) >= limit) compactLayout(coll)
+      }
+  }
+
+  /** Number of part files under a layout dir (recursive; `_`-prefixed
+    * sidecars and markers excluded — the same set Spark's reader lists).
+    */
+  private def countLayoutDataFiles(layoutPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0
+    val base = fs.makeQualified(p).toUri.getPath
+    var n = 0
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      // segments BELOW the layout dir only — a `_` elsewhere in the root
+      // path must not hide real data files
+      val rel = f.getPath.toUri.getPath.stripPrefix(base).split('/')
+      if (f.getPath.getName.startsWith("part-") &&
+          !rel.dropRight(1).exists(_.startsWith("_"))) n += 1
+    }
+    n
+  }
+
+  /** Rewrite an appended index layout (ivf_flat / ivfpq / opq / sq / bq)
+    * coalesced — the LSM "fold the small runs" pass for the streamed code
+    * layouts. Reads the layout's OWN rows (a current layout's rows are
+    * exactly what re-encoding the corpus with the frozen model would
+    * produce, so this is a byte rewrite: cheaper, and bit-identical by
+    * construction), writes them to a sibling tmp dir with one file per
+    * cluster (clustered tiers) or a size-derived file count (flat code
+    * tiers), then swaps dirs.
+    *
+    * Crash protocol: the layout stamp is INVALIDATED first, so every crash
+    * window — mid-write, between delete and rename, before re-stamp — reads
+    * as "layout stale" and searches fall back to the live corpus. Only
+    * after the swap completes, and only if no writer interleaved, is the
+    * stamp restored. (buildIndex doesn't need this because it normally runs
+    * when the stamp is already stale; compaction runs precisely when the
+    * layout is CURRENT.) The dir swap itself is rename-based — atomic on
+    * HDFS/POSIX; on object stores the same stale-until-restamped protocol
+    * makes a torn swap read as stale, never as current-but-partial (see
+    * AtomicFiles' contract).
+    *
+    * Returns false (no-op) when the collection has no appended layout, the
+    * index isn't built, or the layout is already stale (the next buildIndex
+    * rewrites it anyway).
+    */
+  def compactLayout(coll: String): Boolean = {
+    val cfg = configOf(coll)
+    val layout: Option[(String, Boolean, String)] = cfg.indexType match {
+      case IndexType.IvfFlat => Some((ivfLayoutPath(coll), true, "ivf"))
+      case IndexType.IvfPq => Some((pqLayoutPath(coll), true, "pq"))
+      case IndexType.Opq => Some((opqLayoutPath(coll), true, "opq"))
+      case IndexType.Sq => Some((sqLayoutPath(coll), false, "sq"))
+      case IndexType.Bq => Some((bqLayoutPath(coll), false, "bq"))
+      case _ => None // flat has no layout; hnsw folds via deltaCompactRows
+    }
+    layout match {
+      case Some((layoutPath, clustered, tier)) =>
+        val stamp = store.currentVersion(coll)
+        if (currentLayoutStamp(coll, layoutPath).isEmpty) return false
+        val bucketedPre = currentBucketedMeta(coll)
+        val stampPath =
+          java.nio.file.Paths.get(s"$root/$coll/index/layout_version")
+        val hp = new org.apache.hadoop.fs.Path(layoutPath)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        val tmp = new org.apache.hadoop.fs.Path(layoutPath + "_compact_tmp")
+        // stale-first: from here until the final re-stamp, searches fall
+        // back to the live corpus (correct, unpruned)
+        java.nio.file.Files.deleteIfExists(stampPath)
+        fs.delete(tmp, true)
+        val rows = spark.read.parquet(layoutPath)
+        if (clustered)
+          // hash-repartition on cluster_id: each cluster lands wholly in one
+          // task ⇒ exactly one file per cluster directory
+          rows.repartition(col("cluster_id"))
+            .write.partitionBy("cluster_id").parquet(tmp.toString)
+        else {
+          // flat code layouts: file count from resident bytes, one file per
+          // target-sized chunk (same sizing rule as the scan side's
+          // maxPartitionBytes)
+          val bytes = fs.getContentSummary(hp).getLength
+          val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
+          val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+          rows.repartition(nFiles).write.parquet(tmp.toString)
+        }
+        fs.delete(hp, true)
+        require(fs.rename(tmp, hp), s"compaction rename failed for $layoutPath")
+        // the bucketed table (if current) accumulated the same appended
+        // files — rebuild it from the compacted layout under the same stamp
+        bucketedPre.foreach { case (_, _, _) =>
+          writeBucketedLayout(coll, cfg, spark.read.parquet(layoutPath), stamp, tier)
+        }
+        // restore the stamp only if no writer interleaved (a racer leaves
+        // the layout stale — fallback, never a lie)
+        if (store.currentVersion(coll) == stamp)
+          atomicWrite(stampPath, stamp.toString)
+        true
+      case None => false
+    }
   }
 
   // ---- runtime search params (POST .../documents/setparams) ----

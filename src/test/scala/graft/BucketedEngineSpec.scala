@@ -134,6 +134,18 @@ class BucketedEngineSpec extends SparkSpec {
     assert(plan.contains("eng_bucketed_stream"),
       "post-batch search must still serve the (maintained) bucketed table")
     assert(res.select("id").as[String].collect().head === "new")
+    // small-files compaction rebuilds the bucketed table too, under the same
+    // stamp: the table stays the serving path with the full row set
+    val rowsPre = spark.table("eng_bucketed_stream").count()
+    assert(e.compactLayout("cs"), "compaction must run on the current layout")
+    assert(spark.table("eng_bucketed_stream").count() === rowsPre,
+      "compaction changed the bucketed table's row set")
+    val res2 = e.searchVectorsDf("cs",
+      Seq(("q", probe.toSeq)).toDF("query_id", "query_vec")
+        .select(col("query_id"), col("query_vec").cast("array<float>").as("query_vec")), 1)
+    assert(res2.queryExecution.executedPlan.toString.contains("eng_bucketed_stream"),
+      "post-compaction search must still serve the bucketed table")
+    assert(res2.select("id").as[String].collect().head === "new")
     spark.sql("DROP TABLE IF EXISTS eng_bucketed_stream")
   }
 

@@ -677,4 +677,67 @@ class StreamingSpec extends SparkSpec {
     assert(got(100L) === 1L && got(102L) === 1L, s"spikes must flag: $got")
     assert(got(101L) === 0L)
   }
+
+  test("layoutCompactFiles folds the appended code layouts into few files") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    def partFiles(dir: String): Int = {
+      val base = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(base)) return 0
+      val st = java.nio.file.Files.walk(base)
+      try st.filter { p =>
+        p.getFileName.toString.startsWith("part-") &&
+          !base.relativize(p).toString.split('/').dropRight(1)
+            .exists(_.startsWith("_"))
+      }.count().toInt
+      finally st.close()
+    }
+    for ((it, tier, clustered) <- Seq((IndexType.IvfFlat, "ivf", true),
+        (IndexType.Sq, "sq", false))) {
+      val root = Files.createTempDirectory(s"compact-$tier").toString
+      val e = new Engine(spark, root)
+      // "c" auto-compacts at 4 files; "ctl" is the no-knob control
+      e.createCollection(CollectionConfig("c", 4, it,
+        params = Map("layoutCompactFiles" -> "4")))
+      e.createCollection(CollectionConfig("ctl", 4, it))
+      for (coll <- Seq("c", "ctl")) {
+        e.batchUpsertDocuments(coll, (0 until 30).map { i =>
+          Document(i.toString, Array(if (i % 2 == 0) 0f else 100f, i * 0.01f, 0f, 0f))
+        })
+        e.buildIndex(coll, nlist = 2)
+        for (b <- 0 until 6)
+          e.ingestBatchIndexed(coll,
+            Seq((s"${100 + b}", Seq(0.5f + b, 0f, 0f, 0f), Map.empty[String, String]))
+              .toDF("id", "vector", "params"),
+            assumeNewIds = true, batchId = Some(b.toLong))
+      }
+      def layoutDir(coll: String) = s"$root/$coll/index/${tier}_layout"
+      // every single-row batch appends ≥1 file to the control; the knobbed
+      // collection folded along the way
+      assert(partFiles(layoutDir("ctl")) >= 6,
+        s"$tier: control should accumulate appended files")
+      assert(partFiles(layoutDir("c")) < partFiles(layoutDir("ctl")),
+        s"$tier: auto-compaction never fired")
+      // compaction preserved the full row set and kept the layout CURRENT:
+      // streamed docs are still served, and one more explicit pass lands the
+      // minimal file count (one per cluster / one per size chunk)
+      val idsBefore = spark.read.parquet(layoutDir("c"))
+        .select("id").collect().map(_.getString(0)).sorted
+      assert(e.compactLayout("c"), s"$tier: compactLayout on a current layout must run")
+      val idsAfter = spark.read.parquet(layoutDir("c"))
+        .select("id").collect().map(_.getString(0)).sorted
+      assert(idsAfter === idsBefore, s"$tier: compaction changed the row set")
+      assert(partFiles(layoutDir("c")) <= (if (clustered) 2 else 1),
+        s"$tier: compacted layout still fragmented")
+      val stamp = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/c/index/layout_version")).trim.toLong
+      assert(stamp > 0, s"$tier: layout must stay stamped current after compaction")
+      for (b <- 0 until 6)
+        assert(e.searchDocuments("c", Array(0.5f + b, 0f, 0f, 0f), 1)
+          .head.id === s"${100 + b}", s"$tier: streamed doc ${100 + b} not served")
+      // a stale layout has nothing to compact (the next buildIndex rewrites)
+      e.upsertDocument("c", Document("100", Array(9f, 9f, 9f, 9f)))
+      assert(!e.compactLayout("c"), s"$tier: compaction must no-op on a stale layout")
+    }
+  }
 }
