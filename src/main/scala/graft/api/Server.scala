@@ -60,6 +60,11 @@ class Server(engine: Engine, port: Int = 0) {
         case ("GET", List("v1", "collections", name, "documents", id)) => getDoc(ex, name, id)
         case ("DELETE", List("v1", "collections", name, "documents", id)) =>
           deleteDoc(ex, name, id)
+        // beyond the reference's table: serving-cache observability (the
+        // driver-local point-serve tier's residency/hit-rate counters)
+        case ("GET", List("v1", "metrics")) =>
+          reply(ex, 200, Obj(graft.operators.GraphAnn.localServeMetrics
+            .map { case (k, v) => k -> (Num(v.toDouble): Value) }))
         case _ => reply(ex, 404, err("route not found"))
       }
     } catch {

@@ -217,6 +217,38 @@ object GraphAnn {
       links += ls.map(a => mutable.ArrayBuffer.from(a))
       if (lvl > maxLevel) { maxLevel = lvl; entryNode = idx }
     }
+
+    /** Dim-aware JVM-resident footprint estimate, the unit the driver-local
+      * serving cache budgets in: a 768-d cell costs ~12× a 64-d cell of the
+      * same row count, which a row-count budget can't see. Per node: the
+      * float payload (4·dim + array header), the boxed id (measured for
+      * strings), and the boxed adjacency (ArrayBuffer[Int] stores boxed
+      * Integers — ~20 B/link). An estimate, not instrumentation — but a
+      * dimension- and degree-proportional one, which is what makes the
+      * budget hold across collections of different shapes.
+      */
+    private[operators] def residentBytes: Long = {
+      var b = 0L
+      b += vecs.length.toLong * (16L + 4L * dim) // vector payload
+      b += vecs.length.toLong * 16L              // levels slot + buffer refs
+      var i = 0
+      while (i < ids.length) {
+        b += (ids(i) match {
+          case s: String => 48L + 2L * s.length
+          case _ => 24L // boxed numeric
+        })
+        i += 1
+      }
+      i = 0
+      while (i < links.length) {
+        val perLayer = links(i)
+        b += 24L + 8L * perLayer.length
+        var l = 0
+        while (l < perLayer.length) { b += 40L + 20L * perLayer(l).length; l += 1 }
+        i += 1
+      }
+      b
+    }
   }
 
   /** Executor-level graph cache: per-partition NSW graphs survive across
@@ -394,51 +426,58 @@ object GraphAnn {
     * insertion order) and version-evicted like the executor GraphCache.
     */
   private val localCells = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int), (Option[NswIndex], Int)] // (graph-or-empty, rows)
+    .empty[(String, Long, Int), (Option[NswIndex], Long)] // (graph-or-empty, bytes)
   private val localCellOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]
-  private val localCellRowCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val localCellBytes = new java.util.concurrent.atomic.AtomicLong(0)
   private val localIdTypes = scala.collection.concurrent.TrieMap
     .empty[(String, Long), org.apache.spark.sql.types.DataType]
   private val MaxLocalCells = 64
-  // the bound that actually protects the driver heap: resident ROWS, not
-  // entries — 64 cells of a big layout would OOM long before the count cap
-  // fires. ~4M rows ≈ 1 GiB of 64-d vectors + adjacency.
-  private val MaxLocalRows = 4000000L
+  // the bound that actually protects the driver heap: resident BYTES
+  // (dim- and degree-aware, NswIndex.residentBytes), not entries or rows —
+  // 64 cells of a big layout, or a row budget sized for 64-d vectors
+  // serving a 768-d collection, would OOM long before a count cap fires.
+  // Operable knob (test/ops hook): default 1 GiB.
+  @volatile var maxLocalServeBytes: Long = 1L << 30
 
   private def removeLocalCell(key: (String, Long, Int)): Unit = {
-    localCells.remove(key).foreach { case (_, n) =>
-      localCellRowCount.addAndGet(-n.toLong)
+    localCells.remove(key).foreach { case (_, b) =>
+      localCellBytes.addAndGet(-b)
     }
     localCellOrder.remove(key)
   }
 
-  /** Insert under the entry + row budgets. Eviction here can only cost a
+  /** Insert under the entry + byte budgets. Eviction here can only cost a
     * future reload — in-flight requests hold direct references to the
     * graphs they use, never re-read the evictable map mid-request.
     */
   private def insertLocalCell(key: (String, Long, Int),
-      idx: Option[NswIndex], rows: Int): Unit =
-    if (localCells.putIfAbsent(key, (idx, rows)).isEmpty) {
+      idx: Option[NswIndex]): Unit = {
+    // empty cells cache as a tombstone (probing one must not re-scan
+    // parquet per request) at a nominal entry cost
+    val bytes = idx.map(_.residentBytes).getOrElse(64L)
+    if (localCells.putIfAbsent(key, (idx, bytes)).isEmpty) {
       localCellOrder.add(key)
-      localCellRowCount.addAndGet(rows.toLong)
+      localCellBytes.addAndGet(bytes)
       // stale versions of this layout die on insert
       localCells.keys.filter(kk => kk._1 == key._1 && kk._2 != key._2)
-        .foreach(removeLocalCell)
+        .foreach { kk => removeLocalCell(kk); localCellEvictions.incrementAndGet() }
       var evicting = localCells.size > MaxLocalCells ||
-        localCellRowCount.get() > MaxLocalRows
+        localCellBytes.get() > maxLocalServeBytes
       while (evicting) {
         val oldest = localCellOrder.poll()
         if (oldest == null) evicting = false
         else {
-          localCells.remove(oldest).foreach { case (_, n) =>
-            localCellRowCount.addAndGet(-n.toLong)
+          localCells.remove(oldest).foreach { case (_, b) =>
+            localCellBytes.addAndGet(-b)
+            localCellEvictions.incrementAndGet()
           }
           evicting = localCells.size > MaxLocalCells ||
-            localCellRowCount.get() > MaxLocalRows
+            localCellBytes.get() > maxLocalServeBytes
         }
       }
     }
+  }
 
   private[operators] def dropLocalCells(layoutIdPrefix: String): Unit = {
     localCells.keys.filter(_._1.startsWith(layoutIdPrefix))
@@ -449,12 +488,31 @@ object GraphAnn {
 
   private[operators] def clearLocalCells(): Unit = {
     localCells.clear(); localCellOrder.clear(); localIdTypes.clear()
-    localCellRowCount.set(0)
+    localCellBytes.set(0)
   }
 
   // test/ops hook: loads since process start (a steady-state serving loop
   // must not grow this)
   val localCellLoads = new java.util.concurrent.atomic.AtomicInteger(0)
+  // serving-cache metrics: cell probes served from cache vs loaded, and
+  // entries dropped by budget/version eviction
+  val localCellHits = new java.util.concurrent.atomic.AtomicLong(0)
+  val localCellMisses = new java.util.concurrent.atomic.AtomicLong(0)
+  val localCellEvictions = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One-stop serving-cache gauge/counter snapshot — the operability hook
+    * for the driver-local point-serve tier (exposed over REST as
+    * GET /v1/metrics). Counters are since process start; gauges are
+    * current residency against the byte budget.
+    */
+  def localServeMetrics: Map[String, Long] = Map(
+    "local_serve_cells" -> localCells.size.toLong,
+    "local_serve_bytes" -> localCellBytes.get(),
+    "local_serve_max_bytes" -> maxLocalServeBytes,
+    "local_serve_loads" -> localCellLoads.get().toLong,
+    "local_serve_hits" -> localCellHits.get(),
+    "local_serve_misses" -> localCellMisses.get(),
+    "local_serve_evictions" -> localCellEvictions.get())
 
   /** ZERO-SPARK-JOB point serving over a routed layout: beams run on the
     * DRIVER against cached cell graphs, so a warm single-query request
@@ -506,6 +564,8 @@ object GraphAnn {
       localCells.get((layoutId, version, c)).foreach(v => held(c) = v._1)
     }
     val missing = needed.filterNot(held.contains)
+    localCellHits.addAndGet(held.size.toLong)
+    localCellMisses.addAndGet(missing.length.toLong)
     var idTypeOpt = localIdTypes.get((layoutId, version))
     if (missing.nonEmpty || idTypeOpt.isEmpty) {
       // one pruned job loads EVERY missing probed cell of this version
@@ -522,8 +582,7 @@ object GraphAnn {
       missing.foreach { c =>
         val idx = byCell.get(c).map(rs => reconstructCell(rs, space))
         held(c) = idx
-        insertLocalCell((layoutId, version, c), idx,
-          byCell.get(c).map(_.length).getOrElse(0))
+        insertLocalCell((layoutId, version, c), idx)
       }
     }
     val idType = idTypeOpt.get

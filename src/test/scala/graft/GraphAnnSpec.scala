@@ -472,6 +472,43 @@ class GraphAnnSpec extends SparkSpec {
       "delta row at distance 0 must rank first on the local path")
   }
 
+  test("the serving cache budgets resident BYTES (dim-aware) and reports metrics") {
+    val path = java.nio.file.Files.createTempDirectory("byte-budget").toString + "/g"
+    GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 8,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val key = Some((path, 1L))
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val q3 = queries.limit(3)
+    def serveLocal() = collectSet(GraphAnn.searchPointLocal(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 8, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key))
+    val truth = collectSet(GraphAnn.searchRoutedPruned(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 8, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key))
+    val oldBudget = GraphAnn.maxLocalServeBytes
+    val evict0 = GraphAnn.localCellEvictions.get()
+    try {
+      // a budget far below the 8 probed cells' combined footprint: the cache
+      // must evict along the way yet serve the exact same result (in-flight
+      // requests hold direct references — eviction is a reload cost only)
+      GraphAnn.maxLocalServeBytes = 100000L
+      assert(serveLocal() === truth,
+        "byte-budget eviction changed the served result")
+      val m = GraphAnn.localServeMetrics
+      assert(m("local_serve_evictions") > evict0,
+        s"a sub-footprint budget must evict: $m")
+      assert(m("local_serve_bytes") <= 100000L,
+        s"resident bytes exceed the budget after the request: $m")
+      assert(m("local_serve_bytes") > 0L, s"dim-aware accounting recorded nothing: $m")
+      // a second pass reloads what was evicted — same answer, misses counted
+      val miss0 = GraphAnn.localCellMisses.get()
+      assert(serveLocal() === truth)
+      assert(GraphAnn.localCellMisses.get() > miss0,
+        "evicted cells must count as misses on the next request")
+    } finally GraphAnn.maxLocalServeBytes = oldBudget
+  }
+
   test("ephemeral call graphs expire executor-side; build locks never outlive their entries") {
     GraphAnn.GraphCache.clear()
     val manyQ = spark.read.parquet(s"$sf0001/embeddings.parquet")

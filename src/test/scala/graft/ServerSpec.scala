@@ -133,6 +133,17 @@ class ServerSpec extends SparkSpec {
       """{"parameters":{"routeNprobe":1}}""")._1 === 400)
   }
 
+  test("GET /v1/metrics reports the serving-cache counters") {
+    val (code, v) = req("GET", "/v1/metrics")
+    assert(code === 200)
+    val o = v.asObj
+    for (k <- Seq("local_serve_cells", "local_serve_bytes", "local_serve_max_bytes",
+        "local_serve_loads", "local_serve_hits", "local_serve_misses",
+        "local_serve_evictions"))
+      assert(o.contains(k), s"metrics missing $k: $o")
+    assert(o("local_serve_max_bytes").asDouble > 0)
+  }
+
   test("buildindex endpoint: accepts reference body AND actually trains (§7.4)") {
     req("POST", "/v1/collections", """{"name":"iv","dimension":2,"index_type":"ivf_flat"}""")
     val docs = (0 until 30).map { i =>
