@@ -246,12 +246,22 @@ object ScaleBench {
       }
     }
 
+    // `dedup_steady` = the dedup section MINUS the pair-enumeration rows
+    // (minhash/jaccard): at 1000× replication every replica group is a
+    // near-dup clique, so the REQUIRED pair output is C(1000,2) per base doc
+    // (~2.5e9 rows) — infeasible by output, not by the machinery. The
+    // steady-state rows (exact dedup, incremental batch vs persisted state)
+    // are the ones whose scaling still carries information there.
     for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)
-         if sections("dedup")) {
+         if sections("dedup") || sections("dedup_steady")) {
+      if (!sections("dedup"))
+        println(s"[scale] $tag: skipping minhash/jaccard pair rows " +
+          "(dedup_steady: pair output quadratic in replica count)")
       // MinHash-LSH near-dup (bucketed) vs brute-force all-pairs jaccard
-      out(s"minhash_lsh_$tag") = time(drain(
-        Dedup.minHashLshPairs(docs, "doc_id", "text")))
-      if (tag == "1x") { // all-pairs at 10× would be ~100× the 1× cost — that IS the point
+      if (sections("dedup"))
+        out(s"minhash_lsh_$tag") = time(drain(
+          Dedup.minHashLshPairs(docs, "doc_id", "text")))
+      if (tag == "1x" && sections("dedup")) { // all-pairs at 10× would be ~100× the 1× cost — that IS the point
         val tok = docs.select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("w"))
         val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

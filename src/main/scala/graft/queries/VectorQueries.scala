@@ -599,7 +599,68 @@ object VectorQueries {
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     "embed_leakage" -> (embedLeakage(_, _)),
+    "label_agreement" -> (labelAgreement(_, _)),
     "nn_join" -> (nnJoin(_, _)))
+
+  // ---- label-noise audit ---------------------------------------------------
+
+  private val AgreeNQ = 200 // audited sample; linear in corpus (see docstring)
+  private val AgreeK = 10
+
+  /** k-NN label agreement — the confident-learning-style LABEL-NOISE audit a
+    * labeled training set needs before the labels are trusted: for each
+    * audited vector, how many of its k nearest (non-self) neighbors share
+    * its label; `suspect` flags minority-agreement points (2·agree < k, an
+    * exact integer rule) as candidate mislabels.
+    *
+    * Scale shape: a BOUNDED audit sample (broadcast) against the full
+    * corpus — one linear codegen scan per batch, the knn_l2 plan. Auditing
+    * an entire 100 TB corpus would swap the candidate generation onto the
+    * indexed tiers (ivf/pq `searchDistributed`), exactly like
+    * `ivf_knn_filtered`; the agreement algebra is unchanged.
+    *
+    * Self-exclusion: KNN runs at k+1 and drops the self-match, then
+    * re-ranks — correct even when ≥k duplicates tie at distance 0 (the
+    * k+1 nearest overall minus self always contain the k nearest non-self).
+    */
+  def labelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = emb.filter(col("vec_id") < AgreeNQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val nn = ExactKnn.knn(emb.select(col("vec_id"), col("embedding")), q,
+        AgreeK + 1, SpaceType.L2,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .filter(col("qid") =!= col("vec_id"))
+      // tiny frame (NQ·(k+1) rows): re-rank after the self filter
+      .withColumn("r2",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("rnk"))))
+      .filter(col("r2") <= AgreeK)
+    val labels = emb.select(col("vec_id"), col("label"))
+    nn.join(broadcast(labels.select(col("vec_id").as("qid"), col("label").as("qlabel"))), "qid")
+      .join(broadcast(labels), "vec_id")
+      .groupBy(col("qid").as("vec_id"), col("qlabel").as("label"))
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("agree"))
+      .select(col("vec_id"), col("label"),
+        col("agree").cast("long").as("agree"),
+        when(col("agree") * 2 < AgreeK, 1L).otherwise(0L).as("suspect"))
+  }
+
+  val labelAgreementSql: String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(b.embedding AS DOUBLE[])) ASC,
+       |               b.vec_id ASC) AS rnk
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $AgreeNQ)
+       |SELECT qid AS vec_id, qlabel AS label,
+       |  CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       |  CAST(CASE WHEN 2 * sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+       |       < $AgreeK THEN 1 ELSE 0 END AS BIGINT) AS suspect
+       |FROM pairs WHERE rnk <= $AgreeK GROUP BY 1, 2""".stripMargin
 
   // ---- MMR diversified re-rank -------------------------------------------
 
@@ -781,5 +842,6 @@ object VectorQueries {
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
     "embed_leakage" -> embedLeakageSql,
+    "label_agreement" -> labelAgreementSql,
     "nn_join" -> nnJoinSql)
 }

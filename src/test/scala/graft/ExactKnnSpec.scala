@@ -63,6 +63,34 @@ class ExactKnnSpec extends SparkSpec {
     assert(got.toSeq === Seq("5", "6", "7", "8", "9")) // dists 4,1,0,1,4
   }
 
+  test("label agreement flags the planted mislabel, self never counted") {
+    import graft.queries.VectorQueries
+    // planted geometry on the real table shape: two tight clusters, one
+    // point carrying the WRONG cluster's label — its neighborhood agreement
+    // must collapse while every clean point stays unanimous
+    val dir = java.nio.file.Files.createTempDirectory("label-agree").toString
+    val rows = (0 until 30).map { i =>
+      val cl = i % 2
+      val base = if (cl == 0) 0f else 100f
+      val label = if (i == 4) 1 else cl // vec 4 sits in cluster 0, labeled 1
+      (i.toLong, Seq(base + (i / 2) * 0.01f, base, 0f, 0f), label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorQueries.labelAgreement(spark, dir)
+      .select("vec_id", "agree", "suspect")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size === 30)
+    assert(got(4L) === ((0L, 1L)), s"planted mislabel not flagged: ${got(4L)}")
+    // clean cluster-0 points: 10 nearest non-self neighbors are cluster 0,
+    // one of which (vec 4) wears the wrong label → agree = 9, not suspect
+    for ((id, (agree, suspect)) <- got if id != 4L) {
+      assert(agree >= 9L && suspect === 0L,
+        s"clean point $id misjudged: agree=$agree suspect=$suspect")
+    }
+  }
+
   test("knn plan: corpus side has no pre-topk shuffle; window group-limit kicks in") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val plan = ExactKnn.knn(
