@@ -21,7 +21,12 @@ class PlanAuditSpec extends SparkSpec {
     "knn_l2", "knn_ip", "knn_cos", "knn_hamming", "knn_sql", "knn_filtered",
     "knn_fetch_join", "nn_join", "cluster_assign", "hybrid_rrf",
     "ivf_knn_full", "sq_knn", "bq_knn", "bq_knn_cos", "mmr_rerank",
-    "embed_leakage", "outlier_events", "outlier_iqr") ++
+    "embed_leakage", "outlier_events", "outlier_iqr",
+    // label_agreement: bounded audit sample (<=200 rows, guarded by
+    // guardQuerySetSize) broadcast against the corpus — the knn family
+    // shape. The full-corpus variant routes through the IVF equi-join
+    // path instead (label_agreement_full, asserted BNLJ-free below).
+    "label_agreement") ++
     // scalar folds: crossJoin(broadcast(<single-row aggregate or k-row
     // sketch>)) — a 1-row (or sketch-bounded) build side stamped onto every
     // probe row. Constant-size broadcast at ANY corpus scale: bm25/tfidf
