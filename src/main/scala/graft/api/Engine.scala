@@ -51,6 +51,16 @@ class Engine(
     s"$root/$coll/index/${tier}_bucketed"
   private def bucketedMetaPath(coll: String) =
     java.nio.file.Paths.get(s"$root/$coll/index/bucketed_meta")
+  // compaction-in-progress marker: written by compactLayout BEFORE it reads
+  // the layout, removed after the swap settles (or by the next buildIndex).
+  // Concurrent ingest stamp-writers check it — an append that raced into
+  // compaction's read→delete window would otherwise be destroyed yet
+  // stamped current by the ingest's own currentVersion==v guard (which
+  // compaction, bumping no versions, cannot trip). With the marker, the
+  // racer leaves the layout stale instead of stamping a lie; searches fall
+  // back until the next buildIndex.
+  private def compactIntentPath(coll: String) =
+    java.nio.file.Paths.get(s"$root/$coll/index/compact_intent")
 
   /** Materialize `frame` (which carries cluster_id) as the collection's
     * EXTERNAL bucketed table — the repeated-KNN-join layout: the
@@ -468,14 +478,20 @@ class Engine(
         encoded.write.mode("append").option("path", path)
           .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
           .saveAsTable(table)
-        if (store.currentVersion(coll) == v)
+        if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
           atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
       }
     } finally encoded.unpersist(blocking = false)
     // advance the stamp only if our write is still the newest (a racer
     // leaves the stamp behind → stale → fallback; the appended rows are
-    // still consistent)
-    if (store.currentVersion(coll) == v)
+    // still consistent) AND no compaction is in flight — a compaction that
+    // read the layout before our append destroys our rows in its
+    // delete+rename swap; its own restamp guard protects only its stamp,
+    // so without this check WE would certify the row-missing layout (the
+    // currentVersion==v guard still holds: compaction bumps no versions).
+    // The marker is written before compaction's read, so an append that
+    // lands after the read always observes it here and stales instead.
+    if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
       atomicWrite(
         java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
     // size-triggered delta compaction (the LSM fold policy): once the hnsw
@@ -576,6 +592,15 @@ class Engine(
         val hp = new org.apache.hadoop.fs.Path(layoutPath)
         val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
         val tmp = new org.apache.hadoop.fs.Path(layoutPath + "_compact_tmp")
+        // intent marker FIRST (before the layout read): any ingest that
+        // appends into our read→delete window sees it and declines to
+        // stamp — its rows may be destroyed below, so it must stale, not
+        // certify. Cleared in the finally; a crash leaves it behind, but a
+        // crashed compaction also leaves the stamp deleted, so ingest's
+        // maintainable check already routes around the layout; buildIndex
+        // clears the leftover on its next successful stamp.
+        atomicWrite(compactIntentPath(coll), stamp.toString)
+        try {
         // stale-first: from here until the final re-stamp, searches fall
         // back to the live corpus (correct, unpruned)
         java.nio.file.Files.deleteIfExists(stampPath)
@@ -598,8 +623,17 @@ class Engine(
         fs.delete(hp, true)
         require(fs.rename(tmp, hp), s"compaction rename failed for $layoutPath")
         // the bucketed table (if current) accumulated the same appended
-        // files — rebuild it from the compacted layout under the same stamp
+        // files — rebuild it from the compacted layout under the same
+        // stamp. Stale-first HERE too: the bucketed meta gates only on its
+        // own stamp (== store version, which compaction never changes), so
+        // without deleting it first, a crash inside the mode-overwrite
+        // rebuild — or a concurrent read during the non-crash overwrite
+        // window — would serve a dropped/partially-written table as
+        // CURRENT. With the meta gone, currentBucketedMeta returns None
+        // and searches fall back a tier until writeBucketedLayout's final
+        // atomicWrite restores it after the rebuild completes.
         bucketedPre.foreach { case (_, _, _) =>
+          java.nio.file.Files.deleteIfExists(bucketedMetaPath(coll))
           writeBucketedLayout(coll, cfg, spark.read.parquet(layoutPath), stamp, tier)
         }
         // restore the stamp only if no writer interleaved (a racer leaves
@@ -607,6 +641,7 @@ class Engine(
         if (store.currentVersion(coll) == stamp)
           atomicWrite(stampPath, stamp.toString)
         true
+        } finally java.nio.file.Files.deleteIfExists(compactIntentPath(coll))
       case None => false
     }
   }
@@ -667,8 +702,14 @@ class Engine(
     // currentLayout sees the layout as stale and falls back to the live
     // corpus — the layout can never be marked current while missing a write
     val stamp = store.currentVersion(coll)
-    def stampLayout(): Unit = atomicWrite(
-      java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), stamp.toString)
+    def stampLayout(): Unit = {
+      // a crashed compaction leaves its intent marker behind (harmless —
+      // its stamp delete already stales the layout); a full rebuild
+      // supersedes whatever that compaction was doing, so clear it here
+      java.nio.file.Files.deleteIfExists(compactIntentPath(coll))
+      atomicWrite(
+        java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), stamp.toString)
+    }
     cfg.indexType match {
       case IndexType.IvfFlat =>
         val corpus = store.read(coll)

@@ -486,6 +486,11 @@ object GraphAnn {
       .foreach(localIdTypes.remove)
   }
 
+  // test hook: drop just the idType entry, leaving cell graphs cached —
+  // reproduces the eviction skew the accounting fix guards against
+  private[graft] def evictIdTypeForTest(layoutId: String, version: Long): Unit =
+    localIdTypes.remove((layoutId, version))
+
   private[operators] def clearLocalCells(): Unit = {
     localCells.clear(); localCellOrder.clear(); localIdTypes.clear()
     localCellBytes.set(0)
@@ -499,6 +504,18 @@ object GraphAnn {
   val localCellHits = new java.util.concurrent.atomic.AtomicLong(0)
   val localCellMisses = new java.util.concurrent.atomic.AtomicLong(0)
   val localCellEvictions = new java.util.concurrent.atomic.AtomicLong(0)
+  // schema re-inferences after an idType eviction (driver-side footer read,
+  // no job) — kept distinct from loads so loads == "requests that collected
+  // cell rows" stays reconcilable with misses
+  val localIdTypeRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+  // probed cells served via the distributed fallback because their
+  // estimated resident size exceeds the whole local byte budget
+  val localCellOversized = new java.util.concurrent.atomic.AtomicLong(0)
+  // parquet bytes → resident-heap expansion guess for the pre-collect size
+  // check: float vectors and int adjacency compress modestly, and JVM
+  // object/array headers add more — 2× is deliberately conservative (errs
+  // toward the safe distributed path for borderline cells)
+  val LocalServeDiskExpansion = 2L
 
   /** One-stop serving-cache gauge/counter snapshot — the operability hook
     * for the driver-local point-serve tier (exposed over REST as
@@ -512,7 +529,9 @@ object GraphAnn {
     "local_serve_loads" -> localCellLoads.get().toLong,
     "local_serve_hits" -> localCellHits.get(),
     "local_serve_misses" -> localCellMisses.get(),
-    "local_serve_evictions" -> localCellEvictions.get())
+    "local_serve_evictions" -> localCellEvictions.get(),
+    "local_serve_idtype_refreshes" -> localIdTypeRefreshes.get(),
+    "local_serve_oversized" -> localCellOversized.get())
 
   /** ZERO-SPARK-JOB point serving over a routed layout: beams run on the
     * DRIVER against cached cell graphs, so a warm single-query request
@@ -567,22 +586,84 @@ object GraphAnn {
     localCellHits.addAndGet(held.size.toLong)
     localCellMisses.addAndGet(missing.length.toLong)
     var idTypeOpt = localIdTypes.get((layoutId, version))
+    // per-query hits from cells too big to collect (filled below)
+    var oversizedHits = Map.empty[Int, Array[(Any, Double)]]
     if (missing.nonEmpty || idTypeOpt.isEmpty) {
-      // one pruned job loads EVERY missing probed cell of this version
-      val graph = readLayoutGraph(spark, path)
-        .filter(col("part").isin(missing.map(Int.box): _*))
+      val graphAll = readLayoutGraph(spark, path)
       if (idTypeOpt.isEmpty) {
-        idTypeOpt = Some(graph.schema("id").dataType)
+        // schema refresh is DRIVER-SIDE footer inference, not a job — and
+        // it is counted separately so loads/misses stay reconcilable
+        // (previously an all-hits request with an evicted idType ran a
+        // no-row load job that grew local_serve_loads with misses flat)
+        localIdTypeRefreshes.incrementAndGet()
+        idTypeOpt = Some(graphAll.schema("id").dataType)
         localIdTypes.keys.filter(kk => kk._1 == layoutId && kk._2 != version)
           .foreach(localIdTypes.remove) // superseded epochs must not pile up
         localIdTypes.putIfAbsent((layoutId, version), idTypeOpt.get)
       }
-      val byCell = graph.collect().groupBy(_.getInt(0))
-      localCellLoads.incrementAndGet()
-      missing.foreach { c =>
-        val idx = byCell.get(c).map(rs => reconstructCell(rs, space))
-        held(c) = idx
-        insertLocalCell((layoutId, version, c), idx)
+      // transient bound: the byte budget caps steady-state residency, but
+      // the collect below lands on the driver BEFORE insertLocalCell's
+      // eviction can push back — one skewed router cell holding most of
+      // the corpus would spike driver heap past the budget. Pre-check each
+      // missing cell's size from the parquet file listing (driver-side, no
+      // job); a cell whose estimated resident bytes exceed the whole
+      // budget is never collected or cached: its hits come from a bounded
+      // distributed pruned job instead (≤ queries × k rows back, same
+      // reconstruction + beam, executor GraphCache amortizes the rebuild).
+      val fsBase = new org.apache.hadoop.fs.Path(path)
+      val fsys = fsBase.getFileSystem(spark.sessionState.newHadoopConf())
+      val (oversized, loadable) = missing.partition { c =>
+        val dir = new org.apache.hadoop.fs.Path(fsBase, s"part=$c")
+        val disk = if (fsys.exists(dir)) fsys.getContentSummary(dir).getLength else 0L
+        disk * LocalServeDiskExpansion > maxLocalServeBytes
+      }
+      if (loadable.nonEmpty) {
+        // one pruned job loads EVERY loadable missing probed cell
+        val byCell = graphAll.filter(col("part").isin(loadable.map(Int.box): _*))
+          .collect().groupBy(_.getInt(0))
+        localCellLoads.incrementAndGet()
+        loadable.foreach { c =>
+          val idx = byCell.get(c).map(rs => reconstructCell(rs, space))
+          held(c) = idx
+          insertLocalCell((layoutId, version, c), idx)
+        }
+      }
+      if (oversized.nonEmpty) {
+        localCellOversized.addAndGet(oversized.length.toLong)
+        val ovSet = oversized.toSet
+        val routing = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+        qRows.indices.foreach { qi =>
+          probed(qi).foreach { c =>
+            if (ovSet(c)) routing.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty) += qi
+          }
+        }
+        val bcQ = spark.sparkContext.broadcast(qRows)
+        val bcRoute = spark.sparkContext.broadcast(routing.map { case (c, b) => (c, b.toArray) }.toMap)
+        val spaceVal = space; val efVal = ef; val kVal = k
+        val nCellsV = cents.length; val effKey = cacheKey
+        val rows = graphAll.filter(col("part").isin(oversized.map(Int.box): _*))
+          .repartition(math.max(1, oversized.length), col("part")).rdd
+          .mapPartitions { it =>
+            val groups = it.toArray.groupBy(_.getInt(0))
+            groups.iterator.flatMap { case (cell, rs) =>
+              val qIdx = bcRoute.value.getOrElse(cell, Array.empty[Int])
+              if (qIdx.isEmpty) Iterator.empty
+              else {
+                def rebuild: NswIndex = reconstructCell(rs, spaceVal)
+                val index = effKey match {
+                  case Some((lid, ver)) =>
+                    GraphCache.getOrBuild(lid, ver, nCellsV, cell, rs.length)(rebuild)
+                  case None => rebuild
+                }
+                qIdx.iterator.flatMap { qi =>
+                  val (_, qv) = bcQ.value(qi)
+                  index.search(qv, kVal, efVal).map { case (id, d) => (qi, id, d) }
+                }
+              }
+            }
+          }.collect()
+        oversizedHits = rows.groupBy(_._1)
+          .map { case (qi, arr) => qi -> arr.map(t => (t._2: Any, t._3)) }
       }
     }
     val idType = idTypeOpt.get
@@ -597,6 +678,7 @@ object GraphAnn {
           hits ++= index.search(qv, k, ef)
         }
       }
+      oversizedHits.get(qi).foreach(hits ++= _)
       var di = 0
       while (di < deltaRows.length) {
         val (id, v) = deltaRows(di)

@@ -488,17 +488,26 @@ class GraphAnnSpec extends SparkSpec {
       corpusIdName = "vec_id", cacheKey = key))
     val oldBudget = GraphAnn.maxLocalServeBytes
     val evict0 = GraphAnn.localCellEvictions.get()
+    // a budget just above the largest single cell's oversize threshold (so
+    // every cell stays individually driver-loadable — the oversized path
+    // has its own test) but far below the 8 cells' combined footprint: the
+    // cache must evict along the way yet serve the exact same result
+    // (in-flight requests hold direct references — eviction is a reload
+    // cost only)
+    val maxCellDisk = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part=")).map { d =>
+        // match getContentSummary's view: ChecksumFileSystem hides .crc files
+        d.listFiles().filterNot(_.getName.startsWith(".")).map(_.length()).sum
+      }.max
+    val budget = maxCellDisk * GraphAnn.LocalServeDiskExpansion * 2
     try {
-      // a budget far below the 8 probed cells' combined footprint: the cache
-      // must evict along the way yet serve the exact same result (in-flight
-      // requests hold direct references — eviction is a reload cost only)
-      GraphAnn.maxLocalServeBytes = 100000L
+      GraphAnn.maxLocalServeBytes = budget
       assert(serveLocal() === truth,
         "byte-budget eviction changed the served result")
       val m = GraphAnn.localServeMetrics
       assert(m("local_serve_evictions") > evict0,
         s"a sub-footprint budget must evict: $m")
-      assert(m("local_serve_bytes") <= 100000L,
+      assert(m("local_serve_bytes") <= budget,
         s"resident bytes exceed the budget after the request: $m")
       assert(m("local_serve_bytes") > 0L, s"dim-aware accounting recorded nothing: $m")
       // a second pass reloads what was evicted — same answer, misses counted
@@ -507,6 +516,77 @@ class GraphAnnSpec extends SparkSpec {
       assert(GraphAnn.localCellMisses.get() > miss0,
         "evicted cells must count as misses on the next request")
     } finally GraphAnn.maxLocalServeBytes = oldBudget
+  }
+
+  test("an oversized skewed-router cell serves distributed, never ballooning the driver cache") {
+    import graft.operators.IvfIndex
+    // adversarial router: one centroid at the data's scale, the rest far
+    // away → ~the whole corpus lands in one cell, the shape that would
+    // spike driver heap if collected before the byte budget can push back
+    val dim = emb.select(col("embedding")).first()
+      .getAs[scala.collection.Seq[Float]](0).length
+    val near = Array.fill(dim)(0f)
+    val far1 = Array.fill(dim)(1e6f)
+    val far2 = Array.fill(dim)(-1e6f)
+    val skewed = IvfIndex.Model(Array(near, far1, far2), SpaceType.L2)
+    val path = java.nio.file.Files.createTempDirectory("oversized-cell").toString + "/g"
+    GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 3,
+      corpusId = "vec_id", corpusVec = "embedding", model = Some(skewed))
+    val giant = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part=")).map { d =>
+        // match getContentSummary's view: ChecksumFileSystem hides .crc files
+        d.listFiles().filterNot(_.getName.startsWith(".")).map(_.length()).sum
+      }.max
+    val key = Some((path, 1L))
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val q3 = queries.limit(3)
+    val truth = collectSet(GraphAnn.searchRoutedPruned(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key))
+    val oldBudget = GraphAnn.maxLocalServeBytes
+    try {
+      // budget below the giant cell's oversize threshold: the local path
+      // must refuse to collect it and route it through the distributed
+      // fallback instead — identical results, resident bytes bounded
+      GraphAnn.maxLocalServeBytes = giant * GraphAnn.LocalServeDiskExpansion - 1
+      val over0 = GraphAnn.localCellOversized.get()
+      val local = collectSet(GraphAnn.searchPointLocal(spark, path, q3, 10,
+        SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+        corpusIdName = "vec_id", cacheKey = key))
+      assert(local === truth,
+        "oversized-cell distributed fallback diverged from the pruned path")
+      assert(GraphAnn.localCellOversized.get() > over0,
+        "the giant cell was not routed through the oversized path")
+      assert(GraphAnn.localServeMetrics("local_serve_bytes") <= GraphAnn.maxLocalServeBytes,
+        "driver cache ballooned past the budget on a skewed router")
+    } finally GraphAnn.maxLocalServeBytes = oldBudget
+  }
+
+  test("an all-hits request with an evicted idType refreshes schema without a load job") {
+    val path = java.nio.file.Files.createTempDirectory("idtype-refresh").toString + "/g"
+    GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 4,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val key = Some((path, 7L))
+    val q1 = queries.limit(1)
+    def serve() = GraphAnn.searchPointLocal(spark, path, q1, 5,
+      SpaceType.L2, ef = 80, routeNprobe = 2, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key).count()
+    val warm = serve()
+    // simulate the skew the advisor flagged: cells stay cached but the
+    // idType entry is evicted — the refresh must be a driver-side schema
+    // read counted under its own metric, with loads and misses both flat
+    GraphAnn.evictIdTypeForTest(path, 7L)
+    val loads0 = GraphAnn.localCellLoads.get()
+    val miss0 = GraphAnn.localCellMisses.get()
+    val refresh0 = GraphAnn.localIdTypeRefreshes.get()
+    assert(serve() === warm)
+    assert(GraphAnn.localCellLoads.get() === loads0,
+      "idType refresh must not count (or run) as a cell load")
+    assert(GraphAnn.localCellMisses.get() === miss0,
+      "all probed cells were cached — no miss should be recorded")
+    assert(GraphAnn.localIdTypeRefreshes.get() === refresh0 + 1,
+      "the schema refresh must be visible under its own counter")
   }
 
   test("ephemeral call graphs expire executor-side; build locks never outlive their entries") {

@@ -740,4 +740,44 @@ class StreamingSpec extends SparkSpec {
       assert(!e.compactLayout("c"), s"$tier: compaction must no-op on a stale layout")
     }
   }
+
+  test("an in-flight compaction marker makes a racing ingest stale the layout, not stamp it") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val root = Files.createTempDirectory("compact-race").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 4, IndexType.Sq))
+    e.batchUpsertDocuments("c", (0 until 20).map { i =>
+      Document(i.toString, Array(i * 0.1f, 0f, 0f, 0f))
+    })
+    e.buildIndex("c", nlist = 2)
+    val stampPath = java.nio.file.Paths.get(s"$root/c/index/layout_version")
+    assert(java.nio.file.Files.exists(stampPath), "setup: layout must be current")
+    // simulate the advisor's window: a compaction has read the layout (its
+    // intent marker is down) when an ingest batch appends — the ingest's
+    // rows may be destroyed by the compaction's delete+rename swap, so the
+    // ingest must leave the layout STALE instead of certifying it current
+    // (compaction never bumps versions, so the ingest's currentVersion==v
+    // guard alone cannot see the race)
+    val intent = java.nio.file.Paths.get(s"$root/c/index/compact_intent")
+    java.nio.file.Files.writeString(intent, "1")
+    val stampBefore = java.nio.file.Files.readString(stampPath).trim.toLong
+    e.ingestBatchIndexed("c",
+      Seq(("100", Seq(0.5f, 0f, 0f, 0f), Map.empty[String, String]))
+        .toDF("id", "vector", "params"),
+      assumeNewIds = true, batchId = Some(0L))
+    // the ingest bumped the store version but must NOT have advanced the
+    // layout stamp past the pre-race value — stamp != live version ⇒ stale
+    assert(java.nio.file.Files.readString(stampPath).trim.toLong === stampBefore,
+      "ingest stamped the layout current while a compaction was in flight")
+    // the batch itself landed in the store — only the layout staled
+    assert(e.searchDocuments("c", Array(0.5f, 0f, 0f, 0f), 1).head.id === "100")
+    // a full rebuild supersedes the crashed/raced compaction: the marker is
+    // cleared and the layout stamps current again
+    e.buildIndex("c", nlist = 2)
+    assert(!java.nio.file.Files.exists(intent),
+      "buildIndex must clear a leftover compaction marker")
+    assert(java.nio.file.Files.exists(stampPath),
+      "buildIndex must restore the layout stamp")
+  }
 }
