@@ -81,12 +81,12 @@ class Engine(
       atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$stamp\n$path")
     }
 
-  /** (table, buckets, dataPath) when the bucketed table exists, is CURRENT
-    * (meta stamp == live store version), is registered in this session's
-    * catalog (re-registering external files if needed), and still points at
-    * this collection's data directory.
+  /** (table, buckets, dataPath, stamp) when the bucketed table exists, is
+    * CURRENT (meta stamp == live store version), is registered in this
+    * session's catalog (re-registering external files if needed), and still
+    * points at this collection's data directory.
     */
-  private def currentBucketedMeta(coll: String): Option[(String, Int, String)] = {
+  private def currentBucketedMeta(coll: String): Option[(String, Int, String, Long)] = {
     import java.nio.file.Files
     val meta = bucketedMetaPath(coll)
     if (!Files.exists(meta)) return None
@@ -116,7 +116,7 @@ class Engine(
     val ours = java.nio.file.Paths.get(path).toAbsolutePath.toString
     if (!loc.exists(l => java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
       return None
-    Some((table, buckets, path))
+    Some((table, buckets, path, stamp))
   }
   private def pqLayoutPath(coll: String) = s"$root/$coll/index/pq_layout"
   private def opqLayoutPath(coll: String) = s"$root/$coll/index/opq_layout"
@@ -146,27 +146,134 @@ class Engine(
       deltaCache.keys.filter(k => k._1 == path && k._2 != stamp).foreach { k =>
         deltaCache.remove(k).foreach(_.unpersist(false))
       }
-      val df = spark.read.parquet(path).select(col("id"), col("vector"))
+      val raw = spark.read.parquet(path)
+      // `version` lets tombstones shadow superseded delta rows. A delta
+      // written before versions were carried can never be the target of a
+      // tombstone (the mutation-maintenance paths refuse to run over a
+      // versionless delta and stale instead), so MaxValue — never shadowed
+      // — is exact for it, not a guess
+      val ver = if (raw.columns.contains("version")) col("version")
+        else lit(Long.MaxValue)
+      val df = raw.select(col("id"), col("vector"), ver.as("version"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize once, off the per-request path
       df
     }))
 
+  /** The delta's id/vector columns only — the exact-scan merge input. */
+  private def cachedDeltaVectors(path: String, stamp: Long,
+      layoutPath: String): Option[DataFrame] =
+    cachedDelta(path, stamp).map(d =>
+      applyTombstones(layoutPath, stamp)(d).select(col("id"), col("vector")))
+
   /** The delta as driver-resident rows for the zero-job local-serve path
     * (micro-batch-sized by construction; collected once per ingest batch).
+    * Rows carry their write version; the caller filters tombstone-shadowed
+    * ones with the driver tomb map.
     */
   private val deltaRowsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), Array[(Any, Array[Float])]]
+    .empty[(String, Long), Array[(Any, Array[Float], Long)]]
 
-  private def cachedDeltaRows(path: String, stamp: Long): Array[(Any, Array[Float])] =
+  private def cachedDeltaRows(path: String, stamp: Long): Array[(Any, Array[Float], Long)] =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Array.empty
     else deltaRowsCache.getOrElseUpdate((path, stamp), {
       deltaRowsCache.keys.filter(k => k._1 == path && k._2 != stamp)
         .foreach(deltaRowsCache.remove)
       cachedDelta(path, stamp).map(_.collect().map(r =>
-        (r.get(0): Any, r.getAs[scala.collection.Seq[Float]](1).toArray)))
+        (r.get(0): Any, r.getAs[scala.collection.Seq[Float]](1).toArray, r.getLong(2))))
         .getOrElse(Array.empty)
     })
+
+  /** Tombstone sidecar of an index layout: `(id, ver)` rows appended by
+    * update/delete batches, underscore-prefixed so the layout readers never
+    * scan it as data — the LSM shape (layout = sorted runs, tombstones =
+    * delete markers) that keeps every indexed tier SERVING through
+    * mutations instead of staling to an exact scan (the reference serves
+    * HNSW through deletes the same way — hnsw.go markDeleted). A layout row
+    * is shadowed iff some tombstone for its id carries a LATER version
+    * (row.version < tomb ver): an update's own re-appended row (version ==
+    * tomb ver) survives, every older incarnation dies. buildIndex's
+    * mode-overwrite rewrite and compactLayout's dir swap fold the sidecar
+    * away with the rows it shadowed.
+    */
+  private def tombstonesPath(layoutPath: String) = s"$layoutPath/_tombstones"
+
+  // aggregated (id -> max ver) tombstone frame, cached per (sidecar path,
+  // layout stamp) — read once per mutation batch, not once per request
+  private val tombCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Option[DataFrame]]
+
+  private def cachedTombstones(layoutPath: String, stamp: Long): Option[DataFrame] = {
+    val tp = tombstonesPath(layoutPath)
+    // existence is re-checked on EVERY call, not cached: buildIndex and
+    // compactLayout fold the sidecar away WITHOUT advancing the stamp (no
+    // store write happened), so a cached non-empty entry under the same
+    // stamp would keep excluding ids the rebuilt layout legitimately
+    // serves — for the versionless graph adjacency that is a wrong result,
+    // not a slow one
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tp))) {
+      tombCache.keys.filter(_._1 == tp).foreach { k =>
+        tombCache.remove(k).foreach(_.foreach(_.unpersist(false)))
+      }
+      tombMapCache.keys.filter(_._1 == tp).foreach(tombMapCache.remove)
+      return None
+    }
+    tombCache.getOrElseUpdate((tp, stamp), {
+      tombCache.keys.filter(k => k._1 == tp && k._2 != stamp).foreach { k =>
+        tombCache.remove(k).foreach(_.foreach(_.unpersist(false)))
+      }
+      val df = spark.read.parquet(tp)
+        .groupBy(col("id")).agg(max(col("ver")).as("__tomb_ver"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize once, off the per-request path
+      Some(df)
+    })
+  }
+
+  /** Drop tombstone-shadowed rows from a layout frame. The tombstone set is
+    * mutation-batch-sized (folded at buildIndex/compactLayout), so the
+    * exclusion is a broadcast left-join — no corpus shuffle, and it runs
+    * BEFORE scoring, so top-k depth needs no widening on these tiers.
+    */
+  private def applyTombstones(layoutPath: String, stamp: Long)(layout: DataFrame): DataFrame =
+    cachedTombstones(layoutPath, stamp) match {
+      case None => layout
+      case Some(t) =>
+        layout.join(broadcast(t), Seq("id"), "left_outer")
+          .filter(col("__tomb_ver").isNull || col("version") >= col("__tomb_ver"))
+          .drop("__tomb_ver")
+    }
+
+  /** Driver-resident (id -> max ver) tombstone map for the graph tier's
+    * hit filtering and the zero-job local-serve path; cached per stamp.
+    */
+  private val tombMapCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Map[Any, Long]]
+
+  private def cachedTombMap(layoutPath: String, stamp: Long): Map[Any, Long] = {
+    val tp = tombstonesPath(layoutPath)
+    // same every-call existence rule as cachedTombstones (which also clears
+    // this cache when the sidecar is gone)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tp))) {
+      tombMapCache.keys.filter(_._1 == tp).foreach(tombMapCache.remove)
+      return Map.empty
+    }
+    tombMapCache.getOrElseUpdate((tp, stamp), {
+      tombMapCache.keys.filter(k => k._1 == tp && k._2 != stamp)
+        .foreach(tombMapCache.remove)
+      cachedTombstones(layoutPath, stamp)
+        .map(_.collect().map(r => (r.get(0): Any, r.getLong(1))).toMap)
+        .getOrElse(Map.empty)
+    })
+  }
+
+  /** The serving bound for graph-tier tombstones: hit filtering widens the
+    * per-cell top-k by the tombstone count, so an unfolded sidecar must not
+    * grow the beams without limit — past the bound, searches fall back to
+    * the live corpus (correct, unpruned) until the next buildIndex folds.
+    */
+  private def maxServedTombstones: Int =
+    spark.conf.getOption("spark.graft.maxServedTombstones").map(_.toInt).getOrElse(1024)
 
   /** Crash-tolerant marker-file IO: writes go through tmp + atomic rename
     * (a reader never observes a half-written file), reads tolerate corrupt
@@ -187,8 +294,11 @@ class Engine(
   private def currentLayout(coll: String, path: String): Option[(DataFrame, Long)] =
     // the returned stamp identifies the LAYOUT BUILD the frame reads — cache
     // keys derive from it, never from a re-read of the live store version
-    // (a write racing the search must not poison the cache under a new key)
-    currentLayoutStamp(coll, path).map(stamp => (spark.read.parquet(path), stamp))
+    // (a write racing the search must not poison the cache under a new key).
+    // Tombstone exclusion applies here, centrally: every quantized tier's
+    // layout-served search sees only live rows
+    currentLayoutStamp(coll, path).map(stamp =>
+      (applyTombstones(path, stamp)(spark.read.parquet(path)), stamp))
 
   /** Currency check WITHOUT constructing the layout DataFrame:
     * `spark.read.parquet` eagerly lists files and reads footers for schema
@@ -245,6 +355,11 @@ class Engine(
     }
     deltaRowsCache.keys.filter(_._1.startsWith(s"$root/$name/"))
       .foreach(deltaRowsCache.remove)
+    tombCache.keys.filter(_._1.startsWith(s"$root/$name/")).foreach { k =>
+      tombCache.remove(k).foreach(_.foreach(_.unpersist(false)))
+    }
+    tombMapCache.keys.filter(_._1.startsWith(s"$root/$name/"))
+      .foreach(tombMapCache.remove)
     catalog.drop(name)
   }
 
@@ -297,9 +412,48 @@ class Engine(
     store.getMany(coll, ids)
   }
 
-  def deleteDocument(coll: String, id: String): Unit = {
+  def deleteDocument(coll: String, id: String): Unit =
+    deleteDocuments(coll, Seq(id))
+
+  /** Batch delete that keeps the index layouts SERVING: the store append is
+    * the same LWW tombstone as before, and — when the layout is current — a
+    * `(id, v)` row lands in the layout's `_tombstones` sidecar and the
+    * stamp advances, so searches keep their pruned/indexed plans and merely
+    * exclude the shadowed rows at read time (the reference serves HNSW
+    * through deletes the same way: `hnsw.go:84-90`,
+    * `hnswalg.h:925-943` markDeleted). Without a current layout this
+    * degrades to the plain staling delete. Duplicate ids in one batch are
+    * fine (max-per-id tombstone aggregation); deleting absent ids appends
+    * tombstones with nothing to shadow — harmless, same as the store.
+    */
+  def deleteDocuments(coll: String, ids: Seq[String]): Unit = {
     val cfg = configOf(coll)
-    store.delete(coll, Seq(id), cfg.dimension)
+    val layoutOpt = tierLayoutPath(coll)
+    val wasCurrent = layoutOpt.exists(p => currentLayoutStamp(coll, p).isDefined)
+    // delete-through-delta needs versioned delta rows (see ingest's guard)
+    val versionedDelta = cfg.indexType != IndexType.Hnsw || {
+      val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
+      !java.nio.file.Files.exists(dp) ||
+        spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version")
+    }
+    val bucketedPre = if (wasCurrent) currentBucketedMeta(coll) else None
+    val v = store.deleteVersioned(coll, ids, cfg.dimension)
+    if (wasCurrent && versionedDelta) {
+      import spark.implicits._
+      ids.distinct.toDF("id").withColumn("ver", lit(v))
+        .write.mode("append").parquet(tombstonesPath(layoutOpt.get))
+      // advance the stamps only while ours is still the newest write and no
+      // compaction is in flight — the same never-lie guards as ingest
+      if (store.currentVersion(coll) == v &&
+          !java.nio.file.Files.exists(compactIntentPath(coll))) {
+        bucketedPre.foreach { case (table, buckets, path, _) =>
+          atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
+        }
+        atomicWrite(
+          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
+      }
+      maybeFoldTombstones(coll, cfg, layoutOpt.get)
+    }
   }
 
   /** Current collection contents as a DataFrame (LWW-resolved). */
@@ -419,18 +573,39 @@ class Engine(
           ((df: DataFrame) => BinaryQuant.encode(df, "vector", m),
             bqLayoutPath(coll), bqLayoutPath(coll), false))
       case IndexType.Hnsw =>
-        Some(((df: DataFrame) => df.select(col("id"), col("vector")),
+        // delta rows carry their write version so a later tombstone can
+        // shadow superseded incarnations (update-through-delta)
+        Some(((df: DataFrame) => df.select(col("id"), col("vector"), col("version")),
           hnswLayoutPath(coll), hnswDeltaPath(coll), false))
       case _ => None
     }
     val maintainable = maintain.exists { case (_, checkPath, _, _) =>
       currentLayoutStamp(coll, checkPath).isDefined // stamp check only — no schema inference
     }
-    val insertOnly = maintainable && (assumeNewIds || {
-      val ids = batch.select(col("id"))
-      ids.join(store.read(coll).select(col("id")), "id").isEmpty &&
-        ids.groupBy(col("id")).count().filter(col("count") > 1).isEmpty
-    })
+    // in-batch duplicate ids → stale path: the store resolves them by
+    // arrival order, which a second evaluation of a nondeterministic
+    // source cannot reproduce, and same-version layout rows cannot be
+    // disambiguated by the tombstone rule either
+    val uniqueInBatch = maintainable && (assumeNewIds ||
+      batch.select(col("id")).groupBy(col("id")).count()
+        .filter(col("count") > 1).isEmpty)
+    // a batch touching EXISTING ids is maintained too — via the tombstone
+    // sidecar: the batch's rows append exactly like inserts, and a
+    // tombstone (id, v) shadows every OLDER incarnation of each touched id
+    // (an id new to the store gets a tombstone with nothing to shadow —
+    // harmless, and cheaper than computing the precise overlap set).
+    // assumeNewIds pipelines skip both the join and the sidecar entirely.
+    val needTombstones = uniqueInBatch && !assumeNewIds &&
+      !batch.select(col("id")).join(store.read(coll).select(col("id")), "id").isEmpty
+    // the graph tier's update path additionally requires a version-carrying
+    // delta: a pre-versions delta row could not be shadowed, so an update
+    // over one must stale instead of serving a stale incarnation
+    val legacyDeltaBlocksUpdate = needTombstones &&
+      cfg.indexType == IndexType.Hnsw && {
+        val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
+        java.nio.file.Files.exists(dp) &&
+          !spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version")
+      }
     // ANY lingering intent marker means some previous attempt (this stream,
     // a replaced checkpoint's stream, or an unreadable one) crashed inside
     // the append window and may have committed layout rows — appending would
@@ -449,7 +624,7 @@ class Engine(
       atomicWrite(ledgerPath, s"$streamId\n$bid")
       Files.deleteIfExists(intentPath)
     }
-    if (!insertOnly || replayAfterPartialAppend) {
+    if (!uniqueInBatch || legacyDeltaBlocksUpdate || replayAfterPartialAppend) {
       // layout stale; searches fall back (correct, slower)
       settleLedger()
       return
@@ -474,13 +649,22 @@ class Engine(
       // the intent marker in place → the replay stales everything; a crash
       // before the meta update leaves the meta stale → searches fall back
       // (the extra table rows are unread until the next buildIndex rewrite)
-      bucketedPre.foreach { case (table, buckets, path) =>
+      bucketedPre.foreach { case (table, buckets, path, _) =>
         encoded.write.mode("append").option("path", path)
           .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
           .saveAsTable(table)
         if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
           atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
       }
+      // update batches: tombstone every touched id at THIS batch's version —
+      // the appended rows (version == v) survive the shadow rule, every
+      // older incarnation of the ids dies at read time. Written before the
+      // stamp advance: a crash in between leaves the layout stale (the
+      // lingering intent marker stales the replay too); duplicate tombstone
+      // rows from a replay are harmless (max-per-id aggregation).
+      if (needTombstones)
+        batch.select(col("id")).withColumn("ver", lit(v))
+          .write.mode("append").parquet(tombstonesPath(maintain.get._2))
     } finally encoded.unpersist(blocking = false)
     // advance the stamp only if our write is still the newest (a racer
     // leaves the stamp behind → stale → fallback; the appended rows are
@@ -525,7 +709,28 @@ class Engine(
         require(limit > 0, s"layoutCompactFiles must be positive, got $limit")
         if (countLayoutDataFiles(maintain.get._3) >= limit) compactLayout(coll)
       }
+    maybeFoldTombstones(coll, cfg, maintain.get._2)
   }
+
+  /** Size-triggered tombstone fold (the `tombstoneCompactRows` knob): once
+    * a layout's tombstone sidecar accumulates `limit` rows, fold the
+    * shadowed rows away — compactLayout's exclusion-then-rewrite for the
+    * appended code tiers, a full buildIndex for the graph tier (its
+    * adjacency cannot be row-filtered in place). Bounds both the per-search
+    * exclusion join and the graph tier's tombstone-widened beams; a stream
+    * of updates/deletes that never sees a manual buildIndex stays bounded.
+    */
+  private def maybeFoldTombstones(coll: String, cfg: CollectionConfig,
+      layoutPath: String): Unit =
+    cfg.params.get("tombstoneCompactRows").map(_.toLong).foreach { limit =>
+      require(limit > 0, s"tombstoneCompactRows must be positive, got $limit")
+      val tp = java.nio.file.Paths.get(tombstonesPath(layoutPath))
+      if (java.nio.file.Files.exists(tp) &&
+          spark.read.parquet(tombstonesPath(layoutPath)).count() >= limit) {
+        if (cfg.indexType == IndexType.Hnsw) buildIndex(coll)
+        else compactLayout(coll)
+      }
+    }
 
   /** Number of part files under a layout dir (recursive; `_`-prefixed
     * sidecars and markers excluded — the same set Spark's reader lists).
@@ -605,7 +810,12 @@ class Engine(
         // back to the live corpus (correct, unpruned)
         java.nio.file.Files.deleteIfExists(stampPath)
         fs.delete(tmp, true)
-        val rows = spark.read.parquet(layoutPath)
+        // fold the tombstone sidecar: rewrite only unshadowed rows — the
+        // compacted layout is then exactly what re-encoding the live corpus
+        // with the frozen model would produce; the sidecar itself dies in
+        // the delete+rename swap below, and the caches re-check existence
+        val rows = applyTombstones(layoutPath, stamp)(
+          spark.read.parquet(layoutPath))
         if (clustered)
           // hash-repartition on cluster_id: each cluster lands wholly in one
           // task ⇒ exactly one file per cluster directory
@@ -632,7 +842,7 @@ class Engine(
         // CURRENT. With the meta gone, currentBucketedMeta returns None
         // and searches fall back a tier until writeBucketedLayout's final
         // atomicWrite restores it after the rebuild completes.
-        bucketedPre.foreach { case (_, _, _) =>
+        bucketedPre.foreach { case (_, _, _, _) =>
           java.nio.file.Files.deleteIfExists(bucketedMetaPath(coll))
           writeBucketedLayout(coll, cfg, spark.read.parquet(layoutPath), stamp, tier)
         }
@@ -939,7 +1149,30 @@ class Engine(
     * corpus-shuffle-free join shape survives engine restarts.
     */
   private def bucketedCorpus(coll: String): Option[DataFrame] =
-    currentBucketedMeta(coll).map { case (table, _, _) => spark.table(table) }
+    currentBucketedMeta(coll).map { case (table, _, _, stamp) =>
+      // the bucketed files carry every appended row, including ones later
+      // shadowed by an update/delete tombstone — exclude them here exactly
+      // like the partitioned layout (the sidecar lives under the tier's
+      // layout dir; both views must agree row-for-row)
+      tierLayoutPath(coll) match {
+        case Some(lp) => applyTombstones(lp, stamp)(spark.table(table))
+        case None => spark.table(table)
+      }
+    }
+
+  /** The collection's index-layout directory for its configured tier, if
+    * the tier materializes one (flat does not).
+    */
+  private def tierLayoutPath(coll: String): Option[String] =
+    configOf(coll).indexType match {
+      case IndexType.IvfFlat => Some(ivfLayoutPath(coll))
+      case IndexType.IvfPq => Some(pqLayoutPath(coll))
+      case IndexType.Opq => Some(opqLayoutPath(coll))
+      case IndexType.Sq => Some(sqLayoutPath(coll))
+      case IndexType.Bq => Some(bqLayoutPath(coll))
+      case IndexType.Hnsw => Some(hnswLayoutPath(coll))
+      case _ => None
+    }
 
 
   private def notBuilt(coll: String): Nothing =
@@ -1061,7 +1294,27 @@ class Engine(
         // honored at build (the reference accepts then silently drops them,
         // collection.go:64-67 + hnsw.go:25-39 — §7.4).
         val layout = if (corpusIsFull) currentLayoutStamp(coll, hnswLayoutPath(coll)) else None
+        // live-corpus fallback (stale layout, pre-filtered corpus, or a
+        // tombstone sidecar too large to serve through — see below)
+        def liveGraphSearch(): DataFrame =
+          GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
+            m = cfg.params.get("M").map(_.toInt).getOrElse(16),
+            efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200),
+            levelMult = cfg.params.get("levelMult").map(_.toDouble).getOrElse(Double.NaN))
+        // update/delete tombstones: adjacency nodes ALWAYS predate the
+        // sidecar (buildIndex folds it away), so graph hits are excluded by
+        // id alone; delta rows carry versions, so only shadowed incarnations
+        // die. The requested depth widens by the tombstone count (≤
+        // |tombstones| shadowed nodes can displace a valid one per cell),
+        // then trims back to k — past `maxServedTombstones` the widening
+        // would bloat every beam, so searches take the live fallback until
+        // the next fold instead (correct, unpruned — the pre-change
+        // behavior for ALL mutations).
+        val tombMap = layout.map(stamp =>
+          cachedTombMap(hnswLayoutPath(coll), stamp)).getOrElse(Map.empty)
         layout match {
+          case Some(_) if tombMap.size > maxServedTombstones =>
+            liveGraphSearch()
           case Some(stamp) =>
             // routeNprobe (setparams; only settable on routeNlist-built
             // collections) narrows the beam to the query's nearest cells;
@@ -1079,6 +1332,9 @@ class Engine(
             // not evict executor graph caches or re-shuffle the layout RDD
             val epoch = readLongSafe(
               java.nio.file.Paths.get(hnswEpochPath(coll))).getOrElse(stamp)
+            val exIds: Set[Any] = tombMap.keySet
+            val kEff = k + tombMap.size
+            val efEff = math.max(ef, kEff)
             if (routeP.isDefined && queries.size <= 16) {
               // TRUE point requests: serve from driver-cached cell graphs —
               // a warm query launches ZERO Spark jobs (the ~100-300 ms
@@ -1087,43 +1343,50 @@ class Engine(
               // knobs: same reconstruction, same beams, same (distance, id)
               // merge; delta rows exact-scanned with the kernels' exact
               // arithmetic and merged the same way.
-              GraphAnn.searchPointLocal(spark, hnswLayoutPath(coll), qDf, k,
-                cfg.spaceType, ef = ef, routeNprobe = routeP.get,
+              val delta = cachedDeltaRows(hnswDeltaPath(coll), stamp)
+                .filter { case (id, _, ver) => tombMap.get(id).forall(_ <= ver) }
+                .map { case (id, vec, _) => (id, vec) }
+              val res = GraphAnn.searchPointLocal(spark, hnswLayoutPath(coll), qDf, kEff,
+                cfg.spaceType, ef = efEff, routeNprobe = routeP.get,
                 cacheKey = Some((hnswLayoutPath(coll), epoch)),
-                deltaRows = cachedDeltaRows(hnswDeltaPath(coll), stamp))
+                deltaRows = delta, excludeIds = exIds)
+              // exclusion ran BEFORE ranking, so ranks are contiguous over
+              // valid hits — the widened depth just trims back
+              if (kEff == k) res else res.filter(col("rnk") <= k)
             } else {
               val graphHits = routeP match {
                 case Some(p) if queries.size <= 64 =>
-                  GraphAnn.searchRoutedPruned(spark, hnswLayoutPath(coll), qDf, k,
-                    cfg.spaceType, ef = ef, routeNprobe = p,
-                    cacheKey = Some((hnswLayoutPath(coll), epoch)))
-                case _ =>
-                  GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, k,
-                    cfg.spaceType, ef = ef,
+                  GraphAnn.searchRoutedPruned(spark, hnswLayoutPath(coll), qDf, kEff,
+                    cfg.spaceType, ef = efEff, routeNprobe = p,
                     cacheKey = Some((hnswLayoutPath(coll), epoch)),
-                    routeNprobe = routeP)
+                    excludeIds = exIds)
+                case _ =>
+                  GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, kEff,
+                    cfg.spaceType, ef = efEff,
+                    cacheKey = Some((hnswLayoutPath(coll), epoch)),
+                    routeNprobe = routeP, excludeIds = exIds)
               }
               // streaming-insert delta: rows ingested since buildIndex live
-              // as plain (id, vector) under `_delta` — exact-scan them
-              // (exact ≥ graph recall for those rows) and merge top-k. The
-              // delta is micro-batch-sized by construction and cached per
-              // (path, stamp) so steady serving never re-reads it;
-              // buildIndex folds it back into the adjacency.
-              cachedDelta(hnswDeltaPath(coll), stamp) match {
+              // as (id, vector, version) under `_delta` — exact-scan them
+              // (exact ≥ graph recall for those rows), tombstone-filtered,
+              // and merge top-k. The delta is micro-batch-sized by
+              // construction and cached per (path, stamp) so steady serving
+              // never re-reads it; buildIndex folds it back into the
+              // adjacency.
+              cachedDeltaVectors(hnswDeltaPath(coll), stamp, hnswLayoutPath(coll)) match {
                 case Some(delta) =>
                   val deltaHits = ExactKnn.knn(delta, qDf, k, cfg.spaceType)
                   graft.functions.vfn.topKHits(
                     graphHits.select(col("query_id"), col("id"), col("distance"))
                       .union(deltaHits.select(col("query_id"), col("id"), col("distance"))),
                     col("distance"), "query_id", "id", k)
-                case None => graphHits
+                case None =>
+                  if (kEff == k) graphHits else graft.functions.vfn.topKHits(
+                    graphHits.select(col("query_id"), col("id"), col("distance")),
+                    col("distance"), "query_id", "id", k)
               }
             }
-          case None =>
-            GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
-              m = cfg.params.get("M").map(_.toInt).getOrElse(16),
-              efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200),
-              levelMult = cfg.params.get("levelMult").map(_.toDouble).getOrElse(Double.NaN))
+          case _ => liveGraphSearch()
         }
       case IndexType.Opq =>
         val opq = loadedOpq(coll)

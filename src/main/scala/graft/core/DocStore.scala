@@ -101,6 +101,14 @@ class DocStore(spark: SparkSession, root: String) {
     * readers via is_deleted.
     */
   def delete(name: String, ids: Seq[String], dim: Int): Unit = {
+    deleteVersioned(name, ids, dim); ()
+  }
+
+  /** `delete` returning the version the tombstones committed under — for
+    * callers that coordinate derived artifacts (index-layout tombstone
+    * sidecars) with exactly this write, mirroring `upsertDfVersioned`.
+    */
+  def deleteVersioned(name: String, ids: Seq[String], dim: Int): Long = {
     require(ids.nonEmpty, "empty delete batch")
     appendRows(name, ids.map(id => Row(id, null, null, -1L, -1L, true)), dim)
   }
@@ -134,8 +142,10 @@ class DocStore(spark: SparkSession, root: String) {
     committed
   }
 
-  private def appendRows(name: String, rows: Seq[Row], dim: Int): Unit =
+  private def appendRows(name: String, rows: Seq[Row], dim: Int): Long = {
+    var committed = -1L
     withNextVersion(name) { v =>
+      committed = v
       // seq = position within the batch: duplicate ids inside one batch
       // resolve to the LAST occurrence (the reference's sequential-put
       // semantics, `document.go:294-303`), not an arbitrary tie
@@ -143,6 +153,8 @@ class DocStore(spark: SparkSession, root: String) {
       spark.createDataFrame(stamped.asJava, schema(dim))
         .write.mode("append").parquet(dataDir(name))
     }
+    committed
+  }
 
   /** Raw log (all versions, incl. tombstones); an empty collection reads as
     * an empty frame with the store schema (not a scan error).

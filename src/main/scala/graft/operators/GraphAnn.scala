@@ -560,7 +560,8 @@ object GraphAnn {
       cacheKey: Option[(String, Long)] = None,
       corpusIdName: String = "id",
       maxQueries: Int = 64,
-      deltaRows: Array[(Any, Array[Float])] = Array.empty): DataFrame = {
+      deltaRows: Array[(Any, Array[Float])] = Array.empty,
+      excludeIds: Set[Any] = Set.empty): DataFrame = {
     require(routeNprobe >= 1, s"routeNprobe must be >= 1, got $routeNprobe")
     val (layoutId, version) = cacheKey.getOrElse((path, 0L))
     val cents = loadRouteCentroids(spark, path, cacheKey)
@@ -640,7 +641,7 @@ object GraphAnn {
         val bcQ = spark.sparkContext.broadcast(qRows)
         val bcRoute = spark.sparkContext.broadcast(routing.map { case (c, b) => (c, b.toArray) }.toMap)
         val spaceVal = space; val efVal = ef; val kVal = k
-        val nCellsV = cents.length; val effKey = cacheKey
+        val nCellsV = cents.length; val effKey = cacheKey; val exVal = excludeIds
         val rows = graphAll.filter(col("part").isin(oversized.map(Int.box): _*))
           .repartition(math.max(1, oversized.length), col("part")).rdd
           .mapPartitions { it =>
@@ -657,7 +658,9 @@ object GraphAnn {
                 }
                 qIdx.iterator.flatMap { qi =>
                   val (_, qv) = bcQ.value(qi)
-                  index.search(qv, kVal, efVal).map { case (id, d) => (qi, id, d) }
+                  index.search(qv, kVal, efVal)
+                    .filter(h => !exVal.contains(h._1))
+                    .map { case (id, d) => (qi, id, d) }
                 }
               }
             }
@@ -675,7 +678,11 @@ object GraphAnn {
       val hits = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
       probed(qi).foreach { c =>
         held.getOrElse(c, None).foreach { index =>
-          hits ++= index.search(qv, k, ef)
+          // tombstoned nodes stay in the adjacency as routing waypoints
+          // (the hnswlib markDeleted semantic) but never surface as hits;
+          // the caller widens k by the tombstone count so valid nodes
+          // still fill the requested depth
+          hits ++= index.search(qv, k, ef).filter(h => !excludeIds.contains(h._1))
         }
       }
       oversizedHits.get(qi).foreach(hits ++= _)
@@ -1194,7 +1201,8 @@ object GraphAnn {
       queryBatchSize: Int = 10000,
       corpusIdName: String = "id",
       routeNprobe: Option[Int] = None,
-      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      excludeIds: Set[Any] = Set.empty): DataFrame = {
     import graft.functions.vfn
     val graph = readLayoutGraph(spark, path)
     val idType = graph.schema("id").dataType
@@ -1248,6 +1256,7 @@ object GraphAnn {
       val bcRoute = routeModel.map(m =>
         spark.sparkContext.broadcast(routingFor(qRows, m, effNprobe.get)))
       val counter = probeCounter
+      val exVal = excludeIds
       byPart.mapPartitions { it =>
         val groups = it.toArray.groupBy(_.getInt(0))
         groups.iterator.flatMap { case (part, rs) =>
@@ -1266,7 +1275,9 @@ object GraphAnn {
             }
             qIdx.iterator.flatMap { qi =>
               val (qid, qv) = bcQ.value(qi)
-              index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+              index.search(qv, kVal, efVal)
+                .filter(h => !exVal.contains(h._1))
+                .map { case (id, d) => Row(qid, id, d) }
             }
           }
         }
@@ -1320,7 +1331,8 @@ object GraphAnn {
       cacheKey: Option[(String, Long)] = None,
       corpusIdName: String = "id",
       maxQueries: Int = 1000,
-      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      probeCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      excludeIds: Set[Any] = Set.empty): DataFrame = {
     import graft.functions.vfn
     require(routeNprobe >= 1, s"routeNprobe must be >= 1, got $routeNprobe")
     val cents = loadRouteCentroids(spark, path, cacheKey)
@@ -1350,6 +1362,7 @@ object GraphAnn {
     val bcRoute = spark.sparkContext.broadcast(routing)
     val counter = probeCounter
     val eff = cacheKey
+    val exVal = excludeIds
     val local = graph.repartition(math.max(1, cells.length), col("part")).rdd
       .mapPartitions { it =>
         val groups = it.toArray.groupBy(_.getInt(0))
@@ -1366,7 +1379,9 @@ object GraphAnn {
             }
             qIdx.iterator.flatMap { qi =>
               val (qid, qv) = bcQ.value(qi)
-              index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+              index.search(qv, kVal, efVal)
+                .filter(h => !exVal.contains(h._1))
+                .map { case (id, d) => Row(qid, id, d) }
             }
           }
         }

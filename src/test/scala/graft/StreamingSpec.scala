@@ -233,11 +233,13 @@ class StreamingSpec extends SparkSpec {
           ("200", Seq(2f, 0f, 0f, 0f), Map.empty[String, String]))
         .toDF("id", "vector", "params"))
     assert(stampOf === stamp0 + 2, "duplicate-id batch must not advance the stamp")
-    // an UPDATE batch falls back (stale layout) but stays correct
+    // the layout is now STALE (the duplicate batch bumped the store past the
+    // stamp), so even an update batch takes the staling path — and stays
+    // correct via the live-corpus fallback
     e.ingestBatchIndexed("c",
       Seq(("100", Seq(90f, 0f, 0f, 0f), Map.empty[String, String]))
         .toDF("id", "vector", "params"))
-    assert(stampOf === stamp0 + 2, "update batch must not advance the stamp")
+    assert(stampOf === stamp0 + 2, "a stale layout must not re-stamp on an update")
     val moved = e.searchDocuments("c", Array(90f, 0f, 0f, 0f), 1)
     assert(moved.head.id === "100", "post-update search must see the new vector")
   }
@@ -272,12 +274,17 @@ class StreamingSpec extends SparkSpec {
         s"$coll: appended row carries no $codeCol")
       val hits = e.searchDocuments(coll, Array(5.5f, 2f, 0f, 0f), 1)
       assert(hits.head.id === "100", s"$coll: streamed doc not served")
-      // an UPDATE batch stales the layout (fallback, still correct)
+      // an UPDATE batch is maintained too: the re-encoded row appends, a
+      // tombstone shadows the old incarnation, and the stamp stays current
       e.ingestBatchIndexed(coll,
         Seq(("100", Seq(20f, 1f, 0f, 0f), Map.empty[String, String]))
-          .toDF("id", "vector", "params"))
-      assert(stampOf === stamp0 + 1, s"$coll: update batch must not advance the stamp")
+          .toDF("id", "vector", "params"), batchId = Some(1L))
+      assert(stampOf === stamp0 + 2,
+        s"$coll: update batch must keep the code layout current")
       assert(e.searchDocuments(coll, Array(20f, 1f, 0f, 0f), 1).head.id === "100")
+      // the superseded incarnation at the OLD location no longer surfaces
+      assert(e.searchDocuments(coll, Array(5.5f, 2f, 0f, 0f), 1).head.id !== "100",
+        s"$coll: tombstoned incarnation still served")
     }
   }
 
@@ -324,11 +331,18 @@ class StreamingSpec extends SparkSpec {
         s"$coll: buildIndex must fold the delta away")
       assert(epochOf > epoch0, s"$coll: rebuild must advance the graph epoch")
       assert(e.searchDocuments(coll, Array(7.5f, 100f, 0f, 0f), 1).head.id === "100")
-      // an UPDATE batch stales the layout (fallback, still correct)
+      // an UPDATE batch is maintained: the new row lands in the delta, a
+      // tombstone shadows the adjacency node — the layout stays CURRENT
+      // (no stale fallback) and both locations resolve correctly
+      val stampU = stampOf
       e.ingestBatchIndexed(coll,
         Seq(("100", Seq(20f, 1f, 0f, 0f), Map.empty[String, String]))
-          .toDF("id", "vector", "params"))
+          .toDF("id", "vector", "params"), batchId = Some(1L))
+      assert(stampOf === stampU + 1,
+        s"$coll: update batch must keep the graph layout current")
       assert(e.searchDocuments(coll, Array(20f, 1f, 0f, 0f), 1).head.id === "100")
+      assert(e.searchDocuments(coll, Array(7.5f, 100f, 0f, 0f), 1).head.id !== "100",
+        s"$coll: tombstoned adjacency node still served")
     }
   }
 

@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Engine
+import graft.core.{CollectionConfig, Document, IndexType}
+
+/** Tombstone-aware layout maintenance: update and delete batches keep every
+  * indexed tier SERVING (layout stamp current, no stale fallback to an
+  * exact scan), with results equal to a from-scratch rebuild over the final
+  * corpus state — the capability the reference keeps through hnswlib's
+  * markDeleted (`/root/reference/internal/index/hnsw.go:84-90`,
+  * `internal/engine/index/hnswlib/hnswalg.h:925-943`), re-expressed as an
+  * LSM shape: layout rows = sorted runs, `_tombstones` sidecar = delete
+  * markers, buildIndex/compactLayout = the fold.
+  */
+class TombstoneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stampOf(root: String, coll: String): Long =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/$coll/index/layout_version")).trim.toLong
+
+  private def mkCorpus(n: Int): Seq[Document] =
+    (0 until n).map(i => Document(i.toString, Array(i * 1f, (i % 7) * 1f, 0f, 0f)))
+
+  // every tier with a materialized layout; hnsw both plain and routed
+  private val tiers: Seq[(String, IndexType, Map[String, String])] = Seq(
+    ("ivf", IndexType.IvfFlat, Map.empty),
+    ("pq", IndexType.IvfPq, Map("m" -> "2")),
+    ("opq", IndexType.Opq, Map("m" -> "2")),
+    ("sq", IndexType.Sq, Map.empty),
+    ("bq", IndexType.Bq, Map.empty),
+    ("g", IndexType.Hnsw, Map.empty),
+    ("gr", IndexType.Hnsw, Map("routeNlist" -> "4")))
+
+  test("update + delete batches keep every indexed tier current; results ≡ rebuild") {
+    for ((coll, it, params) <- tiers) {
+      val root = Files.createTempDirectory(s"tomb-$coll").toString
+      val e = new Engine(spark, root)
+      e.createCollection(CollectionConfig(coll, 4, it, params = params))
+      e.batchUpsertDocuments(coll, mkCorpus(30))
+      e.buildIndex(coll, nlist = 2)
+      if (params.contains("routeNlist")) e.setParams(coll, Map("routeNprobe" -> 4))
+      // bq's sign-bit shortlist is model-dependent (per-dim means differ
+      // between the two training corpora) — widen the exact re-rank to the
+      // whole corpus so both engines rank exactly and equality is meaningful
+      if (it == IndexType.Bq) e.setParams(coll, Map("rerankFactor" -> 40))
+      val s0 = stampOf(root, coll)
+      // UPDATE batch: move ids 3 and 7 far away
+      e.ingestBatchIndexed(coll,
+        Seq(("3", Seq(50f, 50f, 0f, 0f), Map.empty[String, String]),
+            ("7", Seq(60f, 60f, 0f, 0f), Map.empty[String, String]))
+          .toDF("id", "vector", "params"), batchId = Some(0L))
+      assert(stampOf(root, coll) === s0 + 1,
+        s"$coll: update batch staled the layout (no tombstone maintenance)")
+      // DELETE batch: ids 5 and 9 (and an absent id — harmless)
+      e.deleteDocuments(coll, Seq("5", "9", "999"))
+      assert(stampOf(root, coll) === s0 + 2,
+        s"$coll: delete batch staled the layout (no tombstone maintenance)")
+
+      // a twin engine whose index is BUILT FRESH over the same final state
+      val root2 = Files.createTempDirectory(s"tomb-$coll-twin").toString
+      val e2 = new Engine(spark, root2)
+      e2.createCollection(CollectionConfig(coll, 4, it, params = params))
+      e2.batchUpsertDocuments(coll, mkCorpus(30).filterNot(d => Set("5", "9")(d.id))
+        .map(d => if (d.id == "3") Document("3", Array(50f, 50f, 0f, 0f))
+          else if (d.id == "7") Document("7", Array(60f, 60f, 0f, 0f)) else d))
+      e2.buildIndex(coll, nlist = 2)
+      if (params.contains("routeNlist")) e2.setParams(coll, Map("routeNprobe" -> 4))
+      if (it == IndexType.Bq) e2.setParams(coll, Map("rerankFactor" -> 40))
+
+      // probes: the moved ids' new locations, their old locations, and a
+      // query whose would-be answer is a deleted id
+      val probes = Seq(
+        Array(50f, 50f, 0f, 0f), // id 3's new home
+        Array(3.2f, 3f, 0f, 0f), // id 3's old neighborhood
+        Array(5f, 5f, 0f, 0f),   // deleted id 5's exact old vector
+        Array(9.1f, 2f, 0f, 0f), // deleted id 9's old neighborhood
+        Array(60f, 60f, 0f, 0f)) // id 7's new home
+      for (q <- probes; k <- Seq(1, 5)) {
+        val got = e.searchDocuments(coll, q, k).map(h => (h.id, h.distance))
+        val want = e2.searchDocuments(coll, q, k).map(h => (h.id, h.distance))
+        assert(got === want,
+          s"$coll: maintained layout diverged from rebuild at q=${q.toSeq} k=$k: $got vs $want")
+        assert(!got.exists(h => Set("5", "9")(h._1)),
+          s"$coll: deleted id served at q=${q.toSeq}")
+      }
+      // chained mutation: delete one of the UPDATED ids — the newest delta/
+      // layout incarnation must die too (tombstone ver strictly later)
+      e.deleteDocuments(coll, Seq("3"))
+      assert(stampOf(root, coll) === s0 + 3,
+        s"$coll: chained delete staled the layout")
+      val after = e.searchDocuments(coll, Array(50f, 50f, 0f, 0f), 2).map(_.id)
+      assert(!after.contains("3"), s"$coll: deleted updated id still served: $after")
+    }
+  }
+
+  test("compactLayout folds tombstones: shadowed rows gone, sidecar cleared, results stable") {
+    val root = Files.createTempDirectory("tomb-fold").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 4, IndexType.Sq))
+    e.batchUpsertDocuments("c", mkCorpus(30))
+    e.buildIndex("c")
+    e.ingestBatchIndexed("c",
+      Seq(("3", Seq(50f, 50f, 0f, 0f), Map.empty[String, String]))
+        .toDF("id", "vector", "params"), batchId = Some(0L))
+    e.deleteDocuments("c", Seq("5"))
+    val layout = s"$root/c/index/sq_layout"
+    val sidecar = java.nio.file.Paths.get(s"$layout/_tombstones")
+    assert(java.nio.file.Files.exists(sidecar), "setup: sidecar expected")
+    val before = e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
+    assert(e.compactLayout("c"), "compaction must run on the current layout")
+    assert(!java.nio.file.Files.exists(sidecar),
+      "compaction must fold the tombstone sidecar away")
+    // folded layout holds exactly the live incarnations: no row for the
+    // deleted id, exactly one (the new one) for the updated id
+    val ids = spark.read.parquet(layout).groupBy("id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!ids.contains("5"), "deleted id survived the fold")
+    assert(ids("3") === 1L, s"updated id kept ${ids("3")} incarnations after fold")
+    assert(e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id) === before,
+      "fold changed served results")
+  }
+
+  test("tombstoneCompactRows auto-folds; graph tier folds via rebuild and serves post-fold") {
+    val root = Files.createTempDirectory("tomb-auto").toString
+    val e = new Engine(spark, root)
+    // quantized tier: auto-compact at 2 tombstone rows
+    e.createCollection(CollectionConfig("c", 4, IndexType.Sq,
+      params = Map("tombstoneCompactRows" -> "2")))
+    e.batchUpsertDocuments("c", mkCorpus(20))
+    e.buildIndex("c")
+    e.deleteDocuments("c", Seq("5", "9"))
+    val sidecar = java.nio.file.Paths.get(s"$root/c/index/sq_layout/_tombstones")
+    assert(!java.nio.file.Files.exists(sidecar),
+      "tombstoneCompactRows must have folded the sidecar")
+    assert(!e.searchDocuments("c", Array(5f, 5f, 0f, 0f), 3).map(_.id).contains("5"))
+    // graph tier: the fold is a buildIndex (adjacency rewrite); the layout
+    // must serve through it and the sidecar must be gone
+    e.createCollection(CollectionConfig("g", 4, IndexType.Hnsw,
+      params = Map("tombstoneCompactRows" -> "2")))
+    e.batchUpsertDocuments("g", mkCorpus(20))
+    e.buildIndex("g")
+    e.deleteDocuments("g", Seq("5", "9"))
+    val gSidecar = java.nio.file.Paths.get(s"$root/g/index/hnsw_layout/_tombstones")
+    assert(!java.nio.file.Files.exists(gSidecar),
+      "graph tombstone fold (rebuild) did not clear the sidecar")
+    val hits = e.searchDocuments("g", Array(5f, 5f, 0f, 0f), 3).map(_.id)
+    assert(!hits.contains("5") && !hits.contains("9"),
+      s"deleted ids served after the graph fold: $hits")
+  }
+
+  test("a tombstone sidecar past maxServedTombstones falls back, never serves wrong") {
+    val root = Files.createTempDirectory("tomb-bound").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("g", 4, IndexType.Hnsw))
+    e.batchUpsertDocuments("g", mkCorpus(30))
+    e.buildIndex("g")
+    spark.conf.set("spark.graft.maxServedTombstones", "1")
+    try {
+      e.deleteDocuments("g", Seq("5", "9")) // 2 tombstones > bound of 1
+      // layout is stamped current, but the serve path must take the live
+      // fallback (beams would widen past the bound) — and stay correct
+      val hits = e.searchDocuments("g", Array(5f, 5f, 0f, 0f), 3).map(_.id)
+      assert(!hits.contains("5") && !hits.contains("9"),
+        s"over-bound tombstones served a deleted id: $hits")
+    } finally spark.conf.unset("spark.graft.maxServedTombstones")
+  }
+}
