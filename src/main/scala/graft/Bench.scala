@@ -64,8 +64,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val ts = (1 to runs).map(_ => timeOnce(name, fn))
+      repLog(name) = ts
       val ok = ts.filter(_ >= 0)
       if (ok.isEmpty) return -1.0
       val sec = ok.min
@@ -88,7 +90,14 @@ object Bench {
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // per-rep times ride in the persisted record: a reader can tell a slow
+    // QUERY (all reps slow) from one contended rep (min fine, max wild)
+    // without a rerun — the r6 record's apparent regressions were exactly
+    // this ambiguity
+    val reps = repLog.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
     // The driver parses a ~2 KiB tail of the run output; with 112 queries
     // the full per-query line is ~3 KiB and its head gets truncated away
     // (r5's bench came back parsed:null). So: full record to BENCH.out and
