@@ -600,6 +600,7 @@ object VectorQueries {
     "embed_neardup" -> (embedNearDup(_, _)),
     "embed_leakage" -> (embedLeakage(_, _)),
     "label_agreement" -> (labelAgreement(_, _)),
+    "label_agreement_full" -> (labelAgreementFull(_, _)),
     "nn_join" -> (nnJoin(_, _)))
 
   // ---- label-noise audit ---------------------------------------------------
@@ -646,6 +647,83 @@ object VectorQueries {
         col("agree").cast("long").as("agree"),
         when(col("agree") * 2 < AgreeK, 1L).otherwise(0L).as("suspect"))
   }
+
+  /** FULL-CORPUS label-noise audit through the indexed tier: every vector
+    * is a query, candidates come from `IvfIndex.searchDistributed` (codegen
+    * probe lists + cluster_id equi-join — queries shuffle, the corpus does
+    * not; NO broadcast-nested-loop anywhere, plan-audited) at nprobe=2 of
+    * the shared `ivf10` model. Neighbor labels join back as plain
+    * equi-joins. This is the 100 TB shape the bounded-sample
+    * `label_agreement` docstring promises: audit cost ∝ corpus ·
+    * (nprobe/nlist) · cell size, not corpus². Oracle: exact agreement
+    * algebra restricted to the exported assignment + probe lists, exactly
+    * the `ivf_knn_probe` construction.
+    *
+    * Self-exclusion is the k+1 rule (see `labelAgreement`): the query's own
+    * cell is always its nearest centroid, so the self-match is always a
+    * candidate and drops deterministically.
+    */
+  def labelAgreementFull(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val model = ivfModelFor(spark, dir)
+    val assigned = IvfIndex.assign(
+      emb.select(col("vec_id"), col("embedding")), "embedding", model)
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val nn = IvfIndex.searchDistributed(assigned, q, model, AgreeK + 1, nprobe = 2,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("r2",
+        row_number().over(Window.partitionBy(col("qid")).orderBy(col("rnk"))))
+      .filter(col("r2") <= AgreeK)
+    val labels = emb.select(col("vec_id"), col("label"))
+    nn.join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
+      .join(labels, "vec_id")
+      .groupBy(col("qid").as("vec_id"), col("qlabel").as("label"))
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("agree"))
+      .select(col("vec_id"), col("label"),
+        col("agree").cast("long").as("agree"),
+        when(col("agree") * 2 < AgreeK, 1L).otherwise(0L).as("suspect"))
+  }
+
+  /** Probed cluster ids for EVERY corpus vector at nprobe=2 — computed with
+    * the same codegen `NearestCentroids` kernel the query's probe stage
+    * uses (distributed; no driver collect, unlike the bounded
+    * `ivfProbesAux`). Exported by Verify as an oracle input.
+    */
+  def ivfProbesFullAux(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{Bridge, NearestCentroids}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val model = ivfModelFor(spark, dir)
+    val centsLit = Literal.create(
+      model.centroids.map(_.toSeq).toSeq, ArrayType(ArrayType(FloatType)))
+    corpus(spark, dir).select(col("vec_id").as("qid"),
+      explode(Bridge.column(NearestCentroids(
+        Bridge.expression(col("embedding").cast("array<float>")), centsLit,
+        Literal(2), ip = model.space == SpaceType.Ip))).as("cid"))
+  }
+
+  val labelAgreementFullSql: String =
+    s"""WITH a AS (SELECT vec_id, cluster_id FROM read_parquet('{AUX}/ivf_assign/*.parquet')),
+       |p AS (SELECT qid, cid FROM read_parquet('{AUX}/ivf_probes_full/*.parquet')),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+       |      FROM embeddings),
+       |pairs AS (
+       |  SELECT q.qid, q.qlabel, e.label AS nlabel,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC,
+       |               e.vec_id ASC) AS rnk
+       |  FROM q JOIN p ON p.qid = q.qid
+       |         JOIN a ON a.cluster_id = p.cid
+       |         JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id <> q.qid)
+       |SELECT qid AS vec_id, qlabel AS label,
+       |  CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       |  CAST(CASE WHEN 2 * sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+       |       < $AgreeK THEN 1 ELSE 0 END AS BIGINT) AS suspect
+       |FROM pairs WHERE rnk <= $AgreeK GROUP BY 1, 2""".stripMargin
 
   val labelAgreementSql: String =
     s"""WITH pairs AS (
@@ -797,6 +875,7 @@ object VectorQueries {
   val oracleInputs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_assign" -> (ivfAssignAux(_, _)),
     "ivf_probes" -> (ivfProbesAux(_, _)),
+    "ivf_probes_full" -> (ivfProbesFullAux(_, _)),
     "lsh_cand" -> (lshCandAux(_, _)),
     "graph_cand" -> (graphCandAux(_, _)),
     "graph_routed_cand" -> (graphRoutedCandAux(_, _)),
@@ -843,5 +922,6 @@ object VectorQueries {
     "embed_neardup" -> embedNearDupSql,
     "embed_leakage" -> embedLeakageSql,
     "label_agreement" -> labelAgreementSql,
+    "label_agreement_full" -> labelAgreementFullSql,
     "nn_join" -> nnJoinSql)
 }
