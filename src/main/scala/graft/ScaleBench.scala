@@ -305,6 +305,49 @@ object ScaleBench {
       stateBands.unpersist()
     }
 
+    // SKEWED routed-graph build: the routed build runs one sequential NSW
+    // insertion task per cell, so a router cell holding ~90% of the corpus
+    // makes build wall-clock ∝ that one cell regardless of core count. The
+    // split row rebuilds with maxCellRows (per-cell re-quantization of
+    // oversized cells) — build time must track the CAP, not the skew, and
+    // the per-layout max cell size is reported alongside so the record
+    // shows sub-linearity in max-cell size directly.
+    if (sections("skew")) {
+      // squash 90% of the scaled corpus into a tight mass near the origin;
+      // the explicit router (origin + 31 spread vectors) is the worst case
+      // a converged k-means can hand the build
+      val skew = emb10.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(10)) < 9,
+          transform(col("embedding"), x => (x * 1e-4f).cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+      skew.write.mode("overwrite").parquet(s"$scaleDir/emb_skew")
+      val skewDf = spark.read.parquet(s"$scaleDir/emb_skew")
+      val nSkew = skewDf.count()
+      val spreadCents = skewDf.filter(pmod(col("vec_id"), lit(10)) === 9)
+        .orderBy(col("vec_id")).limit(31).collect()
+        .map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+      val dim = spreadCents(0).length
+      val router = IvfIndex.Model(Array(Array.fill(dim)(0f)) ++ spreadCents, SpaceType.L2)
+      def maxCell(path: String): Double =
+        spark.read.parquet(path).groupBy(col("part")).count()
+          .agg(max(col("count"))).first().getLong(0).toDouble
+      val noSplitPath = s"$scaleDir/nsw_skew_nosplit"
+      out("graph_skew_build_nosplit") = time {
+        graft.operators.GraphAnn.buildRoutedLayout(skewDf, noSplitPath,
+          SpaceType.L2, nlist = 32, corpusId = "vec_id", corpusVec = "embedding",
+          model = Some(router))
+      }
+      out("graph_skew_maxcell_nosplit") = maxCell(noSplitPath)
+      val splitPath = s"$scaleDir/nsw_skew_split"
+      val cap = math.max(1000L, nSkew / 32)
+      out("graph_skew_build_split") = time {
+        graft.operators.GraphAnn.buildRoutedLayout(skewDf, splitPath,
+          SpaceType.L2, nlist = 32, corpusId = "vec_id", corpusVec = "embedding",
+          model = Some(router), maxCellRows = cap)
+      }
+      out("graph_skew_maxcell_split") = maxCell(splitPath)
+    }
+
     for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)
          if sections("textops")) {
       spark.catalog.clearCache()
@@ -358,7 +401,9 @@ object ScaleBench {
       ("scaling_fuzzy_join", s"fuzzy_join_$scaled", "fuzzy_join_1x"),
       ("scaling_substr_dedup", s"substr_dedup_$scaled", "substr_dedup_1x"),
       ("scaling_bloom_decontam", s"bloom_decontam_$scaled", "bloom_decontam_1x"),
-      ("scaling_passage_scrub", s"passage_scrub_$scaled", "passage_scrub_1x"))
+      ("scaling_passage_scrub", s"passage_scrub_$scaled", "passage_scrub_1x"),
+      ("speedup_skew_split_build", "graph_skew_build_nosplit", "graph_skew_build_split"),
+      ("skew_maxcell_shrink", "graph_skew_maxcell_nosplit", "graph_skew_maxcell_split"))
       .collect { case (k, num, den) if out.contains(num) && out.contains(den) =>
         k -> out(num) / out(den) }
     val all = out.toSeq.map { case (k, v) => f""""$k":$v%.3f""" } ++

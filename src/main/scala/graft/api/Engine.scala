@@ -1032,9 +1032,13 @@ class Engine(
         require(hlm.isNaN || hlm >= 0.0, s"levelMult must be >= 0, got $hlm")
         cfg.params.get("routeNlist").map(_.toInt) match {
           case Some(nl) =>
+            // routeMaxCellRows: skew guard — oversized router cells split
+            // into sub-centroids so one dense region cannot serialize the
+            // whole build into a single giant NSW-insertion task
+            val cellCap = cfg.params.get("routeMaxCellRows").map(_.toLong).getOrElse(0L)
             GraphAnn.buildRoutedLayout(store.read(coll), hnswLayoutPath(coll),
               cfg.spaceType, nlist = nl, m = hm, efConstruction = hefc,
-              levelMult = hlm)
+              levelMult = hlm, maxCellRows = cellCap)
           case None =>
             GraphAnn.buildLayout(store.read(coll), hnswLayoutPath(coll),
               cfg.spaceType, m = hm, efConstruction = hefc, levelMult = hlm)

@@ -1004,11 +1004,22 @@ object GraphAnn {
       corpusId: String = "id",
       corpusVec: String = "vector",
       model: Option[IvfIndex.Model] = None,
-      levelMult: Double = Double.NaN): IvfIndex.Model = {
+      levelMult: Double = Double.NaN,
+      maxCellRows: Long = 0L): IvfIndex.Model = {
     val spark = corpus.sparkSession
     val mVal = m; val efcVal = efConstruction; val spaceVal = space
     val lmVal = levelMult
-    val mdl = model.getOrElse(IvfIndex.train(corpus, corpusVec, nlist, space))
+    val mdl0 = model.getOrElse(IvfIndex.train(corpus, corpusVec, nlist, space))
+    // skew guard: the build runs ONE sequential NSW-insertion task per cell
+    // (insertion cost ∝ n·efC·M·dim), so a router cell holding most of a
+    // skewed corpus makes the whole build wall-clock ∝ that one cell.
+    // maxCellRows > 0 re-quantizes every oversized cell into its own
+    // sub-centroids (trained on the cell's rows), bounding per-task work by
+    // the cap — and refining the router exactly where the data is dense,
+    // which is also what routed SEARCH recall wants on skew
+    val mdl = if (maxCellRows > 0)
+      splitOversizedCells(corpus, corpusVec, mdl0, maxCellRows)
+    else mdl0
     val cells = cellRows(corpus, corpusId, corpusVec, mdl)
     val rows = cells.mapPartitionsWithIndex { (cell, it) =>
       val rs = sortedCellRows(it)
@@ -1040,6 +1051,62 @@ object GraphAnn {
         StructField("centroid", ArrayType(FloatType, containsNull = false)))))
       .write.mode("overwrite").parquet(s"$path/_route")
     mdl
+  }
+
+  /** Replace every centroid whose cell exceeds `cap` rows with
+    * ceil(n/cap) sub-centroids trained on that cell's own rows (the same
+    * deterministic bounded-sample Lloyd as the top-level router training,
+    * seeded per cell). Part ids stay positional: the new centroid list
+    * keeps the original order with each oversized cell expanded in place,
+    * so the `_route` sidecar and every searcher work unchanged — they see
+    * a router with more, finer cells where the corpus is dense. Counting
+    * and per-cell training are build-time-only jobs over the oversized
+    * cells (few, by construction).
+    */
+  private def splitOversizedCells(corpus: DataFrame, corpusVec: String,
+      mdl: IvfIndex.Model, cap: Long): IvfIndex.Model = {
+    // iterate: per-cell Lloyd is approximate (a sub-split can come back
+    // imbalanced), so re-split any still-oversized sub-cell until the map
+    // settles or a bounded number of refinement rounds runs out. Identical
+    // points can never separate (argmin ties go to one centroid), so the
+    // round bound is the stop for pathological duplicate-heavy cells.
+    var cur = mdl
+    var round = 0
+    while (round < 4) {
+      val assigned = IvfIndex.assign(corpus.select(col(corpusVec)), corpusVec, cur)
+      val counts = assigned.groupBy(col("cluster_id")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val over = counts.filter(_._2 > cap)
+      if (over.isEmpty) return cur
+      // ONE stratified-sample job covers every oversized cell this round
+      // (per-cell train() calls would pay a count + collect job each — at
+      // build scale that overhead can exceed the giant cell it removes);
+      // Lloyd then runs driver-local per cell over its bounded sample
+      val fractions: Map[Int, Double] = over.map { case (c, n) =>
+        c -> math.min(1.0, 40000.0 / n)
+      }
+      val sampled = assigned
+        .filter(col("cluster_id").isin(over.keys.toSeq.map(Int.box): _*))
+        .stat.sampleBy("cluster_id",
+          fractions.map { case (c, f) => (Int.box(c), f) }, 42L + round)
+        .select(col("cluster_id"), col(corpusVec)).collect()
+      val byCell = sampled.groupBy(_.getInt(0)).map { case (c, rs) =>
+        c -> rs.map(_.getAs[scala.collection.Seq[Float]](1)
+          .toArray.map(_.toDouble))
+      }
+      val newCents = cur.centroids.indices.flatMap { c =>
+        val n = counts.getOrElse(c, 0L)
+        val pts = byCell.getOrElse(c, Array.empty[Array[Double]])
+        if (n <= cap || pts.isEmpty) Array(cur.centroids(c))
+        else {
+          val k = math.min(((n + cap - 1) / cap).toInt, pts.length)
+          LocalKMeans.fit(pts, k, maxIter = 40).map(_.map(_.toFloat))
+        }
+      }.toArray
+      cur = IvfIndex.Model(newCents, cur.space)
+      round += 1
+    }
+    cur
   }
 
   /** Corpus rows re-partitioned so partition index == nearest-centroid cell

@@ -563,6 +563,68 @@ class GraphAnnSpec extends SparkSpec {
     } finally GraphAnn.maxLocalServeBytes = oldBudget
   }
 
+  test("routeMaxCellRows splits a skewed router cell: bounded build tasks, search stays exact") {
+    // adversarially skewed corpus: ~90% of rows in one tight cluster — the
+    // shape that makes the routed build's wall clock equal one giant
+    // sequential NSW-insertion task
+    val n = 600
+    val rows = (0 until n).map { i =>
+      if (i < 540) (i.toLong, Seq(i * 1e-6f, 0f, 0f, 0f))
+      else (i.toLong, Seq((i % 3) * 50f + 100f, (i % 7) * 10f, 0f, 0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def maxPartRows(path: String): Long =
+      spark.read.parquet(path).groupBy("part").count()
+        .agg(max(col("count"))).first().getLong(0)
+    // explicit skewed router (one centroid on the dense mass, three on the
+    // sparse spread) — the worst case a data-driven k-means can converge to
+    val skewedRouter = graft.operators.IvfIndex.Model(Array(
+      Array(0f, 0f, 0f, 0f), Array(100f, 30f, 0f, 0f),
+      Array(150f, 30f, 0f, 0f), Array(200f, 30f, 0f, 0f)), SpaceType.L2)
+    val pathA = java.nio.file.Files.createTempDirectory("skew-nosplit").toString + "/g"
+    val mdlA = GraphAnn.buildRoutedLayout(df, pathA, SpaceType.L2, nlist = 4,
+      corpusId = "vec_id", corpusVec = "embedding", model = Some(skewedRouter))
+    assert(maxPartRows(pathA) >= 500,
+      s"test setup: skew was supposed to land in one cell, max=${maxPartRows(pathA)}")
+    val pathB = java.nio.file.Files.createTempDirectory("skew-split").toString + "/g"
+    val mdlB = GraphAnn.buildRoutedLayout(df, pathB, SpaceType.L2, nlist = 4,
+      corpusId = "vec_id", corpusVec = "embedding", model = Some(skewedRouter),
+      maxCellRows = 100L)
+    assert(mdlB.nlist > mdlA.nlist,
+      "splitting must refine the router where the data is dense")
+    // k-means balance is approximate; the giant cell must still shrink to
+    // the cap's order, not stay monolithic
+    assert(maxPartRows(pathB) <= 200,
+      s"split build still bounded by a giant cell: max=${maxPartRows(pathB)}")
+    // sidecar centroid count matches the refined router (searchers read it)
+    assert(spark.read.parquet(s"$pathB/_route").count() === mdlB.nlist.toLong)
+    // full fan-out over the split layout ≡ exact KNN (same guarantee the
+    // unsplit layout gives) — the refinement changed performance, not
+    // semantics
+    val q = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exactHits = ExactKnn.knn(df, q, 5, SpaceType.L2,
+        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    val gotB = GraphAnn.searchFromLayout(spark, pathB, q, 5, SpaceType.L2,
+        ef = 600, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id",
+        routeNprobe = Some(mdlB.nlist))
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(gotB === exactHits, "split routed layout diverged from exact at full fan-out")
+    // pruned routing still finds the tight cluster's neighbors (the split
+    // sub-centroids route INTO the dense region)
+    val pruned = GraphAnn.searchFromLayout(spark, pathB, q, 5, SpaceType.L2,
+        ef = 600, queryId = "qid", queryVec = "qv", corpusIdName = "vec_id",
+        routeNprobe = Some(2))
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = exactHits.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val recall = truth.map { case (qq, t) =>
+      pruned.getOrElse(qq, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    assert(recall >= 0.9, s"pruned routing over split cells lost recall: $recall")
+  }
+
   test("an all-hits request with an evicted idType refreshes schema without a load job") {
     val path = java.nio.file.Files.createTempDirectory("idtype-refresh").toString + "/g"
     GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 4,
