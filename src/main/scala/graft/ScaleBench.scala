@@ -348,6 +348,73 @@ object ScaleBench {
       out("graph_skew_maxcell_split") = maxCell(splitPath)
     }
 
+    // TOMBSTONE-MAINTAINED serving: an ivf_flat collection at the scaled
+    // corpus takes an update batch and a delete batch; the layout stays
+    // CURRENT (tombstone sidecar) and searches keep the pruned plan with a
+    // bounded broadcast exclusion join. Rows: clean-layout search, search
+    // through live tombstones, the compaction fold, search after the fold,
+    // and the STALE-fallback search cost (what every mutation used to cost
+    // until the next buildIndex — the number the sidecar exists to avoid).
+    if (sections("tomb")) {
+      import graft.core.{CollectionConfig, IndexType}
+      // size scan partitions to the toy corpus: a ~26 MB layout under the
+      // default 128 MB maxPartitionBytes collapses to 1-2 scan tasks and
+      // the probe-join's distance work serializes — the measured "cost"
+      // would be task granularity, not the serving path (at production
+      // scale per-cluster files exceed the default and this is moot)
+      val prevMPB = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      val root = s"$scaleDir/tomb_engine"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val e = new graft.api.Engine(spark, root)
+      e.createCollection(CollectionConfig("t", 64, IndexType.IvfFlat))
+      val docsDf = emb10.select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        typedLit(Map.empty[String, String]).as("params"))
+      e.ingestBatchIndexed("t", docsDf, assumeNewIds = true)
+      e.buildIndex("t", nlist = 32)
+      val q100 = emb10.filter(col("vec_id") < 100)
+        .select(col("vec_id").cast("string").as("query_id"),
+          col("embedding").as("query_vec"))
+      // steady-state serving cost: every mutation advances the layout
+      // stamp, so the FIRST search after one pays one-time fills (layout
+      // listing, tombstone-agg materialize + broadcast) — warm first,
+      // time the second
+      def searchRow(): Double = {
+        // isolate from the preceding mutation/compaction's storage residue
+        // (same contamination the dedup rows measured at 5×); the warm run
+        // then re-materializes whatever the serving path actually persists
+        // (tombstone agg broadcast) before the timed run
+        spark.catalog.clearCache()
+        drain(e.searchVectorsDf("t", q100, 10))
+        time(drain(e.searchVectorsDf("t", q100, 10)))
+      }
+      out("tomb_search_clean") = searchRow()
+      // update 1% (jittered vectors) + delete 1% — both maintained
+      val nUp = (emb10.count() / 100).toInt
+      out("tomb_update_batch") = time {
+        e.ingestBatchIndexed("t", emb10.filter(col("vec_id") < nUp)
+          .select(col("vec_id").cast("string").as("id"),
+            transform(col("embedding"), x => (x + 0.01f).cast("float")).as("vector"),
+            typedLit(Map.empty[String, String]).as("params")))
+      }
+      val delIds = emb10.filter(col("vec_id") >= nUp && col("vec_id") < 2L * nUp)
+        .select(col("vec_id").cast("string")).collect().map(_.getString(0)).toSeq
+      out("tomb_delete_batch") = time(e.deleteDocuments("t", delIds))
+      out("tomb_search_tombstoned") = searchRow()
+      out("tomb_fold_compact") = time(e.compactLayout("t"))
+      out("tomb_search_folded") = searchRow()
+      // the pre-sidecar world: a point write stales the layout and every
+      // search until the next buildIndex re-assigns the live corpus
+      e.upsertDocument("t", graft.core.Document("stale_probe",
+        Array.fill(64)(0.5f)))
+      out("tomb_search_stale_fallback") = searchRow()
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMPB)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+
     for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)
          if sections("textops")) {
       spark.catalog.clearCache()

@@ -320,9 +320,14 @@ object IvfPq {
       .select(col(queryId), col("__cid"), col("__tab"))
     val shortlistK = rerankVecCol.fold(kTop)(_ => kTop * rerankFactor)
     // equi-join on the cluster id (corpus stays partitioned by cluster_id,
-    // probe rows shuffle to their target lists), ADC-score, bounded-heap topK
+    // probe rows shuffle to their target lists), ADC-score, bounded-heap
+    // topK. The merge hint pins the CORPUS to the streamed/shuffled side:
+    // a compacted layout's size estimate can drop below an unfilterable
+    // query-frame estimate and flip the plan to broadcasting the corpus
+    // (see IvfIndex.searchDistributed); AQE still demotes to broadcasting
+    // the query side at runtime when it is actually tiny.
     val shortlist = vfn.topKHits(
-      encoded
+      encoded.hint("merge")
         .join(probed, col("cluster_id") === col("__cid"))
         .withColumn("__adc", Bridge.column(AdcLookupSum(
           Bridge.expression(col("codes")), Bridge.expression(col("__tab"))))),
