@@ -595,8 +595,12 @@ class Engine(
     // (an id new to the store gets a tombstone with nothing to shadow —
     // harmless, and cheaper than computing the precise overlap set).
     // assumeNewIds pipelines skip both the join and the sidecar entirely.
+    // The overlap probe joins the raw LOG, not the LWW view: "ever seen"
+    // is a superset of "live" (extra tombstones for deleted-then-reborn
+    // ids are harmless) and it skips the per-batch window shuffle the LWW
+    // resolution costs over the whole corpus.
     val needTombstones = uniqueInBatch && !assumeNewIds &&
-      !batch.select(col("id")).join(store.read(coll).select(col("id")), "id").isEmpty
+      !batch.select(col("id")).join(store.log(coll).select(col("id")), "id").isEmpty
     // the graph tier's update path additionally requires a version-carrying
     // delta: a pre-versions delta row could not be shadowed, so an update
     // over one must stale instead of serving a stale incarnation

@@ -86,9 +86,14 @@ object ExactKnn {
       queryId: String = "query_id",
       queryVec: String = "query_vec"): DataFrame = {
     val q2 = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv0"))
+    // the corpus is pinned to the streamed/shuffled side: Catalyst picks
+    // the smaller size ESTIMATE to broadcast, and a compacted layout's
+    // estimate can undercut the shortlist's — broadcasting the corpus is
+    // an OOM at real scale (same flip as the cluster equi-joins; AQE still
+    // broadcasts the shortlist side at runtime when it is actually tiny)
     vfn.topKHits(
       shortlist.drop("distance", "rnk")
-        .join(vectors.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+        .join(vectors.select(col(corpusId), col(corpusVec)).hint("merge"), Seq(corpusId))
         .join(q2, Seq(queryId))
         .withColumn("__exact", vfn.distance(col(corpusVec), col("__qv0"), space)),
       col("__exact"), queryId, corpusId, k)

@@ -64,6 +64,46 @@ object Ingest {
       }
       .start()
 
+  /** CDC stream (upserts + deletes) that keeps the index layouts SERVING:
+    * records carry `is_deleted BOOLEAN`; each micro-batch applies its
+    * upserts through `ingestBatchIndexed` (insert/update tombstone
+    * maintenance) and its deletes through `deleteDocuments` (tombstone
+    * maintenance), so a mutating stream never stales the index to an
+    * exact-scan fallback.
+    *
+    * Contract: one micro-batch must not carry BOTH an upsert and a delete
+    * for the same id — a distributed batch has no total record order to
+    * arbitrate them (the split below applies upserts first, so deletes win
+    * deterministically, but relying on that couples the caller to this
+    * implementation). Replay safety: the upsert half rides the
+    * ledger/intent protocol; the delete half is idempotent by construction
+    * (store deletes are LWW tombstones, layout tombstones aggregate
+    * max-per-id — a replayed delete changes nothing a reader can see).
+    * Delete ids are micro-batch-sized by definition, so the driver-side
+    * collect is bounded by the trigger, not the corpus.
+    */
+  def streamCdcInto(
+      source: DataFrame,
+      engine: graft.api.Engine,
+      coll: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ups = batch.filter(!col("is_deleted"))
+          .select(col("id"), col("vector"), col("params"))
+        if (!ups.isEmpty)
+          engine.ingestBatchIndexed(coll, ups, assumeNewIds = false,
+            Some(batchId), streamId = checkpoint)
+        val dels = batch.filter(col("is_deleted"))
+          .select(col("id")).collect().map(_.getString(0))
+        if (dels.nonEmpty) engine.deleteDocuments(coll, dels.toSeq)
+      }
+      .start()
+
   /** Streaming corpus deduplication: every arriving micro-batch is deduped
     * against ALL previously ingested documents, the way a production
     * training-data pipeline ingests — incrementally, never re-shingling the

@@ -755,6 +755,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CDC stream (upserts + deletes) keeps the indexed layout current and serving") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, IndexType}
+    val src = Files.createTempDirectory("cdc-src").toString
+    val ck = Files.createTempDirectory("cdc-ck").toString
+    val root = Files.createTempDirectory("cdc-root").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 4, IndexType.IvfFlat))
+    e.batchUpsertDocuments("c", (0 until 30).map { i =>
+      Document(i.toString, Array(i * 1f, (i % 7) * 1f, 0f, 0f))
+    })
+    e.buildIndex("c", nlist = 2)
+    def stampOf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/c/index/layout_version")).trim.toLong
+    val s0 = stampOf
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("vector", ArrayType(FloatType, containsNull = false)),
+      StructField("params", MapType(StringType, StringType)),
+      StructField("is_deleted", BooleanType)))
+    // batch 1: one update (id 3 moves far away) + one delete (id 5)
+    Seq(("3", Seq(50f, 50f, 0f, 0f), Map.empty[String, String], false),
+        ("5", Seq(0f, 0f, 0f, 0f), Map.empty[String, String], true))
+      .toDF("id", "vector", "params", "is_deleted")
+      .write.mode("append").parquet(src)
+    Ingest.streamCdcInto(spark.readStream.schema(schema).parquet(src),
+      e, "c", ck).awaitTermination()
+    // upsert bumped one version, delete another — and BOTH maintained
+    assert(stampOf === s0 + 2,
+      "CDC batch staled the layout (maintenance did not run)")
+    assert(e.searchDocuments("c", Array(50f, 50f, 0f, 0f), 1).head.id === "3")
+    val nearOld = e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
+    assert(!nearOld.contains("5"), s"streamed delete still served: $nearOld")
+    assert(!nearOld.contains("3"), s"updated id's old incarnation served: $nearOld")
+    // batch 2: a fresh insert — same stream, layout stays current
+    Seq(("100", Seq(90f, 0f, 0f, 0f), Map.empty[String, String], false))
+      .toDF("id", "vector", "params", "is_deleted")
+      .write.mode("append").parquet(src)
+    Ingest.streamCdcInto(spark.readStream.schema(schema).parquet(src),
+      e, "c", ck).awaitTermination()
+    assert(stampOf === s0 + 3, "insert batch staled the layout")
+    assert(e.searchDocuments("c", Array(90f, 0f, 0f, 0f), 1).head.id === "100")
+  }
+
   test("an in-flight compaction marker makes a racing ingest stale the layout, not stamp it") {
     import graft.api.Engine
     import graft.core.{CollectionConfig, IndexType}
