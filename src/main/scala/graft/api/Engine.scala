@@ -430,11 +430,13 @@ class Engine(
     val cfg = configOf(coll)
     val layoutOpt = tierLayoutPath(coll)
     val wasCurrent = layoutOpt.exists(p => currentLayoutStamp(coll, p).isDefined)
-    // delete-through-delta needs versioned delta rows (see ingest's guard)
+    // delete-through-delta needs versioned delta rows (see ingest's guard);
+    // an unreadable delta blocks maintenance instead of failing the delete
     val versionedDelta = cfg.indexType != IndexType.Hnsw || {
       val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
-      !java.nio.file.Files.exists(dp) ||
-        spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version")
+      !java.nio.file.Files.exists(dp) || scala.util.Try(
+        spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version"))
+        .getOrElse(false)
     }
     val bucketedPre = if (wasCurrent) currentBucketedMeta(coll) else None
     val v = store.deleteVersioned(coll, ids, cfg.dimension)
@@ -607,8 +609,12 @@ class Engine(
     val legacyDeltaBlocksUpdate = needTombstones &&
       cfg.indexType == IndexType.Hnsw && {
         val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
-        java.nio.file.Files.exists(dp) &&
-          !spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version")
+        // an unreadable delta (crash-torn dir with no readable footer)
+        // blocks maintenance the same way a versionless one does — the
+        // batch still lands via the staling path, never an ingest failure
+        java.nio.file.Files.exists(dp) && !scala.util.Try(
+          spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version"))
+          .getOrElse(false)
       }
     // ANY lingering intent marker means some previous attempt (this stream,
     // a replaced checkpoint's stream, or an unreadable one) crashed inside
@@ -647,6 +653,18 @@ class Engine(
         encoded.write.mode("append").partitionBy("cluster_id").parquet(layoutPath)
       else
         encoded.write.mode("append").parquet(layoutPath)
+      // update batches: tombstone every touched id at THIS batch's version —
+      // the appended rows (version == v) survive the shadow rule, every
+      // older incarnation of the ids dies at read time. Written before ANY
+      // stamp advance (including the bucketed meta below): a stamp written
+      // first would open a window where a concurrent search reads the
+      // layout as CURRENT without the shadows and serves superseded
+      // incarnations beside the new ones. Crash after this write is
+      // harmless (stamps still old → stale → fallback); duplicate tombstone
+      // rows from a replay are harmless too (max-per-id aggregation).
+      if (needTombstones)
+        batch.select(col("id")).withColumn("ver", lit(v))
+          .write.mode("append").parquet(tombstonesPath(maintain.get._2))
       // keep the bucketed table current too (streaming maintenance): append
       // the same encoded rows bucketed, then advance the meta stamp under the
       // same still-newest condition. A crash between the two appends leaves
@@ -660,15 +678,6 @@ class Engine(
         if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
           atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
       }
-      // update batches: tombstone every touched id at THIS batch's version —
-      // the appended rows (version == v) survive the shadow rule, every
-      // older incarnation of the ids dies at read time. Written before the
-      // stamp advance: a crash in between leaves the layout stale (the
-      // lingering intent marker stales the replay too); duplicate tombstone
-      // rows from a replay are harmless (max-per-id aggregation).
-      if (needTombstones)
-        batch.select(col("id")).withColumn("ver", lit(v))
-          .write.mode("append").parquet(tombstonesPath(maintain.get._2))
     } finally encoded.unpersist(blocking = false)
     // advance the stamp only if our write is still the newest (a racer
     // leaves the stamp behind → stale → fallback; the appended rows are
