@@ -242,6 +242,42 @@ object RecallBench {
           require(rc == 200, s"wire search failed: $rc")
           (System.nanoTime() - t0) / 1e6
         })
+        // maintained point-WRITE floor: REST writes keep the layout serving
+        // now (append + tombstone + stamp instead of staling until the next
+        // buildIndex). Time single-doc POSTs — fresh ids (the delta-append
+        // path) and overwrites of existing ids (the tombstone path) — and
+        // PROVE the maintained path engaged: the layout stamp must advance
+        // once per write (a staling write leaves it behind, and we'd be
+        // timing the wrong path).
+        def postDoc(id: String, vec: Array[Float]): Int = {
+          val body = s"""{"id":"$id","vector":[${vec.mkString(",")}]}"""
+          val req = HttpRequest.newBuilder()
+            .uri(java.net.URI.create(s"http://127.0.0.1:$port/v1/collections/serve/documents"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+          client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+        }
+        def stampOf: Long = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$root/serve/index/layout_version")).trim.toLong
+        def freshVec(i: Int) = Array.tabulate(64)(j => ((i * 64 + j) % 97) * 0.01f)
+        require(postDoc("w_warm", freshVec(999)) == 200, "warm-up write failed")
+        val s0 = stampOf
+        reportLatency("rest_insert_maintained", (0 until 20).map { i =>
+          val t0 = System.nanoTime()
+          require(postDoc(s"w_$i", freshVec(i)) == 200, "insert failed")
+          (System.nanoTime() - t0) / 1e6
+        })
+        require(stampOf == s0 + 20,
+          s"maintained inserts staled the layout (stamp $s0 -> $stampOf)")
+        val updateIds = docs.take(20).map(_.id)
+        reportLatency("rest_update_maintained", updateIds.zipWithIndex.toSeq.map {
+          case (id, i) =>
+            val t0 = System.nanoTime()
+            require(postDoc(id, freshVec(100 + i)) == 200, "update failed")
+            (System.nanoTime() - t0) / 1e6
+        })
+        require(stampOf == s0 + 40,
+          s"maintained updates staled the layout (stamp expected ${s0 + 40}, got $stampOf)")
       } finally server.stop()
     }
 

@@ -375,10 +375,46 @@ class Engine(
   /** All-or-nothing batch upsert with dimension validation
     * (`document.go:280-285`); docs with `embedText` resolved through the
     * embedding provider (`document.go:54-68`).
+    *
+    * When the collection has a CURRENT index layout, the write routes
+    * through the same append+tombstone+stamp maintenance the streaming
+    * ingest uses, so REST point writes keep every tier serving (the
+    * reference's always-online index, `hnsw.go:59-82` Add/AddBatch go
+    * straight into live hnswlib) instead of staling
+    * the layout until the next buildIndex. In-batch duplicate ids collapse
+    * driver-side to the LAST occurrence first — the store's own
+    * sequential-put winner (`document.go:294-303`) — so the maintained
+    * path's version-equal layout rows can never tie. The existing-id probe
+    * is a zero-job driver-local point read: a LIVE id needs a tombstone to
+    * shadow its older layout row, while an absent-or-deleted id is already
+    * covered (a delete while the layout was current wrote its own sidecar
+    * entry; a staling delete would have left the layout stale and this
+    * path untaken). The probe is version-fenced inside `ingestBatchIndexed`
+    * against writers racing between probe and commit.
     */
   def batchUpsertDocuments(coll: String, docs: Seq[Document]): Unit = {
     val cfg = configOf(coll)
-    store.upsert(coll, docs, cfg.dimension)
+    require(docs.nonEmpty, "empty batch")
+    val maintained = tierLayoutPath(coll)
+      .exists(p => currentLayoutStamp(coll, p).isDefined)
+    if (!maintained) { store.upsert(coll, docs, cfg.dimension); return }
+    // all-or-nothing dimension validation (document.go:280-285) — the
+    // DataFrame commit below bypasses the store's Seq-side check
+    docs.find(d => d.vector == null || d.vector.length != cfg.dimension).foreach { d =>
+      throw new IllegalArgumentException(
+        s"document '${d.id}': vector dimension ${Option(d.vector).map(_.length).getOrElse(0)} != collection dimension ${cfg.dimension}")
+    }
+    val collapsed =
+      if (docs.map(_.id).distinct.size == docs.size) docs
+      else docs.zipWithIndex.groupBy(_._1.id).valuesIterator
+        .map(_.maxBy(_._2)._1).toSeq
+    // probe-version read FIRST: the fence must catch a writer landing
+    // between this read and the point reads below
+    val v0 = store.currentVersion(coll)
+    val overlap = store.getMany(coll, collapsed.map(_.id)).nonEmpty
+    import spark.implicits._
+    ingestBatchIndexed(coll, spark.createDataset(collapsed).toDF(),
+      uniqueIdsKnown = true, overlapProbe = Some((v0, overlap)))
   }
 
   /** Upsert with server-side embedding (params embedding=true path). */
@@ -391,7 +427,8 @@ class Engine(
     val v = provider.embed(text)
     require(v.length == cfg.dimension,
       s"provider dimension ${v.length} != collection dimension ${cfg.dimension}")
-    store.upsert(coll, Seq(Document(id, v, params)), cfg.dimension)
+    // through the batch path so an indexed collection stays maintained
+    batchUpsertDocuments(coll, Seq(Document(id, v, params)))
   }
 
   /** Deleted/tombstoned ids read as absent (divergence fix, SURVEY §7.4).
@@ -519,10 +556,23 @@ class Engine(
     * files themselves must not wedge recovery: corrupt ledger reads as
     * absent, a present-but-unreadable intent still forces the conservative
     * staling path).
+    *
+    * `uniqueIdsKnown = true` skips the in-batch duplicate check ONLY (the
+    * overlap probe and tombstone sidecar still run) — for driver-built
+    * batches already collapsed to one row per id. `overlapProbe` replaces
+    * the existing-id log join with a caller-side answer `(versionAtProbe,
+    * sawOverlap)` (the REST point-write path probes via zero-job
+    * driver-local reads): the answer is trusted only when this batch
+    * commits at `versionAtProbe + 1` — an interleaved writer could have
+    * inserted a probed id after the probe looked, so any version gap
+    * over-tombstones the whole batch instead (tombstones with nothing to
+    * shadow are harmless; a missed shadow would serve two incarnations).
     */
   def ingestBatchIndexed(coll: String, batch: DataFrame,
       assumeNewIds: Boolean = false, batchId: Option[Long] = None,
-      streamId: String = "default"): Unit = {
+      streamId: String = "default",
+      uniqueIdsKnown: Boolean = false,
+      overlapProbe: Option[(Long, Boolean)] = None): Unit = {
     val cfg = configOf(coll)
     import java.nio.file.{Files, Paths}
     val indexDir = Paths.get(s"$root/$coll/index")
@@ -588,7 +638,7 @@ class Engine(
     // arrival order, which a second evaluation of a nondeterministic
     // source cannot reproduce, and same-version layout rows cannot be
     // disambiguated by the tombstone rule either
-    val uniqueInBatch = maintainable && (assumeNewIds ||
+    val uniqueInBatch = maintainable && (assumeNewIds || uniqueIdsKnown ||
       batch.select(col("id")).groupBy(col("id")).count()
         .filter(col("count") > 1).isEmpty)
     // a batch touching EXISTING ids is maintained too — via the tombstone
@@ -601,21 +651,10 @@ class Engine(
     // is a superset of "live" (extra tombstones for deleted-then-reborn
     // ids are harmless) and it skips the per-batch window shuffle the LWW
     // resolution costs over the whole corpus.
-    val needTombstones = uniqueInBatch && !assumeNewIds &&
+    // (must run BEFORE the store commit below — afterwards every batch id
+    // is in the log and the join is vacuously non-empty)
+    val overlapViaLog = overlapProbe.isEmpty && uniqueInBatch && !assumeNewIds &&
       !batch.select(col("id")).join(store.log(coll).select(col("id")), "id").isEmpty
-    // the graph tier's update path additionally requires a version-carrying
-    // delta: a pre-versions delta row could not be shadowed, so an update
-    // over one must stale instead of serving a stale incarnation
-    val legacyDeltaBlocksUpdate = needTombstones &&
-      cfg.indexType == IndexType.Hnsw && {
-        val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
-        // an unreadable delta (crash-torn dir with no readable footer)
-        // blocks maintenance the same way a versionless one does — the
-        // batch still lands via the staling path, never an ingest failure
-        java.nio.file.Files.exists(dp) && !scala.util.Try(
-          spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version"))
-          .getOrElse(false)
-      }
     // ANY lingering intent marker means some previous attempt (this stream,
     // a replaced checkpoint's stream, or an unreadable one) crashed inside
     // the append window and may have committed layout rows — appending would
@@ -630,6 +669,27 @@ class Engine(
     // v is OUR batch's committed version — stamping any later version would
     // mark the layout current while missing an interleaved writer's rows
     val v = store.upsertDfVersioned(coll, batch)
+    // resolve the overlap answer now that our commit version is known: a
+    // caller-side probe is authoritative only when nothing interleaved
+    // between the probe and this commit (versions are +1-per-write, so
+    // v == versionAtProbe + 1 ⇔ no interleaved writer)
+    val needTombstones = uniqueInBatch && !assumeNewIds && (overlapProbe match {
+      case Some((v0, saw)) => saw || v != v0 + 1
+      case None => overlapViaLog
+    })
+    // the graph tier's update path additionally requires a version-carrying
+    // delta: a pre-versions delta row could not be shadowed, so an update
+    // over one must stale instead of serving a stale incarnation
+    val legacyDeltaBlocksUpdate = needTombstones &&
+      cfg.indexType == IndexType.Hnsw && {
+        val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
+        // an unreadable delta (crash-torn dir with no readable footer)
+        // blocks maintenance the same way a versionless one does — the
+        // batch still lands via the staling path, never an ingest failure
+        java.nio.file.Files.exists(dp) && !scala.util.Try(
+          spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version"))
+          .getOrElse(false)
+      }
     def settleLedger(): Unit = batchId.foreach { bid =>
       atomicWrite(ledgerPath, s"$streamId\n$bid")
       Files.deleteIfExists(intentPath)

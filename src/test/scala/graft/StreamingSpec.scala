@@ -749,8 +749,14 @@ class StreamingSpec extends SparkSpec {
       for (b <- 0 until 6)
         assert(e.searchDocuments("c", Array(0.5f + b, 0f, 0f, 0f), 1)
           .head.id === s"${100 + b}", s"$tier: streamed doc ${100 + b} not served")
-      // a stale layout has nothing to compact (the next buildIndex rewrites)
-      e.upsertDocument("c", Document("100", Array(9f, 9f, 9f, 9f)))
+      // a stale layout has nothing to compact (the next buildIndex
+      // rewrites). REST upserts are MAINTAINED now, so stale via the
+      // documented staling path: in-batch duplicate ids force the
+      // store-only fallback, leaving the stamp behind
+      e.ingestBatchIndexed("c",
+        Seq(("100", Seq(9f, 9f, 9f, 9f), Map.empty[String, String]),
+            ("100", Seq(9f, 9f, 9f, 9f), Map.empty[String, String]))
+          .toDF("id", "vector", "params"))
       assert(!e.compactLayout("c"), s"$tier: compaction must no-op on a stale layout")
     }
   }

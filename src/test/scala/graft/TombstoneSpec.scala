@@ -98,6 +98,73 @@ class TombstoneSpec extends SparkSpec {
     }
   }
 
+  test("REST batch upserts keep every indexed tier current; results ≡ rebuild") {
+    for ((coll, it, params) <- tiers) {
+      val root = Files.createTempDirectory(s"rest-$coll").toString
+      val e = new Engine(spark, root)
+      e.createCollection(CollectionConfig(coll, 4, it, params = params))
+      e.batchUpsertDocuments(coll, mkCorpus(30)) // unbuilt → plain path
+      e.buildIndex(coll, nlist = 2)
+      if (params.contains("routeNlist")) e.setParams(coll, Map("routeNprobe" -> 4))
+      if (it == IndexType.Bq) e.setParams(coll, Map("rerankFactor" -> 40))
+      val s0 = stampOf(root, coll)
+      // one REST batch mixing an UPDATE of an indexed id, an in-batch
+      // duplicate (the LAST occurrence must win — sequential-put), and
+      // fresh inserts
+      e.batchUpsertDocuments(coll, Seq(
+        Document("3", Array(50f, 50f, 0f, 0f)),
+        Document("40", Array(1f, 2f, 3f, 4f)), // shadowed by the next row
+        Document("40", Array(70f, 70f, 0f, 0f)),
+        Document("41", Array(80f, 80f, 0f, 0f))))
+      assert(stampOf(root, coll) === s0 + 1,
+        s"$coll: REST batch upsert staled the layout")
+      // all-or-nothing: a wrong-dimension doc in a maintained batch throws
+      // BEFORE any write — neither the store nor the layout may move
+      val ex = intercept[IllegalArgumentException] {
+        e.batchUpsertDocuments(coll,
+          Seq(Document("90", Array(1f, 1f, 0f, 0f)), Document("91", Array(1f, 1f))))
+      }
+      assert(ex.getMessage.contains("dimension"))
+      assert(stampOf(root, coll) === s0 + 1, s"$coll: failed batch moved the stamp")
+      e.deleteDocuments(coll, Seq("5"))
+      assert(stampOf(root, coll) === s0 + 2,
+        s"$coll: delete after REST upsert staled the layout")
+
+      // twin engine BUILT FRESH over the same final corpus state
+      val root2 = Files.createTempDirectory(s"rest-$coll-twin").toString
+      val e2 = new Engine(spark, root2)
+      e2.createCollection(CollectionConfig(coll, 4, it, params = params))
+      e2.batchUpsertDocuments(coll,
+        mkCorpus(30).filterNot(_.id == "5")
+          .map(d => if (d.id == "3") Document("3", Array(50f, 50f, 0f, 0f)) else d)
+          ++ Seq(Document("40", Array(70f, 70f, 0f, 0f)),
+            Document("41", Array(80f, 80f, 0f, 0f))))
+      e2.buildIndex(coll, nlist = 2)
+      if (params.contains("routeNlist")) e2.setParams(coll, Map("routeNprobe" -> 4))
+      if (it == IndexType.Bq) e2.setParams(coll, Map("rerankFactor" -> 40))
+
+      val probes = Seq(
+        Array(50f, 50f, 0f, 0f), // updated id 3's new home
+        Array(3.2f, 3f, 0f, 0f), // id 3's old neighborhood
+        Array(70f, 70f, 0f, 0f), // duplicate-resolved insert
+        Array(80f, 80f, 0f, 0f), // plain insert
+        Array(5f, 5f, 0f, 0f))   // deleted id 5's exact old vector
+      for (q <- probes; k <- Seq(1, 5)) {
+        val got = e.searchDocuments(coll, q, k).map(h => (h.id, h.distance))
+        val want = e2.searchDocuments(coll, q, k).map(h => (h.id, h.distance))
+        assert(got === want,
+          s"$coll: REST-maintained layout diverged from rebuild at q=${q.toSeq} k=$k: $got vs $want")
+        assert(!got.exists(_._1 == "5"), s"$coll: deleted id served at q=${q.toSeq}")
+      }
+      // the duplicate's FIRST occurrence must be dead everywhere
+      val dup = e.searchDocuments(coll, Array(1f, 2f, 3f, 4f), 30)
+        .filter(_.id == "40").map(_.distance)
+      val dupTwin = e2.searchDocuments(coll, Array(1f, 2f, 3f, 4f), 30)
+        .filter(_.id == "40").map(_.distance)
+      assert(dup === dupTwin, s"$coll: in-batch duplicate resolution diverged")
+    }
+  }
+
   test("compactLayout folds tombstones: shadowed rows gone, sidecar cleared, results stable") {
     val root = Files.createTempDirectory("tomb-fold").toString
     val e = new Engine(spark, root)
