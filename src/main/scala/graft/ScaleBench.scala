@@ -406,10 +406,15 @@ object ScaleBench {
       out("tomb_search_tombstoned") = searchRow()
       out("tomb_fold_compact") = time(e.compactLayout("t"))
       out("tomb_search_folded") = searchRow()
-      // the pre-sidecar world: a point write stales the layout and every
-      // search until the next buildIndex re-assigns the live corpus
-      e.upsertDocument("t", graft.core.Document("stale_probe",
-        Array.fill(64)(0.5f)))
+      // the pre-sidecar world: a layout-staling write leaves every search
+      // re-assigning the live corpus until the next buildIndex. REST point
+      // writes are MAINTAINED now, so stale explicitly via the documented
+      // staling path — an ingest batch with in-batch duplicate ids takes
+      // the store-only fallback and leaves the stamp behind
+      e.ingestBatchIndexed("t",
+        Seq(("stale_probe", Seq.fill(64)(0.5f), Map.empty[String, String]),
+            ("stale_probe", Seq.fill(64)(0.5f), Map.empty[String, String]))
+          .toDF("id", "vector", "params"))
       out("tomb_search_stale_fallback") = searchRow()
       spark.conf.set("spark.sql.files.maxPartitionBytes", prevMPB)
       spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)

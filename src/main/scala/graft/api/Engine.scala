@@ -467,14 +467,8 @@ class Engine(
     val cfg = configOf(coll)
     val layoutOpt = tierLayoutPath(coll)
     val wasCurrent = layoutOpt.exists(p => currentLayoutStamp(coll, p).isDefined)
-    // delete-through-delta needs versioned delta rows (see ingest's guard);
-    // an unreadable delta blocks maintenance instead of failing the delete
-    val versionedDelta = cfg.indexType != IndexType.Hnsw || {
-      val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
-      !java.nio.file.Files.exists(dp) || scala.util.Try(
-        spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version"))
-        .getOrElse(false)
-    }
+    // delete-through-delta needs versioned delta rows (see ingest's guard)
+    val versionedDelta = cfg.indexType != IndexType.Hnsw || hasVersionedDelta(coll)
     val bucketedPre = if (wasCurrent) currentBucketedMeta(coll) else None
     val v = store.deleteVersioned(coll, ids, cfg.dimension)
     if (wasCurrent && versionedDelta) {
@@ -677,24 +671,22 @@ class Engine(
       case Some((v0, saw)) => saw || v != v0 + 1
       case None => overlapViaLog
     })
-    // the graph tier's update path additionally requires a version-carrying
-    // delta: a pre-versions delta row could not be shadowed, so an update
-    // over one must stale instead of serving a stale incarnation
-    val legacyDeltaBlocksUpdate = needTombstones &&
-      cfg.indexType == IndexType.Hnsw && {
-        val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
-        // an unreadable delta (crash-torn dir with no readable footer)
-        // blocks maintenance the same way a versionless one does — the
-        // batch still lands via the staling path, never an ingest failure
-        java.nio.file.Files.exists(dp) && !scala.util.Try(
-          spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version"))
-          .getOrElse(false)
-      }
+    // a legacy versionless (or unreadable) delta blocks the ENTIRE hnsw
+    // maintained path, not just update batches: an insert append would mix
+    // versioned rows into the versionless dir — the single-footer schema
+    // probes could then misclassify the dir and legacy rows would read
+    // null versions (unshadowable, and an NPE for the delta readers) —
+    // and an update could not shadow the legacy rows at all. The batch
+    // still lands via the staling path, never an ingest failure. Blocking
+    // the append here is also what keeps every delta dir
+    // schema-homogeneous, which is what makes the footer probe sound.
+    val legacyDeltaBlocks = uniqueInBatch &&
+      cfg.indexType == IndexType.Hnsw && !hasVersionedDelta(coll)
     def settleLedger(): Unit = batchId.foreach { bid =>
       atomicWrite(ledgerPath, s"$streamId\n$bid")
       Files.deleteIfExists(intentPath)
     }
-    if (!uniqueInBatch || legacyDeltaBlocksUpdate || replayAfterPartialAppend) {
+    if (!uniqueInBatch || legacyDeltaBlocks || replayAfterPartialAppend) {
       // layout stale; searches fall back (correct, slower)
       settleLedger()
       return
@@ -722,8 +714,13 @@ class Engine(
       // incarnations beside the new ones. Crash after this write is
       // harmless (stamps still old → stale → fallback); duplicate tombstone
       // rows from a replay are harmless too (max-per-id aggregation).
+      // ids come from the CACHED encoded frame, not a re-evaluation of the
+      // caller's plan: a nondeterministically re-evaluated source could
+      // otherwise tombstone a different id set than was committed and
+      // appended — an id in the appended rows but not in the re-evaluation
+      // would get no shadow and serve two incarnations
       if (needTombstones)
-        batch.select(col("id")).withColumn("ver", lit(v))
+        encoded.select(col("id")).withColumn("ver", lit(v))
           .write.mode("append").parquet(tombstonesPath(maintain.get._2))
       // keep the bucketed table current too (streaming maintenance): append
       // the same encoded rows bucketed, then advance the meta stamp under the
@@ -804,6 +801,23 @@ class Engine(
         else compactLayout(coll)
       }
     }
+
+  /** Whether the hnsw `_delta` sidecar carries write versions. Absent =
+    * true (the first maintained append creates a versioned dir); present
+    * but versionless (pre-versions legacy) or unreadable (crash-torn dir
+    * with no readable footer) = false, which blocks ALL hnsw layout
+    * maintenance — both the update/delete shadow paths (legacy rows could
+    * not be shadowed) and insert appends (mixing schemas in one dir would
+    * make this very probe unsound). Every maintained append goes through
+    * this guard, so delta dirs stay schema-homogeneous and the
+    * single-footer read is trustworthy.
+    */
+  private def hasVersionedDelta(coll: String): Boolean = {
+    val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
+    !java.nio.file.Files.exists(dp) || scala.util.Try(
+      spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version"))
+      .getOrElse(false)
+  }
 
   /** Number of part files under a layout dir (recursive; `_`-prefixed
     * sidecars and markers excluded — the same set Spark's reader lists).

@@ -65,6 +65,41 @@ object vfn {
       .select(col(queryId), col("__h.id").as(corpusId),
         col("__h.distance").as("distance"), col("__h.rnk").as("rnk"))
 
+  /** Equi-join with the CORPUS pinned off the broadcast build side.
+    *
+    * Catalyst picks the smaller size ESTIMATE as the broadcast build side,
+    * and a compacted layout's on-disk estimate can undercut the query
+    * frame's — silently flipping the plan to "broadcast the corpus"
+    * (measured 3× slower at bench scale; an OOM at real scale). A bare
+    * merge hint is NOT the fix: join-strategy hints survive AQE
+    * re-planning (verified: a hinted SMJ is never demoted to broadcast at
+    * runtime), so it would force a full corpus shuffle+sort even when the
+    * other side is a handful of serving queries. Instead the OTHER side's
+    * own optimized-plan estimate decides: at or under the session
+    * broadcast threshold → explicit broadcast of that side (the corpus
+    * streams, zero corpus-side Exchange); over → merge hint (the corpus
+    * is shuffled, never built into a hash relation). A query frame whose
+    * estimate overshoots merely takes the shuffle plan; the catastrophic
+    * direction — a big corpus with a small estimate on the build side —
+    * is impossible by construction.
+    */
+  def joinCorpusStreamed(corpus: DataFrame, other: DataFrame,
+      joinExprs: Column): DataFrame =
+    if (broadcastable(other)) corpus.join(org.apache.spark.sql.functions.broadcast(other), joinExprs)
+    else corpus.hint("merge").join(other, joinExprs)
+
+  /** `joinCorpusStreamed` for using-column joins (one output key column). */
+  def joinCorpusStreamed(corpus: DataFrame, other: DataFrame,
+      usingColumns: Seq[String]): DataFrame =
+    if (broadcastable(other)) corpus.join(org.apache.spark.sql.functions.broadcast(other), usingColumns)
+    else corpus.hint("merge").join(other, usingColumns)
+
+  private def broadcastable(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+  }
+
   /** Register all distance functions for SQL use on this session. */
   def register(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "l2_sq")(es => L2Sq(es(0), es(1)))

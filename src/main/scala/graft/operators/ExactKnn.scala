@@ -86,14 +86,22 @@ object ExactKnn {
       queryId: String = "query_id",
       queryVec: String = "query_vec"): DataFrame = {
     val q2 = queries.select(col(queryId), col(queryVec).cast("array<float>").as("__qv0"))
-    // the corpus is pinned to the streamed/shuffled side: Catalyst picks
-    // the smaller size ESTIMATE to broadcast, and a compacted layout's
-    // estimate can undercut the shortlist's — broadcasting the corpus is
-    // an OOM at real scale (same flip as the cluster equi-joins; AQE still
-    // broadcasts the shortlist side at runtime when it is actually tiny)
+    // deliberately a PLAIN join (no strategy hint): `vectors` is the full
+    // unpruned corpus frame, so its size estimate is the whole file set and
+    // can only undershoot reality by the parquet compression factor — a
+    // corpus Catalyst picks for broadcast here is genuinely small, never
+    // the pruned-scan underestimate the cluster equi-joins guard against
+    // (vfn.joinCorpusStreamed). The shortlist side's estimate, by
+    // contrast, derives from the candidate join ABOVE the bounded-heap agg
+    // (non-CBO stats don't shrink through aggregates), so any static
+    // choice keyed on it would force a corpus-wide sort-merge even for a
+    // handful of serving queries — measured 15-20% slower on the quantized
+    // bench rows, and a join-strategy hint survives AQE re-planning. Left
+    // plain, AQE demotes the static SMJ to broadcasting the shortlist at
+    // runtime exactly when it is actually tiny.
     vfn.topKHits(
       shortlist.drop("distance", "rnk")
-        .join(vectors.select(col(corpusId), col(corpusVec)).hint("merge"), Seq(corpusId))
+        .join(vectors.select(col(corpusId), col(corpusVec)), Seq(corpusId))
         .join(q2, Seq(queryId))
         .withColumn("__exact", vfn.distance(col(corpusVec), col("__qv0"), space)),
       col("__exact"), queryId, corpusId, k)

@@ -667,6 +667,11 @@ object GraphAnn {
           }.collect()
         oversizedHits = rows.groupBy(_._1)
           .map { case (qi, arr) => qi -> arr.map(t => (t._2: Any, t._3)) }
+        // per-request broadcasts: destroy eagerly — oversized cells are by
+        // design never cached, so a sustained point-serve stream against a
+        // skewed layout re-enters this block per request and would accrete
+        // a broadcast pair each time until ContextCleaner catches up
+        bcQ.destroy(); bcRoute.destroy()
       }
     }
     val idType = idTypeOpt.get

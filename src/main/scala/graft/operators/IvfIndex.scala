@@ -225,14 +225,12 @@ object IvfIndex {
         Literal(nprobe), ip = model.space == SpaceType.Ip))))
     // equi-join on the cluster id: corpus stays partitioned by cluster_id,
     // queries shuffle by probe target — no collect, and the CORPUS side is
-    // never the broadcast build side. Without the hint, Catalyst picks the
-    // smaller ESTIMATE to broadcast — a compacted layout's estimate can
-    // drop below an unfilterable query-frame estimate, silently flipping
-    // the plan to "broadcast the corpus" (measured 3× slower at bench
-    // scale; an OOM at real scale). The merge hint pins the corpus to the
-    // streamed/shuffled side; AQE still demotes to broadcasting the QUERY
-    // side at runtime when the probe frame turns out tiny.
-    val cand = assigned.hint("merge").join(probed, col("cluster_id") === col("__cid"))
+    // never the broadcast build side (a compacted layout's small size
+    // estimate flipped the plain join to "broadcast the corpus": 3× slower
+    // at bench scale, an OOM at real scale). Small probe frames broadcast;
+    // big ones shuffle with the corpus pinned streamed — see
+    // vfn.joinCorpusStreamed for why a bare merge hint is wrong.
+    val cand = vfn.joinCorpusStreamed(assigned, probed, col("cluster_id") === col("__cid"))
     vfn.topKHits(
       cand.withColumn("distance", vfn.distance(col(corpusVec), col(queryVec), model.space)),
       col("distance"), queryId, corpusId, k)

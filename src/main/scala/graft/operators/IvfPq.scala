@@ -321,14 +321,13 @@ object IvfPq {
     val shortlistK = rerankVecCol.fold(kTop)(_ => kTop * rerankFactor)
     // equi-join on the cluster id (corpus stays partitioned by cluster_id,
     // probe rows shuffle to their target lists), ADC-score, bounded-heap
-    // topK. The merge hint pins the CORPUS to the streamed/shuffled side:
-    // a compacted layout's size estimate can drop below an unfilterable
-    // query-frame estimate and flip the plan to broadcasting the corpus
-    // (see IvfIndex.searchDistributed); AQE still demotes to broadcasting
-    // the query side at runtime when it is actually tiny.
+    // topK. The CORPUS is never the broadcast build side (a compacted
+    // layout's small size estimate flipped the plain join to broadcasting
+    // the corpus — see IvfIndex.searchDistributed); small probe frames
+    // broadcast, big ones shuffle with the corpus pinned streamed
+    // (vfn.joinCorpusStreamed).
     val shortlist = vfn.topKHits(
-      encoded.hint("merge")
-        .join(probed, col("cluster_id") === col("__cid"))
+      vfn.joinCorpusStreamed(encoded, probed, col("cluster_id") === col("__cid"))
         .withColumn("__adc", Bridge.column(AdcLookupSum(
           Bridge.expression(col("codes")), Bridge.expression(col("__tab"))))),
       col("__adc"), queryId, corpusId, shortlistK)

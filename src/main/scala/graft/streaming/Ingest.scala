@@ -93,12 +93,16 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ups = batch.filter(!col("is_deleted"))
+        // null is_deleted reads as upsert: both raw filters would drop a
+        // null row (null is neither true nor !true), silently losing every
+        // record of a CDC source that encodes "upsert" as absent/null
+        val flag = coalesce(col("is_deleted"), lit(false))
+        val ups = batch.filter(!flag)
           .select(col("id"), col("vector"), col("params"))
         if (!ups.isEmpty)
           engine.ingestBatchIndexed(coll, ups, assumeNewIds = false,
             Some(batchId), streamId = checkpoint)
-        val dels = batch.filter(col("is_deleted"))
+        val dels = batch.filter(flag)
           .select(col("id")).collect().map(_.getString(0))
         if (dels.nonEmpty) engine.deleteDocuments(coll, dels.toSeq)
       }

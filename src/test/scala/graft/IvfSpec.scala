@@ -106,6 +106,32 @@ class IvfSpec extends SparkSpec {
     assert(res.groupBy("query_id").count().count() === 5000L)
   }
 
+  /** A join-strategy hint survives AQE re-planning, so pinning the cluster
+    * equi-join with a bare merge hint would force a full corpus
+    * shuffle+sort even for a handful of serving queries. The guard
+    * (vfn.joinCorpusStreamed) must instead broadcast a tiny probe frame —
+    * zero corpus-side Exchange — while the threshold-off regime below
+    * (the big-probe-frame case) keeps the corpus off the build side.
+    */
+  test("cluster equi-join: a tiny probe frame broadcasts, never a forced corpus sort-merge") {
+    val pts = (0 until 300).map(i => (i.toString, Seq.tabulate(8)(j =>
+      (if (j == i % 4 * 2) 5f else 0.2f) + (i % 7) * 0.01f)))
+    val corpus = pts.toDF("id", "vector")
+    val model = IvfIndex.train(corpus, "vector", nlist = 4)
+    val assigned = IvfIndex.assign(corpus, "vector", model).cache()
+    assigned.count()
+    val tinyQ = (0 until 4).map(i => (s"q$i", Seq.tabulate(8)(_ * 0.1f)))
+      .toDF("query_id", "query_vec")
+    val res = IvfIndex.searchDistributed(assigned, tinyQ, model, k = 3, nprobe = 2)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny probe frame should broadcast into the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tiny probe frame must not force a corpus-wide sort-merge:\n$plan")
+    assigned.unpersist()
+  }
+
   /** The bucketed layout makes the distributed KNN-join corpus-shuffle-free:
     * the equi-join on cluster_id reads the corpus pre-hashed, only the probe
     * frame exchanges — the plan shape a 100 TB corpus needs when query
