@@ -162,6 +162,30 @@ class TombstoneSpec extends SparkSpec {
       val dupTwin = e2.searchDocuments(coll, Array(1f, 2f, 3f, 4f), 30)
         .filter(_.id == "40").map(_.distance)
       assert(dup === dupTwin, s"$coll: in-batch duplicate resolution diverged")
+
+      // REBIRTH of the deleted id: the overlap probe sees it as absent
+      // (getMany omits tombstoned ids) so NO new shadow is written — the
+      // delete's own earlier sidecar entry must already cover the old
+      // incarnation, and the reborn row (version > delete version) must
+      // serve. This pins the docstring's "absent-or-deleted ids are
+      // already covered" argument.
+      e.batchUpsertDocuments(coll, Seq(Document("5", Array(90f, 90f, 0f, 0f))))
+      assert(stampOf(root, coll) === s0 + 3, s"$coll: rebirth staled the layout")
+      val reborn = e.searchDocuments(coll, Array(90f, 90f, 0f, 0f), 1)
+      assert(reborn.map(_.id) === Seq("5") && reborn.head.distance === 0.0,
+        s"$coll: reborn id not served at its new vector: $reborn")
+      assert(!e.searchDocuments(coll, Array(5f, 5f, 0f, 0f), 3).exists(h =>
+        h.id == "5" && h.distance == 0.0),
+        s"$coll: reborn id still serves its pre-delete incarnation")
+      // UPDATE of the REST-inserted id (delta-resident on the graph tiers):
+      // the old incarnation at (70,70) must die, the move must serve
+      e.batchUpsertDocuments(coll, Seq(Document("40", Array(75f, 75f, 0f, 0f))))
+      assert(stampOf(root, coll) === s0 + 4, s"$coll: delta-row update staled the layout")
+      assert(e.searchDocuments(coll, Array(75f, 75f, 0f, 0f), 1).map(_.id) === Seq("40"),
+        s"$coll: updated delta-resident id not served at its new vector")
+      assert(!e.searchDocuments(coll, Array(70f, 70f, 0f, 0f), 3).exists(h =>
+        h.id == "40" && h.distance == 0.0),
+        s"$coll: updated delta-resident id still serves its old incarnation")
     }
   }
 
