@@ -360,6 +360,8 @@ class Engine(
     }
     tombMapCache.keys.filter(_._1.startsWith(s"$root/$name/"))
       .foreach(tombMapCache.remove)
+    versionedDeltaMemo.keys.filter(_.startsWith(s"$root/$name/"))
+      .foreach(versionedDeltaMemo.remove)
     catalog.drop(name)
   }
 
@@ -597,189 +599,199 @@ class Engine(
     // merging top-k — the LSM shape (graph = sorted runs, delta =
     // memtable), folded back in at the next buildIndex. A 100 TB graph
     // layout thus absorbs streaming inserts without a rebuild per batch.
-    val maintain: Option[(DataFrame => DataFrame, String, String, Boolean)] = cfg.indexType match {
-      case IndexType.IvfFlat =>
-        loadedIvfOpt(coll).map(m =>
-          ((df: DataFrame) => IvfIndex.assign(df, "vector", m),
-            ivfLayoutPath(coll), ivfLayoutPath(coll), true))
-      case IndexType.IvfPq =>
-        loadedPqOpt(coll).map(m =>
-          ((df: DataFrame) => IvfPq.encode(df, "vector", m),
-            pqLayoutPath(coll), pqLayoutPath(coll), true))
-      case IndexType.Opq =>
-        loadedOpqOpt(coll).map(m =>
-          ((df: DataFrame) => Opq.encode(df, "vector", m),
-            opqLayoutPath(coll), opqLayoutPath(coll), true))
-      case IndexType.Sq =>
-        loadedSqOpt(coll).map(m =>
-          ((df: DataFrame) => ScalarQuant.encode(df, "vector", m),
-            sqLayoutPath(coll), sqLayoutPath(coll), false))
-      case IndexType.Bq =>
-        loadedBqOpt(coll).map(m =>
-          ((df: DataFrame) => BinaryQuant.encode(df, "vector", m),
-            bqLayoutPath(coll), bqLayoutPath(coll), false))
-      case IndexType.Hnsw =>
-        // delta rows carry their write version so a later tombstone can
-        // shadow superseded incarnations (update-through-delta)
-        Some(((df: DataFrame) => df.select(col("id"), col("vector"), col("version")),
-          hnswLayoutPath(coll), hnswDeltaPath(coll), false))
-      case _ => None
-    }
-    val maintainable = maintain.exists { case (_, checkPath, _, _) =>
-      currentLayoutStamp(coll, checkPath).isDefined // stamp check only — no schema inference
-    }
-    // in-batch duplicate ids → stale path: the store resolves them by
-    // arrival order, which a second evaluation of a nondeterministic
-    // source cannot reproduce, and same-version layout rows cannot be
-    // disambiguated by the tombstone rule either
-    val uniqueInBatch = maintainable && (assumeNewIds || uniqueIdsKnown ||
-      batch.select(col("id")).groupBy(col("id")).count()
-        .filter(col("count") > 1).isEmpty)
-    // a batch touching EXISTING ids is maintained too — via the tombstone
-    // sidecar: the batch's rows append exactly like inserts, and a
-    // tombstone (id, v) shadows every OLDER incarnation of each touched id
-    // (an id new to the store gets a tombstone with nothing to shadow —
-    // harmless, and cheaper than computing the precise overlap set).
-    // assumeNewIds pipelines skip both the join and the sidecar entirely.
-    // The overlap probe joins the raw LOG, not the LWW view: "ever seen"
-    // is a superset of "live" (extra tombstones for deleted-then-reborn
-    // ids are harmless) and it skips the per-batch window shuffle the LWW
-    // resolution costs over the whole corpus.
-    // (must run BEFORE the store commit below — afterwards every batch id
-    // is in the log and the join is vacuously non-empty)
-    val overlapViaLog = overlapProbe.isEmpty && uniqueInBatch && !assumeNewIds &&
-      !batch.select(col("id")).join(store.log(coll).select(col("id")), "id").isEmpty
-    // ANY lingering intent marker means some previous attempt (this stream,
-    // a replaced checkpoint's stream, or an unreadable one) crashed inside
-    // the append window and may have committed layout rows — appending would
-    // risk duplicate ids in the layout, so take the staling path instead
-    // (the re-upsert below bumps the store version past any stamp the
-    // crashed attempt could have written)
-    val replayAfterPartialAppend = batchId.isDefined && Files.exists(intentPath)
-    // capture bucketed-table currency BEFORE the upsert bumps the version:
-    // "current" here means it reflects every row up to this batch's
-    // predecessor — exactly the state an append of THIS batch keeps current
-    val bucketedPre = if (maintainable) currentBucketedMeta(coll) else None
-    // v is OUR batch's committed version — stamping any later version would
-    // mark the layout current while missing an interleaved writer's rows
-    val v = store.upsertDfVersioned(coll, batch)
-    // resolve the overlap answer now that our commit version is known: a
-    // caller-side probe is authoritative only when nothing interleaved
-    // between the probe and this commit (versions are +1-per-write, so
-    // v == versionAtProbe + 1 ⇔ no interleaved writer)
-    val needTombstones = uniqueInBatch && !assumeNewIds && (overlapProbe match {
-      case Some((v0, saw)) => saw || v != v0 + 1
-      case None => overlapViaLog
-    })
-    // a legacy versionless (or unreadable) delta blocks the ENTIRE hnsw
-    // maintained path, not just update batches: an insert append would mix
-    // versioned rows into the versionless dir — the single-footer schema
-    // probes could then misclassify the dir and legacy rows would read
-    // null versions (unshadowable, and an NPE for the delta readers) —
-    // and an update could not shadow the legacy rows at all. The batch
-    // still lands via the staling path, never an ingest failure. Blocking
-    // the append here is also what keeps every delta dir
-    // schema-homogeneous, which is what makes the footer probe sound.
-    val legacyDeltaBlocks = uniqueInBatch &&
-      cfg.indexType == IndexType.Hnsw && !hasVersionedDelta(coll)
-    def settleLedger(): Unit = batchId.foreach { bid =>
-      atomicWrite(ledgerPath, s"$streamId\n$bid")
-      Files.deleteIfExists(intentPath)
-    }
-    if (!uniqueInBatch || legacyDeltaBlocks || replayAfterPartialAppend) {
-      // layout stale; searches fall back (correct, slower)
-      settleLedger()
-      return
-    }
-    batchId.foreach(bid => atomicWrite(intentPath, s"$streamId\n$bid"))
-    // mirror upsertDf's stamping so layout rows carry the store schema
-    // (insert-only + unique ids ⇒ seq never decides a winner)
-    val stamped = batch.select(col("id"), col("vector"), col("params"))
-      .withColumn("version", lit(v))
-      .withColumn("seq", monotonically_increasing_id())
-      .withColumn("is_deleted", lit(false))
-    val (encode, _, layoutPath, clustered) = maintain.get
-    val encoded = encode(stamped).cache()
+    // ONE evaluation of the caller's plan feeds everything below — the
+    // store commit, the duplicate check, the overlap probe, the layout
+    // encode, and the tombstone ids. Without the cache, a
+    // nondeterministically re-evaluated source could commit one id set to
+    // the store and append/shadow a DIFFERENT one: an id committed but
+    // never appended (or appended but never shadowed) would be served
+    // stale from the layout while the store holds its newer incarnation.
+    batch.cache()
     try {
-      if (clustered)
-        encoded.write.mode("append").partitionBy("cluster_id").parquet(layoutPath)
-      else
-        encoded.write.mode("append").parquet(layoutPath)
-      // update batches: tombstone every touched id at THIS batch's version —
-      // the appended rows (version == v) survive the shadow rule, every
-      // older incarnation of the ids dies at read time. Written before ANY
-      // stamp advance (including the bucketed meta below): a stamp written
-      // first would open a window where a concurrent search reads the
-      // layout as CURRENT without the shadows and serves superseded
-      // incarnations beside the new ones. Crash after this write is
-      // harmless (stamps still old → stale → fallback); duplicate tombstone
-      // rows from a replay are harmless too (max-per-id aggregation).
-      // ids come from the CACHED encoded frame, not a re-evaluation of the
-      // caller's plan: a nondeterministically re-evaluated source could
-      // otherwise tombstone a different id set than was committed and
-      // appended — an id in the appended rows but not in the re-evaluation
-      // would get no shadow and serve two incarnations
-      if (needTombstones)
-        encoded.select(col("id")).withColumn("ver", lit(v))
-          .write.mode("append").parquet(tombstonesPath(maintain.get._2))
-      // keep the bucketed table current too (streaming maintenance): append
-      // the same encoded rows bucketed, then advance the meta stamp under the
-      // same still-newest condition. A crash between the two appends leaves
-      // the intent marker in place → the replay stales everything; a crash
-      // before the meta update leaves the meta stale → searches fall back
-      // (the extra table rows are unread until the next buildIndex rewrite)
-      bucketedPre.foreach { case (table, buckets, path, _) =>
-        encoded.write.mode("append").option("path", path)
-          .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
-          .saveAsTable(table)
-        if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
-          atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
+      val maintain: Option[(DataFrame => DataFrame, String, String, Boolean)] = cfg.indexType match {
+        case IndexType.IvfFlat =>
+          loadedIvfOpt(coll).map(m =>
+            ((df: DataFrame) => IvfIndex.assign(df, "vector", m),
+              ivfLayoutPath(coll), ivfLayoutPath(coll), true))
+        case IndexType.IvfPq =>
+          loadedPqOpt(coll).map(m =>
+            ((df: DataFrame) => IvfPq.encode(df, "vector", m),
+              pqLayoutPath(coll), pqLayoutPath(coll), true))
+        case IndexType.Opq =>
+          loadedOpqOpt(coll).map(m =>
+            ((df: DataFrame) => Opq.encode(df, "vector", m),
+              opqLayoutPath(coll), opqLayoutPath(coll), true))
+        case IndexType.Sq =>
+          loadedSqOpt(coll).map(m =>
+            ((df: DataFrame) => ScalarQuant.encode(df, "vector", m),
+              sqLayoutPath(coll), sqLayoutPath(coll), false))
+        case IndexType.Bq =>
+          loadedBqOpt(coll).map(m =>
+            ((df: DataFrame) => BinaryQuant.encode(df, "vector", m),
+              bqLayoutPath(coll), bqLayoutPath(coll), false))
+        case IndexType.Hnsw =>
+          // delta rows carry their write version so a later tombstone can
+          // shadow superseded incarnations (update-through-delta)
+          Some(((df: DataFrame) => df.select(col("id"), col("vector"), col("version")),
+            hnswLayoutPath(coll), hnswDeltaPath(coll), false))
+        case _ => None
       }
-    } finally encoded.unpersist(blocking = false)
-    // advance the stamp only if our write is still the newest (a racer
-    // leaves the stamp behind → stale → fallback; the appended rows are
-    // still consistent) AND no compaction is in flight — a compaction that
-    // read the layout before our append destroys our rows in its
-    // delete+rename swap; its own restamp guard protects only its stamp,
-    // so without this check WE would certify the row-missing layout (the
-    // currentVersion==v guard still holds: compaction bumps no versions).
-    // The marker is written before compaction's read, so an append that
-    // lands after the read always observes it here and stales instead.
-    if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
-      atomicWrite(
-        java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
-    // size-triggered delta compaction (the LSM fold policy): once the hnsw
-    // delta sidecar holds >= `deltaCompactRows` rows, fold it into fresh
-    // adjacency RIGHT HERE — a stream that never sees a manual buildIndex
-    // still bounds its exact-scan share. Cost is amortized: one rebuild per
-    // `deltaCompactRows` streamed rows. Crash-safety is the existing
-    // protocol's: a crash mid-rebuild leaves the intent marker, the replay
-    // stales the layout, and searches fall back until the next successful
-    // build. (The count job runs only when the knob is configured.)
-    if (cfg.indexType == IndexType.Hnsw)
-      cfg.params.get("deltaCompactRows").map(_.toLong).foreach { limit =>
-        require(limit > 0, s"deltaCompactRows must be positive, got $limit")
-        val deltaDir = java.nio.file.Paths.get(hnswDeltaPath(coll))
-        if (java.nio.file.Files.exists(deltaDir) &&
-            spark.read.parquet(hnswDeltaPath(coll)).count() >= limit)
-          buildIndex(coll)
+      val maintainable = maintain.exists { case (_, checkPath, _, _) =>
+        currentLayoutStamp(coll, checkPath).isDefined // stamp check only — no schema inference
       }
-    settleLedger()
-    // small-files compaction for the APPENDED tiers (ivf/pq/opq/sq/bq): each
-    // streamed batch adds ~one file per write task, so a long stream turns
-    // the layout into thousands of tiny parquet files (listing + footer
-    // overhead per search). Once the layout holds >= `layoutCompactFiles`
-    // data files, rewrite it coalesced — a pure byte rewrite keyed off the
-    // file listing, no re-encode, no retrain. Runs AFTER the ledger settles:
-    // a crash mid-compaction leaves the batch fully applied and the layout
-    // merely stale (searches fall back to the live corpus until the next
-    // buildIndex), never partially served.
-    if (cfg.indexType != IndexType.Hnsw)
-      cfg.params.get("layoutCompactFiles").map(_.toInt).foreach { limit =>
-        require(limit > 0, s"layoutCompactFiles must be positive, got $limit")
-        if (countLayoutDataFiles(maintain.get._3) >= limit) compactLayout(coll)
+      // in-batch duplicate ids → stale path: the store resolves them by
+      // arrival order, which a second evaluation of a nondeterministic
+      // source cannot reproduce, and same-version layout rows cannot be
+      // disambiguated by the tombstone rule either
+      val uniqueInBatch = maintainable && (assumeNewIds || uniqueIdsKnown ||
+        batch.select(col("id")).groupBy(col("id")).count()
+          .filter(col("count") > 1).isEmpty)
+      // a batch touching EXISTING ids is maintained too — via the tombstone
+      // sidecar: the batch's rows append exactly like inserts, and a
+      // tombstone (id, v) shadows every OLDER incarnation of each touched id
+      // (an id new to the store gets a tombstone with nothing to shadow —
+      // harmless, and cheaper than computing the precise overlap set).
+      // assumeNewIds pipelines skip both the join and the sidecar entirely.
+      // The overlap probe joins the raw LOG, not the LWW view: "ever seen"
+      // is a superset of "live" (extra tombstones for deleted-then-reborn
+      // ids are harmless) and it skips the per-batch window shuffle the LWW
+      // resolution costs over the whole corpus.
+      // (must run BEFORE the store commit below — afterwards every batch id
+      // is in the log and the join is vacuously non-empty)
+      val overlapViaLog = overlapProbe.isEmpty && uniqueInBatch && !assumeNewIds &&
+        !batch.select(col("id")).join(store.log(coll).select(col("id")), "id").isEmpty
+      // ANY lingering intent marker means some previous attempt (this stream,
+      // a replaced checkpoint's stream, or an unreadable one) crashed inside
+      // the append window and may have committed layout rows — appending would
+      // risk duplicate ids in the layout, so take the staling path instead
+      // (the re-upsert below bumps the store version past any stamp the
+      // crashed attempt could have written)
+      val replayAfterPartialAppend = batchId.isDefined && Files.exists(intentPath)
+      // capture bucketed-table currency BEFORE the upsert bumps the version:
+      // "current" here means it reflects every row up to this batch's
+      // predecessor — exactly the state an append of THIS batch keeps current
+      val bucketedPre = if (maintainable) currentBucketedMeta(coll) else None
+      // v is OUR batch's committed version — stamping any later version would
+      // mark the layout current while missing an interleaved writer's rows
+      val v = store.upsertDfVersioned(coll, batch)
+      // resolve the overlap answer now that our commit version is known: a
+      // caller-side probe is authoritative only when nothing interleaved
+      // between the probe and this commit (versions are +1-per-write, so
+      // v == versionAtProbe + 1 ⇔ no interleaved writer)
+      val needTombstones = uniqueInBatch && !assumeNewIds && (overlapProbe match {
+        case Some((v0, saw)) => saw || v != v0 + 1
+        case None => overlapViaLog
+      })
+      // a legacy versionless (or unreadable) delta blocks the ENTIRE hnsw
+      // maintained path, not just update batches: an insert append would mix
+      // versioned rows into the versionless dir — the single-footer schema
+      // probes could then misclassify the dir and legacy rows would read
+      // null versions (unshadowable, and an NPE for the delta readers) —
+      // and an update could not shadow the legacy rows at all. The batch
+      // still lands via the staling path, never an ingest failure. Blocking
+      // the append here is also what keeps every delta dir
+      // schema-homogeneous, which is what makes the footer probe sound.
+      val legacyDeltaBlocks = uniqueInBatch &&
+        cfg.indexType == IndexType.Hnsw && !hasVersionedDelta(coll)
+      def settleLedger(): Unit = batchId.foreach { bid =>
+        atomicWrite(ledgerPath, s"$streamId\n$bid")
+        Files.deleteIfExists(intentPath)
       }
-    maybeFoldTombstones(coll, cfg, maintain.get._2)
+      if (!uniqueInBatch || legacyDeltaBlocks || replayAfterPartialAppend) {
+        // layout stale; searches fall back (correct, slower)
+        settleLedger()
+        return
+      }
+      batchId.foreach(bid => atomicWrite(intentPath, s"$streamId\n$bid"))
+      // mirror upsertDf's stamping so layout rows carry the store schema
+      // (insert-only + unique ids ⇒ seq never decides a winner)
+      val stamped = batch.select(col("id"), col("vector"), col("params"))
+        .withColumn("version", lit(v))
+        .withColumn("seq", monotonically_increasing_id())
+        .withColumn("is_deleted", lit(false))
+      val (encode, _, layoutPath, clustered) = maintain.get
+      val encoded = encode(stamped).cache()
+      try {
+        if (clustered)
+          encoded.write.mode("append").partitionBy("cluster_id").parquet(layoutPath)
+        else
+          encoded.write.mode("append").parquet(layoutPath)
+        // update batches: tombstone every touched id at THIS batch's version —
+        // the appended rows (version == v) survive the shadow rule, every
+        // older incarnation of the ids dies at read time. Written before ANY
+        // stamp advance (including the bucketed meta below): a stamp written
+        // first would open a window where a concurrent search reads the
+        // layout as CURRENT without the shadows and serves superseded
+        // incarnations beside the new ones. Crash after this write is
+        // harmless (stamps still old → stale → fallback); duplicate tombstone
+        // rows from a replay are harmless too (max-per-id aggregation).
+        // ids come from the CACHED encoded frame, not a re-evaluation of the
+        // caller's plan: a nondeterministically re-evaluated source could
+        // otherwise tombstone a different id set than was committed and
+        // appended — an id in the appended rows but not in the re-evaluation
+        // would get no shadow and serve two incarnations
+        if (needTombstones)
+          encoded.select(col("id")).withColumn("ver", lit(v))
+            .write.mode("append").parquet(tombstonesPath(maintain.get._2))
+        // keep the bucketed table current too (streaming maintenance): append
+        // the same encoded rows bucketed, then advance the meta stamp under the
+        // same still-newest condition. A crash between the two appends leaves
+        // the intent marker in place → the replay stales everything; a crash
+        // before the meta update leaves the meta stale → searches fall back
+        // (the extra table rows are unread until the next buildIndex rewrite)
+        bucketedPre.foreach { case (table, buckets, path, _) =>
+          encoded.write.mode("append").option("path", path)
+            .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
+            .saveAsTable(table)
+          if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
+            atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
+        }
+      } finally encoded.unpersist(blocking = false)
+      // advance the stamp only if our write is still the newest (a racer
+      // leaves the stamp behind → stale → fallback; the appended rows are
+      // still consistent) AND no compaction is in flight — a compaction that
+      // read the layout before our append destroys our rows in its
+      // delete+rename swap; its own restamp guard protects only its stamp,
+      // so without this check WE would certify the row-missing layout (the
+      // currentVersion==v guard still holds: compaction bumps no versions).
+      // The marker is written before compaction's read, so an append that
+      // lands after the read always observes it here and stales instead.
+      if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
+        atomicWrite(
+          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
+      // size-triggered delta compaction (the LSM fold policy): once the hnsw
+      // delta sidecar holds >= `deltaCompactRows` rows, fold it into fresh
+      // adjacency RIGHT HERE — a stream that never sees a manual buildIndex
+      // still bounds its exact-scan share. Cost is amortized: one rebuild per
+      // `deltaCompactRows` streamed rows. Crash-safety is the existing
+      // protocol's: a crash mid-rebuild leaves the intent marker, the replay
+      // stales the layout, and searches fall back until the next successful
+      // build. (The count job runs only when the knob is configured.)
+      if (cfg.indexType == IndexType.Hnsw)
+        cfg.params.get("deltaCompactRows").map(_.toLong).foreach { limit =>
+          require(limit > 0, s"deltaCompactRows must be positive, got $limit")
+          val deltaDir = java.nio.file.Paths.get(hnswDeltaPath(coll))
+          if (java.nio.file.Files.exists(deltaDir) &&
+              spark.read.parquet(hnswDeltaPath(coll)).count() >= limit)
+            buildIndex(coll)
+        }
+      settleLedger()
+      // small-files compaction for the APPENDED tiers (ivf/pq/opq/sq/bq): each
+      // streamed batch adds ~one file per write task, so a long stream turns
+      // the layout into thousands of tiny parquet files (listing + footer
+      // overhead per search). Once the layout holds >= `layoutCompactFiles`
+      // data files, rewrite it coalesced — a pure byte rewrite keyed off the
+      // file listing, no re-encode, no retrain. Runs AFTER the ledger settles:
+      // a crash mid-compaction leaves the batch fully applied and the layout
+      // merely stale (searches fall back to the live corpus until the next
+      // buildIndex), never partially served.
+      if (cfg.indexType != IndexType.Hnsw)
+        cfg.params.get("layoutCompactFiles").map(_.toInt).foreach { limit =>
+          require(limit > 0, s"layoutCompactFiles must be positive, got $limit")
+          if (countLayoutDataFiles(maintain.get._3) >= limit) compactLayout(coll)
+        }
+      maybeFoldTombstones(coll, cfg, maintain.get._2)
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Size-triggered tombstone fold (the `tombstoneCompactRows` knob): once
@@ -802,22 +814,52 @@ class Engine(
       }
     }
 
-  /** Whether the hnsw `_delta` sidecar carries write versions. Absent =
-    * true (the first maintained append creates a versioned dir); present
-    * but versionless (pre-versions legacy) or unreadable (crash-torn dir
-    * with no readable footer) = false, which blocks ALL hnsw layout
-    * maintenance — both the update/delete shadow paths (legacy rows could
-    * not be shadowed) and insert appends (mixing schemas in one dir would
-    * make this very probe unsound). Every maintained append goes through
-    * this guard, so delta dirs stay schema-homogeneous and the
-    * single-footer read is trustworthy.
+  /** Whether the hnsw `_delta` sidecar carries write versions in EVERY
+    * data file. Absent = true (the first maintained append creates a
+    * versioned dir); any versionless footer (a pre-versions legacy dir,
+    * or one MIXED by appends that predate this guard) or an unreadable
+    * one (crash-torn) = false, which blocks ALL hnsw layout maintenance —
+    * the update/delete shadow paths (legacy rows could not be shadowed)
+    * and insert appends (mixing schemas would let null versions NPE the
+    * delta readers). The per-file driver-side footer reads (not one
+    * sampled footer, which misclassifies a mixed dir) are memoized
+    * positively: a fully-versioned dir can never regress because every
+    * append is guarded by this very probe, while a negative stays live so
+    * a buildIndex fold (which deletes the dir) flips it back through the
+    * absent case. A negative is remediated by buildIndex: the rebuild
+    * reads the store's LWW view (never the delta — its rows were
+    * store-committed first) and overwrites the layout dir, deleting the
+    * delta with it.
     */
   private def hasVersionedDelta(coll: String): Boolean = {
-    val dp = java.nio.file.Paths.get(hnswDeltaPath(coll))
-    !java.nio.file.Files.exists(dp) || scala.util.Try(
-      spark.read.parquet(hnswDeltaPath(coll)).columns.contains("version"))
-      .getOrElse(false)
+    val dirStr = hnswDeltaPath(coll)
+    val dp = java.nio.file.Paths.get(dirStr)
+    if (!java.nio.file.Files.exists(dp)) return true
+    versionedDeltaMemo.get(dirStr).getOrElse {
+      import scala.jdk.CollectionConverters._
+      val ok = scala.util.Try {
+        val s = java.nio.file.Files.list(dp)
+        val files =
+          try s.iterator().asScala.map(_.toString).filter { p =>
+            val n = p.substring(p.lastIndexOf('/') + 1)
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }.toVector
+          finally s.close()
+        files.forall { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f),
+            spark.sessionState.newHadoopConf())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFileMetaData.getSchema.containsField("version")
+          finally r.close()
+        }
+      }.getOrElse(false)
+      if (ok) versionedDeltaMemo.put(dirStr, true)
+      ok
+    }
   }
+  private val versionedDeltaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Number of part files under a layout dir (recursive; `_`-prefixed
     * sidecars and markers excluded — the same set Spark's reader lists).

@@ -84,20 +84,27 @@ object vfn {
     * is impossible by construction.
     */
   def joinCorpusStreamed(corpus: DataFrame, other: DataFrame,
-      joinExprs: Column): DataFrame =
-    if (broadcastable(other)) corpus.join(org.apache.spark.sql.functions.broadcast(other), joinExprs)
+      joinExprs: Column, estimateInflation: Long = 1): DataFrame =
+    if (broadcastable(other, estimateInflation))
+      corpus.join(org.apache.spark.sql.functions.broadcast(other), joinExprs)
     else corpus.hint("merge").join(other, joinExprs)
 
-  /** `joinCorpusStreamed` for using-column joins (one output key column). */
-  def joinCorpusStreamed(corpus: DataFrame, other: DataFrame,
-      usingColumns: Seq[String]): DataFrame =
-    if (broadcastable(other)) corpus.join(org.apache.spark.sql.functions.broadcast(other), usingColumns)
-    else corpus.hint("merge").join(other, usingColumns)
-
-  private def broadcastable(df: DataFrame): Boolean = {
+  /** Size-only statistics do not model two things the probe frames do:
+    * `explode` (row count × nprobe with no size growth in the estimate)
+    * and wide computed array columns (`ArrayType.defaultSize` undercounts
+    * a per-row ADC table by orders of magnitude). An explicit broadcast
+    * chosen off such an undershot estimate would be un-demotable by AQE —
+    * the exact inverse of the bug this helper fixes — so the CALLER
+    * passes `estimateInflation`, the worst-case multiplier between the
+    * frame's static estimate and its true in-memory size (e.g. nprobe ×
+    * bytes-blowup of the added columns). Inflation only ever pushes
+    * toward the merge path, whose cost ceiling is the old bare hint.
+    */
+  private def broadcastable(df: DataFrame, inflation: Long): Boolean = {
     val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     threshold > 0 &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes *
+        BigInt(math.max(1L, inflation))) <= BigInt(threshold)
   }
 
   /** Register all distance functions for SQL use on this session. */

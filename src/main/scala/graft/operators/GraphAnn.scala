@@ -640,6 +640,7 @@ object GraphAnn {
         }
         val bcQ = spark.sparkContext.broadcast(qRows)
         val bcRoute = spark.sparkContext.broadcast(routing.map { case (c, b) => (c, b.toArray) }.toMap)
+        try {
         val spaceVal = space; val efVal = ef; val kVal = k
         val nCellsV = cents.length; val effKey = cacheKey; val exVal = excludeIds
         val rows = graphAll.filter(col("part").isin(oversized.map(Int.box): _*))
@@ -667,11 +668,12 @@ object GraphAnn {
           }.collect()
         oversizedHits = rows.groupBy(_._1)
           .map { case (qi, arr) => qi -> arr.map(t => (t._2: Any, t._3)) }
-        // per-request broadcasts: destroy eagerly — oversized cells are by
-        // design never cached, so a sustained point-serve stream against a
-        // skewed layout re-enters this block per request and would accrete
-        // a broadcast pair each time until ContextCleaner catches up
-        bcQ.destroy(); bcRoute.destroy()
+        // per-request broadcasts: destroy eagerly (in finally — a failed
+        // collect must not leak either) — oversized cells are by design
+        // never cached, so a sustained point-serve stream against a skewed
+        // layout re-enters this block per request and would accrete a
+        // broadcast pair each time until ContextCleaner catches up
+        } finally { bcQ.destroy(); bcRoute.destroy() }
       }
     }
     val idType = idTypeOpt.get

@@ -229,8 +229,11 @@ object IvfIndex {
     // estimate flipped the plain join to "broadcast the corpus": 3× slower
     // at bench scale, an OOM at real scale). Small probe frames broadcast;
     // big ones shuffle with the corpus pinned streamed — see
-    // vfn.joinCorpusStreamed for why a bare merge hint is wrong.
-    val cand = vfn.joinCorpusStreamed(assigned, probed, col("cluster_id") === col("__cid"))
+    // vfn.joinCorpusStreamed for why a bare merge hint is wrong. The
+    // explode multiplies true probe rows by nprobe without growing the
+    // static estimate, hence the inflation.
+    val cand = vfn.joinCorpusStreamed(assigned, probed,
+      col("cluster_id") === col("__cid"), estimateInflation = nprobe.toLong)
     vfn.topKHits(
       cand.withColumn("distance", vfn.distance(col(corpusVec), col(queryVec), model.space)),
       col("distance"), queryId, corpusId, k)

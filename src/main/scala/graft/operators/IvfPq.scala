@@ -325,9 +325,13 @@ object IvfPq {
     // layout's small size estimate flipped the plain join to broadcasting
     // the corpus — see IvfIndex.searchDistributed); small probe frames
     // broadcast, big ones shuffle with the corpus pinned streamed
-    // (vfn.joinCorpusStreamed).
+    // (vfn.joinCorpusStreamed). True probe bytes outgrow the static
+    // estimate by nprobe (explode) × the per-row ADC table the estimate
+    // undercounts: tab = m·k floats vs the ~4·m·subDim-byte query vector,
+    // a k/subDim blowup — hence the inflation.
     val shortlist = vfn.topKHits(
-      vfn.joinCorpusStreamed(encoded, probed, col("cluster_id") === col("__cid"))
+      vfn.joinCorpusStreamed(encoded, probed, col("cluster_id") === col("__cid"),
+          estimateInflation = nprobe.toLong * (1L + model.k / math.max(1, model.subDim)))
         .withColumn("__adc", Bridge.column(AdcLookupSum(
           Bridge.expression(col("codes")), Bridge.expression(col("__tab"))))),
       col("__adc"), queryId, corpusId, shortlistK)
