@@ -411,9 +411,10 @@ class Engine(
       else docs.zipWithIndex.groupBy(_._1.id).valuesIterator
         .map(_.maxBy(_._2)._1).toSeq
     // probe-version read FIRST: the fence must catch a writer landing
-    // between this read and the point reads below
+    // between this read and the point reads below. Projected existence
+    // probe — no vector/params decode, ~10× cheaper than getMany.
     val v0 = store.currentVersion(coll)
-    val overlap = store.getMany(coll, collapsed.map(_.id)).nonEmpty
+    val overlap = store.liveIds(coll, collapsed.map(_.id)).nonEmpty
     import spark.implicits._
     ingestBatchIndexed(coll, spark.createDataset(collapsed).toDF(),
       uniqueIdsKnown = true, overlapProbe = Some((v0, overlap)))

@@ -204,6 +204,22 @@ class DocStore(spark: SparkSession, root: String) {
           .map(r => r.getAs[String]("id") -> fromRow(r)).toMap
     }
 
+  /** Which of `ids` are live (LWW winner not a tombstone) — the existence
+    * probe the maintained write path runs per batch: a PROJECTED
+    * driver-local read (no vector/params page decode — the bulk of the
+    * bytes `getMany` pays for), same LWW semantics, same strict-mode
+    * Spark fallback.
+    */
+  def liveIds(name: String, ids: Seq[String]): Set[String] =
+    if (ids.isEmpty) Set.empty
+    else try LocalPointReader.liveIds(dataDir(name), ids.toSet)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (java.lang.Boolean.getBoolean("graft.pointreader.strict")) throw e
+        latestWins(log(name).filter(col("id").isin(ids: _*)))
+          .select(col("id")).collect().map(_.getString(0)).toSet
+    }
+
   /** Compaction: rewrite the log keeping only LWW winners (drops overwritten
     * versions AND tombstones — `tree_compact.go:266-291` capability).
     *

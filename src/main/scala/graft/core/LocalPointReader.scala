@@ -43,19 +43,15 @@ object LocalPointReader {
 
   private val conf = new Configuration()
 
-  /** LWW winners for `ids` (absent / tombstoned ids omitted). */
+  /** LWW winners for `ids` (absent / tombstoned ids omitted). Runs are
+    * bloom-pruned (see below): only files that might contain one of `ids`
+    * are opened — a point GET on a many-run store opens 1-2 files, not
+    * all of them.
+    */
   def readDocs(dataDir: String, ids: Set[String]): Map[String, Document] = {
     val dir = Paths.get(dataDir)
     if (ids.isEmpty || !Files.exists(dir)) return Map.empty
-    val files = {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.toString)
-        .filter { p =>
-          val n = p.substring(p.lastIndexOf('/') + 1)
-          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-        }.toVector
-      finally s.close()
-    }
+    val files = listRuns(dir)
     if (files.isEmpty) return Map.empty
     val pred = FilterApi.in(
       FilterApi.binaryColumn("id"),
@@ -63,7 +59,7 @@ object LocalPointReader {
     // (version, seq) max per id across every run — the LWW resolution
     val best = scala.collection.mutable.HashMap
       .empty[String, (Long, Long, Document, Boolean)]
-    files.foreach { f =>
+    files.withFilter(f => mightContainAny(f, ids)).foreach { f =>
       val reader: ParquetReader[Group] = ParquetReader
         .builder(new GroupReadSupport(), new Path(f))
         .withConf(conf)
@@ -90,6 +86,152 @@ object LocalPointReader {
       } finally reader.close()
     }
     best.collect { case (id, (_, _, doc, deleted)) if !deleted => id -> doc }.toMap
+  }
+
+  /** Which of `ids` are LIVE (LWW winner is not a tombstone) — the
+    * existence probe behind the maintained write path. Same LWW
+    * resolution as `readDocs`, but the scan is bloom-pruned (below) and
+    * the read schema is PROJECTED to (id, version, seq, is_deleted) —
+    * the vector/params pages, the overwhelming majority of the bytes,
+    * are never decoded.
+    */
+  def liveIds(dataDir: String, ids: Set[String]): Set[String] = {
+    val dir = Paths.get(dataDir)
+    if (ids.isEmpty || !Files.exists(dir)) return Set.empty
+    val files = listRuns(dir)
+    if (files.isEmpty) return Set.empty
+    val pred = FilterApi.in(
+      FilterApi.binaryColumn("id"),
+      ids.map(Binary.fromString).asJava.asInstanceOf[java.util.Set[Binary]])
+    val best = scala.collection.mutable.HashMap.empty[String, (Long, Long, Boolean)]
+    files.withFilter(f => mightContainAny(f, ids)).foreach { f =>
+      scanProjected(f, pred) { g =>
+        val id = g.getString("id", 0)
+        val version = g.getLong("version", 0)
+        val seq = g.getLong("seq", 0)
+        val better = best.get(id).forall { case (v, s, _) =>
+          version > v || (version == v && seq > s)
+        }
+        if (better) best(id) = (version, seq, g.getBoolean("is_deleted", 0))
+      }
+    }
+    best.collect { case (id, (_, _, deleted)) if !deleted => id }.toSet
+  }
+
+  /** Data files of a run directory (Spark's listing convention). */
+  private def listRuns(dir: java.nio.file.Path): Vector[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.toString)
+      .filter { p =>
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.toVector
+    finally s.close()
+  }
+
+  // ---- per-run id blooms (the SSTable bloom, driver-side) ---------------
+  //
+  // The dominant point-read cost is OPENING each run (footer parse +
+  // reader setup, ~10 ms/file) — random ids defeat min/max row-group
+  // pruning, so every run is opened even though at most a couple contain
+  // the probed ids. Classic LSM answer: a bloom per immutable run, built
+  // once from a projected id-column pass and memoized forever (runs never
+  // change; deleted runs simply stop being listed). No false negatives ⇒
+  // skipping a bloom-negative run can never change the LWW outcome. A
+  // fresh-id existence probe (the common maintained-insert case) then
+  // opens ZERO files. Runs beyond `BloomMaxRows` don't get a bloom (an
+  // unbounded driver-side build; such runs come from compaction, where
+  // clusterById gives them disjoint id ranges the min/max stats prune
+  // instead) — at object-store scale the same bits live in a manifest.
+
+  private val BloomMaxRows = 4L * 1024 * 1024
+  private val BloomBitsPerId = 10
+  // residency bound is BYTES, not entries — one 4M-row bloom is ~5 MB, so
+  // an entry cap alone could still hold tens of GB of bitsets
+  private val BloomMaxBytes = 256L * 1024 * 1024
+  private val bloomBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val blooms = scala.collection.concurrent.TrieMap.empty[String, IdBloom]
+
+  private class IdBloom(nBits: Int) {
+    val words = new Array[Long]((nBits + 63) / 64)
+    private val mask = nBits - 1 // nBits is a power of two
+    def add(id: String): Unit = {
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(id, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(id, 0x85ebca6b) | 1
+      var i = 0
+      while (i < 4) {
+        val bit = (h1 + i * h2) & mask
+        words(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    def mightContain(id: String): Boolean = {
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(id, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(id, 0x85ebca6b) | 1
+      var i = 0
+      while (i < 4) {
+        val bit = (h1 + i * h2) & mask
+        if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+  private val AlwaysMight = new IdBloom(64) { // oversized runs: never prune
+    override def mightContain(id: String): Boolean = true
+  }
+
+  private def mightContainAny(f: String, ids: Set[String]): Boolean = {
+    val bloom = blooms.getOrElseUpdate(f, {
+      if (bloomBytes.get() > BloomMaxBytes) { // bound; rebuilt on demand
+        blooms.clear(); bloomBytes.set(0L)
+      }
+      val rows = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      if (rows > BloomMaxRows) AlwaysMight
+      else {
+        val nBits = math.max(1024,
+          Integer.highestOneBit(rows.toInt * BloomBitsPerId) * 2)
+        val b = new IdBloom(nBits)
+        scanProjected(f, null)(g => b.add(g.getString("id", 0)))
+        bloomBytes.addAndGet(8L * b.words.length)
+        b
+      }
+    })
+    ids.exists(bloom.mightContain)
+  }
+
+  /** Filtered scan of one run projected to (id, version, seq, is_deleted)
+    * — no vector/params page decode. The projection is clipped from the
+    * file's own footer schema so repetition/type always match its writer.
+    */
+  private def scanProjected(f: String,
+      pred: org.apache.parquet.filter2.predicate.FilterPredicate)(
+      each: Group => Unit): Unit = {
+    val path = new Path(f)
+    val fileSchema = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFileMetaData.getSchema finally r.close()
+    }
+    val keep = Array("id", "version", "seq", "is_deleted")
+    val projected = new org.apache.parquet.schema.MessageType(
+      fileSchema.getName,
+      keep.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+    val fconf = new Configuration(conf)
+    fconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    var builder = ParquetReader.builder(new GroupReadSupport(), path).withConf(fconf)
+    if (pred != null) builder = builder.withFilter(FilterCompat.get(pred))
+    val reader = builder.build()
+    try {
+      var g = reader.read()
+      while (g != null) { each(g); g = reader.read() }
+    } finally reader.close()
   }
 
   /** `ARRAY<FLOAT>` from the parquet list encoding (3-level standard shape

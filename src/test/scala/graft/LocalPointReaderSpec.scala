@@ -30,6 +30,9 @@ class LocalPointReaderSpec extends SparkSpec {
 
   private def assertAgree(s: DocStore, name: String, ids: Seq[String]): Unit = {
     val fast = s.getMany(name, ids)
+    // the projected existence probe must agree with the full read on
+    // every id — same LWW, same tombstone handling
+    val live = s.liveIds(name, ids)
     ids.foreach { id =>
       val slow = s.get(name, id)
       (slow, fast.get(id)) match {
@@ -40,7 +43,26 @@ class LocalPointReaderSpec extends SparkSpec {
           assert(a.params === b.params, s"params mismatch for $id")
         case other => fail(s"presence mismatch for $id: $other")
       }
+      assert(live.contains(id) === fast.contains(id), s"liveIds mismatch for $id")
     }
+  }
+
+  test("bloom-pruned probes agree across many runs (updates, deletes, absents)") {
+    val (s, _) = freshStore(); s.init("m")
+    // 40 single-doc batches → 40 immutable run files: the shape where
+    // bloom pruning decides which runs are opened at all
+    for (i <- 0 until 40) s.upsert("m", Seq(doc(s"id$i", i.toFloat)), dim)
+    for (i <- 0 until 10) s.upsert("m", Seq(doc(s"id$i", 100f + i, "v2")), dim)
+    s.delete("m", Seq("id5", "id20"), dim)
+    val probe = (0 until 45).map(i => s"id$i") // 40-44 absent
+    assertAgree(s, "m", probe)
+    val expectLive = (0 until 40).map(i => s"id$i").filterNot(Set("id5", "id20")).toSet
+    assert(s.liveIds("m", probe) === expectLive)
+    // compaction swaps the run set under the memoized blooms — the new
+    // files get fresh blooms, results unchanged
+    s.compact("m", clusterById = true)
+    assertAgree(s, "m", probe)
+    assert(s.liveIds("m", probe) === expectLive)
   }
 
   test("local reads ≡ Spark LWW across overwrites, deletes, resurrection") {
