@@ -417,7 +417,8 @@ class Engine(
     val overlap = store.liveIds(coll, collapsed.map(_.id)).nonEmpty
     import spark.implicits._
     ingestBatchIndexed(coll, spark.createDataset(collapsed).toDF(),
-      uniqueIdsKnown = true, overlapProbe = Some((v0, overlap)))
+      uniqueIdsKnown = true, overlapProbe = Some((v0, overlap)),
+      driverRows = Some(collapsed))
   }
 
   /** Upsert with server-side embedding (params embedding=true path). */
@@ -475,9 +476,15 @@ class Engine(
     val bucketedPre = if (wasCurrent) currentBucketedMeta(coll) else None
     val v = store.deleteVersioned(coll, ids, cfg.dimension)
     if (wasCurrent && versionedDelta) {
-      import spark.implicits._
-      ids.distinct.toDF("id").withColumn("ver", lit(v))
-        .write.mode("append").parquet(tombstonesPath(layoutOpt.get))
+      // driver-sized deletes write their sidecar run locally (zero jobs)
+      if (ids.size <= 1024)
+        LocalRunWriter.writeTombstoneRun(
+          tombstonesPath(layoutOpt.get), ids.distinct, v)
+      else {
+        import spark.implicits._
+        ids.distinct.toDF("id").withColumn("ver", lit(v))
+          .write.mode("append").parquet(tombstonesPath(layoutOpt.get))
+      }
       // advance the stamps only while ours is still the newest write and no
       // compaction is in flight — the same never-lie guards as ingest
       if (store.currentVersion(coll) == v &&
@@ -564,12 +571,18 @@ class Engine(
     * inserted a probed id after the probe looked, so any version gap
     * over-tombstones the whole batch instead (tombstones with nothing to
     * shadow are harmless; a missed shadow would serve two incarnations).
+    * `driverRows` passes the batch ALSO as a driver Seq (must be the same
+    * rows as `batch`): the store commit takes the Seq path (local run
+    * writer for small batches — no Spark job), and on the hnsw tier the
+    * delta append and tombstones write locally too, making the whole
+    * maintained point write job-free.
     */
   def ingestBatchIndexed(coll: String, batch: DataFrame,
       assumeNewIds: Boolean = false, batchId: Option[Long] = None,
       streamId: String = "default",
       uniqueIdsKnown: Boolean = false,
-      overlapProbe: Option[(Long, Boolean)] = None): Unit = {
+      overlapProbe: Option[(Long, Boolean)] = None,
+      driverRows: Option[Seq[Document]] = None): Unit = {
     val cfg = configOf(coll)
     import java.nio.file.{Files, Paths}
     val indexDir = Paths.get(s"$root/$coll/index")
@@ -673,8 +686,13 @@ class Engine(
       // predecessor — exactly the state an append of THIS batch keeps current
       val bucketedPre = if (maintainable) currentBucketedMeta(coll) else None
       // v is OUR batch's committed version — stamping any later version would
-      // mark the layout current while missing an interleaved writer's rows
-      val v = store.upsertDfVersioned(coll, batch)
+      // mark the layout current while missing an interleaved writer's rows.
+      // With driverRows the commit goes through the Seq path (the local run
+      // writer for small batches): same rows, same version protocol.
+      val v = driverRows match {
+        case Some(docs) => store.upsert(coll, docs, cfg.dimension)
+        case None => store.upsertDfVersioned(coll, batch)
+      }
       // resolve the overlap answer now that our commit version is known: a
       // caller-side probe is authoritative only when nothing interleaved
       // between the probe and this commit (versions are +1-per-write, so
@@ -704,13 +722,29 @@ class Engine(
         return
       }
       batchId.foreach(bid => atomicWrite(intentPath, s"$streamId\n$bid"))
+      val (encode, _, layoutPath, clustered) = maintain.get
+      if (driverRows.isDefined && cfg.indexType == IndexType.Hnsw) {
+        // ZERO-JOB append for driver-sized hnsw batches (the REST point
+        // write): the graph tier's "encode" is a plain (id, vector,
+        // version) projection, so the delta rows and tombstones land via
+        // the local run writer — store commit, delta append, and shadows
+        // all come from the SAME driver Seq (no plan evaluation at all,
+        // the strongest form of the single-evaluation rule above). Write
+        // ordering and stamp guards are identical to the Spark branch;
+        // hnsw collections have no bucketed table to maintain.
+        val docs = driverRows.get
+        LocalRunWriter.writeDeltaRun(layoutPath,
+          docs.map(d => (d.id, d.vector.toSeq)), v)
+        if (needTombstones)
+          LocalRunWriter.writeTombstoneRun(
+            tombstonesPath(maintain.get._2), docs.map(_.id), v)
+      } else {
       // mirror upsertDf's stamping so layout rows carry the store schema
       // (insert-only + unique ids ⇒ seq never decides a winner)
       val stamped = batch.select(col("id"), col("vector"), col("params"))
         .withColumn("version", lit(v))
         .withColumn("seq", monotonically_increasing_id())
         .withColumn("is_deleted", lit(false))
-      val (encode, _, layoutPath, clustered) = maintain.get
       val encoded = encode(stamped).cache()
       try {
         if (clustered)
@@ -748,6 +782,7 @@ class Engine(
             atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
         }
       } finally encoded.unpersist(blocking = false)
+      }
       // advance the stamp only if our write is still the newest (a racer
       // leaves the stamp behind → stale → fallback; the appended rows are
       // still consistent) AND no compaction is in flight — a compaction that

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.core.{Document, LocalPointReader, LocalRunWriter}
+
+/** The driver-local run writer must be READ-INDISTINGUISHABLE from a
+  * Spark-written twin: same Catalyst schema, same values, through both the
+  * Spark scan and the driver-local point reader — including the awkward
+  * rows (null vector/params tombstones, empty collections, null map
+  * values, unicode). A mixed directory (one Spark run + one local run)
+  * must read as the union.
+  */
+class LocalRunWriterSpec extends SparkSpec {
+
+  private val storeSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("vector", ArrayType(FloatType)),
+    StructField("params", MapType(StringType, StringType)),
+    StructField("version", LongType),
+    StructField("seq", LongType),
+    StructField("is_deleted", BooleanType)))
+
+  private val rows: Seq[(String, Seq[Float], Map[String, String], Boolean)] = Seq(
+    ("a", Seq(1f, 2.5f, -3f), Map("k" -> "v", "k2" -> "v2"), false),
+    ("béta💡", Seq(0.25f), Map("uni" -> "välue"), false),
+    ("tomb", null, null, true),                        // delete row shape
+    ("empty", Seq.empty[Float], Map.empty[String, String], false),
+    ("nullval", Seq(7f), Map("k" -> null), false))
+
+  test("store run: spark-read equivalence vs a Spark-written twin; local point reads") {
+    val sparkDir = Files.createTempDirectory("lrw-spark").toString
+    val localDir = Files.createTempDirectory("lrw-local").toString
+    val sparkRows = rows.zipWithIndex.map { case ((id, v, p, d), i) =>
+      Row(id, v, p, 7L, i.toLong, d)
+    }
+    spark.createDataFrame(sparkRows.asJava, storeSchema)
+      .write.mode("append").parquet(sparkDir)
+    LocalRunWriter.writeStoreRun(localDir, rows, version = 7L)
+
+    val a = spark.read.parquet(sparkDir)
+    val b = spark.read.parquet(localDir)
+    assert(a.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      b.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "local run's Catalyst schema diverged from the Spark twin")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0),
+        Option(r.getSeq[Float](1)).map(_.toList),
+        Option(r.getMap[String, String](2)).map(_.toMap),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(canon(a) === canon(b), "local run rows diverged from the Spark twin")
+
+    // the driver-local reader consumes local runs like any other
+    val got = LocalPointReader.readDocs(localDir,
+      Set("a", "béta💡", "tomb", "empty", "nullval", "absent"))
+    assert(got.keySet === Set("a", "béta💡", "empty", "nullval"))
+    assert(got("a").vector.toSeq === Seq(1f, 2.5f, -3f))
+    assert(got("a").params === Map("k" -> "v", "k2" -> "v2"))
+    assert(got("empty").vector.toSeq === Seq.empty)
+    assert(got("nullval").params === Map("k" -> null))
+
+    // a MIXED dir reads as the union (Spark samples one footer; both
+    // writers' schemas must agree)
+    val mixed = Files.createTempDirectory("lrw-mixed").toString
+    spark.createDataFrame(sparkRows.asJava, storeSchema)
+      .write.mode("append").parquet(mixed)
+    LocalRunWriter.writeStoreRun(mixed,
+      Seq(("x", Seq(9f), Map.empty[String, String], false)), version = 8L)
+    assert(spark.read.parquet(mixed).count() === rows.size + 1L)
+    assert(LocalPointReader.readDocs(mixed, Set("x"))("x").vector.toSeq === Seq(9f))
+  }
+
+  test("delta and tombstone runs: spark-read equivalence vs Spark-written twins") {
+    import spark.implicits._
+    val d1 = Files.createTempDirectory("lrw-d1").toString
+    val d2 = Files.createTempDirectory("lrw-d2").toString
+    Seq(("a", Seq(1f, 2f), 5L), ("b", Seq(3f), 5L))
+      .toDF("id", "vector", "version")
+      .select(col("id"), col("vector").cast("array<float>"), col("version"))
+      .write.mode("append").parquet(d1)
+    LocalRunWriter.writeDeltaRun(d2, Seq(("a", Seq(1f, 2f)), ("b", Seq(3f))), 5L)
+    val x = spark.read.parquet(d1).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toList, r.getLong(2)))
+    val y = spark.read.parquet(d2).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toList, r.getLong(2)))
+    assert(x === y)
+
+    val t1 = Files.createTempDirectory("lrw-t1").toString
+    val t2 = Files.createTempDirectory("lrw-t2").toString
+    Seq("a", "b").toDF("id").withColumn("ver", lit(9L))
+      .write.mode("append").parquet(t1)
+    LocalRunWriter.writeTombstoneRun(t2, Seq("a", "b"), 9L)
+    val p = spark.read.parquet(t1).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val q = spark.read.parquet(t2).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(p === q)
+    // sidecar consumers aggregate max(ver) per id — a mixed sidecar works
+    LocalRunWriter.writeTombstoneRun(t1, Seq("c"), 10L)
+    assert(spark.read.parquet(t1).count() === 3L)
+  }
+
+  private implicit class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+}
