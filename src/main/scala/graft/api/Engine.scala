@@ -477,7 +477,7 @@ class Engine(
     val v = store.deleteVersioned(coll, ids, cfg.dimension)
     if (wasCurrent && versionedDelta) {
       // driver-sized deletes write their sidecar run locally (zero jobs)
-      if (ids.size <= 1024)
+      if (ids.size <= LocalRunWriter.MaxLocalRows)
         LocalRunWriter.writeTombstoneRun(
           tombstonesPath(layoutOpt.get), ids.distinct, v)
       else {
@@ -723,7 +723,8 @@ class Engine(
       }
       batchId.foreach(bid => atomicWrite(intentPath, s"$streamId\n$bid"))
       val (encode, _, layoutPath, clustered) = maintain.get
-      if (driverRows.isDefined && cfg.indexType == IndexType.Hnsw) {
+      if (driverRows.exists(_.size <= LocalRunWriter.MaxLocalRows) &&
+          cfg.indexType == IndexType.Hnsw) {
         // ZERO-JOB append for driver-sized hnsw batches (the REST point
         // write): the graph tier's "encode" is a plain (id, vector,
         // version) projection, so the delta rows and tombstones land via

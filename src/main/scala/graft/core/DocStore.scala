@@ -144,22 +144,18 @@ class DocStore(spark: SparkSession, root: String) {
     committed
   }
 
-  /** Driver batches at or under this size write their run file locally
-    * (LocalRunWriter, ~5 ms) instead of through a Spark job (~100 ms
-    * floor) — the REST point-write path. Identical rows, identical crash
-    * ordering (file visible before the counter bumps), read-equivalence
-    * spec-gated.
-    */
-  private val LocalWriteMaxRows = 1024
-
   private def appendRows(name: String, rows: Seq[Row], dim: Int): Long = {
     var committed = -1L
     withNextVersion(name) { v =>
       committed = v
       // seq = position within the batch: duplicate ids inside one batch
       // resolve to the LAST occurrence (the reference's sequential-put
-      // semantics, `document.go:294-303`), not an arbitrary tie
-      if (rows.size <= LocalWriteMaxRows)
+      // semantics, `document.go:294-303`), not an arbitrary tie.
+      // Driver-sized batches write their run locally (LocalRunWriter,
+      // ~5 ms vs the ~100 ms Spark-job floor) — identical rows, identical
+      // crash ordering (file visible before the counter bumps),
+      // read-equivalence spec-gated.
+      if (rows.size <= LocalRunWriter.MaxLocalRows)
         LocalRunWriter.writeStoreRun(dataDir(name), rows.map { r =>
           (r.getString(0),
             Option(r(1)).map(_.asInstanceOf[Seq[Float]]).orNull,

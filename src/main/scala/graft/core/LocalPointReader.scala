@@ -181,28 +181,53 @@ object LocalPointReader {
     override def mightContain(id: String): Boolean = true
   }
 
-  private def mightContainAny(f: String, ids: Set[String]): Boolean = {
-    val bloom = blooms.getOrElseUpdate(f, {
-      if (bloomBytes.get() > BloomMaxBytes) { // bound; rebuilt on demand
-        blooms.clear(); bloomBytes.set(0L)
-      }
-      val rows = {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(f), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }
-      if (rows > BloomMaxRows) AlwaysMight
+  private def mightContainAny(f: String, ids: Set[String]): Boolean =
+    ids.exists(bloomFor(f).mightContain)
+
+  private def bloomFor(f: String): IdBloom = blooms.get(f).getOrElse {
+    // one footer open yields rows AND schema (the bloom scan then projects
+    // the id column alone — version/seq/is_deleted pages stay undecoded)
+    val (rows, fileSchema) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (r.getRecordCount, r.getFileMetaData.getSchema) finally r.close()
+    }
+    // ADMISSION bound, never a wholesale clear: a clear would make a
+    // store whose total bloom footprint exceeds the budget rebuild
+    // hundreds of MB of bitsets on every probe (worse than no blooms at
+    // all). Over budget: first sweep entries whose runs no longer exist
+    // (compaction replaces run sets, and dead files' bytes must not pin
+    // the budget forever); if still over, the NEW run simply gets no
+    // bloom — it is always opened, the pre-bloom behavior, for that file
+    // only.
+    if (bloomBytes.get() > BloomMaxBytes) sweepDeadBlooms()
+    val built =
+      if (rows > BloomMaxRows || bloomBytes.get() > BloomMaxBytes) AlwaysMight
       else {
         val nBits = math.max(1024,
           Integer.highestOneBit(rows.toInt * BloomBitsPerId) * 2)
         val b = new IdBloom(nBits)
-        scanProjected(f, null)(g => b.add(g.getString("id", 0)))
-        bloomBytes.addAndGet(8L * b.words.length)
+        val idOnly = new org.apache.parquet.schema.MessageType(
+          fileSchema.getName, fileSchema.getType(fileSchema.getFieldIndex("id")))
+        scanWith(f, null, idOnly)(g => b.add(g.getString("id", 0)))
         b
       }
-    })
-    ids.exists(bloom.mightContain)
+    blooms.putIfAbsent(f, built) match {
+      case Some(winner) => winner // a racing builder landed first
+      case None =>
+        if (built ne AlwaysMight) bloomBytes.addAndGet(8L * built.words.length)
+        built
+    }
+  }
+
+  private def sweepDeadBlooms(): Unit = blooms.synchronized {
+    blooms.keys.foreach { k =>
+      if (!Files.exists(Paths.get(k)))
+        blooms.remove(k).foreach { b =>
+          if (b ne AlwaysMight) bloomBytes.addAndGet(-8L * b.words.length)
+        }
+    }
   }
 
   /** Filtered scan of one run projected to (id, version, seq, is_deleted)
@@ -212,9 +237,8 @@ object LocalPointReader {
   private def scanProjected(f: String,
       pred: org.apache.parquet.filter2.predicate.FilterPredicate)(
       each: Group => Unit): Unit = {
-    val path = new Path(f)
     val fileSchema = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getFileMetaData.getSchema finally r.close()
     }
@@ -222,10 +246,21 @@ object LocalPointReader {
     val projected = new org.apache.parquet.schema.MessageType(
       fileSchema.getName,
       keep.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+    scanWith(f, pred, projected)(each)
+  }
+
+  /** Filtered scan of one run under an explicit projected schema (clipped
+    * from the file's own footer by the caller).
+    */
+  private def scanWith(f: String,
+      pred: org.apache.parquet.filter2.predicate.FilterPredicate,
+      projected: org.apache.parquet.schema.MessageType)(
+      each: Group => Unit): Unit = {
     val fconf = new Configuration(conf)
     fconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projected.toString)
-    var builder = ParquetReader.builder(new GroupReadSupport(), path).withConf(fconf)
+    var builder = ParquetReader.builder(new GroupReadSupport(), new Path(f))
+      .withConf(fconf)
     if (pred != null) builder = builder.withFilter(FilterCompat.get(pred))
     val reader = builder.build()
     try {

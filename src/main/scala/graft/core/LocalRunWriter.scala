@@ -28,6 +28,14 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   */
 object LocalRunWriter {
 
+  /** "Driver-sized": batches at or under this row count write locally;
+    * larger ones take the distributed Spark write (a single-threaded
+    * driver serialization of an unbounded batch would stall the caller).
+    * Shared by every local-write gate (store appends, delta/tombstone
+    * runs) so the invariant has one definition.
+    */
+  val MaxLocalRows = 1024
+
   /** The DocStore row schema (`DocStore.schema`) in parquet form. All
     * fields optional: Spark reads parquet columns as nullable regardless,
     * and tombstone rows carry null vector/params.

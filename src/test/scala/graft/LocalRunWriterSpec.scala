@@ -2,11 +2,12 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.types._
 
-import graft.core.{Document, LocalPointReader, LocalRunWriter}
+import graft.core.{DocStore, LocalPointReader, LocalRunWriter}
 
 /** The driver-local run writer must be READ-INDISTINGUISHABLE from a
   * Spark-written twin: same Catalyst schema, same values, through both the
@@ -17,13 +18,12 @@ import graft.core.{Document, LocalPointReader, LocalRunWriter}
   */
 class LocalRunWriterSpec extends SparkSpec {
 
-  private val storeSchema = StructType(Seq(
-    StructField("id", StringType),
-    StructField("vector", ArrayType(FloatType)),
-    StructField("params", MapType(StringType, StringType)),
-    StructField("version", LongType),
-    StructField("seq", LongType),
-    StructField("is_deleted", BooleanType)))
+  // the AUTHORITATIVE store schema (required id/version/seq/is_deleted,
+  // non-null vector elements) — the twin must carry production runs'
+  // parquet repetition levels, not an all-optional lookalike, or a
+  // required-field divergence in a mixed dir would pass undetected
+  private val storeSchema =
+    new DocStore(spark, Files.createTempDirectory("lrw-store").toString).schema(3)
 
   private val rows: Seq[(String, Seq[Float], Map[String, String], Boolean)] = Seq(
     ("a", Seq(1f, 2.5f, -3f), Map("k" -> "v", "k2" -> "v2"), false),
@@ -102,13 +102,5 @@ class LocalRunWriterSpec extends SparkSpec {
     // sidecar consumers aggregate max(ver) per id — a mixed sidecar works
     LocalRunWriter.writeTombstoneRun(t1, Seq("c"), 10L)
     assert(spark.read.parquet(t1).count() === 3L)
-  }
-
-  private implicit class SeqAsJava[T](s: Seq[T]) {
-    def asJava: java.util.List[T] = {
-      val l = new java.util.ArrayList[T](s.size)
-      s.foreach(l.add)
-      l
-    }
   }
 }
