@@ -278,6 +278,49 @@ object RecallBench {
         })
         require(stampOf == s0 + 40,
           s"maintained updates staled the layout (stamp expected ${s0 + 40}, got $stampOf)")
+        // quantized tiers' maintained point-WRITE floor: since the
+        // LocalEncode path these run the same zero-job protocol as hnsw
+        // (driver-side encode via the kernel twins + LocalRunWriter append),
+        // so the wire cost should sit at the hnsw rows' level, not the
+        // ~100 ms-per-job Spark floor the encode job used to pay. One flat
+        // tier (sq: code sidecar column) and one clustered tier (pq:
+        // cluster_id partition dirs + codes) cover both local layouts.
+        for ((qcoll, it, params) <- Seq(
+            ("serve_sq", graft.core.IndexType.Sq, Map.empty[String, String]),
+            ("serve_pq", graft.core.IndexType.IvfPq, Map("m" -> "8")))) {
+          engine.createCollection(graft.core.CollectionConfig(
+            qcoll, 64, it, SpaceType.L2, params = params))
+          engine.batchUpsertDocuments(qcoll, docs.toSeq)
+          engine.buildIndex(qcoll, nlist = 16)
+          def postDocQ(id: String, vec: Array[Float]): Int = {
+            val body = s"""{"id":"$id","vector":[${vec.mkString(",")}]}"""
+            val req = HttpRequest.newBuilder()
+              .uri(java.net.URI.create(s"http://127.0.0.1:$port/v1/collections/$qcoll/documents"))
+              .header("Content-Type", "application/json")
+              .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+            client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+          }
+          def stampQ: Long = java.nio.file.Files.readString(java.nio.file.Paths
+            .get(s"$root/$qcoll/index/layout_version")).trim.toLong
+          require(postDocQ("w_warm", freshVec(998)) == 200, s"$qcoll warm-up write failed")
+          val q0 = stampQ
+          reportLatency(s"rest_insert_maintained_${qcoll.stripPrefix("serve_")}",
+            (0 until 20).map { i =>
+              val t0 = System.nanoTime()
+              require(postDocQ(s"w_$i", freshVec(i)) == 200, s"$qcoll insert failed")
+              (System.nanoTime() - t0) / 1e6
+            })
+          require(stampQ == q0 + 20,
+            s"$qcoll maintained inserts staled the layout (stamp $q0 -> $stampQ)")
+          reportLatency(s"rest_update_maintained_${qcoll.stripPrefix("serve_")}",
+            updateIds.zipWithIndex.toSeq.map { case (id, i) =>
+              val t0 = System.nanoTime()
+              require(postDocQ(id, freshVec(200 + i)) == 200, s"$qcoll update failed")
+              (System.nanoTime() - t0) / 1e6
+            })
+          require(stampQ == q0 + 40,
+            s"$qcoll maintained updates staled the layout (stamp expected ${q0 + 40}, got $stampQ)")
+        }
       } finally server.stop()
     }
 

@@ -723,8 +723,18 @@ class Engine(
       }
       batchId.foreach(bid => atomicWrite(intentPath, s"$streamId\n$bid"))
       val (encode, _, layoutPath, clustered) = maintain.get
-      if (driverRows.exists(_.size <= LocalRunWriter.MaxLocalRows) &&
-          cfg.indexType == IndexType.Hnsw) {
+      val localDocs = driverRows.filter(_.size <= LocalRunWriter.MaxLocalRows)
+      // quantized/clustered tiers: a driver-sized batch encodes ON THE
+      // DRIVER (LocalEncode — bit-identical twins of the codegen kernels;
+      // the models are tiny and already loaded) and appends via the local
+      // run writer — the same zero-job path the hnsw branch below takes.
+      // Skipped while a bucketed table is current: its append is a Spark
+      // bucketBy write by construction, and staling it per point write
+      // would trade the batch-search tier for serving latency.
+      val localRows =
+        if (localDocs.isEmpty || bucketedPre.nonEmpty) None
+        else localLayoutRows(coll, cfg, localDocs.get)
+      if (localDocs.isDefined && cfg.indexType == IndexType.Hnsw) {
         // ZERO-JOB append for driver-sized hnsw batches (the REST point
         // write): the graph tier's "encode" is a plain (id, vector,
         // version) projection, so the delta rows and tombstones land via
@@ -739,6 +749,14 @@ class Engine(
         if (needTombstones)
           LocalRunWriter.writeTombstoneRun(
             tombstonesPath(maintain.get._2), docs.map(_.id), v)
+      } else if (localRows.isDefined) {
+        // same write ordering as the Spark branch: layout rows first, then
+        // the shadows, both before any stamp advance (a crash between them
+        // leaves the stamps behind → stale → fallback, never a lie)
+        LocalRunWriter.writeLayoutRuns(layoutPath, localRows.get, v)
+        if (needTombstones)
+          LocalRunWriter.writeTombstoneRun(
+            tombstonesPath(maintain.get._2), localDocs.get.map(_.id), v)
       } else {
       // mirror upsertDf's stamping so layout rows carry the store schema
       // (insert-only + unique ids ⇒ seq never decides a winner)
@@ -1347,6 +1365,43 @@ class Engine(
 
   private def notBuilt(coll: String): Nothing =
     throw new IllegalStateException(s"index for '$coll' not built — call buildIndex")
+
+  /** Driver-side encoded layout rows for a driver-sized maintained batch —
+    * the per-tier composition of `LocalEncode`'s kernel twins, mirroring
+    * exactly what the Spark branch's `encode(stamped)` frame would append
+    * (same columns, same order; `LocalEncodeSpec` pins bit identity, the
+    * TombstoneSpec REST cases pin results ≡ rebuild end-to-end). None for
+    * tiers without a local encode (hnsw takes its own delta branch).
+    */
+  private def localLayoutRows(coll: String, cfg: CollectionConfig,
+      docs: Seq[Document]): Option[Seq[LocalRunWriter.LayoutRow]] = {
+    import graft.operators.LocalEncode
+    import LocalRunWriter.{BytesCol, FloatsCol, IntsCol, LayoutRow}
+    def rows(f: Document => (Option[Int], Seq[(String, LocalRunWriter.LayoutCol)])) =
+      Some(docs.zipWithIndex.map { case (d, i) =>
+        val (cid, extra) = f(d)
+        LayoutRow(d.id, d.vector.toSeq, d.params, i.toLong, cid, extra)
+      })
+    cfg.indexType match {
+      case IndexType.IvfFlat => loadedIvfOpt(coll).flatMap(m =>
+        rows(d => (Some(LocalEncode.ivfAssign(d.vector, m)), Nil)))
+      case IndexType.IvfPq => loadedPqOpt(coll).flatMap(m =>
+        rows { d =>
+          val (cid, codes) = LocalEncode.pqRow(d.vector, m)
+          (Some(cid), Seq("codes" -> IntsCol(codes)))
+        })
+      case IndexType.Opq => loadedOpqOpt(coll).flatMap(m =>
+        rows { d =>
+          val (rvec, cid, codes) = LocalEncode.opqRow(d.vector, m)
+          (Some(cid), Seq("__rvec" -> FloatsCol(rvec), "codes" -> IntsCol(codes)))
+        })
+      case IndexType.Sq => loadedSqOpt(coll).flatMap(m =>
+        rows(d => (None, Seq("sq_code" -> BytesCol(LocalEncode.sqRow(d.vector, m))))))
+      case IndexType.Bq => loadedBqOpt(coll).flatMap(m =>
+        rows(d => (None, Seq("bq_code" -> BytesCol(LocalEncode.bqRow(d.vector, m))))))
+      case _ => None
+    }
+  }
 
   private def loadedIvfOpt(coll: String): Option[IvfIndex.Model] =
     ivfModels.get(coll).orElse {

@@ -122,6 +122,102 @@ object LocalRunWriter {
       }
     }
 
+  /** One typed extra layout column on a locally-written layout row — the
+    * encode kernels' outputs (`codes ARRAY<INT>`, `sq_code`/`bq_code`
+    * BINARY, `__rvec ARRAY<FLOAT>`).
+    */
+  sealed trait LayoutCol
+  final case class BytesCol(v: Array[Byte]) extends LayoutCol
+  final case class IntsCol(v: Array[Int]) extends LayoutCol
+  final case class FloatsCol(v: Array[Float]) extends LayoutCol
+
+  /** One maintained-layout row: the store columns plus the tier's encode
+    * outputs. `clusterId` Some ⇒ the row lands under the layout's
+    * `cluster_id=N` partition directory (the clustered tiers' physical
+    * pruning layout); None ⇒ flat. `seq` is the row's position in the
+    * caller's batch (insert-only unique-id batches ⇒ seq never decides an
+    * LWW winner, same as the Spark branch's monotonically_increasing_id).
+    */
+  final case class LayoutRow(id: String, vector: Seq[Float],
+      params: Map[String, String], seq: Long, clusterId: Option[Int],
+      extra: Seq[(String, LayoutCol)])
+
+  /** Append a driver-sized batch of encoded layout rows — the local twin of
+    * the maintained-ingest Spark append (`encoded.write.mode("append")
+    * [.partitionBy("cluster_id")].parquet(layoutPath)`). Column order
+    * matches the Spark branch's frame (id, vector, params, version, seq,
+    * is_deleted, then the encode columns; cluster_id lives in the directory
+    * name, not the file, exactly like `partitionBy`). One run file per
+    * touched partition — a point write touches one or a few cells.
+    */
+  def writeLayoutRuns(layoutDir: String, rows: Seq[LayoutRow], version: Long): Unit = {
+    if (rows.isEmpty) return
+    val schema = layoutSchema(rows.head.extra)
+    rows.groupBy(_.clusterId).foreach { case (cidOpt, group) =>
+      val dir = cidOpt.fold(layoutDir)(cid => s"$layoutDir/cluster_id=$cid")
+      writeRun(dir, schema) { record =>
+        group.foreach { row =>
+          record { r =>
+            r.add("id", row.id)
+            val vg = r.addGroup("vector")
+            row.vector.foreach(f => vg.addGroup("list").add("element", f))
+            if (row.params != null) {
+              val pg = r.addGroup("params")
+              row.params.foreach { case (k, v) =>
+                val kv = pg.addGroup("key_value")
+                kv.add("key", k)
+                if (v != null) kv.add("value", v)
+              }
+            }
+            r.add("version", version)
+            r.add("seq", row.seq)
+            r.add("is_deleted", false)
+            row.extra.foreach {
+              case (n, BytesCol(bytes)) =>
+                r.add(n, org.apache.parquet.io.api.Binary.fromConstantByteArray(bytes))
+              case (n, IntsCol(ints)) =>
+                val g = r.addGroup(n)
+                ints.foreach(x => g.addGroup("list").add("element", x))
+              case (n, FloatsCol(floats)) =>
+                val g = r.addGroup(n)
+                floats.foreach(x => g.addGroup("list").add("element", x))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Store columns + the tier's extra encode columns, in frame order. */
+  private def layoutSchema(extra: Seq[(String, LayoutCol)]): MessageType = {
+    val extraFields = extra.map {
+      case (n, _: BytesCol) => s"  optional binary $n;"
+      case (n, _: IntsCol) =>
+        s"  optional group $n (LIST) { repeated group list { optional int32 element; } }"
+      case (n, _: FloatsCol) =>
+        s"  optional group $n (LIST) { repeated group list { optional float element; } }"
+    }.mkString("\n")
+    MessageTypeParser.parseMessageType(
+      s"""message spark_schema {
+         |  optional binary id (STRING);
+         |  optional group vector (LIST) {
+         |    repeated group list {
+         |      optional float element;
+         |    }
+         |  }
+         |  optional group params (MAP) {
+         |    repeated group key_value {
+         |      required binary key (STRING);
+         |      optional binary value (STRING);
+         |    }
+         |  }
+         |  optional int64 version;
+         |  optional int64 seq;
+         |  optional boolean is_deleted;
+         |$extraFields
+         |}""".stripMargin)
+  }
+
   /** One tombstone-sidecar run: (id, ver) rows. */
   def writeTombstoneRun(tombDir: String, ids: Seq[String], ver: Long): Unit =
     writeRun(tombDir, tombSchema) { record =>

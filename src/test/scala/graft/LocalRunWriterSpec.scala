@@ -103,4 +103,66 @@ class LocalRunWriterSpec extends SparkSpec {
     LocalRunWriter.writeTombstoneRun(t1, Seq("c"), 10L)
     assert(spark.read.parquet(t1).count() === 3L)
   }
+
+  test("layout runs: clustered + flat, spark-read equivalence and mixed dirs") {
+    import spark.implicits._
+    import LocalRunWriter.{BytesCol, FloatsCol, IntsCol, LayoutRow}
+
+    // clustered tier shape (the opq layout: __rvec + codes, cluster_id
+    // partition dirs) — Spark twin written exactly like the maintained
+    // ingest's Spark branch
+    val s1 = Files.createTempDirectory("lrw-lay-spark").toString
+    val l1 = Files.createTempDirectory("lrw-lay-local").toString
+    Seq(
+      ("a", Seq(1f, 2f), Map("k" -> "v"), 7L, 0L, false, Seq(0.5f, -1f), Seq(3, 1), 2),
+      ("b", Seq(3f, 4f), Map.empty[String, String], 7L, 1L, false, Seq(2f, 2f), Seq(0, 2), 0))
+      .toDF("id", "vector", "params", "version", "seq", "is_deleted", "__rvec", "codes", "cluster_id")
+      .select(col("id"), col("vector").cast("array<float>"), col("params"),
+        col("version"), col("seq"), col("is_deleted"),
+        col("__rvec").cast("array<float>"), col("codes"), col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id").parquet(s1)
+    LocalRunWriter.writeLayoutRuns(l1, Seq(
+      LayoutRow("a", Seq(1f, 2f), Map("k" -> "v"), 0L, Some(2),
+        Seq("__rvec" -> FloatsCol(Array(0.5f, -1f)), "codes" -> IntsCol(Array(3, 1)))),
+      LayoutRow("b", Seq(3f, 4f), Map.empty, 1L, Some(0),
+        Seq("__rvec" -> FloatsCol(Array(2f, 2f)), "codes" -> IntsCol(Array(0, 2))))),
+      version = 7L)
+    val ca = spark.read.parquet(s1)
+    val cb = spark.read.parquet(l1)
+    assert(ca.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      cb.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "clustered layout run's Catalyst schema diverged from the Spark twin")
+    def canonC(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "vector", "params", "version", "seq", "is_deleted",
+        "__rvec", "codes", "cluster_id").collect()
+        .map(r => (r.getString(0), r.getSeq[Float](1).toList,
+          r.getMap[String, String](2).toMap, r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getSeq[Float](6).toList, r.getSeq[Int](7).toList,
+          r.getInt(8))).sortBy(_._1)
+    assert(canonC(ca) === canonC(cb), "clustered layout rows diverged")
+    // a MIXED partition dir (Spark build + local append) reads as the union
+    LocalRunWriter.writeLayoutRuns(s1, Seq(
+      LayoutRow("c", Seq(5f, 6f), Map.empty, 0L, Some(2),
+        Seq("__rvec" -> FloatsCol(Array(9f, 9f)), "codes" -> IntsCol(Array(1, 1))))),
+      version = 8L)
+    val mixed = spark.read.parquet(s1)
+    assert(mixed.count() === 3L)
+    assert(mixed.filter(col("cluster_id") === 2).count() === 2L)
+
+    // flat tier shape (the sq layout: sq_code BINARY, no partitions)
+    val s2 = Files.createTempDirectory("lrw-sq-spark").toString
+    Seq(("a", Seq(1f), Map.empty[String, String], 3L, 0L, false, Array[Byte](0, 127, -1)))
+      .toDF("id", "vector", "params", "version", "seq", "is_deleted", "sq_code")
+      .select(col("id"), col("vector").cast("array<float>"), col("params"),
+        col("version"), col("seq"), col("is_deleted"), col("sq_code"))
+      .write.mode("append").parquet(s2)
+    LocalRunWriter.writeLayoutRuns(s2, Seq(
+      LayoutRow("b", Seq(2f), Map.empty, 0L, None,
+        Seq("sq_code" -> BytesCol(Array[Byte](5, -128, 64))))), version = 4L)
+    val flat = spark.read.parquet(s2).orderBy("id").collect()
+    assert(flat.length === 2)
+    assert(flat(0).getAs[Array[Byte]]("sq_code").toSeq === Seq[Byte](0, 127, -1))
+    assert(flat(1).getAs[Array[Byte]]("sq_code").toSeq === Seq[Byte](5, -128, 64))
+    assert(flat(1).getLong(flat(1).fieldIndex("version")) === 4L)
+  }
 }

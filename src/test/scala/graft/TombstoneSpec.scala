@@ -189,6 +189,61 @@ class TombstoneSpec extends SparkSpec {
     }
   }
 
+  test("maintained REST point writes on the quantized tiers run job-free") {
+    // steady state (models memoized by buildIndex, blooms warm): an insert
+    // and an update batch on every quantized/clustered tier must launch
+    // ZERO Spark jobs — the LocalEncode + LocalRunWriter path, the same
+    // contract the hnsw tier's delta branch already meets. Sentinel jobs
+    // bracket the writes (job ids are monotonic at submission), exactly the
+    // LocalPointReaderSpec pattern.
+    val quantized = tiers.filterNot(_._2 == IndexType.Hnsw)
+    val engines = quantized.map { case (coll, it, params) =>
+      val root = Files.createTempDirectory(s"jobfree-$coll").toString
+      val e = new Engine(spark, root)
+      e.createCollection(CollectionConfig(coll, 4, it, params = params))
+      e.batchUpsertDocuments(coll, mkCorpus(30))
+      e.buildIndex(coll, nlist = 2)
+      // one warm write outside the bracket: first-call lazy init (encoders,
+      // bloom build on the fresh run) must not count against steady state
+      e.batchUpsertDocuments(coll, Seq(Document("warm", Array(9f, 9f, 0f, 0f))))
+      (coll, e)
+    }
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        seen.add((js.jobId, Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")))
+    }
+    import scala.jdk.CollectionConverters._
+    def sentinel(group: String): Unit = {
+      spark.sparkContext.setJobGroup(group, group)
+      try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!seen.asScala.exists(_._2 == group) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(seen.asScala.exists(_._2 == group), s"sentinel $group never observed")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sentinel("tomb-jobfree-a")
+      for ((coll, e) <- engines) {
+        e.batchUpsertDocuments(coll, Seq(Document("50", Array(7f, 8f, 0f, 0f))))
+        e.batchUpsertDocuments(coll, Seq(Document("3", Array(55f, 55f, 0f, 0f))))
+      }
+      sentinel("tomb-jobfree-b")
+      val idA = seen.asScala.filter(_._2 == "tomb-jobfree-a").map(_._1).max
+      val idB = seen.asScala.filter(_._2 == "tomb-jobfree-b").map(_._1).min
+      val between = seen.asScala.map(_._1).filter(j => j > idA && j < idB)
+      assert(between.isEmpty,
+        s"quantized maintained point writes must not launch Spark jobs, saw ids $between")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the writes must have been MAINTAINED (stamp advanced), not stale
+    for ((coll, e) <- engines) {
+      val hit = e.searchDocuments(coll, Array(55f, 55f, 0f, 0f), 1)
+      assert(hit.map(_.id) === Seq("3"), s"$coll: job-free update not served: $hit")
+    }
+  }
+
   test("compactLayout folds tombstones: shadowed rows gone, sidecar cleared, results stable") {
     val root = Files.createTempDirectory("tomb-fold").toString
     val e = new Engine(spark, root)
