@@ -350,6 +350,7 @@ class Engine(
     // keyed on the old incarnation must not survive the drop
     cache.clear()
     GraphAnn.GraphCache.invalidate(s"$root/$name/")
+    graft.core.LocalPointReader.invalidateUnder(s"$root/$name/")
     deltaCache.keys.filter(_._1.startsWith(s"$root/$name/")).foreach { k =>
       deltaCache.remove(k).foreach(_.unpersist(false))
     }
@@ -891,16 +892,11 @@ class Engine(
     val dp = java.nio.file.Paths.get(dirStr)
     if (!java.nio.file.Files.exists(dp)) return true
     versionedDeltaMemo.get(dirStr).getOrElse {
-      import scala.jdk.CollectionConverters._
       val ok = scala.util.Try {
-        val s = java.nio.file.Files.list(dp)
-        val files =
-          try s.iterator().asScala.map(_.toString).filter { p =>
-            val n = p.substring(p.lastIndexOf('/') + 1)
-            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-          }.toVector
-          finally s.close()
-        files.forall { f =>
+        // the shared run-listing convention — drifting from the point
+        // reader's definition of "data file" would make this probe and the
+        // serving reads disagree about what a run is
+        graft.core.LocalPointReader.listRuns(dp).forall { f =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f),
             spark.sessionState.newHadoopConf())

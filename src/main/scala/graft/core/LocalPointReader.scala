@@ -59,7 +59,8 @@ object LocalPointReader {
     // (version, seq) max per id across every run — the LWW resolution
     val best = scala.collection.mutable.HashMap
       .empty[String, (Long, Long, Document, Boolean)]
-    files.withFilter(f => mightContainAny(f, ids)).foreach { f =>
+    val hashes = idHashes(ids)
+    files.withFilter(f => mightContainAny(f, hashes)).foreach { f =>
       val reader: ParquetReader[Group] = ParquetReader
         .builder(new GroupReadSupport(), new Path(f))
         .withConf(conf)
@@ -104,7 +105,8 @@ object LocalPointReader {
       FilterApi.binaryColumn("id"),
       ids.map(Binary.fromString).asJava.asInstanceOf[java.util.Set[Binary]])
     val best = scala.collection.mutable.HashMap.empty[String, (Long, Long, Boolean)]
-    files.withFilter(f => mightContainAny(f, ids)).foreach { f =>
+    val hashes = idHashes(ids)
+    files.withFilter(f => mightContainAny(f, hashes)).foreach { f =>
       scanProjected(f, pred) { g =>
         val id = g.getString("id", 0)
         val version = g.getLong("version", 0)
@@ -118,8 +120,11 @@ object LocalPointReader {
     best.collect { case (id, (_, _, deleted)) if !deleted => id }.toSet
   }
 
-  /** Data files of a run directory (Spark's listing convention). */
-  private def listRuns(dir: java.nio.file.Path): Vector[String] = {
+  /** Data files of a run directory (Spark's listing convention) — THE
+    * definition of "which files count as data", shared with the engine's
+    * delta-dir probes so the two can never drift.
+    */
+  private[graft] def listRuns(dir: java.nio.file.Path): Vector[String] = {
     val s = Files.list(dir)
     try s.iterator().asScala.map(_.toString)
       .filter { p =>
@@ -156,8 +161,7 @@ object LocalPointReader {
     val words = new Array[Long]((nBits + 63) / 64)
     private val mask = nBits - 1 // nBits is a power of two
     def add(id: String): Unit = {
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(id, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(id, 0x85ebca6b) | 1
+      val h1 = hash1(id); val h2 = hash2(id)
       var i = 0
       while (i < 4) {
         val bit = (h1 + i * h2) & mask
@@ -165,9 +169,9 @@ object LocalPointReader {
         i += 1
       }
     }
-    def mightContain(id: String): Boolean = {
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(id, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(id, 0x85ebca6b) | 1
+    // hash-pair probe: the (h1, h2) pair depends only on the id, so a
+    // multi-file probe hashes each id ONCE, not once per candidate run
+    def mightContainHashed(h1: Int, h2: Int): Boolean = {
       var i = 0
       while (i < 4) {
         val bit = (h1 + i * h2) & mask
@@ -177,57 +181,125 @@ object LocalPointReader {
       true
     }
   }
+  private def hash1(id: String): Int =
+    scala.util.hashing.MurmurHash3.stringHash(id, 0x9747b28c)
+  private def hash2(id: String): Int =
+    scala.util.hashing.MurmurHash3.stringHash(id, 0x85ebca6b) | 1
   private val AlwaysMight = new IdBloom(64) { // oversized runs: never prune
-    override def mightContain(id: String): Boolean = true
+    override def mightContainHashed(h1: Int, h2: Int): Boolean = true
   }
 
-  private def mightContainAny(f: String, ids: Set[String]): Boolean =
-    ids.exists(bloomFor(f).mightContain)
+  private def idHashes(ids: Set[String]): Array[Long] =
+    ids.iterator.map(id =>
+      (hash1(id).toLong << 32) | (hash2(id) & 0xffffffffL)).toArray
+
+  private def mightContainAny(f: String, hashes: Array[Long]): Boolean = {
+    val b = bloomFor(f)
+    var i = 0
+    while (i < hashes.length) {
+      if (b.mightContainHashed((hashes(i) >>> 32).toInt, hashes(i).toInt))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** Footer-derived per-run metadata, read once per immutable run: row
+    * count, the id-only bloom-build projection, and (when the run has the
+    * store probe columns) the (id, version, seq, is_deleted) projection
+    * used by `liveIds` — so neither the bloom decision nor the projected
+    * probe re-opens a footer it has already seen.
+    */
+  private val runMeta = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, org.apache.parquet.schema.MessageType)]
+  private val projSchemas = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.parquet.schema.MessageType]
+  private val ProbeCols = Array("id", "version", "seq", "is_deleted")
+
+  private def metaFor(f: String): (Long, org.apache.parquet.schema.MessageType) =
+    runMeta.get(f).getOrElse {
+      val (rows, fileSchema) = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (r.getRecordCount, r.getFileMetaData.getSchema) finally r.close()
+      }
+      if (ProbeCols.forall(fileSchema.containsField))
+        projSchemas.putIfAbsent(f, new org.apache.parquet.schema.MessageType(
+          fileSchema.getName,
+          ProbeCols.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*))
+      val meta = (rows, new org.apache.parquet.schema.MessageType(
+        fileSchema.getName, fileSchema.getType(fileSchema.getFieldIndex("id"))))
+      runMeta.putIfAbsent(f, meta)
+      meta
+    }
 
   private def bloomFor(f: String): IdBloom = blooms.get(f).getOrElse {
-    // one footer open yields rows AND schema (the bloom scan then projects
-    // the id column alone — version/seq/is_deleted pages stay undecoded)
-    val (rows, fileSchema) = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try (r.getRecordCount, r.getFileMetaData.getSchema) finally r.close()
-    }
+    val (rows, idOnly) = metaFor(f)
     // ADMISSION bound, never a wholesale clear: a clear would make a
     // store whose total bloom footprint exceeds the budget rebuild
     // hundreds of MB of bitsets on every probe (worse than no blooms at
     // all). Over budget: first sweep entries whose runs no longer exist
     // (compaction replaces run sets, and dead files' bytes must not pin
-    // the budget forever); if still over, the NEW run simply gets no
-    // bloom — it is always opened, the pre-bloom behavior, for that file
-    // only.
+    // the budget forever).
     if (bloomBytes.get() > BloomMaxBytes) sweepDeadBlooms()
-    val built =
-      if (rows > BloomMaxRows || bloomBytes.get() > BloomMaxBytes) AlwaysMight
-      else {
-        val nBits = math.max(1024,
-          Integer.highestOneBit(rows.toInt * BloomBitsPerId) * 2)
-        val b = new IdBloom(nBits)
-        val idOnly = new org.apache.parquet.schema.MessageType(
-          fileSchema.getName, fileSchema.getType(fileSchema.getFieldIndex("id")))
-        scanWith(f, null, idOnly)(g => b.add(g.getString("id", 0)))
-        b
+    if (rows > BloomMaxRows) {
+      // permanently oversized: an unbounded driver-side build — memoize
+      // the never-prune answer (such runs come from compaction, where
+      // clusterById's disjoint id ranges prune via min/max instead)
+      blooms.putIfAbsent(f, AlwaysMight)
+      AlwaysMight
+    } else if (bloomBytes.get() > BloomMaxBytes) {
+      // budget-denied, NOT memoized: a transient over-budget moment (e.g.
+      // just before compaction's sweep reclaims replaced runs) must not
+      // pin this run bloom-less forever — the next probe retries, and the
+      // row count is already memoized so the retry costs no footer open
+      AlwaysMight
+    } else {
+      val nBits = math.max(1024,
+        Integer.highestOneBit(rows.toInt * BloomBitsPerId) * 2)
+      val b = new IdBloom(nBits)
+      scanWith(f, null, idOnly)(g => b.add(g.getString("id", 0)))
+      blooms.putIfAbsent(f, b) match {
+        case Some(winner) => winner // a racing builder landed first
+        case None => bloomBytes.addAndGet(8L * b.words.length); b
       }
-    blooms.putIfAbsent(f, built) match {
-      case Some(winner) => winner // a racing builder landed first
-      case None =>
-        if (built ne AlwaysMight) bloomBytes.addAndGet(8L * built.words.length)
-        built
     }
   }
 
   private def sweepDeadBlooms(): Unit = blooms.synchronized {
     blooms.keys.foreach { k =>
-      if (!Files.exists(Paths.get(k)))
+      if (!Files.exists(Paths.get(k))) {
         blooms.remove(k).foreach { b =>
           if (b ne AlwaysMight) bloomBytes.addAndGet(-8L * b.words.length)
         }
+        runMeta.remove(k); projSchemas.remove(k)
+      }
     }
+  }
+
+  /** Drop every memoized per-run structure under a path prefix — called on
+    * collection drop: the version counter resets there, and a recreated
+    * collection may reuse run paths, so bitsets and schemas keyed on the
+    * old incarnation must not survive (nor pin the byte budget).
+    */
+  // test hook: resident bloom count under a prefix + the bytes they pin in
+  // the global budget ledger (prefix-scoped so concurrent suites' entries
+  // don't race the assertion)
+  private[graft] def bloomStats(prefix: String): (Int, Long) = {
+    val mine = blooms.filter(_._1.startsWith(prefix))
+    (mine.size, mine.valuesIterator
+      .map(b => if (b eq AlwaysMight) 0L else 8L * b.words.length).sum)
+  }
+
+  private[graft] def invalidateUnder(prefix: String): Unit = {
+    blooms.keys.filter(_.startsWith(prefix)).foreach { k =>
+      blooms.remove(k).foreach { b =>
+        if (b ne AlwaysMight) bloomBytes.addAndGet(-8L * b.words.length)
+      }
+    }
+    runMeta.keys.filter(_.startsWith(prefix)).foreach(runMeta.remove)
+    projSchemas.keys.filter(_.startsWith(prefix)).foreach(projSchemas.remove)
   }
 
   /** Filtered scan of one run projected to (id, version, seq, is_deleted)
@@ -237,15 +309,12 @@ object LocalPointReader {
   private def scanProjected(f: String,
       pred: org.apache.parquet.filter2.predicate.FilterPredicate)(
       each: Group => Unit): Unit = {
-    val fileSchema = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getFileMetaData.getSchema finally r.close()
-    }
-    val keep = Array("id", "version", "seq", "is_deleted")
-    val projected = new org.apache.parquet.schema.MessageType(
-      fileSchema.getName,
-      keep.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+    // the projection is memoized per immutable run (populated by the bloom
+    // path's footer read, or here on first touch) — the hot maintained-
+    // write probe must not pay a second footer open per file
+    val projected = projSchemas.get(f).orElse { metaFor(f); projSchemas.get(f) }
+      .getOrElse(throw new IllegalStateException(
+        s"run $f lacks the store probe columns (id/version/seq/is_deleted)"))
     scanWith(f, pred, projected)(each)
   }
 

@@ -639,7 +639,12 @@ object GraphAnn {
           }
         }
         val bcQ = spark.sparkContext.broadcast(qRows)
-        val bcRoute = spark.sparkContext.broadcast(routing.map { case (c, b) => (c, b.toArray) }.toMap)
+        // if the SECOND broadcast fails (serialization, driver memory, a
+        // stopping context), the first must still be destroyed — the
+        // finally below only guards the window where both exist
+        val bcRoute =
+          try spark.sparkContext.broadcast(routing.map { case (c, b) => (c, b.toArray) }.toMap)
+          catch { case t: Throwable => bcQ.destroy(); throw t }
         try {
         val spaceVal = space; val efVal = ef; val kVal = k
         val nCellsV = cents.length; val effKey = cacheKey; val exVal = excludeIds

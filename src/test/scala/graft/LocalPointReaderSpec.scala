@@ -65,6 +65,20 @@ class LocalPointReaderSpec extends SparkSpec {
     assert(s.liveIds("m", probe) === expectLive)
   }
 
+  test("collection-drop invalidation releases every bloom under the prefix") {
+    val (s, root) = freshStore(); s.init("d")
+    for (i <- 0 until 12) s.upsert("d", Seq(doc(s"id$i", i.toFloat)), dim)
+    s.getMany("d", (0 until 12).map(i => s"id$i")) // builds the run blooms
+    val (n, bytes) = LocalPointReader.bloomStats(s"$root/")
+    assert(n > 0, "probe should have built per-run blooms")
+    assert(bytes > 0L)
+    LocalPointReader.invalidateUnder(s"$root/")
+    assert(LocalPointReader.bloomStats(s"$root/") === ((0, 0L)),
+      "invalidateUnder must release every bloom (and its budget bytes) under the prefix")
+    // a fresh probe after invalidation rebuilds and still agrees
+    assertAgree(s, "d", (0 until 12).map(i => s"id$i"))
+  }
+
   test("local reads ≡ Spark LWW across overwrites, deletes, resurrection") {
     val (s, _) = freshStore(); s.init("c")
     s.upsert("c", Seq(doc("a", 1f, "v1"), doc("b", 2f), doc("c", 3f)), dim)
