@@ -177,6 +177,101 @@ object VectorQueries {
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
 
+  // ---- SemDeDup semantic pruning -----------------------------------------
+
+  private val SemTau = 0.3 // within-cluster near-dup similarity threshold
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, find near-duplicate pairs WITHIN each
+    * cluster (cosine ≥ τ), resolve the pair graph to connected components,
+    * and keep exactly one exemplar per component — the member LEAST similar
+    * to its cluster centroid (the paper's best-performing "low" policy:
+    * prototypical near-copies get pruned, the outlier that carries the most
+    * signal survives). Output: every vector with its component label and a
+    * 0/1 `keep` flag; singletons keep themselves.
+    *
+    * Scale design: clustering first is the whole point — candidate pairs
+    * come from an EQUI-join on the cluster id (one shuffle keyed on
+    * cluster_id, never a corpus cross join), so pair work is Σ cᵢ² over
+    * cluster sizes, bounded by choosing k ∝ corpus/target-cluster-size
+    * (the paper runs 50k clusters at LAION scale; an adversarially hot
+    * cluster composes with the same `capBuckets` defense the MinHash
+    * pipeline uses). Components run through the hybrid union-find /
+    * iterated-join CC; the centroid table is broadcast (k rows). The
+    * centroid set here is the same deterministic stand-in `cluster_assign`
+    * uses (vec_id < 10) so the oracle replays bit-exactly; a production run
+    * swaps in `IvfIndex.train` centroids with identical downstream algebra.
+    */
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = corpus(spark, dir)
+    val assigned = clusterAssign(spark, dir).join(emb, "vec_id")
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("ia"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("ib"),
+      col("embedding").as("vb"))
+    val edges = a.join(b, Seq("centroid_id"))
+      .filter(col("ia") < col("ib"))
+      .filter(lit(1.0) - vfn.cosDist(col("va"), col("vb")) >= SemTau)
+      .select(col("ia"), col("ib"))
+    val comp = graft.operators.Dedup.connectedComponents(edges)
+      .select(col("node").as("vec_id"), col("component"))
+    val cents = Tables(spark, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val labeled = assigned.join(comp, Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .join(broadcast(cents), Seq("centroid_id"))
+      .withColumn("csim", lit(1.0) - vfn.cosDist(col("embedding"), col("cv")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("csim").asc, col("vec_id").asc)
+    labeled
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("vec_id"), col("component"), col("keep"))
+  }
+
+  /** Oracle: the same cluster → within-cluster pairs → transitive closure →
+    * keep-least-prototypical pipeline in SQL (recursive-CTE closure, the
+    * `dedup_clusters` algebra over cosine edges).
+    */
+  val semdedupPruneSql: String =
+    s"""WITH RECURSIVE
+       |c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+       |      FROM embeddings WHERE vec_id < 10),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |pairs AS (
+       |  SELECT aa.vec_id AS ia, ab.vec_id AS ib
+       |  FROM assign aa JOIN assign ab
+       |    ON aa.centroid_id = ab.centroid_id AND aa.vec_id < ab.vec_id
+       |  JOIN embeddings a ON a.vec_id = aa.vec_id
+       |  JOIN embeddings b ON b.vec_id = ab.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[])) >= $SemTau),
+       |edges AS (SELECT ia AS x, ib AS y FROM pairs UNION SELECT ib, ia FROM pairs),
+       |reach AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+       |comp AS (SELECT x AS vec_id, least(x, min(y)) AS component
+       |         FROM reach GROUP BY x),
+       |lab AS (
+       |  SELECT e.vec_id, coalesce(cp.component, e.vec_id) AS component,
+       |         ass.centroid_id
+       |  FROM embeddings e
+       |  JOIN assign ass ON ass.vec_id = e.vec_id
+       |  LEFT JOIN comp cp ON cp.vec_id = e.vec_id)
+       |SELECT l.vec_id, CAST(l.component AS BIGINT) AS component,
+       |  CAST(CASE WHEN row_number() OVER (PARTITION BY l.component
+       |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+       |               l.vec_id ASC) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM lab l JOIN embeddings e ON e.vec_id = l.vec_id
+       |JOIN c ON c.centroid_id = l.centroid_id""".stripMargin
+
   /** Nearest-neighbor self-join: each vector's single nearest other vector —
     * the k=1 all-pairs KNN a dedup pipeline runs before clustering dups.
     */
@@ -598,6 +693,7 @@ object VectorQueries {
     "knn_fetch_join" -> (knnFetchJoin(_, _)),
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
+    "semdedup_prune" -> (semdedupPrune(_, _)),
     "embed_leakage" -> (embedLeakage(_, _)),
     "label_agreement" -> (labelAgreement(_, _)),
     "label_agreement_full" -> (labelAgreementFull(_, _)),
@@ -920,6 +1016,7 @@ object VectorQueries {
     "knn_fetch_join" -> knnFetchJoinSql,
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
+    "semdedup_prune" -> semdedupPruneSql,
     "embed_leakage" -> embedLeakageSql,
     "label_agreement" -> labelAgreementSql,
     "label_agreement_full" -> labelAgreementFullSql,
