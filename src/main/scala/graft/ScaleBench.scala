@@ -305,6 +305,35 @@ object ScaleBench {
       stateBands.unpersist()
     }
 
+    // SemDeDup scaling: pair work is Σ cᵢ² over cluster sizes, so the
+    // cluster count k is THE scale knob. Scaling k ∝ corpus keeps cluster
+    // sizes flat → pair work (and prune wall-clock) grows ~linearly; the
+    // fixed-k row under the same f× corpus shows the quadratic blow-up a
+    // naive deployment would hit (each cluster f× larger ⇒ f²× pairs).
+    // Build cost is reported separately — the trainer is reusable across
+    // corpus versions.
+    if (sections("semdedup")) {
+      val tau = 0.3
+      val kBase = 24
+      for ((tag, corpus, k) <- Seq(("1x", emb1x, kBase),
+          (s"scaledk_${factor}x", emb10, kBase * factor),
+          (s"fixedk_${factor}x", emb10, kBase))) {
+        var m: IvfIndex.Model = null
+        // capped iterations: cluster QUALITY is irrelevant to the scaling
+        // contrast being measured, and the k-proportional trainer cost is
+        // already reported as its own row
+        out(s"semdedup_build_$tag") = time {
+          m = IvfIndex.train(corpus, "embedding", nlist = k, maxIter = 15)
+        }
+        out(s"semdedup_prune_$tag") = time(drain(
+          Dedup.semanticPrune(corpus, "vec_id", "embedding", m, tau)))
+      }
+      out("scaling_semdedup_scaledk") =
+        out(s"semdedup_prune_scaledk_${factor}x") / out("semdedup_prune_1x")
+      out("scaling_semdedup_fixedk") =
+        out(s"semdedup_prune_fixedk_${factor}x") / out("semdedup_prune_1x")
+    }
+
     // SKEWED routed-graph build: the routed build runs one sequential NSW
     // insertion task per cell, so a router cell holding ~90% of the corpus
     // makes build wall-clock ∝ that one cell regardless of core count. The

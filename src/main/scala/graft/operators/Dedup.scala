@@ -539,6 +539,86 @@ object Dedup {
     }
   }
 
+  /** SemDeDup semantic pruning (Abbas et al. 2023, arXiv:2303.09540) in its
+    * production shape: k-means-cluster the embedding space, generate
+    * near-dup candidate pairs only WITHIN a cluster (equi-join on
+    * `cluster_id` — never a corpus cross join), resolve the ≥-threshold
+    * pair graph to connected components, and keep exactly one exemplar per
+    * component — the member LEAST cosine-similar to its cluster centroid
+    * (the paper's "low" policy: prototypical near-copies are pruned, the
+    * outlier carrying the most signal survives). Every input row comes
+    * back as (id, component, keep 0/1); singletons keep themselves.
+    *
+    * Scale contract: pair work is Σ cᵢ² over cluster sizes, so k is THE
+    * knob — hold k ∝ corpus/target-cluster-size (the paper runs 50k
+    * clusters at LAION scale) and per-cluster size stays flat, making
+    * total pair work grow LINEARLY with the corpus. A fixed k under a
+    * growing corpus grows pair work quadratically (ScaleBench's
+    * semdedup section measures exactly that contrast). The k-row
+    * centroid frame stays broadcast; components run through the hybrid
+    * union-find / iterated-join CC.
+    */
+  def semanticPrune(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, simThreshold: Double): DataFrame =
+    semanticPrune(corpus, idCol, vecCol,
+      IvfIndex.train(corpus, vecCol, nlist = nClusters), simThreshold)
+
+  /** Within-cluster pair-join parallelism: the a-side is sliced by id hash
+    * and the b-side replicated once per slice, so one cluster's c² pair
+    * work spreads over this many tasks instead of one.
+    */
+  private val PairSlices = 16L
+
+  /** `semanticPrune` over a pre-trained quantizer — build and prune cost
+    * separate (the trainer is reusable across corpus versions).
+    */
+  def semanticPrune(corpus: DataFrame, idCol: String, vecCol: String,
+      model: IvfIndex.Model, simThreshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.vfn
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the O(n·k·d) assignment argmin feeds three consumers (both pair
+    // sides and the final labeling) — persist it once instead of paying
+    // the argmin per consumer; released after the output materializes. A
+    // standing deployment materializes the assigned layout to storage
+    // instead (`IvfIndex.write`) and amortizes it across corpus versions.
+    val assigned = IvfIndex.assign(corpus, vecCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SLICED self-join: joining on cluster_id alone gives at most one task
+    // per cluster — a big cluster serializes its c² pair work on one core
+    // (and AQE's input-size coalescing makes it worse: the join EXPANDS
+    // after the shuffle read, so small map outputs get coalesced into a
+    // few giant tasks; measured 2 tasks for a 24-cluster corpus). Slicing
+    // the a-side by id hash and replicating the b-side once per slice
+    // keys the shuffle on (cluster_id, slice): pair work is unchanged,
+    // max task cost drops ×SliceFactor, and every (x, y) pair still meets
+    // exactly once — through x's slice.
+    val a = assigned.select(col("cluster_id"), col(idCol).as("ia"),
+        col(vecCol).as("va"))
+      .withColumn("__slice", pmod(xxhash64(col("ia")), lit(PairSlices)))
+    val b = assigned.select(col("cluster_id"), col(idCol).as("ib"),
+        col(vecCol).as("vb"))
+      .withColumn("__slice", explode(sequence(lit(0L), lit(PairSlices - 1L))))
+    val edges = a.join(b, Seq("cluster_id", "__slice"))
+      .filter(col("ia") < col("ib"))
+      .filter(lit(1.0) - vfn.cosDist(col("va"), col("vb")) >= simThreshold)
+      .select(col("ia"), col("ib"))
+    val comp = connectedComponents(edges)
+      .select(col("node").as(idCol), col("component"))
+    val cents = model.centroids.toSeq.map(_.toSeq).zipWithIndex
+      .map { case (cv, i) => (i, cv) }.toDF("cluster_id", "__cv")
+      .select(col("cluster_id"), col("__cv").cast("array<float>").as("__cv"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__csim").asc, col(idCol).asc)
+    released(assigned.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .join(broadcast(cents), Seq("cluster_id"))
+      .withColumn("__csim", lit(1.0) - vfn.cosDist(col(vecCol), col("__cv")))
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col(idCol), col("component"), col("keep")), assigned)
+  }
+
   /** Embedding-cosine near-dup pairs at scale: random-hyperplane LSH bucket
     * collisions generate candidates (no all-pairs), exact cosine similarity
     * verifies — the scale path the all-pairs `embed_neardup` baseline
@@ -778,12 +858,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      // EAGER localCheckpoint, not cache: caching does not truncate the
+      // logical plan, so each round's frame nests every previous round's —
+      // analysis + per-job plan rendering grow with the round count until
+      // they dominate wall-clock (measured on a 6.8M-edge graph: the
+      // driver spent its time in generateTreeString, ~2 cores busy).
+      // Checkpointing pins the round's ROWS and restarts the lineage flat.
       val next = labels
         .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .cache()
+        .localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.component") =!= col("o.component")).count()
       labels.unpersist()

@@ -203,30 +203,14 @@ object VectorQueries {
     * swaps in `IvfIndex.train` centroids with identical downstream algebra.
     */
   def semdedupPrune(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = corpus(spark, dir)
-    val assigned = clusterAssign(spark, dir).join(emb, "vec_id")
-    val a = assigned.select(col("centroid_id"), col("vec_id").as("ia"),
-      col("embedding").as("va"))
-    val b = assigned.select(col("centroid_id"), col("vec_id").as("ib"),
-      col("embedding").as("vb"))
-    val edges = a.join(b, Seq("centroid_id"))
-      .filter(col("ia") < col("ib"))
-      .filter(lit(1.0) - vfn.cosDist(col("va"), col("vb")) >= SemTau)
-      .select(col("ia"), col("ib"))
-    val comp = graft.operators.Dedup.connectedComponents(edges)
-      .select(col("node").as("vec_id"), col("component"))
+    // the deterministic stand-in quantizer: centroid i = vector i (i < 10),
+    // a bounded driver read — so this IS the production operator under the
+    // oracle gate, assignment (codegen NearestCentroid argmin) included
     val cents = Tables(spark, dir, "embeddings").filter(col("vec_id") < 10)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    val labeled = assigned.join(comp, Seq("vec_id"), "left")
-      .withColumn("component", coalesce(col("component"), col("vec_id")))
-      .join(broadcast(cents), Seq("centroid_id"))
-      .withColumn("csim", lit(1.0) - vfn.cosDist(col("embedding"), col("cv")))
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("csim").asc, col("vec_id").asc)
-    labeled
-      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
-      .select(col("vec_id"), col("component"), col("keep"))
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    graft.operators.Dedup.semanticPrune(corpus(spark, dir), "vec_id",
+      "embedding", IvfIndex.Model(cents, SpaceType.L2), SemTau)
   }
 
   /** Oracle: the same cluster → within-cluster pairs → transitive closure →

@@ -26,12 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     // guardQuerySetSize) broadcast against the corpus — the knn family
     // shape. The full-corpus variant routes through the IVF equi-join
     // path instead (label_agreement_full, asserted BNLJ-free below).
-    "label_agreement",
-    // semdedup_prune: its assignment stage is cluster_assign's shape — the
-    // k-row centroid table (k = 10 here, k rows generally) broadcast-crossed
-    // against the corpus for the argmin; every DATA-sized join in the
-    // pipeline (within-cluster pairs, component labels) is an equi-join.
-    "semdedup_prune") ++
+    "label_agreement") ++
     // scalar folds: crossJoin(broadcast(<single-row aggregate or k-row
     // sketch>)) — a 1-row (or sketch-bounded) build side stamped onto every
     // probe row. Constant-size broadcast at ANY corpus scale: bm25/tfidf
