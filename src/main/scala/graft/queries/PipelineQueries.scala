@@ -104,6 +104,48 @@ object PipelineQueries {
        |       WHEN source IN ($mid) THEN 500 ELSE 200 END""".stripMargin
   }
 
+  // ---- epoch-weighted mixing (upsampling) --------------------------------
+
+  /** Deterministic epoch-weighted corpus mixing — the UPSAMPLING half of
+    * data mixing (`sample_sources` is the downsampling half): high-quality
+    * sources repeat for 2.5 training epochs, mid sources run once, tail
+    * sources run a 0.25 fractional epoch. Exact integer algebra:
+    * n_epochs = whole + (digest bucket < frac·1000), with digest chars
+    * 9-12 so the fractional-epoch decision is independent of both the
+    * split hash (chars 1-4) and the downsampling hash (chars 5-8). Each
+    * output row is one (doc, epoch) training instance — the frame a
+    * sequence-packing stage consumes.
+    *
+    * Scale: shuffle-free — a projection plus a bounded explode (≤ ⌈max w⌉
+    * rows per doc); the mixture replays identically on any engine.
+    */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val isHigh = col("source").isin(HighSrc.map(lit(_)): _*)
+    val isMid = col("source").isin(MidSrc.map(lit(_)): _*)
+    val whole = when(isHigh, 2).when(isMid, 1).otherwise(0)
+    val fracPm = when(isHigh, 500).when(isMid, 0).otherwise(250)
+    val n = (whole +
+      when(hashBucket(col("doc_id"), 9, 1000) < fracPm, 1).otherwise(0))
+      .cast("long")
+    docs(spark, dir)
+      .withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("__n"))).as("epoch"))
+  }
+
+  val epochMixSql: String = {
+    val high = HighSrc.map(s => s"'$s'").mkString(", ")
+    val mid = MidSrc.map(s => s"'$s'").mkString(", ")
+    val whole = s"CASE WHEN source IN ($high) THEN 2 WHEN source IN ($mid) THEN 1 ELSE 0 END"
+    val fracPm = s"CASE WHEN source IN ($high) THEN 500 WHEN source IN ($mid) THEN 0 ELSE 250 END"
+    s"""SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM (
+       |  SELECT doc_id, source, unnest(generate_series(1,
+       |    $whole + CASE WHEN ${hashBucketSql("doc_id", 9, 1000)} < $fracPm
+       |             THEN 1 ELSE 0 END)) AS epoch
+       |  FROM documents) t""".stripMargin
+  }
+
   // ---- fixed-size per-group sampling -------------------------------------
 
   /** Exactly-n-per-group deterministic sampling: the n docs per source with
@@ -565,6 +607,7 @@ object PipelineQueries {
     "pii_scrub" -> (piiScrub(_, _)),
     "train_split" -> (trainSplit(_, _)),
     "sample_sources" -> (sampleSources(_, _)),
+    "epoch_mix" -> (epochMix(_, _)),
     "sample_fixed" -> (sampleFixed(_, _)),
     "quality_rules" -> (qualityRules(_, _)),
     "passage_dedup" -> (passageDedup(_, _)),
@@ -582,6 +625,7 @@ object PipelineQueries {
     "pii_scrub" -> piiScrubSql,
     "train_split" -> trainSplitSql,
     "sample_sources" -> sampleSourcesSql,
+    "epoch_mix" -> epochMixSql,
     "sample_fixed" -> sampleFixedSql,
     "quality_rules" -> qualityRulesSql,
     "passage_dedup" -> passageDedupSql,

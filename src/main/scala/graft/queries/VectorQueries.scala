@@ -177,6 +177,53 @@ object VectorQueries {
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin
 
+  // ---- hard-negative mining ----------------------------------------------
+
+  private val HnNQ = 200
+  private val HnK = 5
+
+  /** Hard-negative mining (triplet/contrastive training prep): for each
+    * anchor, the k nearest vectors with a DIFFERENT label. The label filter
+    * runs BEFORE the rank, so the result is the true top-k of the
+    * different-label subset even when an anchor's whole unfiltered
+    * neighborhood shares its label (a top-m-then-filter shortcut silently
+    * drops those anchors' hardest negatives). Ranks only are emitted (the
+    * knn oracle determinism rule).
+    *
+    * Scale shape: a bounded anchor sample broadcast against one linear
+    * corpus scan — the knn_l2/label_agreement family; a full-corpus mining
+    * run swaps candidate generation onto the indexed tiers exactly like
+    * `label_agreement_full`, with the label-mismatch filter applied to the
+    * probed candidates before the rank.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val anchors = emb.filter(col("vec_id") < HnNQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__d").asc, col("vec_id").asc)
+    emb.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("__d", vfn.l2Sq(col("qv"), col("embedding")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= HnK)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+       |           FROM embeddings WHERE vec_id < $HnNQ)
+       |SELECT qid, vec_id, rnk FROM (
+       |  SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC,
+       |               e.vec_id ASC) AS rnk
+       |  FROM q JOIN embeddings e ON e.label <> q.qlabel) t
+       |WHERE rnk <= $HnK""".stripMargin
+
   // ---- SemDeDup semantic pruning -----------------------------------------
 
   private val SemTau = 0.3 // within-cluster near-dup similarity threshold
@@ -678,6 +725,7 @@ object VectorQueries {
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     "semdedup_prune" -> (semdedupPrune(_, _)),
+    "hard_negatives" -> (hardNegatives(_, _)),
     "embed_leakage" -> (embedLeakage(_, _)),
     "label_agreement" -> (labelAgreement(_, _)),
     "label_agreement_full" -> (labelAgreementFull(_, _)),
@@ -1001,6 +1049,7 @@ object VectorQueries {
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
     "semdedup_prune" -> semdedupPruneSql,
+    "hard_negatives" -> hardNegativesSql,
     "embed_leakage" -> embedLeakageSql,
     "label_agreement" -> labelAgreementSql,
     "label_agreement_full" -> labelAgreementFullSql,

@@ -26,7 +26,11 @@ class PlanAuditSpec extends SparkSpec {
     // guardQuerySetSize) broadcast against the corpus — the knn family
     // shape. The full-corpus variant routes through the IVF equi-join
     // path instead (label_agreement_full, asserted BNLJ-free below).
-    "label_agreement") ++
+    "label_agreement",
+    // hard_negatives: same shape — bounded 200-anchor broadcast against
+    // the corpus with a pre-rank label filter (the theta condition is the
+    // label mismatch, so BNLJ is the correct physical join).
+    "hard_negatives") ++
     // scalar folds: crossJoin(broadcast(<single-row aggregate or k-row
     // sketch>)) — a 1-row (or sketch-bounded) build side stamped onto every
     // probe row. Constant-size broadcast at ANY corpus scale: bm25/tfidf
