@@ -321,6 +321,44 @@ class DedupSpec extends SparkSpec {
     split.unpersist()
   }
 
+  test("semanticPrune: keep least-prototypical per component; pair join is sliced") {
+    import scala.jdk.CollectionConverters._
+    import graft.core.SpaceType
+    import graft.operators.IvfIndex
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // two well-separated clusters; in each, a near-dup pair (one member
+      // exactly on the centroid, one slightly off) plus a singleton — the
+      // off-centroid member must be the keeper (SemDeDup "low" policy)
+      val df = Seq(
+        (1L, Seq(10f, 0f)), (2L, Seq(9.9f, 0.1f)), (3L, Seq(10f, 3f)),
+        (11L, Seq(-10f, 0f)), (12L, Seq(-9.9f, -0.1f)), (13L, Seq(-10f, -4f)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+      val model = IvfIndex.Model(Array(Array(10f, 0f), Array(-10f, 0f)), SpaceType.L2)
+      val got = Dedup.semanticPrune(df, "vec_id", "embedding", model, 0.99)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        (1L, 1L, 0L), (2L, 1L, 1L), (3L, 3L, 1L),
+        (11L, 11L, 0L), (12L, 11L, 1L), (13L, 13L, 1L)))
+      // the scale fix: candidate pairs must join on (cluster_id, __slice) —
+      // keyed on cluster_id alone, AQE's input-size coalescing serializes a
+      // giant cluster's c² pair work on one task (SCALE_r07 semdedup note)
+      val deadline = System.nanoTime() + 30_000_000_000L
+      def sliced = plans.asScala.exists(_.contains("__slice"))
+      while (!sliced && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(sliced, "no executed plan joined on __slice — the sliced pair join regressed")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("resolveKeepBest: one survivor per cluster by (score desc, id asc); singletons kept") {
     // cluster {1,2,3}: 2 has the best score; {5,6}: tied scores → smaller id
     val docs = Seq(
