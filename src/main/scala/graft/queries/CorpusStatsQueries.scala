@@ -438,8 +438,64 @@ object CorpusStatsQueries {
       |FROM o JOIN bc USING (bg) JOIN pc USING (w1)
       |GROUP BY doc_id""".stripMargin
 
+  // ---- CCNet-style LM-fit bucketing ---------------------------------------
+
+  /** CCNet's perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359):
+    * per language, split the corpus into head / middle / tail TERCILES of
+    * language-model fit — the mixture knob CCNet pipelines expose ("train
+    * on head+middle, drop tail"). The score is `lm_score`'s micro-averaged
+    * bigram fit (higher = more corpus-conformant ≈ lower perplexity), built
+    * ON that query's definition so the two cannot drift. Terciles are exact
+    * integer rank algebra (rank·3 ≤ n, rank·3 ≤ 2n — no float quantile
+    * interpolation); the rank orders by the fit double (ONE IEEE division
+    * of exact BIGINT sums — bit-identical on every engine) with doc_id
+    * tie-break.
+    *
+    * Scale: `lm_score` is linear constant-width aggregations; the tercile
+    * rank is one language-partitioned window (shuffle on lang, no global
+    * sort — the quality_quartile shape). At extreme per-language cardinality
+    * the same decision can run rank-free: select the two boundary (fit,
+    * doc_id) pairs per language via the `token_quantiles` rank-selection
+    * trick and broadcast them back as tuple comparisons.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lang = docs(spark, dir).select(col("doc_id"), col("lang"))
+    val scored = lmScore(spark, dir).select(col("doc_id"), col("fit"))
+      .join(lang, "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("fit").desc, col("doc_id").asc)
+    val n = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .select(col("doc_id"), col("lang"), col("fit"),
+        when(col("rnk") * 3 <= col("n"), "head")
+          .when(col("rnk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Oracle: the `lm_score` oracle AS a CTE plus the same windows — one
+    * definition of the fit score for both queries.
+    */
+  val ccnetBucketsSql: String =
+    s"""WITH fit AS ($lmScoreSql),
+       |j AS (SELECT d.doc_id, d.lang, f.fit
+       |      FROM documents d JOIN fit f ON d.doc_id = f.doc_id),
+       |r AS (SELECT doc_id, lang, fit,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY fit DESC, doc_id ASC) AS rnk,
+       |        count(*) OVER (PARTITION BY lang) AS n
+       |      FROM j)
+       |SELECT doc_id, lang, fit,
+       |  CASE WHEN rnk * 3 <= n THEN 'head'
+       |       WHEN rnk * 3 <= 2 * n THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_score" -> (lmScore(_, _)),
+    "ccnet_buckets" -> (ccnetBuckets(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "token_quantiles" -> (tokenQuantiles(_, _)),
     "rare_bigrams" -> (rareBigrams(_, _)),
@@ -450,6 +506,7 @@ object CorpusStatsQueries {
 
   val oracles: Map[String, String] = Map(
     "lm_score" -> lmScoreSql,
+    "ccnet_buckets" -> ccnetBucketsSql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "token_quantiles" -> tokenQuantilesSql,
     "rare_bigrams" -> rareBigramsSql,

@@ -146,6 +146,92 @@ object PipelineQueries {
        |  FROM documents) t""".stripMargin
   }
 
+  // ---- DSIR-style importance resampling ----------------------------------
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169) in hash-gate-exact form: score every doc under a
+    * bag-of-hashed-bigrams model of the TARGET distribution (the curated
+    * sources) against the RAW pool (everything else), then keep the top-K
+    * scorers — the "make the web corpus look like the curated corpus"
+    * selection step. DSIR's weight is the log-likelihood ratio
+    * Σ c_f·ln(p̂_t(f)/p̂_r(f)); `ln` would hand the hash gate to libm, so the
+    * per-feature weight here is the cleared-denominator probability
+    * DIFFERENCE — w_f = (t_f+1)·(R+B) − (r_f+1)·(T+B), i.e.
+    * (p̂_t(f) − p̂_r(f)) scaled by the positive constant (T+B)(R+B) under
+    * add-one smoothing over B hash buckets — the same "prefer features the
+    * target over-expresses" signal in exact integer arithmetic end to end.
+    *
+    * Scale: the bigram stream is linear in corpus tokens; bucket counts are
+    * a CONSTANT-width aggregate (B rows — the bounded driver collect IS the
+    * trained model) broadcast back onto the stream; per-doc scores are one
+    * doc-keyed sum; the top-K cut is TakeOrderedAndProject (map-side partial
+    * top-K, never a global sort). Products run in DECIMAL(38,0) — t_f·R
+    * passes the BIGINT envelope around 10⁹ target × 10¹⁰ raw occurrences —
+    * with ONE cast to double at the end (round-to-nearest on every engine),
+    * which is also the ORDER key on both sides so the K-boundary cannot
+    * disagree.
+    */
+  private val DsirBuckets = 1024
+  private val DsirK = 200
+
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.vfn
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // widened: the tokenize+explode map cost must not inherit a narrow
+    // small-file scan's parallelism (same rationale as bm25_keyword)
+    val occ = graft.operators.Dedup.widened(docs(spark, dir))
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(vfn.ngrams(toks, 2)).as("bg"))
+      .withColumn("f", hashBucket(col("bg"), 1, DsirBuckets))
+      .withColumn("tgt", col("source").isin(HighSrc.map(lit(_)): _*))
+    // the MODEL is the B-row bucket-count table — collect it once (bounded:
+    // B rows at ANY corpus scale) and rebuild the weight frame driver-side,
+    // so the gram stream is evaluated exactly twice: the count aggregation
+    // and the score probe (deriving totals/weights from the counts FRAME
+    // would re-run the corpus pass per consumer)
+    import spark.implicits._
+    val cnts = occ.groupBy(col("f")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("t_f"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("r_f"))
+      .as[(Long, Long, Long)].collect()
+    val tTot = cnts.map(_._2).sum
+    val rTot = cnts.map(_._3).sum
+    val weights = cnts.toSeq.toDF("f", "t_f", "r_f").select(col("f"),
+      (dec(col("t_f") + 1L) * dec(lit(rTot + DsirBuckets)) -
+        dec(col("r_f") + 1L) * dec(lit(tTot + DsirBuckets))).as("w"))
+    occ.join(broadcast(weights), "f")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("w")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(DsirK)
+  }
+
+  val dsirSelectSql: String = {
+    val high = HighSrc.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id, source, unnest(list_transform(
+       |    generate_series(1, len(tk) - 1),
+       |    i -> array_to_string(tk[i:i+1], ' '))) AS bg
+       |  FROM t WHERE len(tk) >= 2),
+       |feat AS (
+       |  SELECT doc_id, source, ${hashBucketSql("bg", 1, DsirBuckets)} AS f,
+       |    CASE WHEN source IN ($high) THEN 1 ELSE 0 END AS tgt
+       |  FROM occ),
+       |cnt AS (SELECT f, sum(tgt) AS t_f, sum(1 - tgt) AS r_f
+       |        FROM feat GROUP BY f),
+       |tot AS (SELECT sum(t_f) AS tt, sum(r_f) AS rt FROM cnt),
+       |w AS (SELECT f,
+       |        CAST(t_f + 1 AS HUGEINT) * (rt + $DsirBuckets)
+       |          - CAST(r_f + 1 AS HUGEINT) * (tt + $DsirBuckets) AS w
+       |      FROM cnt CROSS JOIN tot),
+       |sc AS (SELECT doc_id, source, CAST(sum(w) AS DOUBLE) AS score
+       |       FROM feat JOIN w USING (f) GROUP BY doc_id, source)
+       |SELECT doc_id, source, score FROM sc
+       |ORDER BY score DESC, doc_id ASC LIMIT $DsirK""".stripMargin
+  }
+
   // ---- fixed-size per-group sampling -------------------------------------
 
   /** Exactly-n-per-group deterministic sampling: the n docs per source with
@@ -608,6 +694,7 @@ object PipelineQueries {
     "train_split" -> (trainSplit(_, _)),
     "sample_sources" -> (sampleSources(_, _)),
     "epoch_mix" -> (epochMix(_, _)),
+    "dsir_select" -> (dsirSelect(_, _)),
     "sample_fixed" -> (sampleFixed(_, _)),
     "quality_rules" -> (qualityRules(_, _)),
     "passage_dedup" -> (passageDedup(_, _)),
@@ -626,6 +713,7 @@ object PipelineQueries {
     "train_split" -> trainSplitSql,
     "sample_sources" -> sampleSourcesSql,
     "epoch_mix" -> epochMixSql,
+    "dsir_select" -> dsirSelectSql,
     "sample_fixed" -> sampleFixedSql,
     "quality_rules" -> qualityRulesSql,
     "passage_dedup" -> passageDedupSql,

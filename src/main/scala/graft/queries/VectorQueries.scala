@@ -303,6 +303,68 @@ object VectorQueries {
        |FROM lab l JOIN embeddings e ON e.vec_id = l.vec_id
        |JOIN c ON c.centroid_id = l.centroid_id""".stripMargin
 
+  // ---- cluster-balanced sampling cap -------------------------------------
+
+  private val ClusterCap = 25L
+
+  /** Cluster-balanced curation cap (the D4-family debiasing step, Tirumala
+    * et al. 2023, arXiv:2308.12284): cap every embedding-space cluster at N
+    * members so dominant modes (boilerplate templates, scraped mirrors)
+    * cannot swamp the mixture. Members kept per cluster are the N smallest
+    * md5 digests — digest order is a fixed random permutation, so within
+    * each cluster this IS a uniform sample, yet a pure function of ids
+    * (replayable anywhere, stable under reruns/partitioning). Output: every
+    * vector with its cluster, digest rank, and 0/1 `kept` flag.
+    *
+    * The centroid set is the same deterministic stand-in `cluster_assign` /
+    * `semdedup_prune` use (vec_id < 10 — a bounded driver read) so the
+    * oracle replays the assignment bit-exactly; a production run swaps in
+    * `IvfIndex.train` centroids with identical downstream algebra.
+    *
+    * Scale: assignment is the codegen NearestCentroid argmin (broadcast
+    * centroid literal, zero shuffle — not the BNLJ `cluster_assign`
+    * declares for the J3 join shape); the rank is one cluster-keyed window
+    * whose group sizes are bounded by choosing k ∝ corpus/target-cluster-
+    * size; emitting the flag (not cutting) keeps the audit trail — a
+    * keep-only variant is the same plan with the filter pushed into the
+    * window's group limit.
+    */
+  def clusterCapSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables(spark, dir, "embeddings").filter(col("vec_id") < 10)
+      .orderBy(col("vec_id")).select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val assigned = IvfIndex.assign(corpus(spark, dir), "embedding",
+      IvfIndex.Model(cents, SpaceType.L2))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    assigned
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+        col("rnk"),
+        when(col("rnk") <= ClusterCap, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** Oracle: the `semdedup_prune` assignment CTE (same centroids, same
+    * argmin tie-break) plus the digest-rank window.
+    */
+  val clusterCapSampleSql: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+       |           FROM embeddings WHERE vec_id < 10),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+       |                 c.centroid_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c) t WHERE rn = 1)
+       |SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster_id, rnk,
+       |  CAST(CASE WHEN rnk <= $ClusterCap THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM (SELECT vec_id, centroid_id,
+       |        row_number() OVER (PARTITION BY centroid_id
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rnk
+       |      FROM assign) t""".stripMargin
+
   /** Nearest-neighbor self-join: each vector's single nearest other vector —
     * the k=1 all-pairs KNN a dedup pipeline runs before clustering dups.
     */
@@ -725,6 +787,7 @@ object VectorQueries {
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     "semdedup_prune" -> (semdedupPrune(_, _)),
+    "cluster_cap_sample" -> (clusterCapSample(_, _)),
     "hard_negatives" -> (hardNegatives(_, _)),
     "embed_leakage" -> (embedLeakage(_, _)),
     "label_agreement" -> (labelAgreement(_, _)),
@@ -1049,6 +1112,7 @@ object VectorQueries {
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
     "semdedup_prune" -> semdedupPruneSql,
+    "cluster_cap_sample" -> clusterCapSampleSql,
     "hard_negatives" -> hardNegativesSql,
     "embed_leakage" -> embedLeakageSql,
     "label_agreement" -> labelAgreementSql,

@@ -215,6 +215,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.toSet === want)
   }
 
+  test("ccnet_buckets: exact per-language tercile counts, buckets ordered by fit") {
+    val rows = CorpusStatsQueries.ccnetBuckets(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val n = rs.length
+      val byB = rs.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+      assert(byB.getOrElse("head", 0) === n / 3, s"$lang head count")
+      assert(byB.getOrElse("middle", 0) === 2 * n / 3 - n / 3, s"$lang middle count")
+      assert(byB.getOrElse("tail", 0) === n - 2 * n / 3, s"$lang tail count")
+      def fits(b: String) = rs.filter(_.getString(3) == b).map(_.getDouble(2))
+      // bucket boundaries respect the fit ordering (ties may straddle only
+      // via the doc_id tie-break, so >= — never a strict inversion)
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail")))
+        if (fits(hi).nonEmpty && fits(lo).nonEmpty)
+          assert(fits(hi).min >= fits(lo).max,
+            s"$lang: $hi fits must dominate $lo")
+    }
+  }
+
   test("lm_score: micro-averaged bigram fit matches a brute-force recount") {
     val rows = CorpusStatsQueries.lmScore(spark, sf0001)
       .as[(Long, Long, Long, Double)].collect()

@@ -359,6 +359,25 @@ class DedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("cluster_cap_sample: kept = min(cap, size) smallest digests per cluster; rnk a permutation") {
+    val rows = graft.queries.VectorQueries.clusterCapSample(spark, sf0001).collect()
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(rows.length.toLong === total, "every vector gets exactly one row")
+    def dig(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      val cap = math.min(25, rs.length)
+      val kept = rs.filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+      assert(kept.size === cap, s"cluster $cid kept ${kept.size}, want $cap")
+      val want = rs.map(_.getLong(0)).sortBy(id => (dig(id), id)).take(cap).toSet
+      assert(kept === want, s"cluster $cid kept set is not the smallest digests")
+      assert(rs.map(_.getLong(2)).sorted.toSeq === (1L to rs.length).toSeq,
+        s"cluster $cid rnk is not a 1..n permutation")
+    }
+    // the cap binds somewhere at this sf (10 centroids × 500 vectors)
+    assert(rows.count(_.getLong(3) == 0L) > 0, "cap never bound — property vacuous")
+  }
+
   test("resolveKeepBest: one survivor per cluster by (score desc, id asc); singletons kept") {
     // cluster {1,2,3}: 2 has the best score; {5,6}: tied scores → smaller id
     val docs = Seq(

@@ -37,6 +37,38 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(math.abs(fracOf((10 to 19).map(i => s"src$i")) - 0.2) < 0.12)
   }
 
+  test("dsir_select: top-K matches a brute-force importance recount") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val B = 1024
+    def bucket(bg: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % B
+    }
+    val high = (0 to 4).map(i => s"src$i").toSet
+    val occ = docs.flatMap { case (id, src, text) =>
+      val t = text.split(" ", -1)
+      if (t.length < 2) Nil
+      else (0 until t.length - 1).map(i => (id, src, bucket(t(i) + " " + t(i + 1))))
+    }
+    val tF = occ.filter(o => high(o._2)).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val rF = occ.filterNot(o => high(o._2)).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (tt, rt) = (tF.values.sum, rF.values.sum)
+    def w(f: Int): BigInt =
+      BigInt(tF.getOrElse(f, 0L) + 1) * (rt + B) -
+        BigInt(rF.getOrElse(f, 0L) + 1) * (tt + B)
+    val scores = occ.groupBy(_._1).view
+      .mapValues(os => os.map(o => w(o._3)).sum.toDouble).toMap
+    val expect = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(200)
+    val got = PipelineQueries.dsirSelect(spark, sf0001).collect()
+    assert(got.length === 200)
+    assert(got.map(_.getLong(0)).toSet === expect.map(_._1).toSet,
+      "selected doc set must match the brute-force top-K")
+    got.foreach(r => assert(scores(r.getLong(0)) === r.getDouble(2),
+      s"score mismatch for doc ${r.getLong(0)}"))
+  }
+
   test("quality_rules: flags match a scala recount on a sample") {
     val rows = PipelineQueries.qualityRules(spark, sf001).limit(50).collect()
     val texts = spark.read.parquet(s"$sf001/documents.parquet")
