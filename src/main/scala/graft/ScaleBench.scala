@@ -334,6 +334,55 @@ object ScaleBench {
         out(s"semdedup_prune_fixedk_${factor}x") / out("semdedup_prune_1x")
     }
 
+    // Data-selection family (Selection.scala): DSIR's scale claim is that
+    // the trained model is a CONSTANT-width (B-row) driver collect at any
+    // corpus size while the gram stream grows linearly; the tercile and
+    // cluster-cap rows time the group-partitioned window shapes (cluster
+    // cap with k ∝ corpus keeping group sizes flat — the semdedup knob —
+    // vs fixed-k, where each window group grows f× instead).
+    if (sections("selection")) {
+      import graft.operators.Selection
+      // uncounted warmup: JIT the md5/conv/ngram codegen and the window
+      // exec paths so the 1x rows don't carry first-touch compilation
+      drain(Selection.dsirSelect(docs1.limit(500), "doc_id", "text",
+        isTarget = pmod(xxhash64(col("doc_id")), lit(4)) === 0, k = 10))
+      drain(Selection.scoreTerciles(docs1.limit(500).select(col("doc_id"),
+        lit("w").as("lang"), length(col("text")).cast("double").as("fit")),
+        "lang", "fit", "doc_id"))
+      for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)) {
+        spark.catalog.clearCache()
+        out(s"dsir_select_$tag") = time(drain(
+          Selection.dsirSelect(docs, "doc_id", "text",
+            isTarget = pmod(xxhash64(col("doc_id")), lit(4)) === 0)))
+        // cheap deterministic per-doc score: the row isolates the window
+        // machinery — the fit computation's scaling is the textops story
+        val scored = docs.select(col("doc_id"),
+          pmod(xxhash64(col("doc_id")), lit(8)).cast("string").as("lang"),
+          length(col("text")).cast("double").as("fit"))
+        out(s"ccnet_terciles_$tag") = time(drain(
+          Selection.scoreTerciles(scored, "lang", "fit", "doc_id")))
+      }
+      // assignment is timed APART from the window: the argmin is O(n·k·d),
+      // so scaled-k pays 10x per-row assignment work by construction — the
+      // window row is the one whose group-size behavior the knob controls
+      // (a production deployment assigns via the IVF probe machinery)
+      val kBase = 24
+      for ((tag, corpus, k) <- Seq(("1x", emb1x, kBase),
+          (s"scaledk_${factor}x", emb10, kBase * factor),
+          (s"fixedk_${factor}x", emb10, kBase))) {
+        var m: IvfIndex.Model = null
+        out(s"cluster_cap_build_$tag") = time {
+          m = IvfIndex.train(corpus, "embedding", nlist = k, maxIter = 15)
+        }
+        val assigned = IvfIndex.assign(corpus, "embedding", m)
+          .select(col("vec_id"), col("cluster_id")).cache()
+        out(s"cluster_cap_assign_$tag") = time(assigned.count())
+        out(s"cluster_cap_window_$tag") = time(drain(
+          Selection.clusterCap(assigned, "cluster_id", "vec_id", 25L)))
+        assigned.unpersist()
+      }
+    }
+
     // SKEWED routed-graph build: the routed build runs one sequential NSW
     // insertion task per cell, so a router cell holding ~90% of the corpus
     // makes build wall-clock ∝ that one cell regardless of core count. The
@@ -503,6 +552,10 @@ object ScaleBench {
       ("scaling_substr_dedup", s"substr_dedup_$scaled", "substr_dedup_1x"),
       ("scaling_bloom_decontam", s"bloom_decontam_$scaled", "bloom_decontam_1x"),
       ("scaling_passage_scrub", s"passage_scrub_$scaled", "passage_scrub_1x"),
+      ("scaling_dsir_select", s"dsir_select_$scaled", "dsir_select_1x"),
+      ("scaling_ccnet_terciles", s"ccnet_terciles_$scaled", "ccnet_terciles_1x"),
+      ("scaling_cluster_cap_window_scaledk", s"cluster_cap_window_scaledk_$scaled", "cluster_cap_window_1x"),
+      ("scaling_cluster_cap_window_fixedk", s"cluster_cap_window_fixedk_$scaled", "cluster_cap_window_1x"),
       ("speedup_skew_split_build", "graph_skew_build_nosplit", "graph_skew_build_split"),
       ("skew_maxcell_shrink", "graph_skew_maxcell_nosplit", "graph_skew_maxcell_split"))
       .collect { case (k, num, den) if out.contains(num) && out.contains(den) =>

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for training-corpus curation: DSIR importance
+  * resampling, CCNet-style per-group score terciles, and cluster-balanced
+  * sampling caps. These are the production cores behind the declared
+  * `dsir_select` / `ccnet_buckets` / `cluster_cap_sample` queries (which
+  * gate them end-to-end against the DuckDB oracle) and the ScaleBench
+  * `selection` section (which measures them at replicated-corpus scale).
+  *
+  * Everything is hash-deterministic and exact-integer where a comparison
+  * decides survival; the single double cast in `dsirSelect` is also the
+  * order key on both engine sides, so the top-K boundary cannot disagree.
+  */
+object Selection {
+
+  /** md5-derived integer bucket in [0, mod): `hexOffset` selects which 4 hex
+    * chars of the digest feed the bucket, so independent decisions (split
+    * assignment vs sampling vs featurization) draw from decorrelated bits of
+    * the same digest. The digest is over the STRING form of the value — both
+    * engines agree on int64 rendering; for text the string IS the value.
+    */
+  def md5Bucket(v: Column, hexOffset: Int, mod: Int): Column =
+    (conv(substring(md5(v.cast("string").cast("binary")), hexOffset, 4), 16, 10)
+      .cast("long") % mod)
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169) in hash-gate-exact form: score every doc under a
+    * bag-of-hashed-bigrams model of the TARGET distribution (`isTarget`
+    * rows) against the RAW pool (everything else), then keep the top-`k`
+    * scorers — the "make the web corpus look like the curated corpus"
+    * selection step. DSIR's weight is the log-likelihood ratio
+    * Σ c_f·ln(p̂_t(f)/p̂_r(f)); `ln` would hand an exact-replay gate to libm,
+    * so the per-feature weight here is the cleared-denominator probability
+    * DIFFERENCE — w_f = (t_f+1)·(R+B) − (r_f+1)·(T+B), i.e.
+    * (p̂_t(f) − p̂_r(f)) scaled by the positive constant (T+B)(R+B) under
+    * add-one smoothing over B hash buckets — the same "prefer features the
+    * target over-expresses" signal in exact integer arithmetic end to end.
+    *
+    * Scale: the bigram stream is linear in corpus tokens; bucket counts are
+    * a CONSTANT-width aggregate (B rows — the bounded driver collect IS the
+    * trained model) broadcast back onto the stream; per-doc scores are one
+    * doc-keyed sum; the top-K cut is TakeOrderedAndProject (map-side partial
+    * top-K, never a global sort). Products run in DECIMAL(38,0) — t_f·R
+    * passes the BIGINT envelope around 10⁹ target × 10¹⁰ raw occurrences —
+    * with ONE cast to double at the end (round-to-nearest on every engine).
+    *
+    * `carryCols` are grouped alongside `idCol` (they must be functionally
+    * dependent on it, e.g. the doc's source label) and appear in the output.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 1024, k: Int = 200,
+                 carryCols: Seq[String] = Nil): DataFrame = {
+    import graft.functions.vfn
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val toks = split(col(textCol), " ")
+    // widened: the tokenize+explode map cost must not inherit a narrow
+    // small-file scan's parallelism (same rationale as bm25_keyword)
+    val occ = Dedup.widened(docs)
+      .filter(size(toks) >= 2)
+      .select(col(idCol) +: carryCols.map(col) :+
+        explode(vfn.ngrams(toks, 2)).as("bg"): _*)
+      .withColumn("f", md5Bucket(col("bg"), 1, buckets))
+      .withColumn("tgt", isTarget)
+    // the MODEL is the B-row bucket-count table — collect it once (bounded:
+    // B rows at ANY corpus scale) and rebuild the weight frame driver-side,
+    // so the gram stream is evaluated exactly twice: the count aggregation
+    // and the score probe (deriving totals/weights from the counts FRAME
+    // would re-run the corpus pass per consumer)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnts = occ.groupBy(col("f")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("t_f"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("r_f"))
+      .as[(Long, Long, Long)].collect()
+    val tTot = cnts.map(_._2).sum
+    val rTot = cnts.map(_._3).sum
+    val weights = cnts.toSeq.toDF("f", "t_f", "r_f").select(col("f"),
+      (dec(col("t_f") + 1L) * dec(lit(rTot + buckets)) -
+        dec(col("r_f") + 1L) * dec(lit(tTot + buckets))).as("w"))
+    occ.join(broadcast(weights), "f")
+      .groupBy((col(idCol) +: carryCols.map(col)): _*)
+      .agg(sum(col("w")).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** CCNet's head/middle/tail bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): per `partCol` group, split rows into exact TERCILES
+    * of `scoreCol` (higher = better fit ≈ lower perplexity) — the mixture
+    * knob CCNet pipelines expose ("train on head+middle, drop tail").
+    * Terciles are exact integer rank algebra (rank·3 ≤ n, rank·3 ≤ 2n — no
+    * float quantile interpolation); the rank orders by score desc with
+    * `idCol` tie-break. Output: the input plus a `bucket` column.
+    *
+    * Scale: one group-partitioned window (shuffle on `partCol`, no global
+    * sort). At extreme per-group cardinality the same decision can run
+    * rank-free: select the two boundary (score, id) pairs per group via
+    * rank-selection and broadcast them back as tuple comparisons.
+    */
+  def scoreTerciles(scored: DataFrame, partCol: String, scoreCol: String,
+                    idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val n = Window.partitionBy(col(partCol))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n"), "head")
+          .when(col("rnk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .drop("rnk", "n")
+  }
+
+  /** Cluster-balanced curation cap (the D4-family debiasing step, Tirumala
+    * et al. 2023, arXiv:2308.12284): cap every cluster at `cap` members so
+    * dominant modes (boilerplate templates, scraped mirrors) cannot swamp
+    * the mixture. Members kept per cluster are the `cap` smallest md5
+    * digests of `idCol` — digest order is a fixed random permutation, so
+    * within each cluster this IS a uniform sample, yet a pure function of
+    * ids (replayable anywhere, stable under reruns/partitioning). Output:
+    * the input plus digest rank `rnk` and a 0/1 `kept` flag (emitting the
+    * flag, not cutting, keeps the audit trail — a keep-only variant is the
+    * same plan with the filter pushed into the window's group limit).
+    *
+    * Scale: one cluster-keyed window; group sizes are bounded by choosing
+    * the cluster count k ∝ corpus/target-cluster-size (the scaled-k row in
+    * ScaleBench's selection section measures exactly that knob).
+    */
+  def clusterCap(assigned: DataFrame, clusterCol: String, idCol: String,
+                 cap: Long): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    assigned
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("kept", when(col("rnk") <= cap, 1L).otherwise(0L))
+  }
+}

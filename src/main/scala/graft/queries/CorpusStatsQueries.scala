@@ -443,36 +443,20 @@ object CorpusStatsQueries {
   /** CCNet's perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359):
     * per language, split the corpus into head / middle / tail TERCILES of
     * language-model fit — the mixture knob CCNet pipelines expose ("train
-    * on head+middle, drop tail"). The score is `lm_score`'s micro-averaged
-    * bigram fit (higher = more corpus-conformant ≈ lower perplexity), built
-    * ON that query's definition so the two cannot drift. Terciles are exact
-    * integer rank algebra (rank·3 ≤ n, rank·3 ≤ 2n — no float quantile
-    * interpolation); the rank orders by the fit double (ONE IEEE division
-    * of exact BIGINT sums — bit-identical on every engine) with doc_id
-    * tie-break.
-    *
-    * Scale: `lm_score` is linear constant-width aggregations; the tercile
-    * rank is one language-partitioned window (shuffle on lang, no global
-    * sort — the quality_quartile shape). At extreme per-language cardinality
-    * the same decision can run rank-free: select the two boundary (fit,
-    * doc_id) pairs per language via the `token_quantiles` rank-selection
-    * trick and broadcast them back as tuple comparisons.
+    * on head+middle, drop tail"). The tercile machinery is the production
+    * operator `Selection.scoreTerciles` (exact integer rank algebra, one
+    * group-partitioned window — see its Scaladoc for the rank-free
+    * extreme-cardinality variant); the score is `lm_score`'s micro-averaged
+    * bigram fit (higher = more corpus-conformant ≈ lower perplexity, ONE
+    * IEEE division of exact BIGINT sums — bit-identical on every engine),
+    * built ON that query's definition so the two cannot drift.
     */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lang = docs(spark, dir).select(col("doc_id"), col("lang"))
     val scored = lmScore(spark, dir).select(col("doc_id"), col("fit"))
       .join(lang, "doc_id")
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("fit").desc, col("doc_id").asc)
-    val n = Window.partitionBy(col("lang"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(n))
-      .select(col("doc_id"), col("lang"), col("fit"),
-        when(col("rnk") * 3 <= col("n"), "head")
-          .when(col("rnk") * 3 <= col("n") * 2, "middle")
-          .otherwise("tail").as("bucket"))
+    graft.operators.Selection.scoreTerciles(scored, "lang", "fit", "doc_id")
+      .select(col("doc_id"), col("lang"), col("fit"), col("bucket"))
   }
 
   /** Oracle: the `lm_score` oracle AS a CTE plus the same windows — one

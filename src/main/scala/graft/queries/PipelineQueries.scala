@@ -39,8 +39,7 @@ object PipelineQueries {
     * int64 rendering.
     */
   private[queries] def hashBucket(id: Column, hexOffset: Int, mod: Int): Column =
-    (conv(substring(md5(id.cast("string").cast("binary")), hexOffset, 4), 16, 10)
-      .cast("long") % mod)
+    graft.operators.Selection.md5Bucket(id, hexOffset, mod)
 
   private[queries] def hashBucketSql(id: String, hexOffset: Int, mod: Int): String = {
     val nib = (0 until 4).map { i =>
@@ -148,64 +147,20 @@ object PipelineQueries {
 
   // ---- DSIR-style importance resampling ----------------------------------
 
-  /** Data Selection via Importance Resampling (Xie et al. 2023,
-    * arXiv:2302.03169) in hash-gate-exact form: score every doc under a
-    * bag-of-hashed-bigrams model of the TARGET distribution (the curated
-    * sources) against the RAW pool (everything else), then keep the top-K
-    * scorers — the "make the web corpus look like the curated corpus"
-    * selection step. DSIR's weight is the log-likelihood ratio
-    * Σ c_f·ln(p̂_t(f)/p̂_r(f)); `ln` would hand the hash gate to libm, so the
-    * per-feature weight here is the cleared-denominator probability
-    * DIFFERENCE — w_f = (t_f+1)·(R+B) − (r_f+1)·(T+B), i.e.
-    * (p̂_t(f) − p̂_r(f)) scaled by the positive constant (T+B)(R+B) under
-    * add-one smoothing over B hash buckets — the same "prefer features the
-    * target over-expresses" signal in exact integer arithmetic end to end.
-    *
-    * Scale: the bigram stream is linear in corpus tokens; bucket counts are
-    * a CONSTANT-width aggregate (B rows — the bounded driver collect IS the
-    * trained model) broadcast back onto the stream; per-doc scores are one
-    * doc-keyed sum; the top-K cut is TakeOrderedAndProject (map-side partial
-    * top-K, never a global sort). Products run in DECIMAL(38,0) — t_f·R
-    * passes the BIGINT envelope around 10⁹ target × 10¹⁰ raw occurrences —
-    * with ONE cast to double at the end (round-to-nearest on every engine),
-    * which is also the ORDER key on both sides so the K-boundary cannot
-    * disagree.
+  /** DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169): the
+    * production operator is `Selection.dsirSelect` — see its Scaladoc for
+    * the cleared-denominator integer weight form and the scale argument
+    * (B-row bounded model collect, linear gram stream, map-side top-K).
+    * This declared query gates it end-to-end: target = the curated sources,
+    * raw pool = everything else, keep the top-200.
     */
   private val DsirBuckets = 1024
   private val DsirK = 200
 
-  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.vfn
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    // widened: the tokenize+explode map cost must not inherit a narrow
-    // small-file scan's parallelism (same rationale as bm25_keyword)
-    val occ = graft.operators.Dedup.widened(docs(spark, dir))
-      .filter(size(toks) >= 2)
-      .select(col("doc_id"), col("source"),
-        explode(vfn.ngrams(toks, 2)).as("bg"))
-      .withColumn("f", hashBucket(col("bg"), 1, DsirBuckets))
-      .withColumn("tgt", col("source").isin(HighSrc.map(lit(_)): _*))
-    // the MODEL is the B-row bucket-count table — collect it once (bounded:
-    // B rows at ANY corpus scale) and rebuild the weight frame driver-side,
-    // so the gram stream is evaluated exactly twice: the count aggregation
-    // and the score probe (deriving totals/weights from the counts FRAME
-    // would re-run the corpus pass per consumer)
-    import spark.implicits._
-    val cnts = occ.groupBy(col("f")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("t_f"),
-      sum(when(col("tgt"), 0L).otherwise(1L)).as("r_f"))
-      .as[(Long, Long, Long)].collect()
-    val tTot = cnts.map(_._2).sum
-    val rTot = cnts.map(_._3).sum
-    val weights = cnts.toSeq.toDF("f", "t_f", "r_f").select(col("f"),
-      (dec(col("t_f") + 1L) * dec(lit(rTot + DsirBuckets)) -
-        dec(col("r_f") + 1L) * dec(lit(tTot + DsirBuckets))).as("w"))
-    occ.join(broadcast(weights), "f")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("w")).cast("double").as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(DsirK)
-  }
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.dsirSelect(docs(spark, dir), "doc_id", "text",
+      col("source").isin(HighSrc.map(lit(_)): _*),
+      buckets = DsirBuckets, k = DsirK, carryCols = Seq("source"))
 
   val dsirSelectSql: String = {
     val high = HighSrc.map(s => s"'$s'").mkString(", ")

@@ -308,41 +308,27 @@ object VectorQueries {
   private val ClusterCap = 25L
 
   /** Cluster-balanced curation cap (the D4-family debiasing step, Tirumala
-    * et al. 2023, arXiv:2308.12284): cap every embedding-space cluster at N
-    * members so dominant modes (boilerplate templates, scraped mirrors)
-    * cannot swamp the mixture. Members kept per cluster are the N smallest
-    * md5 digests — digest order is a fixed random permutation, so within
-    * each cluster this IS a uniform sample, yet a pure function of ids
-    * (replayable anywhere, stable under reruns/partitioning). Output: every
-    * vector with its cluster, digest rank, and 0/1 `kept` flag.
-    *
-    * The centroid set is the same deterministic stand-in `cluster_assign` /
-    * `semdedup_prune` use (vec_id < 10 — a bounded driver read) so the
-    * oracle replays the assignment bit-exactly; a production run swaps in
-    * `IvfIndex.train` centroids with identical downstream algebra.
-    *
-    * Scale: assignment is the codegen NearestCentroid argmin (broadcast
-    * centroid literal, zero shuffle — not the BNLJ `cluster_assign`
-    * declares for the J3 join shape); the rank is one cluster-keyed window
-    * whose group sizes are bounded by choosing k ∝ corpus/target-cluster-
-    * size; emitting the flag (not cutting) keeps the audit trail — a
-    * keep-only variant is the same plan with the filter pushed into the
-    * window's group limit.
+    * et al. 2023, arXiv:2308.12284): the production operator is
+    * `Selection.clusterCap` — see its Scaladoc for the digest-rank sampling
+    * argument and the k ∝ corpus group-size bound. Assignment here is the
+    * codegen NearestCentroid argmin (broadcast centroid literal, zero
+    * shuffle — not the BNLJ `cluster_assign` declares for the J3 join
+    * shape); the centroid set is the same deterministic stand-in
+    * `cluster_assign` / `semdedup_prune` use (vec_id < 10 — a bounded
+    * driver read) so the oracle replays the assignment bit-exactly; a
+    * production run swaps in `IvfIndex.train` centroids with identical
+    * downstream algebra.
     */
   def clusterCapSample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = Tables(spark, dir, "embeddings").filter(col("vec_id") < 10)
       .orderBy(col("vec_id")).select(col("embedding")).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
     val assigned = IvfIndex.assign(corpus(spark, dir), "embedding",
       IvfIndex.Model(cents, SpaceType.L2))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-    assigned
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    graft.operators.Selection.clusterCap(assigned, "cluster_id", "vec_id",
+        ClusterCap)
       .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
-        col("rnk"),
-        when(col("rnk") <= ClusterCap, 1L).otherwise(0L).as("kept"))
+        col("rnk"), col("kept"))
   }
 
   /** Oracle: the `semdedup_prune` assignment CTE (same centroids, same
