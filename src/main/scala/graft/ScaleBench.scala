@@ -100,6 +100,12 @@ object ScaleBench {
     val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("ann", "dedup", "textops"))
+    // opt-in sections are never run silently-absent: name what's skipped so
+    // a record missing their rows is readable as "not run", not "lost"
+    val known = Seq("ann", "lsh", "dedup", "dedup_steady", "semdedup",
+      "selection", "skew", "tomb", "textops")
+    println(s"[scale] sections run: ${known.filter(sections).mkString(",")}; " +
+      s"skipped: ${known.filterNot(sections).mkString(",")}")
 
     // JVM/codegen warmup — not counted, so the 1x numbers aren't polluted
     drain(ExactKnn.knn(emb1, queriesOf(emb1), 10, SpaceType.L2,

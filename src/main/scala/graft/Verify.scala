@@ -55,7 +55,11 @@ object Verify {
     // {AUX} resolves to the absolute aux-table dir of THIS run, so the
     // dumped SQL is directly runnable by the driver's DuckDB gate
     val auxAbs = Paths.get(auxDir).toAbsolutePath.toString
-    val json = SparkEntry.oracleSql
+    // focused runs dump only the focused oracles too: a checker pointed at
+    // a previously-populated outDir then ignores stale query dirs entirely
+    // (it iterates the oracle map) instead of gating on results that never
+    // re-ran under the current code
+    val json = SparkEntry.oracleSql.filter(o => wanted(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -58,13 +58,15 @@ object Selection {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val toks = split(col(textCol), " ")
     // widened: the tokenize+explode map cost must not inherit a narrow
-    // small-file scan's parallelism (same rationale as bm25_keyword)
+    // small-file scan's parallelism (same rationale as bm25_keyword).
+    // `tgt` is evaluated BEFORE the projection so isTarget may reference
+    // any input column (lang, source, ...), not just idCol/carryCols.
     val occ = Dedup.widened(docs)
       .filter(size(toks) >= 2)
-      .select(col(idCol) +: carryCols.map(col) :+
+      .withColumn("tgt", isTarget)
+      .select(col(idCol) +: carryCols.map(col) :+ col("tgt") :+
         explode(vfn.ngrams(toks, 2)).as("bg"): _*)
       .withColumn("f", md5Bucket(col("bg"), 1, buckets))
-      .withColumn("tgt", isTarget)
     // the MODEL is the B-row bucket-count table — collect it once (bounded:
     // B rows at ANY corpus scale) and rebuild the weight frame driver-side,
     // so the gram stream is evaluated exactly twice: the count aggregation
@@ -94,7 +96,9 @@ object Selection {
     * knob CCNet pipelines expose ("train on head+middle, drop tail").
     * Terciles are exact integer rank algebra (rank·3 ≤ n, rank·3 ≤ 2n — no
     * float quantile interpolation); the rank orders by score desc with
-    * `idCol` tie-break. Output: the input plus a `bucket` column.
+    * `idCol` tie-break. Output: the input plus a `bucket` column (an
+    * existing `bucket` column is replaced; rank internals use collision-
+    * safe temp names, so no other caller column is touched).
     *
     * Scale: one group-partitioned window (shuffle on `partCol`, no global
     * sort). At extreme per-group cardinality the same decision can run
@@ -107,13 +111,13 @@ object Selection {
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     val n = Window.partitionBy(col(partCol))
     scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("__graft_rnk", row_number().over(w).cast("long"))
+      .withColumn("__graft_n", count(lit(1)).over(n))
       .withColumn("bucket",
-        when(col("rnk") * 3 <= col("n"), "head")
-          .when(col("rnk") * 3 <= col("n") * 2, "middle")
+        when(col("__graft_rnk") * 3 <= col("__graft_n"), "head")
+          .when(col("__graft_rnk") * 3 <= col("__graft_n") * 2, "middle")
           .otherwise("tail"))
-      .drop("rnk", "n")
+      .drop("__graft_rnk", "__graft_n")
   }
 
   /** Cluster-balanced curation cap (the D4-family debiasing step, Tirumala
@@ -123,9 +127,11 @@ object Selection {
     * digests of `idCol` — digest order is a fixed random permutation, so
     * within each cluster this IS a uniform sample, yet a pure function of
     * ids (replayable anywhere, stable under reruns/partitioning). Output:
-    * the input plus digest rank `rnk` and a 0/1 `kept` flag (emitting the
-    * flag, not cutting, keeps the audit trail — a keep-only variant is the
-    * same plan with the filter pushed into the window's group limit).
+    * the input plus digest rank `rnk` and a 0/1 `kept` flag — those two are
+    * this operator's API columns and replace same-named input columns
+    * (emitting the flag, not cutting, keeps the audit trail — a keep-only
+    * variant is the same plan with the filter pushed into the window's
+    * group limit).
     *
     * Scale: one cluster-keyed window; group sizes are bounded by choosing
     * the cluster count k ∝ corpus/target-cluster-size (the scaled-k row in

@@ -202,14 +202,14 @@ object PipelineQueries {
     */
   private val PerSourceN = 20
 
-  def sampleFixed(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    docs(spark, dir)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= PerSourceN)
+  def sampleFixed(spark: SparkSession, dir: String): DataFrame =
+    // the digest-rank cap machinery is Selection.clusterCap (groups =
+    // sources); one implementation, so the digest/tie-break scheme cannot
+    // drift between the per-source and per-cluster variants
+    graft.operators.Selection.clusterCap(docs(spark, dir), "source", "doc_id",
+        PerSourceN)
+      .filter(col("kept") === 1L)
       .select(col("doc_id"), col("source"), col("rnk"))
-  }
 
   val sampleFixedSql: String =
     s"""SELECT doc_id, source, rnk FROM (
