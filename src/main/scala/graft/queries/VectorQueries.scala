@@ -63,6 +63,48 @@ object VectorQueries {
   val knnIpSql: String =
     knnOracle("list_inner_product(q.qv, CAST(e.embedding AS DOUBLE[])) DESC")
 
+  // ---- late-interaction (multi-vector) retrieval --------------------------
+
+  private val MaxSimToks = 4
+
+  /** ColBERT-style MaxSim retrieval over multi-vector documents: the
+    * production operator is `LateInteraction.maxSim` — see its Scaladoc for
+    * the fixed-order-adds exactness argument and the ANN-shortlist scale
+    * path. Documents here are 4-token bags carved deterministically from
+    * the embeddings table (doc = vec_id DIV 4, a pure id function both
+    * engines replay); queries are the first `NQ` such documents.
+    */
+  def maxsimKnn(spark: SparkSession, dir: String): DataFrame = {
+    val ct = corpus(spark, dir)
+      .select(expr("vec_id DIV 4").as("doc_id"), col("embedding").as("dv"))
+    val qt = corpus(spark, dir)
+      .filter(col("vec_id") < MaxSimToks * NQ)
+      .select(expr("vec_id DIV 4").as("qid"),
+        expr(s"vec_id % $MaxSimToks").as("tok"), col("embedding").as("qv"))
+    graft.operators.LateInteraction.maxSim(ct, qt, K, MaxSimToks)
+  }
+
+  val maxsimKnnSql: String = {
+    val ms = (0 until MaxSimToks).map(i =>
+      s"max(CASE WHEN tok = $i THEN list_inner_product(qv, dv) END) AS m$i")
+      .mkString(", ")
+    val sum = (0 until MaxSimToks)
+      .map(i => s"coalesce(m$i, CAST(0 AS DOUBLE))").mkString(" + ")
+    s"""WITH ct AS (SELECT vec_id // $MaxSimToks AS doc_id,
+       |              CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+       |qt AS (SELECT vec_id // $MaxSimToks AS qid, vec_id % $MaxSimToks AS tok,
+       |         CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id < ${MaxSimToks * NQ}),
+       |m AS (SELECT qt.qid, ct.doc_id, $ms
+       |      FROM qt CROSS JOIN ct GROUP BY qt.qid, ct.doc_id),
+       |s AS (SELECT qid, doc_id, $sum AS score FROM m)
+       |SELECT qid, doc_id, rnk FROM (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM s) t
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   /** Search-then-fetch (SURVEY J1): KNN hits broadcast-joined to document
     * metadata — the reference's per-hit GetDocument loop as one join.
     */
@@ -770,6 +812,7 @@ object VectorQueries {
     "knn_cos" -> ((s, d) => knnRanks(s, d, SpaceType.Cos)),
     "knn_ip" -> ((s, d) => knnRanks(s, d, SpaceType.Ip)),
     "knn_fetch_join" -> (knnFetchJoin(_, _)),
+    "maxsim_knn" -> (maxsimKnn(_, _)),
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     "semdedup_prune" -> (semdedupPrune(_, _)),
@@ -1095,6 +1138,7 @@ object VectorQueries {
     "knn_cos" -> knnCosSql,
     "knn_ip" -> knnIpSql,
     "knn_fetch_join" -> knnFetchJoinSql,
+    "maxsim_knn" -> maxsimKnnSql,
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
     "semdedup_prune" -> semdedupPruneSql,

@@ -30,7 +30,13 @@ class PlanAuditSpec extends SparkSpec {
     // hard_negatives: same shape — bounded 200-anchor broadcast against
     // the corpus with a pre-rank label filter (the theta condition is the
     // label mismatch, so BNLJ is the correct physical join).
-    "hard_negatives") ++
+    "hard_negatives",
+    // maxsim_knn: bounded Q·T query-token broadcast (40 rows) against the
+    // corpus token scan — every (query token, doc token) pair IS the
+    // required work (ColBERT MaxSim), so BNLJ is the correct physical join;
+    // at scale the corpus side is pre-filtered to ANN shortlists
+    // (LateInteraction Scaladoc), which changes the scan, not the join.
+    "maxsim_knn") ++
     // scalar folds: crossJoin(broadcast(<single-row aggregate or k-row
     // sketch>)) — a 1-row (or sketch-bounded) build side stamped onto every
     // probe row. Constant-size broadcast at ANY corpus scale: bm25/tfidf
