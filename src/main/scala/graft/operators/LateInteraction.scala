@@ -43,7 +43,37 @@ object LateInteraction {
   def maxSim(corpusToks: DataFrame, queryToks: DataFrame, k: Int,
              nTokens: Int, corpusDoc: String = "doc_id",
              corpusVec: String = "dv", queryId: String = "qid",
-             queryTok: String = "tok", queryVec: String = "qv"): DataFrame = {
+             queryTok: String = "tok", queryVec: String = "qv"): DataFrame =
+    rankTail(corpusToks.crossJoin(broadcast(queryToks)),
+      k, nTokens, corpusDoc, corpusVec, queryId, queryTok, queryVec)
+
+  /** Candidate-restricted exact MaxSim — the documented 100 TB path made
+    * concrete: `shortlist` is a (queryId, corpusDoc) candidate-pair frame
+    * from any generator (per-token ANN shortlists unioned per query, e.g.
+    * `IvfIndex.searchDistributed` over token vectors), and the exact MaxSim
+    * score runs only over shortlisted docs' tokens. Plan: two EQUI-joins
+    * (shortlist × corpus tokens on the doc key; query tokens broadcast) —
+    * the all-pairs BNLJ of `maxSim` is gone, so corpus-side work is
+    * Σ |shortlist(q)|·T instead of docs·Q·T. Semantics: identical scoring
+    * on the restricted pair set; result quality is the generator's recall
+    * (gate it the way the ANN tiers gate theirs).
+    */
+  def maxSimShortlisted(shortlist: DataFrame, corpusToks: DataFrame,
+                        queryToks: DataFrame, k: Int, nTokens: Int,
+                        corpusDoc: String = "doc_id", corpusVec: String = "dv",
+                        queryId: String = "qid", queryTok: String = "tok",
+                        queryVec: String = "qv"): DataFrame =
+    rankTail(
+      shortlist.join(corpusToks, corpusDoc).join(broadcast(queryToks), queryId),
+      k, nTokens, corpusDoc, corpusVec, queryId, queryTok, queryVec)
+
+  /** Shared scoring tail over (queryId, corpusDoc, queryTok, queryVec,
+    * corpusVec) pair rows: per-token exact max, fixed-order score adds,
+    * rank-filtered window.
+    */
+  private def rankTail(pairs: DataFrame, k: Int, nTokens: Int,
+                       corpusDoc: String, corpusVec: String, queryId: String,
+                       queryTok: String, queryVec: String): DataFrame = {
     require(nTokens >= 1, s"nTokens must be >= 1, got $nTokens")
     val sim = -vfn.negDot(col(queryVec), col(corpusVec))
     val maxes = (0 until nTokens).map(i =>
@@ -53,7 +83,7 @@ object LateInteraction {
       .reduceLeft(_ + _)
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("__graft_score").desc, col(corpusDoc).asc)
-    corpusToks.crossJoin(broadcast(queryToks))
+    pairs
       .groupBy(col(queryId), col(corpusDoc))
       .agg(maxes.head, maxes.tail: _*)
       .withColumn("__graft_score", score)

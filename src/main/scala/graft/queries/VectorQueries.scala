@@ -105,6 +105,71 @@ object VectorQueries {
        |WHERE rnk <= $K""".stripMargin
   }
 
+  private val MaxSimCandM = 16 // per-token ANN shortlist size
+
+  /** (qid, doc_id) candidate docs for the shortlisted MaxSim: each query
+    * token fetches its top-`MaxSimCandM` token vectors through the IVF
+    * probe path (same memoized model as the ivf_knn family, nprobe=3), and
+    * a doc is a candidate if ANY of its tokens shortlists for ANY of the
+    * query's tokens. Deterministic (seeded trainer, id tie-breaks), so the
+    * aux export recomputes exactly what the query used.
+    */
+  private def maxsimShortlist(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val model = ivfModelFor(spark, dir)
+    val assigned = IvfIndex.assign(c, "embedding", model)
+    val qt = c.filter(col("vec_id") < MaxSimToks * NQ)
+      .select(col("vec_id").as("qtok_id"), col("embedding").as("qv"))
+    IvfIndex.searchDistributed(assigned, qt, model, MaxSimCandM, nprobe = 3,
+        corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qtok_id", queryVec = "qv")
+      .select(expr(s"qtok_id DIV $MaxSimToks").as("qid"),
+        expr(s"vec_id DIV $MaxSimToks").as("doc_id"))
+      .distinct()
+  }
+
+  /** MaxSim through ANN candidate generation — `maxsim_knn`'s documented
+    * 100 TB path as a gated query: per-token IVF shortlists union into a
+    * (qid, doc_id) candidate set, exact MaxSim re-ranks only those docs'
+    * tokens (two equi-joins — no BNLJ; plan-audit swept). Oracle replays
+    * exact MaxSim restricted to the exported candidate pairs; shortlist
+    * recall vs the exact top-k gates in LateInteractionSpec.
+    */
+  def maxsimKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val ct = corpus(spark, dir)
+      .select(expr("vec_id DIV 4").as("doc_id"), col("embedding").as("dv"))
+    val qt = corpus(spark, dir)
+      .filter(col("vec_id") < MaxSimToks * NQ)
+      .select(expr("vec_id DIV 4").as("qid"),
+        expr(s"vec_id % $MaxSimToks").as("tok"), col("embedding").as("qv"))
+    graft.operators.LateInteraction.maxSimShortlisted(
+      maxsimShortlist(spark, dir), ct, qt, K, MaxSimToks)
+  }
+
+  val maxsimKnnIvfSql: String = {
+    val ms = (0 until MaxSimToks).map(i =>
+      s"max(CASE WHEN tok = $i THEN list_inner_product(qv, dv) END) AS m$i")
+      .mkString(", ")
+    val sum = (0 until MaxSimToks)
+      .map(i => s"coalesce(m$i, CAST(0 AS DOUBLE))").mkString(" + ")
+    s"""WITH ct AS (SELECT vec_id // $MaxSimToks AS doc_id,
+       |              CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+       |qt AS (SELECT vec_id // $MaxSimToks AS qid, vec_id % $MaxSimToks AS tok,
+       |         CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id < ${MaxSimToks * NQ}),
+       |cand AS (SELECT qid, doc_id
+       |         FROM read_parquet('{AUX}/maxsim_cand/*.parquet')),
+       |m AS (SELECT qt.qid, ct.doc_id, $ms
+       |      FROM cand JOIN ct USING (doc_id) JOIN qt USING (qid)
+       |      GROUP BY qt.qid, ct.doc_id),
+       |s AS (SELECT qid, doc_id, $sum AS score FROM m)
+       |SELECT qid, doc_id, rnk FROM (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM s) t
+       |WHERE rnk <= $K""".stripMargin
+  }
+
   /** Search-then-fetch (SURVEY J1): KNN hits broadcast-joined to document
     * metadata — the reference's per-hit GetDocument loop as one join.
     */
@@ -813,6 +878,7 @@ object VectorQueries {
     "knn_ip" -> ((s, d) => knnRanks(s, d, SpaceType.Ip)),
     "knn_fetch_join" -> (knnFetchJoin(_, _)),
     "maxsim_knn" -> (maxsimKnn(_, _)),
+    "maxsim_knn_ivf" -> (maxsimKnnIvf(_, _)),
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     "semdedup_prune" -> (semdedupPrune(_, _)),
@@ -1105,6 +1171,7 @@ object VectorQueries {
     "sq_shortlist" -> (sqShortlistAux(_, _)),
     "bq_shortlist" -> (bqShortlistAux(_, _)),
     "mmr_cand" -> (mmrCandAux(_, _)),
+    "maxsim_cand" -> (maxsimShortlist(_, _)),
     "mmr_sims" -> (mmrSimsAux(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -1139,6 +1206,7 @@ object VectorQueries {
     "knn_ip" -> knnIpSql,
     "knn_fetch_join" -> knnFetchJoinSql,
     "maxsim_knn" -> maxsimKnnSql,
+    "maxsim_knn_ivf" -> maxsimKnnIvfSql,
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
     "semdedup_prune" -> semdedupPruneSql,

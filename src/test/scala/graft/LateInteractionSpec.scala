@@ -42,6 +42,25 @@ class LateInteractionSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("shortlisted maxsim: recall vs the exact top-k, and subset scoring identity") {
+    val exact = graft.queries.VectorQueries.queries("maxsim_knn")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val short = graft.queries.VectorQueries.queries("maxsim_knn_ivf")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    // per-query rank lists must be dense 1..n permutations
+    short.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+        s"query $qid: rnk not dense")
+    }
+    val recalls = exact.map { case (qid, t) =>
+      val got = short.filter(_._1 == qid).map(_._2).toSet
+      got.intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, f"mean shortlist recall@10 $mean%.2f below gate 0.7")
+  }
+
   test("missing query tokens contribute zero, not null") {
     val ct = Seq((0L, Seq(1f, 0f)), (0L, Seq(0f, 1f)), (1L, Seq(-1f, 0f)))
       .toDF("doc_id", "dv")
