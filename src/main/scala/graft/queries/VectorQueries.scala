@@ -67,24 +67,38 @@ object VectorQueries {
 
   private val MaxSimToks = 4
 
+  /** Multi-vector corpus/query token frames, carved deterministically from
+    * the embeddings table: doc = vec_id DIV MaxSimToks (a pure id function
+    * both engines replay); queries are the first `NQ` such documents. One
+    * construction feeds both declared MaxSim queries so the carving cannot
+    * drift between the exact and the shortlisted variant.
+    */
+  private def maxsimCorpusToks(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(expr(s"vec_id DIV $MaxSimToks").as("doc_id"),
+        col("embedding").as("dv"))
+
+  private def maxsimQueryToks(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .filter(col("vec_id") < MaxSimToks * NQ)
+      .select(expr(s"vec_id DIV $MaxSimToks").as("qid"),
+        expr(s"vec_id % $MaxSimToks").as("tok"), col("embedding").as("qv"))
+
   /** ColBERT-style MaxSim retrieval over multi-vector documents: the
     * production operator is `LateInteraction.maxSim` — see its Scaladoc for
     * the fixed-order-adds exactness argument and the ANN-shortlist scale
-    * path. Documents here are 4-token bags carved deterministically from
-    * the embeddings table (doc = vec_id DIV 4, a pure id function both
-    * engines replay); queries are the first `NQ` such documents.
+    * path (gated below as `maxsim_knn_ivf`).
     */
-  def maxsimKnn(spark: SparkSession, dir: String): DataFrame = {
-    val ct = corpus(spark, dir)
-      .select(expr("vec_id DIV 4").as("doc_id"), col("embedding").as("dv"))
-    val qt = corpus(spark, dir)
-      .filter(col("vec_id") < MaxSimToks * NQ)
-      .select(expr("vec_id DIV 4").as("qid"),
-        expr(s"vec_id % $MaxSimToks").as("tok"), col("embedding").as("qv"))
-    graft.operators.LateInteraction.maxSim(ct, qt, K, MaxSimToks)
-  }
+  def maxsimKnn(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LateInteraction.maxSim(
+      maxsimCorpusToks(spark, dir), maxsimQueryToks(spark, dir), K, MaxSimToks)
 
-  val maxsimKnnSql: String = {
+  /** One oracle builder for both MaxSim variants: `pairSource` is the FROM
+    * clause feeding the per-(qid, doc) max CTE — the all-pairs cross join
+    * for the exact query, the aux-restricted join for the shortlisted one
+    * (the `restrictedKnnOracle` pattern).
+    */
+  private def maxsimOracle(pairSource: String): String = {
     val ms = (0 until MaxSimToks).map(i =>
       s"max(CASE WHEN tok = $i THEN list_inner_product(qv, dv) END) AS m$i")
       .mkString(", ")
@@ -96,7 +110,8 @@ object VectorQueries {
        |         CAST(embedding AS DOUBLE[]) AS qv
        |       FROM embeddings WHERE vec_id < ${MaxSimToks * NQ}),
        |m AS (SELECT qt.qid, ct.doc_id, $ms
-       |      FROM qt CROSS JOIN ct GROUP BY qt.qid, ct.doc_id),
+       |      FROM $pairSource
+       |      GROUP BY qt.qid, ct.doc_id),
        |s AS (SELECT qid, doc_id, $sum AS score FROM m)
        |SELECT qid, doc_id, rnk FROM (
        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
@@ -104,6 +119,8 @@ object VectorQueries {
        |  FROM s) t
        |WHERE rnk <= $K""".stripMargin
   }
+
+  val maxsimKnnSql: String = maxsimOracle("qt CROSS JOIN ct")
 
   private val MaxSimCandM = 16 // per-token ANN shortlist size
 
@@ -113,6 +130,13 @@ object VectorQueries {
     * a doc is a candidate if ANY of its tokens shortlists for ANY of the
     * query's tokens. Deterministic (seeded trainer, id tie-breaks), so the
     * aux export recomputes exactly what the query used.
+    *
+    * Metric coupling, stated: the probe ranks token neighbors by L2 while
+    * MaxSim scores by inner product — equivalent orderings HERE because the
+    * embeddings are L2-normalized (l2 = 2 − 2·ip). On a non-normalized
+    * corpus train the shortlist model on the MaxSim metric instead
+    * (SpaceType.Ip), or the generator optimizes the wrong neighborhood and
+    * recall silently decays toward the spec gate.
     */
   private def maxsimShortlist(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
@@ -135,40 +159,15 @@ object VectorQueries {
     * exact MaxSim restricted to the exported candidate pairs; shortlist
     * recall vs the exact top-k gates in LateInteractionSpec.
     */
-  def maxsimKnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val ct = corpus(spark, dir)
-      .select(expr("vec_id DIV 4").as("doc_id"), col("embedding").as("dv"))
-    val qt = corpus(spark, dir)
-      .filter(col("vec_id") < MaxSimToks * NQ)
-      .select(expr("vec_id DIV 4").as("qid"),
-        expr(s"vec_id % $MaxSimToks").as("tok"), col("embedding").as("qv"))
+  def maxsimKnnIvf(spark: SparkSession, dir: String): DataFrame =
     graft.operators.LateInteraction.maxSimShortlisted(
-      maxsimShortlist(spark, dir), ct, qt, K, MaxSimToks)
-  }
+      maxsimShortlist(spark, dir), maxsimCorpusToks(spark, dir),
+      maxsimQueryToks(spark, dir), K, MaxSimToks)
 
-  val maxsimKnnIvfSql: String = {
-    val ms = (0 until MaxSimToks).map(i =>
-      s"max(CASE WHEN tok = $i THEN list_inner_product(qv, dv) END) AS m$i")
-      .mkString(", ")
-    val sum = (0 until MaxSimToks)
-      .map(i => s"coalesce(m$i, CAST(0 AS DOUBLE))").mkString(" + ")
-    s"""WITH ct AS (SELECT vec_id // $MaxSimToks AS doc_id,
-       |              CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
-       |qt AS (SELECT vec_id // $MaxSimToks AS qid, vec_id % $MaxSimToks AS tok,
-       |         CAST(embedding AS DOUBLE[]) AS qv
-       |       FROM embeddings WHERE vec_id < ${MaxSimToks * NQ}),
-       |cand AS (SELECT qid, doc_id
-       |         FROM read_parquet('{AUX}/maxsim_cand/*.parquet')),
-       |m AS (SELECT qt.qid, ct.doc_id, $ms
-       |      FROM cand JOIN ct USING (doc_id) JOIN qt USING (qid)
-       |      GROUP BY qt.qid, ct.doc_id),
-       |s AS (SELECT qid, doc_id, $sum AS score FROM m)
-       |SELECT qid, doc_id, rnk FROM (
-       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
-       |    ORDER BY score DESC, doc_id ASC) AS rnk
-       |  FROM s) t
-       |WHERE rnk <= $K""".stripMargin
-  }
+  val maxsimKnnIvfSql: String = maxsimOracle(
+    """(SELECT qid, doc_id
+       |          FROM read_parquet('{AUX}/maxsim_cand/*.parquet')) cand
+       |        JOIN ct USING (doc_id) JOIN qt USING (qid)""".stripMargin)
 
   /** Search-then-fetch (SURVEY J1): KNN hits broadcast-joined to document
     * metadata — the reference's per-hit GetDocument loop as one join.
