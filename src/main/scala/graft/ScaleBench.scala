@@ -103,7 +103,7 @@ object ScaleBench {
     // opt-in sections are never run silently-absent: name what's skipped so
     // a record missing their rows is readable as "not run", not "lost"
     val known = Seq("ann", "lsh", "dedup", "dedup_steady", "semdedup",
-      "selection", "skew", "tomb", "textops")
+      "selection", "maxsim", "skew", "tomb", "textops")
     println(s"[scale] sections run: ${known.filter(sections).mkString(",")}; " +
       s"skipped: ${known.filterNot(sections).mkString(",")}")
 
@@ -389,6 +389,42 @@ object ScaleBench {
       }
     }
 
+    // Late-interaction MaxSim: exact is an all-pairs broadcast (cost ∝
+    // docs·Q·T — linear in corpus but with the full Q·T constant on every
+    // token vector); the shortlisted path generates per-token IVF
+    // candidates and re-ranks only those docs' tokens through equi-joins,
+    // so corpus-side work tracks Σ|shortlist|·T. The ratio rows show the
+    // exact path's linear growth vs the shortlist's probe-bounded growth.
+    if (sections("maxsim")) {
+      import graft.operators.{IvfIndex => Ivf, LateInteraction}
+      val T = 4
+      for ((tag, corpus) <- Seq("1x" -> emb1x, s"${factor}x" -> emb10)) {
+        spark.catalog.clearCache()
+        val ct = corpus.select(expr(s"vec_id DIV $T").as("doc_id"),
+          col("embedding").as("dv"))
+        val qt = corpus.filter(col("vec_id") < T * 100)
+          .select(expr(s"vec_id DIV $T").as("qid"),
+            expr(s"vec_id % $T").as("tok"), col("embedding").as("qv"))
+        out(s"maxsim_exact_$tag") = time(drain(
+          LateInteraction.maxSim(ct, qt, 10, T)))
+        var m: Ivf.Model = null
+        out(s"maxsim_ivf_build_$tag") = time {
+          m = Ivf.train(corpus, "embedding", nlist = 40)
+        }
+        val qtok = corpus.filter(col("vec_id") < T * 100)
+          .select(col("vec_id").as("qtok_id"), col("embedding").as("qv"))
+        val assigned = Ivf.assign(corpus, "embedding", m)
+        val shortlist = Ivf.searchDistributed(assigned, qtok, m, 16, nprobe = 4,
+            corpusId = "vec_id", corpusVec = "embedding",
+            queryId = "qtok_id", queryVec = "qv")
+          .select(expr(s"qtok_id DIV $T").as("qid"),
+            expr(s"vec_id DIV $T").as("doc_id"))
+          .distinct()
+        out(s"maxsim_shortlisted_$tag") = time(drain(
+          LateInteraction.maxSimShortlisted(shortlist, ct, qt, 10, T)))
+      }
+    }
+
     // SKEWED routed-graph build: the routed build runs one sequential NSW
     // insertion task per cell, so a router cell holding ~90% of the corpus
     // makes build wall-clock ∝ that one cell regardless of core count. The
@@ -562,6 +598,9 @@ object ScaleBench {
       ("scaling_ccnet_terciles", s"ccnet_terciles_$scaled", "ccnet_terciles_1x"),
       ("scaling_cluster_cap_window_scaledk", s"cluster_cap_window_scaledk_$scaled", "cluster_cap_window_1x"),
       ("scaling_cluster_cap_window_fixedk", s"cluster_cap_window_fixedk_$scaled", "cluster_cap_window_1x"),
+      ("scaling_maxsim_exact", s"maxsim_exact_$scaled", "maxsim_exact_1x"),
+      ("scaling_maxsim_shortlisted", s"maxsim_shortlisted_$scaled", "maxsim_shortlisted_1x"),
+      ("speedup_maxsim_shortlist_at_scale", s"maxsim_exact_$scaled", s"maxsim_shortlisted_$scaled"),
       ("speedup_skew_split_build", "graph_skew_build_nosplit", "graph_skew_build_split"),
       ("skew_maxcell_shrink", "graph_skew_maxcell_nosplit", "graph_skew_maxcell_split"))
       .collect { case (k, num, den) if out.contains(num) && out.contains(den) =>
