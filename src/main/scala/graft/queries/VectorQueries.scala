@@ -169,6 +169,91 @@ object VectorQueries {
        |          FROM read_parquet('{AUX}/maxsim_cand/*.parquet')) cand
        |        JOIN ct USING (doc_id) JOIN qt USING (qid)""".stripMargin)
 
+  // ---- offline retrieval evaluation (IR metrics) ---------------------------
+
+  /** Offline retrieval evaluation at scale: precision@k, recall@k and MRR
+    * per query against label-derived relevance judgments (relevant = same
+    * label, self excluded) — the metric pass every retrieval pipeline runs
+    * after an index or model change. Every emitted double is ONE exact IEEE
+    * division of integers (p@k = rel_in_k/k, recall = rel_in_k/n_rel,
+    * mrr = 1/first_rel_rank), so the oracle replays bit-identically; nDCG
+    * is deliberately absent — its log2 discount would hand the gate to
+    * libm.
+    *
+    * Scale: ranked hits come from the same bounded-broadcast knn plan as
+    * `knn_l2` (self-exclusion via the k+1 rule — see `labelAgreement`);
+    * full-corpus eval swaps candidate generation onto
+    * `IvfIndex.searchDistributed`, the `label_agreement_full` pattern, with
+    * the metric algebra unchanged. Per-label corpus totals are one
+    * constant-width aggregate (≤ label-cardinality rows) broadcast back;
+    * the metric aggregation runs over NQ·K hit rows.
+    */
+  def irMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val nn = ExactKnn.knn(emb.select(col("vec_id"), col("embedding")), q,
+        K + 1, SpaceType.L2,
+        corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("r2", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("rnk"))).cast("long"))
+      .filter(col("r2") <= K)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val totals = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    nn.join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))), "qid")
+      .join(broadcast(labels), "vec_id")
+      .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(col("rel")).as("rel_in_k"),
+        min(when(col("rel") === 1L, col("r2"))).as("first_rel"))
+      .join(broadcast(totals.select(col("label").as("qlabel"), col("n_label"))),
+        "qlabel")
+      .select(col("qid"),
+        col("rel_in_k").cast("long").as("rel_in_k"),
+        (col("rel_in_k").cast("double") / lit(K)).as("p_at_k"),
+        when(col("n_label") === 1L, lit(0.0))
+          .otherwise(col("rel_in_k").cast("double") /
+            (col("n_label") - 1L).cast("double")).as("recall_at_k"),
+        when(col("first_rel").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel").cast("double")).as("mrr"))
+  }
+
+  val irMetricsSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+       |             label AS qlabel
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |nn AS (SELECT qid, qlabel, vec_id, rnk FROM (
+       |  SELECT q.qid, q.qlabel, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC,
+       |               e.vec_id ASC) AS rnk
+       |  FROM q CROSS JOIN embeddings e) t WHERE rnk <= ${K + 1}),
+       |nn2 AS (SELECT qid, qlabel, vec_id,
+       |          row_number() OVER (PARTITION BY qid ORDER BY rnk) AS r2
+       |        FROM nn WHERE vec_id <> qid),
+       |h AS (SELECT n.qid, n.qlabel, n.r2,
+       |        CASE WHEN e.label = n.qlabel THEN 1 ELSE 0 END AS rel
+       |      FROM nn2 n JOIN embeddings e ON e.vec_id = n.vec_id
+       |      WHERE n.r2 <= $K),
+       |tot AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY label),
+       |agg AS (SELECT qid, qlabel, sum(rel) AS rel_in_k,
+       |          min(CASE WHEN rel = 1 THEN r2 END) AS first_rel
+       |        FROM h GROUP BY qid, qlabel)
+       |SELECT qid, CAST(rel_in_k AS BIGINT) AS rel_in_k,
+       |  CAST(rel_in_k AS DOUBLE) / $K AS p_at_k,
+       |  CASE WHEN n_label = 1 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(rel_in_k AS DOUBLE) / CAST(n_label - 1 AS DOUBLE)
+       |  END AS recall_at_k,
+       |  CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE)
+       |  END AS mrr
+       |FROM agg JOIN tot ON tot.label = agg.qlabel""".stripMargin
+
   /** Search-then-fetch (SURVEY J1): KNN hits broadcast-joined to document
     * metadata — the reference's per-hit GetDocument loop as one join.
     */
@@ -878,6 +963,7 @@ object VectorQueries {
     "knn_fetch_join" -> (knnFetchJoin(_, _)),
     "maxsim_knn" -> (maxsimKnn(_, _)),
     "maxsim_knn_ivf" -> (maxsimKnnIvf(_, _)),
+    "ir_metrics" -> (irMetrics(_, _)),
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     "semdedup_prune" -> (semdedupPrune(_, _)),
@@ -1206,6 +1292,7 @@ object VectorQueries {
     "knn_fetch_join" -> knnFetchJoinSql,
     "maxsim_knn" -> maxsimKnnSql,
     "maxsim_knn_ivf" -> maxsimKnnIvfSql,
+    "ir_metrics" -> irMetricsSql,
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
     "semdedup_prune" -> semdedupPruneSql,

@@ -31,6 +31,10 @@ class PlanAuditSpec extends SparkSpec {
     // the corpus with a pre-rank label filter (the theta condition is the
     // label mismatch, so BNLJ is the correct physical join).
     "hard_negatives",
+    // ir_metrics: ranked hits from the knn_l2 plan (bounded NQ-query
+    // broadcast against the corpus scan); the metric algebra after it is
+    // equi-joins and constant-width aggregates.
+    "ir_metrics",
     // maxsim_knn: bounded Q·T query-token broadcast (40 rows) against the
     // corpus token scan — every (query token, doc token) pair IS the
     // required work (ColBERT MaxSim), so BNLJ is the correct physical join;
