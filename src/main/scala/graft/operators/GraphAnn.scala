@@ -57,6 +57,8 @@ object GraphAnn {
     private val mL =
       if (levelMult.isNaN) 1.0 / math.log(math.max(2, m).toDouble) else levelMult
 
+    private val AllowAll: Int => Boolean = _ => true
+
     /** Distance computations since the last reset — the work metric the
       * hierarchy exists to shrink (spec-asserted).
       */
@@ -112,10 +114,17 @@ object GraphAnn {
     }
 
     /** Beam search at one layer from the given entry points: ef best
-      * candidates for q (hnswlib searchBaseLayer).
+      * candidates for q (hnswlib searchBaseLayer). `allowed` is the
+      * filtered-search hook (hnswlib's BaseFilterFunctor): traversal visits
+      * EVERY reachable node — ineligible nodes keep navigating — but only
+      * eligible ordinals enter the result heap, so a selective filter makes
+      * the beam expand further (the result heap fills slower) instead of
+      * returning ineligible hits or starving. With the default allow-all
+      * the enqueue order and termination are bit-identical to the unfiltered
+      * code this generalizes (persisted-layout replays depend on that).
       */
     private def beamLayer(q: Array[Float], eps: Seq[Int], ef: Int,
-        layer: Int): Seq[(Int, Double)] = {
+        layer: Int, allowed: Int => Boolean = AllowAll): Seq[(Int, Double)] = {
       val visited = new java.util.BitSet(vecs.length)
       // candidates: min-heap by distance; result: max-heap (worst first)
       implicit val byDistAsc: Ordering[(Int, Double)] = Ordering.by(-_._2)
@@ -125,13 +134,16 @@ object GraphAnn {
         if (!visited.get(e)) {
           visited.set(e)
           val d = dist(q, vecs(e))
-          cand.enqueue((e, d)); res.enqueue((e, d))
-          if (res.size > ef) res.dequeue()
+          cand.enqueue((e, d))
+          if (allowed(e)) {
+            res.enqueue((e, d))
+            if (res.size > ef) res.dequeue()
+          }
         }
       }
       while (cand.nonEmpty) {
         val (c, dc) = cand.dequeue()
-        if (dc > res.head._2 && res.size >= ef) { cand.clear() } // done
+        if (res.size >= ef && dc > res.head._2) { cand.clear() } // done
         else {
           val ls = links(c)(layer)
           var i = 0
@@ -141,8 +153,11 @@ object GraphAnn {
               visited.set(n)
               val dn = dist(q, vecs(n))
               if (res.size < ef || dn < res.head._2) {
-                cand.enqueue((n, dn)); res.enqueue((n, dn))
-                if (res.size > ef) res.dequeue()
+                cand.enqueue((n, dn))
+                if (allowed(n)) {
+                  res.enqueue((n, dn))
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
             i += 1
@@ -195,6 +210,21 @@ object GraphAnn {
       var l = maxLevel
       while (l >= 1) { cur = greedyClosest(q, cur, l); l -= 1 }
       beamLayer(q, Seq(cur), math.max(ef, k), 0)
+        .take(k).map { case (i, d) => (ids(i), d) }
+    }
+
+    /** Filtered top-k: descent ignores the filter (ineligible nodes still
+      * navigate — the hnswlib filtered-search semantics), the layer-0 beam
+      * harvests only ids passing `allowedId`. Returns up to k ELIGIBLE hits;
+      * fewer only when the beam exhausts the eligible reachable set.
+      */
+    def searchFiltered(q: Array[Float], k: Int, ef: Int,
+        allowedId: Any => Boolean): Seq[(Any, Double)] = {
+      if (vecs.isEmpty) return Seq.empty
+      var cur = entryNode
+      var l = maxLevel
+      while (l >= 1) { cur = greedyClosest(q, cur, l); l -= 1 }
+      beamLayer(q, Seq(cur), math.max(ef, k), 0, i => allowedId(ids(i)))
         .take(k).map { case (i, d) => (ids(i), d) }
     }
 
@@ -807,15 +837,24 @@ object GraphAnn {
       queryVec: String = "query_vec",
       cacheKey: Option[(String, Long)] = None,
       queryBatchSize: Int = 10000,
-      levelMult: Double = Double.NaN): DataFrame = {
+      levelMult: Double = Double.NaN,
+      eligibleCol: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     require(queryBatchSize >= 1, s"queryBatchSize must be >= 1, got $queryBatchSize")
     val mVal = m; val efcVal = efConstruction; val efVal = ef; val spaceVal = space
     val kVal = k; val lmVal = levelMult
 
-    val idIdx = 0; val vecIdx = 1
-    val selected = corpus.select(col(corpusId), col(corpusVec)).rdd
+    val idIdx = 0; val vecIdx = 1; val eligIdx = 2
+    // eligibility rides the corpus scan as a Catalyst-evaluated boolean
+    // column (predicate pushdown/codegen apply as usual), so the beam's
+    // per-ordinal probe is one executor-local HashSet lookup — never a
+    // driver-collected id set. The GRAPH is built over ALL rows (ineligible
+    // nodes keep navigating — filtered-HNSW semantics) and is therefore
+    // byte-identical to the unfiltered build, so a cached graph serves both.
+    val selected = corpus.select(
+      col(corpusId) +: col(corpusVec) +: eligibleCol.map(col).toSeq: _*).rdd
     val numParts = selected.getNumPartitions
+    val filteredVal = eligibleCol.isDefined
 
     def batchRdd(qRows: Array[(Any, Array[Float])],
         effKey: Option[(String, Long)]): org.apache.spark.rdd.RDD[Row] = {
@@ -837,7 +876,17 @@ object GraphAnn {
               GraphCache.getOrBuild(layoutId, version, numParts, part, rows.length)(build)
             case None => build
           }
-          bcQ.value.iterator.flatMap { case (qid, qv) =>
+          if (filteredVal) {
+            val eligible = new java.util.HashSet[Any]()
+            rows.foreach { r =>
+              if (!r.isNullAt(eligIdx) && r.getBoolean(eligIdx))
+                eligible.add(r.get(idIdx))
+            }
+            bcQ.value.iterator.flatMap { case (qid, qv) =>
+              index.searchFiltered(qv, kVal, efVal, eligible.contains)
+                .map { case (id, d) => Row(qid, id, d) }
+            }
+          } else bcQ.value.iterator.flatMap { case (qid, qv) =>
             index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
           }
         }
@@ -1488,9 +1537,11 @@ object GraphAnn {
       queryVec: String = "query_vec",
       cacheKey: Option[(String, Long)] = None,
       queryBatchSize: Int = 10000,
-      levelMult: Double = Double.NaN): DataFrame = {
+      levelMult: Double = Double.NaN,
+      eligibleCol: Option[String] = None): DataFrame = {
     val localDf = localResults(corpus, queries, k, space, ef, m, efConstruction,
-      corpusId, corpusVec, queryId, queryVec, cacheKey, queryBatchSize, levelMult)
+      corpusId, corpusVec, queryId, queryVec, cacheKey, queryBatchSize,
+      levelMult, eligibleCol)
     // global merge: one-pass bounded-heap top-k per query
     graft.functions.vfn.topKHits(localDf, col("distance"), queryId, corpusId, k)
   }

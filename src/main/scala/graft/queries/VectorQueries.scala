@@ -746,6 +746,35 @@ object VectorQueries {
         queryId = "qid", queryVec = "qv")
       .select(col("qid"), col("vec_id"), col("rnk"))
 
+  /** Filtered search on the GRAPH tier (the last ANN tier to get real
+    * filters — exact and IVF already have `knn_filtered` /
+    * `ivf_knn_filtered`; the reference parses filters and IGNORES them on
+    * every tier): the eligibility predicate rides the corpus scan as a
+    * Catalyst boolean column, and the NSW beam harvests only eligible ids
+    * while STILL NAVIGATING through ineligible nodes (hnswlib's filtered-
+    * search semantics — a selective filter widens the beam instead of
+    * starving it or returning ineligible hits). Every returned hit
+    * satisfies the predicate; recall vs the exact-filtered ground truth
+    * gates in GraphAnnSpec. Oracle: exact-distance replay of the exported
+    * eligible candidates.
+    */
+  def graphKnnFiltered(spark: SparkSession, dir: String): DataFrame =
+    GraphAnn.search(graphFilteredCorpus(spark, dir), queriesDf(spark, dir), K,
+        SpaceType.L2, ef = 80, corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv", eligibleCol = Some("elig"))
+      .select(col("qid"), col("vec_id"), col("rnk"))
+
+  private def graphFilteredCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), (col("label") < 5).as("elig"))
+
+  /** Eligible per-partition beam candidates for graph_knn_filtered. */
+  def graphFilteredCandAux(spark: SparkSession, dir: String): DataFrame =
+    GraphAnn.localResults(graphFilteredCorpus(spark, dir), queriesDf(spark, dir),
+        K, SpaceType.L2, ef = 80, corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv", eligibleCol = Some("elig"))
+      .select(col("qid"), col("vec_id"))
+
   private val RouteNlist = 16
   private val RouteNprobe = 4
 
@@ -964,6 +993,7 @@ object VectorQueries {
     "maxsim_knn" -> (maxsimKnn(_, _)),
     "maxsim_knn_ivf" -> (maxsimKnnIvf(_, _)),
     "ir_metrics" -> (irMetrics(_, _)),
+    "graph_knn_filtered" -> (graphKnnFiltered(_, _)),
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     "semdedup_prune" -> (semdedupPrune(_, _)),
@@ -1249,6 +1279,7 @@ object VectorQueries {
     "ivf_probes_full" -> (ivfProbesFullAux(_, _)),
     "lsh_cand" -> (lshCandAux(_, _)),
     "graph_cand" -> (graphCandAux(_, _)),
+    "graph_filtered_cand" -> (graphFilteredCandAux(_, _)),
     "graph_routed_cand" -> (graphRoutedCandAux(_, _)),
     "pq_shortlist" -> (pqShortlistAux(_, _)),
     "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)),
@@ -1293,6 +1324,8 @@ object VectorQueries {
     "maxsim_knn" -> maxsimKnnSql,
     "maxsim_knn_ivf" -> maxsimKnnIvfSql,
     "ir_metrics" -> irMetricsSql,
+    "graph_knn_filtered" -> restrictedKnnOracle("graph_filtered_cand",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,
     "semdedup_prune" -> semdedupPruneSql,

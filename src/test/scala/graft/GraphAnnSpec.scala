@@ -48,6 +48,42 @@ class GraphAnnSpec extends SparkSpec {
     assert(r >= 0.9, f"recall@10 $r%.3f < 0.9")
   }
 
+  test("filtered beam: every hit eligible; recall vs exact-filtered; selective filter widens, not starves") {
+    val embL = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .repartition(4).cache()
+    def run(pred: org.apache.spark.sql.Column): Map[Long, Set[Long]] =
+      GraphAnn.search(embL.withColumn("elig", pred), queries, 10, SpaceType.L2,
+          ef = 80, corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "qid", queryVec = "qv", eligibleCol = Some("elig"))
+        .select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def exactFiltered(pred: org.apache.spark.sql.Column): Map[Long, Set[Long]] =
+      ExactKnn.knn(embL.filter(pred).select(col("vec_id"), col("embedding")),
+          queries, 10, SpaceType.L2, corpusId = "vec_id",
+          corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+        .select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((pred, name, okIds) <- Seq(
+        (col("label") < 5, "label<5",
+          embL.filter(col("label") < 5).select("vec_id").as[Long].collect().toSet),
+        (col("label") === 0, "label=0 (~10% eligible)",
+          embL.filter(col("label") === 0).select("vec_id").as[Long].collect().toSet))) {
+      val got = run(pred)
+      val truth = exactFiltered(pred)
+      // every hit satisfies the predicate, every query returns full k
+      got.foreach { case (qid, hits) =>
+        assert(hits.subsetOf(okIds), s"$name: ineligible hit for query $qid")
+        assert(hits.size == math.min(10, okIds.size), s"$name: query $qid under-filled")
+      }
+      val rs = truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+      val recall = rs.sum / rs.size
+      assert(recall >= 0.85, f"$name: filtered recall@10 $recall%.2f below 0.85")
+    }
+    embL.unpersist()
+  }
+
   test("executor graph cache: second search over a built hnsw layout skips rebuilds; writes invalidate") {
     import graft.api.Engine
     import graft.core._
