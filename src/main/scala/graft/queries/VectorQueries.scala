@@ -705,6 +705,36 @@ object VectorQueries {
       .select(col("qid"), col("vec_id"))
   }
 
+  /** Filtered search on the QUANTIZED scan tier: eligibility is an
+    * equi-join of the code table against the predicate-filtered corpus ids
+    * (the predicate lands in the embeddings scan — pushdown applies; the
+    * join is a semi-join shape, never a driver id set), then the usual ADC
+    * scan + exact re-rank runs over eligible codes only — every query gets
+    * k hits from the eligible subset with full top-k semantics. The same
+    * composition applies verbatim to the pq/opq/bq code tables (one
+    * representative is gated; the join is tier-independent).
+    */
+  def sqKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val (encoded, model) = sqEncodedFor(spark, dir)
+    ScalarQuant.search(sqEligible(spark, dir, encoded), queriesDf(spark, dir),
+        model, kTop = K, corpusId = "vec_id", queryId = "qid", queryVec = "qv",
+        rerankVecCol = Some("embedding"))
+      .select(col("qid"), col("vec_id"), col("rnk"))
+  }
+
+  private def sqEligible(spark: SparkSession, dir: String,
+      encoded: DataFrame): DataFrame =
+    encoded.join(Tables(spark, dir, "embeddings")
+      .filter(col("label") < 5).select(col("vec_id")), "vec_id")
+
+  /** The eligible SQ shortlist sq_knn_filtered re-ranks. */
+  def sqFilteredShortlistAux(spark: SparkSession, dir: String): DataFrame = {
+    val (encoded, model) = sqEncodedFor(spark, dir)
+    ScalarQuant.search(sqEligible(spark, dir, encoded), queriesDf(spark, dir),
+        model, kTop = K * 4, corpusId = "vec_id", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"))
+  }
+
   /** BQ binary-quantized KNN (extra tier beyond the reference): 1-bit/dim
     * sign codes (32× compression), XOR+POPCNT Hamming shortlist, exact
     * re-rank with 8× over-fetch (1-bit codes generate candidates, the
@@ -994,6 +1024,7 @@ object VectorQueries {
     "maxsim_knn_ivf" -> (maxsimKnnIvf(_, _)),
     "ir_metrics" -> (irMetrics(_, _)),
     "graph_knn_filtered" -> (graphKnnFiltered(_, _)),
+    "sq_knn_filtered" -> (sqKnnFiltered(_, _)),
     "cluster_assign" -> (clusterAssign(_, _)),
     "embed_neardup" -> (embedNearDup(_, _)),
     "semdedup_prune" -> (semdedupPrune(_, _)),
@@ -1285,6 +1316,7 @@ object VectorQueries {
     "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)),
     "opq_shortlist" -> (opqShortlistAux(_, _)),
     "sq_shortlist" -> (sqShortlistAux(_, _)),
+    "sq_filtered_shortlist" -> (sqFilteredShortlistAux(_, _)),
     "bq_shortlist" -> (bqShortlistAux(_, _)),
     "mmr_cand" -> (mmrCandAux(_, _)),
     "maxsim_cand" -> (maxsimShortlist(_, _)),
@@ -1325,6 +1357,8 @@ object VectorQueries {
     "maxsim_knn_ivf" -> maxsimKnnIvfSql,
     "ir_metrics" -> irMetricsSql,
     "graph_knn_filtered" -> restrictedKnnOracle("graph_filtered_cand",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "sq_knn_filtered" -> restrictedKnnOracle("sq_filtered_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "cluster_assign" -> clusterAssignSql,
     "embed_neardup" -> embedNearDupSql,

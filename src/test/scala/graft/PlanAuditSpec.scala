@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljByDesign = Set(
     "knn_l2", "knn_ip", "knn_cos", "knn_hamming", "knn_sql", "knn_filtered",
     "knn_fetch_join", "nn_join", "cluster_assign", "hybrid_rrf",
-    "ivf_knn_full", "sq_knn", "bq_knn", "bq_knn_cos", "mmr_rerank",
+    // sq_knn_filtered: the sq_knn broadcast-queries scan shape with the
+    // eligibility equi-join composed in front of it.
+    "ivf_knn_full", "sq_knn", "sq_knn_filtered", "bq_knn", "bq_knn_cos",
+    "mmr_rerank",
     "embed_leakage", "outlier_events", "outlier_iqr",
     // label_agreement: bounded audit sample (<=200 rows, guarded by
     // guardQuerySetSize) broadcast against the corpus — the knn family
