@@ -103,7 +103,7 @@ object ScaleBench {
     // opt-in sections are never run silently-absent: name what's skipped so
     // a record missing their rows is readable as "not run", not "lost"
     val known = Seq("ann", "lsh", "dedup", "dedup_steady", "semdedup",
-      "selection", "maxsim", "skew", "tomb", "textops")
+      "selection", "maxsim", "graphfilter", "skew", "tomb", "textops")
     println(s"[scale] sections run: ${known.filter(sections).mkString(",")}; " +
       s"skipped: ${known.filterNot(sections).mkString(",")}")
 
@@ -425,6 +425,45 @@ object ScaleBench {
       }
     }
 
+    // Filtered graph beam: harvest-only-eligible widens traversal as
+    // selectivity drops (the result heap fills slower), so the cost curve
+    // vs eligible fraction is the honest price of in-beam filtering — and
+    // the exact-filtered alternative (scan the eligible subset) is the
+    // baseline it must beat while the subset stays large.
+    if (sections("graphfilter")) {
+      import graft.operators.{ExactKnn => EK, GraphAnn}
+      for ((tag, corpus) <- Seq("1x" -> emb1x, s"${factor}x" -> emb10)) {
+        val q = queriesOf(corpus)
+        // amortized regime: graphs are built ONCE per (corpus, layout) —
+        // the serving reality — so warm the executor graph cache with an
+        // unfiltered search and time filtered SEARCH cost vs selectivity.
+        // (A one-shot build+filtered-search would be dominated by the NSW
+        // build and, at selective filters, lose to pre-filter+exact scan —
+        // which is exactly the Engine's documented pre-filter plan; the
+        // in-beam filter exists for the persisted/amortized regime.)
+        val key = Some((s"scale_gf_$tag", 0L))
+        out(s"graph_build_warm_$tag") = time(drain(
+          GraphAnn.search(corpus.withColumn("elig", lit(true)), q, 10,
+            SpaceType.L2, ef = 80, corpusId = "vec_id",
+            corpusVec = "embedding", queryId = "qid", queryVec = "qv",
+            cacheKey = key, eligibleCol = Some("elig"))))
+        for ((frac, pct) <- Seq(10 -> "100", 5 -> "50", 1 -> "10")) {
+          val withElig = corpus.withColumn("elig",
+            pmod(col("vec_id"), lit(10)) < frac)
+          out(s"graph_filtered_${pct}pct_$tag") = time(drain(
+            GraphAnn.search(withElig, q, 10, SpaceType.L2, ef = 80,
+              corpusId = "vec_id", corpusVec = "embedding",
+              queryId = "qid", queryVec = "qv", cacheKey = key,
+              eligibleCol = Some("elig"))))
+        }
+        // the do-it-exactly alternative at 10% selectivity: filter + scan
+        out(s"exact_filtered_10pct_$tag") = time(drain(
+          EK.knn(corpus.filter(pmod(col("vec_id"), lit(10)) < 1), q, 10,
+            SpaceType.L2, corpusId = "vec_id", corpusVec = "embedding",
+            queryId = "qid", queryVec = "qv")))
+      }
+    }
+
     // SKEWED routed-graph build: the routed build runs one sequential NSW
     // insertion task per cell, so a router cell holding ~90% of the corpus
     // makes build wall-clock ∝ that one cell regardless of core count. The
@@ -601,6 +640,9 @@ object ScaleBench {
       ("scaling_maxsim_exact", s"maxsim_exact_$scaled", "maxsim_exact_1x"),
       ("scaling_maxsim_shortlisted", s"maxsim_shortlisted_$scaled", "maxsim_shortlisted_1x"),
       ("speedup_maxsim_shortlist_at_scale", s"maxsim_exact_$scaled", s"maxsim_shortlisted_$scaled"),
+      ("scaling_graph_filtered_100pct", s"graph_filtered_100pct_$scaled", "graph_filtered_100pct_1x"),
+      ("scaling_graph_filtered_10pct", s"graph_filtered_10pct_$scaled", "graph_filtered_10pct_1x"),
+      ("graphfilter_10pct_vs_exactfiltered", s"graph_filtered_10pct_$scaled", s"exact_filtered_10pct_$scaled"),
       ("speedup_skew_split_build", "graph_skew_build_nosplit", "graph_skew_build_split"),
       ("skew_maxcell_shrink", "graph_skew_maxcell_nosplit", "graph_skew_maxcell_split"))
       .collect { case (k, num, den) if out.contains(num) && out.contains(den) =>
