@@ -115,11 +115,16 @@ object GraphAnn {
 
     /** Beam search at one layer from the given entry points: ef best
       * candidates for q (hnswlib searchBaseLayer). `allowed` is the
-      * filtered-search hook (hnswlib's BaseFilterFunctor): traversal visits
-      * EVERY reachable node — ineligible nodes keep navigating — but only
-      * eligible ordinals enter the result heap, so a selective filter makes
-      * the beam expand further (the result heap fills slower) instead of
-      * returning ineligible hits or starving. With the default allow-all
+      * filtered-search hook (hnswlib's BaseFilterFunctor): ineligible nodes
+      * keep navigating (they enqueue as candidates under the same distance
+      * gate as eligible ones) but only eligible ordinals enter the result
+      * heap — so a selective filter makes the beam expand further before
+      * the heap fills, instead of returning ineligible hits or starving.
+      * Traversal is still distance-bounded: once ef eligible results are
+      * held, nodes farther than the worst of them stop expanding (the
+      * hnswlib gate), so filtered recall is ef-bounded exactly like
+      * unfiltered recall, not connectivity-complete. With the default
+      * allow-all
       * the enqueue order and termination are bit-identical to the unfiltered
       * code this generalizes (persisted-layout replays depend on that).
       */
@@ -851,6 +856,12 @@ object GraphAnn {
     // driver-collected id set. The GRAPH is built over ALL rows (ineligible
     // nodes keep navigating — filtered-HNSW semantics) and is therefore
     // byte-identical to the unfiltered build, so a cached graph serves both.
+    eligibleCol.foreach { c =>
+      val dt = corpus.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"eligibleCol '$c' must be BooleanType, got $dt — cast the " +
+          "predicate to boolean at the caller, not inside executor tasks")
+    }
     val selected = corpus.select(
       col(corpusId) +: col(corpusVec) +: eligibleCol.map(col).toSeq: _*).rdd
     val numParts = selected.getNumPartitions

@@ -71,8 +71,10 @@ class GraphAnnSpec extends SparkSpec {
           embL.filter(col("label") === 0).select("vec_id").as[Long].collect().toSet))) {
       val got = run(pred)
       val truth = exactFiltered(pred)
-      // every hit satisfies the predicate, every query returns full k
-      got.foreach { case (qid, hits) =>
+      // iterate TRUTH keys (every query), not got: a query starved to zero
+      // hits must fail the full-k assertion, not silently skip it
+      truth.keys.foreach { qid =>
+        val hits = got.getOrElse(qid, Set.empty)
         assert(hits.subsetOf(okIds), s"$name: ineligible hit for query $qid")
         assert(hits.size == math.min(10, okIds.size), s"$name: query $qid under-filled")
       }
