@@ -1473,12 +1473,29 @@ class Engine(
   // `corpus` is BY-NAME: constructing the store frame eagerly costs a
   // parquet listing + schema inference (~100+ ms) per request, and the
   // layout-backed serving branches never touch it — only the stale-layout
-  // fallbacks and the flat tier do
+  // fallbacks and the flat tier do.
+  //
+  // `eligible`: a metadata predicate composed into EVERY tier without
+  // giving up its layout — quantized/ivf tiers semi-join their code tables
+  // against the predicate-filtered ids (the sq_knn_filtered composition),
+  // the graph tier runs the in-beam filter over the persisted adjacency
+  // (NswIndex.searchFiltered), flat filters the scan. Pre-eligibility, a
+  // filtered request re-encoded/re-assigned/rebuilt over the filtered
+  // corpus every time — correct, but a full fallback per request.
   private def searchOn(corpusThunk: => DataFrame, cfg: CollectionConfig, coll: String,
       queries: Seq[(String, Array[Float])], k: Int,
-      corpusIsFull: Boolean = false): DataFrame = {
+      corpusIsFull: Boolean = false,
+      eligible: Option[Column] = None): DataFrame = {
     import spark.implicits._
     lazy val corpus = corpusThunk // force at most once, only on branches that read it
+    // eligible ids off the live store (LWW-folded): when the layout is
+    // CURRENT its id set equals the store's, so a semi-join restricts the
+    // layout to exactly the predicate's survivors
+    lazy val eligIds = eligible.map(p => corpus.filter(p).select(col("id")))
+    def restrict(df: DataFrame): DataFrame =
+      eligIds.map(e => df.join(e, "id")).getOrElse(df)
+    // fallback corpus for stale layouts: the old pre-filtered behavior
+    def corpusEff: DataFrame = eligible.map(p => corpus.filter(p)).getOrElse(corpus)
     val qDf = queries.toDF("query_id", "query_vec")
       .withColumn("query_vec", col("query_vec").cast("array<float>"))
     cfg.indexType match {
@@ -1486,19 +1503,17 @@ class Engine(
         val pq = loadedPq(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
         // prefer the encoded layout materialized at buildIndex (partition-
-        // pruned, no per-search re-encoding); re-encode only when stale or
-        // when searching a pre-filtered corpus
+        // pruned, no per-search re-encoding); re-encode only when stale
         val encoded = (if (corpusIsFull) currentLayout(coll, pqLayoutPath(coll)) else None)
-          .map(_._1).getOrElse(IvfPq.encode(corpus, "vector", pq))
+          .map(l => restrict(l._1)).getOrElse(IvfPq.encode(corpusEff, "vector", pq))
         IvfPq.search(encoded, qDf, pq, k, nprobe, rerankVecCol = Some("vector"))
       case IndexType.IvfFlat =>
         val model = loadedIvf(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
-        // prefer the materialized partition-pruned layout (only when
-        // searching the FULL corpus — a pre-filtered corpus must be
-        // re-assigned); fall back when the corpus changed since buildIndex
+        // prefer the materialized partition-pruned layout; fall back when
+        // the corpus changed since buildIndex
         val assigned = (if (corpusIsFull) currentLayout(coll, ivfLayoutPath(coll)) else None)
-          .map(_._1).getOrElse(IvfIndex.assign(corpus, "vector", model))
+          .map(l => restrict(l._1)).getOrElse(IvfIndex.assign(corpusEff, "vector", model))
         IvfIndex.search(assigned, qDf, model, k, nprobe)
       case IndexType.Hnsw =>
         // graph-ANN tier: per-partition NSW beam search; efsearch IS the
@@ -1518,7 +1533,7 @@ class Engine(
         // live-corpus fallback (stale layout, pre-filtered corpus, or a
         // tombstone sidecar too large to serve through — see below)
         def liveGraphSearch(): DataFrame =
-          GraphAnn.search(corpus, qDf, k, cfg.spaceType, ef = ef,
+          GraphAnn.search(corpusEff, qDf, k, cfg.spaceType, ef = ef,
             m = cfg.params.get("M").map(_.toInt).getOrElse(16),
             efConstruction = cfg.params.get("efConstruction").map(_.toInt).getOrElse(200),
             levelMult = cfg.params.get("levelMult").map(_.toDouble).getOrElse(Double.NaN))
@@ -1556,7 +1571,10 @@ class Engine(
             val exIds: Set[Any] = tombMap.keySet
             val kEff = k + tombMap.size
             val efEff = math.max(ef, kEff)
-            if (routeP.isDefined && queries.size <= 16) {
+            // eligibility routes through the batch layout path (the in-beam
+            // filter needs the co-partitioned eligible-id stream); the
+            // driver-local point caches stay predicate-free
+            if (routeP.isDefined && queries.size <= 16 && eligible.isEmpty) {
               // TRUE point requests: serve from driver-cached cell graphs —
               // a warm query launches ZERO Spark jobs (the ~100-300 ms
               // job-scheduling floor the latency harness measures on the
@@ -1576,7 +1594,7 @@ class Engine(
               if (kEff == k) res else res.filter(col("rnk") <= k)
             } else {
               val graphHits = routeP match {
-                case Some(p) if queries.size <= 64 =>
+                case Some(p) if queries.size <= 64 && eligible.isEmpty =>
                   GraphAnn.searchRoutedPruned(spark, hnswLayoutPath(coll), qDf, kEff,
                     cfg.spaceType, ef = efEff, routeNprobe = p,
                     cacheKey = Some((hnswLayoutPath(coll), epoch)),
@@ -1585,7 +1603,8 @@ class Engine(
                   GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, kEff,
                     cfg.spaceType, ef = efEff,
                     cacheKey = Some((hnswLayoutPath(coll), epoch)),
-                    routeNprobe = routeP, excludeIds = exIds)
+                    routeNprobe = routeP, excludeIds = exIds,
+                    eligibleIds = eligIds)
               }
               // streaming-insert delta: rows ingested since buildIndex live
               // as (id, vector, version) under `_delta` — exact-scan them
@@ -1596,7 +1615,10 @@ class Engine(
               // adjacency.
               cachedDeltaVectors(hnswDeltaPath(coll), stamp, hnswLayoutPath(coll)) match {
                 case Some(delta) =>
-                  val deltaHits = ExactKnn.knn(delta, qDf, k, cfg.spaceType)
+                  // delta rows are filtered by eligibility BEFORE the exact
+                  // scan — post-rank filtering could drop eligible rows that
+                  // ranked below ineligible ones inside the delta's own top-k
+                  val deltaHits = ExactKnn.knn(restrict(delta), qDf, k, cfg.spaceType)
                   graft.functions.vfn.topKHits(
                     graphHits.select(col("query_id"), col("id"), col("distance"))
                       .union(deltaHits.select(col("query_id"), col("id"), col("distance"))),
@@ -1613,23 +1635,23 @@ class Engine(
         val opq = loadedOpq(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, opq.pq.nlist))
         val encoded = (if (corpusIsFull) currentLayout(coll, opqLayoutPath(coll)) else None)
-          .map(_._1).getOrElse(Opq.encode(corpus, "vector", opq))
+          .map(l => restrict(l._1)).getOrElse(Opq.encode(corpusEff, "vector", opq))
         Opq.search(encoded, qDf, opq, k, nprobe)
       case IndexType.Sq =>
         val sq = loadedSq(coll)
         val encoded = (if (corpusIsFull) currentLayout(coll, sqLayoutPath(coll)) else None)
-          .map(_._1).getOrElse(ScalarQuant.encode(corpus, "vector", sq))
+          .map(l => restrict(l._1)).getOrElse(ScalarQuant.encode(corpusEff, "vector", sq))
         ScalarQuant.search(encoded, qDf, sq, k, rerankVecCol = Some("vector"),
           rerankFactor = getParams(coll).getOrElse("rerankFactor", 4))
       case IndexType.Bq =>
         val bq = loadedBq(coll)
         val encoded = (if (corpusIsFull) currentLayout(coll, bqLayoutPath(coll)) else None)
-          .map(_._1).getOrElse(BinaryQuant.encode(corpus, "vector", bq))
+          .map(l => restrict(l._1)).getOrElse(BinaryQuant.encode(corpusEff, "vector", bq))
         BinaryQuant.search(encoded, qDf, bq, k, cfg.spaceType,
           rerankVecCol = Some("vector"),
           rerankFactor = getParams(coll).getOrElse("rerankFactor", 8))
       case IndexType.Flat =>
-        ExactKnn.knn(corpus, qDf, k, cfg.spaceType)
+        ExactKnn.knn(corpusEff, qDf, k, cfg.spaceType)
     }
   }
 
@@ -1653,7 +1675,12 @@ class Engine(
     lazy val corpus = store.read(coll)
     val hits = filter match {
       case Some(pred) if preFilter =>
-        searchOn(corpus.filter(pred), cfg, coll, Seq(("q", query)), k)
+        // the predicate travels SEPARATELY from the corpus so every tier
+        // keeps its layout serving (semi-join / in-beam eligibility);
+        // pre-eligibility this passed corpus.filter(pred) and every tier
+        // re-encoded or rebuilt over the filtered corpus per request
+        searchOn(corpus, cfg, coll, Seq(("q", query)), k,
+          corpusIsFull = true, eligible = Some(pred))
       case Some(pred) =>
         // re-rank after the filter join so ranks are contiguous 1..k (the
         // pre-filter path and the reference's positional results), not the

@@ -1341,7 +1341,8 @@ object GraphAnn {
       corpusIdName: String = "id",
       routeNprobe: Option[Int] = None,
       probeCounter: Option[org.apache.spark.util.LongAccumulator] = None,
-      excludeIds: Set[Any] = Set.empty): DataFrame = {
+      excludeIds: Set[Any] = Set.empty,
+      eligibleIds: Option[DataFrame] = None): DataFrame = {
     import graft.functions.vfn
     val graph = readLayoutGraph(spark, path)
     val idType = graph.schema("id").dataType
@@ -1371,6 +1372,19 @@ object GraphAnn {
     if (numParts == 0)
       return vfn.topKHits(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
         col("distance"), queryId, corpusIdName, k)
+    // eligibility arrives as a SEPARATE per-cell id stream co-partitioned
+    // with the cached layout RDD (same repartition(n, part) hashing), so
+    // the layout shuffle/cache stays shared with unfiltered callers — the
+    // adjacency rows never grow a column, and the beam probes an
+    // executor-local HashSet (the live-path design, persisted edition).
+    val eligByPart = eligibleIds.map { e =>
+      require(e.schema.fields.length == 1,
+        s"eligibleIds must be a single id column, got ${e.schema.simpleString}")
+      graph.select(col("part"), col("id"))
+        .join(e.select(col(e.columns(0)).as("id")), "id")
+        .select(col("part"), col("id"))
+        .repartition(numParts, col("part")).rdd
+    }
     val spaceVal = space; val efVal = ef; val kVal = k
     // routing centroids: the `_route` sidecar buildRoutedLayout wrote (cell
     // ids ARE the layout's `part` values, so the per-batch routing table
@@ -1396,7 +1410,9 @@ object GraphAnn {
         spark.sparkContext.broadcast(routingFor(qRows, m, effNprobe.get)))
       val counter = probeCounter
       val exVal = excludeIds
-      byPart.mapPartitions { it =>
+      // eligOf(part) = None → unfiltered search; Some(set) → in-beam filter
+      def searchGroups(it: Iterator[Row],
+          eligOf: Int => Option[java.util.HashSet[Any]]): Iterator[Row] = {
         val groups = it.toArray.groupBy(_.getInt(0))
         groups.iterator.flatMap { case (part, rs) =>
           val qIdx = bcRoute match {
@@ -1412,14 +1428,33 @@ object GraphAnn {
                 GraphCache.getOrBuild(layoutId, version, cacheParts, part, rs.length)(rebuild)
               case None => rebuild
             }
+            val elig = eligOf(part)
             qIdx.iterator.flatMap { qi =>
               val (qid, qv) = bcQ.value(qi)
-              index.search(qv, kVal, efVal)
-                .filter(h => !exVal.contains(h._1))
+              val hits = elig match {
+                case Some(set) => index.searchFiltered(qv, kVal, efVal, set.contains)
+                case None => index.search(qv, kVal, efVal)
+              }
+              hits.filter(h => !exVal.contains(h._1))
                 .map { case (id, d) => Row(qid, id, d) }
             }
           }
         }
+      }
+      eligByPart match {
+        case Some(er) =>
+          byPart.zipPartitions(er) { (it, eit) =>
+            val byP = scala.collection.mutable.HashMap
+              .empty[Int, java.util.HashSet[Any]]
+            eit.foreach { r =>
+              byP.getOrElseUpdate(r.getInt(0), new java.util.HashSet[Any]())
+                .add(r.get(1))
+            }
+            // a cell with no eligible rows searches with an EMPTY set (zero
+            // hits), never falls back to unfiltered
+            searchGroups(it, p => Some(byP.getOrElse(p, new java.util.HashSet[Any]())))
+          }
+        case None => byPart.mapPartitions(searchGroups(_, _ => None))
       }
     }
 

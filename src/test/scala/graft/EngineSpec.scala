@@ -48,6 +48,70 @@ class EngineSpec extends SparkSpec {
     assert(post.map(_.id) === Seq("2"))
   }
 
+  test("pre-filtered search keeps every tier's LAYOUT serving (eligibility, not fallback)") {
+    val dir = Files.createTempDirectory("engine_elig").toString
+    val e = new Engine(spark, dir)
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 80).map(_ => Array.fill(dim)(rnd.nextFloat()))
+    val docs = vecs.zipWithIndex.map { case (v, i) =>
+      Document(i.toString, v, Map("tag" -> (if (i % 2 == 0) "a" else "b")))
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val q = vecs(2) // an eligible (tag=a) vector
+    val exactEligible = docs.filter(_.params("tag") == "a")
+      .map(d => (d.id, l2(q, d.vector)))
+      .sortBy { case (id, d) => (d, id.toInt) }.take(5).map(_._1)
+    // record every file scan's root paths, so "the layout served" is a
+    // plan-level fact, not an inference from results
+    val scans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        scans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val tiers = Seq(
+        ("ivf", IndexType.IvfFlat, Map("nprobe" -> 4), true),
+        ("pq", IndexType.IvfPq, Map("nprobe" -> 4), false), // ADC order ≈, not exact
+        ("sq", IndexType.Sq, Map("rerankFactor" -> 16), true),
+        ("bq", IndexType.Bq, Map("rerankFactor" -> 16), true),
+        ("opq", IndexType.Opq, Map("nprobe" -> 4), false),
+        ("h", IndexType.Hnsw, Map("efsearch" -> 100), true)) // ef ≥ corpus: beams exhaust
+      for ((name, it, params, exact) <- tiers) {
+        e.createCollection(CollectionConfig(name, dim, it))
+        e.batchUpsertDocuments(name, docs)
+        e.buildIndex(name, nlist = 4)
+        e.setParams(name, params)
+        scans.clear()
+        val hits = e.searchDocuments(name, q, 5,
+          filter = Some(col("params")("tag") === "a"))
+        assert(hits.size === 5, s"$name: expected full k")
+        hits.foreach(h => assert(h.id.toInt % 2 == 0, s"$name: ineligible hit ${h.id}"))
+        if (exact)
+          assert(hits.map(_.id) === exactEligible, s"$name: filtered top-k mismatch")
+        // listener posts async: bounded poll for the layout-scan evidence
+        import scala.jdk.CollectionConverters._
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!scans.asScala.exists(_.contains(s"/$name/index/")) &&
+            System.nanoTime() < deadline)
+          Thread.sleep(10)
+        assert(scans.asScala.exists(_.contains(s"/$name/index/")),
+          s"$name: no executed plan scanned the layout — filtered search fell back")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("error semantics: wrong dim, unknown collection, zero results") {
     val e = freshEngine()
     e.createCollection(CollectionConfig("docs3", 3, IndexType.Flat))
