@@ -1491,9 +1491,15 @@ class Engine(
     // eligible ids off the live store (LWW-folded): when the layout is
     // CURRENT its id set equals the store's, so a semi-join restricts the
     // layout to exactly the predicate's survivors
+    // NOTE: the eligible-id subtree is re-evaluated by every job that uses
+    // it (e.g. the hnsw graph job AND its delta job) — a conscious trade:
+    // caching a per-request frame inside a method that RETURNS a lazy
+    // DataFrame has no safe unpersist point. A broadcast-threshold
+    // collect-once variant is the optimization if profiles show the store
+    // scan dominating filtered serving.
     lazy val eligIds = eligible.map(p => corpus.filter(p).select(col("id")))
     def restrict(df: DataFrame): DataFrame =
-      eligIds.map(e => df.join(e, "id")).getOrElse(df)
+      eligIds.map(e => df.join(e, Seq("id"), "left_semi")).getOrElse(df)
     // fallback corpus for stale layouts: the old pre-filtered behavior
     def corpusEff: DataFrame = eligible.map(p => corpus.filter(p)).getOrElse(corpus)
     val qDf = queries.toDF("query_id", "query_vec")
@@ -1600,11 +1606,18 @@ class Engine(
                     cacheKey = Some((hnswLayoutPath(coll), epoch)),
                     excludeIds = exIds)
                 case _ =>
+                  // filtered requests run FULL fan-out (routeNprobe dropped):
+                  // routing prunes cells by vector geometry, but eligibility
+                  // can be uncorrelated with geometry — a selective predicate
+                  // whose survivors live outside the probed cells would
+                  // return under-k/zero hits the pre-eligibility fallback
+                  // (full live rebuild) never missed. Full fan-out over the
+                  // persisted layout is a recall superset at in-beam cost.
                   GraphAnn.searchFromLayout(spark, hnswLayoutPath(coll), qDf, kEff,
                     cfg.spaceType, ef = efEff,
                     cacheKey = Some((hnswLayoutPath(coll), epoch)),
-                    routeNprobe = routeP, excludeIds = exIds,
-                    eligibleIds = eligIds)
+                    routeNprobe = if (eligible.isDefined) None else routeP,
+                    excludeIds = exIds, eligibleIds = eligIds)
               }
               // streaming-insert delta: rows ingested since buildIndex live
               // as (id, vector, version) under `_delta` — exact-scan them

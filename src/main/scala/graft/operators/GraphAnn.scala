@@ -1377,11 +1377,18 @@ object GraphAnn {
     // the layout shuffle/cache stays shared with unfiltered callers — the
     // adjacency rows never grow a column, and the beam probes an
     // executor-local HashSet (the live-path design, persisted edition).
+    // The (part, id) pairs project off the CACHED co-located RDD, not a
+    // fresh layout scan — steady filtered serving re-shuffles only the
+    // eligible-sized pair set, never re-reads the layout parquet.
     val eligByPart = eligibleIds.map { e =>
       require(e.schema.fields.length == 1,
         s"eligibleIds must be a single id column, got ${e.schema.simpleString}")
-      graph.select(col("part"), col("id"))
-        .join(e.select(col(e.columns(0)).as("id")), "id")
+      val partIdSchema = StructType(Seq(
+        StructField("part", org.apache.spark.sql.types.IntegerType),
+        StructField("id", idType)))
+      val partId = spark.createDataFrame(
+        byPart.mapPartitions(_.map(r => Row(r.getInt(0), r.get(2)))), partIdSchema)
+      partId.join(e.select(col(e.columns(0)).as("id")), Seq("id"), "left_semi")
         .select(col("part"), col("id"))
         .repartition(numParts, col("part")).rdd
     }
@@ -1429,10 +1436,22 @@ object GraphAnn {
               case None => rebuild
             }
             val elig = eligOf(part)
-            qIdx.iterator.flatMap { qi =>
+            // empty eligible set: zero hits by definition — skip the beam
+            // (an unclamped filtered beam over an inelligible-only cell
+            // would traverse the whole reachable graph finding nothing)
+            if (elig.exists(_.isEmpty)) Iterator.empty
+            else qIdx.iterator.flatMap { qi =>
               val (qid, qv) = bcQ.value(qi)
               val hits = elig match {
-                case Some(set) => index.searchFiltered(qv, kVal, efVal, set.contains)
+                case Some(set) =>
+                  // ef clamped to the cell's eligible count: the result heap
+                  // can never hold more than |set| eligible nodes, and an
+                  // ef above that makes the termination gate unreachable —
+                  // the beam would exhaust the cell AFTER having already
+                  // found every eligible node. Identical results, bounded
+                  // tail traversal.
+                  val efCell = math.min(efVal, set.size())
+                  index.searchFiltered(qv, kVal, efCell, set.contains)
                 case None => index.search(qv, kVal, efVal)
               }
               hits.filter(h => !exVal.contains(h._1))

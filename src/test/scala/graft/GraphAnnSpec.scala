@@ -353,7 +353,8 @@ class GraphAnnSpec extends SparkSpec {
       params = Map("routeNlist" -> "4")))
     val docs = (0 until 60).map { i =>
       val base = if (i % 2 == 0) 0f else 100f
-      Document(i.toString, Array(base + i.toFloat / 100, base, 0f, 0f))
+      Document(i.toString, Array(base + i.toFloat / 100, base, 0f, 0f),
+        Map("side" -> (if (i % 2 == 0) "even" else "odd")))
     }
     e.batchUpsertDocuments("g", docs)
     e.buildIndex("g")
@@ -361,6 +362,18 @@ class GraphAnnSpec extends SparkSpec {
     val near42 = e.searchDocuments("g", Array(100.42f, 100f, 0f, 0f), 1)
     assert(near42.head.id === "41" || near42.head.id === "43",
       s"routed engine search missed the local cluster: got ${near42.head.id}")
+    // FILTERED routed search: eligibility can be uncorrelated with vector
+    // geometry — a predicate whose survivors all live OUTSIDE the query's
+    // probed cells must still return full k (the serving path drops routing
+    // for filtered requests: full fan-out over the persisted layout). The
+    // query sits in the even (base 0) cluster; the predicate selects only
+    // odd (base 100) docs — with routeNprobe=1 honored, every eligible doc
+    // would be unreachable and this returned zero hits.
+    val farFiltered = e.searchDocuments("g", Array(0.3f, 0f, 0f, 0f), 5,
+      filter = Some(col("params")("side") === "odd"))
+    assert(farFiltered.size === 5, "filtered routed search under-filled")
+    farFiltered.foreach(h => assert(h.id.toInt % 2 == 1,
+      s"ineligible hit ${h.id} on the filtered routed path"))
     // knob validation: bound by routeNlist; rejected without a routed layout
     intercept[IllegalArgumentException](e.setParams("g", Map("routeNprobe" -> 5)))
     e.createCollection(CollectionConfig("plain", 4, IndexType.Hnsw))
