@@ -103,7 +103,7 @@ object ScaleBench {
     // opt-in sections are never run silently-absent: name what's skipped so
     // a record missing their rows is readable as "not run", not "lost"
     val known = Seq("ann", "lsh", "dedup", "dedup_steady", "semdedup",
-      "selection", "maxsim", "graphfilter", "skew", "tomb", "textops")
+      "selection", "maxsim", "graphfilter", "filterserve", "skew", "tomb", "textops")
     println(s"[scale] sections run: ${known.filter(sections).mkString(",")}; " +
       s"skipped: ${known.filterNot(sections).mkString(",")}")
 
@@ -507,6 +507,49 @@ object ScaleBench {
       out("graph_skew_maxcell_split") = maxCell(splitPath)
     }
 
+    // FILTERED serving through the layout: an ivf_flat collection at the
+    // scaled corpus takes a pre-filtered search. The eligibility path
+    // semi-joins the materialized layout (predicate scan + id join); the
+    // pre-eligibility fallback re-assigned the filtered corpus per request
+    // (O(n·k·d) argmin) — timed here as the baseline the semi-join replaced.
+    if (sections("filterserve")) {
+      import graft.core.{CollectionConfig, IndexType}
+      // nlist sized like production (~sqrt(n)): the fallback's O(n·k·d)
+      // re-assignment is what the semi-join replaces, and a toy nlist
+      // understates it by exactly nlist/sqrt(n)
+      val fsNlist = math.max(32, math.sqrt(emb10.count().toDouble).toInt)
+      val root = s"$scaleDir/filterserve_engine"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val e = new graft.api.Engine(spark, root)
+      e.createCollection(CollectionConfig("f", 64, IndexType.IvfFlat))
+      e.ingestBatchIndexed("f", emb10.select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"),
+        map(lit("par"), pmod(col("vec_id"), lit(10)).cast("string")).as("params")),
+        assumeNewIds = true)
+      e.buildIndex("f", nlist = fsNlist)
+      val qv = emb10.filter(col("vec_id") === 3)
+        .select(col("embedding")).collect()(0)
+        .getAs[scala.collection.Seq[Float]](0).toArray
+      val pred = col("params")("par") === "3" // ~10% eligible
+      def timedSearch(): Double = {
+        drain(spark.emptyDataFrame.sparkSession.range(0).toDF()) // no-op spacer
+        e.searchDocuments("f", qv, 10, filter = Some(pred))
+        time(e.searchDocuments("f", qv, 10, filter = Some(pred)))
+      }
+      out("filterserve_layout_semijoin") = timedSearch()
+      // the replaced fallback: re-assign the filtered corpus, then search
+      val model = IvfIndex.train(emb10, "embedding", nlist = fsNlist)
+      val q1 = emb10.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      out("filterserve_fallback_reassign") = time(drain(
+        IvfIndex.search(
+          IvfIndex.assign(emb10.filter(pmod(col("vec_id"), lit(10)) === 3),
+            "embedding", model),
+          q1, model, 10, nprobe = math.min(10, model.nlist),
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "qid", queryVec = "qv")))
+    }
+
     // TOMBSTONE-MAINTAINED serving: an ivf_flat collection at the scaled
     // corpus takes an update batch and a delete batch; the layout stays
     // CURRENT (tombstone sidecar) and searches keep the pruned plan with a
@@ -643,6 +686,7 @@ object ScaleBench {
       ("scaling_graph_filtered_100pct", s"graph_filtered_100pct_$scaled", "graph_filtered_100pct_1x"),
       ("scaling_graph_filtered_10pct", s"graph_filtered_10pct_$scaled", "graph_filtered_10pct_1x"),
       ("graphfilter_10pct_vs_exactfiltered", s"graph_filtered_10pct_$scaled", s"exact_filtered_10pct_$scaled"),
+      ("speedup_filterserve_vs_fallback", "filterserve_fallback_reassign", "filterserve_layout_semijoin"),
       ("speedup_skew_split_build", "graph_skew_build_nosplit", "graph_skew_build_split"),
       ("skew_maxcell_shrink", "graph_skew_maxcell_nosplit", "graph_skew_maxcell_split"))
       .collect { case (k, num, den) if out.contains(num) && out.contains(den) =>
