@@ -54,40 +54,67 @@ object Selection {
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column, buckets: Int = 1024, k: Int = 200,
                  carryCols: Seq[String] = Nil): DataFrame = {
-    import graft.functions.vfn
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val toks = split(col(textCol), " ")
-    // widened: the tokenize+explode map cost must not inherit a narrow
-    // small-file scan's parallelism (same rationale as bm25_keyword).
-    // `tgt` is evaluated BEFORE the projection so isTarget may reference
-    // any input column (lang, source, ...), not just idCol/carryCols.
-    val occ = Dedup.widened(docs)
-      .filter(size(toks) >= 2)
-      .withColumn("tgt", isTarget)
-      .select(col(idCol) +: carryCols.map(col) :+ col("tgt") :+
-        explode(vfn.ngrams(toks, 2)).as("bg"): _*)
-      .withColumn("f", md5Bucket(col("bg"), 1, buckets))
-    // the MODEL is the B-row bucket-count table — collect it once (bounded:
-    // B rows at ANY corpus scale) and rebuild the weight frame driver-side,
-    // so the gram stream is evaluated exactly twice: the count aggregation
-    // and the score probe (deriving totals/weights from the counts FRAME
-    // would re-run the corpus pass per consumer)
+    val model = dsirTrain(docs, textCol, isTarget, buckets)
+    dsirScore(docs, idCol, textCol, model, carryCols)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The trained DSIR model: the B-row hashed-bigram bucket-count table
+    * plus its totals — bounded at ANY corpus scale, so it lives on the
+    * driver and ships as a broadcast weight table to scorers (including
+    * streaming micro-batches, which score against a FIXED snapshot model).
+    */
+  final case class DsirModel(cnts: Array[(Long, Long, Long)],
+      tTot: Long, rTot: Long, buckets: Int)
+
+  /** One corpus pass: hashed-bigram bucket counts split target-vs-raw.
+    * `isTarget` is evaluated BEFORE the gram projection so it may reference
+    * any input column (lang, source, ...).
+    */
+  def dsirTrain(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 1024): DsirModel = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val occ = gramFeatures(docs.withColumn("__graft_tgt", isTarget),
+      textCol, buckets, Seq(col("__graft_tgt").as("tgt")))
     val cnts = occ.groupBy(col("f")).agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("t_f"),
       sum(when(col("tgt"), 0L).otherwise(1L)).as("r_f"))
       .as[(Long, Long, Long)].collect()
-    val tTot = cnts.map(_._2).sum
-    val rTot = cnts.map(_._3).sum
-    val weights = cnts.toSeq.toDF("f", "t_f", "r_f").select(col("f"),
-      (dec(col("t_f") + 1L) * dec(lit(rTot + buckets)) -
-        dec(col("r_f") + 1L) * dec(lit(tTot + buckets))).as("w"))
-    occ.join(broadcast(weights), "f")
+    DsirModel(cnts, cnts.map(_._2).sum, cnts.map(_._3).sum, buckets)
+  }
+
+  /** Score every doc under a fixed model: one gram pass, broadcast weight
+    * join, doc-keyed sum (map-side partial agg). Stateless in the corpus —
+    * the streaming twin scores arriving micro-batches with this exact plan.
+    */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DsirModel, carryCols: Seq[String] = Nil): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = model.cnts.toSeq.toDF("f", "t_f", "r_f").select(col("f"),
+      (dec(col("t_f") + 1L) * dec(lit(model.rTot + model.buckets)) -
+        dec(col("r_f") + 1L) * dec(lit(model.tTot + model.buckets))).as("w"))
+    gramFeatures(docs, textCol, model.buckets, col(idCol) +: carryCols.map(col))
+      .join(broadcast(weights), "f")
       .groupBy((col(idCol) +: carryCols.map(col)): _*)
       .agg(sum(col("w")).cast("double").as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+  }
+
+  /** Shared gram stream: (extra..., bg, f). widened: the tokenize+explode
+    * map cost must not inherit a narrow small-file scan's parallelism
+    * (same rationale as bm25_keyword).
+    */
+  private def gramFeatures(docs: DataFrame, textCol: String, buckets: Int,
+      extra: Seq[Column]): DataFrame = {
+    import graft.functions.vfn
+    val toks = split(col(textCol), " ")
+    Dedup.widened(docs)
+      .filter(size(toks) >= 2)
+      .select(extra :+ explode(vfn.ngrams(toks, 2)).as("bg"): _*)
+      .withColumn("f", md5Bucket(col("bg"), 1, buckets))
   }
 
   /** CCNet's head/middle/tail bucketing (Wenzek et al. 2020,

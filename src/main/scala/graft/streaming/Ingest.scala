@@ -289,6 +289,37 @@ object Ingest {
       }
       .start()
 
+  /** Streaming DSIR scoring — the firehose deployment of `dsir_select`'s
+    * selection step: the model is trained ONCE on a reference snapshot
+    * (curated-vs-raw, `Selection.dsirTrain`) and arriving micro-batches
+    * score STATELESSLY against the broadcast weight table
+    * (`Selection.dsirScore` — the exact batch plan per micro-batch, so the
+    * streamed scores are bit-identical to a batch pass over the same rows).
+    * Scores land per batch under `outDir/scores/batch=N`; the keep-cut is a
+    * periodic batch top-K over the accumulated scores (selection needs the
+    * global ordering, which no single micro-batch can decide).
+    */
+  def streamDsirScoreInto(
+      source: DataFrame, // schema: id, text
+      model: graft.operators.Selection.DsirModel,
+      outDir: String,
+      checkpoint: String,
+      idCol: String = "id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Selection.dsirScore(batch, idCol, textCol, model)
+            .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+          ()
+        }
+      }
+      .start()
+
   /** Streaming tumbling-window aggregation with a watermark (the canonical
     * events_hourly shape as a live query; late rows beyond the watermark are
     * dropped deterministically).

@@ -14,6 +14,36 @@ import graft.streaming.Ingest
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming DSIR scoring: micro-batch scores ≡ the batch twin, bit-exact") {
+    val src = Files.createTempDirectory("dsir-src").toString
+    val ck = Files.createTempDirectory("dsir-ck").toString
+    val out = Files.createTempDirectory("dsir-out").toString
+    val ref = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").as("id"), col("source"), col("text"))
+    // model trained ONCE on the reference snapshot (curated sources = target)
+    val model = graft.operators.Selection.dsirTrain(ref, "text",
+      col("source").isin((0 to 4).map(i => s"src$i").map(lit(_)): _*))
+    // the firehose: the same docs arriving as two micro-batches
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val all = ref.select(col("id"), col("text")).as[(Long, String)].collect()
+    val (b1, b2) = all.splitAt(all.length / 2)
+    b1.toSeq.toDF("id", "text").write.mode("append").parquet(src)
+    Ingest.streamDsirScoreInto(spark.readStream.schema(schema).parquet(src),
+      model, out, ck).awaitTermination()
+    b2.toSeq.toDF("id", "text").write.mode("append").parquet(src)
+    Ingest.streamDsirScoreInto(spark.readStream.schema(schema).parquet(src),
+      model, out, ck).awaitTermination()
+    val got = spark.read.parquet(s"$out/scores")
+      .select(col("id"), col("score")).as[(Long, Double)].collect().toSet
+    val want = graft.operators.Selection.dsirScore(
+        ref.select(col("id"), col("text")), "id", "text", model)
+      .as[(Long, Double)].collect().toSet
+    assert(got === want, "streamed scores must equal the batch twin bit-exactly")
+    assert(new java.io.File(s"$out/scores")
+      .listFiles().count(_.getName.startsWith("batch=")) === 2)
+  }
+
   test("streaming dedup: batches dedup against accumulated state, ≡ batch twin") {
     val src = Files.createTempDirectory("dedup-src").toString
     val ck = Files.createTempDirectory("dedup-ck").toString
