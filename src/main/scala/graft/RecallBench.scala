@@ -324,6 +324,44 @@ object RecallBench {
       } finally server.stop()
     }
 
+    // MaxSim shortlist knob: per-token IVF shortlist size m — recall vs
+    // cost against the exact all-pairs MaxSim (the maxsim_knn_ivf path's
+    // quality curve; the oracle gate pins one point, this sweeps the knob)
+    {
+      import graft.operators.LateInteraction
+      val T = 4
+      val ct = emb.select(expr(s"vec_id DIV $T").as("doc_id"),
+        col("embedding").as("dv"))
+      val qt = emb.filter(col("vec_id") < T * 10)
+        .select(expr(s"vec_id DIV $T").as("qid"),
+          expr(s"vec_id % $T").as("tok"), col("embedding").as("qv"))
+      def msTruth(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select(col("qid"), col("doc_id")).as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val msExact = msTruth(LateInteraction.maxSim(ct, qt, k, T))
+      val model = IvfIndex.train(emb, "embedding", nlist = 10)
+      val assigned = IvfIndex.assign(emb, "embedding", model).cache()
+      assigned.count()
+      val qtok = emb.filter(col("vec_id") < T * 10)
+        .select(col("vec_id").as("qtok_id"), col("embedding").as("qv"))
+      for (m <- Seq(4, 8, 16, 32)) {
+        val t0 = System.nanoTime()
+        val shortlist = IvfIndex.searchDistributed(assigned, qtok, model, m,
+            nprobe = 3, corpusId = "vec_id", corpusVec = "embedding",
+            queryId = "qtok_id", queryVec = "qv")
+          .select(expr(s"qtok_id DIV $T").as("qid"),
+            expr(s"vec_id DIV $T").as("doc_id")).distinct()
+        val got = msTruth(
+          LateInteraction.maxSimShortlisted(shortlist, ct, qt, k, T))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val recall = msExact.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / msExact.size
+        println(f"""{"index":"maxsim_ivf","m":$m,"recall_at_$k":$recall%.4f,"sec":$sec%.3f}""")
+      }
+      assigned.unpersist()
+    }
+
     spark.stop()
   }
 }
