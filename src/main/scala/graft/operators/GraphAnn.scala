@@ -882,7 +882,7 @@ object GraphAnn {
             }
             index
           }
-          val index = effKey match {
+          def index = effKey match {
             case Some((layoutId, version)) =>
               GraphCache.getOrBuild(layoutId, version, numParts, part, rows.length)(build)
             case None => build
@@ -893,12 +893,25 @@ object GraphAnn {
               if (!r.isNullAt(eligIdx) && r.getBoolean(eligIdx))
                 eligible.add(r.get(idIdx))
             }
-            bcQ.value.iterator.flatMap { case (qid, qv) =>
-              index.searchFiltered(qv, kVal, efVal, eligible.contains)
-                .map { case (id, d) => Row(qid, id, d) }
+            // empty-set skip (BEFORE the graph build — `index` is by-name)
+            // + k/ef clamp to the eligible count: identical results, bounded
+            // traversal (see searchFromLayout's filtered branch for the full
+            // argument — searchFiltered re-raises ef to max(ef, k), so k
+            // must clamp with ef)
+            if (eligible.isEmpty) Iterator.empty
+            else {
+              val idx = index
+              bcQ.value.iterator.flatMap { case (qid, qv) =>
+                idx.searchFiltered(qv, math.min(kVal, eligible.size()),
+                    math.min(efVal, eligible.size()), eligible.contains)
+                  .map { case (id, d) => Row(qid, id, d) }
+              }
             }
-          } else bcQ.value.iterator.flatMap { case (qid, qv) =>
-            index.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+          } else {
+            val idx = index
+            bcQ.value.iterator.flatMap { case (qid, qv) =>
+              idx.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
+            }
           }
         }
       }
@@ -1426,7 +1439,11 @@ object GraphAnn {
             case Some(bc) => bc.value(part)
             case None => bcQ.value.indices.toArray
           }
-          if (qIdx.isEmpty) Iterator.empty
+          val elig = eligOf(part)
+          // empty eligible cell: zero hits by definition — skip BEFORE the
+          // graph reconstruction (the rebuild is the dominant cold cost and
+          // would be paid just to emit nothing)
+          if (qIdx.isEmpty || elig.exists(_.isEmpty)) Iterator.empty
           else {
             counter.foreach(_.add(qIdx.length))
             def rebuild: NswIndex = reconstructCell(rs, spaceVal)
@@ -1435,23 +1452,21 @@ object GraphAnn {
                 GraphCache.getOrBuild(layoutId, version, cacheParts, part, rs.length)(rebuild)
               case None => rebuild
             }
-            val elig = eligOf(part)
-            // empty eligible set: zero hits by definition — skip the beam
-            // (an unclamped filtered beam over an inelligible-only cell
-            // would traverse the whole reachable graph finding nothing)
-            if (elig.exists(_.isEmpty)) Iterator.empty
-            else qIdx.iterator.flatMap { qi =>
+            qIdx.iterator.flatMap { qi =>
               val (qid, qv) = bcQ.value(qi)
               val hits = elig match {
                 case Some(set) =>
-                  // ef clamped to the cell's eligible count: the result heap
-                  // can never hold more than |set| eligible nodes, and an
-                  // ef above that makes the termination gate unreachable —
-                  // the beam would exhaust the cell AFTER having already
-                  // found every eligible node. Identical results, bounded
-                  // tail traversal.
-                  val efCell = math.min(efVal, set.size())
-                  index.searchFiltered(qv, kVal, efCell, set.contains)
+                  // k AND ef clamped to the cell's eligible count: the
+                  // result heap can never hold more than |set| eligible
+                  // nodes, and a beam width above that makes the
+                  // termination gate unreachable — the beam would exhaust
+                  // the cell AFTER having already found every eligible
+                  // node. k must clamp WITH ef (searchFiltered re-raises
+                  // ef to max(ef, k), so clamping ef alone is undone in
+                  // exactly the selective regime that needs the bound).
+                  // Identical results: at most |set| eligible hits exist.
+                  index.searchFiltered(qv, math.min(kVal, set.size()),
+                    math.min(efVal, set.size()), set.contains)
                 case None => index.search(qv, kVal, efVal)
               }
               hits.filter(h => !exVal.contains(h._1))

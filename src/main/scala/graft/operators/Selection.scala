@@ -88,13 +88,27 @@ object Selection {
   /** Score every doc under a fixed model: one gram pass, broadcast weight
     * join, doc-keyed sum (map-side partial agg). Stateless in the corpus —
     * the streaming twin scores arriving micro-batches with this exact plan.
+    *
+    * The weight table covers ALL B buckets: a feature the training snapshot
+    * never saw still carries its add-one-smoothing weight
+    * (1)·(R+B) − (1)·(T+B) — an inner join over observed-only buckets would
+    * silently DROP unseen features, which matters exactly when the scored
+    * stream is disjoint from the training snapshot (the firehose case).
+    * Contract: a doc with fewer than 2 tokens has no bigram features and
+    * emits NO score row (DSIR's empty feature bag — callers selecting over
+    * streams treat absence as score-unknown, not zero).
     */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
       model: DsirModel, carryCols: Seq[String] = Nil): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val weights = model.cnts.toSeq.toDF("f", "t_f", "r_f").select(col("f"),
+    val byF = model.cnts.map(c => c._1 -> ((c._2, c._3))).toMap
+    val full = (0 until model.buckets).map { f =>
+      val (t, r) = byF.getOrElse(f.toLong, (0L, 0L))
+      (f.toLong, t, r)
+    }
+    val weights = full.toDF("f", "t_f", "r_f").select(col("f"),
       (dec(col("t_f") + 1L) * dec(lit(model.rTot + model.buckets)) -
         dec(col("r_f") + 1L) * dec(lit(model.tTot + model.buckets))).as("w"))
     gramFeatures(docs, textCol, model.buckets, col(idCol) +: carryCols.map(col))

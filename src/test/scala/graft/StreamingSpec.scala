@@ -42,6 +42,31 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "streamed scores must equal the batch twin bit-exactly")
     assert(new java.io.File(s"$out/scores")
       .listFiles().count(_.getName.startsWith("batch=")) === 2)
+
+    // disjoint-stream smoothing: a doc whose bigrams the training snapshot
+    // NEVER saw still scores — each unseen feature carries the add-one
+    // weight (1)(R+B) − (1)(T+B), not a silent drop (inner-join-over-
+    // observed-buckets would lose it; the firehose case is exactly
+    // training-disjoint data)
+    val unseen = Seq((999L, "zzqx1 zzqx2 zzqx3")).toDF("id", "text")
+    val sc = graft.operators.Selection.dsirScore(unseen, "id", "text", model)
+      .as[(Long, Double)].collect()
+    assert(sc.length === 1, "unseen-feature doc must still emit a score row")
+    val B = model.buckets
+    val perUnseen = (BigInt(1) * (model.rTot + B) - BigInt(1) * (model.tTot + B))
+    assert(!sc(0)._2.isNaN)
+    // exact check when both buckets are unobserved in the model (hash
+    // collisions with observed buckets would legitimately shift the score)
+    val bucketOf = (bg: String) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % B
+    }
+    val obs = model.cnts.map(_._1).toSet
+    val bgs = Seq("zzqx1 zzqx2", "zzqx2 zzqx3").map(bucketOf(_).toLong)
+    if (bgs.forall(!obs.contains(_)))
+      assert(sc(0)._2 === (perUnseen * 2).toDouble,
+        "unseen-bucket features must carry the add-one smoothing weight")
   }
 
   test("streaming dedup: batches dedup against accumulated state, ≡ batch twin") {
