@@ -188,25 +188,40 @@ object VectorQueries {
     * constant-width aggregate (≤ label-cardinality rows) broadcast back;
     * the metric aggregation runs over NQ·K hit rows.
     */
-  def irMetrics(spark: SparkSession, dir: String): DataFrame = {
+  /** Self-excluded exact top-k with BOTH endpoint labels — the shared
+    * candidate scaffolding of the label-noise audit (`labelAgreement`) and
+    * the IR metrics (`irMetrics`): KNN at k+1, drop the self-match, re-rank
+    * (correct even when ≥k duplicates tie at distance 0 — the k+1 nearest
+    * overall minus self always contain the k nearest non-self), then
+    * broadcast-join the query's label as `qlabel` and the hit's as `label`.
+    * One definition of the k+1 self-exclusion rule both queries gate on.
+    */
+  private def selfExcludedKnnLabels(spark: SparkSession, dir: String,
+      nq: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"))
-    val q = emb.filter(col("vec_id") < NQ)
+    val q = emb.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val nn = ExactKnn.knn(emb.select(col("vec_id"), col("embedding")), q,
-        K + 1, SpaceType.L2,
-        corpusId = "vec_id", corpusVec = "embedding",
+    val labels = emb.select(col("vec_id"), col("label"))
+    ExactKnn.knn(emb.select(col("vec_id"), col("embedding")), q, k + 1,
+        SpaceType.L2, corpusId = "vec_id", corpusVec = "embedding",
         queryId = "qid", queryVec = "qv")
       .filter(col("qid") =!= col("vec_id"))
+      // tiny frame (nq*(k+1) rows): re-rank after the self filter
       .withColumn("r2", row_number()
         .over(Window.partitionBy(col("qid")).orderBy(col("rnk"))).cast("long"))
-      .filter(col("r2") <= K)
-    val labels = emb.select(col("vec_id"), col("label"))
-    val totals = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
-    nn.join(broadcast(labels.select(col("vec_id").as("qid"),
+      .filter(col("r2") <= k)
+      .join(broadcast(labels.select(col("vec_id").as("qid"),
         col("label").as("qlabel"))), "qid")
       .join(broadcast(labels), "vec_id")
+  }
+
+  def irMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val totals = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    selfExcludedKnnLabels(spark, dir, NQ, K)
       .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
       .groupBy(col("qid"), col("qlabel"))
       .agg(sum(col("rel")).as("rel_in_k"),
@@ -1056,29 +1071,13 @@ object VectorQueries {
     * re-ranks — correct even when ≥k duplicates tie at distance 0 (the
     * k+1 nearest overall minus self always contain the k nearest non-self).
     */
-  def labelAgreement(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), col("label"))
-    val q = emb.filter(col("vec_id") < AgreeNQ)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val nn = ExactKnn.knn(emb.select(col("vec_id"), col("embedding")), q,
-        AgreeK + 1, SpaceType.L2,
-        corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
-      .filter(col("qid") =!= col("vec_id"))
-      // tiny frame (NQ·(k+1) rows): re-rank after the self filter
-      .withColumn("r2",
-        row_number().over(Window.partitionBy(col("qid")).orderBy(col("rnk"))))
-      .filter(col("r2") <= AgreeK)
-    val labels = emb.select(col("vec_id"), col("label"))
-    nn.join(broadcast(labels.select(col("vec_id").as("qid"), col("label").as("qlabel"))), "qid")
-      .join(broadcast(labels), "vec_id")
+  def labelAgreement(spark: SparkSession, dir: String): DataFrame =
+    selfExcludedKnnLabels(spark, dir, AgreeNQ, AgreeK)
       .groupBy(col("qid").as("vec_id"), col("qlabel").as("label"))
       .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("agree"))
       .select(col("vec_id"), col("label"),
         col("agree").cast("long").as("agree"),
         when(col("agree") * 2 < AgreeK, 1L).otherwise(0L).as("suspect"))
-  }
 
   /** FULL-CORPUS label-noise audit through the indexed tier: every vector
     * is a query, candidates come from `IvfIndex.searchDistributed` (codegen
