@@ -398,6 +398,12 @@ class Engine(
   def batchUpsertDocuments(coll: String, docs: Seq[Document]): Unit = {
     val cfg = configOf(coll)
     require(docs.nonEmpty, "empty batch")
+    // a multivector collection's rows MUST carry the doc-key param — a plain
+    // single-vector upsert would plant rows MaxSim search can't attribute to
+    // any document (hard error, the no-silent-fallback rule)
+    require(!isMultiVector(cfg) || docs.forall(_.params.contains(MultiVectorDocKey)),
+      s"'$coll' is a multivector collection — write through " +
+        "upsertMultiVector/batchUpsertMultiVector")
     val maintained = tierLayoutPath(coll)
       .exists(p => currentLayoutStamp(coll, p).isDefined)
     if (!maintained) { store.upsert(coll, docs, cfg.dimension); return }
@@ -1071,6 +1077,10 @@ class Engine(
         require(cfg.indexType == IndexType.Sq || cfg.indexType == IndexType.Bq,
           s"rerankFactor not valid for ${cfg.indexType.name}")
         require(v > 0, s"rerankFactor must be positive, got $v")
+      case ("maxsimCandM", v) =>
+        require(isMultiVector(cfg),
+          "maxsimCandM is only valid for multivector collections")
+        require(v > 0, s"maxsimCandM must be positive, got $v")
       case (k, _) => throw new IllegalArgumentException(s"unknown search param '$k'") // ivf.go:399-401
     }
     runtime.updateWith(coll)(old => Some(old.getOrElse(Map.empty) ++ params))
@@ -1715,6 +1725,170 @@ class Engine(
       throw new NoSuchElementException("no satisfied results found") // document.go:222-225
     cacheKey.foreach(cache.put(_, out.toSeq))
     out.toSeq
+  }
+
+  // ---- multi-vector (late-interaction / ColBERT MaxSim) collections ----
+  //
+  // A multi-vector collection (created with params multivector=true) stores
+  // one ROW PER TOKEN VECTOR: token row id = "<docId>\u0001<tokIdx>", params
+  // carry the parent doc id + token index + the doc's token count. The token
+  // rows are ordinary collection rows, so EVERY existing tier serves them —
+  // buildIndex trains/materializes over token vectors unchanged, point
+  // writes stay maintained, tombstones shadow per token row. Search is
+  // ColBERT MaxSim (Khattab & Zaharia 2020): per-query-token ANN shortlists
+  // through the collection's own index tier union into a (query, doc)
+  // candidate set; exact MaxSim re-ranks only the shortlisted docs' tokens
+  // (`LateInteraction.maxSimShortlisted` — two equi-joins, never all-pairs).
+  // The reference's search-then-fetch (`internal/db/document.go:228-239`)
+  // generalized to multi-vector documents.
+
+  /** Separator between doc id and token index inside a token row id; doc
+    * ids (and caller query ids) must not contain it.
+    */
+  final val MultiVectorSep = "\u0001"
+  /** Params key: the token row's parent document id. */
+  final val MultiVectorDocKey = "__doc"
+  /** Params key: the token's index within its document. */
+  final val MultiVectorTokKey = "__tok"
+  /** Params key: the document's token count — lets an UPDATE with fewer
+    * tokens trim the stale tail rows via zero-job point reads (token 0
+    * always exists, so its `__ntok` is the stored count).
+    */
+  final val MultiVectorNtokKey = "__ntok"
+
+  private[api] def isMultiVector(cfg: CollectionConfig): Boolean =
+    cfg.params.get("multivector").exists(_.toBoolean)
+
+  private def tokRowId(docId: String, i: Int) = s"$docId$MultiVectorSep$i"
+
+  def upsertMultiVector(coll: String, docId: String,
+      tokens: Seq[Array[Float]]): Unit =
+    batchUpsertMultiVector(coll, Seq((docId, tokens)))
+
+  /** Batch upsert of multi-vector documents. Updates are exact: the new
+    * token rows shadow the old ones through the ordinary LWW/tombstone
+    * machinery, and a doc shrinking from `oldN` to `newN` tokens gets its
+    * tail rows `[newN, oldN)` deleted (driver point-read of token 0's
+    * `__ntok` — no scan), so a shorter re-upsert never serves stale tokens.
+    */
+  def batchUpsertMultiVector(coll: String,
+      docs: Seq[(String, Seq[Array[Float]])]): Unit = {
+    val cfg = configOf(coll)
+    require(isMultiVector(cfg),
+      s"'$coll' is not a multivector collection (create with multivector=true)")
+    require(docs.nonEmpty, "empty batch")
+    docs.foreach { case (d, toks) =>
+      require(d != null && d.nonEmpty && !d.contains(MultiVectorSep),
+        s"invalid multivector doc id '$d'")
+      require(toks.nonEmpty, s"document '$d' has no token vectors")
+    }
+    // stale-tail trim BEFORE the upsert would lose tokens if the upsert
+    // then failed; compute the stale ids now (old counts), delete after
+    val stale = docs.flatMap { case (d, toks) =>
+      store.getFast(coll, tokRowId(d, 0))
+        .flatMap(_.params.get(MultiVectorNtokKey)).map(_.toInt).toSeq
+        .flatMap(oldN => (toks.size until oldN).map(tokRowId(d, _)))
+    }
+    val rows = docs.flatMap { case (d, toks) =>
+      toks.zipWithIndex.map { case (v, i) =>
+        Document(tokRowId(d, i), v, Map(
+          MultiVectorDocKey -> d,
+          MultiVectorTokKey -> i.toString,
+          MultiVectorNtokKey -> toks.size.toString))
+      }
+    }
+    batchUpsertDocuments(coll, rows)
+    if (stale.nonEmpty) deleteDocuments(coll, stale)
+  }
+
+  /** Delete every token row of a multi-vector document (count from token
+    * 0's `__ntok`; absent doc → 404 semantics like the document routes).
+    */
+  def deleteMultiVector(coll: String, docId: String): Unit = {
+    val cfg = configOf(coll)
+    require(isMultiVector(cfg),
+      s"'$coll' is not a multivector collection (create with multivector=true)")
+    store.getFast(coll, tokRowId(docId, 0))
+      .flatMap(_.params.get(MultiVectorNtokKey)).map(_.toInt) match {
+      case Some(n) => deleteDocuments(coll, (0 until n).map(tokRowId(docId, _)))
+      case None => throw new NoSuchElementException(
+        s"multivector document '$docId' not found")
+    }
+  }
+
+  /** The (query, doc) candidate pairs MaxSim will exactly re-rank: every
+    * query token fetches its top-`maxsimCandM` token rows through the
+    * collection's OWN index tier (`searchVectorsDf` — distributed on
+    * ivf-family tiers), and a doc is a candidate if ANY of its tokens
+    * shortlists for ANY of the query's tokens. Deterministic given a fixed
+    * index build, so the oracle replay recomputes exactly the pair set the
+    * search used. Exposed (not private) because the correctness gate
+    * exports it as the candidate-restricted oracle input.
+    */
+  def maxSimCandidates(coll: String,
+      queries: Seq[(String, Seq[Array[Float]])]): DataFrame = {
+    val cfg = validateMaxSimQueries(coll, queries)
+    val m = getParams(coll).getOrElse("maxsimCandM", 16)
+    import spark.implicits._
+    val qtokDf = queries.flatMap { case (qid, toks) =>
+      toks.zipWithIndex.map { case (v, i) =>
+        (s"$qid$MultiVectorSep$i", v.toSeq) }
+    }.toDF("query_id", "query_vec")
+    searchVectorsDf(coll, qtokDf, m)
+      .select(
+        substring_index(col("query_id"), MultiVectorSep, 1).as("qid"),
+        substring_index(col("id"), MultiVectorSep, 1).as("doc_id"))
+      .distinct()
+  }
+
+  /** MaxSim top-k docs per query: (qid, doc_id, rnk), ranked by
+    * score(q, d) = Σ_t max_{v∈d} ⟨q_t, v⟩ desc with doc-id tie-break —
+    * exact over the shortlisted candidate docs' tokens (result quality is
+    * the shortlist generator's recall, gated like the ANN tiers gate
+    * theirs). Metric coupling, stated: candidates rank by the collection's
+    * space while MaxSim scores by inner product — equivalent neighborhoods
+    * for l2 on normalized embeddings (l2 = 2 − 2·ip) and for ip/cos;
+    * hamming optimizes an unrelated neighborhood and is rejected.
+    */
+  def searchMaxSim(coll: String,
+      queries: Seq[(String, Seq[Array[Float]])], k: Int): DataFrame = {
+    val cfg = validateMaxSimQueries(coll, queries)
+    require(cfg.spaceType != SpaceType.Hamming,
+      "maxsim scores by inner product; a hamming-space shortlist optimizes " +
+        "an unrelated neighborhood — create the collection with l2, ip, or cos")
+    val nTokens = queries.map(_._2.size).max
+    val cand = maxSimCandidates(coll, queries)
+    // token rows only (a multivector collection rejects plain upserts, so
+    // the doc-key filter is belt-and-braces against hand-written rows)
+    val corpusToks = documents(coll)
+      .filter(col("params")(MultiVectorDocKey).isNotNull)
+      .select(col("params")(MultiVectorDocKey).as("doc_id"),
+        col("vector").as("dv"))
+    import spark.implicits._
+    val qtoks = queries.flatMap { case (qid, toks) =>
+      toks.zipWithIndex.map { case (v, i) => (qid, i, v.toSeq) }
+    }.toDF("qid", "tok", "qv")
+      .withColumn("qv", col("qv").cast("array<float>"))
+    graft.operators.LateInteraction.maxSimShortlisted(
+      cand, corpusToks, qtoks, k, nTokens,
+      corpusDoc = "doc_id", corpusVec = "dv",
+      queryId = "qid", queryTok = "tok", queryVec = "qv")
+  }
+
+  private def validateMaxSimQueries(coll: String,
+      queries: Seq[(String, Seq[Array[Float]])]): CollectionConfig = {
+    val cfg = configOf(coll)
+    require(isMultiVector(cfg),
+      s"'$coll' is not a multivector collection (create with multivector=true)")
+    require(queries.nonEmpty, "empty query set")
+    queries.foreach { case (qid, toks) =>
+      require(qid != null && !qid.contains(MultiVectorSep),
+        s"invalid query id '$qid'")
+      require(toks.nonEmpty, s"query '$qid' has no token vectors")
+      toks.foreach(t => require(t.length == cfg.dimension,
+        s"query '$qid' token dimension ${t.length} != collection dimension ${cfg.dimension}"))
+    }
+    cfg
   }
 
   /** Cache stats for tests/ops. */

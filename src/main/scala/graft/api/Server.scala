@@ -60,6 +60,17 @@ class Server(engine: Engine, port: Int = 0) {
         case ("GET", List("v1", "collections", name, "documents", id)) => getDoc(ex, name, id)
         case ("DELETE", List("v1", "collections", name, "documents", id)) =>
           deleteDoc(ex, name, id)
+        // beyond the reference's table: multi-vector (ColBERT MaxSim)
+        // documents — one bag of token vectors per doc, served through the
+        // collection's own index tier (Engine.searchMaxSim)
+        case ("POST", List("v1", "collections", name, "multivectors")) =>
+          upsertMultiVector(ex, name)
+        case ("POST", List("v1", "collections", name, "multivectors", "batchupsert")) =>
+          batchUpsertMultiVector(ex, name)
+        case ("POST", List("v1", "collections", name, "multivectors", "search")) =>
+          searchMultiVectors(ex, name)
+        case ("DELETE", List("v1", "collections", name, "multivectors", id)) =>
+          deleteMultiVector(ex, name, id)
         // beyond the reference's table: serving-cache observability (the
         // driver-local point-serve tier's residency/hit-rate counters)
         case ("GET", List("v1", "metrics")) =>
@@ -221,6 +232,48 @@ class Server(engine: Engine, port: Int = 0) {
     reply(ex, 200, Obj.of(
       "ids" -> Arr(hits.toSeq.map(h => Str(h._1))),
       "distances" -> Arr(hits.toSeq.map(h => Num(h._2)))))
+  }
+
+  // ---- multi-vector (MaxSim) documents ----
+
+  private def vectorsOf(v: Value): Seq[Array[Float]] = v.asArr.map(vectorOf)
+
+  private def upsertMultiVector(ex: HttpExchange, name: String): Unit = {
+    val o = body(ex).asObj
+    val id = req(o, "id").asStr
+    val vecs = vectorsOf(req(o, "vectors"))
+    engine.upsertMultiVector(name, id, vecs)
+    reply(ex, 200, Obj.of("id" -> Str(id), "num_vectors" -> Num(vecs.size)))
+  }
+
+  private def batchUpsertMultiVector(ex: HttpExchange, name: String): Unit = {
+    val docs = req(body(ex).asObj, "documents").asArr.map { dv =>
+      val o = dv.asObj
+      (req(o, "id").asStr, vectorsOf(req(o, "vectors")))
+    }
+    engine.batchUpsertMultiVector(name, docs)
+    replyEmpty(ex, 200)
+  }
+
+  private def deleteMultiVector(ex: HttpExchange, name: String, id: String): Unit = {
+    engine.deleteMultiVector(name, id) // absent doc → NoSuchElement → 404
+    replyEmpty(ex, 200)
+  }
+
+  private def searchMultiVectors(ex: HttpExchange, name: String): Unit = {
+    val o = body(ex).asObj
+    val vecs = vectorsOf(req(o, "vectors"))
+    val limit = o.get("limit").orElse(o.get("top_k")).map(_.asInt).getOrElse(10)
+    // rank-sort driver-side, same reasoning as searchVectors
+    val hits = engine.searchMaxSim(name, Seq(("q", vecs)), limit)
+      .collect()
+      .sortBy(_.getLong(2))
+      .map(r => (r.getString(1), r.getLong(2)))
+    if (hits.isEmpty) // document.go:222-225 parity with the search routes
+      throw new NoSuchElementException("no satisfied results found")
+    reply(ex, 200, Obj.of(
+      "ids" -> Arr(hits.toSeq.map(h => Str(h._1))),
+      "ranks" -> Arr(hits.toSeq.map(h => Num(h._2.toDouble)))))
   }
 
   private def searchDocuments(ex: HttpExchange, name: String): Unit = {

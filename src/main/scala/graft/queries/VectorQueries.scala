@@ -269,6 +269,165 @@ object VectorQueries {
        |  END AS mrr
        |FROM agg JOIN tot ON tot.label = agg.qlabel""".stripMargin
 
+  // ---- Engine-routed MaxSim (multi-vector collection, end-to-end) ---------
+
+  /** One multivector collection built ONCE per (session, dir) — the serving
+    * split made honest in the gate: ingest + buildIndex are the memoized
+    * build half (a production collection is built once), every query call
+    * re-runs the SEARCH half through the Engine surface. The collection
+    * ingests the same embeddings carving as `maxsim_knn` (doc = vec_id DIV
+    * `MaxSimToks`, token = vec_id % `MaxSimToks`) through the Engine's
+    * DataFrame ingest, trains the token-level IVF at buildIndex, and serves
+    * MaxSim through per-token IVF shortlists + exact re-rank
+    * (`Engine.searchMaxSim`). Query docs are the first `NQ` documents'
+    * token vectors, collected driver-side (the REST request shape).
+    */
+  private def maxsimEngineFor(spark: SparkSession, dir: String)
+      : (graft.api.Engine, Seq[(String, Seq[Array[Float]])]) =
+    cachedModel(spark, dir, "maxsim_engine") {
+      import graft.core.{CollectionConfig, IndexType}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv_engine_").toString
+      val eng = new graft.api.Engine(spark, root)
+      eng.createCollection(CollectionConfig("mv", 64, IndexType.IvfFlat,
+        SpaceType.L2, params = Map("multivector" -> "true")))
+      val sep = eng.MultiVectorSep
+      val emb = Tables(spark, dir, "embeddings")
+      val docCol = expr(s"CAST(vec_id DIV $MaxSimToks AS STRING)")
+      val tokCol = expr(s"CAST(vec_id % $MaxSimToks AS STRING)")
+      eng.ingestBatchIndexed("mv", emb.select(
+        concat(docCol, lit(sep), tokCol).as("id"),
+        col("embedding").cast("array<float>").as("vector"),
+        map(
+          lit(eng.MultiVectorDocKey), docCol,
+          lit(eng.MultiVectorTokKey), tokCol,
+          lit(eng.MultiVectorNtokKey), lit(MaxSimToks.toString)).as("params")))
+      eng.buildIndex("mv", nlist = 10)
+      eng.setParams("mv", Map("nprobe" -> 3, "maxsimCandM" -> MaxSimCandM))
+      val qtoks = emb.filter(col("vec_id") < MaxSimToks * NQ)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toArray))
+        .groupBy(_._1 / MaxSimToks).toSeq
+        .map { case (doc, rows) =>
+          (doc.toString, rows.sortBy(_._1).map(_._2).toSeq) }
+        .sortBy(_._1.toLong)
+      (eng, qtoks)
+    }
+
+  /** MaxSim through the full Engine/REST serving surface (multivector
+    * collection + index layout + searchMaxSim) — ids cast back to the
+    * carving's numeric doc keys so the oracle compares against the same
+    * BIGINT frame as the batch MaxSim queries. Oracle: exact MaxSim
+    * restricted to the engine's own candidate pairs (the `maxsim_knn_ivf`
+    * construction, with the Engine in the loop); shortlist recall gates in
+    * `LateInteractionSpec`/`EngineSpec`.
+    */
+  def maxsimEngineKnn(spark: SparkSession, dir: String): DataFrame = {
+    val (eng, qtoks) = maxsimEngineFor(spark, dir)
+    eng.searchMaxSim("mv", qtoks, K)
+      .select(col("qid").cast("long").as("qid"),
+        col("doc_id").cast("long").as("doc_id"), col("rnk"))
+  }
+
+  /** Aux: the engine's (qid, doc_id) candidate pairs — recomputed from the
+    * SAME memoized collection (model fixed at buildIndex, layout current),
+    * so the export is exactly the pair set `maxsim_engine` re-ranked.
+    */
+  def maxsimEngineCandAux(spark: SparkSession, dir: String): DataFrame = {
+    val (eng, qtoks) = maxsimEngineFor(spark, dir)
+    eng.maxSimCandidates("mv", qtoks)
+      .select(col("qid").cast("long").as("qid"),
+        col("doc_id").cast("long").as("doc_id"))
+  }
+
+  val maxsimEngineSql: String = maxsimOracle(
+    """(SELECT qid, doc_id
+       |          FROM read_parquet('{AUX}/maxsim_engine_cand/*.parquet')) cand
+       |        JOIN ct USING (doc_id) JOIN qt USING (qid)""".stripMargin)
+
+  /** FULL-CORPUS offline IR metrics through the indexed tier — the swap
+    * `irMetrics`' docstring promises, landed: every vector is a query,
+    * candidates come from `IvfIndex.searchDistributed` (codegen probe lists
+    * + cluster_id equi-join; queries shuffle, the corpus does not — the
+    * `label_agreement_full` recipe) at nprobe=2 of the shared `ivf10`
+    * model; the metric algebra is unchanged (every double one exact integer
+    * division). Eval cost ∝ corpus · (nprobe/nlist) · cell size, not
+    * corpus². Oracle: the same restricted-candidate replay as
+    * `label_agreement_full` (shared `ivf_assign` + `ivf_probes_full`
+    * exports) with `irMetrics`' metric tail.
+    *
+    * Judged-set caveat, stated: relevance is label-derived over the probed
+    * candidates, so `recall_at_k` here measures the INDEX+label pipeline
+    * jointly (a relevant doc outside the probed cells counts against
+    * recall) — exactly what an offline index-quality eval wants.
+    */
+  def irMetricsFull(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val model = ivfModelFor(spark, dir)
+    val assigned = IvfIndex.assign(
+      emb.select(col("vec_id"), col("embedding")), "embedding", model)
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val nn = IvfIndex.searchDistributed(assigned, q, model, K + 1, nprobe = 2,
+        corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv")
+      .filter(col("qid") =!= col("vec_id")) // k+1 self-exclusion rule
+      .withColumn("r2", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("rnk"))).cast("long"))
+      .filter(col("r2") <= K)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val totals = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    nn.join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
+      .join(labels, "vec_id")
+      .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(col("rel")).as("rel_in_k"),
+        min(when(col("rel") === 1L, col("r2"))).as("first_rel"))
+      .join(broadcast(totals.select(col("label").as("qlabel"), col("n_label"))),
+        "qlabel")
+      .select(col("qid"),
+        col("rel_in_k").cast("long").as("rel_in_k"),
+        (col("rel_in_k").cast("double") / lit(K)).as("p_at_k"),
+        when(col("n_label") === 1L, lit(0.0))
+          .otherwise(col("rel_in_k").cast("double") /
+            (col("n_label") - 1L).cast("double")).as("recall_at_k"),
+        when(col("first_rel").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel").cast("double")).as("mrr"))
+  }
+
+  val irMetricsFullSql: String =
+    s"""WITH a AS (SELECT vec_id, cluster_id FROM read_parquet('{AUX}/ivf_assign/*.parquet')),
+       |p AS (SELECT qid, cid FROM read_parquet('{AUX}/ivf_probes_full/*.parquet')),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+       |      FROM embeddings),
+       |pairs AS (
+       |  SELECT q.qid, q.qlabel, e.label AS nlabel,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC,
+       |               e.vec_id ASC) AS r2
+       |  FROM q JOIN p ON p.qid = q.qid
+       |         JOIN a ON a.cluster_id = p.cid
+       |         JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE e.vec_id <> q.qid),
+       |h AS (SELECT qid, qlabel, r2,
+       |        CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel
+       |      FROM pairs WHERE r2 <= $K),
+       |tot AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY label),
+       |agg AS (SELECT qid, qlabel, sum(rel) AS rel_in_k,
+       |          min(CASE WHEN rel = 1 THEN r2 END) AS first_rel
+       |        FROM h GROUP BY qid, qlabel)
+       |SELECT qid, CAST(rel_in_k AS BIGINT) AS rel_in_k,
+       |  CAST(rel_in_k AS DOUBLE) / $K AS p_at_k,
+       |  CASE WHEN n_label = 1 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(rel_in_k AS DOUBLE) / CAST(n_label - 1 AS DOUBLE)
+       |  END AS recall_at_k,
+       |  CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE)
+       |  END AS mrr
+       |FROM agg JOIN tot ON tot.label = agg.qlabel""".stripMargin
+
   /** Search-then-fetch (SURVEY J1): KNN hits broadcast-joined to document
     * metadata — the reference's per-hit GetDocument loop as one join.
     */
@@ -1037,7 +1196,9 @@ object VectorQueries {
     "knn_fetch_join" -> (knnFetchJoin(_, _)),
     "maxsim_knn" -> (maxsimKnn(_, _)),
     "maxsim_knn_ivf" -> (maxsimKnnIvf(_, _)),
+    "maxsim_engine" -> (maxsimEngineKnn(_, _)),
     "ir_metrics" -> (irMetrics(_, _)),
+    "ir_metrics_full" -> (irMetricsFull(_, _)),
     "graph_knn_filtered" -> (graphKnnFiltered(_, _)),
     "sq_knn_filtered" -> (sqKnnFiltered(_, _)),
     "cluster_assign" -> (clusterAssign(_, _)),
@@ -1319,6 +1480,7 @@ object VectorQueries {
     "bq_shortlist" -> (bqShortlistAux(_, _)),
     "mmr_cand" -> (mmrCandAux(_, _)),
     "maxsim_cand" -> (maxsimShortlist(_, _)),
+    "maxsim_engine_cand" -> (maxsimEngineCandAux(_, _)),
     "mmr_sims" -> (mmrSimsAux(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -1354,7 +1516,9 @@ object VectorQueries {
     "knn_fetch_join" -> knnFetchJoinSql,
     "maxsim_knn" -> maxsimKnnSql,
     "maxsim_knn_ivf" -> maxsimKnnIvfSql,
+    "maxsim_engine" -> maxsimEngineSql,
     "ir_metrics" -> irMetricsSql,
+    "ir_metrics_full" -> irMetricsFullSql,
     "graph_knn_filtered" -> restrictedKnnOracle("graph_filtered_cand",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "sq_knn_filtered" -> restrictedKnnOracle("sq_filtered_shortlist",

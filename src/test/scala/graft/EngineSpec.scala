@@ -112,6 +112,63 @@ class EngineSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("multivector collection e2e: upsert / maxsim search / shrink-update / delete") {
+    val e = freshEngine()
+    e.createCollection(CollectionConfig("mv", 3, IndexType.IvfFlat,
+      SpaceType.L2, params = Map("multivector" -> "true")))
+    // plain single-vector writes are rejected (token rows must carry the
+    // doc-key param, or MaxSim search can't attribute them)
+    intercept[IllegalArgumentException](
+      e.upsertDocument("mv", Document("x", Array(1f, 0f, 0f))))
+    val corpus = Seq(
+      "d0" -> Seq(Array(1f, 0f, 0f), Array(0.9f, 0.1f, 0f)),
+      "d1" -> Seq(Array(0f, 1f, 0f), Array(0f, 0.9f, 0.1f)),
+      "d2" -> Seq(Array(0f, 0f, 1f), Array(0.1f, 0f, 0.9f), Array(0f, 0.1f, 0.9f)))
+    e.batchUpsertMultiVector("mv", corpus)
+    e.buildIndex("mv", nlist = 2)
+    // default maxsimCandM (16) ≥ total token rows, so the shortlist covers
+    // every doc and the result is EXACT MaxSim — gate against a driver twin
+    // (same in-order float→double dot the NegDot kernel runs)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def maxSimScore(q: Seq[Array[Float]], d: Seq[Array[Float]]): Double =
+      q.map(t => d.map(dot(t, _)).max).sum
+    val q = Seq(Array(1f, 0f, 0f), Array(0.9f, 0.1f, 0f))
+    val expected = corpus.map { case (id, toks) => (id, maxSimScore(q, toks)) }
+      .sortBy { case (id, s) => (-s, id) }.map(_._1)
+    val r = e.searchMaxSim("mv", Seq(("q", q)), 3).collect().sortBy(_.getLong(2))
+    assert(r.map(_.getString(1)).toSeq === expected)
+    assert(r.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+
+    // shrink-update: d2 re-upserted with ONE token — the stale tail rows
+    // must stop serving (through the MAINTAINED layout path: buildIndex ran)
+    e.upsertMultiVector("mv", "d2", Seq(Array(0f, 0f, 1f)))
+    assert(e.getDocument("mv", "d2" + e.MultiVectorSep + "1").isEmpty)
+    assert(e.getDocument("mv", "d2" + e.MultiVectorSep + "0")
+      .get.params(e.MultiVectorNtokKey) === "1")
+    val corpus2 = corpus.map {
+      case ("d2", _) => "d2" -> Seq(Array(0f, 0f, 1f)); case other => other }
+    val expected2 = corpus2.map { case (id, toks) => (id, maxSimScore(q, toks)) }
+      .sortBy { case (id, s) => (-s, id) }.map(_._1)
+    val r2 = e.searchMaxSim("mv", Seq(("q", q)), 3).collect().sortBy(_.getLong(2))
+    assert(r2.map(_.getString(1)).toSeq === expected2)
+
+    // delete removes every token row; absent doc → 404 semantics
+    e.deleteMultiVector("mv", "d1")
+    assert(e.getDocument("mv", "d1" + e.MultiVectorSep + "0").isEmpty)
+    val r3 = e.searchMaxSim("mv", Seq(("q", q)), 3).collect()
+    assert(!r3.map(_.getString(1)).contains("d1") && r3.length === 2)
+    intercept[NoSuchElementException](e.deleteMultiVector("mv", "nope"))
+    // maxsimCandM validates: only on multivector collections, positive
+    e.setParams("mv", Map("maxsimCandM" -> 4))
+    intercept[IllegalArgumentException](e.setParams("mv", Map("maxsimCandM" -> 0)))
+    e.createCollection(CollectionConfig("plain", 3, IndexType.Flat))
+    intercept[IllegalArgumentException](e.setParams("plain", Map("maxsimCandM" -> 4)))
+  }
+
   test("error semantics: wrong dim, unknown collection, zero results") {
     val e = freshEngine()
     e.createCollection(CollectionConfig("docs3", 3, IndexType.Flat))

@@ -144,6 +144,34 @@ class ServerSpec extends SparkSpec {
     assert(o("local_serve_max_bytes").asDouble > 0)
   }
 
+  test("multivector routes over the wire: upsert / batch / maxsim search / delete") {
+    assert(req("POST", "/v1/collections",
+      """{"name":"mvw","dimension":3,"index_type":"ivf_flat",
+        |"parameters":{"multivector":"true"}}""".stripMargin)._1 === 200)
+    val (cu, vu) = req("POST", "/v1/collections/mvw/multivectors",
+      """{"id":"d0","vectors":[[1,0,0],[0.9,0.1,0]]}""")
+    assert(cu === 200 && vu.asObj("num_vectors").asInt === 2)
+    assert(req("POST", "/v1/collections/mvw/multivectors/batchupsert",
+      """{"documents":[
+        |{"id":"d1","vectors":[[0,1,0],[0,0.9,0.1]]},
+        |{"id":"d2","vectors":[[0,0,1]]}]}""".stripMargin)._1 === 200)
+    assert(req("POST", "/v1/collections/mvw/buildindex", "{}")._1 === 200)
+    val (cs, vs) = req("POST", "/v1/collections/mvw/multivectors/search",
+      """{"vectors":[[1,0,0],[0.9,0.1,0]],"limit":2}""")
+    assert(cs === 200)
+    val ids = vs.asObj("ids").asArr.map(_.asStr)
+    assert(ids.head === "d0" && ids.size === 2)
+    assert(vs.asObj("ranks").asArr.map(_.asInt) === Seq(1, 2))
+    // plain doc upsert into a multivector collection → 400
+    assert(req("POST", "/v1/collections/mvw/documents",
+      """{"id":"x","vector":[1,0,0]}""")._1 === 400)
+    assert(req("DELETE", "/v1/collections/mvw/multivectors/d0")._1 === 200)
+    assert(req("DELETE", "/v1/collections/mvw/multivectors/nope")._1 === 404)
+    val (cs2, vs2) = req("POST", "/v1/collections/mvw/multivectors/search",
+      """{"vectors":[[1,0,0]],"limit":3}""")
+    assert(cs2 === 200 && !vs2.asObj("ids").asArr.map(_.asStr).contains("d0"))
+  }
+
   test("buildindex endpoint: accepts reference body AND actually trains (§7.4)") {
     req("POST", "/v1/collections", """{"name":"iv","dimension":2,"index_type":"ivf_flat"}""")
     val docs = (0 until 30).map { i =>
