@@ -191,6 +191,25 @@ object RecallBench {
         routeNprobe = 2, queryId = "qid", queryVec = "qv",
         cacheKey = Some((servePath, 0L)), corpusIdName = "vec_id")
     }
+    // FILTERED driver-local point serve: the eligible set is driver-cached
+    // per layout stamp (Engine.localEligibleSet), so warm filtered requests
+    // are zero-job like the row above — what this row adds is the in-beam
+    // filtered beam at FULL fan-out (filtered requests drop routing:
+    // eligibility can be uncorrelated with cell geometry), the honest
+    // worst-case serving cost of a predicate
+    val eligSet: Set[Any] = emb.select("vec_id").collect()
+      .map(_.getLong(0)).filter(_ % 2 == 0).map(x => x: Any).toSet
+    GraphAnn.searchPointLocal(spark, servePath,
+      spark.createDataFrame(java.util.Arrays.asList(qRows: _*), queries.schema),
+      k, SpaceType.L2, ef = 80, routeNprobe = 2, queryId = "qid",
+      queryVec = "qv", cacheKey = Some((servePath, 0L)),
+      corpusIdName = "vec_id", eligible = Some(eligSet)).collect()
+    serveLatency("filtered_point_serve") { q =>
+      GraphAnn.searchPointLocal(spark, servePath, q, k, SpaceType.L2, ef = 80,
+        routeNprobe = 2, queryId = "qid", queryVec = "qv",
+        cacheKey = Some((servePath, 0L)), corpusIdName = "vec_id",
+        eligible = Some(eligSet))
+    }
 
     // ---- REST wire floor -------------------------------------------------
     // The numbers above time the ENGINE call; a serving caller pays the full

@@ -267,6 +267,40 @@ class Engine(
     })
   }
 
+  /** Driver-resident eligible-id sets for the zero-job FILTERED point serve,
+    * cached per (collection, layout stamp, canonical predicate text). The
+    * set is the predicate's survivors over the live LWW corpus — computed by
+    * ONE bounded Spark job on first use, then every repeated filter at the
+    * same stamp serves without a job (the cell-cache economics applied to
+    * predicates). Correct by the same currency argument as the layouts: any
+    * write advances the stamp, so a stale set can never serve. `None` is
+    * memoized for sets above the budget — those requests take the batch
+    * layout path (in-beam filtered, job-priced) instead of ever truncating.
+    */
+  private val eligSetCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), Option[Set[Any]]]
+
+  private def maxLocalEligibleIds: Int =
+    spark.conf.getOption("spark.graft.maxLocalEligibleIds")
+      .map(_.toInt).getOrElse(100000)
+
+  private def localEligibleSet(coll: String, stamp: Long, pred: Column,
+      corpus: => DataFrame): Option[Set[Any]] = {
+    // Column.toString renders the expression tree — a stable cache key for
+    // structurally identical predicates (distinct-but-equivalent predicates
+    // merely cache twice, never serve wrong)
+    val predKey = pred.toString
+    eligSetCache.keys.filter(k => k._1 == coll && k._2 != stamp)
+      .foreach(eligSetCache.remove)
+    eligSetCache.getOrElseUpdate((coll, stamp, predKey), {
+      val bound = maxLocalEligibleIds
+      val rows = corpus.filter(pred).select(col("id"))
+        .limit(bound + 1).collect()
+      if (rows.length > bound) None
+      else Some(rows.iterator.map(r => r.get(0): Any).toSet)
+    })
+  }
+
   /** The serving bound for graph-tier tombstones: hit filtering widens the
     * per-cell top-k by the tombstone count, so an unfolded sidecar must not
     * grow the beams without limit — past the bound, searches fall back to
@@ -363,6 +397,7 @@ class Engine(
       .foreach(tombMapCache.remove)
     versionedDeltaMemo.keys.filter(_.startsWith(s"$root/$name/"))
       .foreach(versionedDeltaMemo.remove)
+    eligSetCache.keys.filter(_._1 == name).foreach(eligSetCache.remove)
     catalog.drop(name)
   }
 
@@ -1587,10 +1622,21 @@ class Engine(
             val exIds: Set[Any] = tombMap.keySet
             val kEff = k + tombMap.size
             val efEff = math.max(ef, kEff)
-            // eligibility routes through the batch layout path (the in-beam
-            // filter needs the co-partitioned eligible-id stream); the
-            // driver-local point caches stay predicate-free
-            if (routeP.isDefined && queries.size <= 16 && eligible.isEmpty) {
+            // FILTERED point requests serve locally too, when the eligible
+            // set fits the driver budget: the predicate's survivors are
+            // collected ONCE per (collection, stamp, predicate) — a warm
+            // repeated filter launches zero jobs, beams run in-beam-filtered
+            // on the driver-cached cells with full fan-out (the same
+            // geometry-vs-eligibility reasoning as the batch path below —
+            // searchPointLocal mirrors searchFromLayout's eligibleIds
+            // semantics bit-for-bit). An over-budget eligible set memoizes
+            // as None and requests take the batch layout path (correct,
+            // job-priced) — never a silently truncated filter.
+            lazy val localElig: Option[Set[Any]] =
+              if (eligible.isEmpty) None
+              else localEligibleSet(coll, stamp, eligible.get, corpus)
+            if (routeP.isDefined && queries.size <= 16 &&
+                (eligible.isEmpty || localElig.isDefined)) {
               // TRUE point requests: serve from driver-cached cell graphs —
               // a warm query launches ZERO Spark jobs (the ~100-300 ms
               // job-scheduling floor the latency harness measures on the
@@ -1600,11 +1646,12 @@ class Engine(
               // arithmetic and merged the same way.
               val delta = cachedDeltaRows(hnswDeltaPath(coll), stamp)
                 .filter { case (id, _, ver) => tombMap.get(id).forall(_ <= ver) }
+                .filter { case (id, _, _) => localElig.forall(_.contains(id)) }
                 .map { case (id, vec, _) => (id, vec) }
               val res = GraphAnn.searchPointLocal(spark, hnswLayoutPath(coll), qDf, kEff,
                 cfg.spaceType, ef = efEff, routeNprobe = routeP.get,
                 cacheKey = Some((hnswLayoutPath(coll), epoch)),
-                deltaRows = delta, excludeIds = exIds)
+                deltaRows = delta, excludeIds = exIds, eligible = localElig)
               // exclusion ran BEFORE ranking, so ranks are contiguous over
               // valid hits — the widened depth just trims back
               if (kEff == k) res else res.filter(col("rnk") <= k)

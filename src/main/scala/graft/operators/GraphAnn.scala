@@ -233,6 +233,13 @@ object GraphAnn {
         .take(k).map { case (i, d) => (ids(i), d) }
     }
 
+    /** Number of this cell's nodes passing `allowed` — the clamp bound for
+      * filtered beams (k and ef clamp to the eligible count, see the
+      * searchFromLayout call site for why both must clamp together).
+      */
+    private[operators] def countEligible(allowed: Any => Boolean): Int =
+      ids.count(allowed)
+
     /** Per-layer adjacency export for the persisted layout: (ordinal, id,
       * vector, links(layer)(..)). Reloading via `loadRaw` in ordinal order
       * reproduces the graph EXACTLY (same arrays, same walks — entry node
@@ -596,7 +603,8 @@ object GraphAnn {
       corpusIdName: String = "id",
       maxQueries: Int = 64,
       deltaRows: Array[(Any, Array[Float])] = Array.empty,
-      excludeIds: Set[Any] = Set.empty): DataFrame = {
+      excludeIds: Set[Any] = Set.empty,
+      eligible: Option[Set[Any]] = None): DataFrame = {
     require(routeNprobe >= 1, s"routeNprobe must be >= 1, got $routeNprobe")
     val (layoutId, version) = cacheKey.getOrElse((path, 0L))
     val cents = loadRouteCentroids(spark, path, cacheKey)
@@ -607,7 +615,18 @@ object GraphAnn {
     require(qRows.length <= maxQueries,
       s"searchPointLocal is the driver-serve path (${qRows.length} queries > " +
         s"$maxQueries); use searchRoutedPruned/searchFromLayout for batches")
-    val probed = qRows.map(q => mdl.probe(q._2, effNprobe))
+    // `eligible` (a driver-resident id set — the caller caches it per layout
+    // stamp) mirrors searchFromLayout's eligibleIds semantics EXACTLY so the
+    // two paths stay bit-interchangeable: FULL fan-out (routing prunes cells
+    // by vector geometry, but eligibility can be uncorrelated with geometry —
+    // a selective predicate whose survivors live outside the probed cells
+    // would return under-k hits), in-beam filtered beams per cell with k AND
+    // ef clamped to the cell's eligible count, empty eligible cells skipped.
+    // Delta rows arrive pre-filtered by the caller, like the batch union.
+    val probed: Array[Seq[Int]] = eligible match {
+      case Some(_) => qRows.map(_ => (0 until cents.length): Seq[Int])
+      case None => qRows.map(q => mdl.probe(q._2, effNprobe))
+    }
     val needed = probed.flatten.distinct.sorted
     // per-request view: DIRECT references to the graphs this request uses.
     // The shared cache is concurrently evictable (budget overflow, another
@@ -683,6 +702,8 @@ object GraphAnn {
         try {
         val spaceVal = space; val efVal = ef; val kVal = k
         val nCellsV = cents.length; val effKey = cacheKey; val exVal = excludeIds
+        val eligVal = eligible // serialized with the closure: bounded by the
+                               // caller's driver-set budget, like excludeIds
         val rows = graphAll.filter(col("part").isin(oversized.map(Int.box): _*))
           .repartition(math.max(1, oversized.length), col("part")).rdd
           .mapPartitions { it =>
@@ -699,8 +720,15 @@ object GraphAnn {
                 }
                 qIdx.iterator.flatMap { qi =>
                   val (_, qv) = bcQ.value(qi)
-                  index.search(qv, kVal, efVal)
-                    .filter(h => !exVal.contains(h._1))
+                  val cellHits = eligVal match {
+                    case Some(set) => // same clamp as the held-cell branch
+                      val nElig = index.countEligible(set.contains)
+                      if (nElig == 0) Seq.empty
+                      else index.searchFiltered(qv, math.min(kVal, nElig),
+                        math.min(efVal, nElig), set.contains)
+                    case None => index.search(qv, kVal, efVal)
+                  }
+                  cellHits.filter(h => !exVal.contains(h._1))
                     .map { case (id, d) => (qi, id, d) }
                 }
               }
@@ -729,7 +757,18 @@ object GraphAnn {
           // (the hnswlib markDeleted semantic) but never surface as hits;
           // the caller widens k by the tombstone count so valid nodes
           // still fill the requested depth
-          hits ++= index.search(qv, k, ef).filter(h => !excludeIds.contains(h._1))
+          val cellHits = eligible match {
+            case Some(set) =>
+              // same clamp as the batch in-beam filter: k and ef bound by
+              // the cell's eligible count or the termination gate becomes
+              // unreachable; empty eligible cells skip the beam entirely
+              val nElig = index.countEligible(set.contains)
+              if (nElig == 0) Seq.empty
+              else index.searchFiltered(qv, math.min(k, nElig),
+                math.min(ef, nElig), set.contains)
+            case None => index.search(qv, k, ef)
+          }
+          hits ++= cellHits.filter(h => !excludeIds.contains(h._1))
         }
       }
       oversizedHits.get(qi).foreach(hits ++= _)

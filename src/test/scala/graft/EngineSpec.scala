@@ -112,6 +112,56 @@ class EngineSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("filtered POINT serve on a routed hnsw collection: correct, and warm requests launch zero Spark jobs") {
+    val dir = Files.createTempDirectory("engine_filtpoint").toString
+    val e = new Engine(spark, dir)
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 120).map(_ => Array.fill(dim)(rnd.nextFloat()))
+    val docs = vecs.zipWithIndex.map { case (v, i) =>
+      Document(i.toString, v, Map("tag" -> (if (i % 2 == 0) "a" else "b")))
+    }
+    e.createCollection(CollectionConfig("fp", dim, IndexType.Hnsw,
+      params = Map("routeNlist" -> "4")))
+    e.batchUpsertDocuments("fp", docs)
+    e.buildIndex("fp")
+    e.setParams("fp", Map("routeNprobe" -> 2, "efsearch" -> 200))
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    val q = vecs(4)
+    // ef ≥ corpus: filtered beams exhaust every cell, so the result is the
+    // exact eligible top-k despite the ANN tier
+    val expected = docs.filter(_.params("tag") == "a")
+      .map(d => (d.id, l2(q, d.vector)))
+      .sortBy { case (id, dd) => (dd, id.toInt) }.take(5).map(_._1)
+    val pred = col("params")("tag") === "a"
+    // first filtered request: jobs allowed (eligible-set collect + cell load)
+    val warm = e.searchDocuments("fp", q, 5, filter = Some(pred))
+    assert(warm.map(_.id) === expected)
+    // warm repeat: the eligible set and the cells are driver-cached — the
+    // whole request must run without launching a single Spark job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hits = e.searchDocuments("fp", q, 5, filter = Some(pred))
+      assert(hits.map(_.id) === expected)
+      // listener events post async — give the bus a beat before reading
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"warm filtered point request launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("multivector collection e2e: upsert / maxsim search / shrink-update / delete") {
     val e = freshEngine()
     e.createCollection(CollectionConfig("mv", 3, IndexType.IvfFlat,

@@ -523,6 +523,55 @@ class GraphAnnSpec extends SparkSpec {
       "delta row at distance 0 must rank first on the local path")
   }
 
+  test("FILTERED driver-local point serve ≡ searchFromLayout(eligibleIds) bit-for-bit; warm filtered queries load nothing") {
+    val path = java.nio.file.Files.createTempDirectory("local-filt").toString + "/g"
+    GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 8,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val key = Some((path, 1L))
+    val q3 = queries.limit(3)
+    // eligibility deliberately uncorrelated with geometry (even ids)
+    val eligLongs = emb.select(col("vec_id")).as[Long].collect()
+      .filter(_ % 2 == 0).toSeq
+    val eligSet: Set[Any] = eligLongs.map(x => x: Any).toSet
+    def collectFull(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "distance", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val distributed = collectFull(GraphAnn.searchFromLayout(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key,
+      eligibleIds = Some(eligLongs.toDF("id"))))
+    val local = collectFull(GraphAnn.searchPointLocal(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key, eligible = Some(eligSet)))
+    assert(local === distributed,
+      "filtered local serving diverged from searchFromLayout(eligibleIds)")
+    assert(local.nonEmpty && local.forall(_._2 % 2 == 0), "ineligible hit served")
+    // warm repeat loads nothing (full fan-out means all cells are now held)
+    val loads = GraphAnn.localCellLoads.get()
+    val again = collectFull(GraphAnn.searchPointLocal(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key, eligible = Some(eligSet)))
+    assert(again === local)
+    assert(GraphAnn.localCellLoads.get() === loads,
+      "warm filtered point-serve queries must not reload cells")
+    // excludeIds composes (the tombstone shadow path): both paths drop it
+    val excl: Set[Any] = Set(local.minBy(_._4)._2: Any)
+    val dEx = collectFull(GraphAnn.searchFromLayout(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key,
+      eligibleIds = Some(eligLongs.toDF("id")), excludeIds = excl))
+    val lEx = collectFull(GraphAnn.searchPointLocal(spark, path, q3, 10,
+      SpaceType.L2, ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key, eligible = Some(eligSet),
+      excludeIds = excl))
+    assert(lEx === dEx && !lEx.exists(h => excl.contains(h._2)))
+    // empty eligible set: zero hits on both paths, no beam explosion
+    assert(GraphAnn.searchPointLocal(spark, path, q3, 10, SpaceType.L2,
+      ef = 80, routeNprobe = 3, queryId = "qid", queryVec = "qv",
+      corpusIdName = "vec_id", cacheKey = key,
+      eligible = Some(Set.empty[Any])).isEmpty)
+  }
+
   test("the serving cache budgets resident BYTES (dim-aware) and reports metrics") {
     val path = java.nio.file.Files.createTempDirectory("byte-budget").toString + "/g"
     GraphAnn.buildRoutedLayout(emb, path, SpaceType.L2, nlist = 8,
