@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus partition-batched decode / feature-extraction /
   * frame-sampling plumbing.
   *
-  * The Spark side (schema, partition batching, output shapes) is real and
-  * tested; the codec itself is a STUB — `FakeDecoder` derives deterministic
-  * bytes→features so the pipeline is exercisable in this container. A real
-  * deployment swaps `Decoder` for a JNI/FFI codec (libjpeg/ffmpeg) without
-  * touching the Spark plumbing: decode stays a per-partition batch call so
-  * codec init cost amortizes across each task's rows, exactly like the
-  * embedding provider (SURVEY S9).
+  * Two codecs behind the `Decoder` boundary: `ImageIoDecoder` is a REAL
+  * image decoder (pure-JDK `javax.imageio` — PNG/JPEG/GIF/BMP, luminance
+  * histograms + frame extraction, no native deps), and `FakeDecoder` stays
+  * the deterministic stand-in whose dyadic-rational output the DuckDB
+  * oracle can replay bit-for-bit (and the shape a video/audio codec —
+  * which the JDK does NOT ship — would plug into). A production deployment
+  * swaps in a JNI/FFI codec (libjpeg-turbo/ffmpeg) without touching the
+  * Spark plumbing: decode stays a per-partition batch call so codec init
+  * cost amortizes across each task's rows, exactly like the embedding
+  * provider (SURVEY S9).
   */
 object Multimodal {
 
@@ -50,6 +53,108 @@ object Multimodal {
         payload.slice(i * step, math.min(i * step + step, payload.length))
       }
     }
+  }
+
+  /** REAL image codec over pure-JDK `javax.imageio` (PNG/JPEG/GIF/BMP — the
+    * formats the JDK ships readers for; zero native/external deps):
+    *
+    *  - `features`: a `dim`-bucket LUMINANCE HISTOGRAM of the decoded
+    *    pixels — integer pixel math (ITU-R 601 integer weights, integer
+    *    bucket index) and ONE exact IEEE division per bucket, so the same
+    *    payload produces bit-identical features on every executor/JVM;
+    *  - `frames`: up to `n` decoded frames of the container (animated GIFs
+    *    carry many; stills carry one), each re-encoded as PNG bytes.
+    *
+    * This is the swap-in the `Decoder` boundary was designed for: a codec
+    * that initializes per call (ImageIO readers are cheap; a JNI codec
+    * would hoist init into the mapPartitions prologue) with the Spark-side
+    * plumbing — schema, batching, output shape — unchanged. `FakeDecoder`
+    * stays the ORACLE path: its dyadic-rational features are what the
+    * DuckDB gate replays; ImageIO PNG/JPEG emitter bytes are not pinned
+    * across JDK builds, so image-derived queries gate rows-only + spec.
+    */
+  object ImageIoDecoder extends Decoder {
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 1, s"dim must be >= 1, got $dim")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image " +
+        "(JDK readers: PNG, JPEG, GIF, BMP, WBMP)")
+      val w = img.getWidth; val h = img.getHeight
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          counts(math.min(dim - 1, lum * dim / 256)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = w.toLong * h
+      Array.tabulate(dim)(i => (counts(i).toDouble / total).toFloat)
+    }
+
+    override def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (n <= 0) return Seq.empty
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "payload is not a decodable image")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val total = reader.getNumImages(true) // allowSearch: exact count
+        (0 until math.min(n, total)).map { i =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+          bos.toByteArray
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** Deterministic synthetic PNG payloads: adds `binCol` holding a real
+    * `w`×`h` RGB PNG whose pixels integer-mix (seed, x, y) — genuine image
+    * bytes for the decode pipeline without shipping media fixtures (none in
+    * this container). The seed derives from the seed column's md5, so any
+    * id type works and the image content is stable across runs; the PNG
+    * BYTES are whatever this JVM's encoder emits (decoded pixels — and so
+    * the ImageIoDecoder features — are deterministic regardless).
+    * mapPartitions like the decode side: one encoder init per task.
+    */
+  def withSyntheticPng(df: DataFrame, seedCol: String, binCol: String,
+      w: Int = 24, h: Int = 24): DataFrame = {
+    require(w >= 1 && h >= 1, s"image dims must be >= 1, got ${w}x$h")
+    val spark = df.sparkSession
+    val idx = df.schema.fieldIndex(seedCol)
+    val outSchema = StructType(df.schema.fields :+ StructField(binCol, BinaryType))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(String.valueOf(r.get(idx)).getBytes("UTF-8"))
+        val seed = java.nio.ByteBuffer.wrap(digest).getInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val mix = (x * 73856093) ^ (y * 19349663) ^ seed
+            img.setRGB(x, y, mix & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Typed metadata for an opaque payload column: byte length + digest

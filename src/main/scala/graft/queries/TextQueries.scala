@@ -298,6 +298,25 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  /** REAL image decode through the pipeline: deterministic synthetic PNGs
+    * (one per document, pixels integer-mixed from the doc id) are ENCODED
+    * and then DECODED with pure-JDK ImageIO on the executors — genuine
+    * image bytes through the same mapPartitions plumbing as
+    * `media_features`, emitting luminance-histogram stats. Gated rows-only
+    * (no SQL engine decodes PNG; the decoded-pixel determinism and the
+    * stub-vs-real swap equivalence gate in MultimodalSpec) — the stub
+    * `FakeDecoder` path stays the hash-gated oracle twin.
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val withPng = graft.operators.Multimodal.withSyntheticPng(
+      docs(spark, dir).select(col("doc_id")), "doc_id", "png")
+    val feat = graft.operators.Multimodal.decodeFeatures(
+      withPng, "png", dim = MediaDim,
+      decoder = graft.operators.Multimodal.ImageIoDecoder)
+    feat.select(col("doc_id") +:
+      (0 until MediaDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
   /** Corpus vocabulary statistics: the top-50 word bigrams by document
     * frequency (ties broken lexicographically) — the frequency-table shape
     * of vocabulary building / corpus profiling. Scale: explode + one
@@ -330,6 +349,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "top_ngrams" -> (topNgrams(_, _)),
     "media_features" -> (mediaFeatures(_, _)),
+    "image_features" -> (imageFeatures(_, _)),
     "text_stats" -> (textStats(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "lang_id" -> (langId(_, _)),

@@ -43,4 +43,98 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(0, 1, 2, 3))
     assert(out.map(_._3.length).sum <= 22)
   }
+
+  // ---- REAL ImageIO codec --------------------------------------------------
+
+  /** A solid-color PNG encoded with the same pure-JDK writer executors use. */
+  private def solidPng(rgb: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes REAL PNG bytes distributed; known images land in the right luminance buckets") {
+    // black → all mass in bucket 0; white → all in the top bucket;
+    // mid-gray (lum 128 of 256, dim 8 → bucket 4)
+    val imgs = Seq(
+      (1L, solidPng(0x000000)),
+      (2L, solidPng(0xffffff)),
+      (3L, solidPng(0x808080))).toDF("media_id", "payload")
+      .repartition(3) // decode on multiple tasks, not one
+    val feats = Multimodal.decodeFeatures(imgs, "payload", dim = 8,
+        decoder = Multimodal.ImageIoDecoder)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(feats(1L) === Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    assert(feats(2L) === Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+    assert(feats(3L) === Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))
+    // non-images fail loudly (no silent fallback)
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeFeatures(media, "payload", dim = 8,
+        decoder = Multimodal.ImageIoDecoder).collect())
+    assert(ex.getMessage != null)
+  }
+
+  test("withSyntheticPng emits decodable PNGs; distributed decode ≡ driver decode of the same bytes") {
+    val df = Multimodal.withSyntheticPng(
+      Seq(10L, 11L, 12L).toDF("doc_id"), "doc_id", "png", w = 16, h = 16)
+    val rows = df.select("doc_id", "png").as[(Long, Array[Byte])].collect()
+    assert(rows.length === 3)
+    // PNG magic
+    rows.foreach { case (_, b) =>
+      assert((b(0) & 0xff) === 0x89 && b(1) === 'P'.toByte) }
+    val distributed = Multimodal.decodeFeatures(df.repartition(3), "png",
+        dim = 8, decoder = Multimodal.ImageIoDecoder)
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+    rows.foreach { case (id, bytes) =>
+      val local = Multimodal.ImageIoDecoder.features(bytes, 8).toSeq
+      assert(distributed(id) === local, s"doc $id: executor ≠ driver decode")
+      assert(math.abs(local.map(_.toDouble).sum - 1.0) < 1e-6,
+        "histogram must sum to 1")
+    }
+    // same seed → same pixels → same features, independent of PNG bytes
+    val again = Multimodal.decodeFeatures(
+        Multimodal.withSyntheticPng(Seq(10L).toDF("doc_id"), "doc_id", "png",
+          w = 16, h = 16), "png", dim = 8,
+        decoder = Multimodal.ImageIoDecoder)
+      .select("features").as[Seq[Float]].head()
+    assert(again === distributed(10L))
+  }
+
+  test("ImageIoDecoder.frames: still image → 1 frame; animated GIF → per-frame PNGs; frames re-decode to source pixels") {
+    val png = solidPng(0x808080)
+    val one = Multimodal.ImageIoDecoder.frames(png, 4)
+    assert(one.length === 1)
+    assert(Multimodal.ImageIoDecoder.features(one.head, 8).toSeq ===
+      Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))
+    // 3-frame animated GIF via the JDK's sequence writer
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (rgb <- Seq(0x000000, 0x808080, 0xffffff)) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    val frames = Multimodal.ImageIoDecoder.frames(gif, 10)
+    assert(frames.length === 3, "animated GIF must yield every frame")
+    val buckets = frames.map(f =>
+      Multimodal.ImageIoDecoder.features(f, 8).indexWhere(_ == 1f))
+    assert(buckets === Seq(0, 4, 7), s"frame luminance buckets: $buckets")
+    // n caps the sample
+    assert(Multimodal.ImageIoDecoder.frames(gif, 2).length === 2)
+    // the sampleFrames plumbing carries the real codec end to end
+    val sampled = Multimodal.sampleFrames(
+        Seq((1L, gif)).toDF("media_id", "payload"), "payload", n = 10,
+        decoder = Multimodal.ImageIoDecoder)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(sampled.toSeq === Seq(0, 1, 2))
+  }
 }
