@@ -103,7 +103,8 @@ object ScaleBench {
     // opt-in sections are never run silently-absent: name what's skipped so
     // a record missing their rows is readable as "not run", not "lost"
     val known = Seq("ann", "lsh", "dedup", "dedup_steady", "semdedup",
-      "selection", "maxsim", "graphfilter", "filterserve", "skew", "tomb", "textops")
+      "selection", "maxsim", "graphfilter", "filterserve", "skew", "tomb",
+      "textops", "textops1000")
     println(s"[scale] sections run: ${known.filter(sections).mkString(",")}; " +
       s"skipped: ${known.filterNot(sections).mkString(",")}")
 
@@ -648,6 +649,65 @@ object ScaleBench {
       // three shuffles are linear (occurrence rows, never pairs)
       out(s"passage_scrub_$tag") = time(drain(
         Dedup.passageScrub(docs, "doc_id", "text", n = 8)))
+    }
+
+    // ---- textops at 1000× docs (the text-tier big-scale section) ----------
+    // The replica corpus above keeps REQUIRED OUTPUT quadratic in replica
+    // count (every replica shares its source's grams — right for proving
+    // the 10× contract, impossible at 1000×: ~2.5e9 required pairs). This
+    // section instead builds a corpus with CONSTANT dup density: replica
+    // text is word-ROTATED per rep (distinct shingles/grams), except rep 1
+    // which stays a near-copy of rep 0 — every original doc contributes one
+    // bounded near-dup group while the corpus grows 1000×, the realistic
+    // web-scale shape. Rows measure candidate-generation scaling at
+    // constant dup rate; the ratio of the SAME construction at 1000× vs a
+    // 10× slice is the scaling claim (an all-pairs join would be 10⁴× it).
+    if (sections("textops1000")) {
+      val bigF = sys.env.getOrElse("SPARK_GRAFT_TEXTOPS_FACTOR", "1000").toInt
+      val bigPath = s"$scaleDir/documents_big$bigF"
+      if (!new java.io.File(bigPath).exists()) {
+        val reps = spark.range(bigF).select(col("id").as("rep"))
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")).crossJoin(reps)
+          .select((col("doc_id") + col("rep") * nd).as("doc_id"),
+            when(col("rep") <= 1, concat(col("text"), lit(" dupgroup")))
+              .otherwise(concat(
+                concat_ws(" ",
+                  expr("slice(split(text, ' '), CAST(rep % 16 + 2 AS INT), 100000)")),
+                lit(" "),
+                concat_ws(" ",
+                  expr("slice(split(text, ' '), 1, CAST(rep % 16 + 1 AS INT))")),
+                lit(" rep"), col("rep"))).as("text"))
+          .write.mode("overwrite").parquet(bigPath)
+      }
+      val big = spark.read.parquet(bigPath)
+      out("big_corpus_docs") = big.count().toDouble
+      val evalSide = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+      for ((tag, d) <- Seq("10x" -> big.filter(col("doc_id") < 10 * nd),
+          s"${bigF}x" -> big)) {
+        spark.catalog.clearCache()
+        val mh = Dedup.minHashLshPairs(d, "doc_id", "text")
+        out(s"big_minhash_$tag") = time(drain(mh))
+        out(s"big_minhash_pairs_$tag") = mh.count().toDouble
+        out(s"big_substr_dedup_$tag") = time(drain(
+          Dedup.charGramPairs(d, "doc_id", "text", gramLen = 40)))
+        out(s"big_passage_scrub_$tag") = time(drain(
+          Dedup.passageScrub(d, "doc_id", "text", n = 8)))
+        out(s"big_bloom_decontam_$tag") = time(drain(
+          graft.operators.Decontam.ngramContamination(
+            d, "doc_id", "text", evalSide, "doc_id", "text", n = 5)))
+      }
+      val bx = s"${bigF}x"
+      Seq(("scaling_big_minhash", s"big_minhash_$bx", "big_minhash_10x"),
+        ("scaling_big_minhash_pairs", s"big_minhash_pairs_$bx", "big_minhash_pairs_10x"),
+        ("scaling_big_substr", s"big_substr_dedup_$bx", "big_substr_dedup_10x"),
+        ("scaling_big_passage_scrub", s"big_passage_scrub_$bx", "big_passage_scrub_10x"),
+        ("scaling_big_bloom_decontam", s"big_bloom_decontam_$bx", "big_bloom_decontam_10x"))
+        .foreach { case (k, num, den) =>
+          if (out.contains(num) && out.contains(den) && out(den) != 0.0)
+            out(k) = out(num) / out(den)
+        }
     }
 
     val scaled = s"${factor}x"

@@ -46,7 +46,34 @@ class Engine(
   private def opqSnapshotPath(coll: String) = s"$root/$coll/index/opq.snapshot"
   private def sqSnapshotPath(coll: String) = s"$root/$coll/index/sq.snapshot"
   private def bqSnapshotPath(coll: String) = s"$root/$coll/index/bq.snapshot"
-  private def ivfLayoutPath(coll: String) = s"$root/$coll/index/ivf_layout"
+
+  // Index-layout directories are GENERATION-VERSIONED (the same snapshot
+  // isolation the DocStore gives its data dir): full-layout rewrites
+  // (buildIndex, compactLayout) write a whole NEW generation dir and flip
+  // the `layout_gen` pointer — never delete/overwrite the dir an in-flight
+  // search may be scanning (the concurrency soak caught exactly that:
+  // FAILED_READ_FILE on layout files destroyed mid-scan; the old
+  // stale-first protocol protected newly-planned searches but not
+  // already-running ones). The superseded generation keeps serving its
+  // in-flight scans and is GC'd one rewrite cycle later (current +
+  // previous always kept). The generation counter is also a FENCE the old
+  // fixed-path protocol could not express: a maintained append stamps the
+  // layout current only if the generation it appended into is STILL
+  // current — an append that raced into a superseded generation stales
+  // instead of serving a layout missing its rows. The tombstone/delta
+  // sidecars live INSIDE the generation dir, so a fold and its sidecar
+  // retire atomically with the flip.
+  private def layoutGenFile(coll: String) =
+    java.nio.file.Paths.get(s"$root/$coll/index/layout_gen")
+  private def layoutGen(coll: String): Long =
+    readLongSafe(layoutGenFile(coll)).getOrElse(0L)
+  // generation 0 keeps the legacy un-suffixed name: existing layouts on
+  // disk read unchanged
+  private def tierGenPath(coll: String, tier: String, g: Long): String =
+    if (g == 0L) s"$root/$coll/index/${tier}_layout"
+    else s"$root/$coll/index/${tier}_layout_g$g"
+
+  private def ivfLayoutPath(coll: String) = tierGenPath(coll, "ivf", layoutGen(coll))
   private def bucketedDataPath(coll: String, tier: String) =
     s"$root/$coll/index/${tier}_bucketed"
   private def bucketedMetaPath(coll: String) =
@@ -118,11 +145,53 @@ class Engine(
       return None
     Some((table, buckets, path, stamp))
   }
-  private def pqLayoutPath(coll: String) = s"$root/$coll/index/pq_layout"
-  private def opqLayoutPath(coll: String) = s"$root/$coll/index/opq_layout"
-  private def sqLayoutPath(coll: String) = s"$root/$coll/index/sq_layout"
-  private def bqLayoutPath(coll: String) = s"$root/$coll/index/bq_layout"
-  private def hnswLayoutPath(coll: String) = s"$root/$coll/index/hnsw_layout"
+  private def pqLayoutPath(coll: String) = tierGenPath(coll, "pq", layoutGen(coll))
+  private def opqLayoutPath(coll: String) = tierGenPath(coll, "opq", layoutGen(coll))
+  private def sqLayoutPath(coll: String) = tierGenPath(coll, "sq", layoutGen(coll))
+  private def bqLayoutPath(coll: String) = tierGenPath(coll, "bq", layoutGen(coll))
+  private def hnswLayoutPath(coll: String) = tierGenPath(coll, "hnsw", layoutGen(coll))
+
+  /** Flip to generation `gen + 1` of `tier`'s layout (the new dir must be
+    * fully written first), GC generations older than the superseded one,
+    * and drop path-keyed driver/executor caches of retired dirs. Returns
+    * the new current path.
+    */
+  private def flipLayoutGen(coll: String, tier: String, gen: Long): String = {
+    atomicWrite(layoutGenFile(coll), (gen + 1).toString)
+    var old = 0L
+    while (old < gen) {
+      val oldPath = tierGenPath(coll, tier, old)
+      val p = new org.apache.hadoop.fs.Path(oldPath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true)
+      // retire path-keyed caches with the dir (they would otherwise pin
+      // persisted frames for dirs that no longer exist)
+      GraphAnn.GraphCache.invalidate(oldPath)
+      deltaCache.keys.filter(_._1.startsWith(oldPath)).foreach { k =>
+        deltaCache.remove(k).foreach(_.unpersist(false))
+      }
+      deltaRowsCache.keys.filter(_._1.startsWith(oldPath)).foreach(deltaRowsCache.remove)
+      tombCache.keys.filter(_._1.startsWith(oldPath)).foreach { k =>
+        tombCache.remove(k).foreach(_.foreach(_.unpersist(false)))
+      }
+      tombMapCache.keys.filter(_._1.startsWith(oldPath)).foreach(tombMapCache.remove)
+      versionedDeltaMemo.keys.filter(_.startsWith(oldPath))
+        .foreach(versionedDeltaMemo.remove)
+      old += 1
+    }
+    tierGenPath(coll, tier, gen + 1)
+  }
+
+  /** The tier key of a collection's layout dirs (None = flat, no layout). */
+  private def tierKey(it: IndexType): Option[String] = it match {
+    case IndexType.IvfFlat => Some("ivf")
+    case IndexType.IvfPq => Some("pq")
+    case IndexType.Opq => Some("opq")
+    case IndexType.Sq => Some("sq")
+    case IndexType.Bq => Some("bq")
+    case IndexType.Hnsw => Some("hnsw")
+    case _ => None
+  }
   // streaming-insert sidecar of the graph layout: underscore-prefixed, so
   // the graph reader's listing never sees it (same convention as `_route`)
   private def hnswDeltaPath(coll: String) = s"${hnswLayoutPath(coll)}/_delta"
@@ -511,6 +580,7 @@ class Engine(
     */
   def deleteDocuments(coll: String, ids: Seq[String]): Unit = {
     val cfg = configOf(coll)
+    val genAtStart = layoutGen(coll) // fence: see the stamp condition below
     val layoutOpt = tierLayoutPath(coll)
     val wasCurrent = layoutOpt.exists(p => currentLayoutStamp(coll, p).isDefined)
     // delete-through-delta needs versioned delta rows (see ingest's guard)
@@ -527,10 +597,14 @@ class Engine(
         ids.distinct.toDF("id").withColumn("ver", lit(v))
           .write.mode("append").parquet(tombstonesPath(layoutOpt.get))
       }
-      // advance the stamps only while ours is still the newest write and no
-      // compaction is in flight — the same never-lie guards as ingest
+      // advance the stamps only while ours is still the newest write, no
+      // compaction is in flight, AND the generation we wrote the sidecar
+      // into is still current (a flip mid-delete folded the layout WITHOUT
+      // our shadows — stamping would serve superseded incarnations) — the
+      // same never-lie guards as ingest
       if (store.currentVersion(coll) == v &&
-          !java.nio.file.Files.exists(compactIntentPath(coll))) {
+          !java.nio.file.Files.exists(compactIntentPath(coll)) &&
+          layoutGen(coll) == genAtStart) {
         bucketedPre.foreach { case (table, buckets, path, _) =>
           atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
         }
@@ -664,6 +738,13 @@ class Engine(
     // stale from the layout while the store holds its newer incarnation.
     batch.cache()
     try {
+      // generation fence: the layout paths below resolve the CURRENT
+      // generation; a compaction/build flipping generations mid-batch folds
+      // the layout WITHOUT this batch's appended rows/shadows, so every
+      // stamp advance below also requires the generation to be unchanged —
+      // an append that raced into a superseded generation stales (fallback)
+      // instead of certifying a row-missing layout
+      val genAtStart = layoutGen(coll)
       val maintain: Option[(DataFrame => DataFrame, String, String, Boolean)] = cfg.indexType match {
         case IndexType.IvfFlat =>
           loadedIvfOpt(coll).map(m =>
@@ -839,21 +920,27 @@ class Engine(
           encoded.write.mode("append").option("path", path)
             .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
             .saveAsTable(table)
-          if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
+          if (store.currentVersion(coll) == v &&
+              !Files.exists(compactIntentPath(coll)) &&
+              layoutGen(coll) == genAtStart)
             atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
         }
       } finally encoded.unpersist(blocking = false)
       }
       // advance the stamp only if our write is still the newest (a racer
       // leaves the stamp behind → stale → fallback; the appended rows are
-      // still consistent) AND no compaction is in flight — a compaction that
-      // read the layout before our append destroys our rows in its
-      // delete+rename swap; its own restamp guard protects only its stamp,
-      // so without this check WE would certify the row-missing layout (the
-      // currentVersion==v guard still holds: compaction bumps no versions).
-      // The marker is written before compaction's read, so an append that
-      // lands after the read always observes it here and stales instead.
-      if (store.currentVersion(coll) == v && !Files.exists(compactIntentPath(coll)))
+      // still consistent), no compaction is in flight, AND the generation
+      // we appended into is still current. The intent marker catches an
+      // append racing into a LIVE fold's read→flip window; the generation
+      // fence catches the residual interleaving the marker alone cannot —
+      // a fold that completed (marker already cleared) between our path
+      // capture and this stamp: our rows live only in the generation it
+      // retired, so certifying the folded generation would serve a layout
+      // missing this batch. Gen unchanged ⇒ no flip since our capture ⇒
+      // our appended files are in the CURRENT dir.
+      if (store.currentVersion(coll) == v &&
+          !Files.exists(compactIntentPath(coll)) &&
+          layoutGen(coll) == genAtStart)
         atomicWrite(
           java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
       // size-triggered delta compaction (the LSM fold policy): once the hnsw
@@ -1012,36 +1099,37 @@ class Engine(
       case Some((layoutPath, clustered, tier)) =>
         val stamp = store.currentVersion(coll)
         if (currentLayoutStamp(coll, layoutPath).isEmpty) return false
+        val gen = layoutGen(coll)
         val bucketedPre = currentBucketedMeta(coll)
         val stampPath =
           java.nio.file.Paths.get(s"$root/$coll/index/layout_version")
         val hp = new org.apache.hadoop.fs.Path(layoutPath)
         val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-        val tmp = new org.apache.hadoop.fs.Path(layoutPath + "_compact_tmp")
-        // intent marker FIRST (before the layout read): any ingest that
-        // appends into our read→delete window sees it and declines to
-        // stamp — its rows may be destroyed below, so it must stale, not
-        // certify. Cleared in the finally; a crash leaves it behind, but a
-        // crashed compaction also leaves the stamp deleted, so ingest's
-        // maintainable check already routes around the layout; buildIndex
-        // clears the leftover on its next successful stamp.
+        // intent marker FIRST (before the layout read): a maintained append
+        // racing into our read→flip window must decline to stamp — its rows
+        // land only in the generation being folded away (the generation
+        // fence in the append paths catches the same race from the other
+        // side). Cleared in the finally; a crash leaves it behind, which
+        // merely stales subsequent maintained writes until the next
+        // buildIndex clears it.
         atomicWrite(compactIntentPath(coll), stamp.toString)
         try {
-        // stale-first: from here until the final re-stamp, searches fall
-        // back to the live corpus (correct, unpruned)
-        java.nio.file.Files.deleteIfExists(stampPath)
-        fs.delete(tmp, true)
+        // NO stale window: the current generation keeps serving every
+        // in-flight and newly-planned scan while the fold writes the NEXT
+        // generation (the old delete+rename-in-place swap destroyed files
+        // under running scans — the concurrency soak caught it)
+        val next = tierGenPath(coll, tier, gen + 1)
         // fold the tombstone sidecar: rewrite only unshadowed rows — the
-        // compacted layout is then exactly what re-encoding the live corpus
-        // with the frozen model would produce; the sidecar itself dies in
-        // the delete+rename swap below, and the caches re-check existence
+        // compacted generation is then exactly what re-encoding the live
+        // corpus with the frozen model would produce; the sidecar retires
+        // with its generation at the flip
         val rows = applyTombstones(layoutPath, stamp)(
           spark.read.parquet(layoutPath))
         if (clustered)
           // hash-repartition on cluster_id: each cluster lands wholly in one
           // task ⇒ exactly one file per cluster directory
           rows.repartition(col("cluster_id"))
-            .write.partitionBy("cluster_id").parquet(tmp.toString)
+            .write.mode("overwrite").partitionBy("cluster_id").parquet(next)
         else {
           // flat code layouts: file count from resident bytes, one file per
           // target-sized chunk (same sizing rule as the scan side's
@@ -1049,28 +1137,26 @@ class Engine(
           val bytes = fs.getContentSummary(hp).getLength
           val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
           val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-          rows.repartition(nFiles).write.parquet(tmp.toString)
+          rows.repartition(nFiles).write.mode("overwrite").parquet(next)
         }
-        fs.delete(hp, true)
-        require(fs.rename(tmp, hp), s"compaction rename failed for $layoutPath")
+        // THE flip: readers resolve the folded generation from here on;
+        // the superseded one is GC'd a cycle later (flipLayoutGen)
+        flipLayoutGen(coll, tier, gen)
         // the bucketed table (if current) accumulated the same appended
-        // files — rebuild it from the compacted layout under the same
-        // stamp. Stale-first HERE too: the bucketed meta gates only on its
-        // own stamp (== store version, which compaction never changes), so
-        // without deleting it first, a crash inside the mode-overwrite
-        // rebuild — or a concurrent read during the non-crash overwrite
-        // window — would serve a dropped/partially-written table as
-        // CURRENT. With the meta gone, currentBucketedMeta returns None
-        // and searches fall back a tier until writeBucketedLayout's final
-        // atomicWrite restores it after the rebuild completes.
+        // files — rebuild it from the compacted generation under the same
+        // stamp. Stale-first HERE (the bucketed table is one fixed
+        // location, not generation-versioned): with the meta gone,
+        // currentBucketedMeta returns None and searches fall back a tier
+        // until writeBucketedLayout's final atomicWrite restores it.
         bucketedPre.foreach { case (_, _, _, _) =>
           java.nio.file.Files.deleteIfExists(bucketedMetaPath(coll))
-          writeBucketedLayout(coll, cfg, spark.read.parquet(layoutPath), stamp, tier)
+          writeBucketedLayout(coll, cfg, spark.read.parquet(next), stamp, tier)
         }
-        // restore the stamp only if no writer interleaved (a racer leaves
-        // the layout stale — fallback, never a lie)
-        if (store.currentVersion(coll) == stamp)
-          atomicWrite(stampPath, stamp.toString)
+        // a writer interleaved with the fold? its rows live only in the
+        // retired generation — the folded one must not serve as current
+        // (stale the stamp; searches fall back until the next buildIndex)
+        if (store.currentVersion(coll) != stamp)
+          java.nio.file.Files.deleteIfExists(stampPath)
         true
         } finally java.nio.file.Files.deleteIfExists(compactIntentPath(coll))
       case None => false
@@ -1137,10 +1223,16 @@ class Engine(
     // currentLayout sees the layout as stale and falls back to the live
     // corpus — the layout can never be marked current while missing a write
     val stamp = store.currentVersion(coll)
+    // full rewrite ⇒ the NEXT layout generation: the current generation
+    // keeps serving in-flight scans through the whole build and is GC'd a
+    // cycle after the flip (see layoutGenFile's contract)
+    val gen = layoutGen(coll)
+    def nextPath(tier: String): String = tierGenPath(coll, tier, gen + 1)
+    def flip(tier: String): Unit = { flipLayoutGen(coll, tier, gen); () }
     def stampLayout(): Unit = {
       // a crashed compaction leaves its intent marker behind (harmless —
-      // its stamp delete already stales the layout); a full rebuild
-      // supersedes whatever that compaction was doing, so clear it here
+      // the un-flipped generation it was writing is simply orphaned); a
+      // full rebuild supersedes whatever that compaction was doing
       java.nio.file.Files.deleteIfExists(compactIntentPath(coll))
       atomicWrite(
         java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), stamp.toString)
@@ -1156,7 +1248,8 @@ class Engine(
         ModelStore.saveIvf(ivfSnapshotPath(coll), model) // S8 snapshot
         // materialize the inverted-list layout: searches become physically
         // partition-pruned scans of only the probed cluster directories
-        IvfIndex.write(corpus, "vector", model, ivfLayoutPath(coll))
+        IvfIndex.write(corpus, "vector", model, nextPath("ivf"))
+        flip("ivf")
         // optional BUCKETED layout (`bucketed_table` collection param): the
         // repeated-KNN-join shape — the searchDistributed equi-join reads the
         // corpus pre-hashed on cluster_id, so only the query frame shuffles.
@@ -1187,7 +1280,8 @@ class Engine(
         val pqEnc = IvfPq.encode(corpus, "vector", pq).cache()
         try {
           pqEnc.write.mode("overwrite").partitionBy("cluster_id")
-            .parquet(pqLayoutPath(coll))
+            .parquet(nextPath("pq"))
+          flip("pq")
           writeBucketedLayout(coll, cfg, pqEnc, stamp, "pq")
         } finally pqEnc.unpersist(blocking = false)
         stampLayout()
@@ -1212,7 +1306,8 @@ class Engine(
         val opqEnc = Opq.encode(corpus, "vector", opq).cache()
         try {
           opqEnc.write.mode("overwrite").partitionBy("cluster_id")
-            .parquet(opqLayoutPath(coll))
+            .parquet(nextPath("opq"))
+          flip("opq")
           writeBucketedLayout(coll, cfg, opqEnc, stamp, "opq")
         } finally opqEnc.unpersist(blocking = false)
         stampLayout()
@@ -1225,7 +1320,8 @@ class Engine(
         sqModels(coll) = sq
         ModelStore.saveSq(sqSnapshotPath(coll), sq)
         ScalarQuant.encode(corpus, "vector", sq)
-          .write.mode("overwrite").parquet(sqLayoutPath(coll))
+          .write.mode("overwrite").parquet(nextPath("sq"))
+        flip("sq")
         stampLayout()
       case IndexType.Bq =>
         // BQ serves every space: the Hamming shortlist is metric-agnostic
@@ -1236,7 +1332,8 @@ class Engine(
         bqModels(coll) = bq
         ModelStore.saveBq(bqSnapshotPath(coll), bq)
         BinaryQuant.encode(corpus, "vector", bq)
-          .write.mode("overwrite").parquet(bqLayoutPath(coll))
+          .write.mode("overwrite").parquet(nextPath("bq"))
+        flip("bq")
         stampLayout()
       case IndexType.Hnsw =>
         // materialize the per-partition HNSW graphs THEMSELVES (adjacency
@@ -1261,16 +1358,18 @@ class Engine(
             // into sub-centroids so one dense region cannot serialize the
             // whole build into a single giant NSW-insertion task
             val cellCap = cfg.params.get("routeMaxCellRows").map(_.toLong).getOrElse(0L)
-            GraphAnn.buildRoutedLayout(store.read(coll), hnswLayoutPath(coll),
+            GraphAnn.buildRoutedLayout(store.read(coll), nextPath("hnsw"),
               cfg.spaceType, nlist = nl, m = hm, efConstruction = hefc,
               levelMult = hlm, maxCellRows = cellCap)
           case None =>
-            GraphAnn.buildLayout(store.read(coll), hnswLayoutPath(coll),
+            GraphAnn.buildLayout(store.read(coll), nextPath("hnsw"),
               cfg.spaceType, m = hm, efConstruction = hefc, levelMult = hlm)
         }
-        // fresh adjacency (the overwrite also dropped any `_delta` rows —
-        // they're in the corpus the build just read): advance the graph
-        // epoch so executor caches of the OLD adjacency are superseded
+        // fresh adjacency in a fresh generation (the superseded generation
+        // retires its `_delta`/`_tombstones` sidecars with it — their rows
+        // are in the corpus the build just read): flip, then advance the
+        // graph epoch so executor caches of the OLD adjacency are superseded
+        flip("hnsw")
         atomicWrite(java.nio.file.Paths.get(hnswEpochPath(coll)), stamp.toString)
         stampLayout()
       case _ => () // flat: nothing to train
@@ -1388,6 +1487,13 @@ class Engine(
         case None => spark.table(table)
       }
     }
+
+  /** The collection's CURRENT index-layout directory (generation-resolved),
+    * if its tier materializes one — the path tests/tools must use instead
+    * of assuming the generation-0 name (every full rewrite flips to a new
+    * generation dir).
+    */
+  def layoutDir(coll: String): Option[String] = tierLayoutPath(coll)
 
   /** The collection's index-layout directory for its configured tier, if
     * the tier materializes one (flat does not).

@@ -71,10 +71,13 @@ class Server(engine: Engine, port: Int = 0) {
           searchMultiVectors(ex, name)
         case ("DELETE", List("v1", "collections", name, "multivectors", id)) =>
           deleteMultiVector(ex, name, id)
-        // beyond the reference's table: serving-cache observability (the
-        // driver-local point-serve tier's residency/hit-rate counters)
+        // beyond the reference's table: serving observability — the
+        // driver-local cell cache's residency/hit-rate counters plus the
+        // point reader's bloom ledger (run opens vs bloom-pruned skips,
+        // bloom residency vs budget)
         case ("GET", List("v1", "metrics")) =>
-          reply(ex, 200, Obj(graft.operators.GraphAnn.localServeMetrics
+          reply(ex, 200, Obj((graft.operators.GraphAnn.localServeMetrics ++
+            graft.core.LocalPointReader.metrics)
             .map { case (k, v) => k -> (Num(v.toDouble): Value) }))
         case _ => reply(ex, 404, err("route not found"))
       }

@@ -36,7 +36,23 @@ import org.apache.spark.sql.types._
 class DocStore(spark: SparkSession, root: String) {
   import DocStore._
 
-  private def dataDir(name: String) = s"$root/$name/data"
+  // The data directory is GENERATION-VERSIONED: appends land in the current
+  // generation; compaction writes a whole NEW generation and flips the
+  // `data_gen` pointer (tmp+atomic rename) instead of deleting the live dir
+  // in place — snapshot isolation for concurrent readers (a Spark scan plans
+  // against a file listing; deleting those files mid-read fails the scan
+  // with FAILED_READ_FILE, which the concurrency soak caught on its first
+  // run). Superseded generations are garbage-collected one compaction cycle
+  // later (current + previous are always kept), so every reader gets at
+  // least one full corpus-rewrite interval to finish against intact files —
+  // the same immutable-files-plus-metadata-pointer contract the table
+  // formats (Iceberg/Delta) give their readers. Pointer absent ⇒ generation
+  // 0 at the legacy `data` path, so existing stores read unchanged.
+  private def genFile(name: String) = Paths.get(s"$root/$name/data_gen")
+  private def genDir(name: String, g: Long): String =
+    if (g == 0L) s"$root/$name/data" else s"$root/$name/data_g$g"
+  private def dataDir(name: String): String =
+    genDir(name, AtomicFiles.readLongSafe(genFile(name)).getOrElse(0L))
   private def versionFile(name: String) = Paths.get(s"$root/$name/_version")
 
   def schema(dim: Int): StructType = StructType(Seq(
@@ -248,20 +264,29 @@ class DocStore(spark: SparkSession, root: String) {
     */
   def compact(name: String, clusterById: Boolean = false, files: Int = 8): Unit =
     writeLock(name).synchronized {
-      // under the write lock: an append racing the directory swap below would
-      // otherwise land its batch file between the delete and the move and be lost
+      // under the write lock: an append racing the generation flip below
+      // would otherwise land its batch file in the superseded generation
+      // and be lost
       val winners = read(name).cache()
-      winners.count() // materialize before overwriting the source
+      winners.count() // materialize before the flip
       val out =
         if (clusterById)
           winners.repartitionByRange(files, col("id")).sortWithinPartitions("id")
         else winners
-      val tmp = s"$root/$name/data_compacting"
-      out.write.mode("overwrite").parquet(tmp)
+      val gen = AtomicFiles.readLongSafe(genFile(name)).getOrElse(0L)
+      // mode("overwrite"): a crashed previous attempt at this generation
+      // (write completed, flip never happened) is simply rewritten
+      out.write.mode("overwrite").parquet(genDir(name, gen + 1))
       winners.unpersist()
-      val dir = Paths.get(dataDir(name))
-      deleteRecursively(dir)
-      Files.move(Paths.get(tmp), dir)
+      // THE flip: atomic pointer write — readers see either the old
+      // generation (intact until GC'd a full cycle later) or the new one,
+      // never a half-swapped directory
+      AtomicFiles.atomicWrite(genFile(name), (gen + 1).toString)
+      // snapshot GC: drop generations OLDER than the one just superseded —
+      // a scan planned against generation g keeps its files until
+      // compaction g+2 flips, at least one whole corpus rewrite away
+      var old = 0L
+      while (old < gen) { deleteRecursively(Paths.get(genDir(name, old))); old += 1 }
     }
 
   def drop(name: String): Unit = deleteRecursively(Paths.get(s"$root/$name"))

@@ -157,6 +157,21 @@ object LocalPointReader {
   private val bloomBytes = new java.util.concurrent.atomic.AtomicLong(0L)
   private val blooms = scala.collection.concurrent.TrieMap.empty[String, IdBloom]
 
+  // serving observability: run opens vs bloom-pruned skips — the counter
+  // pair that tells an operator the per-run blooms are actually pruning
+  // (opens ≈ runs-touched would mean the blooms never fire). Exposed with
+  // the bloom residency/budget gauges over GET /v1/metrics.
+  private val runOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val runsBloomPruned = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Point-serve reader gauges/counters (process-lifetime). */
+  def metrics: Map[String, Long] = Map(
+    "point_run_opens" -> runOpens.get(),
+    "point_runs_bloom_pruned" -> runsBloomPruned.get(),
+    "point_blooms" -> blooms.size.toLong,
+    "point_bloom_bytes" -> bloomBytes.get(),
+    "point_bloom_max_bytes" -> BloomMaxBytes)
+
   private class IdBloom(nBits: Int) {
     val words = new Array[Long]((nBits + 63) / 64)
     private val mask = nBits - 1 // nBits is a power of two
@@ -197,10 +212,13 @@ object LocalPointReader {
     val b = bloomFor(f)
     var i = 0
     while (i < hashes.length) {
-      if (b.mightContainHashed((hashes(i) >>> 32).toInt, hashes(i).toInt))
+      if (b.mightContainHashed((hashes(i) >>> 32).toInt, hashes(i).toInt)) {
+        runOpens.incrementAndGet()
         return true
+      }
       i += 1
     }
+    runsBloomPruned.incrementAndGet()
     false
   }
 

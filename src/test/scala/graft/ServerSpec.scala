@@ -133,15 +133,31 @@ class ServerSpec extends SparkSpec {
       """{"parameters":{"routeNprobe":1}}""")._1 === 400)
   }
 
-  test("GET /v1/metrics reports the serving-cache counters") {
+  test("GET /v1/metrics reports the serving-cache counters and the point-reader bloom ledger; gauges move under load") {
     val (code, v) = req("GET", "/v1/metrics")
     assert(code === 200)
     val o = v.asObj
     for (k <- Seq("local_serve_cells", "local_serve_bytes", "local_serve_max_bytes",
         "local_serve_loads", "local_serve_hits", "local_serve_misses",
-        "local_serve_evictions"))
+        "local_serve_evictions", "point_run_opens", "point_runs_bloom_pruned",
+        "point_blooms", "point_bloom_bytes", "point_bloom_max_bytes"))
       assert(o.contains(k), s"metrics missing $k: $o")
     assert(o("local_serve_max_bytes").asDouble > 0)
+    assert(o("point_bloom_max_bytes").asDouble > 0)
+    // drive point reads: each upsert writes an immutable run, each GET
+    // bloom-probes the run set — opens and bloom residency must move
+    val opens0 = o("point_run_opens").asDouble
+    req("POST", "/v1/collections", """{"name":"met","dimension":2,"index_type":"flat"}""")
+    for (i <- 0 until 3)
+      req("POST", "/v1/collections/met/documents",
+        s"""{"id":"m$i","vector":[$i,0]}""")
+    for (i <- 0 until 3)
+      assert(req("GET", s"/v1/collections/met/documents/m$i")._1 === 200)
+    val o2 = req("GET", "/v1/metrics")._2.asObj
+    assert(o2("point_run_opens").asDouble > opens0,
+      s"point reads must move the run-open counter: $o2")
+    assert(o2("point_blooms").asDouble > 0 && o2("point_bloom_bytes").asDouble > 0,
+      s"bloom ledger must show residency after point reads: $o2")
   }
 
   test("multivector routes over the wire: upsert / batch / maxsim search / delete") {

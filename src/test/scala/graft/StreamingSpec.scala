@@ -314,7 +314,7 @@ class StreamingSpec extends SparkSpec {
       def stampOf = java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$root/$coll/index/layout_version")).trim.toLong
       val stamp0 = stampOf
-      val layoutPath = s"$root/$coll/index/${it.name}_layout"
+      val layoutPath = e.layoutDir(coll).get // generation-resolved
       // insert-only batch: codes for the new rows are APPENDED with the
       // frozen model (≡ what a full re-encode would produce), stamp advances
       e.ingestBatchIndexed(coll,
@@ -360,7 +360,7 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$root/$coll/index/layout_version")).trim.toLong
       def epochOf = java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$root/$coll/index/hnsw_epoch")).trim.toLong
-      val deltaDir = java.nio.file.Paths.get(s"$root/$coll/index/hnsw_layout/_delta")
+      def deltaDir = java.nio.file.Paths.get(s"${e.layoutDir(coll).get}/_delta")
       val stamp0 = stampOf; val epoch0 = epochOf
       // insert-only batch: rows land in the delta sidecar; the layout stays
       // CURRENT (stamp advances — no fallback to a live rebuild) while the
@@ -415,7 +415,7 @@ class StreamingSpec extends SparkSpec {
     e.setParams("c", Map("routeNprobe" -> 2))
     def epochOf = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/c/index/hnsw_epoch")).trim.toLong
-    val deltaDir = java.nio.file.Paths.get(s"$root/c/index/hnsw_layout/_delta")
+    def deltaDir = java.nio.file.Paths.get(s"${e.layoutDir("c").get}/_delta")
     val epoch0 = epochOf
     // 2 streamed rows: below the threshold — delta persists, no rebuild
     e.ingestBatchIndexed("c",
@@ -451,7 +451,7 @@ class StreamingSpec extends SparkSpec {
     e.buildIndex("c", nlist = 2)
     def stampOf = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$root/c/index/layout_version")).trim.toLong
-    def layoutRows(id: String) = spark.read.parquet(s"$root/c/index/ivf_layout")
+    def layoutRows(id: String) = spark.read.parquet(e.layoutDir("c").get)
       .filter(col("id") === id).count()
     val b1 = Seq(("100", Seq(0.5f, 0f, 0f, 0f), Map.empty[String, String]))
       .toDF("id", "vector", "params")
@@ -780,7 +780,7 @@ class StreamingSpec extends SparkSpec {
               .toDF("id", "vector", "params"),
             assumeNewIds = true, batchId = Some(b.toLong))
       }
-      def layoutDir(coll: String) = s"$root/$coll/index/${tier}_layout"
+      def layoutDir(coll: String) = e.layoutDir(coll).get // generation-resolved
       // every single-row batch appends ≥1 file to the control; the knobbed
       // collection folded along the way
       assert(partFiles(layoutDir("ctl")) >= 6,

@@ -254,16 +254,20 @@ class TombstoneSpec extends SparkSpec {
       Seq(("3", Seq(50f, 50f, 0f, 0f), Map.empty[String, String]))
         .toDF("id", "vector", "params"), batchId = Some(0L))
     e.deleteDocuments("c", Seq("5"))
-    val layout = s"$root/c/index/sq_layout"
+    val layout = e.layoutDir("c").get // generation-resolved
     val sidecar = java.nio.file.Paths.get(s"$layout/_tombstones")
     assert(java.nio.file.Files.exists(sidecar), "setup: sidecar expected")
     val before = e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
     assert(e.compactLayout("c"), "compaction must run on the current layout")
-    assert(!java.nio.file.Files.exists(sidecar),
+    // the fold wrote a NEW generation: the sidecar retired with the old dir
+    val folded = e.layoutDir("c").get
+    assert(folded != layout, "compaction must flip to a new generation")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$folded/_tombstones")),
       "compaction must fold the tombstone sidecar away")
     // folded layout holds exactly the live incarnations: no row for the
     // deleted id, exactly one (the new one) for the updated id
-    val ids = spark.read.parquet(layout).groupBy("id").count().collect()
+    val ids = spark.read.parquet(folded).groupBy("id").count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(!ids.contains("5"), "deleted id survived the fold")
     assert(ids("3") === 1L, s"updated id kept ${ids("3")} incarnations after fold")
@@ -280,7 +284,7 @@ class TombstoneSpec extends SparkSpec {
     e.batchUpsertDocuments("c", mkCorpus(20))
     e.buildIndex("c")
     e.deleteDocuments("c", Seq("5", "9"))
-    val sidecar = java.nio.file.Paths.get(s"$root/c/index/sq_layout/_tombstones")
+    val sidecar = java.nio.file.Paths.get(s"${e.layoutDir("c").get}/_tombstones")
     assert(!java.nio.file.Files.exists(sidecar),
       "tombstoneCompactRows must have folded the sidecar")
     assert(!e.searchDocuments("c", Array(5f, 5f, 0f, 0f), 3).map(_.id).contains("5"))
@@ -291,7 +295,7 @@ class TombstoneSpec extends SparkSpec {
     e.batchUpsertDocuments("g", mkCorpus(20))
     e.buildIndex("g")
     e.deleteDocuments("g", Seq("5", "9"))
-    val gSidecar = java.nio.file.Paths.get(s"$root/g/index/hnsw_layout/_tombstones")
+    val gSidecar = java.nio.file.Paths.get(s"${e.layoutDir("g").get}/_tombstones")
     assert(!java.nio.file.Files.exists(gSidecar),
       "graph tombstone fold (rebuild) did not clear the sidecar")
     val hits = e.searchDocuments("g", Array(5f, 5f, 0f, 0f), 3).map(_.id)
