@@ -53,6 +53,31 @@ class DocStoreSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"${"unused"}")) || s.log("c").count() === 0)
   }
 
+  test("compaction flips data GENERATIONS: current+previous kept, older GC'd, reads stay correct throughout") {
+    val (s, root) = freshStore(); s.init("c")
+    import java.nio.file.{Files => F, Paths}
+    def ex(p: String) = F.exists(Paths.get(p))
+    s.upsert("c", Seq(doc("1", 1f), doc("2", 2f)), dim)
+    s.delete("c", Seq("2"), dim)
+    // gen 0 ('data') → gen 1: the pre-flip dir must SURVIVE (in-flight
+    // scans planned against its listing finish against intact files)
+    s.compact("c")
+    assert(ex(s"$root/c/data_g1"), "gen 1 missing after first compaction")
+    assert(ex(s"$root/c/data"), "superseded gen must be kept one cycle")
+    assert(s.read("c").count() === 1 && s.get("c", "1").isDefined)
+    // appends land in the CURRENT generation
+    s.upsert("c", Seq(doc("3", 3f)), dim)
+    assert(F.list(Paths.get(s"$root/c/data_g1")).count() > 1,
+      "append after the flip must land in the current generation")
+    // gen 1 → gen 2: gen 0 is now two cycles old — GC'd; gen 1 kept
+    s.compact("c")
+    assert(ex(s"$root/c/data_g2") && ex(s"$root/c/data_g1"))
+    assert(!ex(s"$root/c/data"), "two-cycle-old generation must be GC'd")
+    assert(s.read("c").count() === 2)
+    assert(s.getFast("c", "3").map(_.vector(0)) === Some(3f))
+    assert(s.get("c", "2").isEmpty, "tombstone must survive generation flips")
+  }
+
   test("compact keeps exactly the LWW winners — including the largest key (skiplist.go:137 regression)") {
     val (s, _) = freshStore(); s.init("c")
     // single-element store: the reference's skiplist All() would emit nothing
