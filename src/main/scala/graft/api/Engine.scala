@@ -74,8 +74,15 @@ class Engine(
     else s"$root/$coll/index/${tier}_layout_g$g"
 
   private def ivfLayoutPath(coll: String) = tierGenPath(coll, "ivf", layoutGen(coll))
-  private def bucketedDataPath(coll: String, tier: String) =
-    s"$root/$coll/index/${tier}_bucketed"
+  // bucketed data dirs ride the SAME generation counter (writeBucketedLayout
+  // runs after the flip, so a rebuild lands in a fresh dir and in-flight
+  // scans of the previous table keep their files; the meta records the
+  // concrete path, so appends and re-registration never recompute it)
+  private def bucketedDataPath(coll: String, tier: String): String = {
+    val g = layoutGen(coll)
+    if (g == 0L) s"$root/$coll/index/${tier}_bucketed"
+    else s"$root/$coll/index/${tier}_bucketed_g$g"
+  }
   private def bucketedMetaPath(coll: String) =
     java.nio.file.Paths.get(s"$root/$coll/index/bucketed_meta")
   // compaction-in-progress marker: written by compactLayout BEFORE it reads
@@ -164,6 +171,10 @@ class Engine(
       val p = new org.apache.hadoop.fs.Path(oldPath)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(p, true)
+      // the generation's bucketed data dir retires on the same schedule
+      fs.delete(new org.apache.hadoop.fs.Path(
+        if (old == 0L) s"$root/$coll/index/${tier}_bucketed"
+        else s"$root/$coll/index/${tier}_bucketed_g$old"), true)
       // retire path-keyed caches with the dir (they would otherwise pin
       // persisted frames for dirs that no longer exist)
       GraphAnn.GraphCache.invalidate(oldPath)

@@ -1002,9 +1002,22 @@ object Dedup {
     * and the equi-join key (40 raw chars) is high-cardinality, so bucket
     * skew is boilerplate-driven and surfaces in counts rather than
     * exploding candidates. Output: (ia, ib, n_shared).
+    *
+    * `hashedJoinKey`: shuffle xxhash64(gram) instead of the raw gram
+    * string — the gram rows are corpus-chars-sized (≈ text bytes × 1 row
+    * per char), so at 10⁹+ gram rows the raw-string shuffle (~48 B/row
+    * twice, self-join) exceeds a host's spill disk where the 8-byte hash
+    * fits comfortably (the 1000×-doc ScaleBench row found exactly this:
+    * the exact-string join died on spill space at ~1.3e9 gram rows). The
+    * trade, stated: a 64-bit collision between two DIFFERENT grams of two
+    * docs inflates that pair's n_shared by 1 (probability ≈ g²/2⁶⁵ per
+    * doc-pair gram universe — ~1e-7 at a million distinct grams), and a
+    * collision is the only way a pair can appear with zero truly-shared
+    * grams. The default stays the exact string join (the oracle-gated
+    * declared form); big-corpus callers opt in.
     */
   def charGramPairs(df: DataFrame, idCol: String, textCol: String,
-      gramLen: Int): DataFrame = {
+      gramLen: Int, hashedJoinKey: Boolean = false): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     val base = widened(df)
       .select(col(idCol).as("__did"), col(textCol).as("__t"))
@@ -1014,9 +1027,12 @@ object Dedup {
       case Some(mm) => base.join(dupNonReps(mm, "__did"), Seq("__did"), "left_anti")
       case None => base
     }
-    val grams = reps.select(col("__did"), explode(array_distinct(
-        expr(s"transform(sequence(1, length(__t) - ${gramLen - 1}), " +
-          s"i -> substring(__t, i, $gramLen))"))).as("s"))
+    val gramCol = explode(array_distinct(
+      expr(s"transform(sequence(1, length(__t) - ${gramLen - 1}), " +
+        s"i -> substring(__t, i, $gramLen))"))).as("__g")
+    val grams = reps.select(col("__did"), gramCol)
+      .select(col("__did"),
+        (if (hashedJoinKey) xxhash64(col("__g")) else col("__g")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val repPairs = grams.as("a").join(grams.as("b"), "s")
       .filter(col("a.__did") < col("b.__did"))

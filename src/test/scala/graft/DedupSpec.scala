@@ -259,6 +259,12 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.charGramPairs(data, "doc_id", "text", gramLen = 10)
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 2L, 6L)))
+    // the big-corpus hashed-join-key mode is pair/count-identical here
+    // (collisions are the only divergence and need 2^-64 luck)
+    val hashed = Dedup.charGramPairs(data, "doc_id", "text", gramLen = 10,
+        hashedJoinKey = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hashed === got)
   }
 
   test("charGramPairs: exact-dup groups expand with verbatim counts") {
