@@ -340,6 +340,38 @@ object RecallBench {
           require(stampQ == q0 + 40,
             s"$qcoll maintained updates staled the layout (stamp expected ${q0 + 40}, got $stampQ)")
         }
+        // multi-vector (MaxSim) serving over the wire: a multivector
+        // collection carved from the same embeddings (docs of 4 token
+        // vectors), served via POST multivectors/search — the late-
+        // interaction retrieval wire floor beside the single-vector rows
+        {
+          val T = 4
+          engine.createCollection(graft.core.CollectionConfig(
+            "serve_mv", 64, graft.core.IndexType.IvfFlat, SpaceType.L2,
+            params = Map("multivector" -> "true")))
+          val mvDocs = docs.grouped(T).zipWithIndex
+            .map { case (g, i) => (s"d$i", g.map(_.vector).toSeq) }.toSeq
+          engine.batchUpsertMultiVector("serve_mv", mvDocs)
+          engine.buildIndex("serve_mv", nlist = 16)
+          engine.setParams("serve_mv", Map("nprobe" -> 4, "maxsimCandM" -> 16))
+          def postMv(toks: Seq[Array[Float]]): Int = {
+            val body = s"""{"vectors":[${toks.map(v =>
+              s"[${v.mkString(",")}]").mkString(",")}],"limit":$k}"""
+            val req = HttpRequest.newBuilder()
+              .uri(java.net.URI.create(
+                s"http://127.0.0.1:$port/v1/collections/serve_mv/multivectors/search"))
+              .header("Content-Type", "application/json")
+              .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+            client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+          }
+          val mvQs = mvDocs.take(20).map(_._2)
+          mvQs.foreach(q => require(postMv(q) == 200, "maxsim warm-up failed"))
+          reportLatency("rest_maxsim_multivector", mvQs.map { q =>
+            val t0 = System.nanoTime()
+            require(postMv(q) == 200, "maxsim wire search failed")
+            (System.nanoTime() - t0) / 1e6
+          })
+        }
       } finally server.stop()
     }
 

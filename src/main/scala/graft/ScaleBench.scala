@@ -693,8 +693,14 @@ object ScaleBench {
           println(f"[scale] textops1000 $name = ${out(name)}%.3f")
         }
         row(s"big_minhash_$tag") {
-          val mh = Dedup.minHashLshPairs(d, "doc_id", "text")
-          val t = time(drain(mh))
+          // construction INSIDE the timing: the pipeline materializes its
+          // verified pairs at construction (verifyJaccard is terminal), so
+          // timing only the drain would measure a cache read
+          var mh: DataFrame = null
+          val t = time {
+            mh = Dedup.minHashLshPairs(d, "doc_id", "text")
+            drain(mh)
+          }
           out(s"big_minhash_pairs_$tag") = mh.count().toDouble
           t
         }

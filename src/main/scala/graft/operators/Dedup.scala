@@ -441,15 +441,31 @@ object Dedup {
     */
   def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double,
       sizesOpt: Option[DataFrame] = None): DataFrame = {
+    // verification touches ONLY docs that appear in ≥1 candidate pair — at
+    // constant dup density that set is a small fraction of the corpus, so
+    // the shingle frame is semi-joined down BEFORE the persist and the
+    // intersection self-join: the cached bytes and both join inputs scale
+    // with the CANDIDATE set, not the corpus (the 1000×-doc ScaleBench run
+    // found the corpus-wide persist + self-join spilling past the host
+    // disk at ~2.4e8 shingle rows). Candidate-id sets are near-always small
+    // enough to broadcast, so the restriction adds no shuffle; exactness is
+    // untouched (non-candidate docs can't contribute to any output row).
+    // cand is consumed twice (the id restriction + the verification joins)
+    // and its lineage is the banded generation — cache the (small) pair set
+    // so banding runs once
+    val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = candP.select(col("ia").as("__did"))
+      .union(candP.select(col("ib").as("__did"))).distinct()
     // the shingle frame is scanned 2-3× here (both sides of the
     // intersection self-join + the sizes fallback) and its lineage carries
     // the pipeline's dominant map cost (explode + hashing) — persist so
     // that cost is paid once; `released` materializes the (tiny) verified
     // pair set and drops the cache before returning
-    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shP = sh.join(candIds, Seq("__did"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sizesOpt.getOrElse(
       shP.groupBy(col("__did")).agg(count(lit(1)).as("n")))
-    val inter = cand
+    val inter = candP
       .join(shP.as("ta"), col("ia") === col("ta.__did"))
       .join(shP.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
@@ -459,7 +475,7 @@ object Dedup {
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("ia"), col("ib"), col("jaccard")), shP)
+      .select(col("ia"), col("ib"), col("jaccard")), shP, candP)
   }
 
   /** Full MinHash+LSH near-dup pipeline: pairs with exact n-gram Jaccard ≥
