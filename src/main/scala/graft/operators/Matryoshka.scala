@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.SpaceType
+
+/** Matryoshka (coarse-to-fine) KNN: shortlist with a PREFIX of the embedding
+  * dimensions, re-rank the shortlist with the full vector.
+  *
+  * Matryoshka Representation Learning (Kusupati et al., arXiv:2205.13147 —
+  * public literature) trains embeddings whose d'-dim prefixes are themselves
+  * good embeddings, exactly so retrieval can run the cheap-first funnel this
+  * operator implements ("adaptive retrieval" in the paper: shortlist at low
+  * d, re-rank at full d). The reference engine has no analog; for an
+  * LLM-data pipeline storing MRL-style embeddings this cuts the dominant
+  * flat-scan cost to ~d'/d of full-dimension FLOPs — and unlike the PQ/SQ/BQ
+  * tiers it needs NO trained model, no codebook, and no second copy of the
+  * corpus: `slice` runs inside the same whole-stage-codegen scan loop.
+  *
+  * Scale design: the shortlist stage is the ExactKnn broadcast-query scan
+  * (corpus never shuffles; bounded-heap top-k keeps the exchange at
+  * ≤ kCand·partitions rows per query) over sliced vectors, so its cost is
+  * the exact scan's × (prefixDim/d). The re-rank is the shared
+  * `ExactKnn.exactRerank` id-equi-join — distributed, never a collect.
+  * On 100 TB the prefix scan reads the same parquet column (one storage
+  * copy); a deployment that wants prefix-only IO writes the prefix as its
+  * own column and points `corpusVec` at it — the operator is agnostic.
+  *
+  * Recall gates live in MatryoshkaSpec; the oracle (`mrl_knn`) is exact KNN
+  * restricted to the exported shortlist, the same construction as pq/sq/bq.
+  */
+object Matryoshka {
+
+  /** Prefix-dimension shortlist: top-kCand per query by distance over the
+    * first `prefixDim` components. Returns <queryId>, <corpusId>, distance
+    * (prefix-space), rnk.
+    */
+  def shortlist(
+      corpus: DataFrame,
+      queries: DataFrame,
+      prefixDim: Int,
+      kCand: Int,
+      space: SpaceType,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    val c = corpus.select(col(corpusId),
+      slice(col(corpusVec), 1, prefixDim).as("__pv"))
+    val q = queries.select(col(queryId),
+      slice(col(queryVec).cast("array<float>"), 1, prefixDim).as("__pq"))
+    ExactKnn.knnAgg(c, q, kCand, space, corpusId, "__pv", queryId, "__pq")
+  }
+
+  /** Coarse-to-fine search: prefix shortlist of kTop·shortlistFactor, then
+    * exact full-dimension re-rank to kTop. `rerank = false` returns the raw
+    * shortlist (the aux export the oracle replays).
+    */
+  def search(
+      corpus: DataFrame,
+      queries: DataFrame,
+      prefixDim: Int,
+      kTop: Int,
+      space: SpaceType,
+      shortlistFactor: Int = 4,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      rerank: Boolean = true): DataFrame = {
+    require(kTop > 0, s"kTop must be positive, got $kTop")
+    require(shortlistFactor > 0, s"shortlistFactor must be positive, got $shortlistFactor")
+    val sl = shortlist(corpus, queries, prefixDim, kTop * shortlistFactor,
+      space, corpusId, corpusVec, queryId, queryVec)
+    if (!rerank) sl
+    else ExactKnn.exactRerank(sl, corpus, queries, kTop, space,
+      corpusId, corpusVec, queryId, queryVec)
+  }
+}

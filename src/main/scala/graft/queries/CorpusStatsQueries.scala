@@ -83,22 +83,30 @@ object CorpusStatsQueries {
     * arithmetic: `(n·qnum + 99) div 100`, so no float-times-count rounding
     * ambiguity between engines).
     *
-    * Scale: ONE shuffle (the per-source window sort); rank selection
-    * replaces a global sort-and-collect. Groups far larger than a partition
-    * would switch to the two-pass histogram/binary-search form; the
-    * window form is right while per-group data fits a partition spill.
+    * Two-pass histogram form: pass 1 compacts rows to a per-source VALUE
+    * histogram (map-side-combinable groupBy — the shuffle carries one row
+    * per distinct token count, not per document); pass 2 runs the rank
+    * selection over the cumulative histogram. The value whose cumulative
+    * range [cum−c+1, cum] contains rank k IS the k-th smallest, so this is
+    * bit-identical to sorting the group — but the per-source window now
+    * sorts distinct VALUES (bounded by value cardinality: token counts of
+    * real documents span ~1e5 distinct values no matter how many documents
+    * exist), so a 100×-document source never outgrows a partition spill
+    * the way the row-sort form could.
     */
   def tokenQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val t = docs(spark, dir)
-      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tok"))
+    val hist = docs(spark, dir)
+      .select(col("source"), size(toks).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("n_tok")).agg(count(lit(1)).as("c"))
     val part = Window.partitionBy(col("source"))
-    val w = part.orderBy(col("n_tok").asc, col("doc_id").asc)
+    val w = part.orderBy(col("n_tok").asc)
     val qs = Seq(("p50", 50), ("p90", 90), ("p99", 99))
     val qdf = broadcast(spark.createDataFrame(qs).toDF("label", "qnum"))
-    t.withColumn("rnk", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(part))
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("cnt", sum(col("c")).over(part))
       .crossJoin(qdf)
-      .filter(col("rnk") === expr("(cnt * qnum + 99) div 100"))
+      .withColumn("thr", expr("(cnt * qnum + 99) div 100"))
+      .filter(col("cum") >= col("thr") && col("cum") - col("c") < col("thr"))
       .select(col("source"), col("label"), col("n_tok").as("v"))
   }
 
@@ -152,6 +160,70 @@ object CorpusStatsQueries {
       |    AS novelty
       |FROM g JOIN d USING (bigram)
       |GROUP BY g.doc_id""".stripMargin
+
+  // ---- cross-document boilerplate coverage --------------------------------
+
+  private val BoilerN = 3     // gram length
+  private val BoilerDf = 2    // boilerplate = gram in ≥ this many docs of one source
+
+  /** Per-document boilerplate coverage: the fraction of a document's token
+    * positions covered by word 3-grams that appear in ≥ 2 DISTINCT documents
+    * of the same source — the per-domain repeated-template detector of the
+    * CCNet/Dolma curation recipes (headers, footers, nav text repeat across
+    * a site's pages; prose doesn't). The complement of `rare_bigrams`
+    * (which scores novelty corpus-wide): this localizes WHICH positions are
+    * templated so a scrub step can cut them. Ratio = one exact double
+    * division of integers (hash-gate safe).
+    *
+    * Scale: the df pass is a (source, gram)-keyed count over per-doc
+    * DISTINCT grams — map-side combinable, same shuffle shape as TF-IDF.
+    * The coverage join is gram-equi against the boilerplate subset (df ≥ 2
+    * prunes it to a sliver of the gram space), and the position expansion
+    * is bounded by n× the matched occurrences. No all-pairs stage anywhere;
+    * a 100× corpus grows every stage linearly.
+    */
+  def boilerplateCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tok"), toks.as("w"))
+    val occ = base.select(col("doc_id"), col("source"),
+      posexplode(graft.functions.vfn.ngrams(col("w"), BoilerN))).toDF(
+      "doc_id", "source", "pos", "gram")
+    val boiler = occ.select("doc_id", "source", "gram").distinct()
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf).select("source", "gram")
+    val covered = occ.join(boiler, Seq("source", "gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (BoilerN - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    base.select("doc_id", "n_tok").join(covered, Seq("doc_id"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("coverage", col("n_covered").cast("double") / col("n_tok"))
+  }
+
+  val boilerplateCoverageSql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+       |           FROM documents),
+       |occ AS (
+       |  SELECT doc_id, source, unnest(range(1, len(w) - ${BoilerN - 2})) AS i, w
+       |  FROM t),
+       |g AS (SELECT doc_id, source, i,
+       |        array_to_string(w[i:i + ${BoilerN - 1}], ' ') AS gram
+       |      FROM occ),
+       |boiler AS (
+       |  SELECT source, gram FROM (
+       |    SELECT source, gram, count(DISTINCT doc_id) AS df
+       |    FROM g GROUP BY 1, 2) WHERE df >= $BoilerDf),
+       |pexp AS (
+       |  SELECT g.doc_id, unnest(range(g.i, g.i + $BoilerN)) AS p
+       |  FROM g JOIN boiler ON g.source = boiler.source AND g.gram = boiler.gram),
+       |cov AS (
+       |  SELECT doc_id, count(*) AS n_covered
+       |  FROM (SELECT DISTINCT doc_id, p FROM pexp) GROUP BY 1)
+       |SELECT t.doc_id, len(w) AS n_tok,
+       |  coalesce(cov.n_covered, 0) AS n_covered,
+       |  CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / len(w) AS coverage
+       |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin
 
   // ---- Count-Min frequency sketch ----------------------------------------
 
@@ -483,6 +555,7 @@ object CorpusStatsQueries {
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
     "token_quantiles" -> (tokenQuantiles(_, _)),
     "rare_bigrams" -> (rareBigrams(_, _)),
+    "boilerplate_coverage" -> (boilerplateCoverage(_, _)),
     "kmv_distinct" -> (kmvDistinct(_, _)),
     "cms_token_freq" -> (cmsTokenFreq(_, _)),
     "kmv_overlap" -> (kmvOverlap(_, _)),
@@ -494,6 +567,7 @@ object CorpusStatsQueries {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "token_quantiles" -> tokenQuantilesSql,
     "rare_bigrams" -> rareBigramsSql,
+    "boilerplate_coverage" -> boilerplateCoverageSql,
     "kmv_distinct" -> kmvDistinctSql,
     "cms_token_freq" -> cmsTokenFreqSql,
     "kmv_overlap" -> kmvOverlapSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{SpaceType, Tables}
 import graft.functions.vfn
-import graft.operators.{AnnLsh, BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Mmr, Opq, ScalarQuant}
+import graft.operators.{AnnLsh, BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Matryoshka, Mmr, Opq, ScalarQuant}
 
 /** Vector query pack over the `embeddings` table (64-d float, L2-normalized,
   * 10 labels): exact KNN in all three metric spaces, search-then-fetch,
@@ -943,6 +943,30 @@ object VectorQueries {
       .select(col("qid"), col("vec_id"))
   }
 
+  /** Matryoshka coarse-to-fine KNN (extra tier beyond the reference):
+    * shortlist over the first 16 of 64 dims (¼ of the flat scan's FLOPs,
+    * model-free — see `Matryoshka`), exact full-dim re-rank with 4×
+    * over-fetch. Oracle: exact KNN restricted to the exported shortlist
+    * (the pq/sq/bq construction); recall gates live in MatryoshkaSpec.
+    */
+  private val MrlPrefixDim = 16
+
+  def mrlKnn(spark: SparkSession, dir: String): DataFrame =
+    Matryoshka.search(corpus(spark, dir), queriesDf(spark, dir), MrlPrefixDim,
+        K, SpaceType.L2, shortlistFactor = 4, corpusId = "vec_id",
+        corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+
+  /** The prefix-dim shortlist mrl_knn re-ranks (`slice` of the same scan —
+    * recompute ≡ replay with no trained model at all).
+    */
+  def mrlShortlistAux(spark: SparkSession, dir: String): DataFrame =
+    Matryoshka.search(corpus(spark, dir), queriesDf(spark, dir), MrlPrefixDim,
+        K, SpaceType.L2, shortlistFactor = 4, corpusId = "vec_id",
+        corpusVec = "embedding", queryId = "qid", queryVec = "qv",
+        rerank = false)
+      .select(col("qid"), col("vec_id"))
+
   /** Per-partition NSW graph ANN (rows-only; recall gates in GraphAnnSpec). */
   def graphKnn(spark: SparkSession, dir: String): DataFrame =
     GraphAnn.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.L2,
@@ -1180,6 +1204,7 @@ object VectorQueries {
     "pq_knn_cos" -> ((s, d) => pqKnn(s, d, SpaceType.Cos)),
     "opq_knn" -> (opqKnn(_, _)),
     "sq_knn" -> (sqKnn(_, _)),
+    "mrl_knn" -> (mrlKnn(_, _)),
     "bq_knn" -> (bqKnn(_, _)),
     // the Hamming candidate set is space-agnostic, so the cos variant
     // re-ranks the SAME shortlist — one aux export serves both oracles
@@ -1476,6 +1501,7 @@ object VectorQueries {
     "pq_cos_shortlist" -> ((s, d) => pqShortlistAux(s, d, SpaceType.Cos)),
     "opq_shortlist" -> (opqShortlistAux(_, _)),
     "sq_shortlist" -> (sqShortlistAux(_, _)),
+    "mrl_shortlist" -> (mrlShortlistAux(_, _)),
     "sq_filtered_shortlist" -> (sqFilteredShortlistAux(_, _)),
     "bq_shortlist" -> (bqShortlistAux(_, _)),
     "mmr_cand" -> (mmrCandAux(_, _)),
@@ -1503,6 +1529,8 @@ object VectorQueries {
     "opq_knn" -> restrictedKnnOracle("opq_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "sq_knn" -> restrictedKnnOracle("sq_shortlist",
+      "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "mrl_knn" -> restrictedKnnOracle("mrl_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "bq_knn" -> restrictedKnnOracle("bq_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),

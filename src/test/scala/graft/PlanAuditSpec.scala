@@ -23,6 +23,10 @@ class PlanAuditSpec extends SparkSpec {
     // sq_knn_filtered: the sq_knn broadcast-queries scan shape with the
     // eligibility equi-join composed in front of it.
     "ivf_knn_full", "sq_knn", "sq_knn_filtered", "bq_knn", "bq_knn_cos",
+    // mrl_knn: the knn broadcast-queries scan shape over prefix-sliced
+    // vectors (the shortlist stage IS ExactKnn.knnAgg); the re-rank is an
+    // id-equi-join.
+    "mrl_knn",
     "mmr_rerank",
     "embed_leakage", "outlier_events", "outlier_iqr",
     // label_agreement: bounded audit sample (<=200 rows, guarded by
