@@ -375,6 +375,15 @@ object RecallBench {
       } finally server.stop()
     }
 
+    // Matryoshka: prefix-dim sweep — recall vs the prefix fraction of the
+    // scan FLOPs (model-free funnel; at 64 of 64 dims the only loss left is
+    // the 4× over-fetch truncation, so recall should saturate)
+    for (pd <- Seq(8, 16, 32, 64))
+      report("mrl", "prefix_dim", pd,
+        graft.operators.Matryoshka.search(emb, queries, pd, k, SpaceType.L2,
+          corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "qid", queryVec = "qv"))
+
     // MaxSim shortlist knob: per-token IVF shortlist size m — recall vs
     // cost against the exact all-pairs MaxSim (the maxsim_knn_ivf path's
     // quality curve; the oracle gate pins one point, this sweeps the knob)

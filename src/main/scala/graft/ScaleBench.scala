@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.SpaceType
-import graft.operators.{AnnLsh, Dedup, ExactKnn, IvfIndex, IvfPq, ScalarQuant}
+import graft.operators.{AnnLsh, Boilerplate, Dedup, ExactKnn, IvfIndex, IvfPq, Matryoshka, ScalarQuant}
 
 /** Scale-story benchmark: the sf0.1 numbers in BENCH are Spark-fixed-cost
   * dominated (~0.3–1 s/query floor), so they can't show WHY the approximate
@@ -102,7 +102,7 @@ object ScaleBench {
       .getOrElse(Set("ann", "dedup", "textops"))
     // opt-in sections are never run silently-absent: name what's skipped so
     // a record missing their rows is readable as "not run", not "lost"
-    val known = Seq("ann", "lsh", "dedup", "dedup_steady", "semdedup",
+    val known = Seq("ann", "lsh", "mrl", "dedup", "dedup_steady", "semdedup",
       "selection", "maxsim", "graphfilter", "filterserve", "skew", "tomb",
       "textops", "textops1000")
     println(s"[scale] sections run: ${known.filter(sections).mkString(",")}; " +
@@ -251,6 +251,22 @@ object ScaleBench {
         out(s"lsh_recall_$tag") = rs.sum / rs.size
         lsh.unpersist()
       }
+    }
+
+    // Matryoshka coarse-to-fine: prefix-dim shortlist (16 of 64 dims = ¼ the
+    // scan FLOPs, model-free — no build row at all, which IS the story) +
+    // full-dim exact re-rank. Baseline is the same bounded-heap exact scan
+    // the shortlist stage uses, so the ratio isolates the prefix saving.
+    for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)
+         if sections("mrl")) {
+      val q = queriesOf(corpus)
+      out(s"mrl_exact_knn_$tag") = time(drain(
+        ExactKnn.knnAgg(corpus, q, 10, SpaceType.L2,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
+      out(s"mrl_search_$tag") = time(drain(
+        Matryoshka.search(corpus, q, prefixDim = 16, kTop = 10,
+          space = SpaceType.L2, corpusId = "vec_id", corpusVec = "embedding",
+          queryId = "qid", queryVec = "qv")))
     }
 
     // `dedup_steady` = the dedup section MINUS the pair-enumeration rows
@@ -649,6 +665,13 @@ object ScaleBench {
       // three shuffles are linear (occurrence rows, never pairs)
       out(s"passage_scrub_$tag") = time(drain(
         Dedup.passageScrub(docs, "doc_id", "text", n = 8)))
+      // boilerplate coverage: gram-df + gram-equi coverage join, one output
+      // row per doc — linear shuffles; synthetic 20-way group split stands
+      // in for the source/domain column
+      out(s"boilerplate_$tag") = time(drain(
+        Boilerplate.coverage(docs.withColumn("src",
+          concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+          "doc_id", "text", "src")))
     }
 
     // ---- textops at 1000× docs (the text-tier big-scale section) ----------
@@ -716,13 +739,18 @@ object ScaleBench {
         row(s"big_bloom_decontam_$tag")(time(drain(
           graft.operators.Decontam.ngramContamination(
             d, "doc_id", "text", evalSide, "doc_id", "text", n = 5))))
+        row(s"big_boilerplate_$tag")(time(drain(
+          Boilerplate.coverage(d.withColumn("src",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)))),
+            "doc_id", "text", "src"))))
       }
       val bx = s"${bigF}x"
       Seq(("scaling_big_minhash", s"big_minhash_$bx", "big_minhash_10x"),
         ("scaling_big_minhash_pairs", s"big_minhash_pairs_$bx", "big_minhash_pairs_10x"),
         ("scaling_big_substr", s"big_substr_dedup_$bx", "big_substr_dedup_10x"),
         ("scaling_big_passage_scrub", s"big_passage_scrub_$bx", "big_passage_scrub_10x"),
-        ("scaling_big_bloom_decontam", s"big_bloom_decontam_$bx", "big_bloom_decontam_10x"))
+        ("scaling_big_bloom_decontam", s"big_bloom_decontam_$bx", "big_bloom_decontam_10x"),
+        ("scaling_big_boilerplate", s"big_boilerplate_$bx", "big_boilerplate_10x"))
         .foreach { case (k, num, den) =>
           if (out.contains(num) && out.contains(den) && out(den) != 0.0)
             out(k) = out(num) / out(den)
@@ -755,6 +783,9 @@ object ScaleBench {
       ("scaling_substr_dedup", s"substr_dedup_$scaled", "substr_dedup_1x"),
       ("scaling_bloom_decontam", s"bloom_decontam_$scaled", "bloom_decontam_1x"),
       ("scaling_passage_scrub", s"passage_scrub_$scaled", "passage_scrub_1x"),
+      ("scaling_boilerplate", s"boilerplate_$scaled", "boilerplate_1x"),
+      ("speedup_mrl_vs_exact_at_scale", s"mrl_exact_knn_$scaled", s"mrl_search_$scaled"),
+      ("scaling_mrl_search", s"mrl_search_$scaled", "mrl_search_1x"),
       ("scaling_dsir_select", s"dsir_select_$scaled", "dsir_select_1x"),
       ("scaling_ccnet_terciles", s"ccnet_terciles_$scaled", "ccnet_terciles_1x"),
       ("scaling_cluster_cap_window_scaledk", s"cluster_cap_window_scaledk_$scaled", "cluster_cap_window_1x"),

@@ -172,34 +172,13 @@ object CorpusStatsQueries {
     * CCNet/Dolma curation recipes (headers, footers, nav text repeat across
     * a site's pages; prose doesn't). The complement of `rare_bigrams`
     * (which scores novelty corpus-wide): this localizes WHICH positions are
-    * templated so a scrub step can cut them. Ratio = one exact double
-    * division of integers (hash-gate safe).
-    *
-    * Scale: the df pass is a (source, gram)-keyed count over per-doc
-    * DISTINCT grams — map-side combinable, same shuffle shape as TF-IDF.
-    * The coverage join is gram-equi against the boilerplate subset (df ≥ 2
-    * prunes it to a sliver of the gram space), and the position expansion
-    * is bounded by n× the matched occurrences. No all-pairs stage anywhere;
-    * a 100× corpus grows every stage linearly.
+    * templated so a scrub step can cut them. Core + scale story in
+    * `operators/Boilerplate.scala`; ScaleBench times it on the replicated
+    * corpus.
     */
-  def boilerplateCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir).select(col("doc_id"), col("source"),
-      size(toks).cast("long").as("n_tok"), toks.as("w"))
-    val occ = base.select(col("doc_id"), col("source"),
-      posexplode(graft.functions.vfn.ngrams(col("w"), BoilerN))).toDF(
-      "doc_id", "source", "pos", "gram")
-    val boiler = occ.select("doc_id", "source", "gram").distinct()
-      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= BoilerDf).select("source", "gram")
-    val covered = occ.join(boiler, Seq("source", "gram"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (BoilerN - 1))).as("p"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
-    base.select("doc_id", "n_tok").join(covered, Seq("doc_id"), "left")
-      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
-      .withColumn("coverage", col("n_covered").cast("double") / col("n_tok"))
-  }
+  def boilerplateCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.coverage(docs(spark, dir), "doc_id", "text",
+      "source", n = BoilerN, minDf = BoilerDf)
 
   val boilerplateCoverageSql: String =
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
