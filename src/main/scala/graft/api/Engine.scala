@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core._
 import graft.core.ModelStore
-import graft.operators.{BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Opq, ScalarQuant}
+import graft.operators.{BinaryQuant, ExactKnn, GraphAnn, IvfIndex, IvfPq, Matryoshka, Opq, ScalarQuant}
 import graft.sources.EmbeddingProvider
 
 /** Engine facade — the reference's REST verb set (SURVEY §2.9) as a Scala
@@ -157,6 +157,7 @@ class Engine(
   private def sqLayoutPath(coll: String) = tierGenPath(coll, "sq", layoutGen(coll))
   private def bqLayoutPath(coll: String) = tierGenPath(coll, "bq", layoutGen(coll))
   private def hnswLayoutPath(coll: String) = tierGenPath(coll, "hnsw", layoutGen(coll))
+  private def mrlLayoutPath(coll: String) = tierGenPath(coll, "mrl", layoutGen(coll))
 
   /** Flip to generation `gen + 1` of `tier`'s layout (the new dir must be
     * fully written first), GC generations older than the superseded one,
@@ -201,6 +202,7 @@ class Engine(
     case IndexType.Sq => Some("sq")
     case IndexType.Bq => Some("bq")
     case IndexType.Hnsw => Some("hnsw")
+    case IndexType.Mrl => Some("mrl")
     case _ => None
   }
   // streaming-insert sidecar of the graph layout: underscore-prefixed, so
@@ -777,6 +779,11 @@ class Engine(
           loadedBqOpt(coll).map(m =>
             ((df: DataFrame) => BinaryQuant.encode(df, "vector", m),
               bqLayoutPath(coll), bqLayoutPath(coll), false))
+        case IndexType.Mrl =>
+          // no model to load — the prefix width comes from the config, so
+          // an mrl layout is maintainable from the first buildIndex on
+          Some(((df: DataFrame) => mrlEncode(df, mrlPrefixDim(cfg)),
+            mrlLayoutPath(coll), mrlLayoutPath(coll), false))
         case IndexType.Hnsw =>
           // delta rows carry their write version so a later tombstone can
           // shadow superseded incarnations (update-through-delta)
@@ -1104,6 +1111,7 @@ class Engine(
       case IndexType.Opq => Some((opqLayoutPath(coll), true, "opq"))
       case IndexType.Sq => Some((sqLayoutPath(coll), false, "sq"))
       case IndexType.Bq => Some((bqLayoutPath(coll), false, "bq"))
+      case IndexType.Mrl => Some((mrlLayoutPath(coll), false, "mrl"))
       case _ => None // flat has no layout; hnsw folds via deltaCompactRows
     }
     layout match {
@@ -1206,7 +1214,8 @@ class Engine(
             "routeNprobe requires a collection created with routeNlist (routed graph layout)"))
         require(v > 0 && v <= nl, s"routeNprobe must be in [1, $nl], got $v")
       case ("rerankFactor", v) =>
-        require(cfg.indexType == IndexType.Sq || cfg.indexType == IndexType.Bq,
+        require(cfg.indexType == IndexType.Sq || cfg.indexType == IndexType.Bq
+            || cfg.indexType == IndexType.Mrl,
           s"rerankFactor not valid for ${cfg.indexType.name}")
         require(v > 0, s"rerankFactor must be positive, got $v")
       case ("maxsimCandM", v) =>
@@ -1346,6 +1355,20 @@ class Engine(
           .write.mode("overwrite").parquet(nextPath("bq"))
         flip("bq")
         stampLayout()
+      case IndexType.Mrl =>
+        // Matryoshka prefix tier (arXiv:2205.13147): NO trained model at
+        // all — buildIndex just materializes the dimension prefix as its
+        // own column so shortlist scans read prefixDim/dimension of the
+        // vector bytes (parquet column pruning); the exact re-rank reads
+        // the full vector column of the same layout. Every space works:
+        // the shortlist runs the SAME metric over the prefix, the re-rank
+        // is exact in cfg.spaceType.
+        val pd = mrlPrefixDim(cfg)
+        val corpus = store.read(coll)
+        require(corpus.limit(1).count() >= 1, "cannot build an index on an empty collection")
+        mrlEncode(corpus, pd).write.mode("overwrite").parquet(nextPath("mrl"))
+        flip("mrl")
+        stampLayout()
       case IndexType.Hnsw =>
         // materialize the per-partition HNSW graphs THEMSELVES (adjacency
         // export — the reference persists its hnswlib index the same way):
@@ -1462,6 +1485,15 @@ class Engine(
         BinaryQuant.search(encoded, queries, bq, k, cfg.spaceType,
           rerankVecCol = Some("vector"),
           rerankFactor = getParams(coll).getOrElse("rerankFactor", 8))
+      case IndexType.Mrl =>
+        // same flat-scan shape as SQ/BQ: broadcast queries over the pruned
+        // (id, prefix) scan, id-equi-join re-rank from the vector column
+        guardQuerySetSize(queries, cfg)
+        val pd = mrlPrefixDim(cfg)
+        val encoded = currentLayout(coll, mrlLayoutPath(coll))
+          .map(_._1).getOrElse(mrlEncode(corpus, pd))
+        Matryoshka.searchEncoded(encoded, queries, pd, k, cfg.spaceType,
+          shortlistFactor = getParams(coll).getOrElse("rerankFactor", 4))
       case _ =>
         // flat/hnsw query paths collect the query set; fail fast with a
         // routing hint instead of letting a 10⁸-row frame OOM the driver
@@ -1517,12 +1549,33 @@ class Engine(
       case IndexType.Sq => Some(sqLayoutPath(coll))
       case IndexType.Bq => Some(bqLayoutPath(coll))
       case IndexType.Hnsw => Some(hnswLayoutPath(coll))
+      case IndexType.Mrl => Some(mrlLayoutPath(coll))
       case _ => None
     }
 
 
   private def notBuilt(coll: String): Nothing =
     throw new IllegalStateException(s"index for '$coll' not built — call buildIndex")
+
+  /** The mrl tier's prefix width: `prefixDim` collection param, default ¼
+    * of the dimension (min 1) — validated against the dimension wherever
+    * read (create accepts params unvalidated, reference parity).
+    */
+  private def mrlPrefixDim(cfg: CollectionConfig): Int = {
+    val pd = cfg.params.get("prefixDim").map(_.toInt)
+      .getOrElse(math.max(1, cfg.dimension / 4))
+    require(pd >= 1 && pd <= cfg.dimension,
+      s"prefixDim must be in [1, ${cfg.dimension}], got $pd")
+    pd
+  }
+
+  /** The mrl tier's "encode": materialize the dimension prefix as its own
+    * column, so layout shortlist scans read prefixDim/dimension of the
+    * vector bytes (parquet column pruning) — no trained model at all.
+    */
+  private def mrlEncode(df: DataFrame, prefixDim: Int): DataFrame =
+    df.withColumn("mrl_prefix",
+      slice(col("vector").cast("array<float>"), 1, prefixDim))
 
   /** Driver-side encoded layout rows for a driver-sized maintained batch —
     * the per-tier composition of `LocalEncode`'s kernel twins, mirroring
@@ -1557,6 +1610,11 @@ class Engine(
         rows(d => (None, Seq("sq_code" -> BytesCol(LocalEncode.sqRow(d.vector, m))))))
       case IndexType.Bq => loadedBqOpt(coll).flatMap(m =>
         rows(d => (None, Seq("bq_code" -> BytesCol(LocalEncode.bqRow(d.vector, m))))))
+      case IndexType.Mrl =>
+        // driver twin of mrlEncode: `slice(v, 1, pd)` over a float array IS
+        // `v.take(pd)` — the same leading floats, bit for bit
+        val pd = mrlPrefixDim(cfg)
+        rows(d => (None, Seq("mrl_prefix" -> FloatsCol(d.vector.take(pd)))))
       case _ => None
     }
   }
@@ -1837,6 +1895,19 @@ class Engine(
         BinaryQuant.search(encoded, qDf, bq, k, cfg.spaceType,
           rerankVecCol = Some("vector"),
           rerankFactor = getParams(coll).getOrElse("rerankFactor", 8))
+      case IndexType.Mrl =>
+        // prefix funnel: shortlist over the materialized (id, mrl_prefix)
+        // columns — the layout scan prunes the full-vector bytes — then
+        // exact full-dim re-rank from the same layout's vector column.
+        // Filtered requests semi-join the layout like the quantized tiers;
+        // stale layouts re-slice the live corpus (no model, so the
+        // fallback is just the flat scan plus a slice).
+        val pd = mrlPrefixDim(cfg)
+        val factor = getParams(coll).getOrElse("rerankFactor", 4)
+        val encoded = (if (corpusIsFull) currentLayout(coll, mrlLayoutPath(coll)) else None)
+          .map(l => restrict(l._1)).getOrElse(mrlEncode(corpusEff, pd))
+        Matryoshka.searchEncoded(encoded, qDf, pd, k, cfg.spaceType,
+          shortlistFactor = factor)
       case IndexType.Flat =>
         ExactKnn.knn(corpusEff, qDf, k, cfg.spaceType)
     }

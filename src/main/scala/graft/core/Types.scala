@@ -35,8 +35,9 @@ object IndexType {
   case object Opq extends IndexType("opq")     // beyond reference: rotated IVFPQ
   case object Sq extends IndexType("sq")       // beyond reference: SQ8 flat
   case object Bq extends IndexType("bq")       // beyond reference: 1-bit sign codes
+  case object Mrl extends IndexType("mrl")     // beyond reference: Matryoshka prefix funnel
 
-  val all: Seq[IndexType] = Seq(Flat, Hnsw, IvfFlat, IvfPq, Opq, Sq, Bq)
+  val all: Seq[IndexType] = Seq(Flat, Hnsw, IvfFlat, IvfPq, Opq, Sq, Bq, Mrl)
   def parse(s: String): IndexType =
     all.find(_.name == s.toLowerCase).getOrElse(
       throw new IllegalArgumentException(

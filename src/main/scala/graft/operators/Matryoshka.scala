@@ -54,6 +54,34 @@ object Matryoshka {
     ExactKnn.knnAgg(c, q, kCand, space, corpusId, "__pv", queryId, "__pq")
   }
 
+  /** Coarse-to-fine search over a PRE-MATERIALIZED prefix column (the
+    * Engine's mrl layout): the shortlist scan reads only (id, prefixCol) —
+    * parquet column pruning skips the full-vector bytes entirely, the IO
+    * win the `search` overload (one storage copy, same column) cannot
+    * have. Re-rank fetches full vectors from `encoded`'s vecCol by id.
+    */
+  def searchEncoded(
+      encoded: DataFrame,
+      queries: DataFrame,
+      prefixDim: Int,
+      kTop: Int,
+      space: SpaceType,
+      shortlistFactor: Int = 4,
+      corpusId: String = "id",
+      corpusVec: String = "vector",
+      prefixCol: String = "mrl_prefix",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(kTop > 0, s"kTop must be positive, got $kTop")
+    require(shortlistFactor > 0, s"shortlistFactor must be positive, got $shortlistFactor")
+    val q = queries.select(col(queryId),
+      slice(col(queryVec).cast("array<float>"), 1, prefixDim).as("__pq"))
+    val sl = ExactKnn.knnAgg(encoded.select(col(corpusId), col(prefixCol)),
+      q, kTop * shortlistFactor, space, corpusId, prefixCol, queryId, "__pq")
+    ExactKnn.exactRerank(sl, encoded.select(col(corpusId), col(corpusVec)),
+      queries, kTop, space, corpusId, corpusVec, queryId, queryVec)
+  }
+
   /** Coarse-to-fine search: prefix shortlist of kTop·shortlistFactor, then
     * exact full-dimension re-rank to kTop. `rerank = false` returns the raw
     * shortlist (the aux export the oracle replays).

@@ -87,6 +87,8 @@ class EngineSpec extends SparkSpec {
         ("sq", IndexType.Sq, Map("rerankFactor" -> 16), true),
         ("bq", IndexType.Bq, Map("rerankFactor" -> 16), true),
         ("opq", IndexType.Opq, Map("nprobe" -> 4), false),
+        // shortlist 5·16 = 80 ≥ the 40 eligible rows: re-rank is exhaustive
+        ("mrl", IndexType.Mrl, Map("rerankFactor" -> 16), true),
         ("h", IndexType.Hnsw, Map("efsearch" -> 100), true)) // ef ≥ corpus: beams exhaust
       for ((name, it, params, exact) <- tiers) {
         e.createCollection(CollectionConfig(name, dim, it))
@@ -403,6 +405,56 @@ class EngineSpec extends SparkSpec {
     // a FRESH engine over the same root recovers the model from its snapshot
     val e2 = new Engine(spark, dir)
     assert(e2.searchDocuments("bql2", docs(7).vector, 1).head.id === "7")
+  }
+
+  test("mrl collection: model-free buildIndex, prefix-funnel search, knobs, fresh-engine serving") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("engine-mrl").toString
+    val e = new Engine(spark, dir)
+    val rnd = new scala.util.Random(11)
+    // MRL-shaped corpus: the discriminative signal lives in the leading dims
+    val docs = (0 until 150).map { i =>
+      Document(i.toString, Array.tabulate(8)(j =>
+        (if (j < 4 && j == i % 4) 6f else 0.3f) + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    e.createCollection(CollectionConfig("mrlc", 8, IndexType.Mrl,
+      params = Map("prefixDim" -> "4")))
+    e.batchUpsertDocuments("mrlc", docs)
+    e.buildIndex("mrlc")
+    val hits = e.searchDocuments("mrlc", docs(5).vector, 3)
+    assert(hits.head.id === "5" && math.abs(hits.head.distance) < 1e-9,
+      s"mrl self-match failed: ${hits.map(h => (h.id, h.distance))}")
+    // rerankFactor covering the corpus ⇒ exhaustive re-rank ≡ exact KNN
+    e.setParams("mrlc", Map("rerankFactor" -> 50))
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val exact = docs.map(d => (d.id, l2(docs(9).vector, d.vector)))
+      .sortBy { case (id, dd) => (dd, id.toInt) }.take(5).map(_._1)
+    assert(e.searchDocuments("mrlc", docs(9).vector, 5).map(_.id) === exact,
+      "full-coverage mrl must equal exact KNN")
+    e.setParams("mrlc", Map("rerankFactor" -> 4))
+    // DF KNN-join surface agrees with the Seq surface
+    val viaDf = e.searchVectorsDf("mrlc",
+        Seq(("a", docs(5).vector.toSeq)).toDF("query_id", "query_vec")
+          .select(col("query_id"), col("query_vec").cast("array<float>").as("query_vec")), 3)
+      .select("id", "rnk").as[(String, Long)].collect().toSet
+    val viaSeq = e.searchVectors("mrlc", Seq(("a", docs(5).vector)), 3)
+      .select("id", "rnk").as[(String, Long)].collect().toSet
+    assert(viaDf === viaSeq, "mrl DF path diverged")
+    // knob validation: nprobe/efsearch are not mrl knobs
+    intercept[IllegalArgumentException](e.setParams("mrlc", Map("nprobe" -> 2)))
+    intercept[IllegalArgumentException](e.setParams("mrlc", Map("efsearch" -> 10)))
+    // a FRESH engine serves straight from the layout — no model to recover
+    val e2 = new Engine(spark, dir)
+    assert(e2.searchDocuments("mrlc", docs(7).vector, 1).head.id === "7")
+    // prefixDim beyond the dimension fails at buildIndex, not silently
+    e.createCollection(CollectionConfig("mrlbad", 8, IndexType.Mrl,
+      params = Map("prefixDim" -> "9")))
+    e.batchUpsertDocuments("mrlbad", docs.take(5))
+    intercept[IllegalArgumentException](e.buildIndex("mrlbad"))
   }
 
   test("searchVectorsDf: oversized query set on a flat collection fails fast with routing hint") {

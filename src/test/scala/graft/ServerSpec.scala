@@ -133,6 +133,25 @@ class ServerSpec extends SparkSpec {
       """{"parameters":{"routeNprobe":1}}""")._1 === 400)
   }
 
+  test("mrl tier over the wire: prefixDim collection param + rerankFactor knob") {
+    assert(req("POST", "/v1/collections",
+      """{"name":"mrlw","dimension":4,"index_type":"mrl","parameters":{"prefixDim":"2"}}""")._1 === 200)
+    val docs = (0 until 30).map(i =>
+      s"""{"id":"$i","vector":[$i,${i % 5},0,0]}""").mkString("[", ",", "]")
+    assert(req("POST", "/v1/collections/mrlw/buildindex",
+      s"""{"documents":$docs}""")._1 === 200)
+    assert(req("POST", "/v1/collections/mrlw/documents/setparams",
+      """{"parameters":{"rerankFactor":8}}""")._1 === 200)
+    val (cs, vs) = req("POST", "/v1/collections/mrlw/vectors/search",
+      """{"vector":[7,2,0,0],"limit":1}""")
+    assert(cs === 200)
+    assert(vs.asObj("ids").asArr.head.asStr === "7",
+      s"mrl wire search missed the exact match: $vs")
+    // validation over the wire: nprobe is not an mrl knob
+    assert(req("POST", "/v1/collections/mrlw/documents/setparams",
+      """{"parameters":{"nprobe":2}}""")._1 === 400)
+  }
+
   test("GET /v1/metrics reports the serving-cache counters and the point-reader bloom ledger; gauges move under load") {
     val (code, v) = req("GET", "/v1/metrics")
     assert(code === 200)

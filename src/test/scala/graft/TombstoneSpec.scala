@@ -33,6 +33,7 @@ class TombstoneSpec extends SparkSpec {
     ("opq", IndexType.Opq, Map("m" -> "2")),
     ("sq", IndexType.Sq, Map.empty),
     ("bq", IndexType.Bq, Map.empty),
+    ("mrl", IndexType.Mrl, Map("prefixDim" -> "2")),
     ("g", IndexType.Hnsw, Map.empty),
     ("gr", IndexType.Hnsw, Map("routeNlist" -> "4")))
 
