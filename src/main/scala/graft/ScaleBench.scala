@@ -679,12 +679,23 @@ object ScaleBench {
     // count (every replica shares its source's grams — right for proving
     // the 10× contract, impossible at 1000×: ~2.5e9 required pairs). This
     // section instead builds a corpus with CONSTANT dup density: replica
-    // text is word-ROTATED per rep (distinct shingles/grams), except rep 1
-    // which stays a near-copy of rep 0 — every original doc contributes one
-    // bounded near-dup group while the corpus grows 1000×, the realistic
-    // web-scale shape. Rows measure candidate-generation scaling at
-    // constant dup rate; the ratio of the SAME construction at 1000× vs a
-    // 10× slice is the scaling claim (an all-pairs join would be 10⁴× it).
+    // text is token-PERMUTED per rep (hash-seeded order, so word n-grams
+    // are destroyed while the token multiset — doc length, vocabulary,
+    // token stats — is preserved), except rep 1 which stays a near-copy of
+    // rep 0 — every original doc contributes one bounded near-dup group
+    // while the corpus grows 1000×, the realistic web-scale shape.
+    //
+    // The first cut of this section word-ROTATED replicas instead — and the
+    // 1000× run killed the host disk, which was the section doing its job:
+    // a rotation changes only the ~2 boundary n-grams, so every rep shared
+    // ~all shingles with every other rep of its source doc and the REQUIRED
+    // near-dup output was still C(reps, 2)·docs (≈2.5e9 pairs at 1000×) —
+    // quadratic construction, not a machinery bug. The permutation makes
+    // "constant dup density" actually true.
+    //
+    // Rows measure candidate-generation scaling at constant dup rate; the
+    // ratio of the SAME construction at 1000× vs a 10× slice is the scaling
+    // claim (an all-pairs join would be 10⁴× it).
     if (sections("textops1000")) {
       val bigF = sys.env.getOrElse("SPARK_GRAFT_TEXTOPS_FACTOR", "1000").toInt
       val bigPath = s"$scaleDir/documents_big$bigF"
@@ -695,11 +706,11 @@ object ScaleBench {
           .select((col("doc_id") + col("rep") * nd).as("doc_id"),
             when(col("rep") <= 1, concat(col("text"), lit(" dupgroup")))
               .otherwise(concat(
-                concat_ws(" ",
-                  expr("slice(split(text, ' '), CAST(rep % 16 + 2 AS INT), 100000)")),
-                lit(" "),
-                concat_ws(" ",
-                  expr("slice(split(text, ' '), 1, CAST(rep % 16 + 1 AS INT))")),
+                array_join(expr(
+                  """transform(
+                    |  array_sort(transform(split(text, ' '),
+                    |    (w, i) -> struct(xxhash64(rep, i) AS k, w AS w))),
+                    |  s -> s.w)""".stripMargin), " "),
                 lit(" rep"), col("rep"))).as("text"))
           .write.mode("overwrite").parquet(bigPath)
       }

@@ -145,6 +145,69 @@ object PipelineQueries {
        |  FROM documents) t""".stripMargin
   }
 
+  // ---- temperature-weighted mixture allocation ----------------------------
+
+  private val MixBudget = 100000L // token budget to split across sources
+  private val MixScale = 1000000L // sqrt-weight fixed-point scale
+
+  /** Temperature-weighted token-budget allocation across sources: the
+    * "how many tokens from each domain" mixture step every pretraining run
+    * decides (τ = 0.5 down-weights giant domains; the UnifiedScaling /
+    * DoReMi literature's standard static form is wᵢ ∝ nᵢ^τ).
+    *
+    * Determinism: each weight is ONE correctly-rounded IEEE sqrt, one
+    * multiply, one floor → fixed-point BIGINT (identical in both engines);
+    * everything after is exact integer arithmetic — the largest-remainder
+    * method (quota = B·wᵢ div Σw, leftovers to the largest remainders, ties
+    * by source) guarantees Σalloc = B exactly, no float shares summed in
+    * any order. Fixed-point bound: B·wᵢ must fit int64 — fine to ~10¹²
+    * token budgets at this scale; a 100 TB deployment lifts the quota step
+    * to DECIMAL(38,0) (same algebra, no other change).
+    *
+    * Scale: one map-side-combinable groupBy(source); the two scalar folds
+    * (Σw, Σq) are 1-row broadcasts and the remainder window sorts #sources
+    * rows — constant-size at ANY corpus size (domains are bounded; rows are
+    * not).
+    */
+  def mixAllocate(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir)
+      .select(col("source"), size(toks).cast("long").as("__t"))
+      .groupBy(col("source")).agg(sum(col("__t")).as("n_tok"))
+    val w = n.withColumn("w",
+      floor(sqrt(col("n_tok").cast("double")) * lit(MixScale.toDouble)).cast("long"))
+    val tot = w.agg(sum(col("w")).as("__tw"))
+    val q = w.crossJoin(broadcast(tot))
+      .withColumn("q", expr(s"$MixBudget * w div __tw"))
+      .withColumn("r", expr(s"$MixBudget * w % __tw"))
+    val left = q.agg((lit(MixBudget) - sum(col("q"))).as("__lf"))
+    // global window over #sources rows — bounded by the domain count, not
+    // the corpus (the one place a single-partition sort is the right call)
+    val rnk = Window.orderBy(col("r").desc, col("source").asc)
+    q.crossJoin(broadcast(left))
+      .withColumn("__rnk", row_number().over(rnk))
+      .withColumn("alloc",
+        (col("q") + when(col("__rnk") <= col("__lf"), 1L).otherwise(0L)).cast("long"))
+      .select(col("source"), col("n_tok"), col("w"), col("alloc"))
+  }
+
+  val mixAllocateSql: String =
+    s"""WITH n AS (
+       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT source, n_tok,
+       |        CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * $MixScale) AS BIGINT) AS w
+       |      FROM n),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+       |q AS (SELECT source, n_tok, w,
+       |        CAST($MixBudget * w // tw AS BIGINT) AS q,
+       |        CAST($MixBudget * w % tw AS BIGINT) AS r
+       |      FROM w CROSS JOIN t),
+       |l AS (SELECT CAST($MixBudget - sum(q) AS BIGINT) AS lf FROM q)
+       |SELECT source, n_tok, w,
+       |  CAST(q + CASE WHEN rnk <= lf THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM (SELECT *, row_number() OVER (ORDER BY r DESC, source ASC) AS rnk
+       |      FROM q) z CROSS JOIN l""".stripMargin
+
   // ---- DSIR-style importance resampling ----------------------------------
 
   /** DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169): the
@@ -649,6 +712,7 @@ object PipelineQueries {
     "train_split" -> (trainSplit(_, _)),
     "sample_sources" -> (sampleSources(_, _)),
     "epoch_mix" -> (epochMix(_, _)),
+    "mix_allocate" -> (mixAllocate(_, _)),
     "dsir_select" -> (dsirSelect(_, _)),
     "sample_fixed" -> (sampleFixed(_, _)),
     "quality_rules" -> (qualityRules(_, _)),
@@ -668,6 +732,7 @@ object PipelineQueries {
     "train_split" -> trainSplitSql,
     "sample_sources" -> sampleSourcesSql,
     "epoch_mix" -> epochMixSql,
+    "mix_allocate" -> mixAllocateSql,
     "dsir_select" -> dsirSelectSql,
     "sample_fixed" -> sampleFixedSql,
     "quality_rules" -> qualityRulesSql,

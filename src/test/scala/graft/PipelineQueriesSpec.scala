@@ -69,6 +69,33 @@ class PipelineQueriesSpec extends SparkSpec {
       s"score mismatch for doc ${r.getLong(0)}"))
   }
 
+  test("mix_allocate: sums exactly to the budget; matches a brute-force largest-remainder") {
+    val rows = PipelineQueries.mixAllocate(spark, sf001)
+      .select("source", "n_tok", "w", "alloc")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum === 100000L, "allocations must sum exactly to the budget")
+    // brute-force recount from the raw table
+    val nTok = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n")).as[(String, Long)].collect().toMap
+    val w = nTok.view.mapValues(n => math.floor(math.sqrt(n.toDouble) * 1e6).toLong).toMap
+    val tw = w.values.sum
+    val q = w.view.mapValues(x => 100000L * x / tw).toMap
+    val left = 100000L - q.values.sum
+    val byRem = w.toSeq.map { case (s, x) => (s, 100000L * x % tw) }
+      .sortBy { case (s, r) => (-r, s) }.map(_._1).zipWithIndex.toMap
+    val want = q.map { case (s, qq) => s -> (qq + (if (byRem(s) < left) 1L else 0L)) }
+    rows.foreach { case (s, n, ww, a) =>
+      assert(n === nTok(s) && ww === w(s) && a === want(s),
+        s"$s: got (n=$n w=$ww alloc=$a), want (n=${nTok(s)} w=${w(s)} alloc=${want(s)})")
+    }
+    // bigger source never gets a smaller scaled weight (monotone in n)
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 <= hi._3, s"weight not monotone: $lo vs $hi")
+    }
+  }
+
   test("quality_rules: flags match a scala recount on a sample") {
     val rows = PipelineQueries.qualityRules(spark, sf001).limit(50).collect()
     val texts = spark.read.parquet(s"$sf001/documents.parquet")

@@ -57,7 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     // sketches, event_cooccurrence folds the distinct-user count.
     Set("bm25_keyword", "tfidf_top_terms", "token_quantiles",
       "q11_important_parts", "q22_idle_customers", "state_diff",
-      "kmv_overlap", "event_cooccurrence")
+      "kmv_overlap", "event_cooccurrence",
+      // mix_allocate folds Σw and the leftover count — two 1-row broadcasts
+      // stamped onto a #sources-row frame
+      "mix_allocate")
 
   test("no declared query plans a CartesianProduct; BNLJ only where it is the design") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
