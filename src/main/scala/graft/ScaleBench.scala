@@ -718,6 +718,19 @@ object ScaleBench {
       out("big_corpus_docs") = big.count().toDouble
       val evalSide = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+      // SPARK_GRAFT_TEXTOPS_ROWS=minhash,substr restricts which ops run —
+      // substr's char-40-gram stream is ~300 grams × ~50 B per doc, so its
+      // equi-join shuffle alone is ~70 GB at 5M docs: past this host's spill
+      // disk (measured: the 1000× run died in the gram sort) though linear —
+      // at cluster scale that is shuffle capacity, not a machinery wall. The
+      // filter lets the other rows still measure at 1000× while substr
+      // records at a factor whose bytes fit. Skips are logged, never silent.
+      val rowFilter = sys.env.get("SPARK_GRAFT_TEXTOPS_ROWS")
+        .map(_.split(",").map(_.trim).toSet)
+      def wantOp(op: String): Boolean = rowFilter.forall(_(op))
+      rowFilter.foreach(f => println(s"[scale] textops1000 rows run: " +
+        s"${f.mkString(",")}; skipped: ${Seq("minhash", "substr", "passage_scrub",
+          "bloom_decontam", "boilerplate").filterNot(f).mkString(",")}"))
       for ((tag, d) <- Seq("10x" -> big.filter(col("doc_id") < 10 * nd),
           s"${bigF}x" -> big)) {
         spark.catalog.clearCache()
@@ -726,7 +739,7 @@ object ScaleBench {
           out(name) = v
           println(f"[scale] textops1000 $name = ${out(name)}%.3f")
         }
-        row(s"big_minhash_$tag") {
+        if (wantOp("minhash")) row(s"big_minhash_$tag") {
           // construction INSIDE the timing: the pipeline materializes its
           // verified pairs at construction (verifyJaccard is terminal), so
           // timing only the drain would measure a cache read
@@ -742,15 +755,15 @@ object ScaleBench {
         // at 1.3e9 gram rows (first 1000× run) — the 8-byte hash key is the
         // documented big-corpus mode; both tags use it so the ratio is
         // apples-to-apples
-        row(s"big_substr_dedup_$tag")(time(drain(
+        if (wantOp("substr")) row(s"big_substr_dedup_$tag")(time(drain(
           Dedup.charGramPairs(d, "doc_id", "text", gramLen = 40,
             hashedJoinKey = true))))
-        row(s"big_passage_scrub_$tag")(time(drain(
+        if (wantOp("passage_scrub")) row(s"big_passage_scrub_$tag")(time(drain(
           Dedup.passageScrub(d, "doc_id", "text", n = 8))))
-        row(s"big_bloom_decontam_$tag")(time(drain(
+        if (wantOp("bloom_decontam")) row(s"big_bloom_decontam_$tag")(time(drain(
           graft.operators.Decontam.ngramContamination(
             d, "doc_id", "text", evalSide, "doc_id", "text", n = 5))))
-        row(s"big_boilerplate_$tag")(time(drain(
+        if (wantOp("boilerplate")) row(s"big_boilerplate_$tag")(time(drain(
           Boilerplate.coverage(d.withColumn("src",
             concat(lit("s"), pmod(col("doc_id"), lit(20)))),
             "doc_id", "text", "src"))))
