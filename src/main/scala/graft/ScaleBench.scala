@@ -698,8 +698,13 @@ object ScaleBench {
     // claim (an all-pairs join would be 10⁴× it).
     if (sections("textops1000")) {
       val bigF = sys.env.getOrElse("SPARK_GRAFT_TEXTOPS_FACTOR", "1000").toInt
-      val bigPath = s"$scaleDir/documents_big$bigF"
-      if (!new java.io.File(bigPath).exists()) {
+      // "perm" versions the cache: hosts that ran the old ROTATION
+      // construction still hold documents_big<F> dirs whose required pair
+      // output is quadratic — an exists()-reuse of one would re-benchmark
+      // the wrong corpus (and re-kill the disk) while claiming the fixed
+      // construction. _SUCCESS guards against reusing a crashed half-write.
+      val bigPath = s"$scaleDir/documents_bigperm$bigF"
+      if (!new java.io.File(s"$bigPath/_SUCCESS").exists()) {
         val reps = spark.range(bigF).select(col("id").as("rep"))
         spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text")).crossJoin(reps)

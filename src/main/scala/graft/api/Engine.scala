@@ -1489,6 +1489,7 @@ class Engine(
         // same flat-scan shape as SQ/BQ: broadcast queries over the pruned
         // (id, prefix) scan, id-equi-join re-rank from the vector column
         guardQuerySetSize(queries, cfg)
+        requireMrlBuilt(coll)
         val pd = mrlPrefixDim(cfg)
         val encoded = currentLayout(coll, mrlLayoutPath(coll))
           .map(_._1).getOrElse(mrlEncode(corpus, pd))
@@ -1576,6 +1577,18 @@ class Engine(
   private def mrlEncode(df: DataFrame, prefixDim: Int): DataFrame =
     df.withColumn("mrl_prefix",
       slice(col("vector").cast("array<float>"), 1, prefixDim))
+
+  /** The mrl tier has no model snapshot, so "ever built" = its current
+    * layout dir exists. Built-then-STALED keeps the dir (staling deletes
+    * only the stamp) and serves through the live-corpus fallback like every
+    * tier; NEVER-built throws the same notBuilt the model tiers raise via
+    * their missing snapshots — without this, a forgotten buildIndex would
+    * silently serve worse-than-flat re-slices forever.
+    */
+  private def requireMrlBuilt(coll: String): Unit =
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(mrlLayoutPath(coll))))
+      notBuilt(coll)
 
   /** Driver-side encoded layout rows for a driver-sized maintained batch —
     * the per-tier composition of `LocalEncode`'s kernel twins, mirroring
@@ -1901,7 +1914,8 @@ class Engine(
         // exact full-dim re-rank from the same layout's vector column.
         // Filtered requests semi-join the layout like the quantized tiers;
         // stale layouts re-slice the live corpus (no model, so the
-        // fallback is just the flat scan plus a slice).
+        // fallback is just the flat scan plus a slice); never-built throws.
+        requireMrlBuilt(coll)
         val pd = mrlPrefixDim(cfg)
         val factor = getParams(coll).getOrElse("rerankFactor", 4)
         val encoded = (if (corpusIsFull) currentLayout(coll, mrlLayoutPath(coll)) else None)

@@ -455,6 +455,11 @@ class EngineSpec extends SparkSpec {
       params = Map("prefixDim" -> "9")))
     e.batchUpsertDocuments("mrlbad", docs.take(5))
     intercept[IllegalArgumentException](e.buildIndex("mrlbad"))
+    // never-built mrl throws notBuilt like the model tiers — no silent
+    // worse-than-flat re-slice serving
+    e.createCollection(CollectionConfig("mrlnb", 8, IndexType.Mrl))
+    e.batchUpsertDocuments("mrlnb", docs.take(5))
+    intercept[IllegalStateException](e.searchDocuments("mrlnb", docs(0).vector, 1))
   }
 
   test("searchVectorsDf: oversized query set on a flat collection fails fast with routing hint") {
