@@ -306,7 +306,10 @@ object RecallBench {
         // cluster_id partition dirs + codes) cover both local layouts.
         for ((qcoll, it, params) <- Seq(
             ("serve_sq", graft.core.IndexType.Sq, Map.empty[String, String]),
-            ("serve_pq", graft.core.IndexType.IvfPq, Map("m" -> "8")))) {
+            ("serve_pq", graft.core.IndexType.IvfPq, Map("m" -> "8")),
+            // mrl: the model-free tier — its "encode" twin is a prefix take,
+            // so its write floor should match sq's (flat local layout)
+            ("serve_mrl", graft.core.IndexType.Mrl, Map("prefixDim" -> "16")))) {
           engine.createCollection(graft.core.CollectionConfig(
             qcoll, 64, it, SpaceType.L2, params = params))
           engine.batchUpsertDocuments(qcoll, docs.toSeq)

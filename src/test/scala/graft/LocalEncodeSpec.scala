@@ -118,6 +118,25 @@ class LocalEncodeSpec extends SparkSpec {
     }
   }
 
+  test("mrl prefix: driver twin (take) ≡ slice column, bit-exact incl. subnormals") {
+    val pd = 3
+    val vs = vecs
+    val got = df(vs)
+      .select(col("id"), slice(col("vector").cast("array<float>"), 1, pd).as("p"))
+      .collect()
+      .map(r => (r.getString(0).toInt,
+        r.getAs[scala.collection.Seq[Float]](1).toArray)).toMap
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val want = v.take(pd) // the Engine.localLayoutRows mrl twin
+      assert(got(i).length === want.length, s"prefix width diverged at $i")
+      got(i).zip(want).zipWithIndex.foreach { case ((a, b), j) =>
+        assert(java.lang.Float.floatToRawIntBits(a) ===
+          java.lang.Float.floatToRawIntBits(b),
+          s"prefix bit diverged at vector $i dim $j")
+      }
+    }
+  }
+
   test("bq code: driver twin ≡ BqEncode kernel (incl. pad bits, boundary equality)") {
     // thresholds EQUAL to several test values: x > thr is strict, equality
     // must encode as 0 on both paths
