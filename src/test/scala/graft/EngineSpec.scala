@@ -444,6 +444,16 @@ class EngineSpec extends SparkSpec {
     val viaSeq = e.searchVectors("mrlc", Seq(("a", docs(5).vector)), 3)
       .select("id", "rnk").as[(String, Long)].collect().toSet
     assert(viaDf === viaSeq, "mrl DF path diverged")
+    // plan-level evidence of the tier's IO story: the layout-served
+    // shortlist stage scans (id, mrl_prefix) WITHOUT the vector column —
+    // parquet column pruning is what makes the funnel cheaper than flat
+    val planStr = e.searchVectorsDf("mrlc",
+        Seq(("p", docs(5).vector.toSeq)).toDF("query_id", "query_vec")
+          .select(col("query_id"), col("query_vec").cast("array<float>").as("query_vec")), 3)
+      .queryExecution.executedPlan.toString
+    val scanLines = planStr.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scanLines.exists(l => l.contains("mrl_prefix") && !l.contains("vector")),
+      s"no vector-pruned (id, mrl_prefix) shortlist scan in:\n${scanLines.mkString("\n")}")
     // knob validation: nprobe/efsearch are not mrl knobs
     intercept[IllegalArgumentException](e.setParams("mrlc", Map("nprobe" -> 2)))
     intercept[IllegalArgumentException](e.setParams("mrlc", Map("efsearch" -> 10)))

@@ -305,7 +305,9 @@ class StreamingSpec extends SparkSpec {
     val root = Files.createTempDirectory("qflat-root").toString
     val e = new Engine(spark, root)
     for ((coll, it, codeCol) <- Seq(("s", IndexType.Sq, "sq_code"),
-        ("b", IndexType.Bq, "bq_code"))) {
+        ("b", IndexType.Bq, "bq_code"),
+        // mrl is a flat "code" layout too — its encode column is the prefix
+        ("m", IndexType.Mrl, "mrl_prefix"))) {
       e.createCollection(CollectionConfig(coll, 4, it))
       e.batchUpsertDocuments(coll, (0 until 30).map { i =>
         Document(i.toString, Array(i * 1f, (i % 7) * 1f, 0f, 0f))
