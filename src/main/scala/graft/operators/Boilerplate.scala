@@ -19,17 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
-  /** Per-document coverage: (idCol, n_tok, n_covered, coverage) — coverage
-    * is ONE exact double division of integers (hash-gate safe). Every input
-    * document appears exactly once (zero-coverage docs included).
+  /** Shared detection stages: the tokenized base frame, the positional gram
+    * occurrences, and the per-doc DISTINCT covered positions (exploded from
+    * boilerplate-gram occurrences).
     */
-  def coverage(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      groupCol: String,
-      n: Int = 3,
-      minDf: Int = 2): DataFrame = {
+  private def coveredPositions(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      n: Int, minDf: Int): (DataFrame, DataFrame) = {
     require(n > 0, s"gram length must be positive, got $n")
     require(minDf >= 2, s"minDf < 2 would mark every gram boilerplate, got $minDf")
     val toks = split(col(textCol), " ")
@@ -45,9 +41,53 @@ object Boilerplate {
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
       .distinct()
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
-    base.select(idCol, "n_tok").join(covered, Seq(idCol), "left")
+    (base, covered)
+  }
+
+  /** Per-document coverage: (idCol, n_tok, n_covered, coverage) — coverage
+    * is ONE exact double division of integers (hash-gate safe). Every input
+    * document appears exactly once (zero-coverage docs included).
+    */
+  def coverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      n: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    val (base, covered) = coveredPositions(docs, idCol, textCol, groupCol, n, minDf)
+    val counts = covered.groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
+    base.select(idCol, "n_tok").join(counts, Seq(idCol), "left")
       .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
       .withColumn("coverage", col("n_covered").cast("double") / col("n_tok"))
+  }
+
+  /** The REMOVAL transform over the same detection: rebuild each document
+    * from its uncovered token positions — (idCol, clean_text, n_kept).
+    * Order is preserved (sort by position inside the per-doc aggregate, one
+    * doc-keyed shuffle); a fully-templated document comes back as the empty
+    * string, never dropped. The passage analog is `Dedup.passageScrub`
+    * (whole repeated passages); this cuts per-domain templated SPANS while
+    * keeping the prose around them.
+    */
+  def scrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      n: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    val (base, covered) = coveredPositions(docs, idCol, textCol, groupCol, n, minDf)
+    val pos = base.select(col(idCol),
+      posexplode(col("__w"))).toDF(idCol, "__p", "__tok")
+    val kept = pos.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        array_join(transform(array_sort(
+          collect_list(struct(col("__p"), col("__tok")))), s => s("__tok")), " ")
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(idCol).join(kept, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 }

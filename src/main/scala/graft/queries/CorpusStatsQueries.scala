@@ -180,6 +180,46 @@ object CorpusStatsQueries {
     graft.operators.Boilerplate.coverage(docs(spark, dir), "doc_id", "text",
       "source", n = BoilerN, minDf = BoilerDf)
 
+  /** The removal transform over the same detection — rebuild each document
+    * from its uncovered positions (`Boilerplate.scrub`); the clean-text
+    * column is exact string algebra (order-preserving position sort), so
+    * the hash gate covers the reconstruction itself.
+    */
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.scrub(docs(spark, dir), "doc_id", "text",
+      "source", n = BoilerN, minDf = BoilerDf)
+
+  val boilerplateScrubSql: String =
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+       |           FROM documents),
+       |occ AS (
+       |  SELECT doc_id, source, unnest(range(1, len(w) - ${BoilerN - 2})) AS i, w
+       |  FROM t),
+       |g AS (SELECT doc_id, source, i,
+       |        array_to_string(w[i:i + ${BoilerN - 1}], ' ') AS gram
+       |      FROM occ),
+       |boiler AS (
+       |  SELECT source, gram FROM (
+       |    SELECT source, gram, count(DISTINCT doc_id) AS df
+       |    FROM g GROUP BY 1, 2) WHERE df >= $BoilerDf),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT g.doc_id, unnest(range(g.i, g.i + $BoilerN)) AS p
+       |    FROM g JOIN boiler ON g.source = boiler.source AND g.gram = boiler.gram)),
+       |tok AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS p, w FROM t),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.p, tok.w[tok.p] AS tk
+       |  FROM (SELECT doc_id, p, w FROM tok) tok
+       |  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+       |agg AS (
+       |  SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS clean_text,
+       |    count(*) AS n_kept
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+       |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin
+
   val boilerplateCoverageSql: String =
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
        |           FROM documents),
@@ -535,6 +575,7 @@ object CorpusStatsQueries {
     "token_quantiles" -> (tokenQuantiles(_, _)),
     "rare_bigrams" -> (rareBigrams(_, _)),
     "boilerplate_coverage" -> (boilerplateCoverage(_, _)),
+    "boilerplate_scrub" -> (boilerplateScrub(_, _)),
     "kmv_distinct" -> (kmvDistinct(_, _)),
     "cms_token_freq" -> (cmsTokenFreq(_, _)),
     "kmv_overlap" -> (kmvOverlap(_, _)),
@@ -547,6 +588,7 @@ object CorpusStatsQueries {
     "token_quantiles" -> tokenQuantilesSql,
     "rare_bigrams" -> rareBigramsSql,
     "boilerplate_coverage" -> boilerplateCoverageSql,
+    "boilerplate_scrub" -> boilerplateScrubSql,
     "kmv_distinct" -> kmvDistinctSql,
     "cms_token_freq" -> cmsTokenFreqSql,
     "kmv_overlap" -> kmvOverlapSql,

@@ -104,6 +104,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
   }
 
+  test("boilerplate scrub ⊥ coverage: kept + covered = n_tok; clean docs round-trip") {
+    val cov = CorpusStatsQueries.boilerplateCoverage(spark, sf0001)
+      .select("doc_id", "n_tok", "n_covered").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val scrub = CorpusStatsQueries.boilerplateScrub(spark, sf0001)
+      .select("doc_id", "clean_text", "n_kept").as[(Long, String, Long)].collect()
+    assert(scrub.length === cov.size, "scrub must emit every document")
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    scrub.foreach { case (id, clean, kept) =>
+      val (nTok, nCov) = cov(id)
+      assert(kept + nCov === nTok, s"doc $id: kept $kept + covered $nCov != $nTok")
+      if (nCov == 0)
+        assert(clean === texts(id), s"doc $id: zero-coverage doc must round-trip")
+      else {
+        // every kept token must appear in the original, count-bounded
+        val orig = texts(id).split(" ").groupBy(identity).view.mapValues(_.length)
+        val keptToks = if (clean.isEmpty) Array.empty[String] else clean.split(" ")
+        assert(keptToks.length.toLong === kept)
+        keptToks.groupBy(identity).foreach { case (w, g) =>
+          assert(orig.getOrElse(w, 0) >= g.length,
+            s"doc $id: scrubbed text invented token '$w'")
+        }
+      }
+    }
+    // the operator actually fires on this corpus (non-vacuous)
+    assert(scrub.exists(_._3 < cov(scrub.head._1)._1) ||
+      cov.values.exists(_._2 > 0), "no document had any boilerplate — gate is vacuous")
+  }
+
   test("gram_stats kernel: counts match brute force incl. edges") {
     import org.apache.spark.sql.graft.{Bridge, GramStats}
     val df = Seq(
