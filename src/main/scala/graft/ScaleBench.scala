@@ -704,6 +704,15 @@ object ScaleBench {
       // the wrong corpus (and re-kill the disk) while claiming the fixed
       // construction. _SUCCESS guards against reusing a crashed half-write.
       val bigPath = s"$scaleDir/documents_bigperm$bigF"
+      // a rotation-era dir can be ~50 GB on a host with ~80 GB of spill
+      // disk — leaving it stranded could ENOSPC the rebuild below; delete
+      // it loudly rather than silently carry it
+      val legacy = new org.apache.hadoop.fs.Path(s"$scaleDir/documents_big$bigF")
+      val lfs = legacy.getFileSystem(spark.sessionState.newHadoopConf())
+      if (lfs.exists(legacy)) {
+        println(s"[scale] textops1000 deleting legacy rotation-era corpus $legacy")
+        lfs.delete(legacy, true)
+      }
       if (!new java.io.File(s"$bigPath/_SUCCESS").exists()) {
         val reps = spark.range(bigF).select(col("id").as("rep"))
         spark.read.parquet(s"$sfDir/documents.parquet")

@@ -64,11 +64,15 @@ object Boilerplate {
 
   /** The REMOVAL transform over the same detection: rebuild each document
     * from its uncovered token positions — (idCol, clean_text, n_kept).
-    * Order is preserved (sort by position inside the per-doc aggregate, one
-    * doc-keyed shuffle); a fully-templated document comes back as the empty
-    * string, never dropped. The passage analog is `Dedup.passageScrub`
-    * (whole repeated passages); this cuts per-domain templated SPANS while
-    * keeping the prose around them.
+    * The rebuild is IN-ROW: the per-doc covered positions aggregate to one
+    * (small) array, join back to the tokenized base on the doc key, and a
+    * higher-order `filter` drops covered indices — so the only shuffled
+    * stream is the boilerplate OCCURRENCES (a sliver at real dup rates),
+    * never the corpus token stream. Order is trivially preserved (tokens
+    * never leave their row); a fully-templated document comes back as the
+    * empty string, never dropped. The passage analog is
+    * `Dedup.passageScrub` (whole repeated passages); this cuts per-domain
+    * templated SPANS while keeping the prose around them.
     */
   def scrub(
       docs: DataFrame,
@@ -78,16 +82,17 @@ object Boilerplate {
       n: Int = 3,
       minDf: Int = 2): DataFrame = {
     val (base, covered) = coveredPositions(docs, idCol, textCol, groupCol, n, minDf)
-    val pos = base.select(col(idCol),
-      posexplode(col("__w"))).toDF(idCol, "__p", "__tok")
-    val kept = pos.join(covered, Seq(idCol, "__p"), "left_anti")
-      .groupBy(col(idCol)).agg(
-        array_join(transform(array_sort(
-          collect_list(struct(col("__p"), col("__tok")))), s => s("__tok")), " ")
+    // covered is DISTINCT (id, pos): the array is duplicate-free by
+    // construction and bounded by the doc's own length
+    val covArr = covered.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__p"))).as("__cov"))
+    base.join(covArr, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, array_join(col("__w"), " "))
+          .otherwise(array_join(
+            filter(col("__w"), (_, i) => !array_contains(col("__cov"), i)), " "))
           .as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    base.select(idCol).join(kept, Seq(idCol), "left")
-      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
-      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        (col("n_tok") - coalesce(size(col("__cov")), lit(0)).cast("long"))
+          .as("n_kept"))
   }
 }

@@ -129,9 +129,10 @@ class CorpusStatsSpec extends SparkSpec {
         }
       }
     }
-    // the operator actually fires on this corpus (non-vacuous)
-    assert(scrub.exists(_._3 < cov(scrub.head._1)._1) ||
-      cov.values.exists(_._2 > 0), "no document had any boilerplate — gate is vacuous")
+    // the operator actually fires on this corpus (non-vacuous): at least
+    // one document must have covered positions
+    assert(cov.values.exists(_._2 > 0),
+      "no document had any boilerplate — gate is vacuous")
   }
 
   test("gram_stats kernel: counts match brute force incl. edges") {

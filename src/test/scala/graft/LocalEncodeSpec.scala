@@ -118,23 +118,35 @@ class LocalEncodeSpec extends SparkSpec {
     }
   }
 
-  test("mrl prefix: driver twin (take) ≡ slice column, bit-exact incl. subnormals") {
+  test("mrl prefix: PRODUCTION layout rows (Spark build AND driver point write) ≡ take(pd), bit-exact") {
+    import graft.api.Engine
+    import graft.core.{CollectionConfig, Document, IndexType}
     val pd = 3
+    val root = java.nio.file.Files.createTempDirectory("le-mrl").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("m", dim, IndexType.Mrl,
+      params = Map("prefixDim" -> pd.toString)))
     val vs = vecs
-    val got = df(vs)
-      .select(col("id"), slice(col("vector").cast("array<float>"), 1, pd).as("p"))
-      .collect()
-      .map(r => (r.getString(0).toInt,
-        r.getAs[scala.collection.Seq[Float]](1).toArray)).toMap
-    vs.zipWithIndex.foreach { case (v, i) =>
-      val want = v.take(pd) // the Engine.localLayoutRows mrl twin
-      assert(got(i).length === want.length, s"prefix width diverged at $i")
-      got(i).zip(want).zipWithIndex.foreach { case ((a, b), j) =>
-        assert(java.lang.Float.floatToRawIntBits(a) ===
-          java.lang.Float.floatToRawIntBits(b),
-          s"prefix bit diverged at vector $i dim $j")
+    e.batchUpsertDocuments("m",
+      vs.zipWithIndex.map { case (v, i) => Document(i.toString, v) })
+    e.buildIndex("m") // Spark branch: mrlEncode's slice column
+    // driver point write: localLayoutRows' take(pd) twin appends this row
+    val pw = Array.tabulate(dim)(i => if (i % 2 == 0) 1e-40f else -0f)
+    e.batchUpsertDocuments("m", Seq(Document("pw", pw)))
+    val got = spark.read.parquet(e.layoutDir("m").get)
+      .select(col("id"), col("mrl_prefix")).collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    (vs.zipWithIndex.map { case (v, i) => (i.toString, v) } :+ (("pw", pw)))
+      .foreach { case (id, v) =>
+        val want = v.take(pd)
+        assert(got(id).length === want.length, s"prefix width diverged at $id")
+        got(id).zip(want).zipWithIndex.foreach { case ((a, b), j) =>
+          assert(java.lang.Float.floatToRawIntBits(a) ===
+            java.lang.Float.floatToRawIntBits(b),
+            s"prefix bit diverged at doc $id dim $j")
+        }
       }
-    }
   }
 
   test("bq code: driver twin ≡ BqEncode kernel (incl. pad bits, boundary equality)") {
