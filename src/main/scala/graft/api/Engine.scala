@@ -1585,10 +1585,14 @@ class Engine(
     * their missing snapshots — without this, a forgotten buildIndex would
     * silently serve worse-than-flat re-slices forever.
     */
-  private def requireMrlBuilt(coll: String): Unit =
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(mrlLayoutPath(coll))))
-      notBuilt(coll)
+  private def requireMrlBuilt(coll: String): Unit = {
+    // probe through the Hadoop FileSystem like flipLayoutGen/compactLayout —
+    // a java.nio local-FS probe would always report not-built on a non-local
+    // root (HDFS/object store)
+    val p = new org.apache.hadoop.fs.Path(mrlLayoutPath(coll))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) notBuilt(coll)
+  }
 
   /** Driver-side encoded layout rows for a driver-sized maintained batch —
     * the per-tier composition of `LocalEncode`'s kernel twins, mirroring

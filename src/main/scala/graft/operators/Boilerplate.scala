@@ -86,11 +86,19 @@ object Boilerplate {
     // construction and bounded by the doc's own length
     val covArr = covered.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__p"))).as("__cov"))
+    // kept positions = sequence(0, n_tok-1) MINUS covered. array_except
+    // builds a hash set of the right-hand array, so the rebuild is
+    // O(n_tok + |covered|) per row — the earlier per-token array_contains
+    // scan was O(n_tok × |covered|), quadratic on fully-templated long docs.
+    // array_except preserves left order and positions are unique, so the
+    // reconstructed text is bit-identical to the filter form.
+    val keptPos = array_except(
+      sequence(lit(0), (col("n_tok") - 1).cast("int")), col("__cov"))
     base.join(covArr, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__cov").isNull, array_join(col("__w"), " "))
           .otherwise(array_join(
-            filter(col("__w"), (_, i) => !array_contains(col("__cov"), i)), " "))
+            transform(keptPos, p => element_at(col("__w"), p + 1)), " "))
           .as("clean_text"),
         (col("n_tok") - coalesce(size(col("__cov")), lit(0)).cast("long"))
           .as("n_kept"))

@@ -175,7 +175,14 @@ object PipelineQueries {
       .groupBy(col("source")).agg(sum(col("__t")).as("n_tok"))
     val w = n.withColumn("w",
       floor(sqrt(col("n_tok").cast("double")) * lit(MixScale.toDouble)).cast("long"))
+    // loud failure on a degenerate corpus: sum(w) is NULL (no sources) or 0
+    // (all-empty docs) would make the integer `div` below yield null quotas
+    // and silently break the Σalloc ≡ budget contract
     val tot = w.agg(sum(col("w")).as("__tw"))
+      .select(when(col("__tw") > 0, col("__tw"))
+        .otherwise(raise_error(lit(
+          "mixAllocate: total weight is zero/null — no sources or all-empty documents")))
+        .as("__tw"))
     val q = w.crossJoin(broadcast(tot))
       .withColumn("q", expr(s"$MixBudget * w div __tw"))
       .withColumn("r", expr(s"$MixBudget * w % __tw"))

@@ -91,7 +91,7 @@ class PipelineQueriesSpec extends SparkSpec {
     }
     // bigger source never gets a smaller scaled weight (monotone in n)
     val sorted = rows.sortBy(_._2)
-    sorted.sliding(2).foreach { case Array(lo, hi) =>
+    sorted.zip(sorted.drop(1)).foreach { case (lo, hi) =>
       assert(lo._3 <= hi._3, s"weight not monotone: $lo vs $hi")
     }
   }
