@@ -80,6 +80,23 @@ object Bench {
     SparkEntry.queries.get("point_lookup")
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => () })
 
+    // ---- environment fingerprint (host-wobble forensics, recorded IN the
+    // round artifact so cross-round comparisons can be qualified without
+    // a re-bench): 1-minute load average at start, count of OTHER resident
+    // JVMs (stale sbt/spark daemons compete for the same cores), and a
+    // fixed 3-rep sentinel (tpch q7 — code untouched for many rounds) whose
+    // reps calibrate this window against previous rounds' recorded values.
+    val loadAvg = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    ).getOrElse(-1.0)
+    val otherJvms = scala.util.Try {
+      import scala.sys.process._
+      Seq("sh", "-c", "ps -e -o comm= | grep -c '^java$'").!!.trim.toInt - 1
+    }.getOrElse(-1)
+    val sentinel = SparkEntry.queries.get("q7_volume_shipping").map { fn =>
+      (1 to 3).map(_ => timeOnce("__sentinel_q7", fn))
+    }.getOrElse(Seq.empty)
+
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid; the
     // driver never sets it, so round benches always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -97,7 +114,9 @@ object Bench {
     val reps = repLog.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}"""
+    val envJson = f""""env":{"loadavg1":$loadAvg%.2f,"other_jvms":$otherJvms,""" +
+      s""""sentinel_q7":[${sentinel.map(fmt).mkString(",")}]}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,$envJson,"sf":"$sfDir"}"""
     // The driver parses a ~2 KiB tail of the run output; with 112 queries
     // the full per-query line is ~3 KiB and its head gets truncated away
     // (r5's bench came back parsed:null). So: full record to BENCH.out and

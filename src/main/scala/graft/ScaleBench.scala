@@ -269,6 +269,57 @@ object ScaleBench {
           queryId = "qid", queryVec = "qv")))
     }
 
+    // Matryoshka on MRL-SHAPED embeddings — the tier's stated precondition
+    // (`Matryoshka.energyShape`, same τ=16 as the mrl_knn_shaped oracle
+    // query). Three rows per tag: the exact scan on the shaped corpus (the
+    // baseline), the funnel through a MATERIALIZED (id, vector, mrl_prefix)
+    // parquet layout (the Engine mrl tier's read shape — the shortlist scan
+    // prunes the full-vector column entirely), and recall@10 of the funnel
+    // vs that exact baseline. The claim under test: on data matching the
+    // precondition the funnel keeps recall ≥ 0.85 WHILE delivering the
+    // prefix-scan speedup; the unshaped rows above document the penalty
+    // when the precondition does not hold.
+    // Split-size pin for the shaped rows: the funnel's shortlist scan reads
+    // ¼ of the bytes (prefix column only), so with the default 128 MB split
+    // size it also gets ¼ of the TASKS on this replicated corpus — the FLOP
+    // win is cancelled by lost parallelism, an artifact of benching a
+    // hundreds-of-MB corpus on 32 cores. A 1000-executor cluster reading
+    // 100 TB is split-rich on both sides; 8 MB splits model that here.
+    val defaultSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    if (sections("mrl")) spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)
+         if sections("mrl")) {
+      val shaped = corpus.select(col("vec_id"),
+        Matryoshka.energyShape(col("embedding"), 16.0).as("embedding"))
+      val layoutPath = s"$scaleDir/mrl_shaped_layout_$tag"
+      if (!new java.io.File(layoutPath).exists())
+        shaped.select(col("vec_id"), col("embedding"),
+          slice(col("embedding"), 1, 16).as("mrl_prefix"))
+          .write.mode("overwrite").parquet(layoutPath)
+      val enc = spark.read.parquet(layoutPath)
+      val q = enc.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      out(s"mrl_shaped_exact_$tag") = time(drain(
+        ExactKnn.knnAgg(enc, q, 10, SpaceType.L2,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")))
+      val funnel = Matryoshka.searchEncoded(enc, q, prefixDim = 16, kTop = 10,
+        space = SpaceType.L2, corpusId = "vec_id", corpusVec = "embedding",
+        queryId = "qid", queryVec = "qv").cache()
+      out(s"mrl_shaped_layout_search_$tag") = time(drain(funnel))
+      val truth = ExactKnn.knnAgg(enc, q, 10, SpaceType.L2,
+          corpusId = "vec_id", corpusVec = "embedding", queryId = "qid", queryVec = "qv")
+        .select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = funnel.select(col("qid"), col("vec_id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size }
+      out(s"mrl_shaped_recall_$tag") = rs.sum / rs.size
+      funnel.unpersist()
+    }
+    if (sections("mrl"))
+      spark.conf.set("spark.sql.files.maxPartitionBytes", defaultSplit)
+
     // `dedup_steady` = the dedup section MINUS the pair-enumeration rows
     // (minhash/jaccard): at 1000× replication every replica group is a
     // near-dup clique, so the REQUIRED pair output is C(1000,2) per base doc
@@ -824,6 +875,8 @@ object ScaleBench {
       ("scaling_boilerplate", s"boilerplate_$scaled", "boilerplate_1x"),
       ("speedup_mrl_vs_exact_at_scale", s"mrl_exact_knn_$scaled", s"mrl_search_$scaled"),
       ("scaling_mrl_search", s"mrl_search_$scaled", "mrl_search_1x"),
+      ("speedup_mrl_shaped_vs_exact_at_scale", s"mrl_shaped_exact_$scaled", s"mrl_shaped_layout_search_$scaled"),
+      ("scaling_mrl_shaped_search", s"mrl_shaped_layout_search_$scaled", "mrl_shaped_layout_search_1x"),
       ("scaling_dsir_select", s"dsir_select_$scaled", "dsir_select_1x"),
       ("scaling_ccnet_terciles", s"ccnet_terciles_$scaled", "ccnet_terciles_1x"),
       ("scaling_cluster_cap_window_scaledk", s"cluster_cap_window_scaledk_$scaled", "cluster_cap_window_1x"),

@@ -967,6 +967,58 @@ object VectorQueries {
         rerank = false)
       .select(col("qid"), col("vec_id"))
 
+  /** mrl_knn gates the funnel's mechanics on the generic embeddings (where
+    * its honest recall penalty is documented); mrl_knn_shaped gates it on
+    * data matching the tier's STATED PRECONDITION — an MRL-shaped twin of
+    * the same table (`Matryoshka.energyShape`: exp(-j/τ) coordinate
+    * reweighting, the structure MRL-trained embeddings have). Oracle: exact
+    * KNN over the exported shaped table restricted to the exported
+    * shortlist — the same restricted-replay construction as every ANN tier;
+    * the shaped vectors themselves ride the aux channel so DuckDB replays
+    * the identical float bytes. The recall-≥0.85-with-speedup evidence
+    * lives in MatryoshkaSpec (shaped table, factor 4) and the ScaleBench
+    * mrl section.
+    */
+  private val MrlShapeTau = 16.0
+
+  private def shapedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(col("vec_id"),
+      Matryoshka.energyShape(col("embedding"), MrlShapeTau).as("svec"))
+
+  private def shapedQueriesDf(spark: SparkSession, dir: String): DataFrame =
+    shapedCorpus(spark, dir).filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("svec").as("qv"))
+
+  def mrlKnnShaped(spark: SparkSession, dir: String): DataFrame =
+    Matryoshka.search(shapedCorpus(spark, dir), shapedQueriesDf(spark, dir),
+        MrlPrefixDim, K, SpaceType.L2, shortlistFactor = 4,
+        corpusId = "vec_id", corpusVec = "svec", queryId = "qid", queryVec = "qv")
+      .select(col("qid"), col("vec_id"), col("rnk"))
+
+  /** Shaped-corpus shortlist + the shaped table itself (the oracle's inputs). */
+  def mrlShapedShortlistAux(spark: SparkSession, dir: String): DataFrame =
+    Matryoshka.search(shapedCorpus(spark, dir), shapedQueriesDf(spark, dir),
+        MrlPrefixDim, K, SpaceType.L2, shortlistFactor = 4,
+        corpusId = "vec_id", corpusVec = "svec", queryId = "qid", queryVec = "qv",
+        rerank = false)
+      .select(col("qid"), col("vec_id"))
+
+  def mrlShapedCorpusAux(spark: SparkSession, dir: String): DataFrame =
+    shapedCorpus(spark, dir)
+
+  private val mrlShapedSql: String =
+    s"""WITH sc AS (SELECT vec_id, CAST(svec AS DOUBLE[]) AS v
+       |            FROM read_parquet('{AUX}/mrl_shaped_corpus/*.parquet')),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM sc WHERE vec_id < $NQ),
+       |c AS (SELECT DISTINCT qid, vec_id
+       |      FROM read_parquet('{AUX}/mrl_shaped_shortlist/*.parquet'))
+       |SELECT qid, vec_id, rnk FROM (
+       |  SELECT c.qid, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.qid
+       |      ORDER BY list_distance(q.qv, sc.v) ASC, c.vec_id ASC) AS rnk
+       |  FROM c JOIN q ON q.qid = c.qid JOIN sc ON sc.vec_id = c.vec_id) t
+       |WHERE rnk <= $K""".stripMargin
+
   /** Per-partition NSW graph ANN (rows-only; recall gates in GraphAnnSpec). */
   def graphKnn(spark: SparkSession, dir: String): DataFrame =
     GraphAnn.search(corpus(spark, dir), queriesDf(spark, dir), K, SpaceType.L2,
@@ -1205,6 +1257,7 @@ object VectorQueries {
     "opq_knn" -> (opqKnn(_, _)),
     "sq_knn" -> (sqKnn(_, _)),
     "mrl_knn" -> (mrlKnn(_, _)),
+    "mrl_knn_shaped" -> (mrlKnnShaped(_, _)),
     "bq_knn" -> (bqKnn(_, _)),
     // the Hamming candidate set is space-agnostic, so the cos variant
     // re-ranks the SAME shortlist — one aux export serves both oracles
@@ -1502,6 +1555,8 @@ object VectorQueries {
     "opq_shortlist" -> (opqShortlistAux(_, _)),
     "sq_shortlist" -> (sqShortlistAux(_, _)),
     "mrl_shortlist" -> (mrlShortlistAux(_, _)),
+    "mrl_shaped_shortlist" -> (mrlShapedShortlistAux(_, _)),
+    "mrl_shaped_corpus" -> (mrlShapedCorpusAux(_, _)),
     "sq_filtered_shortlist" -> (sqFilteredShortlistAux(_, _)),
     "bq_shortlist" -> (bqShortlistAux(_, _)),
     "mmr_cand" -> (mmrCandAux(_, _)),
@@ -1532,6 +1587,7 @@ object VectorQueries {
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "mrl_knn" -> restrictedKnnOracle("mrl_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
+    "mrl_knn_shaped" -> mrlShapedSql,
     "bq_knn" -> restrictedKnnOracle("bq_shortlist",
       "list_distance(q.qv, CAST(e.embedding AS DOUBLE[])) ASC"),
     "bq_knn_cos" -> restrictedKnnOracle("bq_shortlist",

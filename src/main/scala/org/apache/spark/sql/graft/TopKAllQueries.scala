@@ -1,0 +1,234 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.kernels.VecKernels
+
+/** `topk_all_queries(vec, id)` — the FUSED exact-KNN scan: one corpus pass
+  * answering EVERY query of a driver-bounded query set at once, one bounded
+  * heap per query (`TopKBuffer` — identical ordering/tie-break semantics to
+  * `TopKByDistance`).
+  *
+  * Why this exists: the crossJoin(broadcast(queries)) + per-(query,row)
+  * aggregate shape pays its per-PAIR costs nq times per corpus row — the
+  * BNLJ row plumbing, one `getArray` + `toFloatArray` extraction of the SAME
+  * corpus vector per query, and one aggregate-consume per pair (measured
+  * ~460 ns fixed per pair on the 125M-pair scan, dwarfing the 64-dim
+  * arithmetic and capping the MRL prefix funnel's speedup at ~2.3× where
+  * FLOPs say 4×). Here the corpus vector is extracted ONCE per row and the
+  * inner loop over the pre-extracted query matrix is a primitive-array
+  * kernel call plus a heap threshold check — per-pair cost approaches the
+  * arithmetic itself.
+  *
+  * Scale shape: identical to the old plan — partial per partition (nq·k
+  * entries shipped to the exchange, not the candidate set), single merge,
+  * corpus never shuffles. The query matrix rides the aggregate as a LITERAL
+  * (the caller collects queries under a fail-fast bound — the same
+  * driver-boundedness the broadcast already imposed).
+  *
+  * Output: ARRAY<STRUCT<qid, id, distance, rnk>> flattened over queries,
+  * ascending (distance, id) per query, rnk 1-based. Bit-identical to the
+  * unfused plan: same `VecKernels` distance, same double accumulation, same
+  * heap tie-break by id.
+  */
+case class TopKAllQueries(
+    vec: Expression,
+    id: Expression,
+    queryIds: Expression,   // foldable ARRAY of qids (LONG/INT/STRING)
+    queryVecs: Expression,  // foldable ARRAY<ARRAY<FLOAT>>, same order
+    k: Int,
+    space: String,          // l2 | ip | cos | hamming
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[TopKBuffer]] with ImplicitCastInputTypes {
+
+  require(k > 0, s"k must be positive, got $k")
+  require(Seq("l2", "ip", "cos", "hamming").contains(space),
+    s"unsupported space '$space'")
+
+  override def children: Seq[Expression] = Seq(vec, id, queryIds, queryVecs)
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(FloatType),
+    TypeCollection(LongType, IntegerType, StringType),
+    AnyDataType, // array of qids; element type validated via dataType use
+    ArrayType(ArrayType(FloatType)))
+  override def nullable: Boolean = false
+
+  private def qidType: DataType =
+    queryIds.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("qid", qidType),
+    StructField("id", id.dataType),
+    StructField("distance", DoubleType),
+    StructField("rnk", LongType))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) return base
+    if (!queryIds.foldable || !queryVecs.foldable) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "query id/vector arrays must be foldable literals")
+    } else base
+  }
+
+  private lazy val ord: Ordering[Any] = id.dataType match {
+    case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+    case StringType => Ordering.comparatorToOrdering(
+      (a: Any, b: Any) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+    case t => throw new IllegalArgumentException(s"unsupported id type $t")
+  }
+
+  /** Pre-extracted query matrix (null entries = query emits no hits),
+    * evaluated once per task from the literal children.
+    */
+  @transient private lazy val qMatrix: Array[Array[Float]] = {
+    val arr = queryVecs.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements()) { i =>
+      if (arr.isNullAt(i)) null else arr.getArray(i).toFloatArray()
+    }
+  }
+
+  @transient private lazy val qIdVals: Array[Any] = {
+    val arr = queryIds.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i =>
+      if (arr.isNullAt(i)) null else arr.get(i, qidType))
+  }
+
+  private def kernelName: String = space match {
+    case "l2" => "l2_sq"
+    case "ip" => "neg_dot"
+    case "cos" => "cos_dist"
+    case "hamming" => "hamming_ne"
+  }
+
+  override def createAggregationBuffer(): Array[TopKBuffer] =
+    Array.fill(qMatrix.length)(new TopKBuffer(k))
+
+  override def update(bufs: Array[TopKBuffer], input: InternalRow): Array[TopKBuffer] = {
+    val v = vec.eval(input)
+    val i = id.eval(input)
+    if (v == null || i == null) return bufs
+    val xa = v.asInstanceOf[ArrayData].toFloatArray()
+    val idVal = i match {
+      case s: UTF8String => s.copy() // input row buffers are reused
+      case other => other
+    }
+    var q = 0
+    val nq = qMatrix.length
+    while (q < nq) {
+      val qv = qMatrix(q)
+      if (qv != null) {
+        if (xa.length != qv.length) {
+          throw new IllegalArgumentException(
+            s"$kernelName: vector dimensions differ (${xa.length} vs ${qv.length})")
+        }
+        val d = space match {
+          case "l2" => VecKernels.l2sq(xa, qv)
+          case "ip" => VecKernels.negDot(xa, qv)
+          case "cos" => VecKernels.cosDist(xa, qv)
+          case "hamming" => VecKernels.hammingNe(xa, qv).toDouble
+        }
+        bufs(q).insert(d, idVal, ord)
+      }
+      q += 1
+    }
+    bufs
+  }
+
+  override def merge(bufs: Array[TopKBuffer], other: Array[TopKBuffer]): Array[TopKBuffer] = {
+    var q = 0
+    while (q < bufs.length) {
+      val o = other(q)
+      var i = 0
+      while (i < o.size) { bufs(q).insert(o.dists(i), o.ids(i), ord); i += 1 }
+      q += 1
+    }
+    bufs
+  }
+
+  override def eval(bufs: Array[TopKBuffer]): Any = {
+    val rows = Array.newBuilder[InternalRow]
+    var q = 0
+    while (q < bufs.length) {
+      val entries = bufs(q).sorted(ord)
+      var i = 0
+      while (i < entries.length) {
+        rows += InternalRow(qIdVals(q), entries(i)._2, entries(i)._1, (i + 1).toLong)
+        i += 1
+      }
+      q += 1
+    }
+    new GenericArrayData(rows.result().asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(bufs: Array[TopKBuffer]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(bufs.length)
+    var q = 0
+    while (q < bufs.length) {
+      val buf = bufs(q)
+      out.writeInt(buf.size)
+      var i = 0
+      while (i < buf.size) {
+        out.writeDouble(buf.dists(i))
+        id.dataType match {
+          case LongType => out.writeLong(buf.ids(i).asInstanceOf[Long])
+          case IntegerType => out.writeInt(buf.ids(i).asInstanceOf[Int])
+          case StringType =>
+            val b = buf.ids(i).asInstanceOf[UTF8String].getBytes
+            out.writeInt(b.length); out.write(b)
+          case t => throw new IllegalArgumentException(s"unsupported id type $t")
+        }
+        i += 1
+      }
+      q += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[TopKBuffer] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val nq = in.readInt()
+    val bufs = Array.fill(nq)(new TopKBuffer(k))
+    var q = 0
+    while (q < nq) {
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val d = in.readDouble()
+        val idVal: Any = id.dataType match {
+          case LongType => in.readLong()
+          case IntegerType => in.readInt()
+          case StringType =>
+            val len = in.readInt(); val b = new Array[Byte](len)
+            in.readFully(b); UTF8String.fromBytes(b)
+          case t => throw new IllegalArgumentException(s"unsupported id type $t")
+        }
+        bufs(q).insert(d, idVal, ord)
+        i += 1
+      }
+      q += 1
+    }
+    bufs
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKAllQueries =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKAllQueries =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), id = newChildren(1),
+      queryIds = newChildren(2), queryVecs = newChildren(3))
+  override def prettyName: String = "topk_all_queries"
+}

@@ -24,21 +24,39 @@ abstract class VectorBinaryExpression extends BinaryExpression with ImplicitCast
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 
-  protected final def dims(x: ArrayData, y: ArrayData): Int = {
-    val n = x.numElements()
-    if (n != y.numElements()) {
+  /** Bulk-extract both sides to primitive float[] and dimension-check.
+    *
+    * The loops themselves live in `graft.kernels.VecKernels` — static,
+    * compiled ONCE per JVM — and both the interpreted eval and the
+    * generated code call the same method. Two reasons, both measured on the
+    * 125M-pair KNN crossJoin at 1.25M corpus rows:
+    *  - per-element `ArrayData.getFloat(i)` in the hot loop is a
+    *    megamorphic virtual call (UnsafeArrayData / ColumnarArray /
+    *    GenericArrayData receivers), so extraction happens once per pair
+    *    via `toFloatArray()` (an intrinsic bulk copy for unsafe data);
+    *  - a loop INLINED into the whole-stage-generated method inherits that
+    *    class's cold JIT profile and its C2 deopt churn — observed as an
+    *    `unstable_if` reinterpret storm that held the scan at interpreter
+    *    speed (~97 cycles/element, 5× the handcrafted mapPartitions floor).
+    *    The static kernel keeps one warm profile across queries and tasks.
+    */
+  protected final def dims(x: ArrayData, y: ArrayData): (Array[Float], Array[Float]) = {
+    val xa = x.toFloatArray(); val ya = y.toFloatArray()
+    if (xa.length != ya.length) {
       throw new IllegalArgumentException(
-        s"$prettyName: vector dimensions differ (${n} vs ${y.numElements()})")
+        s"$prettyName: vector dimensions differ (${xa.length} vs ${ya.length})")
     }
-    n
+    (xa, ya)
   }
 
-  /** Codegen guard shared by all subclasses. */
-  protected final def genDimCheck(n: String, x: String, y: String): String =
-    s"""int $n = $x.numElements();
-       |if ($n != $y.numElements()) {
+  /** Codegen twin of `dims`: primitive extraction + guard. */
+  protected final def genDimCheck(n: String, xa: String, ya: String, x: String, y: String): String =
+    s"""float[] $xa = $x.toFloatArray();
+       |float[] $ya = $y.toFloatArray();
+       |int $n = $xa.length;
+       |if ($n != $ya.length) {
        |  throw new IllegalArgumentException(
-       |    "$prettyName: vector dimensions differ (" + $n + " vs " + $y.numElements() + ")");
+       |    "$prettyName: vector dimensions differ (" + $n + " vs " + $ya.length + ")");
        |}""".stripMargin
 }
 
@@ -50,27 +68,16 @@ case class L2Sq(left: Expression, right: Expression) extends VectorBinaryExpress
   override def prettyName: String = "l2_sq"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = dims(x, y)
-    var s = 0.0; var i = 0
-    while (i < n) {
-      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
-      s += d * d; i += 1
-    }
-    s
+    val (xa, ya) = dims(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    graft.kernels.VecKernels.l2sq(xa, ya)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val s = ctx.freshName("s"); val d = ctx.freshName("d")
-      s"""${genDimCheck(n, x, y)}
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
-         |  $s += $d * $d;
-         |}
-         |${ev.value} = $s;""".stripMargin
+      val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa"); val ya = ctx.freshName("ya")
+      s"""${genDimCheck(n, xa, ya, x, y)}
+         |${ev.value} = graft.kernels.VecKernels.l2sq($xa, $ya);""".stripMargin
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -86,22 +93,16 @@ case class NegDot(left: Expression, right: Expression) extends VectorBinaryExpre
   override def prettyName: String = "neg_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = dims(x, y)
-    var s = 0.0; var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    -s
+    val (xa, ya) = dims(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    graft.kernels.VecKernels.negDot(xa, ya)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
-      s"""${genDimCheck(n, x, y)}
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
-         |}
-         |${ev.value} = -$s;""".stripMargin
+      val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa"); val ya = ctx.freshName("ya")
+      s"""${genDimCheck(n, xa, ya, x, y)}
+         |${ev.value} = graft.kernels.VecKernels.negDot($xa, $ya);""".stripMargin
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -117,29 +118,16 @@ case class CosDist(left: Expression, right: Expression) extends VectorBinaryExpr
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = dims(x, y)
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
-      dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+    val (xa, ya) = dims(x, y)
+    graft.kernels.VecKernels.cosDist(xa, ya)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-      s"""${genDimCheck(n, x, y)}
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $x.getFloat($i);
-         |  double $yv = (double) $y.getFloat($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
-         |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 1.0 : 1.0 - $dot / java.lang.Math.sqrt($na * $nb);""".stripMargin
+      val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa"); val ya = ctx.freshName("ya")
+      s"""${genDimCheck(n, xa, ya, x, y)}
+         |${ev.value} = graft.kernels.VecKernels.cosDist($xa, $ya);""".stripMargin
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -154,22 +142,16 @@ case class HammingNe(left: Expression, right: Expression) extends VectorBinaryEx
   override def prettyName: String = "hamming_ne"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = dims(x, y)
-    var c = 0L; var i = 0
-    while (i < n) { if (x.getFloat(i) != y.getFloat(i)) c += 1L; i += 1 }
-    c
+    val (xa, ya) = dims(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    graft.kernels.VecKernels.hammingNe(xa, ya)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val c = ctx.freshName("c")
-      s"""${genDimCheck(n, x, y)}
-         |long $c = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.getFloat($i) != $y.getFloat($i)) $c++;
-         |}
-         |${ev.value} = $c;""".stripMargin
+      val n = ctx.freshName("n")
+      val xa = ctx.freshName("xa"); val ya = ctx.freshName("ya")
+      s"""${genDimCheck(n, xa, ya, x, y)}
+         |${ev.value} = graft.kernels.VecKernels.hammingNe($xa, $ya);""".stripMargin
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

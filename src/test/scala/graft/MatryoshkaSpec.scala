@@ -85,6 +85,35 @@ class MatryoshkaSpec extends SparkSpec {
     assert(r < 0.9, f"noise-prefix recall $r%.3f unexpectedly high — gate is vacuous")
   }
 
+  test("energyShape on the real table: funnel recall >= 0.85 at factor 4, " +
+      "clearly above the unshaped-penalty recall") {
+    // the declared mrl_knn_shaped query's construction exactly: shaped twin
+    // of the driver's embeddings table (tau = 16, the query's constant),
+    // prefix 16 of 64, shortlist factor 4. The unshaped funnel on the same
+    // table documents the penalty the shaping is supposed to remove — the
+    // gate fails if shaping stops buying recall (e.g. a broken reweighting
+    // that scales all dims equally would make both recalls match).
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val shaped = emb.select(col("id"),
+      Matryoshka.energyShape(col("embedding"), 16.0).as("vector")).cache()
+    val raw = emb.select(col("id"), col("embedding").as("vector")).cache()
+    def funnelRecall(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val queries = corpus.filter(col("id").cast("int") < 20)
+        .select(col("id").as("query_id"), col("vector").as("query_vec"))
+      val exact = topSets(ExactKnn.knn(corpus, queries, 10, SpaceType.L2))
+      recall(topSets(Matryoshka.search(corpus, queries, prefixDim = 16,
+        kTop = 10, space = SpaceType.L2, shortlistFactor = 4)), exact)
+    }
+    val rShaped = funnelRecall(shaped)
+    val rRaw = funnelRecall(raw)
+    info(f"shaped recall@10 = $rShaped%.3f, unshaped = $rRaw%.3f")
+    assert(rShaped >= 0.85, f"shaped-table funnel recall $rShaped%.3f < 0.85")
+    assert(rShaped >= rRaw + 0.10,
+      f"shaping buys no recall: shaped $rShaped%.3f vs unshaped $rRaw%.3f")
+    shaped.unpersist(); raw.unpersist()
+  }
+
   test("search plan is UDF-free codegen") {
     val corpus = mrlCorpus(100, 16, sigDims = 8)
     val queries = corpus.limit(3)

@@ -47,7 +47,35 @@ class TopKAggSpec extends SparkSpec {
     val plan = ExactKnn.knnAgg(emb, q, 10, SpaceType.L2,
       corpusId = "vec_id", corpusVec = "embedding")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_topk_by_distance"),
+    // knnAgg now plans the FUSED one-pass scan (partial_topk_all_queries);
+    // the assertion's intent is unchanged — a bounded partial aggregate
+    // before the exchange, never the full candidate set
+    assert(plan.contains("partial_topk"),
       s"expected partial aggregation in:\n$plan")
+    assert(plan.contains("topk_all_queries"),
+      s"expected the fused one-pass scan in:\n$plan")
+  }
+
+  test("fused scan falls back to the join plan above the query bound and results agree") {
+    // force the fallback with an unsupported qid TYPE (double) — the same
+    // code path a >MaxFusedQueries set takes, testable without 8k rows
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qLong = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val qDouble = qLong.select(col("query_id").cast("double").as("query_id"),
+      col("query_vec"))
+    val fusedPlan = ExactKnn.knnAgg(emb, qLong, 5, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+    val fallback = ExactKnn.knnAgg(emb, qDouble, 5, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+    assert(!fallback.queryExecution.executedPlan.toString.contains("topk_all_queries"),
+      "double qid must take the broadcast-join fallback")
+    val a = fusedPlan.select(col("query_id").cast("double"), col("vec_id"),
+        col("distance"), col("rnk"))
+      .as[(Double, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val b = fallback.select(col("query_id"), col("vec_id"), col("distance"), col("rnk"))
+      .as[(Double, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(a.toSeq === b.toSeq, "fused and fallback plans must agree bit-for-bit")
   }
 }
