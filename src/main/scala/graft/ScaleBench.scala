@@ -823,6 +823,13 @@ object ScaleBench {
         if (wantOp("substr")) row(s"big_substr_dedup_$tag")(time(drain(
           Dedup.charGramPairs(d, "doc_id", "text", gramLen = 40,
             hashedJoinKey = true))))
+        // gram-SAMPLED variant (p = 1/8): shuffle/cache bytes ∝ p, the
+        // path past the single-host ~1.5e9-gram spill ceiling the exact
+        // row documents; ≥104-char overlaps still detected w.p. 1-(7/8)^65
+        // (DedupSpec gates the recall on planted overlaps)
+        if (wantOp("substr")) row(s"big_substr_sampled_$tag")(time(drain(
+          Dedup.charGramPairs(d, "doc_id", "text", gramLen = 40,
+            hashedJoinKey = true, sampleShift = 3))))
         if (wantOp("passage_scrub")) row(s"big_passage_scrub_$tag")(time(drain(
           Dedup.passageScrub(d, "doc_id", "text", n = 8))))
         if (wantOp("bloom_decontam")) row(s"big_bloom_decontam_$tag")(time(drain(
@@ -837,6 +844,8 @@ object ScaleBench {
       Seq(("scaling_big_minhash", s"big_minhash_$bx", "big_minhash_10x"),
         ("scaling_big_minhash_pairs", s"big_minhash_pairs_$bx", "big_minhash_pairs_10x"),
         ("scaling_big_substr", s"big_substr_dedup_$bx", "big_substr_dedup_10x"),
+        ("scaling_big_substr_sampled", s"big_substr_sampled_$bx", "big_substr_sampled_10x"),
+        ("speedup_substr_sampling", s"big_substr_dedup_$bx", s"big_substr_sampled_$bx"),
         ("scaling_big_passage_scrub", s"big_passage_scrub_$bx", "big_passage_scrub_10x"),
         ("scaling_big_bloom_decontam", s"big_bloom_decontam_$bx", "big_bloom_decontam_10x"),
         ("scaling_big_boilerplate", s"big_boilerplate_$bx", "big_boilerplate_10x"))

@@ -62,6 +62,96 @@ object Boilerplate {
       .withColumn("coverage", col("n_covered").cast("double") / col("n_tok"))
   }
 
+  /** Paragraph-aware variants: real corpora carry line structure, and the
+    * CCNet/Dolma template pass runs per paragraph — grams must never
+    * straddle a newline (a header's last words + body's first words is not
+    * a template), and the scrub must give the newline structure back. The
+    * detection unit stays the DOCUMENT (a gram is boilerplate when it
+    * appears in ≥ minDf distinct docs of the group, wherever in their
+    * paragraphs), only gram CONSTRUCTION is paragraph-local. Same shuffle
+    * shape as the flat pass — one (group, gram) df aggregate, one
+    * occurrences-only equi-join — plus one per-doc reassembly groupBy in
+    * the scrub (bounded: one row per paragraph, not per token).
+    */
+  private def paraCoveredPositions(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      n: Int, minDf: Int, sep: String): (DataFrame, DataFrame) = {
+    require(n > 0, s"gram length must be positive, got $n")
+    require(minDf >= 2, s"minDf < 2 would mark every gram boilerplate, got $minDf")
+    val paras = docs.select(col(idCol), col(groupCol).as("__grp"),
+      posexplode(split(col(textCol), sep))).toDF(idCol, "__grp", "__pi", "__pt")
+    val toks = split(col("__pt"), " ")
+    val base = paras.select(col(idCol), col("__grp"), col("__pi"),
+      size(toks).cast("long").as("__nt"), toks.as("__w"))
+    val occ = base.select(col(idCol), col("__grp"), col("__pi"),
+      posexplode(graft.functions.vfn.ngrams(col("__w"), n))).toDF(
+      idCol, "__grp", "__pi", "__pos", "__gram")
+    val boiler = occ.select(idCol, "__grp", "__gram").distinct()
+      .groupBy(col("__grp"), col("__gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__grp", "__gram")
+    val covered = occ.join(boiler, Seq("__grp", "__gram"))
+      .select(col(idCol), col("__pi"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .distinct()
+    (base, covered)
+  }
+
+  /** Per-document coverage over a multi-line corpus: token totals and
+    * covered counts sum over paragraphs; n-grams never straddle `sep`.
+    * Output schema matches `coverage`: (idCol, n_tok, n_covered, coverage).
+    */
+  def paraCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      n: Int = 3,
+      minDf: Int = 2,
+      sep: String = "\n"): DataFrame = {
+    val (base, covered) = paraCoveredPositions(docs, idCol, textCol, groupCol, n, minDf, sep)
+    val nTok = base.groupBy(col(idCol)).agg(sum(col("__nt")).as("n_tok"))
+    val counts = covered.groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
+    nTok.join(counts, Seq(idCol), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("coverage", col("n_covered").cast("double") / col("n_tok"))
+  }
+
+  /** Paragraph-preserving scrub: each paragraph rebuilds in-row from its
+    * uncovered positions (the same hash-set `array_except` rebuild as
+    * `scrub`), then the document reassembles with `sep` in paragraph order
+    * — a fully-templated paragraph comes back as an empty line, never
+    * dropped, so the line structure of the clean text mirrors the input.
+    * Output: (idCol, clean_text, n_kept).
+    */
+  def paraScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      n: Int = 3,
+      minDf: Int = 2,
+      sep: String = "\n"): DataFrame = {
+    val (base, covered) = paraCoveredPositions(docs, idCol, textCol, groupCol, n, minDf, sep)
+    val covArr = covered.groupBy(col(idCol), col("__pi"))
+      .agg(sort_array(collect_list(col("__p"))).as("__cov"))
+    val keptPos = array_except(
+      sequence(lit(0), (col("__nt") - 1).cast("int")), col("__cov"))
+    val cleanPara = base.join(covArr, Seq(idCol, "__pi"), "left")
+      .select(col(idCol), col("__pi"),
+        when(col("__cov").isNull, array_join(col("__w"), " "))
+          .otherwise(array_join(
+            transform(keptPos, p => element_at(col("__w"), p + 1)), " "))
+          .as("__ct"),
+        (col("__nt") - coalesce(size(col("__cov")), lit(0)).cast("long"))
+          .as("__nk"))
+    cleanPara.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__pi"), col("__ct")))),
+          s => s.getField("__ct")), sep).as("clean_text"),
+        sum(col("__nk")).as("n_kept"))
+  }
+
   /** The REMOVAL transform over the same detection: rebuild each document
     * from its uncovered token positions — (idCol, clean_text, n_kept).
     * The rebuild is IN-ROW: the per-doc covered positions aggregate to one

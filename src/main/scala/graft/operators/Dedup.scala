@@ -1031,10 +1031,27 @@ object Dedup {
     * collision is the only way a pair can appear with zero truly-shared
     * grams. The default stays the exact string join (the oracle-gated
     * declared form); big-corpus callers opt in.
+    *
+    * `sampleShift`: keep only grams whose xxhash64 has `sampleShift` low
+    * zero bits (rate p = 2^-shift) — the gram-SAMPLING analog of the
+    * suffix-array dedup literature's seed sampling, cutting shuffle bytes
+    * ∝ p. Detection stays probabilistically complete for LONG overlaps:
+    * two docs sharing a run of gramLen+k chars share k+1 consecutive
+    * grams, every doc samples the SAME grams (the predicate is a pure
+    * hash of gram content), so the overlap is missed only if all k+1
+    * grams miss the sample — P(miss) = (1-p)^(k+1) (~1.7e-4 for k = 64 at
+    * p = 1/8; DedupSpec gates this). With sampling, n_shared counts
+    * SAMPLED shared grams (≈ p × the exact count); pairs sharing fewer
+    * than ~1/p gram positions may drop out — by construction this is the
+    * long-overlap detector, not the near-dup scorer (minhash covers
+    * that). Default 0 = exact (the declared oracle form).
     */
   def charGramPairs(df: DataFrame, idCol: String, textCol: String,
-      gramLen: Int, hashedJoinKey: Boolean = false): DataFrame = {
+      gramLen: Int, hashedJoinKey: Boolean = false,
+      sampleShift: Int = 0): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    require(sampleShift >= 0 && sampleShift < 32,
+      s"sampleShift must be in [0, 32), got $sampleShift")
     val base = widened(df)
       .select(col(idCol).as("__did"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= gramLen)
@@ -1046,7 +1063,13 @@ object Dedup {
     val gramCol = explode(array_distinct(
       expr(s"transform(sequence(1, length(__t) - ${gramLen - 1}), " +
         s"i -> substring(__t, i, $gramLen))"))).as("__g")
-    val grams = reps.select(col("__did"), gramCol)
+    val occ = reps.select(col("__did"), gramCol)
+    // the sampling predicate runs BEFORE the persist/shuffle — cached and
+    // exchanged bytes scale with p, which is the entire point
+    val sampled = if (sampleShift == 0) occ
+      else occ.filter(
+        xxhash64(col("__g")).bitwiseAND(lit((1L << sampleShift) - 1)) === 0L)
+    val grams = sampled
       .select(col("__did"),
         (if (hashedJoinKey) xxhash64(col("__g")) else col("__g")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

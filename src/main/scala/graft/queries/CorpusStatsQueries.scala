@@ -189,6 +189,103 @@ object CorpusStatsQueries {
     graft.operators.Boilerplate.scrub(docs(spark, dir), "doc_id", "text",
       "source", n = BoilerN, minDf = BoilerDf)
 
+  // ---- paragraph-level boilerplate ----------------------------------------
+
+  /** Every 8th token boundary becomes a newline — a deterministic
+    * MULTI-LINE twin of the documents table (the driver corpus is
+    * single-line; real corpora carry paragraph structure). Both engines
+    * compute the identical string, so the paragraph queries hash-gate the
+    * line-aware pipeline end-to-end.
+    */
+  private val MlBreak = 8
+
+  private def mlDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("__w"))
+      .withColumn("__s", array_join(transform(col("__w"), (x, i) =>
+        concat(x, when(pmod(i + 1, lit(MlBreak)) === 0, lit("\n"))
+          .otherwise(lit(" ")))), ""))
+      .select(col("doc_id"), col("source"),
+        expr("substring(__s, 1, length(__s) - 1)").as("text"))
+
+  private val mlDocsSql: String =
+    s"""SELECT doc_id, source, left(s, length(s) - 1) AS text FROM (
+       |  SELECT doc_id, source, array_to_string(
+       |    [w[i] || CASE WHEN i % $MlBreak = 0 THEN chr(10) ELSE ' ' END
+       |     for i in range(1, len(w) + 1)], '') AS s
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** Paragraph-aware coverage over the multi-line twin: grams never straddle
+    * newlines; totals sum over paragraphs (`Boilerplate.paraCoverage`).
+    */
+  def boilerplateParaCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.paraCoverage(mlDocs(spark, dir), "doc_id",
+      "text", "source", n = BoilerN, minDf = BoilerDf)
+
+  /** Paragraph-PRESERVING scrub: clean text keeps its newline structure
+    * (fully-templated paragraphs come back as empty lines); the hash gate
+    * covers the whole reconstruction including paragraph order.
+    */
+  def boilerplateParaScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.paraScrub(mlDocs(spark, dir), "doc_id",
+      "text", "source", n = BoilerN, minDf = BoilerDf)
+
+  /** Shared paragraph CTE chain: ml corpus → paragraphs → per-para tokens →
+    * positional grams → per-(source, gram) doc frequency.
+    */
+  private val paraGramCtes: String =
+    s"""ml AS ($mlDocsSql),
+       |pr0 AS (SELECT doc_id, source, string_split(text, chr(10)) AS ps FROM ml),
+       |pr AS (SELECT doc_id, source, unnest(range(1, len(ps) + 1)) AS pi, ps FROM pr0),
+       |pw AS (SELECT doc_id, source, pi, string_split(ps[pi], ' ') AS w FROM pr),
+       |occ AS (SELECT doc_id, source, pi,
+       |          unnest(range(1, len(w) - ${BoilerN - 2})) AS i, w
+       |        FROM pw),
+       |g AS (SELECT doc_id, source, pi, i,
+       |        array_to_string(w[i:i + ${BoilerN - 1}], ' ') AS gram
+       |      FROM occ),
+       |boiler AS (
+       |  SELECT source, gram FROM (
+       |    SELECT source, gram, count(DISTINCT doc_id) AS df
+       |    FROM g GROUP BY 1, 2) WHERE df >= $BoilerDf)""".stripMargin
+
+  val boilerplateParaCoverageSql: String =
+    s"""WITH $paraGramCtes,
+       |pexp AS (
+       |  SELECT g.doc_id, g.pi, unnest(range(g.i, g.i + $BoilerN)) AS p
+       |  FROM g JOIN boiler ON g.source = boiler.source AND g.gram = boiler.gram),
+       |cov AS (
+       |  SELECT doc_id, count(*) AS n_covered
+       |  FROM (SELECT DISTINCT doc_id, pi, p FROM pexp) GROUP BY 1),
+       |nt AS (SELECT doc_id, CAST(sum(len(w)) AS BIGINT) AS n_tok FROM pw GROUP BY 1)
+       |SELECT nt.doc_id, n_tok,
+       |  CAST(coalesce(cov.n_covered, 0) AS BIGINT) AS n_covered,
+       |  CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / n_tok AS coverage
+       |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin
+
+  val boilerplateParaScrubSql: String =
+    s"""WITH $paraGramCtes,
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pi, p FROM (
+       |    SELECT g.doc_id, g.pi, unnest(range(g.i, g.i + $BoilerN)) AS p
+       |    FROM g JOIN boiler ON g.source = boiler.source AND g.gram = boiler.gram)),
+       |tok AS (
+       |  SELECT doc_id, pi, unnest(range(1, len(w) + 1)) AS p, w FROM pw),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.pi, tok.p, tok.w[tok.p] AS tk
+       |  FROM (SELECT doc_id, pi, p, w FROM tok) tok
+       |  ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.pi = cov.pi AND tok.p = cov.p),
+       |cpara AS (
+       |  SELECT doc_id, pi, string_agg(tk, ' ' ORDER BY p) AS ct, count(*) AS nk
+       |  FROM kept GROUP BY 1, 2),
+       |cp2 AS (
+       |  SELECT pw.doc_id, pw.pi, coalesce(cpara.ct, '') AS ct,
+       |    coalesce(cpara.nk, 0) AS nk
+       |  FROM pw LEFT JOIN cpara USING (doc_id, pi))
+       |SELECT doc_id, string_agg(ct, chr(10) ORDER BY pi) AS clean_text,
+       |  CAST(sum(nk) AS BIGINT) AS n_kept
+       |FROM cp2 GROUP BY 1""".stripMargin
+
   val boilerplateScrubSql: String =
     s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
        |           FROM documents),
@@ -576,6 +673,8 @@ object CorpusStatsQueries {
     "rare_bigrams" -> (rareBigrams(_, _)),
     "boilerplate_coverage" -> (boilerplateCoverage(_, _)),
     "boilerplate_scrub" -> (boilerplateScrub(_, _)),
+    "boilerplate_para_coverage" -> (boilerplateParaCoverage(_, _)),
+    "boilerplate_para_scrub" -> (boilerplateParaScrub(_, _)),
     "kmv_distinct" -> (kmvDistinct(_, _)),
     "cms_token_freq" -> (cmsTokenFreq(_, _)),
     "kmv_overlap" -> (kmvOverlap(_, _)),
@@ -589,6 +688,8 @@ object CorpusStatsQueries {
     "rare_bigrams" -> rareBigramsSql,
     "boilerplate_coverage" -> boilerplateCoverageSql,
     "boilerplate_scrub" -> boilerplateScrubSql,
+    "boilerplate_para_coverage" -> boilerplateParaCoverageSql,
+    "boilerplate_para_scrub" -> boilerplateParaScrubSql,
     "kmv_distinct" -> kmvDistinctSql,
     "cms_token_freq" -> cmsTokenFreqSql,
     "kmv_overlap" -> kmvOverlapSql,

@@ -291,6 +291,39 @@ class DedupSpec extends SparkSpec {
       c == got.collectFirst { case (10L, 12L, n) => n }.get }) // expansion copies count
   }
 
+  test("charGramPairs sampling: p=1/8 gram sampling still catches every " +
+      "planted >=104-char overlap; counts/pairs are a subset of exact") {
+    // 50 doc pairs, each sharing a distinct random 104-char run (= 65
+    // consecutive 40-grams). At sampleShift=3 each gram survives w.p. 1/8
+    // deterministically by content hash, so a planted pair is lost only if
+    // all 65 grams miss — (7/8)^65 ≈ 1.7e-4; the fixture is fixed-seed, so
+    // the assertion is deterministic.
+    val rnd = new scala.util.Random(7)
+    def rs(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (0 until 50).flatMap { i =>
+      val shared = rs(104)
+      Seq((2L * i, rs(30) + shared + rs(30)), (2L * i + 1, rs(30) + shared + rs(30)))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val exact = Dedup.charGramPairs(df, "doc_id", "text", gramLen = 40)
+      .as[(Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    val sampled = Dedup.charGramPairs(df, "doc_id", "text", gramLen = 40,
+        hashedJoinKey = true, sampleShift = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    (0 until 50).foreach { i =>
+      assert(sampled.contains((2L * i, 2L * i + 1)), s"planted pair $i lost by sampling")
+    }
+    sampled.foreach { case (k, c) =>
+      assert(exact.contains(k), s"sampled pair $k not in exact output")
+      assert(c <= exact(k), s"sampled count exceeds exact for $k")
+    }
+    // the sample actually thinned the gram stream (~p of the exact mass)
+    assert(sampled.values.sum * 4 < exact.values.sum,
+      s"sampling removed too little: ${sampled.values.sum} vs ${exact.values.sum}")
+  }
+
   test("passageScrub removes shared passages, keeps tails, empties boilerplate docs") {
     // n=3 passages; docs 1 and 2 share their first passage verbatim,
     // doc 3 is entirely that shared passage, doc 4 is short (< n tokens)
