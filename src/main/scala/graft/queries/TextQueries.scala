@@ -302,10 +302,13 @@ object TextQueries {
     * (one per document, pixels integer-mixed from the doc id) are ENCODED
     * and then DECODED with pure-JDK ImageIO on the executors — genuine
     * image bytes through the same mapPartitions plumbing as
-    * `media_features`, emitting luminance-histogram stats. Gated rows-only
-    * (no SQL engine decodes PNG; the decoded-pixel determinism and the
-    * stub-vs-real swap equivalence gate in MultimodalSpec) — the stub
-    * `FakeDecoder` path stays the hash-gated oracle twin.
+    * `media_features`, emitting luminance-histogram stats. The DRIVER gate
+    * is rows-only (no SQL engine decodes PNG), but the VALUES are gated in
+    * MultimodalSpec: the synthetic pixels are a known integer function of
+    * (doc_id, x, y) and PNG is lossless, so the spec recounts every doc's
+    * expected histogram analytically — without ImageIO — and asserts the
+    * query's decoded features match exactly. The stub `FakeDecoder` path
+    * stays the hash-gated oracle twin.
     */
   def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
     val withPng = graft.operators.Multimodal.withSyntheticPng(

@@ -46,6 +46,18 @@ class ConcurrencySoakSpec extends SparkSpec {
         pool.map(id => Document(id, vec(id.toInt))))
       engine.buildIndex("soak", nlist = 4)
 
+      // a second, MULTIVECTOR collection soaked through the multivectors/*
+      // routes concurrently — same invariant, per token row
+      engine.createCollection(CollectionConfig("mvsoak", dim, IndexType.IvfFlat,
+        params = Map("multivector" -> "true",
+          "tombstoneCompactRows" -> "400")))
+      val mvPool = (0 until 60).map(i => s"m$i")
+      def mvToks(seed: Int): Seq[Array[Float]] =
+        (0 to seed % 3).map(t => vec(seed * 7 + t))
+      engine.batchUpsertMultiVector("mvsoak",
+        mvPool.zipWithIndex.map { case (id, i) => (id, mvToks(i)) })
+      engine.buildIndex("mvsoak", nlist = 4)
+
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val requests = new java.util.concurrent.atomic.AtomicLong(0)
@@ -100,12 +112,49 @@ class ConcurrencySoakSpec extends SparkSpec {
       val compactor: Runnable = guard("compactor") {
         engine.compactLayout("soak")
         engine.compact("soak")
+        engine.compactLayout("mvsoak")
+        engine.compact("mvsoak")
         compactions.incrementAndGet()
         Thread.sleep(300)
       }
 
+      // multivector writers/deleter/searcher over the multivectors/* routes —
+      // token-count changes across re-upserts exercise the shrink-trim path
+      val mvWriter: Runnable = guard("mvWriter") {
+        val rnd = new scala.util.Random(7)
+        val id = mvPool(rnd.nextInt(mvPool.size))
+        val toks = mvToks(rnd.nextInt(10000))
+          .map(v => s"[${v.mkString(",")}]").mkString("[", ",", "]")
+        val code = post("/v1/collections/mvsoak/multivectors/batchupsert",
+          s"""{"documents":[{"id":"$id","vectors":$toks}]}""")
+        if (code != 200) { errors.add(s"mvWriter: HTTP $code"); stop.set(true) }
+        requests.incrementAndGet()
+      }
+      val mvDeleter: Runnable = guard("mvDeleter") {
+        val rnd = new scala.util.Random(977)
+        val id = mvPool(rnd.nextInt(mvPool.size))
+        val code = del(s"/v1/collections/mvsoak/multivectors/$id")
+        if (code != 200 && code != 404) { // 404: already deleted — fine
+          errors.add(s"mvDeleter: HTTP $code"); stop.set(true)
+        }
+        requests.incrementAndGet()
+      }
+      val mvSearcher: Runnable = guard("mvSearcher") {
+        val rnd = new scala.util.Random(31)
+        val toks = mvToks(rnd.nextInt(10000))
+          .map(v => s"[${v.mkString(",")}]").mkString("[", ",", "]")
+        val (code, respBody) = postFull("/v1/collections/mvsoak/multivectors/search",
+          s"""{"vectors":$toks,"limit":5}""")
+        // 404 "no satisfied results": legal when the deleter raced ahead
+        if (code != 200 && code != 404) {
+          errors.add(s"mvSearcher: HTTP $code $respBody"); stop.set(true)
+        }
+        requests.incrementAndGet()
+      }
+
       val threads = (Seq(writer(1), writer(2), deleter,
-        searcher(1), searcher(2), compactor)).map(new Thread(_))
+        searcher(1), searcher(2), compactor,
+        mvWriter, mvDeleter, mvSearcher)).map(new Thread(_))
       threads.foreach(_.start())
       val soakMs = sys.env.get("GRAFT_SOAK_SECONDS")
         .map(_.toLong * 1000).getOrElse(15000L)
@@ -133,6 +182,15 @@ class ConcurrencySoakSpec extends SparkSpec {
       val rebuilt = snapshot()
       assert(served === rebuilt,
         "maintained serving diverged from the from-scratch rebuild")
+      // same invariant for the multivector collection through searchMaxSim
+      val mvQueries = (0 until 5).map(i => (s"q$i", mvToks(i * 11)))
+      def mvSnapshot(): Set[(String, String, Long)] =
+        engine.searchMaxSim("mvsoak", mvQueries, 5).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val mvServed = mvSnapshot()
+      engine.buildIndex("mvsoak", nlist = 4)
+      assert(mvServed === mvSnapshot(),
+        "maintained multivector serving diverged from the from-scratch rebuild")
     } finally server.stop()
   }
 }

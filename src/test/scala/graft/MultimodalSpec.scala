@@ -137,4 +137,35 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_idx").as[Int].collect().sorted
     assert(sampled.toSeq === Seq(0, 1, 2))
   }
+
+  test("image_features (declared query): value-level gate — decoded luminance " +
+      "histograms match an analytic recount of the synthetic pixels") {
+    // the synthetic PNG's pixels are a KNOWN integer function of
+    // (doc_id, x, y) and PNG is lossless RGB, so the exact expected
+    // histogram is computable without ImageIO — an independent recount of
+    // the whole encode→decode→featurize query path (the ir_metrics-style
+    // gate VERDICT asked for; the PNG BYTES stay unpinned, the VALUES are
+    // now gated, not just row counts).
+    val got = SparkEntry.queries("image_features")(spark, sf0001)
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 8).map(i => r.getFloat(i)).toSeq
+      }.toMap
+    assert(got.size === 500)
+    def expected(docId: Long): Seq[Float] = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(docId).getBytes("UTF-8"))
+      val seed = java.nio.ByteBuffer.wrap(digest).getInt
+      val counts = new Array[Long](8)
+      for (y <- 0 until 24; x <- 0 until 24) {
+        val rgb = ((x * 73856093) ^ (y * 19349663) ^ seed) & 0xffffff
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        counts(math.min(7, lum * 8 / 256)) += 1
+      }
+      (0 until 8).map(i => (counts(i).toDouble / (24L * 24)).toFloat)
+    }
+    got.foreach { case (id, fs) =>
+      assert(fs === expected(id), s"decoded features diverge for doc $id")
+    }
+  }
 }

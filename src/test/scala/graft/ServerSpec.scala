@@ -207,6 +207,37 @@ class ServerSpec extends SparkSpec {
     assert(cs2 === 200 && !vs2.asObj("ids").asArr.map(_.asStr).contains("d0"))
   }
 
+  test("multivectors/search serves warm requests under the documented wire budget") {
+    // budget: 2 s p50 warm — maxsim is a BATCH route (Spark jobs per
+    // request: shortlist + shortlisted re-rank), so its floor is the
+    // multi-job Spark dispatch (~100 ms/job quiet-host), not the ms-scale
+    // zero-job point-serve rows; 2 s keeps the gate meaningful (a plan
+    // regression to corpus-wide all-pairs or a lost candidate restriction
+    // blows past it) while absorbing shared-host noise. RecallBench's
+    // rest_maxsim_multivector row records the real p50/p95 each round.
+    assert(req("POST", "/v1/collections",
+      """{"name":"mvlat","dimension":4,"index_type":"ivf_flat",
+        |"parameters":{"multivector":"true"}}""".stripMargin)._1 === 200)
+    val docs = (0 until 40).map { i =>
+      val toks = (0 to i % 3).map(t => Seq(i * 0.1f, t * 1f, (i % 7) * 1f, 0f))
+      s"""{"id":"d$i","vectors":[${toks.map(_.mkString("[", ",", "]")).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    assert(req("POST", "/v1/collections/mvlat/multivectors/batchupsert",
+      s"""{"documents":$docs}""")._1 === 200)
+    assert(req("POST", "/v1/collections/mvlat/buildindex", "{}")._1 === 200)
+    def search(i: Int): Double = {
+      val t0 = System.nanoTime()
+      val (c, _) = req("POST", "/v1/collections/mvlat/multivectors/search",
+        s"""{"vectors":[[${i * 0.1f},0,1,0],[${i * 0.1f},1,0,0]],"limit":5}""")
+      assert(c === 200)
+      (System.nanoTime() - t0) / 1e6
+    }
+    (0 until 3).foreach(search) // warm: plans, code-gen, shuffle files
+    val lat = (0 until 9).map(search).sorted
+    val p50 = lat(lat.size / 2)
+    assert(p50 < 2000.0, f"warm maxsim wire p50 $p50%.0f ms exceeds the 2 s budget")
+  }
+
   test("buildindex endpoint: accepts reference body AND actually trains (§7.4)") {
     req("POST", "/v1/collections", """{"name":"iv","dimension":2,"index_type":"ivf_flat"}""")
     val docs = (0 until 30).map { i =>

@@ -304,6 +304,57 @@ class TombstoneSpec extends SparkSpec {
       s"deleted ids served after the graph fold: $hits")
   }
 
+  test("multivector collection: maintained searchMaxSim ≡ from-scratch rebuild " +
+      "after update, shrink-update and delete") {
+    // the multivector surface rides batchUpsertDocuments/deleteDocuments, so
+    // the tombstone machinery applies per TOKEN row — this gates the
+    // composition end-to-end the way the 8 single-vector tiers are gated:
+    // maintained serving equals a twin engine rebuilt over the final state.
+    def tok(a: Float, b: Float) = Array(a, b, 0f, 0f)
+    val docs0 = (0 until 12).map(i =>
+      (s"d$i", Seq(tok(i, 0f), tok(i, 1f), tok(i, 2f))))
+    val finalDocs = docs0
+      .filterNot(_._1 == "d5") // deleted
+      .map { case ("d3", _) => ("d3", Seq(tok(50f, 50f), tok(51f, 51f))) // shrunk 3→2 + moved
+             case d => d }
+
+    val root = Files.createTempDirectory("tomb-mv").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("mv", 4, IndexType.IvfFlat,
+      params = Map("multivector" -> "true")))
+    e.batchUpsertMultiVector("mv", docs0)
+    e.buildIndex("mv", nlist = 2)
+    e.batchUpsertMultiVector("mv", Seq(finalDocs.find(_._1 == "d3").get))
+    e.deleteMultiVector("mv", "d5")
+
+    val root2 = Files.createTempDirectory("tomb-mv-twin").toString
+    val e2 = new Engine(spark, root2)
+    e2.createCollection(CollectionConfig("mv", 4, IndexType.IvfFlat,
+      params = Map("multivector" -> "true")))
+    e2.batchUpsertMultiVector("mv", finalDocs)
+    e2.buildIndex("mv", nlist = 2)
+
+    val queries = Seq(
+      ("q0", Seq(tok(50f, 50f), tok(51f, 51f))), // d3's new tokens
+      ("q1", Seq(tok(5f, 1f))),                  // deleted d5's old neighborhood
+      ("q2", Seq(tok(3f, 1f), tok(2f, 0f))))     // d3's OLD neighborhood
+    def results(eng: Engine) =
+      eng.searchMaxSim("mv", queries, 5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val got = results(e)
+    val want = results(e2)
+    assert(got === want,
+      s"maintained multivector serving diverged from rebuild: $got vs $want")
+    assert(!got.exists(_._2 == "d5"), s"deleted multivector doc served: $got")
+    assert(got.collect { case ("q0", d, 1L) => d } === Seq("d3"),
+      "shrink-updated doc must rank first at its new tokens")
+    // the shrunk doc's stale 3rd token must not resurrect its old ranking:
+    // q2 hits d3's old neighborhood; rebuilt engine never had the old tokens
+    val q2got = got.filter(_._1 == "q2"); val q2want = want.filter(_._1 == "q2")
+    assert(q2got === q2want, "stale token tail leaked into scoring")
+  }
+
   test("a tombstone sidecar past maxServedTombstones falls back, never serves wrong") {
     val root = Files.createTempDirectory("tomb-bound").toString
     val e = new Engine(spark, root)
