@@ -794,8 +794,8 @@ object ScaleBench {
         .map(_.split(",").map(_.trim).toSet)
       def wantOp(op: String): Boolean = rowFilter.forall(_(op))
       rowFilter.foreach(f => println(s"[scale] textops1000 rows run: " +
-        s"${f.mkString(",")}; skipped: ${Seq("minhash", "substr", "passage_scrub",
-          "bloom_decontam", "boilerplate").filterNot(f).mkString(",")}"))
+        s"${f.mkString(",")}; skipped: ${Seq("minhash", "substr", "substr_sampled",
+          "passage_scrub", "bloom_decontam", "boilerplate").filterNot(f).mkString(",")}"))
       for ((tag, d) <- Seq("10x" -> big.filter(col("doc_id") < 10 * nd),
           s"${bigF}x" -> big)) {
         spark.catalog.clearCache()
@@ -826,10 +826,14 @@ object ScaleBench {
         // gram-SAMPLED variant (p = 1/8): shuffle/cache bytes ∝ p, the
         // path past the single-host ~1.5e9-gram spill ceiling the exact
         // row documents; ≥104-char overlaps still detected w.p. 1-(7/8)^65
-        // (DedupSpec gates the recall on planted overlaps)
-        if (wantOp("substr")) row(s"big_substr_sampled_$tag")(time(drain(
-          Dedup.charGramPairs(d, "doc_id", "text", gramLen = 40,
-            hashedJoinKey = true, sampleShift = 3))))
+        // (DedupSpec gates the recall on planted overlaps). Runnable on its
+        // own (ROWS=substr_sampled) at factors where the exact row's gram
+        // stream would outgrow the spill disk — that independence IS the
+        // point of the sampled path.
+        if (wantOp("substr") || wantOp("substr_sampled"))
+          row(s"big_substr_sampled_$tag")(time(drain(
+            Dedup.charGramPairs(d, "doc_id", "text", gramLen = 40,
+              hashedJoinKey = true, sampleShift = 3))))
         if (wantOp("passage_scrub")) row(s"big_passage_scrub_$tag")(time(drain(
           Dedup.passageScrub(d, "doc_id", "text", n = 8))))
         if (wantOp("bloom_decontam")) row(s"big_bloom_decontam_$tag")(time(drain(

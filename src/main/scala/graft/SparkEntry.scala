@@ -41,5 +41,5 @@ object SparkEntry {
     * SQL-expressible.
     */
   def oracleInputs: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.oracleInputs
+    VectorQueries.oracleInputs ++ CorpusStatsQueries.oracleInputs
 }

@@ -222,13 +222,32 @@ class Engine(
   private val deltaCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), DataFrame]
 
-  private def cachedDelta(path: String, stamp: Long): Option[DataFrame] =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) None
+  /** Committed data files of a sidecar dir RIGHT NOW (the shared
+    * `listRuns` definition of a data file). An existing dir with ZERO
+    * committed files must read as "no rows yet", never as a scan error:
+    * the first Spark `mode("append")` to a fresh sidecar creates the dir
+    * with only its `_temporary` staging inside, so an exists()-then-infer
+    * reader racing that window throws UNABLE_TO_INFER_SCHEMA — the
+    * concurrency soak caught compactLayout's tombstone read doing exactly
+    * that against a maintained re-upsert's shadow append. Not seeing an
+    * UNCOMMITTED write is legal snapshot semantics: the writer advances
+    * the stamp only after its commit, so every stamp-keyed cache re-reads
+    * once the rows are real.
+    */
+  private def sidecarDataFiles(dir: String): Vector[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Vector.empty
+    else graft.core.LocalPointReader.listRuns(p)
+  }
+
+  private def cachedDelta(path: String, stamp: Long): Option[DataFrame] = {
+    val files = sidecarDataFiles(path)
+    if (files.isEmpty) None
     else Some(deltaCache.getOrElseUpdate((path, stamp), {
       deltaCache.keys.filter(k => k._1 == path && k._2 != stamp).foreach { k =>
         deltaCache.remove(k).foreach(_.unpersist(false))
       }
-      val raw = spark.read.parquet(path)
+      val raw = spark.read.parquet(files: _*)
       // `version` lets tombstones shadow superseded delta rows. A delta
       // written before versions were carried can never be the target of a
       // tombstone (the mutation-maintenance paths refuse to run over a
@@ -241,6 +260,7 @@ class Engine(
       df.count() // materialize once, off the per-request path
       df
     }))
+  }
 
   /** The delta's id/vector columns only — the exact-scan merge input. */
   private def cachedDeltaVectors(path: String, stamp: Long,
@@ -257,7 +277,7 @@ class Engine(
     .empty[(String, Long), Array[(Any, Array[Float], Long)]]
 
   private def cachedDeltaRows(path: String, stamp: Long): Array[(Any, Array[Float], Long)] =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Array.empty
+    if (sidecarDataFiles(path).isEmpty) Array.empty
     else deltaRowsCache.getOrElseUpdate((path, stamp), {
       deltaRowsCache.keys.filter(k => k._1 == path && k._2 != stamp)
         .foreach(deltaRowsCache.remove)
@@ -287,13 +307,17 @@ class Engine(
 
   private def cachedTombstones(layoutPath: String, stamp: Long): Option[DataFrame] = {
     val tp = tombstonesPath(layoutPath)
-    // existence is re-checked on EVERY call, not cached: buildIndex and
-    // compactLayout fold the sidecar away WITHOUT advancing the stamp (no
-    // store write happened), so a cached non-empty entry under the same
-    // stamp would keep excluding ids the rebuilt layout legitimately
-    // serves — for the versionless graph adjacency that is a wrong result,
-    // not a slow one
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tp))) {
+    // the committed-file set is re-listed on EVERY call, not cached:
+    // buildIndex and compactLayout fold the sidecar away WITHOUT advancing
+    // the stamp (no store write happened), so a cached non-empty entry
+    // under the same stamp would keep excluding ids the rebuilt layout
+    // legitimately serves — for the versionless graph adjacency that is a
+    // wrong result, not a slow one. Zero committed files (absent dir, OR a
+    // dir holding only a racing append's `_temporary` staging — see
+    // sidecarDataFiles) reads as "no tombstones": the uncommitted delete
+    // isn't visible yet by snapshot semantics.
+    val files = sidecarDataFiles(tp)
+    if (files.isEmpty) {
       tombCache.keys.filter(_._1 == tp).foreach { k =>
         tombCache.remove(k).foreach(_.foreach(_.unpersist(false)))
       }
@@ -304,7 +328,7 @@ class Engine(
       tombCache.keys.filter(k => k._1 == tp && k._2 != stamp).foreach { k =>
         tombCache.remove(k).foreach(_.foreach(_.unpersist(false)))
       }
-      val df = spark.read.parquet(tp)
+      val df = spark.read.parquet(files: _*)
         .groupBy(col("id")).agg(max(col("ver")).as("__tomb_ver"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize once, off the per-request path
@@ -972,9 +996,9 @@ class Engine(
       if (cfg.indexType == IndexType.Hnsw)
         cfg.params.get("deltaCompactRows").map(_.toLong).foreach { limit =>
           require(limit > 0, s"deltaCompactRows must be positive, got $limit")
-          val deltaDir = java.nio.file.Paths.get(hnswDeltaPath(coll))
-          if (java.nio.file.Files.exists(deltaDir) &&
-              spark.read.parquet(hnswDeltaPath(coll)).count() >= limit)
+          val deltaFiles = sidecarDataFiles(hnswDeltaPath(coll))
+          if (deltaFiles.nonEmpty &&
+              spark.read.parquet(deltaFiles: _*).count() >= limit)
             buildIndex(coll)
         }
       settleLedger()
@@ -1008,9 +1032,9 @@ class Engine(
       layoutPath: String): Unit =
     cfg.params.get("tombstoneCompactRows").map(_.toLong).foreach { limit =>
       require(limit > 0, s"tombstoneCompactRows must be positive, got $limit")
-      val tp = java.nio.file.Paths.get(tombstonesPath(layoutPath))
-      if (java.nio.file.Files.exists(tp) &&
-          spark.read.parquet(tombstonesPath(layoutPath)).count() >= limit) {
+      val tombFiles = sidecarDataFiles(tombstonesPath(layoutPath))
+      if (tombFiles.nonEmpty &&
+          spark.read.parquet(tombFiles: _*).count() >= limit) {
         if (cfg.indexType == IndexType.Hnsw) buildIndex(coll)
         else compactLayout(coll)
       }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE tokenizer (Sennrich arXiv:1508.07909): the operator's merge loop and
+  * encoder against an INDEPENDENT naive reference (space-joined strings +
+  * split-based replacement — the paper's own reference style, deliberately a
+  * different representation from the operator's symbol arrays), plus the
+  * paper's worked example, tie-break determinism, truncation, early stop,
+  * and the distributed-encode twin. The state TRANSITION gate here is what
+  * the DuckDB oracle (which re-derives each merge DECISION from exported
+  * states) deliberately leaves to Scala.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- independent naive reference ----------------------------------------
+  // words as space-joined symbol strings; one merge = split to symbols,
+  // rebuild with a cursor. Recounts everything each round with plain maps.
+  private def naiveTrain(words: Seq[(String, Long)], numMerges: Int)
+      : Vector[(String, String)] = {
+    var table = words.map { case (w, f) =>
+      ((w.map(_.toString) :+ Bpe.EndOfWord).mkString(" "), f) }
+    val out = Vector.newBuilder[(String, String)]
+    var r = 0
+    var stop = false
+    while (r < numMerges && !stop) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- table; Array(a, b) <- s.split(" ").sliding(2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      if (counts.isEmpty) stop = true
+      else {
+        val best = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        out += best
+        table = table.map { case (s, f) =>
+          val syms = s.split(" ")
+          val nb = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+              nb += best._1 + best._2; i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.result().mkString(" "), f)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("paper's worked example: low/lower/newest/widest merges") {
+    // Sennrich et al. Fig. 1 corpus: low x5, lower x2, newest x6, widest x3
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val (merges, _) = Bpe.trainLocal(words, 4)
+    // round 0: (e,s) cnt 9 from newest+widest; round 1: (es,t) 9; round 2:
+    // (est,</w>) 9; round 3: (l,o) 7
+    assert(merges.map(m => (m.lsym, m.rsym)) ===
+      Vector(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")))
+  }
+
+  test("trainLocal == independent naive reference on a generated corpus") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef"
+    val words = (0 until 120).map { _ =>
+      (0 to 2 + rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.groupBy(identity).view.mapValues(_.size.toLong * (1 + rnd.nextInt(5))).toSeq
+    val want = naiveTrain(words, 25)
+    val (got, states) = Bpe.trainLocal(words, 25, recordStates = true)
+    assert(got.map(m => (m.lsym, m.rsym)) === want)
+    assert(got.map(_.rank) === got.indices.toVector, "ranks must be 0..n-1")
+    // states cover exactly the decided rounds, one row per word type
+    assert(states.map(_.round).distinct === got.indices.toVector)
+    assert(states.count(_.round == 0) === words.size)
+  }
+
+  test("tie-break: equal counts resolve by (lsym, rsym) binary order") {
+    // "xy" and "ab" both occur twice; (a,b) < (x,y) lexicographically
+    val (merges, _) = Bpe.trainLocal(Seq(("xy", 2L), ("ab", 2L)), 1)
+    assert((merges.head.lsym, merges.head.rsym) === ("a", "b"))
+  }
+
+  test("early stop: merge loop exhausts when no adjacent pairs remain") {
+    // single word fully merges in (len-1)+1 rounds, then stops
+    val (merges, _) = Bpe.trainLocal(Seq(("abc", 1L)), 100)
+    assert(merges.size < 100 && merges.nonEmpty)
+    // final state is the fully merged single symbol: encode agrees
+    val rankOf = merges.map(m => ((m.lsym, m.rsym), m.rank)).toMap
+    assert(Bpe.encodeWord("abc", rankOf).toSeq === Seq("abc" + Bpe.EndOfWord))
+  }
+
+  test("encodeWord reproduces the training fixpoint on every trained word") {
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 80).map { _ =>
+      (0 to 1 + rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString
+    }.distinct.map(w => (w, 1L + rnd.nextInt(9)))
+    val (merges, _) = Bpe.trainLocal(words, 30)
+    val rankOf = merges.map(m => ((m.lsym, m.rsym), m.rank)).toMap
+    // replay training transitions to the final table
+    var table = words.map { case (w, f) =>
+      (w.map(_.toString).toArray :+ Bpe.EndOfWord, f) }
+    for (m <- merges)
+      table = table.map { case (s, f) => (Bpe.applyMerge(s, m.lsym, m.rsym), f) }
+    for (((w, _), (finalSyms, _)) <- words.zip(table))
+      assert(Bpe.encodeWord(w, rankOf).toSeq === finalSyms.toSeq,
+        s"encode('$w') diverged from the training fixpoint")
+    // unseen words still round-trip: concatenation reconstructs word+</w>
+    for (w <- Seq("zzz", "abcz", "q"))
+      assert(Bpe.encodeWord(w, rankOf).mkString === w + Bpe.EndOfWord)
+  }
+
+  test("maxWordTypes truncation == training on the manually truncated table") {
+    val words = Seq(("aaa", 9L), ("bbb", 7L), ("abab", 7L), ("ccc", 1L))
+    val wc = words.toDF("word", "freq")
+    val top3 = Bpe.collectWordTable(wc, 3)
+    // (freq DESC, word ASC): aaa, abab, bbb
+    assert(top3.map(_._1).toSeq === Seq("aaa", "abab", "bbb"))
+    val viaDf = Bpe.trainLocal(top3, 5)._1
+    val manual = Bpe.trainLocal(
+      Seq(("aaa", 9L), ("abab", 7L), ("bbb", 7L)), 5)._1
+    assert(viaDf === manual)
+  }
+
+  test("distributed encodeWordsDf == driver encodeWord, token stats consistent") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val wc = Bpe.wordCounts(docs, "text")
+    val table = Bpe.collectWordTable(wc, 1 << 20)
+    val (merges, _) = Bpe.trainLocal(table, 32)
+    val rankOf = merges.map(m => ((m.lsym, m.rsym), m.rank)).toMap
+    val got = Bpe.encodeWordsDf(wc, "word", merges)
+      .select(col("word"), col("toks")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(got.keySet === table.map(_._1).toSet)
+    for ((w, toks) <- got)
+      assert(toks === Bpe.encodeWord(w, rankOf).toSeq,
+        s"distributed encode of '$w' diverged from the driver twin")
+    // declared-query shape: per-doc n_tokens equals a brute-force recount
+    val stats = graft.queries.CorpusStatsQueries.bpeTokenStats(spark, sf0001)
+      .select(col("doc_id").cast("string"), col("n_words"), col("n_tokens"))
+      .as[(String, Long, Long)].collect()
+    // column order is (doc_id?, ...) — recount independently from text
+    val byDoc = docs.select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)].collect().toMap
+    val trainedRank = Bpe.train(docs, "text", 32)
+      .map(m => ((m.lsym, m.rsym), m.rank)).toMap
+    assert(trainedRank === rankOf, "train() convenience wrapper drifted")
+    for ((docId, nWords, nTokens) <- stats) {
+      val ws = byDoc(docId).split(" ", -1)
+      assert(nWords === ws.length.toLong, s"doc $docId word count")
+      assert(nTokens === ws.map(w => Bpe.encodeWord(w, rankOf).length.toLong).sum,
+        s"doc $docId BPE token count diverged from brute-force recount")
+    }
+  }
+}

@@ -276,6 +276,42 @@ class TombstoneSpec extends SparkSpec {
       "fold changed served results")
   }
 
+  test("a sidecar dir holding only an in-flight append's staging reads as empty, not a scan error") {
+    // the concurrency soak caught compactLayout throwing UNABLE_TO_INFER_SCHEMA:
+    // the FIRST Spark mode("append") to a fresh `_tombstones` sidecar creates
+    // the dir with only `_temporary` staging inside, and an exists()-then-infer
+    // reader racing that window sees a parquet dir with zero committed files.
+    // Deterministic replay of that window: materialize exactly the staging
+    // shape and drive every sidecar consumer through it.
+    val root = Files.createTempDirectory("tomb-staging").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 4, IndexType.Sq))
+    e.batchUpsertDocuments("c", mkCorpus(30))
+    e.buildIndex("c")
+    val clean = e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
+    val layout = e.layoutDir("c").get
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$layout/_tombstones/_temporary/0"))
+    // uncommitted delete not visible yet (snapshot semantics): same results
+    assert(e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id) === clean,
+      "staging-only sidecar changed served results")
+    assert(e.compactLayout("c"), "compactLayout must survive a staging-only sidecar")
+    // committed tombstones after the window still apply (stamp re-reads)
+    e.deleteDocuments("c", Seq(clean.head))
+    assert(!e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
+        .contains(clean.head), "committed delete must shadow after the window")
+
+    // same window on the graph tier's `_delta` sidecar (cachedDelta readers)
+    e.createCollection(CollectionConfig("g", 4, IndexType.Hnsw))
+    e.batchUpsertDocuments("g", mkCorpus(30))
+    e.buildIndex("g")
+    val gClean = e.searchDocuments("g", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"${e.layoutDir("g").get}/_delta/_temporary/0"))
+    assert(e.searchDocuments("g", Array(4.9f, 4f, 0f, 0f), 5).map(_.id) === gClean,
+      "staging-only delta changed served results")
+  }
+
   test("tombstoneCompactRows auto-folds; graph tier folds via rebuild and serves post-fold") {
     val root = Files.createTempDirectory("tomb-auto").toString
     val e = new Engine(spark, root)
