@@ -104,7 +104,7 @@ object ScaleBench {
     // a record missing their rows is readable as "not run", not "lost"
     val known = Seq("ann", "lsh", "mrl", "dedup", "dedup_steady", "semdedup",
       "selection", "maxsim", "graphfilter", "filterserve", "skew", "tomb",
-      "textops", "textops1000")
+      "textops", "textops1000", "bpe")
     println(s"[scale] sections run: ${known.filter(sections).mkString(",")}; " +
       s"skipped: ${known.filterNot(sections).mkString(",")}")
 
@@ -725,6 +725,29 @@ object ScaleBench {
           "doc_id", "text", "src")))
     }
 
+    // BPE tokenizer training: the claim under test is the scale SHAPE —
+    // training cost = one corpus aggregation + a merge loop over the
+    // word-TYPE table, so N× more documents over the same vocabulary cost
+    // ~the aggregation's growth and nothing in the loop (the type table
+    // saturates, Heaps' law). The encode row times the corpus-accounting
+    // pass (distinct-word encode + broadcast join + per-doc agg).
+    for ((tag, docs) <- Seq("1x" -> docs1, s"${factor}x" -> docs10)
+         if sections("bpe")) {
+      spark.catalog.clearCache()
+      import graft.operators.Bpe
+      var merges: Vector[Bpe.Merge] = Vector.empty
+      out(s"bpe_train_$tag") = time {
+        merges = Bpe.train(docs.select(col("doc_id"), col("text")), "text", 64)
+      }
+      out(s"bpe_merges_$tag") = merges.size.toDouble
+      val wc = Bpe.wordCounts(docs, "text")
+      out(s"bpe_encode_stats_$tag") = time(drain(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .join(broadcast(Bpe.encodeWordsDf(wc, "word", merges)
+            .select(col("word"), size(col("toks")).as("n_toks"))), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))))
+    }
     // ---- textops at 1000× docs (the text-tier big-scale section) ----------
     // The replica corpus above keeps REQUIRED OUTPUT quadratic in replica
     // count (every replica shares its source's grams — right for proving
@@ -886,6 +909,8 @@ object ScaleBench {
       ("scaling_bloom_decontam", s"bloom_decontam_$scaled", "bloom_decontam_1x"),
       ("scaling_passage_scrub", s"passage_scrub_$scaled", "passage_scrub_1x"),
       ("scaling_boilerplate", s"boilerplate_$scaled", "boilerplate_1x"),
+      ("scaling_bpe_train", s"bpe_train_$scaled", "bpe_train_1x"),
+      ("scaling_bpe_encode", s"bpe_encode_stats_$scaled", "bpe_encode_stats_1x"),
       ("speedup_mrl_vs_exact_at_scale", s"mrl_exact_knn_$scaled", s"mrl_search_$scaled"),
       ("scaling_mrl_search", s"mrl_search_$scaled", "mrl_search_1x"),
       ("speedup_mrl_shaped_vs_exact_at_scale", s"mrl_shaped_exact_$scaled", s"mrl_shaped_layout_search_$scaled"),
