@@ -89,9 +89,15 @@ object Bench {
     val loadAvg = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     ).getOrElse(-1.0)
+    // `|| true`: grep -c exits 1 on ZERO matches, which would turn a
+    // clean host into the -1 "probe failed" sentinel; and subtract this
+    // JVM only if it was actually counted (a non-"java" launcher comm
+    // must not shave a stale daemon off the record)
     val otherJvms = scala.util.Try {
       import scala.sys.process._
-      Seq("sh", "-c", "ps -e -o comm= | grep -c '^java$'").!!.trim.toInt - 1
+      val n = Seq("sh", "-c", "ps -e -o comm= | grep -c '^java$' || true")
+        .!!.trim.toInt
+      if (n > 0) n - 1 else n
     }.getOrElse(-1)
     val sentinel = SparkEntry.queries.get("q7_volume_shipping").map { fn =>
       (1 to 3).map(_ => timeOnce("__sentinel_q7", fn))

@@ -290,7 +290,7 @@ object ScaleBench {
     for ((tag, corpus) <- Seq("1x" -> emb1, s"${factor}x" -> emb10)
          if sections("mrl")) {
       val shaped = corpus.select(col("vec_id"),
-        Matryoshka.energyShape(col("embedding"), 16.0).as("embedding"))
+        Matryoshka.energyShape(col("embedding"), Matryoshka.DefaultShapeTau).as("embedding"))
       val layoutPath = s"$scaleDir/mrl_shaped_layout_$tag"
       if (!new java.io.File(layoutPath).exists())
         shaped.select(col("vec_id"), col("embedding"),

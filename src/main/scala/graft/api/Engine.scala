@@ -235,9 +235,22 @@ class Engine(
     * once the rows are real.
     */
   private def sidecarDataFiles(dir: String): Vector[String] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) Vector.empty
-    else graft.core.LocalPointReader.listRuns(p)
+    // Hadoop FS (like flipLayoutGen/compactLayout), not java.nio: sidecars
+    // live WITH the layout, so a non-local root must list the real store.
+    // A dir deleted between existence probe and listing (a generation fold
+    // racing this read) is the same snapshot case as zero committed files —
+    // catch-and-empty, never a serving error.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    try {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Vector.empty
+      else fs.listStatus(p).iterator.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }.map(_.getPath.toString).toVector
+    } catch {
+      case _: java.io.FileNotFoundException => Vector.empty
+    }
   }
 
   private def cachedDelta(path: String, stamp: Long): Option[DataFrame] = {

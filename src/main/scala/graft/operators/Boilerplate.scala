@@ -78,8 +78,13 @@ object Boilerplate {
       n: Int, minDf: Int, sep: String): (DataFrame, DataFrame) = {
     require(n > 0, s"gram length must be positive, got $n")
     require(minDf >= 2, s"minDf < 2 would mark every gram boilerplate, got $minDf")
+    // Pattern.quote: Spark's split takes a REGEX, but `sep` is a LITERAL
+    // separator by contract (the scrub reassembles with the same string,
+    // and the DuckDB twin string_splits literally) — an unquoted "." or
+    // "|" would shred the text into per-character paragraphs silently
     val paras = docs.select(col(idCol), col(groupCol).as("__grp"),
-      posexplode(split(col(textCol), sep))).toDF(idCol, "__grp", "__pi", "__pt")
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "__grp", "__pi", "__pt")
     val toks = split(col("__pt"), " ")
     val base = paras.select(col(idCol), col("__grp"), col("__pi"),
       size(toks).cast("long").as("__nt"), toks.as("__w"))

@@ -108,9 +108,21 @@ object ExactKnn {
     val qidType = qdf.schema.head.dataType
     val cidType = corpus.select(col(corpusId)).schema.head.dataType
     if (!supportedId(qidType) || !supportedId(cidType)) return None
+    // NOTE the fused plan is EAGER about the query side: the set is
+    // collected (one bounded job) at CONSTRUCTION and frozen into a plan
+    // literal, while the join fallback re-reads `queries` at every action.
+    // Callers here build-and-execute immediately, so the snapshot is the
+    // same frame either way; a caller holding the returned frame across
+    // query-source mutations would see the construction-time snapshot.
     val rows = qdf.limit(MaxFusedQueries + 1).collect()
     if (rows.length > MaxFusedQueries) return None
     val qids = rows.map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+    // null or DUPLICATE query ids take the join path: the fallback's
+    // groupBy(qid) merges duplicate rows into one heap while a per-row
+    // fused answer would emit k rows per ROW — the two plans must never
+    // disagree on the same input, so ambiguity routes to the one shape
+    // (detected for free on the already-collected driver set)
+    if (qids.contains(null) || qids.distinct.length != qids.length) return None
     val qvs = rows.map(r => if (r.isNullAt(1)) null else r.getSeq[Float](1)).toSeq
     val agg = org.apache.spark.sql.graft.TopKAllQueries(
       org.apache.spark.sql.graft.Bridge.expression(col(corpusVec).cast("array<float>")),

@@ -42,6 +42,13 @@ object Matryoshka {
     * per element, cast back to float — both the query path and the oracle's
     * aux export compute the identical bytes.
     */
+  /** The τ every shaped artifact shares — the `mrl_knn_shaped` oracle
+    * query, `MatryoshkaSpec`'s recall gate, and ScaleBench's shaped rows
+    * must measure the SAME shaping or their recall×speedup story silently
+    * compares different corpora.
+    */
+  val DefaultShapeTau = 16.0
+
   def energyShape(vec: org.apache.spark.sql.Column, tau: Double): org.apache.spark.sql.Column = {
     require(tau > 0, s"tau must be positive, got $tau")
     transform(vec,

@@ -979,7 +979,7 @@ object VectorQueries {
     * lives in MatryoshkaSpec (shaped table, factor 4) and the ScaleBench
     * mrl section.
     */
-  private val MrlShapeTau = 16.0
+  private val MrlShapeTau = Matryoshka.DefaultShapeTau
 
   private def shapedCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings").select(col("vec_id"),

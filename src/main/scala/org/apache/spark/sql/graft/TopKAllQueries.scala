@@ -110,6 +110,17 @@ case class TopKAllQueries(
     case "hamming" => "hamming_ne"
   }
 
+  // kernel resolved ONCE per instance — a per-(row, query) String match in
+  // update() would put 3-4 String.equals back into the exact hot loop this
+  // aggregate exists to strip down to the distance arithmetic
+  @transient private lazy val kernel: (Array[Float], Array[Float]) => Double =
+    space match {
+      case "l2" => VecKernels.l2sq
+      case "ip" => VecKernels.negDot
+      case "cos" => VecKernels.cosDist
+      case "hamming" => (a, b) => VecKernels.hammingNe(a, b).toDouble
+    }
+
   override def createAggregationBuffer(): Array[TopKBuffer] =
     Array.fill(qMatrix.length)(new TopKBuffer(k))
 
@@ -131,13 +142,7 @@ case class TopKAllQueries(
           throw new IllegalArgumentException(
             s"$kernelName: vector dimensions differ (${xa.length} vs ${qv.length})")
         }
-        val d = space match {
-          case "l2" => VecKernels.l2sq(xa, qv)
-          case "ip" => VecKernels.negDot(xa, qv)
-          case "cos" => VecKernels.cosDist(xa, qv)
-          case "hamming" => VecKernels.hammingNe(xa, qv).toDouble
-        }
-        bufs(q).insert(d, idVal, ord)
+        bufs(q).insert(kernel(xa, qv), idVal, ord)
       }
       q += 1
     }

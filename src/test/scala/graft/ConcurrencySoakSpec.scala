@@ -79,19 +79,26 @@ class ConcurrencySoakSpec extends SparkSpec {
         try { while (!stop.get()) body }
         catch { case t: Throwable => errors.add(s"$name: $t"); stop.set(true) }
 
-      def writer(tid: Int): Runnable = guard(s"writer$tid") {
+      // PRNGs hoisted OUTSIDE the by-name guard bodies: the body
+      // re-evaluates every loop iteration, so an inside `new Random(seed)`
+      // re-seeds each pass and the thread hammers ONE fixed id/vector
+      // forever (caught in a round-9 self-review; the fuzzing was vacuous)
+      def writer(tid: Int): Runnable = {
         val rnd = new scala.util.Random(tid)
-        val ids = Seq.fill(4)(pool(rnd.nextInt(pool.size))).distinct
-        val docs = ids.map(id =>
-          s"""{"id":"$id","vector":[${vec(rnd.nextInt(10000)).mkString(",")}]}""")
-          .mkString("[", ",", "]")
-        val code = post("/v1/collections/soak/documents/batchupsert",
-          s"""{"documents":$docs}""")
-        if (code != 200) { errors.add(s"writer$tid: HTTP $code"); stop.set(true) }
-        requests.incrementAndGet()
+        guard(s"writer$tid") {
+          val ids = Seq.fill(4)(pool(rnd.nextInt(pool.size))).distinct
+          val docs = ids.map(id =>
+            s"""{"id":"$id","vector":[${vec(rnd.nextInt(10000)).mkString(",")}]}""")
+            .mkString("[", ",", "]")
+          val code = post("/v1/collections/soak/documents/batchupsert",
+            s"""{"documents":$docs}""")
+          if (code != 200) { errors.add(s"writer$tid: HTTP $code"); stop.set(true) }
+          requests.incrementAndGet()
+        }
       }
+      val deleterRnd = new scala.util.Random(99)
       val deleter: Runnable = guard("deleter") {
-        val rnd = new scala.util.Random(99)
+        val rnd = deleterRnd
         val id = pool(rnd.nextInt(pool.size))
         val code = del(s"/v1/collections/soak/documents/$id")
         if (code != 200 && code != 404) { // 404: already deleted — fine
@@ -99,14 +106,16 @@ class ConcurrencySoakSpec extends SparkSpec {
         }
         requests.incrementAndGet()
       }
-      def searcher(tid: Int): Runnable = guard(s"searcher$tid") {
+      def searcher(tid: Int): Runnable = {
         val rnd = new scala.util.Random(1000 + tid)
-        val (code, respBody) = postFull("/v1/collections/soak/vectors/search",
-          s"""{"vector":[${vec(rnd.nextInt(10000)).mkString(",")}],"limit":5}""")
-        if (code != 200) {
-          errors.add(s"searcher$tid: HTTP $code $respBody"); stop.set(true)
+        guard(s"searcher$tid") {
+          val (code, respBody) = postFull("/v1/collections/soak/vectors/search",
+            s"""{"vector":[${vec(rnd.nextInt(10000)).mkString(",")}],"limit":5}""")
+          if (code != 200) {
+            errors.add(s"searcher$tid: HTTP $code $respBody"); stop.set(true)
+          }
+          requests.incrementAndGet()
         }
-        requests.incrementAndGet()
       }
       // in-process: races the serialized REST mutations at the engine level
       val compactor: Runnable = guard("compactor") {
@@ -120,8 +129,9 @@ class ConcurrencySoakSpec extends SparkSpec {
 
       // multivector writers/deleter/searcher over the multivectors/* routes —
       // token-count changes across re-upserts exercise the shrink-trim path
+      val mvWriterRnd = new scala.util.Random(7)
       val mvWriter: Runnable = guard("mvWriter") {
-        val rnd = new scala.util.Random(7)
+        val rnd = mvWriterRnd
         val id = mvPool(rnd.nextInt(mvPool.size))
         val toks = mvToks(rnd.nextInt(10000))
           .map(v => s"[${v.mkString(",")}]").mkString("[", ",", "]")
@@ -130,8 +140,9 @@ class ConcurrencySoakSpec extends SparkSpec {
         if (code != 200) { errors.add(s"mvWriter: HTTP $code"); stop.set(true) }
         requests.incrementAndGet()
       }
+      val mvDeleterRnd = new scala.util.Random(977)
       val mvDeleter: Runnable = guard("mvDeleter") {
-        val rnd = new scala.util.Random(977)
+        val rnd = mvDeleterRnd
         val id = mvPool(rnd.nextInt(mvPool.size))
         val code = del(s"/v1/collections/mvsoak/multivectors/$id")
         if (code != 200 && code != 404) { // 404: already deleted — fine
@@ -139,8 +150,9 @@ class ConcurrencySoakSpec extends SparkSpec {
         }
         requests.incrementAndGet()
       }
+      val mvSearcherRnd = new scala.util.Random(31)
       val mvSearcher: Runnable = guard("mvSearcher") {
-        val rnd = new scala.util.Random(31)
+        val rnd = mvSearcherRnd
         val toks = mvToks(rnd.nextInt(10000))
           .map(v => s"[${v.mkString(",")}]").mkString("[", ",", "]")
         val (code, respBody) = postFull("/v1/collections/mvsoak/multivectors/search",

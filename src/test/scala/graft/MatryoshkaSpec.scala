@@ -96,7 +96,7 @@ class MatryoshkaSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").cast("string").as("id"), col("embedding"))
     val shaped = emb.select(col("id"),
-      Matryoshka.energyShape(col("embedding"), 16.0).as("vector")).cache()
+      Matryoshka.energyShape(col("embedding"), Matryoshka.DefaultShapeTau).as("vector")).cache()
     val raw = emb.select(col("id"), col("embedding").as("vector")).cache()
     def funnelRecall(corpus: org.apache.spark.sql.DataFrame): Double = {
       val queries = corpus.filter(col("id").cast("int") < 20)

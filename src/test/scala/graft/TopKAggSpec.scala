@@ -78,4 +78,31 @@ class TopKAggSpec extends SparkSpec {
       .as[(Double, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
     assert(a.toSeq === b.toSeq, "fused and fallback plans must agree bit-for-bit")
   }
+
+  test("duplicate or null query ids route to the join plan, never a per-row fused answer") {
+    // the join fallback groupBy(qid)-merges duplicate query ROWS into one
+    // heap; a per-row fused answer would emit k rows per ROW — the two
+    // plans must never disagree on the same input, so ambiguity must
+    // decline the fused shape
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dup = q.union(q.limit(1)) // qid 0 appears twice
+    val planned = ExactKnn.knnAgg(emb, dup, 5, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+    assert(!planned.queryExecution.executedPlan.toString.contains("topk_all_queries"),
+      "duplicate qids must take the join fallback")
+    val withNull = q.union(emb.filter(col("vec_id") === 7)
+      .select(lit(null).cast("long").as("query_id"), col("embedding").as("query_vec")))
+    val plannedNull = ExactKnn.knnAgg(emb, withNull, 5, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+    assert(!plannedNull.queryExecution.executedPlan.toString.contains("topk_all_queries"),
+      "null qids must take the join fallback")
+    // distinct non-null ids keep the fused plan (the guard isn't over-broad)
+    val clean = ExactKnn.knnAgg(emb, q, 5, SpaceType.L2,
+      corpusId = "vec_id", corpusVec = "embedding")
+    assert(clean.queryExecution.executedPlan.toString.contains("topk_all_queries"),
+      "distinct qids must keep the fused plan")
+  }
 }
