@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus partition-batched decode / feature-extraction /
   * frame-sampling plumbing.
   *
-  * Two codecs behind the `Decoder` boundary: `ImageIoDecoder` is a REAL
+  * Three codecs behind the `Decoder` boundary: `ImageIoDecoder` is a REAL
   * image decoder (pure-JDK `javax.imageio` — PNG/JPEG/GIF/BMP, luminance
-  * histograms + frame extraction, no native deps), and `FakeDecoder` stays
-  * the deterministic stand-in whose dyadic-rational output the DuckDB
-  * oracle can replay bit-for-bit (and the shape a video/audio codec —
-  * which the JDK does NOT ship — would plug into). A production deployment
+  * histograms + frame extraction, no native deps), `WavPcmDecoder` is a
+  * REAL audio decoder (RIFF/WAVE PCM16 parsed with plain byte math —
+  * amplitude histograms + time-slice segmentation, fully DuckDB-hash-gated
+  * because the synthetic samples are an exact integer function of the
+  * seed), and `FakeDecoder` stays the deterministic stand-in whose
+  * dyadic-rational output the oracle replays bit-for-bit (and the shape a
+  * COMPRESSED audio/video codec — which the JDK does NOT ship — would plug
+  * into). A production deployment
   * swaps in a JNI/FFI codec (libjpeg-turbo/ffmpeg) without touching the
   * Spark plumbing: decode stays a per-partition batch call so codec init
   * cost amortizes across each task's rows, exactly like the embedding
@@ -115,6 +119,144 @@ object Multimodal {
         }
       } finally { reader.dispose(); iis.close() }
     }
+  }
+
+  /** REAL audio codec over the RIFF/WAVE PCM16 container — the one audio
+    * format that needs NO codec at all (PCM samples are the bytes), parsed
+    * with plain JDK byte math like a production WAV reader:
+    *
+    *  - `features`: a `dim`-bucket ABSOLUTE-AMPLITUDE histogram of the
+    *    decoded samples (the audio mirror of `ImageIoDecoder`'s luminance
+    *    histogram) — integer bucket math and ONE exact IEEE division per
+    *    bucket, bit-identical on every executor/JVM;
+    *  - `frames`: up to `n` contiguous equal TIME SLICES of the clip, each
+    *    re-encoded as a standalone playable WAV (the clip→segments explode
+    *    shape a speech pipeline feeds to per-segment models).
+    *
+    * Because the container is written by `withSyntheticWav` byte-for-byte
+    * deterministically AND the samples are an exact integer function of the
+    * seed, the `audio_features` query gets a FULL DuckDB hash gate: the
+    * oracle regenerates the samples directly from doc_id (no WAV bytes) and
+    * recomputes the histogram — any encode OR parse defect breaks the hash.
+    * (Compressed audio — MP3/AAC — stays behind the `Decoder` boundary as
+    * the JNI swap-in, same as video.)
+    */
+  object WavPcmDecoder extends Decoder {
+
+    /** Strict RIFF/WAVE walk → (sampleRate, interleaved PCM16 samples).
+      * Over-permissive parsing would silently featurize garbage, so every
+      * structural assumption is a loud require.
+      */
+    private[graft] def decode(payload: Array[Byte]): (Int, Array[Short]) = {
+      require(payload.length >= 44, s"WAV too short: ${payload.length} bytes")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(tag(0) == "RIFF" && tag(8) == "WAVE",
+        "payload is not a RIFF/WAVE container")
+      var off = 12
+      var rate = -1
+      var samples: Array[Short] = null
+      while (off + 8 <= payload.length && (rate < 0 || samples == null)) {
+        val id = tag(off)
+        val size = bb.getInt(off + 4)
+        require(size >= 0 && off + 8 + size <= payload.length,
+          s"chunk '$id' overruns the payload (size $size at offset $off)")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"fmt chunk too short: $size")
+            val fmt = bb.getShort(off + 8)
+            val channels = bb.getShort(off + 10)
+            val bits = bb.getShort(off + 22)
+            require(fmt == 1, s"not PCM (fmt=$fmt) — compressed WAV needs a codec")
+            require(bits == 16, s"only PCM16 supported, got $bits bits")
+            require(channels >= 1, s"invalid channel count $channels")
+            rate = bb.getInt(off + 12)
+          case "data" =>
+            require(size % 2 == 0, s"odd PCM16 data size $size")
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = bb.getShort(off + 8 + 2 * i); i += 1
+            }
+          case _ => // LIST/INFO etc. — skipped, like every WAV reader
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(rate > 0, "missing fmt chunk")
+      require(samples != null, "missing data chunk")
+      (rate, samples)
+    }
+
+    /** PCM16 mono WAV bytes for `samples` — the canonical 44-byte-header
+      * form; byte-deterministic (unlike ImageIO's PNG emitter).
+      */
+    private[graft] def encode(samples: Array[Short], rate: Int): Array[Byte] = {
+      require(rate > 0, s"sample rate must be positive, got $rate")
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 1, s"dim must be >= 1, got $dim")
+      val (_, samples) = decode(payload)
+      require(samples.nonEmpty, "empty PCM stream")
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toInt) // abs(-32768) = 32768, clamped below
+        counts(math.min(dim - 1, a * dim / 32768)) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(i => (counts(i).toDouble / samples.length).toFloat)
+    }
+
+    override def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (n <= 0) return Seq.empty
+      val (rate, samples) = decode(payload)
+      if (samples.isEmpty) return Seq.empty
+      val slices = math.min(n, samples.length)
+      val step = (samples.length + slices - 1) / slices
+      (0 until slices).map { i =>
+        encode(samples.slice(i * step,
+          math.min((i + 1) * step, samples.length)), rate)
+      }
+    }
+  }
+
+  /** Deterministic synthetic WAV payloads: adds `binCol` holding a real
+    * PCM16 mono WAV whose samples are an EXACT integer function of the
+    * LONG seed column — `((seed·2654435761 + t·40503) mod 65536) − 32768`
+    * in plain 64-bit arithmetic, chosen because a SQL oracle computes the
+    * identical value and can therefore hash-gate the whole
+    * encode→decode→featurize pipeline without ever parsing WAV bytes.
+    */
+  def withSyntheticWav(df: DataFrame, seedCol: String, binCol: String,
+      nSamples: Int = 2048, rate: Int = 8000): DataFrame = {
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val spark = df.sparkSession
+    val idx = df.schema.fieldIndex(seedCol)
+    val outSchema = StructType(df.schema.fields :+ StructField(binCol, BinaryType))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val seed = r.getLong(idx)
+        val samples = Array.tabulate(nSamples) { t =>
+          (java.lang.Math.floorMod(
+            seed * 2654435761L + t.toLong * 40503L, 65536L).toInt - 32768).toShort
+        }
+        Row.fromSeq(r.toSeq :+ WavPcmDecoder.encode(samples, rate))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Deterministic synthetic PNG payloads: adds `binCol` holding a real

@@ -320,6 +320,43 @@ object TextQueries {
       (0 until MediaDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
   }
 
+  private val AudioSamples = 2048
+
+  /** REAL audio decode through the pipeline with a FULL DuckDB hash gate:
+    * deterministic synthetic PCM16 WAVs (samples an exact integer function
+    * of doc_id — see `Multimodal.withSyntheticWav`) are container-ENCODED
+    * and then RIFF-parse-DECODED on the executors, emitting an
+    * absolute-amplitude histogram. The oracle regenerates the samples
+    * directly from doc_id (no WAV bytes) and recomputes the histogram —
+    * any encode OR parse defect breaks the hash, so unlike `image_features`
+    * (PNG emitter bytes unpinned) this real-codec path is hash-gated
+    * end-to-end. Shares are k/2048 with k ≤ 2048 — exact in float, no
+    * rounding anywhere.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val withWav = graft.operators.Multimodal.withSyntheticWav(
+      docs(spark, dir).select(col("doc_id")), "doc_id", "wav",
+      nSamples = AudioSamples)
+    val feat = graft.operators.Multimodal.decodeFeatures(
+      withWav, "wav", dim = MediaDim,
+      decoder = graft.operators.Multimodal.WavPcmDecoder)
+    feat.select(col("doc_id") +:
+      (0 until MediaDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
+  val audioFeaturesSql: String = {
+    val cols = (0 until MediaDim).map { i =>
+      s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) / $AudioSamples.0 AS FLOAT) AS f$i"
+    }.mkString(",\n  ")
+    s"""WITH s AS (SELECT doc_id,
+       |             ((doc_id * 2654435761 + t.t * 40503) % 65536) - 32768 AS v
+       |           FROM documents, (SELECT unnest(range(0, $AudioSamples)) AS t) t),
+       |b AS (SELECT doc_id, least(${MediaDim - 1}, (abs(v) * $MediaDim) // 32768) AS bucket FROM s)
+       |SELECT doc_id,
+       |  $cols
+       |FROM b GROUP BY doc_id""".stripMargin
+  }
+
   /** Corpus vocabulary statistics: the top-50 word bigrams by document
     * frequency (ties broken lexicographically) — the frequency-table shape
     * of vocabulary building / corpus profiling. Scale: explode + one
@@ -353,6 +390,7 @@ object TextQueries {
     "top_ngrams" -> (topNgrams(_, _)),
     "media_features" -> (mediaFeatures(_, _)),
     "image_features" -> (imageFeatures(_, _)),
+    "audio_features" -> (audioFeatures(_, _)),
     "text_stats" -> (textStats(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "lang_id" -> (langId(_, _)),
@@ -376,5 +414,6 @@ object TextQueries {
     "dedup_exact" -> dedupExactSql,
     "jaccard_pairs" -> jaccardPairsSql,
     "multimodal_meta" -> multimodalMetaSql,
-    "media_features" -> mediaFeaturesSql)
+    "media_features" -> mediaFeaturesSql,
+    "audio_features" -> audioFeaturesSql)
 }

@@ -171,13 +171,21 @@ class ConcurrencySoakSpec extends SparkSpec {
       val soakMs = sys.env.get("GRAFT_SOAK_SECONDS")
         .map(_.toLong * 1000).getOrElse(15000L)
       Thread.sleep(soakMs)
+      // LOAD-AWARE liveness floors: the assertions below test FUNCTION
+      // (requests flow, a compaction pass completes — correctly), never
+      // RATE. Under heavy co-tenant CPU (another JVM mid-shuffle on the
+      // same cores, or sibling suites in the parallel test run) the base
+      // window may not fit one 4-call compaction pass — that starved a run
+      // into a false "too idle" failure once. Extend up to a hard cap until
+      // the floors are met; a functioning engine always meets them.
+      val floorDeadline = System.currentTimeMillis + 120000L
+      while ((requests.get() <= 10 || compactions.get() == 0) &&
+          errors.isEmpty && System.currentTimeMillis < floorDeadline)
+        Thread.sleep(500)
       stop.set(true)
-      threads.foreach(_.join(60000))
+      threads.foreach(_.join(180000))
       assert(threads.forall(!_.isAlive), "soak thread failed to stop")
       assert(errors.isEmpty, s"soak errors: ${errors.toArray.mkString("; ")}")
-      // liveness floor only — request THROUGHPUT varies wildly with
-      // co-tenant load (requests serialize behind shared-JVM Spark jobs);
-      // the invariants above/below are the test, not the rate
       assert(requests.get() > 10, s"soak too idle: ${requests.get()} requests")
       assert(compactions.get() > 0, "compaction loop never completed a pass")
 

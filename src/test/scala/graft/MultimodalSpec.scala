@@ -168,4 +168,74 @@ class MultimodalSpec extends SparkSpec {
       assert(fs === expected(id), s"decoded features diverge for doc $id")
     }
   }
+
+  // ---- WavPcmDecoder: the REAL audio codec ---------------------------------
+
+  private def synthSamples(seed: Long, n: Int): Array[Short] =
+    Array.tabulate(n)(t => (java.lang.Math.floorMod(
+      seed * 2654435761L + t.toLong * 40503L, 65536L).toInt - 32768).toShort)
+
+  test("WavPcmDecoder: encode→decode round-trips samples and rate; skips foreign chunks") {
+    val samples = synthSamples(42L, 777)
+    val wav = Multimodal.WavPcmDecoder.encode(samples, 8000)
+    val (rate, got) = Multimodal.WavPcmDecoder.decode(wav)
+    assert(rate === 8000)
+    assert(got.toSeq === samples.toSeq)
+    // a real-world WAV carries LIST/INFO chunks before data — inject an
+    // ODD-sized junk chunk (word-alignment padding must be honored)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val withJunk = wav.slice(0, 12) ++ junk ++ wav.drop(12)
+    val bb = java.nio.ByteBuffer.wrap(withJunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withJunk.length - 8) // fix RIFF size
+    val (rate2, got2) = Multimodal.WavPcmDecoder.decode(withJunk)
+    assert(rate2 === 8000 && got2.toSeq === samples.toSeq,
+      "foreign chunk must be skipped with word alignment")
+  }
+
+  test("WavPcmDecoder: malformed payloads fail loudly, never featurize garbage") {
+    val d = Multimodal.WavPcmDecoder
+    intercept[IllegalArgumentException](d.decode("nope".getBytes))
+    intercept[IllegalArgumentException](
+      d.decode(Array.fill[Byte](44)(0))) // zeroed magic
+    val wav = d.encode(synthSamples(1L, 16), 8000)
+    wav(20) = 2 // fmt=2 (ADPCM) — compressed, must be rejected
+    intercept[IllegalArgumentException](d.decode(wav))
+    intercept[IllegalArgumentException](
+      d.decode(d.encode(synthSamples(1L, 16), 8000).dropRight(3))) // truncated data
+  }
+
+  test("WavPcmDecoder.frames: time slices re-decode and concatenate to the original clip") {
+    val samples = synthSamples(7L, 1000)
+    val wav = Multimodal.WavPcmDecoder.encode(samples, 16000)
+    val slices = Multimodal.WavPcmDecoder.frames(wav, 4)
+    assert(slices.size === 4)
+    val decoded = slices.map(Multimodal.WavPcmDecoder.decode)
+    assert(decoded.forall(_._1 === 16000), "slice rate must match the clip")
+    assert(decoded.flatMap(_._2).toSeq === samples.toSeq,
+      "slices must concatenate back to the original samples")
+  }
+
+  test("withSyntheticWav emits real WAVs whose samples match the documented formula; " +
+      "distributed decode ≡ driver decode") {
+    val df = spark.range(6).select(col("id").as("doc_id"))
+    val withWav = Multimodal.withSyntheticWav(df, "doc_id", "wav", nSamples = 512)
+    val rows = withWav.select(col("doc_id"), col("wav"))
+      .as[(Long, Array[Byte])].collect()
+    rows.foreach { case (id, bytes) =>
+      val (rate, got) = Multimodal.WavPcmDecoder.decode(bytes)
+      assert(rate === 8000)
+      assert(got.toSeq === synthSamples(id, 512).toSeq,
+        s"doc $id samples diverge from the formula the oracle replays")
+    }
+    // distributed featurize ≡ driver featurize of the same bytes
+    val dist = Multimodal.decodeFeatures(withWav, "wav", dim = 8,
+        decoder = Multimodal.WavPcmDecoder)
+      .select(col("doc_id"), col("features"))
+      .as[(Long, Seq[Float])].collect().toMap
+    rows.foreach { case (id, bytes) =>
+      assert(dist(id) === Multimodal.WavPcmDecoder.features(bytes, 8).toSeq,
+        s"distributed decode of doc $id diverges from the driver twin")
+    }
+  }
 }
