@@ -233,6 +233,214 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec over the RIFF/AVI container with UNCOMPRESSED DIB
+    * frames (BI_RGB 24-bit) — like PCM for audio, the one video form that
+    * needs no codec: frames are raw bottom-up BGR rows. Parsed with plain
+    * JDK byte math (recursive RIFF LIST walk, strict loud-fail headers per
+    * the public AVI RIFF reference):
+    *
+    *  - `features`: a `dim`-bucket INTER-FRAME MOTION histogram — per-pixel
+    *    absolute luminance difference between consecutive frames (the
+    *    video-native signal; integer ITU-R 601 luminance, integer bucket
+    *    math, ONE exact IEEE division per bucket);
+    *  - `frames`: up to `n` frames re-encoded as standalone BMP payloads
+    *    (byte-deterministic — the DIB rows are copied, not re-rendered),
+    *    which `ImageIoDecoder` can read: video → frames → image pipeline
+    *    composes end to end.
+    *
+    * `withSyntheticAvi` pixels are an exact integer function of the seed,
+    * so `video_features` gets the same FULL DuckDB hash gate as audio: the
+    * oracle regenerates every pixel and recomputes the motion histogram.
+    * (Compressed video — H.264 etc. — stays the JNI swap-in behind the
+    * `Decoder` boundary.)
+    */
+  object AviDibDecoder extends Decoder {
+
+    private[graft] final case class Video(w: Int, h: Int, frames: Vector[Array[Byte]]) {
+      val rowBytes: Int = (w * 3 + 3) & ~3
+      /** Integer ITU-R 601 luminance of pixel (x, y) in a DIB frame
+        * (bottom-up padded BGR rows).
+        */
+      def lum(frame: Array[Byte], x: Int, y: Int): Int = {
+        val off = (h - 1 - y) * rowBytes + x * 3
+        val b = frame(off) & 0xff
+        val g = frame(off + 1) & 0xff
+        val r = frame(off + 2) & 0xff
+        (r * 299 + g * 587 + b * 114) / 1000
+      }
+    }
+
+    private[graft] def decode(payload: Array[Byte]): Video = {
+      require(payload.length >= 12, s"AVI too short: ${payload.length} bytes")
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(tag(0) == "RIFF" && tag(8) == "AVI ",
+        "payload is not a RIFF/AVI container")
+      var w = -1; var h = -1
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = tag(off)
+          val size = bb.getInt(off + 4)
+          require(size >= 0 && off + 8 + size <= end,
+            s"chunk '$id' overruns its parent (size $size at offset $off)")
+          if (id == "LIST") walk(off + 12, off + 8 + size)
+          else if (id == "strf") {
+            require(size >= 40, s"strf/BITMAPINFOHEADER too short: $size")
+            val bitCount = bb.getShort(off + 8 + 14)
+            val compression = bb.getInt(off + 8 + 16)
+            require(compression == 0,
+              s"not uncompressed DIB (biCompression=$compression) — compressed AVI needs a codec")
+            require(bitCount == 24, s"only 24-bit BI_RGB supported, got $bitCount")
+            w = bb.getInt(off + 8 + 4)
+            h = bb.getInt(off + 8 + 8)
+            require(w > 0 && h > 0, s"invalid frame dims ${w}x$h")
+          } else if (id.endsWith("db") || id.endsWith("dc")) {
+            require(w > 0, "frame chunk before the strf header")
+            val rowBytes = (w * 3 + 3) & ~3
+            require(size == rowBytes * h,
+              s"frame chunk size $size != expected ${rowBytes * h} for ${w}x$h DIB")
+            frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + size)
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, payload.length)
+      val fs = frames.result()
+      require(w > 0 && h > 0, "missing strf header")
+      require(fs.nonEmpty, "no video frames in movi")
+      Video(w, h, fs)
+    }
+
+    /** Minimal valid single-stream AVI wrapping the given DIB frames —
+      * byte-deterministic (header fields are pure functions of the
+      * geometry), per the public AVI RIFF reference layout.
+      */
+    private[graft] def encode(v: Video, fps: Int): Array[Byte] = {
+      require(fps > 0, s"fps must be positive, got $fps")
+      require(v.frames.forall(_.length == v.rowBytes * v.h),
+        "every frame must be a full DIB bitmap")
+      val frameBytes = v.rowBytes * v.h
+      val nf = v.frames.size
+      val moviSize = 4 + nf * (8 + frameBytes)
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      ascii("RIFF"); bb.putInt(riffSize); ascii("AVI ")
+      ascii("LIST"); bb.putInt(hdrlSize); ascii("hdrl")
+      ascii("avih"); bb.putInt(56)
+      bb.putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0)
+        .putInt(0) // flags: no AVIF_HASINDEX — we carry no idx1 chunk
+        .putInt(nf).putInt(0).putInt(1).putInt(frameBytes)
+        .putInt(v.w).putInt(v.h).putInt(0).putInt(0).putInt(0).putInt(0)
+      ascii("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); ascii("strl")
+      ascii("strh"); bb.putInt(56)
+      ascii("vids"); ascii("DIB "); bb.putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(fps).putInt(0).putInt(nf).putInt(frameBytes)
+        .putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(v.w.toShort).putShort(v.h.toShort)
+      ascii("strf"); bb.putInt(40)
+      bb.putInt(40).putInt(v.w).putInt(v.h).putShort(1).putShort(24)
+        .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+      ascii("LIST"); bb.putInt(moviSize); ascii("movi")
+      v.frames.foreach { f => ascii("00db"); bb.putInt(frameBytes); bb.put(f) }
+      bb.array()
+    }
+
+    /** Standalone BMP bytes for one decoded DIB frame (rows copied
+      * verbatim — deterministic, and `ImageIoDecoder` reads BMP).
+      */
+    private[graft] def frameToBmp(v: Video, frame: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(54 + frame.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + frame.length)
+        .putInt(0).putInt(54)
+        .putInt(40).putInt(v.w).putInt(v.h).putShort(1).putShort(24)
+        .putInt(0).putInt(frame.length).putInt(0).putInt(0).putInt(0).putInt(0)
+        .put(frame)
+      bb.array()
+    }
+
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 1, s"dim must be >= 1, got $dim")
+      val v = decode(payload)
+      require(v.frames.size >= 2,
+        s"motion features need >= 2 frames, got ${v.frames.size}")
+      val counts = new Array[Long](dim)
+      var f = 1
+      while (f < v.frames.size) {
+        val prev = v.frames(f - 1); val cur = v.frames(f)
+        var y = 0
+        while (y < v.h) {
+          var x = 0
+          while (x < v.w) {
+            val diff = math.abs(v.lum(cur, x, y) - v.lum(prev, x, y))
+            counts(math.min(dim - 1, diff * dim / 256)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        f += 1
+      }
+      val total = (v.frames.size - 1).toLong * v.w * v.h
+      Array.tabulate(dim)(i => (counts(i).toDouble / total).toFloat)
+    }
+
+    override def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (n <= 0) return Seq.empty
+      val v = decode(payload)
+      v.frames.take(n).map(frameToBmp(v, _))
+    }
+  }
+
+  /** Deterministic synthetic AVI payloads: adds `binCol` holding a real
+    * uncompressed-DIB AVI whose pixel (frame f, x, y) packs the 24-bit
+    * value `(seed·2654435761 + f·69427 + y·19349663 + x·73856093) mod 2²⁴`
+    * as BGR — exact integer arithmetic a SQL oracle reproduces, so the
+    * whole encode→decode→motion-featurize pipeline hash-gates in DuckDB.
+    */
+  def withSyntheticAvi(df: DataFrame, seedCol: String, binCol: String,
+      w: Int = 16, h: Int = 16, nFrames: Int = 4, fps: Int = 10): DataFrame = {
+    require(w >= 1 && h >= 1, s"frame dims must be >= 1, got ${w}x$h")
+    require(nFrames >= 2, s"motion features need >= 2 frames, got $nFrames")
+    val spark = df.sparkSession
+    val idx = df.schema.fieldIndex(seedCol)
+    val outSchema = StructType(df.schema.fields :+ StructField(binCol, BinaryType))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val seed = r.getLong(idx)
+        val rowBytes = (w * 3 + 3) & ~3
+        val frames = Vector.tabulate(nFrames) { f =>
+          val data = new Array[Byte](rowBytes * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val m = java.lang.Math.floorMod(
+                seed * 2654435761L + f.toLong * 69427L +
+                  y.toLong * 19349663L + x.toLong * 73856093L, 1 << 24).toInt
+              val off = (h - 1 - y) * rowBytes + x * 3
+              data(off) = (m & 0xff).toByte            // B
+              data(off + 1) = ((m >> 8) & 0xff).toByte // G
+              data(off + 2) = ((m >> 16) & 0xff).toByte // R
+              x += 1
+            }
+            y += 1
+          }
+          data
+        }
+        Row.fromSeq(r.toSeq :+
+          AviDibDecoder.encode(AviDibDecoder.Video(w, h, frames), fps))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic synthetic WAV payloads: adds `binCol` holding a real
     * PCM16 mono WAV whose samples are an EXACT integer function of the
     * LONG seed column — `((seed·2654435761 + t·40503) mod 65536) − 32768`

@@ -357,6 +357,54 @@ object TextQueries {
        |FROM b GROUP BY doc_id""".stripMargin
   }
 
+  private val VideoFrames = 4
+  private val VideoDim = 16 // square frames
+
+  /** REAL video decode with the same FULL hash gate as audio: deterministic
+    * synthetic uncompressed-DIB AVIs (pixels an exact integer function of
+    * (doc_id, frame, x, y) — `Multimodal.withSyntheticAvi`) are
+    * container-ENCODED and RIFF-walk-DECODED on executors, emitting an
+    * inter-frame MOTION histogram (per-pixel |Δluminance| between
+    * consecutive frames). The oracle regenerates every pixel pair directly
+    * from doc_id and recomputes the histogram — any header, row-padding,
+    * bottom-up-order, or channel-order defect in encode OR decode breaks
+    * the hash.
+    */
+  def videoFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val withAvi = graft.operators.Multimodal.withSyntheticAvi(
+      docs(spark, dir).select(col("doc_id")), "doc_id", "avi",
+      w = VideoDim, h = VideoDim, nFrames = VideoFrames)
+    val feat = graft.operators.Multimodal.decodeFeatures(
+      withAvi, "avi", dim = MediaDim,
+      decoder = graft.operators.Multimodal.AviDibDecoder)
+    feat.select(col("doc_id") +:
+      (0 until MediaDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
+  val videoFeaturesSql: String = {
+    val total = (VideoFrames - 1) * VideoDim * VideoDim
+    val cols = (0 until MediaDim).map { i =>
+      s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) / $total.0 AS FLOAT) AS f$i"
+    }.mkString(",\n  ")
+    s"""WITH px AS (SELECT doc_id, f.f, y.y, x.x
+       |            FROM documents,
+       |                 (SELECT unnest(range(0, ${VideoFrames - 1})) AS f) f,
+       |                 (SELECT unnest(range(0, $VideoDim)) AS y) y,
+       |                 (SELECT unnest(range(0, $VideoDim)) AS x) x),
+       |m AS (SELECT doc_id,
+       |        ((doc_id*2654435761 + f*69427 + y*19349663 + x*73856093) % 16777216) AS m0,
+       |        ((doc_id*2654435761 + (f+1)*69427 + y*19349663 + x*73856093) % 16777216) AS m1
+       |      FROM px),
+       |l AS (SELECT doc_id,
+       |        ((m0 // 65536) * 299 + ((m0 // 256) % 256) * 587 + (m0 % 256) * 114) // 1000 AS l0,
+       |        ((m1 // 65536) * 299 + ((m1 // 256) % 256) * 587 + (m1 % 256) * 114) // 1000 AS l1
+       |      FROM m),
+       |b AS (SELECT doc_id, least(${MediaDim - 1}, abs(l1 - l0) * $MediaDim // 256) AS bucket FROM l)
+       |SELECT doc_id,
+       |  $cols
+       |FROM b GROUP BY doc_id""".stripMargin
+  }
+
   /** Corpus vocabulary statistics: the top-50 word bigrams by document
     * frequency (ties broken lexicographically) — the frequency-table shape
     * of vocabulary building / corpus profiling. Scale: explode + one
@@ -391,6 +439,7 @@ object TextQueries {
     "media_features" -> (mediaFeatures(_, _)),
     "image_features" -> (imageFeatures(_, _)),
     "audio_features" -> (audioFeatures(_, _)),
+    "video_features" -> (videoFeatures(_, _)),
     "text_stats" -> (textStats(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "lang_id" -> (langId(_, _)),
@@ -415,5 +464,6 @@ object TextQueries {
     "jaccard_pairs" -> jaccardPairsSql,
     "multimodal_meta" -> multimodalMetaSql,
     "media_features" -> mediaFeaturesSql,
-    "audio_features" -> audioFeaturesSql)
+    "audio_features" -> audioFeaturesSql,
+    "video_features" -> videoFeaturesSql)
 }

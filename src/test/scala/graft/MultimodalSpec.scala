@@ -238,4 +238,83 @@ class MultimodalSpec extends SparkSpec {
         s"distributed decode of doc $id diverges from the driver twin")
     }
   }
+
+  // ---- AviDibDecoder: the REAL video codec ---------------------------------
+
+  private def synthPixel(seed: Long, f: Int, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(seed * 2654435761L + f.toLong * 69427L +
+      y.toLong * 19349663L + x.toLong * 73856093L, 1 << 24).toInt
+
+  private def lumOf(m: Int): Int =
+    (((m >> 16) & 0xff) * 299 + ((m >> 8) & 0xff) * 587 + (m & 0xff) * 114) / 1000
+
+  test("AviDibDecoder: encode→decode round-trips frames; pixels match the formula; " +
+      "odd width exercises row padding") {
+    // w=5: rowBytes = 16 ≠ w*3 — bottom-up order AND padding must both hold
+    val df = spark.range(3).select(col("id").as("doc_id"))
+    val withAvi = Multimodal.withSyntheticAvi(df, "doc_id", "avi",
+      w = 5, h = 4, nFrames = 3)
+    withAvi.select(col("doc_id"), col("avi"))
+      .as[(Long, Array[Byte])].collect().foreach { case (id, bytes) =>
+        val v = Multimodal.AviDibDecoder.decode(bytes)
+        assert(v.w === 5 && v.h === 4 && v.frames.size === 3)
+        for (f <- 0 until 3; y <- 0 until 4; x <- 0 until 5) {
+          val m = synthPixel(id, f, x, y)
+          assert(v.lum(v.frames(f), x, y) === lumOf(m),
+            s"pixel (doc=$id f=$f x=$x y=$y) diverges from the formula")
+        }
+      }
+  }
+
+  test("AviDibDecoder: malformed payloads fail loudly") {
+    val d = Multimodal.AviDibDecoder
+    intercept[IllegalArgumentException](d.decode("notavi".getBytes))
+    val ok = d.encode(d.Video(4, 4,
+      Vector(new Array[Byte](48), new Array[Byte](48))), 10)
+    // flip biCompression to 1 (BI_RLE8) — compressed must be rejected:
+    // strf data starts after RIFF(12)+LIST hdrl hdr(12)+avih(8+56)+
+    // LIST strl hdr(12)+strh(8+56)+strf id/size(8); compression at +16
+    val bad = ok.clone()
+    val strfData = 12 + 12 + 64 + 12 + 64 + 8
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strfData + 16, 1)
+    intercept[IllegalArgumentException](d.decode(bad))
+    intercept[IllegalArgumentException](d.decode(ok.dropRight(5))) // truncated
+    // single frame: decodes fine, but motion features must refuse
+    val one = d.encode(d.Video(4, 4, Vector(new Array[Byte](48))), 10)
+    assert(d.decode(one).frames.size === 1)
+    intercept[IllegalArgumentException](d.features(one, 8))
+  }
+
+  test("AviDibDecoder.frames: BMP re-encode feeds the IMAGE pipeline — cross-codec pixels agree") {
+    val df = spark.range(2).select(col("id").as("doc_id"))
+    val bytes = Multimodal.withSyntheticAvi(df, "doc_id", "avi", w = 6, h = 6, nFrames = 2)
+      .filter(col("doc_id") === 1).select(col("avi"))
+      .as[Array[Byte]].head()
+    val bmps = Multimodal.AviDibDecoder.frames(bytes, 2)
+    assert(bmps.size === 2)
+    bmps.zipWithIndex.foreach { case (bmp, f) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img != null, "frame BMP must be ImageIO-decodable")
+      for (y <- 0 until 6; x <- 0 until 6)
+        assert((img.getRGB(x, y) & 0xffffff) === synthPixel(1L, f, x, y),
+          s"BMP pixel (f=$f x=$x y=$y) diverges from the DIB source")
+    }
+  }
+
+  test("video_features (declared query): motion histogram matches an analytic recount") {
+    val got = graft.queries.TextQueries.queries("video_features")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getFloat).toSeq).toMap
+    val dim = 8
+    got.foreach { case (id, fs) =>
+      val counts = new Array[Long](dim)
+      for (f <- 0 until 3; y <- 0 until 16; x <- 0 until 16) {
+        val diff = math.abs(lumOf(synthPixel(id, f + 1, x, y)) -
+          lumOf(synthPixel(id, f, x, y)))
+        counts(math.min(dim - 1, diff * dim / 256)) += 1
+      }
+      val want = (0 until dim).map(i => (counts(i).toDouble / 768).toFloat)
+      assert(fs === want, s"motion features diverge for doc $id")
+    }
+  }
 }
