@@ -92,6 +92,27 @@ object ScaleBench {
     def drain(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // (seconds, shuffle-write bytes) of one action: wall time alone can hide
+    // a resource claim — the sampled-substring row's point is BYTES ∝ p
+    // (shuffle/spill is what dies first at corpus scale), so measure them.
+    // Listener events are async: drain the bus before reading the counter.
+    def timedBytes(fn: => Unit): (Double, Long) = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val t = time(fn)
+        org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
+        (t, bytes.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // SPARK_GRAFT_SCALE_SECTIONS=ann,dedup restricts the run (local
@@ -839,13 +860,23 @@ object ScaleBench {
           out(s"big_minhash_pairs_$tag") = mh.count().toDouble
           t
         }
+        // substring rows also record SHUFFLE-WRITE BYTES: the sampled
+        // variant's claim is bytes ∝ p (that is the resource that filled
+        // the disk at 1000×), so it is measured, not argued
+        def rowWithBytes(name: String)(fn: => Unit): Unit = {
+          println(s"[scale] textops1000 $name starting")
+          val (t, by) = timedBytes(fn)
+          out(name) = t
+          out(s"${name}_shuffle_mb") = math.round(by / 1e5) / 10.0
+          println(f"[scale] textops1000 $name = $t%.3f s, ${by / 1e6}%.1f MB shuffled")
+        }
         // hashedJoinKey: the exact raw-string gram join died on spill disk
         // at 1.3e9 gram rows (first 1000× run) — the 8-byte hash key is the
         // documented big-corpus mode; both tags use it so the ratio is
         // apples-to-apples
-        if (wantOp("substr")) row(s"big_substr_dedup_$tag")(time(drain(
+        if (wantOp("substr")) rowWithBytes(s"big_substr_dedup_$tag")(drain(
           Dedup.charGramPairs(d, "doc_id", "text", gramLen = 40,
-            hashedJoinKey = true))))
+            hashedJoinKey = true)))
         // gram-SAMPLED variant (p = 1/8): shuffle/cache bytes ∝ p, the
         // path past the single-host ~1.5e9-gram spill ceiling the exact
         // row documents; ≥104-char overlaps still detected w.p. 1-(7/8)^65
@@ -854,9 +885,9 @@ object ScaleBench {
         // stream would outgrow the spill disk — that independence IS the
         // point of the sampled path.
         if (wantOp("substr") || wantOp("substr_sampled"))
-          row(s"big_substr_sampled_$tag")(time(drain(
+          rowWithBytes(s"big_substr_sampled_$tag")(drain(
             Dedup.charGramPairs(d, "doc_id", "text", gramLen = 40,
-              hashedJoinKey = true, sampleShift = 3))))
+              hashedJoinKey = true, sampleShift = 3)))
         if (wantOp("passage_scrub")) row(s"big_passage_scrub_$tag")(time(drain(
           Dedup.passageScrub(d, "doc_id", "text", n = 8))))
         if (wantOp("bloom_decontam")) row(s"big_bloom_decontam_$tag")(time(drain(
@@ -873,6 +904,8 @@ object ScaleBench {
         ("scaling_big_substr", s"big_substr_dedup_$bx", "big_substr_dedup_10x"),
         ("scaling_big_substr_sampled", s"big_substr_sampled_$bx", "big_substr_sampled_10x"),
         ("speedup_substr_sampling", s"big_substr_dedup_$bx", s"big_substr_sampled_$bx"),
+        ("bytes_ratio_substr_sampling",
+          s"big_substr_dedup_${bx}_shuffle_mb", s"big_substr_sampled_${bx}_shuffle_mb"),
         ("scaling_big_passage_scrub", s"big_passage_scrub_$bx", "big_passage_scrub_10x"),
         ("scaling_big_bloom_decontam", s"big_bloom_decontam_$bx", "big_bloom_decontam_10x"),
         ("scaling_big_boilerplate", s"big_boilerplate_$bx", "big_boilerplate_10x"))

@@ -21,6 +21,15 @@ object Bridge {
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
+  /** Block until the listener bus has delivered every queued event
+    * (`listenerBus` is `private[spark]`): required before reading
+    * accumulated task metrics off a custom SparkListener — task-end events
+    * are delivered asynchronously, so metrics read right after an action
+    * can miss its tail tasks.
+    */
+  def waitListenerBus(spark: SparkSession, timeoutMs: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Register a Catalyst expression builder as a SQL function on this session
     * (usable from `spark.sql`/`expr`). Idempotent.
     */
