@@ -107,6 +107,10 @@ object ScaleBench {
       }
       spark.sparkContext.addSparkListener(l)
       try {
+        // drain BEFORE timing too: task-end events queued by the previous
+        // (un-drained) action would otherwise be delivered to this fresh
+        // listener and attributed to THIS row's byte count
+        org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
         val t = time(fn)
         org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
         (t, bytes.get)
@@ -867,7 +871,9 @@ object ScaleBench {
           println(s"[scale] textops1000 $name starting")
           val (t, by) = timedBytes(fn)
           out(name) = t
-          out(s"${name}_shuffle_mb") = math.round(by / 1e5) / 10.0
+          // stored UNROUNDED (the derived bytes ratio divides these; a
+          // 0.1MB-rounded numerator can skew the ratio >40% at small runs)
+          out(s"${name}_shuffle_mb") = by / 1e6
           println(f"[scale] textops1000 $name = $t%.3f s, ${by / 1e6}%.1f MB shuffled")
         }
         // hashedJoinKey: the exact raw-string gram join died on spill disk
@@ -912,6 +918,8 @@ object ScaleBench {
         .foreach { case (k, num, den) =>
           if (out.contains(num) && out.contains(den) && out(den) != 0.0)
             out(k) = out(num) / out(den)
+          else if (out.contains(num) && out.contains(den))
+            println(s"[scale] ratio $k skipped: denominator $den is 0") // never silent
         }
     }
 

@@ -148,6 +148,16 @@ object Multimodal {
       * structural assumption is a loud require.
       */
     private[graft] def decode(payload: Array[Byte]): (Int, Array[Short]) = {
+      val (rate, _, samples) = decodeFull(payload)
+      (rate, samples)
+    }
+
+    /** (sampleRate, channels, interleaved samples) — `features` is
+      * channel-agnostic (the amplitude histogram counts every channel's
+      * samples), but `frames` must know the channel count to slice and
+      * re-label correctly.
+      */
+    private[graft] def decodeFull(payload: Array[Byte]): (Int, Int, Array[Short]) = {
       require(payload.length >= 44, s"WAV too short: ${payload.length} bytes")
       val bb = java.nio.ByteBuffer.wrap(payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -157,17 +167,21 @@ object Multimodal {
         "payload is not a RIFF/WAVE container")
       var off = 12
       var rate = -1
+      var channels = -1
       var samples: Array[Short] = null
       while (off + 8 <= payload.length && (rate < 0 || samples == null)) {
         val id = tag(off)
         val size = bb.getInt(off + 4)
-        require(size >= 0 && off + 8 + size <= payload.length,
+        // Long arithmetic: a hostile declared size near Int.MaxValue would
+        // wrap `off + 8 + size` negative and sail past an Int comparison
+        // straight into a ~2 GB allocation
+        require(size >= 0 && off + 8 + size.toLong <= payload.length,
           s"chunk '$id' overruns the payload (size $size at offset $off)")
         id match {
           case "fmt " =>
             require(size >= 16, s"fmt chunk too short: $size")
             val fmt = bb.getShort(off + 8)
-            val channels = bb.getShort(off + 10)
+            channels = bb.getShort(off + 10)
             val bits = bb.getShort(off + 22)
             require(fmt == 1, s"not PCM (fmt=$fmt) — compressed WAV needs a codec")
             require(bits == 16, s"only PCM16 supported, got $bits bits")
@@ -186,7 +200,7 @@ object Multimodal {
       }
       require(rate > 0, "missing fmt chunk")
       require(samples != null, "missing data chunk")
-      (rate, samples)
+      (rate, channels, samples)
     }
 
     /** PCM16 mono WAV bytes for `samples` — the canonical 44-byte-header
@@ -222,13 +236,20 @@ object Multimodal {
 
     override def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
       if (n <= 0) return Seq.empty
-      val (rate, samples) = decode(payload)
+      val (rate, channels, samples) = decodeFull(payload)
+      // the mono re-encode below would mislabel interleaved channels (and a
+      // slice boundary could split an L/R pair) — loud, never garbage
+      require(channels == 1,
+        s"time-slicing supports mono clips, got $channels channels " +
+          "(thread the channel count through encode to extend)")
       if (samples.isEmpty) return Seq.empty
       val slices = math.min(n, samples.length)
-      val step = (samples.length + slices - 1) / slices
+      // proportional boundaries i·len/slices: ceil-step slicing overshoots
+      // on e.g. len=9, n=4 (boundaries 0,3,6,9,9) and emits an EMPTY
+      // trailing "clip" that crashes downstream featurization
       (0 until slices).map { i =>
-        encode(samples.slice(i * step,
-          math.min((i + 1) * step, samples.length)), rate)
+        encode(samples.slice((i.toLong * samples.length / slices).toInt,
+          ((i + 1).toLong * samples.length / slices).toInt), rate)
       }
     }
   }
@@ -256,8 +277,14 @@ object Multimodal {
     */
   object AviDibDecoder extends Decoder {
 
+    /** 24-bit DIB row stride (4-byte aligned) — the ONE definition the
+      * encoder, the decoder's frame-size check, and the synthetic generator
+      * all share; a stride change in one copy must not desynchronize them.
+      */
+    private[graft] def dibRowBytes(w: Int): Int = (w * 3 + 3) & ~3
+
     private[graft] final case class Video(w: Int, h: Int, frames: Vector[Array[Byte]]) {
-      val rowBytes: Int = (w * 3 + 3) & ~3
+      val rowBytes: Int = dibRowBytes(w)
       /** Integer ITU-R 601 luminance of pixel (x, y) in a DIB frame
         * (bottom-up padded BGR rows).
         */
@@ -279,16 +306,26 @@ object Multimodal {
       require(tag(0) == "RIFF" && tag(8) == "AVI ",
         "payload is not a RIFF/AVI container")
       var w = -1; var h = -1
+      // strf payloads are typed by the PRECEDING strh's fccType: a real AVI
+      // with an audio track carries an 18-byte WAVEFORMATEX strf that must
+      // be skipped, not parsed as (and rejected for not being) a
+      // BITMAPINFOHEADER
+      var streamType = ""
       val frames = Vector.newBuilder[Array[Byte]]
       def walk(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
           val id = tag(off)
           val size = bb.getInt(off + 4)
-          require(size >= 0 && off + 8 + size <= end,
+          // Long arithmetic: a hostile size near Int.MaxValue would wrap
+          // the Int sum negative and pass the bound (see the WAV twin)
+          require(size >= 0 && off + 8 + size.toLong <= end,
             s"chunk '$id' overruns its parent (size $size at offset $off)")
           if (id == "LIST") walk(off + 12, off + 8 + size)
-          else if (id == "strf") {
+          else if (id == "strh") {
+            require(size >= 4, s"strh too short: $size")
+            streamType = tag(off + 8)
+          } else if (id == "strf" && streamType == "vids") {
             require(size >= 40, s"strf/BITMAPINFOHEADER too short: $size")
             val bitCount = bb.getShort(off + 8 + 14)
             val compression = bb.getInt(off + 8 + 16)
@@ -300,9 +337,8 @@ object Multimodal {
             require(w > 0 && h > 0, s"invalid frame dims ${w}x$h")
           } else if (id.endsWith("db") || id.endsWith("dc")) {
             require(w > 0, "frame chunk before the strf header")
-            val rowBytes = (w * 3 + 3) & ~3
-            require(size == rowBytes * h,
-              s"frame chunk size $size != expected ${rowBytes * h} for ${w}x$h DIB")
+            require(size == dibRowBytes(w) * h,
+              s"frame chunk size $size != expected ${dibRowBytes(w) * h} for ${w}x$h DIB")
             frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + size)
           }
           off += 8 + size + (size & 1) // chunks are word-aligned
@@ -372,19 +408,30 @@ object Multimodal {
       require(v.frames.size >= 2,
         s"motion features need >= 2 frames, got ${v.frames.size}")
       val counts = new Array[Long](dim)
-      var f = 1
-      while (f < v.frames.size) {
-        val prev = v.frames(f - 1); val cur = v.frames(f)
-        var y = 0
+      // each frame's luminance computed ONCE and rolled forward — the naive
+      // cur/prev double evaluation paid the 3-load+3-mul+div pixel kernel
+      // twice for every interior frame
+      def lumArray(frame: Array[Byte]): Array[Int] = {
+        val out = new Array[Int](v.w * v.h)
+        var y = 0; var i = 0
         while (y < v.h) {
           var x = 0
-          while (x < v.w) {
-            val diff = math.abs(v.lum(cur, x, y) - v.lum(prev, x, y))
-            counts(math.min(dim - 1, diff * dim / 256)) += 1
-            x += 1
-          }
+          while (x < v.w) { out(i) = v.lum(frame, x, y); i += 1; x += 1 }
           y += 1
         }
+        out
+      }
+      var prev = lumArray(v.frames(0))
+      var f = 1
+      while (f < v.frames.size) {
+        val cur = lumArray(v.frames(f))
+        var i = 0
+        while (i < cur.length) {
+          val diff = math.abs(cur(i) - prev(i))
+          counts(math.min(dim - 1, diff * dim / 256)) += 1
+          i += 1
+        }
+        prev = cur
         f += 1
       }
       val total = (v.frames.size - 1).toLong * v.w * v.h
@@ -414,7 +461,7 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.map { r =>
         val seed = r.getLong(idx)
-        val rowBytes = (w * 3 + 3) & ~3
+        val rowBytes = AviDibDecoder.dibRowBytes(w)
         val frames = Vector.tabulate(nFrames) { f =>
           val data = new Array[Byte](rowBytes * h)
           var y = 0

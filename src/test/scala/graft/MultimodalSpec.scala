@@ -214,6 +214,35 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.forall(_._1 === 16000), "slice rate must match the clip")
     assert(decoded.flatMap(_._2).toSeq === samples.toSeq,
       "slices must concatenate back to the original samples")
+    // non-divisible length: ceil-step slicing once emitted an EMPTY 4th
+    // clip for len=9, n=4 — proportional boundaries must keep every slice
+    // non-empty and the concat identity intact
+    val nine = synthSamples(3L, 9)
+    val nSlices = Multimodal.WavPcmDecoder.frames(
+      Multimodal.WavPcmDecoder.encode(nine, 8000), 4)
+    assert(nSlices.size === 4)
+    val nDec = nSlices.map(Multimodal.WavPcmDecoder.decode(_)._2)
+    assert(nDec.forall(_.nonEmpty), "no slice may be an empty clip")
+    assert(nDec.flatten.toSeq === nine.toSeq)
+  }
+
+  test("WavPcmDecoder: stereo decodes channel-agnostically for features, frames refuses loudly; " +
+      "hostile chunk sizes fail the bound, never allocate") {
+    val d = Multimodal.WavPcmDecoder
+    val mono = d.encode(synthSamples(5L, 64), 8000)
+    val stereo = mono.clone()
+    stereo(22) = 2 // nChannels field of the fmt chunk
+    val (rate, ch, samples) = d.decodeFull(stereo)
+    assert(rate === 8000 && ch === 2 && samples.length === 64)
+    assert(d.features(stereo, 8).toSeq === d.features(mono, 8).toSeq,
+      "amplitude histogram is channel-agnostic")
+    intercept[IllegalArgumentException](d.frames(stereo, 4)) // mono-only re-encode
+    // declared size near Int.MaxValue must fail the (Long) bound check,
+    // not wrap negative and attempt a ~2 GB allocation
+    val hostile = mono.clone()
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0x7ffffff0) // data chunk size field
+    intercept[IllegalArgumentException](d.decode(hostile))
   }
 
   test("withSyntheticWav emits real WAVs whose samples match the documented formula; " +
@@ -284,6 +313,35 @@ class MultimodalSpec extends SparkSpec {
     val one = d.encode(d.Video(4, 4, Vector(new Array[Byte](48))), 10)
     assert(d.decode(one).frames.size === 1)
     intercept[IllegalArgumentException](d.features(one, 8))
+  }
+
+  test("AviDibDecoder: an AVI with an AUDIO stream decodes — the 18-byte WAVEFORMATEX " +
+      "strf is dispatched by its strh type, not parsed as a BITMAPINFOHEADER") {
+    val d = Multimodal.AviDibDecoder
+    val base = d.encode(d.Video(4, 4,
+      Vector(new Array[Byte](48), new Array[Byte](48))), 10)
+    // splice LIST('strl' strh('auds'...) strf(18-byte WAVEFORMATEX)) into
+    // hdrl after the video strl, patching the hdrl and RIFF sizes
+    val strl = java.nio.ByteBuffer.allocate(12 + 64 + 8 + 18)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strl.put("LIST".getBytes("US-ASCII")).putInt(4 + 64 + 8 + 18)
+      .put("strl".getBytes("US-ASCII"))
+      .put("strh".getBytes("US-ASCII")).putInt(56)
+      .put("auds".getBytes("US-ASCII")).put(Array.fill[Byte](52)(0))
+      .put("strf".getBytes("US-ASCII")).putInt(18)
+      .put(Array.fill[Byte](18)(0))
+    val ins = strl.array()
+    val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hdrlSize = bb.getInt(16)
+    val insertAt = 12 + 8 + hdrlSize // right after the hdrl LIST
+    val spliced = base.slice(0, insertAt) ++ ins ++ base.drop(insertAt)
+    // the audio strl must live INSIDE hdrl: extend hdrl over it
+    val out = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putInt(4, bb.getInt(4) + ins.length)   // RIFF size
+    out.putInt(16, hdrlSize + ins.length)      // hdrl LIST size
+    val v = d.decode(spliced)
+    assert(v.w === 4 && v.h === 4 && v.frames.size === 2,
+      "video stream must decode unchanged beside the audio strl")
   }
 
   test("AviDibDecoder.frames: BMP re-encode feeds the IMAGE pipeline — cross-codec pixels agree") {
