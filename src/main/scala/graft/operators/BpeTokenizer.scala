@@ -142,6 +142,82 @@ object Bpe {
     trainLocal(collectWordTable(wordCounts(df, textCol), maxWordTypes),
       numMerges)._1
 
+  /** Leftmost-first non-overlapping (l, r) → l+r replacement as a Catalyst
+    * higher-order fold — `applyMerge`'s distributed twin (BpeSpec pins the
+    * equality). State carries a one-symbol lookahead buffer: merging
+    * consumes (buf, s); otherwise buf flushes and s becomes the buffer.
+    */
+  private def applyMergeCol(syms: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"), lit(null).cast("string").as("buf"))
+    aggregate(syms, init,
+      (st, s) => when(st.getField("buf") === l && s === r,
+          struct(concat(st.getField("out"), array(lit(l + r))).as("out"),
+            lit(null).cast("string").as("buf")))
+        .otherwise(struct(
+          when(st.getField("buf").isNull, st.getField("out"))
+            .otherwise(concat(st.getField("out"), array(st.getField("buf"))))
+            .as("out"),
+          s.as("buf"))),
+      st => when(st.getField("buf").isNull, st.getField("out"))
+        .otherwise(concat(st.getField("out"), array(st.getField("buf")))))
+  }
+
+  /** The merge loop WITHOUT the driver table: every round is one small
+    * Spark aggregation over the word-TYPE frame (adjacent-pair explode →
+    * count → argmax with the documented tie-break) followed by the
+    * fold-merge projection above. Closes `train`'s top-K truncation for
+    * vocabularies past driver memory: the type table only ever lives as a
+    * DataFrame. Cost: `numMerges` tiny jobs over a type-table-sized frame
+    * (NOT the corpus — same scale shape as the local loop). The frame is
+    * checkpointed every few rounds so the per-round `transform` lineage
+    * cannot compound into exponential plan growth.
+    */
+  def trainDistributed(wc: DataFrame, numMerges: Int): Vector[Merge] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = wc.sparkSession
+    // char split: regex "" can emit a trailing empty element depending on
+    // the engine's limit semantics — filter empties so the symbol seq is
+    // exactly initSyms's chars + EndOfWord
+    var table = wc.select(
+      concat(filter(split(col("word"), ""), s => s =!= lit("")),
+        array(lit(EndOfWord))).as("syms"),
+      col("freq").cast("long").as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Vector.newBuilder[Merge]
+    var round = 0
+    var exhausted = false
+    try {
+      while (round < numMerges && !exhausted) {
+        val best = table
+          .select(col("freq"), col("syms"), posexplode(slice(col("syms"), lit(1),
+            greatest(size(col("syms")) - 1, lit(0)))))
+          .select(col("freq"), col("col").as("lsym"),
+            element_at(col("syms"), col("pos") + 2).as("rsym"))
+          .groupBy(col("lsym"), col("rsym")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lsym").asc, col("rsym").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val l = best(0).getString(0)
+          val r = best(0).getString(1)
+          merges += Merge(round, l, r)
+          val next = table.select(applyMergeCol(col("syms"), l, r).as("syms"),
+            col("freq"))
+          // checkpoint cadence: break the per-round transform lineage
+          val mat = if ((round + 1) % 8 == 0) next.localCheckpoint(true)
+            else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          mat.count()
+          table.unpersist(false)
+          table = mat
+          round += 1
+        }
+      }
+      merges.result()
+    } finally table.unpersist(false)
+  }
+
   /** Encode one word: repeatedly merge the lowest-rank adjacent pair
     * present (the GPT-2 encode loop). Because a merge never creates a new
     * adjacency between pre-existing symbols, this reproduces the training

@@ -124,6 +124,22 @@ class BpeSpec extends SparkSpec {
     assert(viaDf === manual)
   }
 
+  test("trainDistributed == trainLocal: the fold-merge frame loop needs no driver table") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val wc = Bpe.wordCounts(docs, "text")
+    val local = Bpe.trainLocal(Bpe.collectWordTable(wc, 1 << 20), 20)._1
+    val dist = Bpe.trainDistributed(wc, 20)
+    assert(dist === local,
+      "distributed merge loop must reproduce the local loop merge-for-merge")
+    // early stop parity on a tiny exhaustible corpus (incl. the
+    // fold-merge's lookahead-buffer edge: "aaa" merges leftmost-first)
+    val tiny = Seq(("aaa", 3L), ("ab", 1L)).toDF("word", "freq")
+    val dTiny = Bpe.trainDistributed(tiny, 100)
+    val lTiny = Bpe.trainLocal(Seq(("aaa", 3L), ("ab", 1L)), 100)._1
+    assert(dTiny === lTiny)
+    assert(dTiny.size < 100, "must stop when no adjacent pairs remain")
+  }
+
   test("distributed encodeWordsDf == driver encodeWord, token stats consistent") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val wc = Bpe.wordCounts(docs, "text")
