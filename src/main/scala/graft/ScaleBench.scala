@@ -766,6 +766,14 @@ object ScaleBench {
       }
       out(s"bpe_merges_$tag") = merges.size.toDouble
       val wc = Bpe.wordCounts(docs, "text")
+      // the truncation-free frame loop: numMerges small jobs over the
+      // type-table-sized frame — its cost is per-round scheduling, not
+      // corpus bytes (the row documents the price of skipping the driver
+      // table when the vocabulary outgrows it)
+      out(s"bpe_train_distributed_$tag") = time {
+        val d = Bpe.trainDistributed(wc, 64)
+        require(d == merges, "distributed merges diverged from local")
+      }
       out(s"bpe_encode_stats_$tag") = time(drain(
         docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .join(broadcast(Bpe.encodeWordsDf(wc, "word", merges)
