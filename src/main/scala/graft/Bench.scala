@@ -64,15 +64,74 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // ---- stall detection. Three driver rounds in a row the OFFICIAL bench
+    // artifact was contaminated by host stalls (co-tenant bursts covering
+    // entire query windows: r9's dsir_select read 18.2 s with ALL reps
+    // inside the stall vs 0.97 s quiet). min-of-reps only survives a stall
+    // that misses at least one rep, so two independent defenses:
+    //  (1) a micro-canary — a fixed ~50 ms all-core Spark job timed right
+    //      after each rep; if the canary itself runs >3x its start-of-run
+    //      calibration, the host was contended DURING that rep, and the rep
+    //      is retried regardless of what its siblings read (catches the
+    //      all-reps-slow case sibling statistics cannot);
+    //  (2) sibling-median outliers — any rep >3x the median of the others
+    //      is retried (catches a stall the canary window happened to miss).
+    // Retries are capped (default 4/query) and counted into the artifact as
+    // stall_retries so a reader can see exactly where the protocol fired.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      // all-core arithmetic scan: sensitive to co-tenant CPU pressure the
+      // way real queries are (a single-thread busy loop is not)
+      spark.range(0L, 64000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id * 2654435761 + 17)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryBase = { canaryOnce(); (1 to 5).map(_ => canaryOnce()).min } // first rep = warmup
+    val stallK = 3.0
+    val maxRetries = sys.env.get("SPARK_GRAFT_STALL_RETRIES")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
     val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val retryLog = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val ts = (1 to runs).map(_ => timeOnce(name, fn))
-      repLog(name) = ts
-      val ok = ts.filter(_ >= 0)
+      // each rep: (seconds, canary-clean). Failed reps (-1) never retry.
+      def rep(): (Double, Boolean) = {
+        val t = timeOnce(name, fn)
+        val clean = t < 0 || canaryOnce() <= stallK * canaryBase
+        (t, clean)
+      }
+      var ts = (1 to runs).map(_ => rep()).toVector
+      var retries = 0
+      def suspect(i: Int): Boolean = {
+        val (t, clean) = ts(i)
+        if (t < 0) false
+        else if (!clean) true
+        else {
+          val sibs = ts.zipWithIndex.collect { case ((s, _), j) if j != i && s >= 0 => s }
+          if (sibs.isEmpty) false
+          else {
+            val sorted = sibs.sorted
+            val med = sorted(sorted.size / 2)
+            t > stallK * med && t - med > 0.25 // absolute floor: sub-second jitter is not a stall
+          }
+        }
+      }
+      var i = ts.indices.find(suspect)
+      while (i.isDefined && retries < maxRetries) {
+        retries += 1
+        ts = ts.updated(i.get, rep())
+        i = ts.indices.find(suspect)
+      }
+      if (retries > 0) retryLog(name) = retries
+      repLog(name) = ts.map(_._1)
+      val ok = ts.filter(_._1 >= 0)
       if (ok.isEmpty) return -1.0
-      val sec = ok.min
+      // headline = min over canary-clean reps when any exist (a stalled
+      // rep's wall time is an artifact of the host, not the plan)
+      val pool = { val clean = ok.filter(_._2); if (clean.nonEmpty) clean else ok }
+      val sec = pool.map(_._1).min
       System.err.println(f"[bench] $name: $sec%.2f s" +
-        (if (ts.size > 1) ts.map(t => f"$t%.2f").mkString(" (reps: ", " ", ")") else ""))
+        (if (ts.size > 1) ts.map(t => f"${t._1}%.2f").mkString(" (reps: ", " ", ")") else "") +
+        (if (retries > 0) s" [stall retries: $retries]" else ""))
       sec
     }
 
@@ -91,13 +150,17 @@ object Bench {
     ).getOrElse(-1.0)
     // `|| true`: grep -c exits 1 on ZERO matches, which would turn a
     // clean host into the -1 "probe failed" sentinel; and subtract this
-    // JVM only if it was actually counted (a non-"java" launcher comm
-    // must not shave a stale daemon off the record)
+    // JVM only when it was actually counted — i.e. only when OUR comm is
+    // "java" (under a non-java launcher with one co-tenant java daemon,
+    // unconditional n-1 would falsely report a clean host)
     val otherJvms = scala.util.Try {
       import scala.sys.process._
       val n = Seq("sh", "-c", "ps -e -o comm= | grep -c '^java$' || true")
         .!!.trim.toInt
-      if (n > 0) n - 1 else n
+      val selfIsJava = scala.util.Try(
+        scala.io.Source.fromFile("/proc/self/comm").mkString.trim == "java"
+      ).getOrElse(false)
+      if (selfIsJava && n > 0) n - 1 else n
     }.getOrElse(-1)
     val sentinel = SparkEntry.queries.get("q7_volume_shipping").map { fn =>
       (1 to 3).map(_ => timeOnce("__sentinel_q7", fn))
@@ -121,8 +184,11 @@ object Bench {
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val envJson = f""""env":{"loadavg1":$loadAvg%.2f,"other_jvms":$otherJvms,""" +
+      f""""canary_base":$canaryBase%.3f,""" +
       s""""sentinel_q7":[${sentinel.map(fmt).mkString(",")}]}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,$envJson,"sf":"$sfDir"}"""
+    val retriesJson = retryLog.map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"stall_retries":$retriesJson,$envJson,"sf":"$sfDir"}"""
     // The driver parses a ~2 KiB tail of the run output; with 112 queries
     // the full per-query line is ~3 KiB and its head gets truncated away
     // (r5's bench came back parsed:null). So: full record to BENCH.out and

@@ -105,12 +105,12 @@ object ScaleBench {
           if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       }
+      // drain BEFORE registering: task-end events still queued from the
+      // previous (un-drained) action would otherwise be delivered to this
+      // fresh listener and attributed to THIS row's byte count
+      org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
       spark.sparkContext.addSparkListener(l)
       try {
-        // drain BEFORE timing too: task-end events queued by the previous
-        // (un-drained) action would otherwise be delivered to this fresh
-        // listener and attributed to THIS row's byte count
-        org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
         val t = time(fn)
         org.apache.spark.sql.graft.Bridge.waitListenerBus(spark)
         (t, bytes.get)
@@ -766,13 +766,25 @@ object ScaleBench {
       }
       out(s"bpe_merges_$tag") = merges.size.toDouble
       val wc = Bpe.wordCounts(docs, "text")
-      // the truncation-free frame loop: numMerges small jobs over the
-      // type-table-sized frame — its cost is per-round scheduling, not
+      // the truncation-free frame loop: batched rounds of small jobs over
+      // the type-table-sized frame — its cost is per-round scheduling, not
       // corpus bytes (the row documents the price of skipping the driver
-      // table when the vocabulary outgrows it)
+      // table when the vocabulary outgrows it). Equality with the local
+      // loop only holds below `train`'s top-K truncation cap: past 2^20
+      // word types the local side trains on a strict subset and the merges
+      // may LEGITIMATELY differ — skip the gate rather than abort the run.
+      val nTypes = wc.count()
       out(s"bpe_train_distributed_$tag") = time {
         val d = Bpe.trainDistributed(wc, 64)
-        require(d == merges, "distributed merges diverged from local")
+        if (nTypes < (1 << 20))
+          require(d == merges, "distributed merges diverged from local")
+      }
+      // un-batched A/B on the same corpus: what VERDICT-r9 #6's batching
+      // actually buys (the r9 floor was 64 rounds x ~375 ms scheduling)
+      out(s"bpe_train_distributed_seq_$tag") = time {
+        val d = Bpe.trainDistributed(wc, 64, batchMax = 1)
+        if (nTypes < (1 << 20))
+          require(d == merges, "sequential distributed merges diverged from local")
       }
       out(s"bpe_encode_stats_$tag") = time(drain(
         docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

@@ -33,8 +33,18 @@ import org.apache.spark.sql.functions._
   * replacement) is gated by `BpeSpec` against an independent naive
   * implementation.
   *
-  * Symbols are UTF-16 chars (ASCII/BMP corpora; a production byte-level
-  * variant would seed from UTF-8 bytes exactly like GPT-2's).
+  * Two seed alphabets:
+  *  - `byteLevel = false`: symbols are UTF-16 chars — BMP-only corpora, and
+  *    now LOUDLY so (a word containing surrogate pairs fails with a pointer
+  *    to the byte-level path; silently splitting surrogates would emit
+  *    garbage symbols AND put the Spark/DuckDB string tie-breaks at odds).
+  *  - `byteLevel = true`: symbols seed from the word's UTF-8 bytes through
+  *    GPT-2's byte↔printable-unicode bijection (`byteToChar`), the
+  *    production recipe for arbitrary text — emoji, CJK extensions, any
+  *    UTF-8 — with exact `decode` round-trip. Every mapped symbol is a BMP
+  *    char < U+0144, so byte-level strings flow through the identical
+  *    string machinery and keep Java compareTo ≡ UTF-8 binary order (the
+  *    oracle's tie-break comparator).
   */
 object Bpe {
 
@@ -42,6 +52,42 @@ object Bpe {
     * token distinct from "low" inside "lower".
     */
   val EndOfWord = "</w>"
+
+  /** GPT-2's byte→printable-unicode bijection (encoder.py
+    * `bytes_to_unicode`, public): the 188 visibly-printable Latin-1 bytes
+    * map to themselves; the remaining 68 (controls, space, DEL, 0xA0, 0xAD)
+    * map to U+0100.. in byte order. Image ⊂ [U+0021, U+0143] — all BMP, no
+    * surrogates, UTF-8 byte order ≡ code-point order ≡ Java compareTo.
+    */
+  val byteToChar: Array[Char] = {
+    val self = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (self(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** Inverse of the byte-level symbol encoding: mapped-char token string →
+    * original UTF-8 text (EndOfWord markers dropped). Exact round-trip on
+    * any input — the property `BpeSpec` gates on emoji/multi-byte text.
+    */
+  def decodeByteSyms(syms: Seq[String]): String = {
+    val bytes = mutable.ArrayBuilder.make[Byte]
+    for (s <- syms; piece = if (s.endsWith(EndOfWord)) s.dropRight(EndOfWord.length) else s;
+         c <- piece)
+      bytes += charToByte.getOrElse(c,
+        throw new IllegalArgumentException(s"not a byte-level symbol char: U+${c.toInt.toHexString}")).toByte
+    new String(bytes.result(), java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   final case class Merge(rank: Int, lsym: String, rsym: String)
 
@@ -70,13 +116,24 @@ object Bpe {
       .collect().map(r => (r.getString(0), r.getLong(1)))
   }
 
-  private def initSyms(word: String): Array[String] = {
-    val out = new Array[String](word.length + 1)
-    var i = 0
-    while (i < word.length) { out(i) = word.charAt(i).toString; i += 1 }
-    out(word.length) = EndOfWord
-    out
-  }
+  private[graft] def initSyms(word: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel) {
+      val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new Array[String](bytes.length + 1)
+      var i = 0
+      while (i < bytes.length) { out(i) = byteToChar(bytes(i) & 0xff).toString; i += 1 }
+      out(bytes.length) = EndOfWord
+      out
+    } else {
+      require(!word.exists(Character.isSurrogate),
+        "char-level BPE is BMP-only (symbol = one UTF-16 char); word contains " +
+          "a surrogate pair — train with byteLevel = true for arbitrary UTF-8")
+      val out = new Array[String](word.length + 1)
+      var i = 0
+      while (i < word.length) { out(i) = word.charAt(i).toString; i += 1 }
+      out(word.length) = EndOfWord
+      out
+    }
 
   /** Leftmost-first non-overlapping replacement of the adjacent pair
     * (l, r) with the merged symbol l+r — the BPE state transition, shared
@@ -103,10 +160,11 @@ object Bpe {
     * table of every DECIDED round is captured for the oracle export.
     */
   def trainLocal(words: Seq[(String, Long)], numMerges: Int,
-      recordStates: Boolean = false): (Vector[Merge], Vector[StateRow]) = {
+      recordStates: Boolean = false, byteLevel: Boolean = false)
+      : (Vector[Merge], Vector[StateRow]) = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     var table: Array[(Array[String], Long)] =
-      words.map { case (w, f) => (initSyms(w), f) }.toArray
+      words.map { case (w, f) => (initSyms(w, byteLevel), f) }.toArray
     val merges = Vector.newBuilder[Merge]
     val states = Vector.newBuilder[StateRow]
     var round = 0
@@ -138,9 +196,9 @@ object Bpe {
     * loop over the bounded type table.
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      maxWordTypes: Int = 1 << 20): Vector[Merge] =
+      maxWordTypes: Int = 1 << 20, byteLevel: Boolean = false): Vector[Merge] =
     trainLocal(collectWordTable(wordCounts(df, textCol), maxWordTypes),
-      numMerges)._1
+      numMerges, byteLevel = byteLevel)._1
 
   /** Leftmost-first non-overlapping (l, r) → l+r replacement as a Catalyst
     * higher-order fold — `applyMerge`'s distributed twin (BpeSpec pins the
@@ -164,57 +222,135 @@ object Bpe {
         .otherwise(concat(st.getField("out"), array(st.getField("buf")))))
   }
 
-  /** The merge loop WITHOUT the driver table: every round is one small
-    * Spark aggregation over the word-TYPE frame (adjacent-pair explode →
-    * count → argmax with the documented tie-break) followed by the
-    * fold-merge projection above. Closes `train`'s top-K truncation for
-    * vocabularies past driver memory: the type table only ever lives as a
-    * DataFrame. Cost: `numMerges` tiny jobs over a type-table-sized frame
-    * (NOT the corpus — same scale shape as the local loop). The frame is
-    * checkpointed every few rounds so the per-round `transform` lineage
-    * cannot compound into exponential plan growth.
+  /** Seed the distributed type frame with the SAME JVM `initSyms` the local
+    * loop uses (executor-side mapPartitions over the bounded type table —
+    * never the corpus). One seeding function for both loops by construction:
+    * the previous `split(word, "")` seeding split by code point while the
+    * local loop split by UTF-16 code unit, so the two silently diverged on
+    * non-BMP text.
     */
-  def trainDistributed(wc: DataFrame, numMerges: Int): Vector[Merge] = {
-    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+  private def seedFrame(wc: DataFrame, byteLevel: Boolean): DataFrame = {
     val spark = wc.sparkSession
-    // char split: regex "" can emit a trailing empty element depending on
-    // the engine's limit semantics — filter empties so the symbol seq is
-    // exactly initSyms's chars + EndOfWord
-    var table = wc.select(
-      concat(filter(split(col("word"), ""), s => s =!= lit("")),
-        array(lit(EndOfWord))).as("syms"),
-      col("freq").cast("long").as("freq"))
+    import spark.implicits._
+    wc.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions(it => it.map { case (w, f) => (initSyms(w, byteLevel).toSeq, f) })
+      .toDF("syms", "freq")
+  }
+
+  /** The merge loop WITHOUT the driver table: rounds of small Spark
+    * aggregations over the word-TYPE frame (adjacent-pair explode → count →
+    * argmax with the documented tie-break) followed by the fold-merge
+    * projection above. Closes `train`'s top-K truncation for vocabularies
+    * past driver memory: the type table only ever lives as a DataFrame.
+    *
+    * Each round BATCHES up to `batchMax` merges while provably reproducing
+    * the sequential decision sequence (the r9 loop paid ~375 ms/merge in
+    * pure per-round scheduling — 64 rounds of tiny jobs). From one
+    * pair-count aggregation the round takes the rank-ordered candidates
+    * (cnt DESC, lsym, rsym) and admits a PREFIX of them, stopping at the
+    * first candidate j that fails either test against the already-admitted
+    * merges i < j:
+    *   1. symbol-disjointness — {l_j, r_j} ∩ {l_i, r_i} = ∅, so applying
+    *      merge i cannot change candidate j's count (a merge only touches
+    *      counts of pairs sharing one of its symbols), and the chained
+    *      batch application equals the sequential application;
+    *   2. cnt_j strictly exceeds every admitted bound_i, where bound_i caps
+    *      the count any pair INVOLVING the new symbol l_i+r_i can reach at
+    *      any intermediate state: a created instance (x, l_i r_i) comes
+    *      from a pre-state context "… x l_i r_i …" which contains the
+    *      pre-state pair (x', l_i) — so created counts ≤
+    *      max(max_x cnt(x, l_i), max_y cnt(r_i, y)), capped at cnt_i; and
+    *      if the STRING l_i+r_i already occurs as a live symbol (so created
+    *      instances would top up an existing pair's count), bound_i is ∞.
+    * Under 1+2 the argmax after applying merges 1..j-1 is exactly candidate
+    * j, so the batch is the sequential prefix — merge-for-merge, every
+    * corpus (`BpeSpec` gates equality with `trainLocal`, including on
+    * interacting-pair corpora that force the fallback to batch size 1).
+    * The bounds come from one extra small aggregation per round on the
+    * persisted count frame; worst case (every round batches 1) degenerates
+    * to the old loop plus that one job.
+    */
+  def trainDistributed(wc: DataFrame, numMerges: Int,
+      byteLevel: Boolean = false, batchMax: Int = 8): Vector[Merge] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(batchMax >= 1, s"batchMax must be >= 1, got $batchMax")
+    var table = seedFrame(wc, byteLevel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    table.count()
     val merges = Vector.newBuilder[Merge]
     var round = 0
+    var sinceCheckpoint = 0
     var exhausted = false
     try {
       while (round < numMerges && !exhausted) {
-        val best = table
+        val counts = table
           .select(col("freq"), col("syms"), posexplode(slice(col("syms"), lit(1),
             greatest(size(col("syms")) - 1, lit(0)))))
           .select(col("freq"), col("col").as("lsym"),
             element_at(col("syms"), col("pos") + 2).as("rsym"))
           .groupBy(col("lsym"), col("rsym")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("lsym").asc, col("rsym").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val l = best(0).getString(0)
-          val r = best(0).getString(1)
-          merges += Merge(round, l, r)
-          val next = table.select(applyMergeCol(col("syms"), l, r).as("syms"),
-            col("freq"))
-          // checkpoint cadence: break the per-round transform lineage
-          val mat = if ((round + 1) % 8 == 0) next.localCheckpoint(true)
-            else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          mat.count()
-          table.unpersist(false)
-          table = mat
-          round += 1
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val m = math.min(batchMax, numMerges - round)
+          val top = counts
+            .orderBy(col("cnt").desc, col("lsym").asc, col("rsym").asc)
+            .limit(m).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          if (top.isEmpty) exhausted = true
+          else {
+            // per-candidate created-pair bounds (see Scaladoc), one job
+            val bounds: Array[Long] =
+              if (top.length == 1) Array(Long.MaxValue)
+              else {
+                val aggs = top.toSeq.zipWithIndex.flatMap { case ((l, r, c), i) => Seq(
+                  max(when(col("rsym") === lit(l), col("cnt"))).as(s"a$i"),
+                  max(when(col("lsym") === lit(r), col("cnt"))).as(s"b$i"),
+                  max(when(col("lsym") === lit(l + r) || col("rsym") === lit(l + r),
+                    col("cnt"))).as(s"k$i")) }
+                val row = counts.agg(aggs.head, aggs.tail: _*).collect()(0)
+                top.indices.map { i =>
+                  val collide = !row.isNullAt(3 * i + 2)
+                  if (collide) Long.MaxValue
+                  else {
+                    val a = if (row.isNullAt(3 * i)) 0L else row.getLong(3 * i)
+                    val b = if (row.isNullAt(3 * i + 1)) 0L else row.getLong(3 * i + 1)
+                    math.min(top(i)._3, math.max(a, b))
+                  }
+                }.toArray
+              }
+            val selected = mutable.ArrayBuffer.empty[(String, String)]
+            val used = mutable.HashSet.empty[String]
+            var maxBound = 0L
+            var stop = false
+            var i = 0
+            while (i < top.length && !stop) {
+              val (l, r, c) = top(i)
+              if (selected.isEmpty ||
+                  (!used(l) && !used(r) && maxBound < Long.MaxValue && c > maxBound)) {
+                selected += ((l, r)); used += l; used += r
+                maxBound = math.max(maxBound, bounds(i))
+              } else stop = true
+              i += 1
+            }
+            for ((l, r) <- selected) { merges += Merge(round, l, r); round += 1 }
+            val next = table.select(
+              selected.foldLeft(col("syms")) { case (c, (l, r)) =>
+                applyMergeCol(c, l, r) }.as("syms"),
+              col("freq"))
+            // checkpoint cadence: break the per-round transform lineage
+            sinceCheckpoint += selected.size
+            val mat = if (sinceCheckpoint >= 8) { sinceCheckpoint = 0; next.localCheckpoint(true) }
+              else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            mat.count()
+            table.unpersist(false)
+            table = mat
+          }
+        } finally counts.unpersist(false)
       }
-      merges.result()
+      // ranks are decision order, one per merge — rewrite the batch-local
+      // `round` stamps into a clean 0..n-1 sequence
+      merges.result().zipWithIndex.map { case (mg, i) => mg.copy(rank = i) }
     } finally table.unpersist(false)
   }
 
@@ -223,8 +359,9 @@ object Bpe {
     * adjacency between pre-existing symbols, this reproduces the training
     * fixpoint exactly on trained words (gated by BpeSpec).
     */
-  def encodeWord(word: String, rankOf: collection.Map[(String, String), Int]): Array[String] = {
-    var syms = initSyms(word)
+  def encodeWord(word: String, rankOf: collection.Map[(String, String), Int],
+      byteLevel: Boolean = false): Array[String] = {
+    var syms = initSyms(word, byteLevel)
     var more = true
     while (more && syms.length > 1) {
       var best = Int.MaxValue
@@ -249,7 +386,8 @@ object Bpe {
     * documented mapPartitions case; the corpus-level consumer joins this
     * small table back broadcast, so the corpus itself never runs the loop).
     */
-  def encodeWordsDf(words: DataFrame, wordCol: String, merges: Seq[Merge]): DataFrame = {
+  def encodeWordsDf(words: DataFrame, wordCol: String, merges: Seq[Merge],
+      byteLevel: Boolean = false): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
@@ -257,7 +395,7 @@ object Bpe {
     val ds: Dataset[String] = words.select(col(wordCol).cast("string")).as[String]
     ds.mapPartitions { it =>
       val rk = bc.value
-      it.map(w => (w, encodeWord(w, rk).toSeq))
+      it.map(w => (w, encodeWord(w, rk, byteLevel).toSeq))
     }.toDF(wordCol, "toks")
   }
 }

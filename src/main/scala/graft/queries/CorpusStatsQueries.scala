@@ -719,6 +719,52 @@ object CorpusStatsQueries {
       .select(col("round").cast("long").as("round"), col("syms"), col("freq"))
   }
 
+  /** Byte-level twin of `bpeArtifacts`: seeds from UTF-8 bytes through
+    * GPT-2's byte↔printable-unicode bijection (`Bpe.byteToChar`) — the
+    * production tokenizer recipe for arbitrary text. Same trainer, same
+    * state-export contract; only the seed alphabet differs.
+    */
+  private def bpeArtifactsBytes(spark: SparkSession, dir: String)
+      : (Vector[Bpe.Merge], Vector[Bpe.StateRow]) =
+    QueryMemo.cached(spark, dir, "bpe_artifacts_bytes") {
+      val table = Bpe.collectWordTable(
+        Bpe.wordCounts(docs(spark, dir), "text"), maxWordTypes = 1 << 20)
+      Bpe.trainLocal(table, BpeNumMerges, recordStates = true, byteLevel = true)
+    }
+
+  /** Byte-level BPE training (GPT-2 byte vocabulary). Oracle: identical
+    * state-replay to `bpe_train` — DuckDB recounts pairs from the exported
+    * byte-level states and re-derives every merge decision; the exported
+    * symbols are already mapped printable chars, so the oracle needs no
+    * knowledge of the byte bijection (the seeding itself — UTF-8 bytes →
+    * mapped chars, exact decode round-trip on emoji/multi-byte text, and
+    * byte≡char merge agreement on printable-ASCII corpora — is BpeSpec-gated).
+    */
+  def bpeTrainBytes(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeArtifactsBytes(spark, dir)
+    spark.createDataFrame(merges)
+      .select(col("rank").cast("long").as("rank"), col("lsym"), col("rsym"))
+  }
+
+  val bpeTrainBytesSql: String =
+    """WITH pos AS (SELECT round, freq, syms, unnest(range(1, len(syms))) AS i
+      |             FROM read_parquet('{AUX}/bpe_states_bytes/*.parquet')),
+      |pairs AS (SELECT round, syms[i] AS lsym, syms[i+1] AS rsym,
+      |            SUM(freq) AS cnt
+      |          FROM pos GROUP BY 1, 2, 3),
+      |best AS (SELECT round, lsym, rsym,
+      |           row_number() OVER (PARTITION BY round
+      |             ORDER BY cnt DESC, lsym ASC, rsym ASC) AS rn
+      |         FROM pairs)
+      |SELECT CAST(round AS BIGINT) AS rank, lsym, rsym FROM best WHERE rn = 1""".stripMargin
+
+  /** Aux: byte-level per-round pre-merge states. */
+  def bpeStatesBytesAux(spark: SparkSession, dir: String): DataFrame = {
+    val (_, states) = bpeArtifactsBytes(spark, dir)
+    spark.createDataFrame(states)
+      .select(col("round").cast("long").as("round"), col("syms"), col("freq"))
+  }
+
   /** Aux: distributed per-distinct-word encode under the trained merges
     * (word, n_toks) — the word-level table both the `bpe_token_stats` query
     * and its oracle aggregate from (per-word encode equivalence to the
@@ -754,10 +800,12 @@ object CorpusStatsQueries {
 
   val oracleInputs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_states" -> (bpeStatesAux(_, _)),
+    "bpe_states_bytes" -> (bpeStatesBytesAux(_, _)),
     "bpe_word_tokens" -> (bpeWordTokensAux(_, _)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain(_, _)),
+    "bpe_train_bytes" -> (bpeTrainBytes(_, _)),
     "bpe_token_stats" -> (bpeTokenStats(_, _)),
     "lm_score" -> (lmScore(_, _)),
     "ccnet_buckets" -> (ccnetBuckets(_, _)),
@@ -775,6 +823,7 @@ object CorpusStatsQueries {
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql,
+    "bpe_train_bytes" -> bpeTrainBytesSql,
     "bpe_token_stats" -> bpeTokenStatsSql,
     "lm_score" -> lmScoreSql,
     "ccnet_buckets" -> ccnetBucketsSql,

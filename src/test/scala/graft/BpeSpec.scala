@@ -140,6 +140,81 @@ class BpeSpec extends SparkSpec {
     assert(dTiny.size < 100, "must stop when no adjacent pairs remain")
   }
 
+  test("batched trainDistributed == trainLocal on interacting-pair corpora") {
+    // corpora built so top pairs SHARE symbols (chains "ababab", "aaaa"),
+    // forcing the batch admissibility tests to reject and fall back toward
+    // batch size 1 — sequence equality must hold regardless
+    val corpora = Seq(
+      Seq(("ababab", 5L), ("abab", 3L), ("ba", 7L)),
+      Seq(("aaaa", 4L), ("aaab", 4L), ("baaa", 3L)),
+      Seq(("abcabc", 2L), ("bcabca", 2L), ("cabcab", 2L)))
+    for (words <- corpora) {
+      val wc = words.toDF("word", "freq")
+      val local = Bpe.trainLocal(words, 15)._1
+      for (bm <- Seq(1, 4, 8)) {
+        val dist = Bpe.trainDistributed(wc, 15, batchMax = bm)
+        assert(dist === local, s"batchMax=$bm diverged on $words")
+      }
+    }
+  }
+
+  test("byte-level: bijection, decode round-trip on emoji/CJK, char-level loud-fails") {
+    // GPT-2 bytes_to_unicode: a 256-element bijection into BMP printables
+    assert(Bpe.byteToChar.length === 256)
+    assert(Bpe.byteToChar.distinct.length === 256)
+    assert(Bpe.byteToChar.forall(c => c >= '!' && c.toInt < 0x0144))
+    assert(!Bpe.byteToChar.exists(Character.isSurrogate))
+    // printable ASCII maps to itself (GPT-2 contract)
+    for (c <- '!' to '~') assert(Bpe.byteToChar(c.toInt) === c)
+    // decode(initSyms) round-trips arbitrary UTF-8: emoji (non-BMP, 4-byte),
+    // CJK, combining marks, Latin-1
+    for (w <- Seq("héllo", "日本語", "👍🏽emoji", "🧪", "áb", "普通话123"))
+      assert(Bpe.decodeByteSyms(
+        Bpe.initSyms(w, byteLevel = true).toSeq) === w, s"round-trip '$w'")
+    // char-level on non-BMP input fails LOUDLY, not with garbage symbols
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(Seq(("a👍b", 1L)), 5)
+    }
+    assert(e.getMessage.contains("byteLevel"))
+  }
+
+  test("byte-level ≡ char-level merges on printable-ASCII corpora") {
+    // printable ASCII bytes map to themselves, so the two seedings produce
+    // identical symbol tables and hence identical merges
+    val rnd = new scala.util.Random(11)
+    val words = (0 until 100).map { _ =>
+      (0 to 2 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(9)).toChar).mkString
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val ch = Bpe.trainLocal(words, 20)._1
+    val by = Bpe.trainLocal(words, 20, byteLevel = true)._1
+    assert(by === ch)
+    // and the distributed loop agrees under byte-level seeding too
+    val dist = Bpe.trainDistributed(words.toDF("word", "freq"), 20, byteLevel = true)
+    assert(dist === by)
+  }
+
+  test("byte-level training + encode on multi-byte text: fixpoint and round-trip") {
+    val words = Seq(("日本語", 6L), ("日本", 4L), ("語学", 3L), ("👍👍", 2L), ("ascii", 5L))
+    val (merges, states) = Bpe.trainLocal(words, 12, recordStates = true,
+      byteLevel = true)
+    assert(merges.nonEmpty)
+    // every state symbol is a mapped printable string or </w> — exportable
+    // through the same parquet/oracle channel as char-level states
+    assert(states.forall(_.syms.forall(s =>
+      s == Bpe.EndOfWord || !s.exists(Character.isSurrogate))))
+    val rankOf = merges.map(m => ((m.lsym, m.rsym), m.rank)).toMap
+    for ((w, _) <- words) {
+      val toks = Bpe.encodeWord(w, rankOf, byteLevel = true)
+      assert(Bpe.decodeByteSyms(toks.toSeq) === w, s"decode(encode('$w'))")
+    }
+    // distributed encode twin under byte-level
+    val got = Bpe.encodeWordsDf(words.toDF("word", "freq"), "word", merges,
+      byteLevel = true).select(col("word"), col("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    for ((w, _) <- words)
+      assert(got(w) === Bpe.encodeWord(w, rankOf, byteLevel = true).toSeq)
+  }
+
   test("distributed encodeWordsDf == driver encodeWord, token stats consistent") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val wc = Bpe.wordCounts(docs, "text")
