@@ -514,13 +514,91 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic PNG encoder — the image twin of `WavPcmDecoder.encode` /
+    * `AviDibDecoder.encode`: ~60 lines of plain byte math per the public
+    * PNG spec (RFC 2083) and zlib/deflate (RFC 1950/1951). The pixel stream
+    * rides STORED (uncompressed) deflate blocks, so the emitted bytes are a
+    * pure function of the pixels — unlike ImageIO's PNG writer, whose
+    * compressed output is unpinned across JDK builds. That determinism is
+    * what lets the DuckDB oracle regenerate synthetic payload bytes exactly
+    * and hash-gate the full encode→decode→featurize path (`image_features`),
+    * while decode stays `ImageIoDecoder` — a genuinely FOREIGN decoder
+    * reading our bytes, the realistic codec-interop check.
+    */
+  private[graft] object PngEncoder {
+
+    /** One PNG chunk: length + type + data + CRC32(type ++ data), ints
+      * big-endian per the spec.
+      */
+    private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = java.nio.ByteBuffer.allocate(12 + data.length) // BE default
+      out.putInt(data.length).put(tb).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+
+    /** `w`×`h` truecolor 8-bit PNG of row-major 0xRRGGBB pixels. */
+    def encode(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+      require(w >= 1 && h >= 1, s"image dims must be >= 1, got ${w}x$h")
+      require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
+      // raw scanline stream: per-row filter byte 0 (None) + RGB triplets
+      val raw = new Array[Byte](h * (1 + 3 * w))
+      var i = 0
+      var y = 0
+      while (y < h) {
+        raw(i) = 0; i += 1
+        var x = 0
+        while (x < w) {
+          val p = rgb(y * w + x)
+          raw(i) = ((p >> 16) & 0xff).toByte
+          raw(i + 1) = ((p >> 8) & 0xff).toByte
+          raw(i + 2) = (p & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      // zlib: 2-byte header, stored deflate blocks (LEN/NLEN little-endian,
+      // max 65535 bytes each), big-endian Adler32 trailer
+      val nBlocks = (raw.length + 65534) / 65535
+      val z = java.nio.ByteBuffer.allocate(2 + 5 * nBlocks + raw.length + 4)
+      z.put(0x78.toByte).put(0x01.toByte)
+      var off = 0
+      var b = 0
+      while (b < nBlocks) {
+        val len = math.min(65535, raw.length - off)
+        z.put(if (b == nBlocks - 1) 1.toByte else 0.toByte)
+        z.put((len & 0xff).toByte).put(((len >> 8) & 0xff).toByte)
+        z.put((~len & 0xff).toByte).put(((~len >> 8) & 0xff).toByte)
+        z.put(raw, off, len)
+        off += len; b += 1
+      }
+      val adler = new java.util.zip.Adler32
+      adler.update(raw)
+      z.putInt(adler.getValue.toInt)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(2.toByte)  // color type: truecolor RGB
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", z.array()) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+  }
+
   /** Deterministic synthetic PNG payloads: adds `binCol` holding a real
     * `w`×`h` RGB PNG whose pixels integer-mix (seed, x, y) — genuine image
     * bytes for the decode pipeline without shipping media fixtures (none in
     * this container). The seed derives from the seed column's md5, so any
-    * id type works and the image content is stable across runs; the PNG
-    * BYTES are whatever this JVM's encoder emits (decoded pixels — and so
-    * the ImageIoDecoder features — are deterministic regardless).
+    * id type works and the image content is stable across runs; the bytes
+    * come from the own stored-block `PngEncoder`, so — like the WAV/AVI
+    * twins — the PAYLOAD is byte-deterministic and a SQL oracle can
+    * regenerate the pixels (md5 hex nibbles 3..8 are exactly the seed's low
+    * 24 bits, the only ones the mix keeps) and hash-gate the whole
+    * pipeline. Decode still goes through foreign `ImageIoDecoder`.
     * mapPartitions like the decode side: one encoder init per task.
     */
   def withSyntheticPng(df: DataFrame, seedCol: String, binCol: String,
@@ -534,21 +612,17 @@ object Multimodal {
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(String.valueOf(r.get(idx)).getBytes("UTF-8"))
         val seed = java.nio.ByteBuffer.wrap(digest).getInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val mix = (x * 73856093) ^ (y * 19349663) ^ seed
-            img.setRGB(x, y, mix & 0xffffff)
+            rgb(y * w + x) = ((x * 73856093) ^ (y * 19349663) ^ seed) & 0xffffff
             x += 1
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+        Row.fromSeq(r.toSeq :+ PngEncoder.encode(w, h, rgb))
       }
     }
     spark.createDataFrame(rdd, outSchema)

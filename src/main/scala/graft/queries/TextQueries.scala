@@ -298,26 +298,57 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
-  /** REAL image decode through the pipeline: deterministic synthetic PNGs
-    * (one per document, pixels integer-mixed from the doc id) are ENCODED
-    * and then DECODED with pure-JDK ImageIO on the executors — genuine
-    * image bytes through the same mapPartitions plumbing as
-    * `media_features`, emitting luminance-histogram stats. The DRIVER gate
-    * is rows-only (no SQL engine decodes PNG), but the VALUES are gated in
-    * MultimodalSpec: the synthetic pixels are a known integer function of
-    * (doc_id, x, y) and PNG is lossless, so the spec recounts every doc's
-    * expected histogram analytically — without ImageIO — and asserts the
-    * query's decoded features match exactly. The stub `FakeDecoder` path
-    * stays the hash-gated oracle twin.
+  private val ImageDim = 24 // square synthetic PNGs
+
+  /** REAL image decode through the pipeline with a FULL DuckDB hash gate:
+    * deterministic synthetic PNGs (pixels integer-mixed from md5(doc_id))
+    * are encoded with the own stored-block `PngEncoder` — byte-deterministic,
+    * unlike ImageIO's writer — and then DECODED with pure-JDK ImageIO on
+    * the executors: a FOREIGN decoder reading our bytes, through the same
+    * mapPartitions plumbing as `media_features`, emitting
+    * luminance-histogram stats. The oracle regenerates every pixel directly
+    * from doc_id (the mix keeps only the seed's low 24 bits, which are
+    * exactly md5-hex nibbles 3..8) and recomputes the histogram — any
+    * defect in the PNG byte emission, the zlib framing, OR ImageIO's
+    * read-back breaks the hash, the audio/video playbook applied to the
+    * last rows-only row. MultimodalSpec keeps the analytic value-level gate
+    * as the driver-independent twin.
     */
   def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
     val withPng = graft.operators.Multimodal.withSyntheticPng(
-      docs(spark, dir).select(col("doc_id")), "doc_id", "png")
+      docs(spark, dir).select(col("doc_id")), "doc_id", "png",
+      w = ImageDim, h = ImageDim)
     val feat = graft.operators.Multimodal.decodeFeatures(
       withPng, "png", dim = MediaDim,
       decoder = graft.operators.Multimodal.ImageIoDecoder)
     feat.select(col("doc_id") +:
       (0 until MediaDim).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+  }
+
+  val imageFeaturesSql: String = {
+    val total = ImageDim * ImageDim
+    val cols = (0 until MediaDim).map { i =>
+      s"CAST(SUM(CASE WHEN bucket = $i THEN 1 ELSE 0 END) / $total.0 AS FLOAT) AS f$i"
+    }.mkString(",\n  ")
+    // seed low 24 bits = md5 hex nibbles 3..8 (big-endian first-int read)
+    val s24 = (0 until 6).map { k =>
+      s"(strpos('0123456789abcdef', substr(hx, ${3 + k}, 1)) - 1) * ${1L << (4 * (5 - k))}"
+    }.mkString(" + ")
+    s"""WITH px AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx, y.y, x.x
+       |            FROM documents,
+       |                 (SELECT unnest(range(0, $ImageDim)) AS y) y,
+       |                 (SELECT unnest(range(0, $ImageDim)) AS x) x),
+       |m AS (SELECT doc_id,
+       |        xor(xor((x * 73856093) % 16777216, (y * 19349663) % 16777216),
+       |            $s24) AS rgb
+       |      FROM px),
+       |l AS (SELECT doc_id,
+       |        ((rgb // 65536) * 299 + ((rgb // 256) % 256) * 587 + (rgb % 256) * 114) // 1000 AS lum
+       |      FROM m),
+       |b AS (SELECT doc_id, least(${MediaDim - 1}, lum * $MediaDim // 256) AS bucket FROM l)
+       |SELECT doc_id,
+       |  $cols
+       |FROM b GROUP BY doc_id""".stripMargin
   }
 
   private val AudioSamples = 2048
@@ -464,6 +495,7 @@ object TextQueries {
     "jaccard_pairs" -> jaccardPairsSql,
     "multimodal_meta" -> multimodalMetaSql,
     "media_features" -> mediaFeaturesSql,
+    "image_features" -> imageFeaturesSql,
     "audio_features" -> audioFeaturesSql,
     "video_features" -> videoFeaturesSql)
 }

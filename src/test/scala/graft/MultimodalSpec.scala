@@ -77,6 +77,30 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("PngEncoder: ImageIO reads own bytes back to exact pixels; bytes deterministic; multi-block zlib") {
+    val rnd = new scala.util.Random(5)
+    val w = 24; val h = 24
+    val rgb = Array.fill(w * h)(rnd.nextInt(1 << 24))
+    val bytes = Multimodal.PngEncoder.encode(w, h, rgb)
+    // byte determinism — the whole point vs ImageIO's writer
+    assert(Multimodal.PngEncoder.encode(w, h, rgb).toSeq === bytes.toSeq)
+    // FOREIGN decoder (ImageIO) must read our container to the exact pixels
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected PngEncoder output")
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xffffff) === rgb(y * w + x), s"pixel ($x,$y)")
+    // raw stream > 65535 bytes forces the multi-block stored-deflate path
+    val bw = 200; val bh = 150 // 150*(1+600) = 90150 raw bytes, 2 blocks
+    val big = Array.tabulate(bw * bh)(i => i % (1 << 24))
+    val bigBytes = Multimodal.PngEncoder.encode(bw, bh, big)
+    val bigImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bigBytes))
+    assert(bigImg != null && bigImg.getWidth === bw && bigImg.getHeight === bh)
+    for (i <- Seq(0, 1, bw - 1, bw, bw * bh / 2, bw * bh - 1))
+      assert((bigImg.getRGB(i % bw, i / bw) & 0xffffff) === big(i), s"big pixel $i")
+  }
+
   test("withSyntheticPng emits decodable PNGs; distributed decode ≡ driver decode of the same bytes") {
     val df = Multimodal.withSyntheticPng(
       Seq(10L, 11L, 12L).toDF("doc_id"), "doc_id", "png", w = 16, h = 16)
