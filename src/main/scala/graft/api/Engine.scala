@@ -28,6 +28,12 @@ class Engine(
     root: String,
     embedder: Option[EmbeddingProvider] = None) {
 
+  // loud non-local-root guard (VERDICT-r9 portability audit): the engine's
+  // control plane — layout_gen pointers, compact intents, model snapshots,
+  // the zero-job local serve path — is java.nio; a remote root would split
+  // control state from data (see AtomicFiles.requireLocalRoot)
+  AtomicFiles.requireLocalRoot(root, "Engine")
+
   private val catalog = new Catalog(root)
   private val store = new DocStore(spark, root)
   // per-collection runtime state: search params + trained IVF model
@@ -255,7 +261,17 @@ class Engine(
 
   private def cachedDelta(path: String, stamp: Long): Option[DataFrame] = {
     val files = sidecarDataFiles(path)
-    if (files.isEmpty) None
+    if (files.isEmpty) {
+      // a buildIndex/compactLayout fold can remove the sidecar WITHOUT
+      // advancing the stamp — evict here like cachedTombstones does, or the
+      // stale persisted frame stays pinned in executor storage until the
+      // next stamp-advancing write (resource leak, not a wrong result)
+      deltaCache.keys.filter(_._1 == path).foreach { k =>
+        deltaCache.remove(k).foreach(_.unpersist(false))
+      }
+      deltaRowsCache.keys.filter(_._1 == path).foreach(deltaRowsCache.remove)
+      None
+    }
     else Some(deltaCache.getOrElseUpdate((path, stamp), {
       deltaCache.keys.filter(k => k._1 == path && k._2 != stamp).foreach { k =>
         deltaCache.remove(k).foreach(_.unpersist(false))
@@ -290,7 +306,9 @@ class Engine(
     .empty[(String, Long), Array[(Any, Array[Float], Long)]]
 
   private def cachedDeltaRows(path: String, stamp: Long): Array[(Any, Array[Float], Long)] =
-    if (sidecarDataFiles(path).isEmpty) Array.empty
+    // route the emptiness probe through cachedDelta so ITS eviction (incl.
+    // the fold-without-stamp-advance case above) runs on this path too
+    if (cachedDelta(path, stamp).isEmpty) Array.empty
     else deltaRowsCache.getOrElseUpdate((path, stamp), {
       deltaRowsCache.keys.filter(k => k._1 == path && k._2 != stamp)
         .foreach(deltaRowsCache.remove)

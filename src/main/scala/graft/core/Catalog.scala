@@ -17,6 +17,8 @@ import scala.jdk.CollectionConverters._
   */
 class Catalog(root: String) {
 
+  AtomicFiles.requireLocalRoot(root, "Catalog")
+
   private def confFile(name: String) = Paths.get(s"$root/$name/config.json")
 
   def create(config: CollectionConfig): Boolean = {

@@ -36,6 +36,8 @@ import org.apache.spark.sql.types._
 class DocStore(spark: SparkSession, root: String) {
   import DocStore._
 
+  AtomicFiles.requireLocalRoot(root, "DocStore")
+
   // The data directory is GENERATION-VERSIONED: appends land in the current
   // generation; compaction writes a whole NEW generation and flips the
   // `data_gen` pointer (tmp+atomic rename) instead of deleting the live dir

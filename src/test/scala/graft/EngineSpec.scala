@@ -18,6 +18,20 @@ class EngineSpec extends SparkSpec {
     new Engine(spark, dir, Some(new FakeEmbeddingProvider(dim)))
   }
 
+  test("non-local root fails LOUDLY at construction — never silently splits control state from data") {
+    // the control plane (version counters, layout_gen pointers, snapshots)
+    // is java.nio: a remote root would write those to the driver's local
+    // disk while parquet landed remotely — the documented behavior is a
+    // loud construction-time refusal, not a latent corruption
+    for (root <- Seq("hdfs://nn:8020/graft", "s3a://bucket/graft", "gs://bucket/x")) {
+      val e = intercept[IllegalArgumentException](new Engine(spark, root))
+      assert(e.getMessage.contains("control files"), s"root $root: ${e.getMessage}")
+    }
+    // plain local paths and explicit file: URIs stay accepted
+    graft.core.AtomicFiles.requireLocalRoot("/tmp/x", "spec")
+    graft.core.AtomicFiles.requireLocalRoot("file:/tmp/x", "spec")
+  }
+
   test("create / duplicate-create / list / get / drop collection") {
     val e = freshEngine()
     assert(e.createCollection(CollectionConfig("docs3", 3, IndexType.Flat)))
