@@ -199,7 +199,7 @@ object Bench {
     println(full)
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
     val slowJson = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowJson,"nqueries":${results.size},"queries_full":"BENCH.out","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowJson,"nqueries":${results.size},"stall_retries_total":${retryLog.values.sum},"queries_full":"BENCH.out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,7 +129,7 @@ object ScaleBench {
     // a record missing their rows is readable as "not run", not "lost"
     val known = Seq("ann", "lsh", "mrl", "dedup", "dedup_steady", "semdedup",
       "selection", "maxsim", "graphfilter", "filterserve", "skew", "tomb",
-      "textops", "textops1000", "bpe")
+      "textops", "textops1000", "bpe", "fusedknn")
     println(s"[scale] sections run: ${known.filter(sections).mkString(",")}; " +
       s"skipped: ${known.filterNot(sections).mkString(",")}")
 
@@ -247,6 +247,34 @@ object ScaleBench {
       // the (query, cell) probe count is the term that explodes at 10⁴–10⁵
       // partitions, so report the per-query beam fan-out directly
       out(s"graph_routed_probes_per_query_$tag") = probes.value.toDouble / 100.0
+    }
+
+    // ---- fused exact KNN crossover (VERDICT-r9 #5) -----------------------
+    // MaxFusedQueries defaults to 8192 with no measurement near the
+    // boundary; sweep nq × corpus for the fused one-pass aggregate vs the
+    // broadcast-crossJoin + bounded-heap plan it replaces, so the default
+    // is evidence-backed. The join plan here is knnAgg's own fallback body
+    // (same kernels, same heap) — exactly what a query set past the cap
+    // would run.
+    if (sections("fusedknn")) {
+      import graft.functions.vfn
+      def joinPlan(corpus: DataFrame, q: DataFrame): DataFrame = {
+        val dist = vfn.distance(col("embedding"), col("qv"), SpaceType.L2)
+        vfn.topKHits(
+          corpus.crossJoin(broadcast(q)).withColumn("__d", dist),
+          col("__d"), "qid", "vec_id", 10)
+      }
+      for ((tag, corpus, n) <- Seq(("1x", emb1x, n1), (s"${factor}x", emb10, n1 * factor));
+           nq <- Seq(100, 1000, 8192) if nq <= n) {
+        val q = corpus.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        // knnAgg auto-takes the fused literal-query-matrix scan at these nq
+        out(s"fused_knn_${tag}_nq$nq") = time(drain(
+          ExactKnn.knnAgg(corpus, q, 10, SpaceType.L2,
+            corpusId = "vec_id", corpusVec = "embedding",
+            queryId = "qid", queryVec = "qv")))
+        out(s"join_knn_${tag}_nq$nq") = time(drain(joinPlan(corpus, q)))
+      }
     }
 
     // LSH KNN: bucketed candidates vs the exact scan (own section so the

@@ -462,14 +462,31 @@ class Engine(
     * writes since buildIndex) — otherwise None and the caller recomputes
     * over the live corpus (index staleness never causes wrong results).
     */
+  /** Plan-handle cache for layout frames, keyed by (path, stamp): the
+    * `spark.read.parquet` listing + footer-read (~100+ ms) was re-paid per
+    * REQUEST on every layout-served search — with the DocStore twin, the
+    * dominant fixed cost in the MaxSim wire p50. Handle only (no persist,
+    * zero executor memory); maintained appends advance the stamp and
+    * rebuilds change the generation path, so the key rotates and older
+    * handles for the path evict exactly like the delta/tombstone caches.
+    */
+  private val layoutFrameCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), DataFrame]
+
   private def currentLayout(coll: String, path: String): Option[(DataFrame, Long)] =
     // the returned stamp identifies the LAYOUT BUILD the frame reads — cache
     // keys derive from it, never from a re-read of the live store version
     // (a write racing the search must not poison the cache under a new key).
     // Tombstone exclusion applies here, centrally: every quantized tier's
     // layout-served search sees only live rows
-    currentLayoutStamp(coll, path).map(stamp =>
-      (applyTombstones(path, stamp)(spark.read.parquet(path)), stamp))
+    currentLayoutStamp(coll, path).map { stamp =>
+      val frame = layoutFrameCache.getOrElseUpdate((path, stamp), {
+        layoutFrameCache.keys.filter(k => k._1 == path && k._2 != stamp)
+          .foreach(layoutFrameCache.remove)
+        spark.read.parquet(path)
+      })
+      (applyTombstones(path, stamp)(frame), stamp)
+    }
 
   /** Currency check WITHOUT constructing the layout DataFrame:
     * `spark.read.parquet` eagerly lists files and reads footers for schema
@@ -2180,7 +2197,11 @@ class Engine(
     graft.operators.LateInteraction.maxSimShortlisted(
       cand, corpusToks, qtoks, k, nTokens,
       corpusDoc = "doc_id", corpusVec = "dv",
-      queryId = "qid", queryTok = "tok", queryVec = "qv")
+      queryId = "qid", queryTok = "tok", queryVec = "qv",
+      // queries arrive as a driver Seq here, so the candidate-pair frame is
+      // bounded by |queries|·T·maxsimCandM — broadcast it and the corpus
+      // token scan never shuffles (see maxSimShortlisted's param doc)
+      broadcastShortlist = true)
   }
 
   private def validateMaxSimQueries(coll: String,

@@ -192,14 +192,37 @@ class DocStore(spark: SparkSession, root: String) {
   /** Raw log (all versions, incl. tombstones); an empty collection reads as
     * an empty frame with the store schema (not a scan error).
     */
+  /** Plan-HANDLE cache for the corpus frame, keyed by (data dir, store
+    * version): `spark.read.parquet` eagerly lists the dir and reads footers
+    * for schema inference (~100+ ms), which a serving path re-paid on EVERY
+    * request — the single largest fixed cost in the MaxSim wire p50. The
+    * handle holds only the file listing (no `.persist`, zero executor
+    * memory), so this is scale-free; any write bumps the version and any
+    * compaction flips the generation dir, either of which rotates the key,
+    * evicts older handles for the collection, and re-lists — the same
+    * stamp-rotation discipline as `Engine`'s delta/tombstone caches.
+    */
+  private val frameCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), DataFrame]
+
   def log(name: String): DataFrame = {
-    val hasData = Files.exists(Paths.get(dataDir(name))) && {
-      val stream = Files.list(Paths.get(dataDir(name)))
-      try stream.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-      finally stream.close()
-    }
-    if (hasData) spark.read.parquet(dataDir(name))
-    else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema(0))
+    val dir = dataDir(name)
+    val ver = currentVersion(name)
+    frameCache.getOrElseUpdate((dir, ver), {
+      // evict every OTHER generation/version handle of this collection
+      // (prefix match: a compaction flip changes the dir, not just the
+      // version, and the old dir's files are GC'd a cycle later)
+      frameCache.keys.filter(k => k._1.startsWith(s"$root/$name/data") &&
+          k != ((dir, ver)))
+        .foreach(frameCache.remove)
+      val hasData = Files.exists(Paths.get(dir)) && {
+        val stream = Files.list(Paths.get(dir))
+        try stream.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+        finally stream.close()
+      }
+      if (hasData) spark.read.parquet(dir)
+      else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema(0))
+    })
   }
 
   /** Current state: latest version per id, tombstones dropped. */

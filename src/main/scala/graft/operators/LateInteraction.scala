@@ -58,14 +58,25 @@ object LateInteraction {
     * on the restricted pair set; result quality is the generator's recall
     * (gate it the way the ANN tiers gate theirs).
     */
+  /** `broadcastShortlist`: when the caller KNOWS the candidate-pair frame
+    * is bounded small (the serving path — queries arrive as a driver Seq,
+    * so |shortlist| ≤ queries·T·m), broadcasting it turns the doc-key join
+    * into a corpus-scan-side hash probe with NO shuffle of the corpus
+    * tokens — the size estimate Catalyst derives for a frame downstream of
+    * the probe join/distinct is far too big to pick this on its own. Leave
+    * false for distributed query frames of unknown size.
+    */
   def maxSimShortlisted(shortlist: DataFrame, corpusToks: DataFrame,
                         queryToks: DataFrame, k: Int, nTokens: Int,
                         corpusDoc: String = "doc_id", corpusVec: String = "dv",
                         queryId: String = "qid", queryTok: String = "tok",
-                        queryVec: String = "qv"): DataFrame =
+                        queryVec: String = "qv",
+                        broadcastShortlist: Boolean = false): DataFrame = {
+    val sl = if (broadcastShortlist) broadcast(shortlist) else shortlist
     rankTail(
-      shortlist.join(corpusToks, corpusDoc).join(broadcast(queryToks), queryId),
+      sl.join(corpusToks, corpusDoc).join(broadcast(queryToks), queryId),
       k, nTokens, corpusDoc, corpusVec, queryId, queryTok, queryVec)
+  }
 
   /** Shared scoring tail over (queryId, corpusDoc, queryTok, queryVec,
     * corpusVec) pair rows: per-token exact max, fixed-order score adds,

@@ -113,9 +113,21 @@ object Multimodal {
         reader.setInput(iis)
         val total = reader.getNumImages(true) // allowSearch: exact count
         (0 until math.min(n, total)).map { i =>
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(reader.read(i), "png", bos)
-          bos.toByteArray
+          // own PngEncoder, not ImageIO.write: frame BYTES become a pure
+          // function of the decoded pixels (ImageIO's compressed emitter is
+          // unpinned across JDK builds), so downstream digests/dedup over
+          // sampled frames are stable
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          val rgb = new Array[Int](w * h)
+          var p = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { rgb(p) = img.getRGB(x, y) & 0xffffff; p += 1; x += 1 }
+            y += 1
+          }
+          PngEncoder.encode(w, h, rgb)
         }
       } finally { reader.dispose(); iis.close() }
     }
