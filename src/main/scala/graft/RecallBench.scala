@@ -261,6 +261,38 @@ object RecallBench {
           require(rc == 200, s"wire search failed: $rc")
           (System.nanoTime() - t0) / 1e6
         })
+        // ivf_flat point serving: the LocalIvfServe path (driver-cached
+        // cells, zero jobs warm) — the engine row isolates dispatch, the
+        // REST row adds the wire; compare against the `ivf_nprobe2` row
+        // above, which is the distributed pruned plan this path replaces
+        // for single/few-query requests
+        locally {
+          engine.createCollection(graft.core.CollectionConfig(
+            "serve_ivf", 64, graft.core.IndexType.IvfFlat, SpaceType.L2))
+          engine.batchUpsertDocuments("serve_ivf", docs.toSeq)
+          engine.buildIndex("serve_ivf", nlist = 32)
+          engine.setParams("serve_ivf", Map("nprobe" -> 2))
+          def postIvf(vec: Array[Float]): Int = {
+            val body = s"""{"vector":[${vec.mkString(",")}],"limit":$k}"""
+            val req = HttpRequest.newBuilder()
+              .uri(java.net.URI.create(
+                s"http://127.0.0.1:$port/v1/collections/serve_ivf/vectors/search"))
+              .header("Content-Type", "application/json")
+              .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+            client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+          }
+          wireQs.foreach(v => require(postIvf(v) == 200, "ivf warm-up failed"))
+          reportLatency("engine_ivf_local", wireQs.toSeq.map { v =>
+            val t0 = System.nanoTime()
+            engine.searchVectors("serve_ivf", Seq(("q", v)), k).collect()
+            (System.nanoTime() - t0) / 1e6
+          })
+          reportLatency("rest_ivf_local", wireQs.toSeq.map { v =>
+            val t0 = System.nanoTime()
+            require(postIvf(v) == 200, "ivf wire search failed")
+            (System.nanoTime() - t0) / 1e6
+          })
+        }
         // maintained point-WRITE floor: REST writes keep the layout serving
         // now (append + tombstone + stamp instead of staling until the next
         // buildIndex). Time single-doc POSTs — fresh ids (the delta-append

@@ -538,7 +538,11 @@ class Engine(
     // keyed on the old incarnation must not survive the drop
     cache.clear()
     GraphAnn.GraphCache.invalidate(s"$root/$name/")
+    graft.operators.LocalIvfServe.dropCells(s"$root/$name/")
     graft.core.LocalPointReader.invalidateUnder(s"$root/$name/")
+    layoutFrameCache.keys.filter(_._1.startsWith(s"$root/$name/"))
+      .foreach(layoutFrameCache.remove)
+    store.invalidateFrames(name)
     deltaCache.keys.filter(_._1.startsWith(s"$root/$name/")).foreach { k =>
       deltaCache.remove(k).foreach(_.unpersist(false))
     }
@@ -1827,9 +1831,35 @@ class Engine(
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
         // prefer the materialized partition-pruned layout; fall back when
         // the corpus changed since buildIndex
-        val assigned = (if (corpusIsFull) currentLayout(coll, ivfLayoutPath(coll)) else None)
-          .map(l => restrict(l._1)).getOrElse(IvfIndex.assign(corpusEff, "vector", model))
-        IvfIndex.search(assigned, qDf, model, k, nprobe)
+        val layout = if (corpusIsFull) currentLayout(coll, ivfLayoutPath(coll)) else None
+        // TRUE point requests over a current layout serve from driver-cached
+        // cells — ZERO Spark jobs warm (the graph tier's searchPointLocal
+        // architecture on the ivf tier; results ≡ IvfIndex.search by
+        // construction: same probe, same kernels, same (distance, id)
+        // order, cells collected from the SAME tombstone-applied frame).
+        // Filtered requests serve locally too when the predicate's survivor
+        // set fits the driver budget (cached per (coll, stamp, predicate));
+        // an over-budget set — or an oversized probed cell — falls back to
+        // the distributed pruned plan, never truncates.
+        val localRes: Option[DataFrame] =
+          layout match {
+            case Some((frame, stamp)) if queries.size <= 16 =>
+              lazy val localElig: Option[Set[Any]] =
+                if (eligible.isEmpty) None
+                else localEligibleSet(coll, stamp, eligible.get, corpus)
+              if (eligible.isEmpty || localElig.isDefined)
+                graft.operators.LocalIvfServe.searchPointLocal(spark,
+                  ivfLayoutPath(coll), stamp, frame, model,
+                  queries.map { case (qid, v) => (qid: Any, v) }, k, nprobe,
+                  org.apache.spark.sql.types.StringType, localElig)
+              else None
+            case _ => None
+          }
+        localRes.getOrElse {
+          val assigned = layout.map(l => restrict(l._1))
+            .getOrElse(IvfIndex.assign(corpusEff, "vector", model))
+          IvfIndex.search(assigned, qDf, model, k, nprobe)
+        }
       case IndexType.Hnsw =>
         // graph-ANN tier: per-partition NSW beam search; efsearch IS the
         // beam width, exactly the reference's knob (hnsw.go:171-204).
@@ -2181,6 +2211,119 @@ class Engine(
     require(cfg.spaceType != SpaceType.Hamming,
       "maxsim scores by inner product; a hamming-space shortlist optimizes " +
         "an unrelated neighborhood — create the collection with l2, ip, or cos")
+    searchMaxSimLocal(coll, cfg, queries, k)
+      .getOrElse(searchMaxSimDistributed(coll, queries, k))
+  }
+
+  /** ZERO-JOB MaxSim point serving: for small query sets on an ivf_flat
+    * multivector collection with a current layout, the whole request runs
+    * on the driver — per-token shortlists from `LocalIvfServe` (same cells,
+    * same kernels, same ranks as `IvfIndex.searchDistributed`), candidate
+    * docs' token vectors through the zero-job `getMany` point reads, and
+    * the exact MaxSim score as the SAME fixed-order add chain over
+    * per-token maxes the distributed `rankTail` builds (sim through the
+    * identical `VecKernels.negDot` accumulation, missing tokens +0.0 in
+    * order, (score desc, doc asc UTF-8) rank). `MaxSimParitySpec` gates
+    * result equality against `searchMaxSimDistributed` across ties,
+    * updates, and deletes; any precondition miss (big query set, other
+    * tier, stale layout, dup qids, oversized cell) returns None and the
+    * distributed plan serves — never a silent semantic fork.
+    */
+  private[graft] def searchMaxSimLocal(coll: String, cfg: CollectionConfig,
+      queries: Seq[(String, Seq[Array[Float]])], k: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    if (cfg.indexType != IndexType.IvfFlat) return None
+    if (queries.size > 16) return None
+    // duplicate qids conflate in the distributed groupBy into ONE row set;
+    // the per-query loop below would emit them twice — route to the one shape
+    if (queries.map(_._1).distinct.size != queries.size) return None
+    val tokQs: Seq[(Any, Array[Float])] = queries.flatMap { case (qid, toks) =>
+      toks.zipWithIndex.map { case (v, i) => (s"$qid$MultiVectorSep$i": Any, v) }
+    }
+    if (tokQs.size > 256) return None
+    val lp = ivfLayoutPath(coll)
+    val layout = currentLayout(coll, lp)
+    if (layout.isEmpty) return None
+    val (frame, stamp) = layout.get
+    val model = loadedIvfOpt(coll).getOrElse(return None)
+    val m = getParams(coll).getOrElse("maxsimCandM", 16)
+    val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
+    val short = graft.operators.LocalIvfServe.searchPointLocalRows(spark, lp,
+      stamp, frame, model, tokQs, m, nprobe, maxQueries = 256)
+    if (short.isEmpty) return None
+    def before(s: String): String = {
+      val i = s.indexOf(MultiVectorSep)
+      if (i < 0) s else s.substring(0, i)
+    }
+    // (qid -> candidate docs), the distinct union over the query's tokens —
+    // exactly maxSimCandidates' pair set
+    val pairs: Map[String, Seq[String]] = short.get
+      .map { case (qtokId, tokRowId0, _, _) =>
+        (before(qtokId.toString), before(String.valueOf(tokRowId0)))
+      }.distinct.groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2) }
+    val allDocs = pairs.values.flatten.toSet
+    // all candidate token vectors via the zero-job local point reads: token
+    // counts from each doc's token-0 row, then one batch read of every row
+    val tok0 = store.getMany(coll, allDocs.toSeq.map(d => tokRowId(d, 0)))
+    val ntoks: Map[String, Int] = tok0.flatMap { case (id, doc) =>
+      doc.params.get(MultiVectorNtokKey).map(n => before(id) -> n.toInt)
+    }
+    val allTokIds = ntoks.toSeq.flatMap { case (d, n) =>
+      (0 until n).map(i => tokRowId(d, i))
+    }
+    val tokRows = store.getMany(coll, allTokIds)
+    val docVecs: Map[String, Array[Array[Float]]] = tokRows.values
+      .groupBy(d => before(d.id))
+      .map { case (d, rs) =>
+        d -> rs.toArray
+          .sortBy(_.params.get(MultiVectorTokKey).map(_.toInt).getOrElse(0))
+          .map(_.vector)
+      }
+    val nTokens = queries.map(_._2.size).max
+    val out = new scala.collection.mutable.ArrayBuffer[Row]()
+    for ((qid, toks) <- queries) {
+      val scored = pairs.getOrElse(qid, Nil).flatMap { d =>
+        // a doc deleted between shortlist and fetch has no token rows and
+        // drops out — the distributed inner join does the same
+        docVecs.get(d).filter(_.nonEmpty).map { dvs =>
+          var s = 0.0
+          var i = 0
+          while (i < nTokens) {
+            if (i < toks.size) {
+              var mx = Double.NegativeInfinity
+              var j = 0
+              while (j < dvs.length) {
+                val sim = -graft.kernels.VecKernels.negDot(toks(i), dvs(j))
+                if (sim > mx) mx = sim
+                j += 1
+              }
+              s += mx
+            } else s += 0.0
+            i += 1
+          }
+          (d, s)
+        }
+      }
+      val ranked = scored.sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && graft.operators.GraphAnn.idLt(a._1, b._1))).take(k)
+      ranked.zipWithIndex.foreach { case ((d, _), r) =>
+        out += Row(qid, d, (r + 1).toLong)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("qid", StringType),
+      StructField("doc_id", StringType),
+      StructField("rnk", LongType)))
+    Some(spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), schema))
+  }
+
+  /** The distributed MaxSim plan (the batch/KNN-join shape; also the
+    * fallback for every local-precondition miss).
+    */
+  private[graft] def searchMaxSimDistributed(coll: String,
+      queries: Seq[(String, Seq[Array[Float]])], k: Int): DataFrame = {
+    validateMaxSimQueries(coll, queries)
     val nTokens = queries.map(_._2.size).max
     val cand = maxSimCandidates(coll, queries)
     // token rows only (a multivector collection rejects plain upserts, so

@@ -205,6 +205,14 @@ class DocStore(spark: SparkSession, root: String) {
   private val frameCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), DataFrame]
 
+  /** Drop every cached frame handle of `name` — a drop/recreate resets the
+    * version counter, so keys of the old incarnation could otherwise serve
+    * a recreated collection's reads from the dead generation's listing.
+    */
+  def invalidateFrames(name: String): Unit =
+    frameCache.keys.filter(_._1.startsWith(s"$root/$name/data"))
+      .foreach(frameCache.remove)
+
   def log(name: String): DataFrame = {
     val dir = dataDir(name)
     val ver = currentVersion(name)

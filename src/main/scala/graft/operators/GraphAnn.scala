@@ -1021,7 +1021,7 @@ object GraphAnn {
     * Ids in practice are numeric or string; anything else falls back to its
     * string form (determinism is what matters, not the collation).
     */
-  private def idLt(a: Any, b: Any): Boolean = (a, b) match {
+  private[graft] def idLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Int, y: Int) => x < y
     // UTF-8 BYTE order, not Java's UTF-16 code-unit order: the distributed

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.api.Engine
+import graft.core.{CollectionConfig, IndexType, SpaceType}
+
+/** The zero-job local MaxSim serve (`Engine.searchMaxSimLocal`) must be
+  * row-identical to the distributed plan (`searchMaxSimDistributed`) —
+  * candidates from the same per-token shortlists, scores through the same
+  * fixed-order add chain over per-token maxes, (score desc, doc asc UTF-8)
+  * ranks — across ties, maintained updates, shrink-updates, and deletes;
+  * and a warm local request must launch zero Spark jobs.
+  */
+class MaxSimParitySpec extends SparkSpec {
+
+  private def mvEngine(dim: Int, corpus: Seq[(String, Seq[Array[Float]])],
+      nlist: Int): Engine = {
+    val dir = Files.createTempDirectory("maxsimlocal").toString
+    val e = new Engine(spark, dir)
+    e.createCollection(CollectionConfig("mv", dim, IndexType.IvfFlat,
+      SpaceType.L2, params = Map("multivector" -> "true")))
+    e.batchUpsertMultiVector("mv", corpus)
+    e.buildIndex("mv", nlist = nlist)
+    e
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  private def parity(e: Engine, queries: Seq[(String, Seq[Array[Float]])],
+      k: Int, clue: String): Seq[(String, String, Long)] = {
+    val cfg = e.getCollection("mv").get
+    val local = e.searchMaxSimLocal("mv", cfg, queries, k)
+    assert(local.isDefined, s"$clue: local path declined unexpectedly")
+    val l = rows(local.get)
+    val d = rows(e.searchMaxSimDistributed("mv", queries, k))
+    assert(l === d, s"$clue: local vs distributed MaxSim diverged")
+    l
+  }
+
+  test("local ≡ distributed across nprobe/candM, incl. exact score ties") {
+    val dim = 4
+    val rnd = new scala.util.Random(3)
+    // two docs with IDENTICAL token bags force an exact score tie; the
+    // magnitudes dominate every random doc so the tied pair ranks 1-2
+    val twin = Seq(Array(2f, 2f, 2f, 2f), Array(1.5f, 2f, 2f, 1.5f))
+    val corpus = (0 until 30).map(i =>
+      s"d$i" -> Seq.fill(2 + i % 3)(Array.fill(dim)(rnd.nextFloat()))) ++
+      Seq("tie-b" -> twin, "tie-a" -> twin)
+    val e = mvEngine(dim, corpus, nlist = 4)
+    val queries = Seq(
+      "q0" -> Seq(twin(0), twin(1)),
+      "q1" -> Seq(Array.fill(dim)(rnd.nextFloat())),
+      "q2" -> (0 until 3).map(_ => Array.fill(dim)(rnd.nextFloat())))
+    for (np <- Seq(1, 2, 4); cm <- Seq(4, 16)) {
+      e.setParams("mv", Map("nprobe" -> np, "maxsimCandM" -> cm))
+      val got = parity(e, queries, 5, s"nprobe=$np candM=$cm")
+      if (np == 4 && cm == 16) {
+        // ties rank by doc-id UTF-8 order
+        val q0 = got.filter(_._1 == "q0").sortBy(_._3).map(_._2)
+        assert(q0.take(2) === Seq("tie-a", "tie-b"), s"tie order: $q0")
+      }
+    }
+  }
+
+  test("warm local MaxSim request launches zero Spark jobs") {
+    val dim = 3
+    val corpus = Seq(
+      "d0" -> Seq(Array(1f, 0f, 0f), Array(0.9f, 0.1f, 0f)),
+      "d1" -> Seq(Array(0f, 1f, 0f)),
+      "d2" -> Seq(Array(0f, 0f, 1f), Array(0.1f, 0f, 0.9f)))
+    val e = mvEngine(dim, corpus, nlist = 2)
+    e.setParams("mv", Map("nprobe" -> 2, "maxsimCandM" -> 16))
+    val queries = Seq("q" -> Seq(Array(1f, 0f, 0f), Array(0f, 0f, 1f)))
+    // d2 scores 0.1 + 1.0 = 1.1 (both query tokens match); d0 scores 1.0
+    val first = rows(e.searchMaxSim("mv", queries, 2))
+    assert(first.map(_._2) === Seq("d2", "d0"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(rows(e.searchMaxSim("mv", queries, 2)) === first)
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"warm local maxsim request launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("maintained update / shrink-update / delete keep local ≡ distributed") {
+    val dim = 3
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 20).map(i =>
+      s"d$i" -> Seq.fill(3)(Array.fill(dim)(rnd.nextFloat())))
+    val e = mvEngine(dim, corpus, nlist = 3)
+    e.setParams("mv", Map("nprobe" -> 3, "maxsimCandM" -> 8))
+    val queries = Seq("q" -> Seq(corpus(5)._2.head, corpus(11)._2.last))
+    parity(e, queries, 4, "baseline")
+    // update d5 with MORE tokens
+    e.upsertMultiVector("mv", "d5", Seq.fill(5)(Array.fill(dim)(rnd.nextFloat())))
+    parity(e, queries, 4, "grow-update")
+    // shrink d11 to one token (stale tail rows must not score)
+    e.upsertMultiVector("mv", "d11", Seq(Array.fill(dim)(rnd.nextFloat())))
+    parity(e, queries, 4, "shrink-update")
+    // delete d5 entirely
+    e.deleteMultiVector("mv", "d5")
+    val after = parity(e, queries, 4, "delete")
+    assert(!after.exists(_._2 == "d5"), "deleted doc surfaced")
+  }
+
+  test("precondition misses decline to the distributed plan") {
+    val dim = 3
+    val corpus = (0 until 6).map(i =>
+      s"d$i" -> Seq(Array.fill(dim)(0.1f * i)))
+    val e = mvEngine(dim, corpus, nlist = 2)
+    val cfg = e.getCollection("mv").get
+    val one = Seq(Array(0.2f, 0.2f, 0.2f))
+    // >16 queries
+    assert(e.searchMaxSimLocal("mv", cfg,
+      (0 until 17).map(i => s"q$i" -> one), 2).isEmpty)
+    // duplicate qids
+    assert(e.searchMaxSimLocal("mv", cfg,
+      Seq("q" -> one, "q" -> one), 2).isEmpty)
+    // stale layout (a raw write after build)
+    e.upsertMultiVector("mv", "d0", Seq(Array(0.9f, 0.9f, 0.9f)))
+    // maintained write keeps the layout current, so force staleness is not
+    // trivial here — instead check the public API still answers correctly
+    // (whichever path) and matches the distributed reference
+    val d = rows(e.searchMaxSimDistributed("mv", Seq("q" -> one), 3))
+    assert(rows(e.searchMaxSim("mv", Seq("q" -> one), 3)) === d)
+  }
+}
