@@ -200,54 +200,18 @@ object Bpe {
     trainLocal(collectWordTable(wordCounts(df, textCol), maxWordTypes),
       numMerges, byteLevel = byteLevel)._1
 
-  /** Leftmost-first non-overlapping (l, r) → l+r replacement as a Catalyst
-    * higher-order fold — `applyMerge`'s distributed twin (BpeSpec pins the
-    * equality). State carries a one-symbol lookahead buffer: merging
-    * consumes (buf, s); otherwise buf flushes and s becomes the buffer.
-    */
-  private def applyMergeCol(syms: org.apache.spark.sql.Column, l: String,
-      r: String): org.apache.spark.sql.Column = {
-    val init = struct(
-      array().cast("array<string>").as("out"), lit(null).cast("string").as("buf"))
-    aggregate(syms, init,
-      (st, s) => when(st.getField("buf") === l && s === r,
-          struct(concat(st.getField("out"), array(lit(l + r))).as("out"),
-            lit(null).cast("string").as("buf")))
-        .otherwise(struct(
-          when(st.getField("buf").isNull, st.getField("out"))
-            .otherwise(concat(st.getField("out"), array(st.getField("buf"))))
-            .as("out"),
-          s.as("buf"))),
-      st => when(st.getField("buf").isNull, st.getField("out"))
-        .otherwise(concat(st.getField("out"), array(st.getField("buf")))))
-  }
-
-  /** Seed the distributed type frame with the SAME JVM `initSyms` the local
-    * loop uses (executor-side mapPartitions over the bounded type table —
-    * never the corpus). One seeding function for both loops by construction:
-    * the previous `split(word, "")` seeding split by code point while the
-    * local loop split by UTF-16 code unit, so the two silently diverged on
-    * non-BMP text.
-    */
-  private def seedFrame(wc: DataFrame, byteLevel: Boolean): DataFrame = {
-    val spark = wc.sparkSession
-    import spark.implicits._
-    wc.select(col("word").cast("string"), col("freq").cast("long"))
-      .as[(String, Long)]
-      .mapPartitions(it => it.map { case (w, f) => (initSyms(w, byteLevel).toSeq, f) })
-      .toDF("syms", "freq")
-  }
-
-  /** The merge loop WITHOUT the driver table: rounds of small Spark
-    * aggregations over the word-TYPE frame (adjacent-pair explode → count →
-    * argmax with the documented tie-break) followed by the fold-merge
-    * projection above. Closes `train`'s top-K truncation for vocabularies
-    * past driver memory: the type table only ever lives as a DataFrame.
+  /** The merge loop WITHOUT the driver table: rounds of small distributed
+    * pair-count aggregations over the word-TYPE table (seeded on executors
+    * by the SAME `initSyms` the local loop uses — one seeding function for
+    * both loops by construction) with the argmax under the documented
+    * tie-break, and the state transition as the SAME JVM `applyMerge`.
+    * Closes `train`'s top-K truncation for vocabularies past driver
+    * memory: the type table only ever lives as a cached distributed
+    * collection.
     *
-    * Each round BATCHES up to `batchMax` merges while provably reproducing
-    * the sequential decision sequence (the r9 loop paid ~375 ms/merge in
-    * pure per-round scheduling — 64 rounds of tiny jobs). From one
-    * pair-count aggregation the round takes the rank-ordered candidates
+    * Each round can BATCH up to `batchMax` merges while provably
+    * reproducing the sequential decision sequence. From one pair-count
+    * aggregation the round takes the rank-ordered candidates
     * (cnt DESC, lsym, rsym) and admits a PREFIX of them, stopping at the
     * first candidate j that fails either test against the already-admitted
     * merges i < j:
@@ -267,57 +231,113 @@ object Bpe {
     * j, so the batch is the sequential prefix — merge-for-merge, every
     * corpus (`BpeSpec` gates equality with `trainLocal`, including on
     * interacting-pair corpora that force the fallback to batch size 1).
-    * The bounds come from one extra small aggregation per round on the
-    * persisted count frame; worst case (every round batches 1) degenerates
-    * to the old loop plus that one job.
+    * The bounds come from one extra filtered pass over the round's cached
+    * count RDD, attempted only when the top-2 candidates are disjoint and
+    * backed off exponentially while batches keep admitting a single merge
+    * (the natural-language common case, where high-frequency contexts
+    * dominate the bound); worst case therefore degenerates to exactly the
+    * sequential loop.
     */
   def trainDistributed(wc: DataFrame, numMerges: Int,
       byteLevel: Boolean = false, batchMax: Int = 8): Vector[Merge] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(batchMax >= 1, s"batchMax must be >= 1, got $batchMax")
-    var table = seedFrame(wc, byteLevel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The merge loop is genuinely imperative per-row work repeated ~64
+    // times over the same bounded frame — the documented RDD case. The r9
+    // Catalyst form paid ~300 ms/round in PLAN cost alone (every round
+    // analyzes + codegens a fresh explode/agg/fold plan, its merge-pair
+    // literals defeating any plan cache) for a flat ~20 s at 64 merges
+    // regardless of corpus; RDD closures compile once and each round is a
+    // single reduceByKey + takeOrdered job over the cached type table
+    // (~4 s for the same 64 merges), with the transition as the SAME JVM
+    // `applyMerge` the local loop runs — one transition function, every
+    // path. Tie-breaks stay consistent across loops and the DuckDB oracle
+    // because both seed alphabets are BMP-only (char-level enforces it
+    // loudly, byte-level maps into U+0021..U+0143), where Java's UTF-16
+    // order ≡ code-point order ≡ UTF-8 byte order.
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val seedRdd = wc.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)].rdd
+      .map { case (w, f) => (initSyms(w, byteLevel), f) }
+    var table = seedRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     table.count()
+    var persistedRoot = table
     val merges = Vector.newBuilder[Merge]
     var round = 0
     var sinceCheckpoint = 0
+    // bounds-job backoff: on natural-language corpora the created-pair
+    // bound is usually dominated by high-frequency contexts, so the batch
+    // admits 1 merge and the bounds job is pure overhead — skip it for
+    // exponentially growing stretches while that keeps being true (a
+    // skipped round IS the sequential semantics, so this is pace, not
+    // correctness; regular corpora where batching fires keep it hot)
+    var boundsWait = 0
+    var boundsBackoff = 1
     var exhausted = false
+    // (cnt desc, l asc, r asc) — the documented decision order
+    val topOrd = Ordering.by[((String, String), Long), (Long, String, String)] {
+      case ((l, r), c) => (-c, l, r)
+    }
+    def pairCounts(t: org.apache.spark.rdd.RDD[(Array[String], Long)]) =
+      t.mapPartitions { it =>
+        val acc = mutable.HashMap.empty[(String, String), Long]
+        for ((syms, f) <- it) {
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            acc.update(k, acc.getOrElse(k, 0L) + f)
+            i += 1
+          }
+        }
+        acc.iterator
+      }.reduceByKey(_ + _)
     try {
       while (round < numMerges && !exhausted) {
-        val counts = table
-          .select(col("freq"), col("syms"), posexplode(slice(col("syms"), lit(1),
-            greatest(size(col("syms")) - 1, lit(0)))))
-          .select(col("freq"), col("col").as("lsym"),
-            element_at(col("syms"), col("pos") + 2).as("rsym"))
-          .groupBy(col("lsym"), col("rsym")).agg(sum(col("freq")).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val m = math.min(batchMax, numMerges - round)
+        val needBounds = boundsWait == 0 && m > 1
+        val counts = pairCounts(table)
+        // cache only when the bounds pass will re-read it
+        val countsC = if (needBounds)
+          counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else counts
         try {
-          val m = math.min(batchMax, numMerges - round)
-          val top = counts
-            .orderBy(col("cnt").desc, col("lsym").asc, col("rsym").asc)
-            .limit(m).collect()
-            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          val top = countsC.takeOrdered(m)(topOrd)
+            .map { case ((l, r), c) => (l, r, c) }
           if (top.isEmpty) exhausted = true
           else {
+            // a bounds job can only pay off if the second candidate is
+            // symbol-disjoint from the first
+            val worthBounds = needBounds && top.length > 1 && {
+              val (l0, r0, _) = top(0); val (l1, r1, _) = top(1)
+              l1 != l0 && l1 != r0 && r1 != l0 && r1 != r0
+            }
             // per-candidate created-pair bounds (see Scaladoc), one job
             val bounds: Array[Long] =
-              if (top.length == 1) Array(Long.MaxValue)
-              else {
-                val aggs = top.toSeq.zipWithIndex.flatMap { case ((l, r, c), i) => Seq(
-                  max(when(col("rsym") === lit(l), col("cnt"))).as(s"a$i"),
-                  max(when(col("lsym") === lit(r), col("cnt"))).as(s"b$i"),
-                  max(when(col("lsym") === lit(l + r) || col("rsym") === lit(l + r),
-                    col("cnt"))).as(s"k$i")) }
-                val row = counts.agg(aggs.head, aggs.tail: _*).collect()(0)
-                top.indices.map { i =>
-                  val collide = !row.isNullAt(3 * i + 2)
+              if (!worthBounds) {
+                if (boundsWait > 0) boundsWait -= 1
+                Array(Long.MaxValue) // batch of 1 — sequential semantics
+              } else {
+                val lefts = top.map(_._1).toSet
+                val rights = top.map(_._2).toSet
+                val merged = top.map(t => t._1 + t._2).toSet
+                val rel = countsC.filter { case ((l, r), _) =>
+                  rights.contains(r) || lefts.contains(l) ||
+                    merged.contains(l) || merged.contains(r)
+                }.collect()
+                top.map { case (l, r, c) =>
+                  val collide = rel.exists { case ((pl, pr), _) =>
+                    pl == l + r || pr == l + r }
                   if (collide) Long.MaxValue
                   else {
-                    val a = if (row.isNullAt(3 * i)) 0L else row.getLong(3 * i)
-                    val b = if (row.isNullAt(3 * i + 1)) 0L else row.getLong(3 * i + 1)
-                    math.min(top(i)._3, math.max(a, b))
+                    var a = 0L; var b = 0L
+                    rel.foreach { case ((pl, pr), pc) =>
+                      if (pr == l) a = math.max(a, pc)
+                      if (pl == r) b = math.max(b, pc)
+                    }
+                    math.min(c, math.max(a, b))
                   }
-                }.toArray
+                }
               }
             val selected = mutable.ArrayBuffer.empty[(String, String)]
             val used = mutable.HashSet.empty[String]
@@ -333,25 +353,39 @@ object Bpe {
               } else stop = true
               i += 1
             }
+            // adapt the backoff from what the batch actually bought
+            if (worthBounds) {
+              if (selected.size > 1) boundsBackoff = 1
+              else {
+                boundsWait = boundsBackoff
+                boundsBackoff = math.min(16, boundsBackoff * 2)
+              }
+            }
             for ((l, r) <- selected) { merges += Merge(round, l, r); round += 1 }
-            val next = table.select(
-              selected.foldLeft(col("syms")) { case (c, (l, r)) =>
-                applyMergeCol(c, l, r) }.as("syms"),
-              col("freq"))
-            // checkpoint cadence: break the per-round transform lineage
+            val sel = selected.toArray
+            table = table.map { case (syms, f) =>
+              var s = syms
+              var j = 0
+              while (j < sel.length) { s = applyMerge(s, sel(j)._1, sel(j)._2); j += 1 }
+              (s, f)
+            }
+            // cadence: bound the recompute span (the maps are narrow, so
+            // only persistence matters — RDD lineage has no analyzer cost)
             sinceCheckpoint += selected.size
-            val mat = if (sinceCheckpoint >= 8) { sinceCheckpoint = 0; next.localCheckpoint(true) }
-              else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            mat.count()
-            table.unpersist(false)
-            table = mat
+            if (sinceCheckpoint >= 8) {
+              sinceCheckpoint = 0
+              table.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              table.count()
+              persistedRoot.unpersist(false)
+              persistedRoot = table
+            }
           }
-        } finally counts.unpersist(false)
+        } finally if (needBounds) countsC.unpersist(false)
       }
       // ranks are decision order, one per merge — rewrite the batch-local
       // `round` stamps into a clean 0..n-1 sequence
       merges.result().zipWithIndex.map { case (mg, i) => mg.copy(rank = i) }
-    } finally table.unpersist(false)
+    } finally persistedRoot.unpersist(false)
   }
 
   /** Encode one word: repeatedly merge the lowest-rank adjacent pair

@@ -158,6 +158,49 @@ object IvfPq {
     if (isCos) coded.drop("__nvec") else coded
   }
 
+  /** The m×k ADC table for ONE (query, probed-list) pair — driver math
+    * shared verbatim by `search` and the zero-job local PQ serve (bit
+    * equality by being the same code; the executor twin is `PqAdcTable`).
+    * l2: ||r_q − codeword||² per subspace. ip: −⟨q_j, codeword⟩ per
+    * subspace, with the per-list constant −⟨q, cent⟩ folded into subspace 0
+    * so cross-list rankings stay comparable (`ivfpq.go:259-277`'s table
+    * shape, ip-extended). cos: the l2 table over unit-normalized
+    * query/index, halved — ||q̂−x̂||²/2 = 1−⟨q̂,x̂⟩ is EXACTLY the cosine
+    * distance. `qv` arrives already cos-normalized when the space is cos.
+    */
+  private[graft] def adcTableLocal(model: Model, qv: Array[Float], cid: Int): Array[Float] = {
+    val isIp = model.space == graft.core.SpaceType.Ip
+    val isCos = model.space == graft.core.SpaceType.Cos
+    val cent = model.coarse.centroids(cid)
+    val tab = new Array[Float](model.m * model.k)
+    var qDotCent = 0.0
+    if (isIp) {
+      var i = 0
+      while (i < qv.length) { qDotCent += qv(i).toDouble * cent(i).toDouble; i += 1 }
+    }
+    var j = 0
+    while (j < model.m) {
+      var c = 0
+      while (c < model.codebooks(j).length) {
+        var s = 0.0; var t = 0
+        while (t < model.subDim) {
+          val i = j * model.subDim + t
+          if (isIp) s -= qv(i).toDouble * model.codebooks(j)(c)(t)
+          else {
+            val d = (qv(i) - cent(i)).toDouble - model.codebooks(j)(c)(t)
+            s += d * d
+          }
+          t += 1
+        }
+        if (isIp && j == 0) s -= qDotCent
+        tab(j * model.k + c) = (if (isCos) s * 0.5 else s).toFloat
+        c += 1
+      }
+      j += 1
+    }
+    tab
+  }
+
   /** ADC search over an encoded corpus: per (query, probed-list) distance
     * tables built driver-side and broadcast; candidate score is a pure
     * table-lookup sum over the m codes (`ivfpq.go:259-285`).
@@ -184,42 +227,12 @@ object IvfPq {
     // cos: the l2 table over unit-normalized query/index, halved —
     // ||q̂−x̂||²/2 = 1−⟨q̂,x̂⟩ is EXACTLY the cosine distance, so the ADC
     // score approximates cos distance directly.
-    val isIp = model.space == graft.core.SpaceType.Ip
     val isCos = model.space == graft.core.SpaceType.Cos
     val tables: Map[(String, Int), Array[Float]] = qRows.flatMap { r =>
       val qid = r.getString(0)
       val qvRaw = r.getAs[scala.collection.Seq[Float]](1).toArray
       val qv = if (isCos) l2NormalizeLocal(qvRaw) else qvRaw
-      model.coarse.probe(qv, nprobe).map { cid =>
-        val cent = model.coarse.centroids(cid)
-        val tab = new Array[Float](model.m * model.k)
-        var qDotCent = 0.0
-        if (isIp) {
-          var i = 0
-          while (i < qv.length) { qDotCent += qv(i).toDouble * cent(i).toDouble; i += 1 }
-        }
-        var j = 0
-        while (j < model.m) {
-          var c = 0
-          while (c < model.codebooks(j).length) {
-            var s = 0.0; var t = 0
-            while (t < model.subDim) {
-              val i = j * model.subDim + t
-              if (isIp) s -= qv(i).toDouble * model.codebooks(j)(c)(t)
-              else {
-                val d = (qv(i) - cent(i)).toDouble - model.codebooks(j)(c)(t)
-                s += d * d
-              }
-              t += 1
-            }
-            if (isIp && j == 0) s -= qDotCent
-            tab(j * model.k + c) = (if (isCos) s * 0.5 else s).toFloat
-            c += 1
-          }
-          j += 1
-        }
-        (qid, cid) -> tab
-      }
+      model.coarse.probe(qv, nprobe).map(cid => (qid, cid) -> adcTableLocal(model, qv, cid))
     }.toMap
     // each probe row CARRIES its m×k distance table; after the broadcast
     // join the ADC score is the codegen `AdcLookupSum` kernel — no UDF, no
