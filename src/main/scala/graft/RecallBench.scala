@@ -293,6 +293,35 @@ object RecallBench {
             (System.nanoTime() - t0) / 1e6
           })
         }
+        // ivfpq point serving: LocalPqServe ADC shortlist over cached CODE
+        // cells + local exact re-rank via the zero-job point reads
+        locally {
+          engine.createCollection(graft.core.CollectionConfig(
+            "serve_pq", 64, graft.core.IndexType.IvfPq, SpaceType.L2))
+          engine.batchUpsertDocuments("serve_pq", docs.toSeq)
+          engine.buildIndex("serve_pq", nlist = 32)
+          engine.setParams("serve_pq", Map("nprobe" -> 2))
+          def postPq(vec: Array[Float]): Int = {
+            val body = s"""{"vector":[${vec.mkString(",")}],"limit":$k}"""
+            val req = HttpRequest.newBuilder()
+              .uri(java.net.URI.create(
+                s"http://127.0.0.1:$port/v1/collections/serve_pq/vectors/search"))
+              .header("Content-Type", "application/json")
+              .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+            client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+          }
+          wireQs.foreach(v => require(postPq(v) == 200, "pq warm-up failed"))
+          reportLatency("engine_pq_local", wireQs.toSeq.map { v =>
+            val t0 = System.nanoTime()
+            engine.searchVectors("serve_pq", Seq(("q", v)), k).collect()
+            (System.nanoTime() - t0) / 1e6
+          })
+          reportLatency("rest_pq_local", wireQs.toSeq.map { v =>
+            val t0 = System.nanoTime()
+            require(postPq(v) == 200, "pq wire search failed")
+            (System.nanoTime() - t0) / 1e6
+          })
+        }
         // maintained point-WRITE floor: REST writes keep the layout serving
         // now (append + tombstone + stamp instead of staling until the next
         // buildIndex). Time single-doc POSTs — fresh ids (the delta-append

@@ -539,6 +539,7 @@ class Engine(
     cache.clear()
     GraphAnn.GraphCache.invalidate(s"$root/$name/")
     graft.operators.LocalIvfServe.dropCells(s"$root/$name/")
+    graft.operators.LocalPqServe.dropCells(s"$root/$name/")
     graft.core.LocalPointReader.invalidateUnder(s"$root/$name/")
     layoutFrameCache.keys.filter(_._1.startsWith(s"$root/$name/"))
       .foreach(layoutFrameCache.remove)
@@ -1587,6 +1588,57 @@ class Engine(
     }
   }
 
+  /** Zero-job IVFPQ point search: `LocalPqServe` ADC shortlist over
+    * driver-cached code cells, then the exact re-rank the distributed
+    * `IvfPq.search(rerankVecCol = vector)` runs — true vectors fetched
+    * through the zero-job `getMany` point reads, exact distance via the
+    * same `VecKernels` arithmetic, (exact asc, id asc UTF-8) rank, top-k.
+    * The re-rank result depends only on the shortlist SET, so equality with
+    * the distributed plan needs only shortlist-set + scoring parity
+    * (`LocalPqParitySpec`). None — fall back distributed — on an oversized
+    * cell or a shortlisted id the point reads cannot resolve (a concurrent
+    * delete racing the request; the distributed plan re-plans instead).
+    */
+  private def localPqSearch(coll: String, path: String, frame: DataFrame,
+      stamp: Long, pq: IvfPq.Model, queries: Seq[(String, Array[Float])],
+      k: Int, nprobe: Int, eligible: Option[Set[Any]]): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val short = graft.operators.LocalPqServe.adcShortlistLocalRows(spark, path,
+      stamp, frame, pq, queries.map { case (q, v) => (q: Any, v) },
+      k * IvfPq.DefaultRerankFactor, nprobe, eligible)
+    if (short.isEmpty) return None
+    val ids = short.get.map(r => String.valueOf(r._2)).distinct
+    val docs = store.getMany(coll, ids)
+    if (!ids.forall(docs.contains)) return None
+    def dist(q: Array[Float], v: Array[Float]): Double = pq.space match {
+      case SpaceType.Ip => graft.kernels.VecKernels.negDot(q, v)
+      case SpaceType.Cos => graft.kernels.VecKernels.cosDist(q, v)
+      case _ => graft.kernels.VecKernels.l2sq(q, v)
+    }
+    val byQid = short.get.groupBy(_._1.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[Row]()
+    for ((qid, qv) <- queries) {
+      val ranked = byQid.getOrElse(qid, Seq.empty)
+        .map { case (_, id, _, _) =>
+          val sid = String.valueOf(id)
+          (sid, dist(qv, docs(sid).vector))
+        }
+        .sortWith((a, b) => a._2 < b._2 ||
+          (a._2 == b._2 && graft.operators.GraphAnn.idLt(a._1, b._1)))
+        .take(k)
+      ranked.zipWithIndex.foreach { case ((id, d), r) =>
+        out += Row(qid, id, d, (r + 1).toLong)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("query_id", StringType),
+      StructField("id", StringType),
+      StructField("distance", DoubleType),
+      StructField("rnk", LongType)))
+    Some(spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), schema))
+  }
+
   /** The collection's bucketed inverted-list table, if built AND current
     * (meta stamp == live store version — a streaming append or upsert since
     * the build stales it, exactly like the partitioned layout; searches then
@@ -1823,9 +1875,27 @@ class Engine(
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, pq.nlist))
         // prefer the encoded layout materialized at buildIndex (partition-
         // pruned, no per-search re-encoding); re-encode only when stale
-        val encoded = (if (corpusIsFull) currentLayout(coll, pqLayoutPath(coll)) else None)
-          .map(l => restrict(l._1)).getOrElse(IvfPq.encode(corpusEff, "vector", pq))
-        IvfPq.search(encoded, qDf, pq, k, nprobe, rerankVecCol = Some("vector"))
+        val layout = if (corpusIsFull) currentLayout(coll, pqLayoutPath(coll)) else None
+        // point requests serve zero-job from driver-cached CODE cells
+        // (LocalPqServe ADC shortlist + exact re-rank through the local
+        // point reads) — same preconditions and fallback ladder as ivf_flat
+        val localRes: Option[DataFrame] =
+          layout match {
+            case Some((frame, stamp)) if queries.size <= 16 =>
+              lazy val localElig: Option[Set[Any]] =
+                if (eligible.isEmpty) None
+                else localEligibleSet(coll, stamp, eligible.get, corpus)
+              if (eligible.isEmpty || localElig.isDefined)
+                localPqSearch(coll, pqLayoutPath(coll), frame, stamp, pq,
+                  queries, k, nprobe, localElig)
+              else None
+            case _ => None
+          }
+        localRes.getOrElse {
+          val encoded = layout.map(l => restrict(l._1))
+            .getOrElse(IvfPq.encode(corpusEff, "vector", pq))
+          IvfPq.search(encoded, qDf, pq, k, nprobe, rerankVecCol = Some("vector"))
+        }
       case IndexType.IvfFlat =>
         val model = loadedIvf(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))

@@ -78,6 +78,7 @@ class Server(engine: Engine, port: Int = 0) {
         case ("GET", List("v1", "metrics")) =>
           reply(ex, 200, Obj((graft.operators.GraphAnn.localServeMetrics ++
             graft.operators.LocalIvfServe.metrics ++
+            graft.operators.LocalPqServe.metrics ++
             graft.core.LocalPointReader.metrics)
             .map { case (k, v) => k -> (Num(v.toDouble): Value) }))
         case _ => reply(ex, 404, err("route not found"))

@@ -27,6 +27,12 @@ import org.apache.spark.sql.types._
   */
 object IvfPq {
 
+  /** Over-fetch factor of the exact re-rank — ONE definition shared by the
+    * `search`/`searchDistributed` signature defaults and the zero-job local
+    * serve, so the two paths can never silently shortlist different depths.
+    */
+  val DefaultRerankFactor = 8
+
   case class Model(
       coarse: IvfIndex.Model,
       codebooks: Array[Array[Array[Float]]], // [m][k][subDim]
@@ -215,7 +221,7 @@ object IvfPq {
       queryId: String = "query_id",
       queryVec: String = "query_vec",
       rerankVecCol: Option[String] = None,
-      rerankFactor: Int = 8): DataFrame = {
+      rerankFactor: Int = DefaultRerankFactor): DataFrame = {
     val spark = encoded.sparkSession
     val qidType = queries.schema(queryId).dataType
     val qRows = queries.select(col(queryId).cast("string"), col(queryVec)).collect()
@@ -309,7 +315,7 @@ object IvfPq {
       queryId: String = "query_id",
       queryVec: String = "query_vec",
       rerankVecCol: Option[String] = None,
-      rerankFactor: Int = 8): DataFrame = {
+      rerankFactor: Int = DefaultRerankFactor): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graft.{AdcLookupSum, Bridge, NearestCentroids, PqAdcTable}
     import graft.functions.vfn

@@ -7,6 +7,52 @@ import org.apache.spark.sql.types._
 import graft.core.SpaceType
 import graft.kernels.VecKernels
 
+/** Shared plumbing of the zero-job cell-serving tiers: resolve a request's
+  * probed cells against a `LocalCellCache` — cache hits held by direct
+  * reference, the oversized pre-check from the parquet listing (driver-side,
+  * no job), and ONE partition-pruned collect for all misses from the
+  * caller's tombstone-applied layout frame (shadowing semantics shared with
+  * the distributed plan by construction, not re-derived).
+  */
+private[graft] object LocalCellResolve {
+
+  /** None = a probed cell's disk footprint exceeds the whole byte budget —
+    * the caller declines to the distributed plan.
+    */
+  def resolve[C](cache: LocalCellCache[C], spark: SparkSession, path: String,
+      stamp: Long, layoutFrame: => DataFrame, needed: Seq[Int], maxBytes: Long,
+      select: DataFrame => DataFrame,
+      build: Array[Row] => C): Option[collection.Map[Int, Option[C]]] = {
+    val held = scala.collection.mutable.Map.empty[Int, Option[C]]
+    needed.foreach { c =>
+      cache.get((path, stamp, c)).foreach(v => held(c) = v)
+    }
+    val missing = needed.filterNot(held.contains)
+    cache.hits.addAndGet(held.size.toLong)
+    cache.misses.addAndGet(missing.length.toLong)
+    if (missing.nonEmpty) {
+      val fsBase = new org.apache.hadoop.fs.Path(path)
+      val fsys = fsBase.getFileSystem(spark.sessionState.newHadoopConf())
+      val oversized = missing.exists { c =>
+        val dir = new org.apache.hadoop.fs.Path(fsBase, s"cluster_id=$c")
+        val disk = if (fsys.exists(dir)) fsys.getContentSummary(dir).getLength else 0L
+        disk * GraphAnn.LocalServeDiskExpansion > maxBytes
+      }
+      if (oversized) { cache.oversizedDeclines.incrementAndGet(); return None }
+      val byCell = select(layoutFrame
+          .filter(col("cluster_id").isin(missing.map(Int.box): _*)))
+        .collect().groupBy(_.getInt(0))
+      cache.loads.incrementAndGet()
+      missing.foreach { c =>
+        val cell = byCell.get(c).map(build)
+        held(c) = cell
+        cache.insert((path, stamp, c), cell)
+      }
+    }
+    Some(held)
+  }
+}
+
 /** ZERO-SPARK-JOB point serving over the IVF inverted-list layout — the
   * `GraphAnn.searchPointLocal` architecture applied to the ivf_flat tier
   * (reference `internal/index/ivf.go` Search semantics, served like the
@@ -47,72 +93,24 @@ object LocalIvfServe {
     }
   }
 
-  private val cells = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int), (Option[Cell], Long)] // (rows-or-empty, bytes)
-  private val cellOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]
-  private val cellBytes = new java.util.concurrent.atomic.AtomicLong(0)
-  private val idTypes = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), DataType]
-  private val MaxCells = 256
   /** Driver-heap bound in resident BYTES (the same reasoning as
     * `GraphAnn.maxLocalServeBytes`); operable knob, default 1 GiB.
     */
   @volatile var maxLocalIvfBytes: Long = 1L << 30
 
-  // serving-cache metrics (GET /v1/metrics companion to the graph tier's)
-  val cellLoads = new java.util.concurrent.atomic.AtomicInteger(0)
-  val cellHits = new java.util.concurrent.atomic.AtomicLong(0)
-  val cellMisses = new java.util.concurrent.atomic.AtomicLong(0)
-  val cellEvictions = new java.util.concurrent.atomic.AtomicLong(0)
-  val oversizedDeclines = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cache = new LocalCellCache[Cell](256, _.residentBytes,
+    () => maxLocalIvfBytes)
+  private val idTypes = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), DataType]
 
-  def metrics: Map[String, Long] = Map(
-    "ivf_local_cells" -> cells.size.toLong,
-    "ivf_local_bytes" -> cellBytes.get(),
-    "ivf_local_max_bytes" -> maxLocalIvfBytes,
-    "ivf_local_loads" -> cellLoads.get().toLong,
-    "ivf_local_hits" -> cellHits.get(),
-    "ivf_local_misses" -> cellMisses.get(),
-    "ivf_local_evictions" -> cellEvictions.get(),
-    "ivf_local_oversized_declines" -> oversizedDeclines.get())
-
-  private def removeCell(key: (String, Long, Int)): Unit = {
-    cells.remove(key).foreach { case (_, b) => cellBytes.addAndGet(-b) }
-    cellOrder.remove(key)
-  }
-
-  private def insertCell(key: (String, Long, Int), cell: Option[Cell]): Unit = {
-    // empty cells cache as tombstones (probing one must not re-collect)
-    val bytes = cell.map(_.residentBytes).getOrElse(64L)
-    if (cells.putIfAbsent(key, (cell, bytes)).isEmpty) {
-      cellOrder.add(key)
-      cellBytes.addAndGet(bytes)
-      // superseded stamps of this layout die on insert
-      cells.keys.filter(kk => kk._1 == key._1 && kk._2 != key._2)
-        .foreach { kk => removeCell(kk); cellEvictions.incrementAndGet() }
-      var evicting = cells.size > MaxCells || cellBytes.get() > maxLocalIvfBytes
-      while (evicting) {
-        val oldest = cellOrder.poll()
-        if (oldest == null) evicting = false
-        else {
-          cells.remove(oldest).foreach { case (_, b) =>
-            cellBytes.addAndGet(-b); cellEvictions.incrementAndGet()
-          }
-          evicting = cells.size > MaxCells || cellBytes.get() > maxLocalIvfBytes
-        }
-      }
-    }
-  }
+  def metrics: Map[String, Long] = cache.metrics("ivf_local", maxLocalIvfBytes)
 
   private[graft] def dropCells(layoutIdPrefix: String): Unit = {
-    cells.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach(removeCell)
+    cache.drop(layoutIdPrefix)
     idTypes.keys.filter(_._1.startsWith(layoutIdPrefix)).foreach(idTypes.remove)
   }
 
-  private[graft] def clearCells(): Unit = {
-    cells.clear(); cellOrder.clear(); idTypes.clear(); cellBytes.set(0)
-  }
+  private[graft] def clearCells(): Unit = { cache.clear(); idTypes.clear() }
 
   private def dist(q: Array[Float], v: Array[Float], space: SpaceType): Double =
     space match {
@@ -186,45 +184,14 @@ object LocalIvfServe {
     val probed: Array[Seq[Int]] =
       queries.toArray.map(q => model.probe(q._2, nprobe))
     val needed = probed.flatten.distinct.sorted
-    // per-request direct references (eviction = reload cost, never
-    // correctness — same discipline as the graph cell cache)
-    val held = scala.collection.mutable.Map.empty[Int, Option[Cell]]
-    needed.foreach { c =>
-      cells.get((path, stamp, c)).foreach(v => held(c) = v._1)
-    }
-    val missing = needed.filterNot(held.contains)
-    cellHits.addAndGet(held.size.toLong)
-    cellMisses.addAndGet(missing.length.toLong)
-    if (missing.nonEmpty) {
-      // transient-bound pre-check from the parquet listing (driver-side, no
-      // job): a cell whose estimated resident bytes exceed the WHOLE budget
-      // is never collected — decline, the distributed plan serves this one
-      val fsBase = new org.apache.hadoop.fs.Path(path)
-      val fsys = fsBase.getFileSystem(spark.sessionState.newHadoopConf())
-      val oversized = missing.exists { c =>
-        val dir = new org.apache.hadoop.fs.Path(fsBase, s"cluster_id=$c")
-        val disk = if (fsys.exists(dir)) fsys.getContentSummary(dir).getLength else 0L
-        disk * GraphAnn.LocalServeDiskExpansion > maxLocalIvfBytes
-      }
-      if (oversized) { oversizedDeclines.incrementAndGet(); return None }
-      // one partition-pruned collect loads every missing probed cell;
-      // rows come from the SAME tombstone-applied plan the distributed
-      // search scans, so shadowing semantics are shared, not re-derived
-      val byCell = layoutFrame
-        .filter(col("cluster_id").isin(missing.map(Int.box): _*))
-        .select(col("cluster_id").cast("int"), col("id"),
-          col("vector").cast("array<float>"))
-        .collect().groupBy(_.getInt(0))
-      cellLoads.incrementAndGet()
-      missing.foreach { c =>
-        val cell = byCell.get(c).map { rs =>
-          Cell(rs.map(_.get(1): Any),
-            rs.map(r => r.getAs[scala.collection.Seq[Float]](2).toArray))
-        }
-        held(c) = cell
-        insertCell((path, stamp, c), cell)
-      }
-    }
+    val heldOpt = LocalCellResolve.resolve[Cell](cache, spark, path, stamp,
+      layoutFrame, needed, maxLocalIvfBytes,
+      df => df.select(col("cluster_id").cast("int"), col("id"),
+        col("vector").cast("array<float>")),
+      rs => Cell(rs.map(_.get(1): Any),
+        rs.map(r => r.getAs[scala.collection.Seq[Float]](2).toArray)))
+    if (heldOpt.isEmpty) return None
+    val held = heldOpt.get
     val out = Seq.newBuilder[(Any, Any, Double, Long)]
     var qi = 0
     while (qi < queries.length) {
@@ -246,6 +213,118 @@ object LocalIvfServe {
       val ranked = hits.toArray
         .sortWith((a, b) => a._2 < b._2 || (a._2 == b._2 && GraphAnn.idLt(a._1, b._1)))
         .take(k)
+      var r = 0
+      while (r < ranked.length) {
+        out += ((qid, ranked(r)._1, ranked(r)._2, (r + 1).toLong))
+        r += 1
+      }
+      qi += 1
+    }
+    Some(out.result())
+  }
+}
+
+/** ZERO-SPARK-JOB ADC shortlisting over the IVFPQ encoded layout — the
+  * `LocalIvfServe` architecture on the quantized tier, where it matters
+  * even more at scale: a cached cell holds CODES (m bytes of payload per
+  * row, not dim floats), so the same byte budget keeps ~dim·4/m times more
+  * corpus resident. Per query: probe via the driver-resident coarse
+  * centroids (`Model.coarse.probe`, cos-normalizing the query exactly like
+  * `IvfPq.search`), build the m×k ADC table with the SAME
+  * `IvfPq.adcTableLocal` driver math `search` broadcasts, score each cached
+  * code row with the same double-accumulated table-lookup sum as the
+  * codegen `AdcLookupSum`, and rank (distance asc, id asc UTF-8). The
+  * caller (Engine) re-ranks the tiny shortlist exactly against true vectors
+  * fetched through the zero-job point reads — `LocalPqParitySpec` gates the
+  * end-to-end equality with `IvfPq.search`.
+  */
+object LocalPqServe {
+
+  /** One cached cell: ids + PQ codes as parallel driver arrays. */
+  private final case class Cell(ids: Array[Any], codes: Array[Array[Int]]) {
+    def residentBytes: Long = {
+      val m = if (codes.nonEmpty && codes(0) != null) codes(0).length else 0
+      // int codes + array/object headers + boxed id estimate per row
+      ids.length.toLong * (m.toLong * 4L + 96L)
+    }
+  }
+
+  /** Byte budget knob (codes are tiny — the default holds ~100M rows). */
+  @volatile var maxLocalPqBytes: Long = 1L << 30
+
+  private val cache = new LocalCellCache[Cell](256, _.residentBytes,
+    () => maxLocalPqBytes)
+
+  def metrics: Map[String, Long] = cache.metrics("pq_local", maxLocalPqBytes)
+
+  private[graft] def dropCells(layoutIdPrefix: String): Unit =
+    cache.drop(layoutIdPrefix)
+
+  private[graft] def clearCells(): Unit = cache.clear()
+
+  /** The ADC SHORTLIST — (qid, id, adcDistance, rnk) rows, `shortlistK` per
+    * query — from driver-cached code cells. The exact re-rank (and with it
+    * the final result) is the caller's: it owns the point-read path to the
+    * true vectors. None = fall back to the distributed plan (oversized
+    * probed cell).
+    */
+  def adcShortlistLocalRows(
+      spark: SparkSession,
+      path: String,
+      stamp: Long,
+      layoutFrame: => DataFrame,
+      model: IvfPq.Model,
+      queries: Seq[(Any, Array[Float])],
+      shortlistK: Int,
+      nprobe: Int,
+      eligible: Option[Set[Any]] = None,
+      maxQueries: Int = 64): Option[Seq[(Any, Any, Double, Long)]] = {
+    require(shortlistK > 0, s"shortlistK must be positive, got $shortlistK")
+    require(queries.length <= maxQueries,
+      s"adcShortlistLocalRows is the driver-serve path (${queries.length} " +
+        s"queries > $maxQueries); use IvfPq.search/searchDistributed for batches")
+    val isCos = model.space == graft.core.SpaceType.Cos
+    val qvs = queries.toArray.map { case (qid, raw) =>
+      (qid, if (isCos) IvfPq.l2NormalizeLocal(raw) else raw)
+    }
+    val probed: Array[Seq[Int]] =
+      qvs.map(q => model.coarse.probe(q._2, nprobe))
+    val needed = probed.flatten.distinct.sorted
+    val heldOpt = LocalCellResolve.resolve[Cell](cache, spark, path, stamp,
+      layoutFrame, needed, maxLocalPqBytes,
+      df => df.select(col("cluster_id").cast("int"), col("id"),
+        col("codes").cast("array<int>")),
+      rs => Cell(rs.map(_.get(1): Any),
+        rs.map(r => r.getAs[scala.collection.Seq[Int]](2).toArray)))
+    if (heldOpt.isEmpty) return None
+    val held = heldOpt.get
+    val out = Seq.newBuilder[(Any, Any, Double, Long)]
+    var qi = 0
+    while (qi < qvs.length) {
+      val (qid, qv) = qvs(qi)
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
+      probed(qi).foreach { c =>
+        held.getOrElse(c, None).foreach { cell =>
+          val tab = IvfPq.adcTableLocal(model, qv, c)
+          val k = model.k
+          var i = 0
+          while (i < cell.ids.length) {
+            val id = cell.ids(i)
+            if (eligible.forall(_.contains(id))) {
+              // same double accumulation of float lookups as AdcLookupSum
+              val codes = cell.codes(i)
+              var s = 0.0
+              var j = 0
+              while (j < codes.length) { s += tab(j * k + codes(j)); j += 1 }
+              hits += ((id, s))
+            }
+            i += 1
+          }
+        }
+      }
+      val ranked = hits.toArray
+        .sortWith((a, b) => a._2 < b._2 || (a._2 == b._2 && GraphAnn.idLt(a._1, b._1)))
+        .take(shortlistK)
       var r = 0
       while (r < ranked.length) {
         out += ((qid, ranked(r)._1, ranked(r)._2, (r + 1).toLong))
