@@ -1601,11 +1601,15 @@ class Engine(
     */
   private def localPqSearch(coll: String, path: String, frame: DataFrame,
       stamp: Long, pq: IvfPq.Model, queries: Seq[(String, Array[Float])],
-      k: Int, nprobe: Int, eligible: Option[Set[Any]]): Option[DataFrame] = {
+      k: Int, nprobe: Int, eligible: Option[Set[Any]],
+      shortQueries: Seq[(String, Array[Float])] = Seq.empty): Option[DataFrame] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    // `shortQueries` = queries in INDEX space when that differs from the
+    // re-rank space (OPQ shortlists in rotated space, re-ranks original)
+    val sq = if (shortQueries.nonEmpty) shortQueries else queries
     val short = graft.operators.LocalPqServe.adcShortlistLocalRows(spark, path,
-      stamp, frame, pq, queries.map { case (q, v) => (q: Any, v) },
+      stamp, frame, pq, sq.map { case (q, v) => (q: Any, v) },
       k * IvfPq.DefaultRerankFactor, nprobe, eligible)
     if (short.isEmpty) return None
     val ids = short.get.map(r => String.valueOf(r._2)).distinct
@@ -2068,9 +2072,30 @@ class Engine(
       case IndexType.Opq =>
         val opq = loadedOpq(coll)
         val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, opq.pq.nlist))
-        val encoded = (if (corpusIsFull) currentLayout(coll, opqLayoutPath(coll)) else None)
-          .map(l => restrict(l._1)).getOrElse(Opq.encode(corpusEff, "vector", opq))
-        Opq.search(encoded, qDf, opq, k, nprobe)
+        val layout = if (corpusIsFull) currentLayout(coll, opqLayoutPath(coll)) else None
+        // zero-job point serve: rotate the query with the gated
+        // LocalEncode.matVecMul twin of the codegen MatVecMul, shortlist in
+        // rotated space through the PQ code-cell cache, exact re-rank in
+        // ORIGINAL space (the distributed Opq.search shape exactly)
+        val localRes: Option[DataFrame] =
+          layout match {
+            case Some((frame, stamp)) if queries.size <= 16 =>
+              lazy val localElig: Option[Set[Any]] =
+                if (eligible.isEmpty) None
+                else localEligibleSet(coll, stamp, eligible.get, corpus)
+              if (eligible.isEmpty || localElig.isDefined)
+                localPqSearch(coll, opqLayoutPath(coll), frame, stamp, opq.pq,
+                  queries, k, nprobe, localElig,
+                  shortQueries = queries.map { case (qid, v) =>
+                    (qid, graft.operators.LocalEncode.matVecMul(v, opq.rotation)) })
+              else None
+            case _ => None
+          }
+        localRes.getOrElse {
+          val encoded = layout.map(l => restrict(l._1))
+            .getOrElse(Opq.encode(corpusEff, "vector", opq))
+          Opq.search(encoded, qDf, opq, k, nprobe)
+        }
       case IndexType.Sq =>
         val sq = loadedSq(coll)
         val encoded = (if (corpusIsFull) currentLayout(coll, sqLayoutPath(coll)) else None)

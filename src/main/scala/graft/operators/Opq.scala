@@ -300,7 +300,7 @@ object Opq {
   def search(encoded: DataFrame, queries: DataFrame, model: Model, kTop: Int,
       nprobe: Int, corpusId: String = "id", corpusVec: String = "vector",
       queryId: String = "query_id", queryVec: String = "query_vec",
-      rerank: Boolean = true, rerankFactor: Int = 8): DataFrame = {
+      rerank: Boolean = true, rerankFactor: Int = IvfPq.DefaultRerankFactor): DataFrame = {
     val rq = rotate(queries, queryVec, model.rotation, "__rq")
     val shortlistK = if (rerank) kTop * rerankFactor else kTop
     val shortlist = IvfPq.search(encoded, rq, model.pq, shortlistK, nprobe,
@@ -317,7 +317,7 @@ object Opq {
       kTop: Int, nprobe: Int, corpusId: String = "id",
       corpusVec: String = "vector", queryId: String = "query_id",
       queryVec: String = "query_vec", rerank: Boolean = true,
-      rerankFactor: Int = 8): DataFrame = {
+      rerankFactor: Int = IvfPq.DefaultRerankFactor): DataFrame = {
     val rq = rotate(queries, queryVec, model.rotation, "__rq")
     val shortlistK = if (rerank) kTop * rerankFactor else kTop
     val shortlist = IvfPq.searchDistributed(encoded, rq, model.pq, shortlistK,

@@ -103,6 +103,35 @@ class LocalPqParitySpec extends SparkSpec {
     assert(!l2.exists(_._1 == "d7"), "tombstoned id surfaced from the code cell cache")
   }
 
+  test("local ≡ distributed OPQ: rotated-space shortlist, original-space re-rank") {
+    val dir = Files.createTempDirectory("opqlocal").toString
+    val e = new Engine(spark, dir)
+    val dim = 8
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 60).map(i =>
+      Document(s"d$i", Array.fill(dim)(rnd.nextFloat())))
+    e.createCollection(CollectionConfig("c", dim, IndexType.Opq, SpaceType.L2,
+      params = Map("m" -> "4")))
+    e.batchUpsertDocuments("c", docs)
+    e.buildIndex("c", nlist = 4)
+    for (np <- Seq(1, 2, 4)) {
+      e.setParams("c", Map("nprobe" -> np))
+      for (i <- Seq(1, 8, 33)) {
+        val (l, d) = bothPaths(e, s"q$i", docs(i).vector, 6)
+        assert(l === d, s"opq nprobe=$np query=$i parity failed")
+      }
+    }
+    // maintained write + delete through the opq layout
+    val probe = docs(8).vector
+    e.upsertDocument("c", Document("new", probe.clone()))
+    val (l1, d1) = bothPaths(e, "qn", probe, 5)
+    assert(l1 === d1)
+    e.deleteDocument("c", "d8")
+    val (l2, d2) = bothPaths(e, "qd", probe, 5)
+    assert(l2 === d2)
+    assert(!l2.exists(_._1 == "d8"))
+  }
+
   test("oversized budget declines cleanly; filtered single query stays correct") {
     val (e, docs) = freshPq(8, 40, SpaceType.L2, seed = 21)
     e.setParams("c", Map("nprobe" -> 4))
