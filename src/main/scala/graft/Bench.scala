@@ -81,9 +81,10 @@ object Bench {
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       // all-core arithmetic scan: sensitive to co-tenant CPU pressure the
-      // way real queries are (a single-thread busy loop is not)
+      // way real queries are (a single-thread busy loop is not). pmod keeps
+      // the SUM bounded — 64M raw products overflow long under ANSI mode
       spark.range(0L, 64000000L, 1L, cpus.toInt)
-        .selectExpr("sum(id * 2654435761 + 17)").collect()
+        .selectExpr("sum(pmod(id * 2654435761 + 17, 1048576))").collect()
       (System.nanoTime() - t0) / 1e9
     }
     val canaryBase = { canaryOnce(); (1 to 5).map(_ => canaryOnce()).min } // first rep = warmup
