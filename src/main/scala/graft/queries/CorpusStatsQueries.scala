@@ -776,6 +776,82 @@ object CorpusStatsQueries {
       .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
   }
 
+  /** Token-ID vocabulary of the trained char-level BPE, GPT-2's assignment
+    * recipe: the initial alphabet (round-0 distinct symbols, sorted — every
+    * corpus char + the end-of-word marker) takes ids 0..A-1, then each
+    * merge's output symbol takes the next id in rank order. On the rare
+    * merged-string/alphabet collision (the documented string-concat
+    * ambiguity) the FIRST assignment wins — deterministic either way.
+    */
+  private def bpeVocab(spark: SparkSession, dir: String): Map[String, Long] =
+    QueryMemo.cached(spark, dir, "bpe_vocab") {
+      val (merges, states) = bpeArtifacts(spark, dir)
+      val alphabet = states.filter(_.round == 0).flatMap(_.syms).distinct.sorted
+      val vb = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      alphabet.zipWithIndex.foreach { case (s, i) => vb(s) = i.toLong }
+      var next = alphabet.size.toLong
+      merges.foreach { m =>
+        val tok = m.lsym + m.rsym
+        if (!vb.contains(tok)) { vb(tok) = next; next += 1 }
+      }
+      vb.toMap
+    }
+
+  /** Aux: per-distinct-word token-ID lists (word, ids) under the trained
+    * merges + vocabulary — the table both `bpe_encode_ids` and its oracle
+    * assemble documents from (per-word encode ≡ training fixpoint is
+    * BpeSpec-gated; the id assignment is the documented vocab recipe).
+    */
+  def bpeWordIdsAux(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeArtifacts(spark, dir)
+    val vocab = bpeVocab(spark, dir)
+    val vb = typedLit(vocab)
+    Bpe.encodeWordsDf(Bpe.wordCounts(docs(spark, dir), "text"), "word", merges)
+      .select(col("word"),
+        transform(col("toks"), t => element_at(vb, t)).as("ids"))
+  }
+
+  /** Per-document token-ID sequences — what a training pipeline actually
+    * ships to the model: (doc_id, pos, token_id), pos 0-based over the
+    * document's flattened word encodings in word order. Scale: corpus
+    * explode → broadcast join against the word-type id table → one
+    * per-document window for the global position (the token_pack family's
+    * shuffle shape); the per-word merge loop never touches the corpus.
+    * Oracle: DuckDB re-assembles every document from the words and the
+    * exported word→ids table and recomputes the ordered flatten — the
+    * ASSEMBLY (word order, intra-word order, global positions) is what the
+    * hash gates; the per-word encode rides aux exactly like
+    * `bpe_token_stats`.
+    */
+  def bpeEncodeIds(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("wpos").asc, col("tpos").asc)
+    docs(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
+      .join(broadcast(bpeWordIdsAux(spark, dir)), "word")
+      .select(col("doc_id"), col("wpos"), posexplode(col("ids")).as(Seq("tpos", "token_id")))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("pos"), col("token_id").cast("long").as("token_id"))
+  }
+
+  val bpeEncodeIdsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, i AS wpos, string_split(text, ' ')[i] AS word
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+      |        FROM documents)),
+      |j AS (SELECT w.doc_id, w.wpos, a.ids
+      |      FROM w JOIN read_parquet('{AUX}/bpe_word_ids/*.parquet') a
+      |        ON w.word = a.word),
+      |t AS (SELECT doc_id, wpos, ti AS tpos, ids[ti] AS token_id
+      |      FROM (SELECT doc_id, wpos, ids,
+      |              unnest(generate_series(1, len(ids))) AS ti
+      |            FROM j))
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+      |  CAST(token_id AS BIGINT) AS token_id
+      |FROM t""".stripMargin
+
   /** Corpus token accounting under the trained BPE: per-document whitespace
     * word count and BPE token count — the sizing pass a pipeline runs before
     * packing/budgeting. Scale: corpus explode → broadcast join against the
@@ -801,12 +877,14 @@ object CorpusStatsQueries {
   val oracleInputs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_states" -> (bpeStatesAux(_, _)),
     "bpe_states_bytes" -> (bpeStatesBytesAux(_, _)),
+    "bpe_word_ids" -> (bpeWordIdsAux(_, _)),
     "bpe_word_tokens" -> (bpeWordTokensAux(_, _)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain(_, _)),
     "bpe_train_bytes" -> (bpeTrainBytes(_, _)),
     "bpe_token_stats" -> (bpeTokenStats(_, _)),
+    "bpe_encode_ids" -> (bpeEncodeIds(_, _)),
     "lm_score" -> (lmScore(_, _)),
     "ccnet_buckets" -> (ccnetBuckets(_, _)),
     "tfidf_top_terms" -> (tfidfTopTerms(_, _)),
@@ -824,6 +902,7 @@ object CorpusStatsQueries {
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeTrainSql,
     "bpe_train_bytes" -> bpeTrainBytesSql,
+    "bpe_encode_ids" -> bpeEncodeIdsSql,
     "bpe_token_stats" -> bpeTokenStatsSql,
     "lm_score" -> lmScoreSql,
     "ccnet_buckets" -> ccnetBucketsSql,
