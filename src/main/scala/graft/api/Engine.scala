@@ -481,7 +481,12 @@ class Engine(
     // layout-served search sees only live rows
     currentLayoutStamp(coll, path).map { stamp =>
       val frame = layoutFrameCache.getOrElseUpdate((path, stamp), {
-        layoutFrameCache.keys.filter(k => k._1 == path && k._2 != stamp)
+        // evict by generation STEM, not exact path: a rebuild flips to a
+        // `_g<n+1>` dir, so same-path eviction alone would strand one
+        // handle (with its full file listing) per rebuild per tier
+        val stem = path.replaceAll("_g\\d+$", "")
+        layoutFrameCache.keys.filter(k =>
+            k._1.replaceAll("_g\\d+$", "") == stem && k != ((path, stamp)))
           .foreach(layoutFrameCache.remove)
         spark.read.parquet(path)
       })
@@ -1615,9 +1620,13 @@ class Engine(
     val ids = short.get.map(r => String.valueOf(r._2)).distinct
     val docs = store.getMany(coll, ids)
     if (!ids.forall(docs.contains)) return None
+    // full space mapping (incl. hamming) even though ivfpq/opq training
+    // refuses hamming today: a fallthrough-to-l2 here would be a silent
+    // semantic fork from the distributed re-rank if that ever changes
     def dist(q: Array[Float], v: Array[Float]): Double = pq.space match {
       case SpaceType.Ip => graft.kernels.VecKernels.negDot(q, v)
       case SpaceType.Cos => graft.kernels.VecKernels.cosDist(q, v)
+      case SpaceType.Hamming => graft.kernels.VecKernels.hammingNe(q, v).toDouble
       case _ => graft.kernels.VecKernels.l2sq(q, v)
     }
     val byQid = short.get.groupBy(_._1.toString)
@@ -1885,7 +1894,9 @@ class Engine(
         // point reads) — same preconditions and fallback ladder as ivf_flat
         val localRes: Option[DataFrame] =
           layout match {
-            case Some((frame, stamp)) if queries.size <= 16 =>
+            // duplicate qids route distributed (see the ivf_flat branch)
+            case Some((frame, stamp)) if queries.size <= 16 &&
+                queries.map(_._1).distinct.size == queries.size =>
               lazy val localElig: Option[Set[Any]] =
                 if (eligible.isEmpty) None
                 else localEligibleSet(coll, stamp, eligible.get, corpus)
@@ -1917,7 +1928,12 @@ class Engine(
         // the distributed pruned plan, never truncates.
         val localRes: Option[DataFrame] =
           layout match {
-            case Some((frame, stamp)) if queries.size <= 16 =>
+            // duplicate qids route distributed: the window plans merge a
+            // duplicated id's rows into ONE k-row group while the per-query
+            // local loop would emit k rows per entry (the knnAggFused /
+            // searchMaxSimLocal rule applied here too)
+            case Some((frame, stamp)) if queries.size <= 16 &&
+                queries.map(_._1).distinct.size == queries.size =>
               lazy val localElig: Option[Set[Any]] =
                 if (eligible.isEmpty) None
                 else localEligibleSet(coll, stamp, eligible.get, corpus)
@@ -2079,7 +2095,9 @@ class Engine(
         // ORIGINAL space (the distributed Opq.search shape exactly)
         val localRes: Option[DataFrame] =
           layout match {
-            case Some((frame, stamp)) if queries.size <= 16 =>
+            // duplicate qids route distributed (see the ivf_flat branch)
+            case Some((frame, stamp)) if queries.size <= 16 &&
+                queries.map(_._1).distinct.size == queries.size =>
               lazy val localElig: Option[Set[Any]] =
                 if (eligible.isEmpty) None
                 else localEligibleSet(coll, stamp, eligible.get, corpus)

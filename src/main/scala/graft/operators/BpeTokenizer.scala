@@ -321,8 +321,13 @@ object Bpe {
                 val lefts = top.map(_._1).toSet
                 val rights = top.map(_._2).toSet
                 val merged = top.map(t => t._1 + t._2).toSet
+                // keep the pairs the bounds measure: (x, l_i) — pair-RIGHT
+                // in the candidate LEFTS — and (r_i, y) — pair-LEFT in the
+                // candidate RIGHTS (the inverted selectors silently
+                // understated the bound and could admit a non-sequential
+                // batch; round-10 review finding)
                 val rel = countsC.filter { case ((l, r), _) =>
-                  rights.contains(r) || lefts.contains(l) ||
+                  lefts.contains(r) || rights.contains(l) ||
                     merged.contains(l) || merged.contains(r)
                 }.collect()
                 top.map { case (l, r, c) =>

@@ -119,14 +119,11 @@ object Multimodal {
           // sampled frames are stable
           val img = reader.read(i)
           val w = img.getWidth; val h = img.getHeight
-          val rgb = new Array[Int](w * h)
+          // one bulk getRGB: the per-pixel call pays Raster+ColorModel
+          // dispatch w*h times per frame on the executor hot path
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
           var p = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { rgb(p) = img.getRGB(x, y) & 0xffffff; p += 1; x += 1 }
-            y += 1
-          }
+          while (p < rgb.length) { rgb(p) = rgb(p) & 0xffffff; p += 1 }
           PngEncoder.encode(w, h, rgb)
         }
       } finally { reader.dispose(); iis.close() }

@@ -158,6 +158,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched trainDistributed fuzz: random tight-alphabet corpora ≡ trainLocal") {
+    // small alphabets maximize pair interaction and merged-symbol reuse —
+    // the regime where an understated created-pair bound admits a
+    // non-sequential batch (the round-10 review found exactly that: the
+    // bounds pass filtered with lefts/rights swapped; this fuzz is its
+    // regression net)
+    for (seed <- Seq(101, 202, 303, 404)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc"
+      val words = (0 until 60).map { _ =>
+        (0 to 1 + rnd.nextInt(7)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.groupBy(identity).view.mapValues(_.size.toLong * (1 + rnd.nextInt(4))).toSeq
+      val local = Bpe.trainLocal(words, 20)._1
+      val dist = Bpe.trainDistributed(words.toDF("word", "freq"), 20, batchMax = 8)
+      assert(dist === local, s"seed=$seed batched sequence diverged")
+    }
+  }
+
   test("byte-level: bijection, decode round-trip on emoji/CJK, char-level loud-fails") {
     // GPT-2 bytes_to_unicode: a 256-element bijection into BMP printables
     assert(Bpe.byteToChar.length === 256)

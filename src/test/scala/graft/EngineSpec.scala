@@ -116,13 +116,18 @@ class EngineSpec extends SparkSpec {
         hits.foreach(h => assert(h.id.toInt % 2 == 0, s"$name: ineligible hit ${h.id}"))
         if (exact)
           assert(hits.map(_.id) === exactEligible, s"$name: filtered top-k mismatch")
-        // listener posts async: bounded poll for the layout-scan evidence
-        import scala.jdk.CollectionConverters._
-        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        while (!scans.asScala.exists(_.contains(s"/$name/index/")) &&
-            System.nanoTime() < deadline)
+        // listener posts async: bounded poll for the layout-scan evidence.
+        // Snapshot via toArray (atomic on a synchronizedList) — iterating
+        // asScala while the listener concurrently appends throws
+        // ConcurrentModificationException (flaked once the local serving
+        // paths added more async QE events mid-poll). 30 s: a co-tenant
+        // stall burst (documented 3x multipliers) can delay the event.
+        def sawIndexScan: Boolean = scans.toArray(new Array[String](0))
+          .exists(_.contains(s"/$name/index/"))
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!sawIndexScan && System.nanoTime() < deadline)
           Thread.sleep(10)
-        assert(scans.asScala.exists(_.contains(s"/$name/index/")),
+        assert(sawIndexScan,
           s"$name: no executed plan scanned the layout — filtered search fell back")
       }
     } finally spark.listenerManager.unregister(listener)
