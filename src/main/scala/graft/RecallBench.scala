@@ -235,14 +235,16 @@ object RecallBench {
         engine.buildIndex("serve")
         engine.setParams("serve", Map("routeNprobe" -> 2))
         val client = HttpClient.newHttpClient()
-        def post(vec: Array[Float]): Int = {
+        def postSearch(coll: String, vec: Array[Float]): Int = {
           val body = s"""{"vector":[${vec.mkString(",")}],"limit":$k}"""
           val req = HttpRequest.newBuilder()
-            .uri(java.net.URI.create(s"http://127.0.0.1:$port/v1/collections/serve/vectors/search"))
+            .uri(java.net.URI.create(
+              s"http://127.0.0.1:$port/v1/collections/$coll/vectors/search"))
             .header("Content-Type", "application/json")
             .POST(HttpRequest.BodyPublishers.ofString(body)).build()
           client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
         }
+        def post(vec: Array[Float]): Int = postSearch("serve", vec)
         val wireQs = qRows.map(_.getAs[scala.collection.Seq[Float]](1).toArray)
         // full warm-up pass (same convention as graph_local_serve): each
         // query probes different cells, so one warm query leaves the rest
@@ -272,15 +274,7 @@ object RecallBench {
           engine.batchUpsertDocuments("serve_ivf", docs.toSeq)
           engine.buildIndex("serve_ivf", nlist = 32)
           engine.setParams("serve_ivf", Map("nprobe" -> 2))
-          def postIvf(vec: Array[Float]): Int = {
-            val body = s"""{"vector":[${vec.mkString(",")}],"limit":$k}"""
-            val req = HttpRequest.newBuilder()
-              .uri(java.net.URI.create(
-                s"http://127.0.0.1:$port/v1/collections/serve_ivf/vectors/search"))
-              .header("Content-Type", "application/json")
-              .POST(HttpRequest.BodyPublishers.ofString(body)).build()
-            client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
-          }
+          def postIvf(vec: Array[Float]): Int = postSearch("serve_ivf", vec)
           wireQs.foreach(v => require(postIvf(v) == 200, "ivf warm-up failed"))
           reportLatency("engine_ivf_local", wireQs.toSeq.map { v =>
             val t0 = System.nanoTime()
@@ -301,15 +295,7 @@ object RecallBench {
           engine.batchUpsertDocuments("serve_pq", docs.toSeq)
           engine.buildIndex("serve_pq", nlist = 32)
           engine.setParams("serve_pq", Map("nprobe" -> 2))
-          def postPq(vec: Array[Float]): Int = {
-            val body = s"""{"vector":[${vec.mkString(",")}],"limit":$k}"""
-            val req = HttpRequest.newBuilder()
-              .uri(java.net.URI.create(
-                s"http://127.0.0.1:$port/v1/collections/serve_pq/vectors/search"))
-              .header("Content-Type", "application/json")
-              .POST(HttpRequest.BodyPublishers.ofString(body)).build()
-            client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
-          }
+          def postPq(vec: Array[Float]): Int = postSearch("serve_pq", vec)
           wireQs.foreach(v => require(postPq(v) == 200, "pq warm-up failed"))
           reportLatency("engine_pq_local", wireQs.toSeq.map { v =>
             val t0 = System.nanoTime()

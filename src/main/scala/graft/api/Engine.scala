@@ -1593,6 +1593,28 @@ class Engine(
     }
   }
 
+  /** Shared local-route guard of the cell-serving tiers: point-request
+    * size, unique qids (the window plans merge a duplicated id's rows into
+    * ONE k-row group; a per-query local loop would emit k rows per entry —
+    * the knnAggFused rule), current layout, and driver-budget eligibility.
+    * `serve` runs only when every precondition holds; a None anywhere falls
+    * back to the distributed plan.
+    */
+  private def localRoute(layout: Option[(DataFrame, Long)], coll: String,
+      queries: Seq[(String, Array[Float])], eligible: Option[Column],
+      corpus: => DataFrame)(
+      serve: (DataFrame, Long, Option[Set[Any]]) => Option[DataFrame]): Option[DataFrame] =
+    layout match {
+      case Some((frame, stamp)) if queries.size <= 16 &&
+          queries.map(_._1).distinct.size == queries.size =>
+        lazy val localElig: Option[Set[Any]] =
+          if (eligible.isEmpty) None
+          else localEligibleSet(coll, stamp, eligible.get, corpus)
+        if (eligible.isEmpty || localElig.isDefined) serve(frame, stamp, localElig)
+        else None
+      case _ => None
+    }
+
   /** Zero-job IVFPQ point search: `LocalPqServe` ADC shortlist over
     * driver-cached code cells, then the exact re-rank the distributed
     * `IvfPq.search(rerankVecCol = vector)` runs — true vectors fetched
@@ -1620,22 +1642,13 @@ class Engine(
     val ids = short.get.map(r => String.valueOf(r._2)).distinct
     val docs = store.getMany(coll, ids)
     if (!ids.forall(docs.contains)) return None
-    // full space mapping (incl. hamming) even though ivfpq/opq training
-    // refuses hamming today: a fallthrough-to-l2 here would be a silent
-    // semantic fork from the distributed re-rank if that ever changes
-    def dist(q: Array[Float], v: Array[Float]): Double = pq.space match {
-      case SpaceType.Ip => graft.kernels.VecKernels.negDot(q, v)
-      case SpaceType.Cos => graft.kernels.VecKernels.cosDist(q, v)
-      case SpaceType.Hamming => graft.kernels.VecKernels.hammingNe(q, v).toDouble
-      case _ => graft.kernels.VecKernels.l2sq(q, v)
-    }
     val byQid = short.get.groupBy(_._1.toString)
     val out = new scala.collection.mutable.ArrayBuffer[Row]()
     for ((qid, qv) <- queries) {
       val ranked = byQid.getOrElse(qid, Seq.empty)
         .map { case (_, id, _, _) =>
           val sid = String.valueOf(id)
-          (sid, dist(qv, docs(sid).vector))
+          (sid, graft.kernels.VecKernels.dist(qv, docs(sid).vector, pq.space))
         }
         .sortWith((a, b) => a._2 < b._2 ||
           (a._2 == b._2 && graft.operators.GraphAnn.idLt(a._1, b._1)))
@@ -1892,21 +1905,10 @@ class Engine(
         // point requests serve zero-job from driver-cached CODE cells
         // (LocalPqServe ADC shortlist + exact re-rank through the local
         // point reads) — same preconditions and fallback ladder as ivf_flat
-        val localRes: Option[DataFrame] =
-          layout match {
-            // duplicate qids route distributed (see the ivf_flat branch)
-            case Some((frame, stamp)) if queries.size <= 16 &&
-                queries.map(_._1).distinct.size == queries.size =>
-              lazy val localElig: Option[Set[Any]] =
-                if (eligible.isEmpty) None
-                else localEligibleSet(coll, stamp, eligible.get, corpus)
-              if (eligible.isEmpty || localElig.isDefined)
-                localPqSearch(coll, pqLayoutPath(coll), frame, stamp, pq,
-                  queries, k, nprobe, localElig)
-              else None
-            case _ => None
-          }
-        localRes.getOrElse {
+        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, elig) =>
+          localPqSearch(coll, pqLayoutPath(coll), frame, stamp, pq,
+            queries, k, nprobe, elig)
+        }.getOrElse {
           val encoded = layout.map(l => restrict(l._1))
             .getOrElse(IvfPq.encode(corpusEff, "vector", pq))
           IvfPq.search(encoded, qDf, pq, k, nprobe, rerankVecCol = Some("vector"))
@@ -1926,26 +1928,12 @@ class Engine(
         // set fits the driver budget (cached per (coll, stamp, predicate));
         // an over-budget set — or an oversized probed cell — falls back to
         // the distributed pruned plan, never truncates.
-        val localRes: Option[DataFrame] =
-          layout match {
-            // duplicate qids route distributed: the window plans merge a
-            // duplicated id's rows into ONE k-row group while the per-query
-            // local loop would emit k rows per entry (the knnAggFused /
-            // searchMaxSimLocal rule applied here too)
-            case Some((frame, stamp)) if queries.size <= 16 &&
-                queries.map(_._1).distinct.size == queries.size =>
-              lazy val localElig: Option[Set[Any]] =
-                if (eligible.isEmpty) None
-                else localEligibleSet(coll, stamp, eligible.get, corpus)
-              if (eligible.isEmpty || localElig.isDefined)
-                graft.operators.LocalIvfServe.searchPointLocal(spark,
-                  ivfLayoutPath(coll), stamp, frame, model,
-                  queries.map { case (qid, v) => (qid: Any, v) }, k, nprobe,
-                  org.apache.spark.sql.types.StringType, localElig)
-              else None
-            case _ => None
-          }
-        localRes.getOrElse {
+        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, elig) =>
+          graft.operators.LocalIvfServe.searchPointLocal(spark,
+            ivfLayoutPath(coll), stamp, frame, model,
+            queries.map { case (qid, v) => (qid: Any, v) }, k, nprobe,
+            org.apache.spark.sql.types.StringType, elig)
+        }.getOrElse {
           val assigned = layout.map(l => restrict(l._1))
             .getOrElse(IvfIndex.assign(corpusEff, "vector", model))
           IvfIndex.search(assigned, qDf, model, k, nprobe)
@@ -2093,23 +2081,12 @@ class Engine(
         // LocalEncode.matVecMul twin of the codegen MatVecMul, shortlist in
         // rotated space through the PQ code-cell cache, exact re-rank in
         // ORIGINAL space (the distributed Opq.search shape exactly)
-        val localRes: Option[DataFrame] =
-          layout match {
-            // duplicate qids route distributed (see the ivf_flat branch)
-            case Some((frame, stamp)) if queries.size <= 16 &&
-                queries.map(_._1).distinct.size == queries.size =>
-              lazy val localElig: Option[Set[Any]] =
-                if (eligible.isEmpty) None
-                else localEligibleSet(coll, stamp, eligible.get, corpus)
-              if (eligible.isEmpty || localElig.isDefined)
-                localPqSearch(coll, opqLayoutPath(coll), frame, stamp, opq.pq,
-                  queries, k, nprobe, localElig,
-                  shortQueries = queries.map { case (qid, v) =>
-                    (qid, graft.operators.LocalEncode.matVecMul(v, opq.rotation)) })
-              else None
-            case _ => None
-          }
-        localRes.getOrElse {
+        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, elig) =>
+          localPqSearch(coll, opqLayoutPath(coll), frame, stamp, opq.pq,
+            queries, k, nprobe, elig,
+            shortQueries = queries.map { case (qid, v) =>
+              (qid, graft.operators.LocalEncode.matVecMul(v, opq.rotation)) })
+        }.getOrElse {
           val encoded = layout.map(l => restrict(l._1))
             .getOrElse(Opq.encode(corpusEff, "vector", opq))
           Opq.search(encoded, qDf, opq, k, nprobe)

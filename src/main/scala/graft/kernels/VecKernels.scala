@@ -56,4 +56,16 @@ object VecKernels {
     while (i < x.length) { if (x(i) != y(i)) c += 1L; i += 1 }
     c
   }
+
+  /** Space → kernel dispatch, the ONE definition the driver-local serving
+    * paths rank with (`vfn.distance`'s JVM twin — same kernels the codegen
+    * expressions inline, so local and distributed ranks agree bit-for-bit).
+    */
+  def dist(x: Array[Float], y: Array[Float], space: graft.core.SpaceType): Double =
+    space match {
+      case graft.core.SpaceType.Ip => negDot(x, y)
+      case graft.core.SpaceType.Cos => cosDist(x, y)
+      case graft.core.SpaceType.Hamming => hammingNe(x, y).toDouble
+      case _ => l2sq(x, y)
+    }
 }

@@ -439,27 +439,7 @@ object GraphAnn {
     * `ExactKnn` scan it replaces.
     */
   private[graft] def spaceDist(a: Array[Float], b: Array[Float],
-      space: SpaceType): Double = space match {
-    case SpaceType.Ip =>
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      -s
-    case SpaceType.Cos =>
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
-    case SpaceType.Hamming =>
-      var s = 0.0; var i = 0
-      while (i < a.length) { if (a(i) != b(i)) s += 1.0; i += 1 }
-      s
-    case _ =>
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-      s
-  }
+      space: SpaceType): Double = graft.kernels.VecKernels.dist(a, b, space)
 
   /** Driver-resident cell graphs for the ZERO-JOB point-serve path:
     * (layout id, version, cell) → reconstructed graph, or None for a cell

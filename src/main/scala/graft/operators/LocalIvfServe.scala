@@ -112,14 +112,6 @@ object LocalIvfServe {
 
   private[graft] def clearCells(): Unit = { cache.clear(); idTypes.clear() }
 
-  private def dist(q: Array[Float], v: Array[Float], space: SpaceType): Double =
-    space match {
-      case SpaceType.Ip => VecKernels.negDot(q, v)
-      case SpaceType.Cos => VecKernels.cosDist(q, v)
-      case SpaceType.Hamming => VecKernels.hammingNe(q, v).toDouble
-      case _ => VecKernels.l2sq(q, v)
-    }
-
   /** Serve `queries` (driver pairs of (qid, vector)) from driver-cached
     * cells of the layout at `path`/`stamp`. `layoutFrame` is the
     * TOMBSTONE-APPLIED layout frame the distributed plan would scan (the
@@ -203,7 +195,7 @@ object LocalIvfServe {
           while (i < cell.ids.length) {
             val id = cell.ids(i)
             if (eligible.forall(_.contains(id)))
-              hits += ((id, dist(qv, cell.vecs(i), model.space)))
+              hits += ((id, VecKernels.dist(qv, cell.vecs(i), model.space)))
             i += 1
           }
         }
