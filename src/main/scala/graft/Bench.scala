@@ -158,9 +158,18 @@ object Bench {
       import scala.sys.process._
       val n = Seq("sh", "-c", "ps -e -o comm= | grep -c '^java$' || true")
         .!!.trim.toInt
+      // /proc/self/comm is Linux-only; elsewhere fall back to the portable
+      // ProcessHandle command (defaulting false would count our own JVM in
+      // other_jvms and falsely report a contended host)
       val selfIsJava = scala.util.Try(
         scala.io.Source.fromFile("/proc/self/comm").mkString.trim == "java"
-      ).getOrElse(false)
+      ).orElse(scala.util.Try {
+        val cmd = ProcessHandle.current().info().command()
+        cmd.isPresent && {
+          val base = cmd.get.substring(cmd.get.lastIndexOf('/') + 1)
+          base == "java" || base == "java.exe"
+        }
+      }).getOrElse(false)
       if (selfIsJava && n > 0) n - 1 else n
     }.getOrElse(-1)
     val sentinel = SparkEntry.queries.get("q7_volume_shipping").map { fn =>

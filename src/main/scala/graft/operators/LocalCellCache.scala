@@ -41,8 +41,15 @@ private[graft] final class LocalCellCache[C](maxCells: Int,
     if (cells.putIfAbsent(key, (cell, b)).isEmpty) {
       order.add(key)
       bytes.addAndGet(b)
-      // superseded stamps of this layout die on insert
-      cells.keys.filter(kk => kk._1 == key._1 && kk._2 != key._2)
+      // superseded entries of this layout die on insert — matched by
+      // generation STEM, not exact path: a buildIndex rebuild flips to a
+      // `_g<n+1>` layout dir (new path AND new stamp), so same-path
+      // eviction alone would strand the whole dead generation's cells in
+      // the byte budget until capacity pressure aged them out (the same
+      // stranding `Engine.currentLayout` fixes for its frame handles)
+      val stem = key._1.replaceAll("_g\\d+$", "")
+      cells.keys.filter(kk => kk._1.replaceAll("_g\\d+$", "") == stem &&
+          (kk._1 != key._1 || kk._2 != key._2))
         .foreach { kk => remove(kk); evictions.incrementAndGet() }
       var evicting = cells.size > maxCells || bytes.get() > maxBytes()
       while (evicting) {

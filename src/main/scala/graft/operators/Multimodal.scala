@@ -122,9 +122,16 @@ object Multimodal {
           // one bulk getRGB: the per-pixel call pays Raster+ColorModel
           // dispatch w*h times per frame on the executor hot path
           val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-          var p = 0
-          while (p < rgb.length) { rgb(p) = rgb(p) & 0xffffff; p += 1 }
-          PngEncoder.encode(w, h, rgb)
+          if (img.getColorModel.hasAlpha)
+            // alpha-bearing sources (transparent GIF/PNG frames) keep their
+            // alpha channel — color type 6; flattening to RGB would change
+            // frame CONTENT, not just encoding, for those payloads
+            PngEncoder.encodeRgba(w, h, rgb)
+          else {
+            var p = 0
+            while (p < rgb.length) { rgb(p) = rgb(p) & 0xffffff; p += 1 }
+            PngEncoder.encode(w, h, rgb)
+          }
         }
       } finally { reader.dispose(); iis.close() }
     }
@@ -550,22 +557,35 @@ object Multimodal {
     }
 
     /** `w`×`h` truecolor 8-bit PNG of row-major 0xRRGGBB pixels. */
-    def encode(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    def encode(w: Int, h: Int, rgb: Array[Int]): Array[Byte] =
+      encodeImpl(w, h, rgb, alpha = false)
+
+    /** `w`×`h` truecolor-with-alpha 8-bit PNG (color type 6) of row-major
+      * 0xAARRGGBB pixels — for alpha-bearing sources (transparent GIF/PNG
+      * frames), whose transparency must round-trip through `sampleFrames`
+      * rather than silently flatten to RGB.
+      */
+    def encodeRgba(w: Int, h: Int, argb: Array[Int]): Array[Byte] =
+      encodeImpl(w, h, argb, alpha = true)
+
+    private def encodeImpl(w: Int, h: Int, px: Array[Int], alpha: Boolean): Array[Byte] = {
       require(w >= 1 && h >= 1, s"image dims must be >= 1, got ${w}x$h")
-      require(rgb.length == w * h, s"expected ${w * h} pixels, got ${rgb.length}")
-      // raw scanline stream: per-row filter byte 0 (None) + RGB triplets
-      val raw = new Array[Byte](h * (1 + 3 * w))
+      require(px.length == w * h, s"expected ${w * h} pixels, got ${px.length}")
+      val bpp = if (alpha) 4 else 3
+      // raw scanline stream: per-row filter byte 0 (None) + RGB(A) samples
+      val raw = new Array[Byte](h * (1 + bpp * w))
       var i = 0
       var y = 0
       while (y < h) {
         raw(i) = 0; i += 1
         var x = 0
         while (x < w) {
-          val p = rgb(y * w + x)
+          val p = px(y * w + x)
           raw(i) = ((p >> 16) & 0xff).toByte
           raw(i + 1) = ((p >> 8) & 0xff).toByte
           raw(i + 2) = (p & 0xff).toByte
-          i += 3; x += 1
+          if (alpha) raw(i + 3) = ((p >>> 24) & 0xff).toByte
+          i += bpp; x += 1
         }
         y += 1
       }
@@ -590,7 +610,7 @@ object Multimodal {
       val ihdr = java.nio.ByteBuffer.allocate(13)
         .putInt(w).putInt(h)
         .put(8.toByte)  // bit depth
-        .put(2.toByte)  // color type: truecolor RGB
+        .put((if (alpha) 6 else 2).toByte) // color type: truecolor (+alpha)
         .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
       val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
       sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", z.array()) ++

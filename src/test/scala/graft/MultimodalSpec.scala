@@ -162,6 +162,32 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.toSeq === Seq(0, 1, 2))
   }
 
+  test("ImageIoDecoder.frames: alpha-bearing source round-trips its alpha channel (color type 6)") {
+    // a PNG with PARTIAL alpha (not just 0/255): flattening to RGB would
+    // silently change content for transparent GIF/PNG frames
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, ((x * 60 + y) << 24) | (x << 16) | (y << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val frames = Multimodal.ImageIoDecoder.frames(bos.toByteArray, 2)
+    assert(frames.length === 1)
+    // the re-encoded frame is our own color-type-6 PNG; a foreign decode
+    // must reproduce every ARGB pixel exactly, alpha included
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames.head))
+    assert(back.getColorModel.hasAlpha, "frame must keep its alpha channel")
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(back.getRGB(x, y) === img.getRGB(x, y),
+        s"ARGB mismatch at ($x,$y)")
+    // opaque sources keep the 3-byte-per-pixel RGB form (no alpha inflation)
+    val opaque = Multimodal.ImageIoDecoder.frames(solidPng(0x123456), 1)
+    val backO = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(opaque.head))
+    assert((backO.getRGB(0, 0) & 0xffffff) === 0x123456)
+  }
+
   test("image_features (declared query): value-level gate — decoded luminance " +
       "histograms match an analytic recount of the synthetic pixels") {
     // the synthetic PNG's pixels are a KNOWN integer function of
