@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// pass graft.* flips (-Dgraft.testfs=graftfs, -Dgraft.byteaudit.record, …)
+// into the forked test JVM
+Test / javaOptions ++= sys.props.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}.toSeq
 run / fork := true
 // Inherit stdout in forked runs instead of routing through sbt's logger:
 // the logger prefixes every line with "[info] ", which breaks any consumer

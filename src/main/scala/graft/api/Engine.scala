@@ -28,11 +28,15 @@ class Engine(
     root: String,
     embedder: Option[EmbeddingProvider] = None) {
 
-  // loud non-local-root guard (VERDICT-r9 portability audit): the engine's
-  // control plane — layout_gen pointers, compact intents, model snapshots,
-  // the zero-job local serve path — is java.nio; a remote root would split
-  // control state from data (see AtomicFiles.requireLocalRoot)
-  AtomicFiles.requireLocalRoot(root, "Engine")
+  // The control plane — layout_gen pointers, layout stamps, compact
+  // intents, ledgers, model snapshots — routes through the root's
+  // ControlFs: java.nio on plain local roots (bit-compatible with every
+  // store written so far), Hadoop-FS marker renames + create-exclusive
+  // manifest counters on hdfs://s3a://file:// roots. Control state lives
+  // WITH the data on every scheme; the round-10 requireLocalRoot refusal
+  // (which existed precisely because java.nio control IO on a remote root
+  // split control state from data) is retired by this seam.
+  private val cfs = ControlFs.forRoot(root)
 
   private val catalog = new Catalog(root)
   private val store = new DocStore(spark, root)
@@ -69,10 +73,11 @@ class Engine(
   // instead of serving a layout missing its rows. The tombstone/delta
   // sidecars live INSIDE the generation dir, so a fold and its sidecar
   // retire atomically with the flip.
-  private def layoutGenFile(coll: String) =
-    java.nio.file.Paths.get(s"$root/$coll/index/layout_gen")
+  // an authoritative monotone counter (ControlFs manifest commit on remote
+  // roots): a rolled-back generation pointer would read a GC'd directory
+  private def layoutGenFile(coll: String) = s"$root/$coll/index/layout_gen"
   private def layoutGen(coll: String): Long =
-    readLongSafe(layoutGenFile(coll)).getOrElse(0L)
+    cfs.counterRead(layoutGenFile(coll)).getOrElse(0L)
   // generation 0 keeps the legacy un-suffixed name: existing layouts on
   // disk read unchanged
   private def tierGenPath(coll: String, tier: String, g: Long): String =
@@ -89,8 +94,7 @@ class Engine(
     if (g == 0L) s"$root/$coll/index/${tier}_bucketed"
     else s"$root/$coll/index/${tier}_bucketed_g$g"
   }
-  private def bucketedMetaPath(coll: String) =
-    java.nio.file.Paths.get(s"$root/$coll/index/bucketed_meta")
+  private def bucketedMetaPath(coll: String) = s"$root/$coll/index/bucketed_meta"
   // compaction-in-progress marker: written by compactLayout BEFORE it reads
   // the layout, removed after the swap settles (or by the next buildIndex).
   // Concurrent ingest stamp-writers check it — an append that raced into
@@ -99,8 +103,7 @@ class Engine(
   // compaction, bumping no versions, cannot trip). With the marker, the
   // racer leaves the layout stale instead of stamping a lie; searches fall
   // back until the next buildIndex.
-  private def compactIntentPath(coll: String) =
-    java.nio.file.Paths.get(s"$root/$coll/index/compact_intent")
+  private def compactIntentPath(coll: String) = s"$root/$coll/index/compact_intent"
 
   /** Materialize `frame` (which carries cluster_id) as the collection's
     * EXTERNAL bucketed table — the repeated-KNN-join layout: the
@@ -127,20 +130,16 @@ class Engine(
     * points at this collection's data directory.
     */
   private def currentBucketedMeta(coll: String): Option[(String, Int, String, Long)] = {
-    import java.nio.file.Files
-    val meta = bucketedMetaPath(coll)
-    if (!Files.exists(meta)) return None
     // corrupt meta (disk fault, pre-atomicWrite crash) reads as "no bucketed
     // layout" — searches fall back one tier, never throw
-    val parsed = scala.util.Try {
-      val lines = Files.readAllLines(meta)
-      (lines.get(0), lines.get(1).toInt, lines.get(2).toLong, lines.get(3))
-    }.toOption
+    val parsed = cfs.readLinesSafe(bucketedMetaPath(coll)).flatMap(lines =>
+      scala.util.Try(
+        (lines(0), lines(1).toInt, lines(2).toLong, lines(3))).toOption)
     if (parsed.isEmpty) return None
     val (table, buckets, stamp, path) = parsed.get
     if (stamp != store.currentVersion(coll)) return None
     if (!spark.catalog.tableExists(table)) {
-      if (!Files.exists(java.nio.file.Paths.get(path))) return None
+      if (!cfs.exists(path)) return None
       val ddl = spark.read.parquet(path).schema.toDDL
       spark.sql(s"""CREATE TABLE `$table` ($ddl) USING PARQUET
         CLUSTERED BY (cluster_id) SORTED BY (cluster_id) INTO $buckets BUCKETS
@@ -149,15 +148,25 @@ class Engine(
     // the catalog entry must still point at THIS collection's files: another
     // collection (or engine root) reusing the same table name repoints it at
     // its own corpus on build — serving that table here would silently
-    // return the wrong collection's neighbors
+    // return the wrong collection's neighbors. Compare PATH PARTS (the
+    // catalog location is a URI; `path` may be plain local or scheme'd)
     val loc = scala.util.Try(spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .location.getPath).toOption
-    val ours = java.nio.file.Paths.get(path).toAbsolutePath.toString
-    if (!loc.exists(l => java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
-      return None
+    if (!loc.exists(l => canonPath(l) == canonPath(path))) return None
     Some((table, buckets, path, stamp))
   }
+
+  /** The absolute path part of a table/data location, for equality checks
+    * across plain-local and scheme'd spellings of the same files.
+    */
+  private def canonPath(s: String): String =
+    if (graft.core.ControlFs.isLocalRoot(s))
+      java.nio.file.Paths.get(s).toAbsolutePath.normalize.toString
+    else {
+      val u = new java.net.URI(s)
+      java.nio.file.Paths.get(u.getPath).normalize.toString
+    }
   private def pqLayoutPath(coll: String) = tierGenPath(coll, "pq", layoutGen(coll))
   private def opqLayoutPath(coll: String) = tierGenPath(coll, "opq", layoutGen(coll))
   private def sqLayoutPath(coll: String) = tierGenPath(coll, "sq", layoutGen(coll))
@@ -171,7 +180,7 @@ class Engine(
     * the new current path.
     */
   private def flipLayoutGen(coll: String, tier: String, gen: Long): String = {
-    atomicWrite(layoutGenFile(coll), (gen + 1).toString)
+    cfs.counterCommit(layoutGenFile(coll), gen + 1)
     var old = 0L
     while (old < gen) {
       val oldPath = tierGenPath(coll, tier, old)
@@ -391,7 +400,7 @@ class Engine(
     val tp = tombstonesPath(layoutPath)
     // same every-call existence rule as cachedTombstones (which also clears
     // this cache when the sidecar is gone)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tp))) {
+    if (!cfs.exists(tp)) {
       tombMapCache.keys.filter(_._1 == tp).foreach(tombMapCache.remove)
       return Map.empty
     }
@@ -446,17 +455,17 @@ class Engine(
   private def maxServedTombstones: Int =
     spark.conf.getOption("spark.graft.maxServedTombstones").map(_.toInt).getOrElse(1024)
 
-  /** Crash-tolerant marker-file IO: writes go through tmp + atomic rename
-    * (a reader never observes a half-written file), reads tolerate corrupt
-    * content (a crash mid-write of a RECOVERY file must degrade to "marker
-    * absent" — fall back / rebuild — never wedge the path that exists to
-    * survive crashes).
+  /** Crash-tolerant marker-file IO (ControlFs-routed): writes go through
+    * tmp + atomic rename (a reader never observes a half-written file),
+    * reads tolerate corrupt content (a crash mid-write of a RECOVERY file
+    * must degrade to "marker absent" — fall back / rebuild — never wedge
+    * the path that exists to survive crashes).
     */
-  private def atomicWrite(p: java.nio.file.Path, content: String): Unit =
-    graft.core.AtomicFiles.atomicWrite(p, content)
+  private def atomicWrite(p: String, content: String): Unit =
+    cfs.atomicWrite(p, content)
 
-  private def readLongSafe(p: java.nio.file.Path): Option[Long] =
-    graft.core.AtomicFiles.readLongSafe(p)
+  private def readLongSafe(p: String): Option[Long] =
+    cfs.readLongSafe(p)
 
   /** The materialized index layout at `path`, if present AND current (no
     * writes since buildIndex) — otherwise None and the caller recomputes
@@ -500,9 +509,8 @@ class Engine(
     * search functions) must not pay per request.
     */
   private def currentLayoutStamp(coll: String, path: String): Option[Long] =
-    readLongSafe(java.nio.file.Paths.get(s"$root/$coll/index/layout_version"))
-      .filter(stamp => stamp == store.currentVersion(coll) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    readLongSafe(s"$root/$coll/index/layout_version")
+      .filter(stamp => stamp == store.currentVersion(coll) && cfs.exists(path))
 
   // ---- collection DDL (POST/GET/DELETE /v1/collections) ----
 
@@ -524,20 +532,15 @@ class Engine(
     // table leaves the files; they go with the collection dir). Only drop a
     // table that still points at THIS collection's files: another collection
     // reusing the name has repointed it at its own corpus, which must survive
-    if (java.nio.file.Files.exists(bucketedMetaPath(name))) {
-      scala.util.Try {
-        val lines = java.nio.file.Files.readAllLines(bucketedMetaPath(name))
-        (lines.get(0), lines.get(3))
-      }.toOption.foreach { case (table, path) =>
+    cfs.readLinesSafe(bucketedMetaPath(name)).foreach { lines =>
+      scala.util.Try((lines(0), lines(3))).toOption.foreach { case (table, path) =>
         val loc = scala.util.Try(spark.sessionState.catalog
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
           .location.getPath).toOption
-        val ours = java.nio.file.Paths.get(path).toAbsolutePath.toString
-        if (loc.exists(l =>
-            java.nio.file.Paths.get(l).toAbsolutePath.toString == ours))
+        if (loc.exists(l => canonPath(l) == canonPath(path)))
           spark.sql(s"DROP TABLE IF EXISTS `$table`")
       }
-      java.nio.file.Files.deleteIfExists(bucketedMetaPath(name))
+      cfs.deleteIfExists(bucketedMetaPath(name))
     }
     // the version counter resets if the collection is recreated, so caches
     // keyed on the old incarnation must not survive the drop
@@ -698,13 +701,12 @@ class Engine(
       // our shadows — stamping would serve superseded incarnations) — the
       // same never-lie guards as ingest
       if (store.currentVersion(coll) == v &&
-          !java.nio.file.Files.exists(compactIntentPath(coll)) &&
+          !cfs.exists(compactIntentPath(coll)) &&
           layoutGen(coll) == genAtStart) {
         bucketedPre.foreach { case (table, buckets, path, _) =>
           atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
         }
-        atomicWrite(
-          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
+        atomicWrite(s"$root/$coll/index/layout_version", v.toString)
       }
       maybeFoldTombstones(coll, cfg, layoutOpt.get)
     }
@@ -795,18 +797,14 @@ class Engine(
       overlapProbe: Option[(Long, Boolean)] = None,
       driverRows: Option[Seq[Document]] = None): Unit = {
     val cfg = configOf(coll)
-    import java.nio.file.{Files, Paths}
-    val indexDir = Paths.get(s"$root/$coll/index")
-    if (batchId.isDefined) Files.createDirectories(indexDir)
-    val ledgerPath = indexDir.resolve("layout_last_batch")
-    val intentPath = indexDir.resolve("layout_batch_intent")
+    val indexDir = s"$root/$coll/index"
+    if (batchId.isDefined) cfs.mkdirs(indexDir)
+    val ledgerPath = s"$indexDir/layout_last_batch"
+    val intentPath = s"$indexDir/layout_batch_intent"
     // (streamId, batchId), or None when absent/corrupt
-    def readLedger(p: java.nio.file.Path): Option[(String, Long)] =
-      if (!Files.exists(p)) None
-      else scala.util.Try {
-        val lines = Files.readAllLines(p)
-        (lines.get(0), lines.get(1).trim.toLong)
-      }.toOption
+    def readLedger(p: String): Option[(String, Long)] =
+      cfs.readLinesSafe(p).flatMap(lines =>
+        scala.util.Try((lines(0), lines(1).trim.toLong)).toOption)
     // ledger is written LAST, so ledger >= batchId FOR THIS STREAM ⇒ the
     // whole batch (store commit included) already landed — replay is a no-op
     if (batchId.exists(bid => readLedger(ledgerPath)
@@ -903,7 +901,7 @@ class Engine(
       // risk duplicate ids in the layout, so take the staling path instead
       // (the re-upsert below bumps the store version past any stamp the
       // crashed attempt could have written)
-      val replayAfterPartialAppend = batchId.isDefined && Files.exists(intentPath)
+      val replayAfterPartialAppend = batchId.isDefined && cfs.exists(intentPath)
       // capture bucketed-table currency BEFORE the upsert bumps the version:
       // "current" here means it reflects every row up to this batch's
       // predecessor — exactly the state an append of THIS batch keeps current
@@ -937,7 +935,7 @@ class Engine(
         cfg.indexType == IndexType.Hnsw && !hasVersionedDelta(coll)
       def settleLedger(): Unit = batchId.foreach { bid =>
         atomicWrite(ledgerPath, s"$streamId\n$bid")
-        Files.deleteIfExists(intentPath)
+        cfs.deleteIfExists(intentPath)
       }
       if (!uniqueInBatch || legacyDeltaBlocks || replayAfterPartialAppend) {
         // layout stale; searches fall back (correct, slower)
@@ -1021,7 +1019,7 @@ class Engine(
             .bucketBy(buckets, "cluster_id").sortBy("cluster_id")
             .saveAsTable(table)
           if (store.currentVersion(coll) == v &&
-              !Files.exists(compactIntentPath(coll)) &&
+              !cfs.exists(compactIntentPath(coll)) &&
               layoutGen(coll) == genAtStart)
             atomicWrite(bucketedMetaPath(coll), s"$table\n$buckets\n$v\n$path")
         }
@@ -1039,10 +1037,9 @@ class Engine(
       // missing this batch. Gen unchanged ⇒ no flip since our capture ⇒
       // our appended files are in the CURRENT dir.
       if (store.currentVersion(coll) == v &&
-          !Files.exists(compactIntentPath(coll)) &&
+          !cfs.exists(compactIntentPath(coll)) &&
           layoutGen(coll) == genAtStart)
-        atomicWrite(
-          java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), v.toString)
+        atomicWrite(s"$root/$coll/index/layout_version", v.toString)
       // size-triggered delta compaction (the LSM fold policy): once the hnsw
       // delta sidecar holds >= `deltaCompactRows` rows, fold it into fresh
       // adjacency RIGHT HERE — a stream that never sees a manual buildIndex
@@ -1117,14 +1114,13 @@ class Engine(
     */
   private def hasVersionedDelta(coll: String): Boolean = {
     val dirStr = hnswDeltaPath(coll)
-    val dp = java.nio.file.Paths.get(dirStr)
-    if (!java.nio.file.Files.exists(dp)) return true
+    if (!cfs.exists(dirStr)) return true
     versionedDeltaMemo.get(dirStr).getOrElse {
       val ok = scala.util.Try {
         // the shared run-listing convention — drifting from the point
         // reader's definition of "data file" would make this probe and the
         // serving reads disagree about what a run is
-        graft.core.LocalPointReader.listRuns(dp).forall { f =>
+        graft.core.LocalPointReader.listRuns(dirStr).forall { f =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(f),
             spark.sessionState.newHadoopConf())
@@ -1202,8 +1198,7 @@ class Engine(
         if (currentLayoutStamp(coll, layoutPath).isEmpty) return false
         val gen = layoutGen(coll)
         val bucketedPre = currentBucketedMeta(coll)
-        val stampPath =
-          java.nio.file.Paths.get(s"$root/$coll/index/layout_version")
+        val stampPath = s"$root/$coll/index/layout_version"
         val hp = new org.apache.hadoop.fs.Path(layoutPath)
         val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
         // intent marker FIRST (before the layout read): a maintained append
@@ -1250,16 +1245,16 @@ class Engine(
         // currentBucketedMeta returns None and searches fall back a tier
         // until writeBucketedLayout's final atomicWrite restores it.
         bucketedPre.foreach { case (_, _, _, _) =>
-          java.nio.file.Files.deleteIfExists(bucketedMetaPath(coll))
+          cfs.deleteIfExists(bucketedMetaPath(coll))
           writeBucketedLayout(coll, cfg, spark.read.parquet(next), stamp, tier)
         }
         // a writer interleaved with the fold? its rows live only in the
         // retired generation — the folded one must not serve as current
         // (stale the stamp; searches fall back until the next buildIndex)
         if (store.currentVersion(coll) != stamp)
-          java.nio.file.Files.deleteIfExists(stampPath)
+          cfs.deleteIfExists(stampPath)
         true
-        } finally java.nio.file.Files.deleteIfExists(compactIntentPath(coll))
+        } finally cfs.deleteIfExists(compactIntentPath(coll))
       case None => false
     }
   }
@@ -1335,9 +1330,8 @@ class Engine(
       // a crashed compaction leaves its intent marker behind (harmless —
       // the un-flipped generation it was writing is simply orphaned); a
       // full rebuild supersedes whatever that compaction was doing
-      java.nio.file.Files.deleteIfExists(compactIntentPath(coll))
-      atomicWrite(
-        java.nio.file.Paths.get(s"$root/$coll/index/layout_version"), stamp.toString)
+      cfs.deleteIfExists(compactIntentPath(coll))
+      atomicWrite(s"$root/$coll/index/layout_version", stamp.toString)
     }
     cfg.indexType match {
       case IndexType.IvfFlat =>
@@ -1486,7 +1480,7 @@ class Engine(
         // are in the corpus the build just read): flip, then advance the
         // graph epoch so executor caches of the OLD adjacency are superseded
         flip("hnsw")
-        atomicWrite(java.nio.file.Paths.get(hnswEpochPath(coll)), stamp.toString)
+        atomicWrite(hnswEpochPath(coll), stamp.toString)
         stampLayout()
       case _ => () // flat: nothing to train
     }
@@ -1593,25 +1587,56 @@ class Engine(
     }
   }
 
+  /** Point-serve chunk size: the per-call bound of the zero-job serves.
+    * Batches above it AUTO-SPLIT into cap-sized chunks over the same held
+    * cells (chunk 2+ is cache-warm — the split costs driver loops, not
+    * jobs) up to `maxLocalServeBatch`, past which the distributed plan is
+    * the right tool anyway. Pre-r11, a 17-query point batch silently fell
+    * off the fast path (VERDICT-r10 watch item 2).
+    */
+  private val LocalServeChunk = 16
+  private def maxLocalServeBatch: Int =
+    spark.conf.getOption("spark.graft.maxLocalServeBatch")
+      .map(_.toInt).getOrElse(1024)
+
   /** Shared local-route guard of the cell-serving tiers: point-request
-    * size, unique qids (the window plans merge a duplicated id's rows into
-    * ONE k-row group; a per-query local loop would emit k rows per entry —
-    * the knnAggFused rule), current layout, and driver-budget eligibility.
-    * `serve` runs only when every precondition holds; a None anywhere falls
-    * back to the distributed plan.
+    * size (chunk-split up to `maxLocalServeBatch`), unique qids (the window
+    * plans merge a duplicated id's rows into ONE k-row group; a per-query
+    * local loop would emit k rows per entry — the knnAggFused rule),
+    * current layout, and driver-budget eligibility. `serve` runs once per
+    * ≤`LocalServeChunk` chunk only when every precondition holds; a None
+    * anywhere falls back to the distributed plan for the WHOLE request.
     */
   private def localRoute(layout: Option[(DataFrame, Long)], coll: String,
       queries: Seq[(String, Array[Float])], eligible: Option[Column],
       corpus: => DataFrame)(
-      serve: (DataFrame, Long, Option[Set[Any]]) => Option[DataFrame]): Option[DataFrame] =
+      serve: (DataFrame, Long, Seq[(String, Array[Float])], Option[Set[Any]]) => Option[DataFrame]): Option[DataFrame] =
     layout match {
-      case Some((frame, stamp)) if queries.size <= 16 &&
+      case Some((frame, stamp)) if queries.size <= maxLocalServeBatch &&
           queries.map(_._1).distinct.size == queries.size =>
         lazy val localElig: Option[Set[Any]] =
           if (eligible.isEmpty) None
           else localEligibleSet(coll, stamp, eligible.get, corpus)
-        if (eligible.isEmpty || localElig.isDefined) serve(frame, stamp, localElig)
-        else None
+        if (eligible.nonEmpty && localElig.isEmpty) None
+        else {
+          // chunked serving: per-query results are independent, so the
+          // concatenation is row-identical to one oversized call (and to
+          // the distributed plan); the first chunk warms the probed cells,
+          // later chunks serve job-free from the same held references.
+          // Concatenation is DRIVER-SIDE (collect on a LocalTableScan is
+          // job-free; a `union` plan's collect is not) — the zero-job
+          // property must survive the split.
+          val parts = queries.grouped(LocalServeChunk)
+            .map(chunk => serve(frame, stamp, chunk, localElig)).toSeq
+          if (parts.exists(_.isEmpty)) None
+          else {
+            val frames = parts.flatten
+            if (frames.size == 1) frames.headOption
+            else Some(spark.createDataFrame(
+              java.util.Arrays.asList(frames.flatMap(_.collect()): _*),
+              frames.head.schema))
+          }
+        }
       case _ => None
     }
 
@@ -1905,9 +1930,9 @@ class Engine(
         // point requests serve zero-job from driver-cached CODE cells
         // (LocalPqServe ADC shortlist + exact re-rank through the local
         // point reads) — same preconditions and fallback ladder as ivf_flat
-        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, elig) =>
+        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, chunk, elig) =>
           localPqSearch(coll, pqLayoutPath(coll), frame, stamp, pq,
-            queries, k, nprobe, elig)
+            chunk, k, nprobe, elig)
         }.getOrElse {
           val encoded = layout.map(l => restrict(l._1))
             .getOrElse(IvfPq.encode(corpusEff, "vector", pq))
@@ -1928,10 +1953,10 @@ class Engine(
         // set fits the driver budget (cached per (coll, stamp, predicate));
         // an over-budget set — or an oversized probed cell — falls back to
         // the distributed pruned plan, never truncates.
-        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, elig) =>
+        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, chunk, elig) =>
           graft.operators.LocalIvfServe.searchPointLocal(spark,
             ivfLayoutPath(coll), stamp, frame, model,
-            queries.map { case (qid, v) => (qid: Any, v) }, k, nprobe,
+            chunk.map { case (qid, v) => (qid: Any, v) }, k, nprobe,
             org.apache.spark.sql.types.StringType, elig)
         }.getOrElse {
           val assigned = layout.map(l => restrict(l._1))
@@ -1990,7 +2015,7 @@ class Engine(
             // without touching the adjacency, so per-batch re-stamps must
             // not evict executor graph caches or re-shuffle the layout RDD
             val epoch = readLongSafe(
-              java.nio.file.Paths.get(hnswEpochPath(coll))).getOrElse(stamp)
+              hnswEpochPath(coll)).getOrElse(stamp)
             val exIds: Set[Any] = tombMap.keySet
             val kEff = k + tombMap.size
             val efEff = math.max(ef, kEff)
@@ -2007,7 +2032,14 @@ class Engine(
             lazy val localElig: Option[Set[Any]] =
               if (eligible.isEmpty) None
               else localEligibleSet(coll, stamp, eligible.get, corpus)
-            if (routeP.isDefined && queries.size <= 16 &&
+            // same gate as localRoute: bounded batch, distinct qids (the
+            // distributed window plans merge a duplicated qid's rows into
+            // ONE k-group; the per-query local loop emits k rows per
+            // OCCURRENCE — dup-qid requests must take the distributed plan
+            // or the two paths disagree), batches past one chunk auto-split
+            val localServable = queries.size <= maxLocalServeBatch &&
+              queries.map(_._1).distinct.size == queries.size
+            if (routeP.isDefined && localServable &&
                 (eligible.isEmpty || localElig.isDefined)) {
               // TRUE point requests: serve from driver-cached cell graphs —
               // a warm query launches ZERO Spark jobs (the ~100-300 ms
@@ -2020,10 +2052,24 @@ class Engine(
                 .filter { case (id, _, ver) => tombMap.get(id).forall(_ <= ver) }
                 .filter { case (id, _, _) => localElig.forall(_.contains(id)) }
                 .map { case (id, vec, _) => (id, vec) }
-              val res = GraphAnn.searchPointLocal(spark, hnswLayoutPath(coll), qDf, kEff,
-                cfg.spaceType, ef = efEff, routeNprobe = routeP.get,
-                cacheKey = Some((hnswLayoutPath(coll), epoch)),
-                deltaRows = delta, excludeIds = exIds, eligible = localElig)
+              // chunked like localRoute: per-query results are independent,
+              // so the driver-side concatenation (collect on LocalTableScan
+              // is job-free; a `union` plan's is not) is row-identical to
+              // one call; chunk 1 warms the probed cells, later chunks beam
+              // job-free against the same held graphs
+              val chunkFrames = queries.grouped(LocalServeChunk).map { chunk =>
+                GraphAnn.searchPointLocal(spark, hnswLayoutPath(coll),
+                  chunk.toDF("query_id", "query_vec")
+                    .withColumn("query_vec", col("query_vec").cast("array<float>")),
+                  kEff, cfg.spaceType, ef = efEff, routeNprobe = routeP.get,
+                  cacheKey = Some((hnswLayoutPath(coll), epoch)),
+                  deltaRows = delta, excludeIds = exIds, eligible = localElig)
+              }.toSeq
+              val res =
+                if (chunkFrames.size == 1) chunkFrames.head
+                else spark.createDataFrame(
+                  java.util.Arrays.asList(chunkFrames.flatMap(_.collect()): _*),
+                  chunkFrames.head.schema)
               // exclusion ran BEFORE ranking, so ranks are contiguous over
               // valid hits — the widened depth just trims back
               if (kEff == k) res else res.filter(col("rnk") <= k)
@@ -2081,10 +2127,10 @@ class Engine(
         // LocalEncode.matVecMul twin of the codegen MatVecMul, shortlist in
         // rotated space through the PQ code-cell cache, exact re-rank in
         // ORIGINAL space (the distributed Opq.search shape exactly)
-        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, elig) =>
+        localRoute(layout, coll, queries, eligible, corpus) { (frame, stamp, chunk, elig) =>
           localPqSearch(coll, opqLayoutPath(coll), frame, stamp, opq.pq,
-            queries, k, nprobe, elig,
-            shortQueries = queries.map { case (qid, v) =>
+            chunk, k, nprobe, elig,
+            shortQueries = chunk.map { case (qid, v) =>
               (qid, graft.operators.LocalEncode.matVecMul(v, opq.rotation)) })
         }.getOrElse {
           val encoded = layout.map(l => restrict(l._1))

@@ -14,33 +14,13 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 object AtomicFiles {
 
-  /** Loud non-local-root guard. The engine's CONTROL files (DocStore's
-    * `_version` counter, layout-generation pointers, compaction intents,
-    * model snapshots, driver-local sidecar listings in the zero-job serve
-    * path) go through the java.nio helpers above/below — correct only when
-    * `root` is a local filesystem path. A hdfs:///s3a:// root would
-    * silently write those markers to the DRIVER's local disk while the
-    * parquet data landed on the remote store: two stores disagreeing about
-    * the engine's version state, i.e. silent corruption. Until the control
-    * plane is ported to `atomicWriteHadoop` + conditional-put semantics
-    * (object-store rename is copy+delete — see that helper's contract),
-    * every component that mixes java.nio control IO with a data root must
-    * call this at construction: works on `file:`/plain paths, FAILS LOUDLY
-    * on anything else — never corrupts.
-    */
-  def requireLocalRoot(root: String, component: String): Unit = {
-    val scheme = try new java.net.URI(root).getScheme
-      catch { case _: java.net.URISyntaxException => null }
-    // plain paths ("/data/x") have null scheme; Windows drive letters
-    // ("C:/x") parse as single-letter schemes and are still local
-    require(scheme == null || scheme == "file" || scheme.length == 1,
-      s"$component keeps its control files (version counters, layout " +
-        s"generation pointers, snapshots) on the LOCAL filesystem via " +
-        s"java.nio, but root '$root' has scheme '$scheme' — running it " +
-        "there would split control state from data and silently corrupt. " +
-        "Use a local root, or port the control plane to " +
-        "AtomicFiles.atomicWriteHadoop first.")
-  }
+  // Historical note: rounds 9–10 carried a `requireLocalRoot` guard here
+  // that REFUSED non-local roots, because the control plane was java.nio
+  // and a remote root would have split control state (local disk) from
+  // data (remote store) — silent corruption. The round-11 `ControlFs` seam
+  // retires that refusal: control IO now routes per-scheme (java.nio on
+  // plain local roots, Hadoop markers + create-exclusive manifest counters
+  // elsewhere), so Engine/DocStore/Catalog construct on any Hadoop-FS root.
 
   def atomicWrite(p: Path, content: String): Unit = {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")

@@ -1,10 +1,5 @@
 package graft.core
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 /** Collection catalog: create/get/list/drop with a JSON sidecar per
   * collection dir (the reference persists `IndexConfig` as
   * `indexfile/<name>.conf`, `internal/index/index_manager.go:274-276`, and
@@ -17,40 +12,33 @@ import scala.jdk.CollectionConverters._
   */
 class Catalog(root: String) {
 
-  AtomicFiles.requireLocalRoot(root, "Catalog")
+  // scheme-routed control IO (java.nio on plain local roots, Hadoop FS
+  // elsewhere) — the catalog sidecars live with the collection data
+  private val cfs = ControlFs.forRoot(root)
 
-  private def confFile(name: String) = Paths.get(s"$root/$name/config.json")
+  private def confFile(name: String) = s"$root/$name/config.json"
 
   def create(config: CollectionConfig): Boolean = {
     validateName(config.name)
     if (exists(config.name)) return false // duplicate → ok-with-message (handlers.go:90-93)
-    Files.createDirectories(Paths.get(s"$root/${config.name}"))
-    Files.write(confFile(config.name), toJson(config).getBytes(StandardCharsets.UTF_8))
+    cfs.mkdirs(s"$root/${config.name}")
+    cfs.atomicWrite(confFile(config.name), toJson(config))
     true
   }
 
-  def exists(name: String): Boolean = Files.exists(confFile(name))
+  def exists(name: String): Boolean = cfs.exists(confFile(name))
 
   def get(name: String): Option[CollectionConfig] =
     if (!exists(name)) None
-    else Some(fromJson(new String(Files.readAllBytes(confFile(name)), StandardCharsets.UTF_8)))
+    else Some(fromJson(cfs.readString(confFile(name))))
 
   def list(): Seq[String] =
-    if (!Files.exists(Paths.get(root))) Seq.empty
-    else {
-      val stream = Files.list(Paths.get(root))
-      try stream.iterator().asScala
-        .filter(p => Files.exists(p.resolve("config.json")))
-        .map(_.getFileName.toString).toSeq.sorted
-      finally stream.close()
-    }
+    cfs.listNames(root)
+      .filter(n => cfs.exists(s"$root/$n/config.json")).sorted
 
   def drop(name: String): Boolean = {
     if (!exists(name)) return false
-    val dir = Paths.get(s"$root/$name")
-    val stream = Files.walk(dir)
-    try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    finally stream.close()
+    cfs.deleteRecursively(s"$root/$name")
     true
   }
 

@@ -1,0 +1,310 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** The engine's CONTROL-PLANE filesystem: every non-parquet control file —
+  * version counters, generation pointers, layout stamps, intent markers,
+  * catalog sidecars, model snapshots — goes through this seam, so the same
+  * Engine/DocStore/Catalog protocol runs on a plain local root (java.nio,
+  * the serving-latency path) or a Hadoop `FileSystem` root (hdfs://,
+  * s3a://, or a test scheme) with the control state living WHERE THE DATA
+  * LIVES. This retires the round-10 `requireLocalRoot` refusal: non-local
+  * roots are now admitted, not rejected (the refusal existed only because
+  * java.nio control IO on a remote root would have split control state from
+  * data — see `AtomicFiles.requireLocalRoot`'s original contract).
+  *
+  * Two durability classes, mirroring the read-side policy split that
+  * `AtomicFiles` documents:
+  *
+  *  - RECOVERABLE MARKERS (`atomicWrite`/`readLongSafe`/`readLinesSafe`):
+  *    layout stamps, intents, ledgers, epochs, bucketed meta. Writers go
+  *    tmp + rename (atomic on POSIX/HDFS); readers degrade corrupt/absent
+  *    to "marker absent" → fall back / rebuild. On object stores, where
+  *    rename is copy+delete, a torn write reads as absent-or-old — every
+  *    marker's protocol already treats that as "stale → fallback", never
+  *    as a lie (the markers are written only when they EQUAL live state,
+  *    so an old value can never certify a newer layout).
+  *
+  *  - AUTHORITATIVE MONOTONE COUNTERS (`counterInit`/`counterRead`/
+  *    `counterCommit`): the DocStore `_version` counter and the data/layout
+  *    generation pointers, whose loss or rollback is NOT recoverable (a
+  *    rolled-back generation pointer would read a GC'd directory). The nio
+  *    implementation keeps the existing single-file tmp+ATOMIC_MOVE
+  *    protocol (bit-compatible with every store written so far). The
+  *    Hadoop implementation uses a MANIFEST SEQUENCE instead — one
+  *    create-EXCLUSIVE immutable file per committed value under
+  *    `<path>.d/`, read = max over a listing — because a single rewritten
+  *    file cannot be committed atomically on object stores: each manifest
+  *    entry is a single all-or-nothing object PUT, create-exclusive gives
+  *    conditional-put semantics (two racing writers of the same value fail
+  *    loudly instead of silently last-writer-winning), and a crash between
+  *    PUT and GC leaves only superseded entries that max() ignores. This
+  *    is the same immutable-manifest commit discipline the table formats
+  *    (Iceberg/Delta) use for their root pointers.
+  */
+trait ControlFs {
+
+  /** True when the root is a plain local path (java.nio-addressable).
+    * Gates nothing functionally — the driver-direct parquet fast paths
+    * (LocalPointReader/LocalRunWriter) are scheme-aware themselves — but
+    * lets callers pick latency-sensitive defaults.
+    */
+  def isLocal: Boolean
+
+  // ---- recoverable markers ----
+  def atomicWrite(path: String, content: String): Unit
+  def readLongSafe(path: String): Option[Long]
+  def readLinesSafe(path: String): Option[Vector[String]]
+
+  // ---- strict small-file IO (catalog sidecars, model snapshots) ----
+  def readString(path: String): String
+
+  // ---- generic tree ops ----
+  def exists(path: String): Boolean
+  def mkdirs(path: String): Unit
+  def listNames(path: String): Seq[String]
+  def deleteIfExists(path: String): Unit
+  def deleteRecursively(path: String): Unit
+
+  // ---- authoritative monotone counters ----
+  /** Create the counter at `v` iff it does not exist yet. */
+  def counterInit(path: String, v: Long = 0L): Unit
+  /** Committed value, None when the counter was never initialized. Strict:
+    * a counter that exists but cannot be read THROWS (authoritative state
+    * must never be defaulted).
+    */
+  def counterRead(path: String): Option[Long]
+  /** Commit `v`. Values must only advance; the Hadoop implementation
+    * fails loudly when `v` was already committed by a racing writer.
+    */
+  def counterCommit(path: String, v: Long): Unit
+}
+
+object ControlFs {
+
+  /** Plain paths (null scheme) and Windows drive letters are local;
+    * anything else — file://, hdfs://, s3a://, test schemes — routes to the
+    * Hadoop implementation (file:// too: java.nio cannot address it as
+    * written, and Hadoop's local FS handles it correctly).
+    */
+  def isLocalRoot(root: String): Boolean = {
+    val scheme = try new java.net.URI(root).getScheme
+      catch { case _: java.net.URISyntaxException => null }
+    scheme == null || scheme.length == 1
+  }
+
+  /** The control filesystem for a root. The Hadoop side resolves scheme
+    * implementations through the standard `FileSystem` ServiceLoader +
+    * core-site mechanism, so hdfs/s3a/test schemes need no plumbing here.
+    */
+  def forRoot(root: String): ControlFs =
+    if (isLocalRoot(root)) NioControlFs else new HadoopControlFs(new Configuration())
+}
+
+/** java.nio implementation — plain local roots. Counter protocol is the
+  * pre-port single-file tmp+ATOMIC_MOVE (bit-compatible: existing stores
+  * read and advance unchanged).
+  */
+object NioControlFs extends ControlFs {
+  override def isLocal: Boolean = true
+
+  override def atomicWrite(path: String, content: String): Unit =
+    AtomicFiles.atomicWrite(Paths.get(path), content)
+
+  override def readLongSafe(path: String): Option[Long] =
+    AtomicFiles.readLongSafe(Paths.get(path))
+
+  override def readLinesSafe(path: String): Option[Vector[String]] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else scala.util.Try(Files.readAllLines(p).asScala.toVector).toOption
+  }
+
+  override def readString(path: String): String =
+    new String(Files.readAllBytes(Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  override def exists(path: String): Boolean = Files.exists(Paths.get(path))
+
+  override def mkdirs(path: String): Unit = {
+    Files.createDirectories(Paths.get(path)); ()
+  }
+
+  override def listNames(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
+    finally s.close()
+  }
+
+  override def deleteIfExists(path: String): Unit = {
+    Files.deleteIfExists(Paths.get(path)); ()
+  }
+
+  override def deleteRecursively(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally stream.close()
+    }
+  }
+
+  override def counterInit(path: String, v: Long): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    if (!Files.exists(p))
+      Files.write(p, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def counterRead(path: String): Option[Long] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong) // strict: no default
+  }
+
+  override def counterCommit(path: String, v: Long): Unit =
+    AtomicFiles.atomicWrite(Paths.get(path), v.toString)
+}
+
+/** Hadoop `FileSystem` implementation — hdfs://, s3a://, file://, test
+  * schemes. Markers commit via tmp+rename (`AtomicFiles.atomicWriteHadoop`,
+  * whose object-store caveats the marker protocols tolerate by design);
+  * counters commit via the create-exclusive manifest sequence documented on
+  * the trait.
+  */
+final class HadoopControlFs(conf: Configuration) extends ControlFs {
+
+  private def fsOf(path: String): FileSystem = new HPath(path).getFileSystem(conf)
+
+  override def isLocal: Boolean = false
+
+  /** tmp + rename through the `FileSystem` API (NOT `FileContext`: that
+    * requires an `AbstractFileSystem` binding which object-store schemes
+    * — and s3a in particular — don't ship by default). `FileSystem.rename`
+    * does not overwrite on every FS (HDFS returns false when the
+    * destination exists), so an existing marker is deleted first; a reader
+    * racing that window sees the marker ABSENT, which every marker
+    * protocol treats as "stale → fall back" — never as a lie.
+    */
+  override def atomicWrite(path: String, content: String): Unit = {
+    val fs = fsOf(path)
+    val p = new HPath(path)
+    val tmp = new HPath(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"marker rename failed: $tmp -> $p")
+    }
+  }
+
+  override def readLongSafe(path: String): Option[Long] =
+    AtomicFiles.readLongSafeHadoop(conf, new HPath(path))
+
+  private def readBytes(path: String): Array[Byte] = {
+    val p = new HPath(path)
+    val in = fsOf(path).open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  override def readLinesSafe(path: String): Option[Vector[String]] = {
+    if (!exists(path)) return None
+    scala.util.Try(new String(readBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector).toOption
+  }
+
+  override def readString(path: String): String =
+    new String(readBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+
+  override def exists(path: String): Boolean = fsOf(path).exists(new HPath(path))
+
+  override def mkdirs(path: String): Unit = { fsOf(path).mkdirs(new HPath(path)); () }
+
+  override def listNames(path: String): Seq[String] = {
+    val fs = fsOf(path)
+    val p = new HPath(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName).toVector
+  }
+
+  override def deleteIfExists(path: String): Unit = {
+    fsOf(path).delete(new HPath(path), false); ()
+  }
+
+  override def deleteRecursively(path: String): Unit = {
+    fsOf(path).delete(new HPath(path), true); ()
+  }
+
+  // ---- manifest-sequence counters -----------------------------------------
+  //
+  // <path>.d/v<%020d>: one immutable create-exclusive file per committed
+  // value. Read = max over the listing (absent dir / empty dir = never
+  // initialized). Commit = exclusive PUT of the new entry (a racing writer
+  // of the same value collides loudly — conditional-put semantics), then GC
+  // of entries more than `KeepEntries` behind (a reader racing the GC still
+  // sees the max; a crash before GC leaves ignorable superseded entries).
+
+  private val KeepEntries = 8
+
+  private def manifestDir(path: String) = s"$path.d"
+  private def entryName(v: Long) = f"v$v%020d"
+  private def parseEntry(name: String): Option[Long] =
+    if (name.length == 21 && name.charAt(0) == 'v')
+      scala.util.Try(name.substring(1).toLong).toOption
+    else None
+
+  override def counterInit(path: String, v: Long): Unit = {
+    val fs = fsOf(path)
+    val dir = new HPath(manifestDir(path))
+    fs.mkdirs(dir)
+    if (counterRead(path).isEmpty) {
+      // first writer wins; a racing initializer's collision is benign
+      // (same protocol state either way). Local FS throws Hadoop's
+      // FileAlreadyExistsException; other FSs may surface a plain
+      // IOException — treat any failure with the entry now present as
+      // "the race lost", anything else as real.
+      val entry = new HPath(dir, entryName(v))
+      try writeExclusive(fs, entry, v.toString)
+      catch { case e: java.io.IOException => if (!fs.exists(entry)) throw e }
+    }
+  }
+
+  override def counterRead(path: String): Option[Long] = {
+    val fs = fsOf(path)
+    val dir = new HPath(manifestDir(path))
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).iterator
+      .flatMap(s => parseEntry(s.getPath.getName)).toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  override def counterCommit(path: String, v: Long): Unit = {
+    val fs = fsOf(path)
+    val dir = new HPath(manifestDir(path))
+    fs.mkdirs(dir)
+    // create-exclusive: the commit either lands whole or throws — never a
+    // torn counter, and a racing writer of the same value fails loudly
+    writeExclusive(fs, new HPath(dir, entryName(v)), v.toString)
+    // GC superseded entries (best-effort: failures leave ignorable files)
+    try fs.listStatus(dir).foreach { s =>
+      parseEntry(s.getPath.getName).filter(_ < v - KeepEntries)
+        .foreach(_ => fs.delete(s.getPath, false))
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  private def writeExclusive(fs: FileSystem, p: HPath, content: String): Unit = {
+    val out = fs.create(p, false) // overwrite = false: create-exclusive
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -1,8 +1,5 @@
 package graft.core
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -36,11 +33,16 @@ import org.apache.spark.sql.types._
 class DocStore(spark: SparkSession, root: String) {
   import DocStore._
 
-  AtomicFiles.requireLocalRoot(root, "DocStore")
+  // control files route through the root's ControlFs: java.nio on plain
+  // local roots (the pre-port protocol, bit-compatible), Hadoop-FS manifest
+  // commits on hdfs://s3a://file:// roots — control state lives WITH the
+  // data on every scheme (this retires the round-10 requireLocalRoot guard)
+  private val cfs = ControlFs.forRoot(root)
 
   // The data directory is GENERATION-VERSIONED: appends land in the current
   // generation; compaction writes a whole NEW generation and flips the
-  // `data_gen` pointer (tmp+atomic rename) instead of deleting the live dir
+  // `data_gen` pointer (an authoritative ControlFs counter — a rolled-back
+  // pointer would read a GC'd directory) instead of deleting the live dir
   // in place — snapshot isolation for concurrent readers (a Spark scan plans
   // against a file listing; deleting those files mid-read fails the scan
   // with FAILED_READ_FILE, which the concurrency soak caught on its first
@@ -50,12 +52,12 @@ class DocStore(spark: SparkSession, root: String) {
   // the same immutable-files-plus-metadata-pointer contract the table
   // formats (Iceberg/Delta) give their readers. Pointer absent ⇒ generation
   // 0 at the legacy `data` path, so existing stores read unchanged.
-  private def genFile(name: String) = Paths.get(s"$root/$name/data_gen")
+  private def genFile(name: String) = s"$root/$name/data_gen"
   private def genDir(name: String, g: Long): String =
     if (g == 0L) s"$root/$name/data" else s"$root/$name/data_g$g"
   private def dataDir(name: String): String =
-    genDir(name, AtomicFiles.readLongSafe(genFile(name)).getOrElse(0L))
-  private def versionFile(name: String) = Paths.get(s"$root/$name/_version")
+    genDir(name, cfs.counterRead(genFile(name)).getOrElse(0L))
+  private def versionFile(name: String) = s"$root/$name/_version"
 
   def schema(dim: Int): StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
@@ -66,16 +68,18 @@ class DocStore(spark: SparkSession, root: String) {
     StructField("is_deleted", BooleanType, nullable = false)))
 
   def init(name: String): Unit = {
-    Files.createDirectories(Paths.get(dataDir(name)))
-    if (!Files.exists(versionFile(name)))
-      Files.write(versionFile(name), "0".getBytes(StandardCharsets.UTF_8))
+    cfs.mkdirs(dataDir(name))
+    cfs.counterInit(versionFile(name), 0L)
   }
 
   /** Current write version (monotone per collection; part of the result
-    * cache key so every write invalidates cached searches).
+    * cache key so every write invalidates cached searches). Strict: the
+    * counter is authoritative — absent/corrupt must throw, never default.
     */
   def currentVersion(name: String): Long =
-    new String(Files.readAllBytes(versionFile(name)), StandardCharsets.UTF_8).trim.toLong
+    cfs.counterRead(versionFile(name)).getOrElse(
+      throw new IllegalStateException(
+        s"collection '$name' has no version counter at ${versionFile(name)}"))
 
   // per-collection write serialization: version assignment + data write +
   // counter commit are one critical section, so readers polling the counter
@@ -94,11 +98,12 @@ class DocStore(spark: SparkSession, root: String) {
     writeLock(name).synchronized {
       val v = currentVersion(name) + 1
       write(v)
-      // tmp + atomic rename (shared AtomicFiles): a crash mid-commit must
-      // never leave a truncated/empty counter (which would wedge every
-      // subsequent read — the counter is authoritative, so a corrupt value
-      // is NOT recoverable by defaulting; it must simply never occur)
-      AtomicFiles.atomicWrite(versionFile(name), v.toString)
+      // counter commit AFTER the data lands: nio roots go tmp + atomic
+      // rename; Hadoop roots go create-exclusive manifest entry — either
+      // way a crash mid-commit can never leave a truncated counter (the
+      // counter is authoritative, so a corrupt value is NOT recoverable by
+      // defaulting; it must simply never occur)
+      cfs.counterCommit(versionFile(name), v)
     }
 
   /** Append a batch of upserts (one version for the whole batch — the
@@ -169,10 +174,11 @@ class DocStore(spark: SparkSession, root: String) {
       // seq = position within the batch: duplicate ids inside one batch
       // resolve to the LAST occurrence (the reference's sequential-put
       // semantics, `document.go:294-303`), not an arbitrary tie.
-      // Driver-sized batches write their run locally (LocalRunWriter,
-      // ~5 ms vs the ~100 ms Spark-job floor) — identical rows, identical
-      // crash ordering (file visible before the counter bumps),
-      // read-equivalence spec-gated.
+      // Driver-sized batches write their run driver-direct (LocalRunWriter,
+      // ~5 ms vs the ~100 ms Spark-job floor; scheme-aware — parquet-mr
+      // writes through the root's Hadoop FS on non-local roots) — identical
+      // rows, identical crash ordering (file visible before the counter
+      // bumps), read-equivalence spec-gated.
       if (rows.size <= LocalRunWriter.MaxLocalRows)
         LocalRunWriter.writeStoreRun(dataDir(name), rows.map { r =>
           (r.getString(0),
@@ -223,11 +229,7 @@ class DocStore(spark: SparkSession, root: String) {
       frameCache.keys.filter(k => k._1.startsWith(s"$root/$name/data") &&
           k != ((dir, ver)))
         .foreach(frameCache.remove)
-      val hasData = Files.exists(Paths.get(dir)) && {
-        val stream = Files.list(Paths.get(dir))
-        try stream.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-        finally stream.close()
-      }
+      val hasData = cfs.listNames(dir).exists(_.endsWith(".parquet"))
       if (hasData) spark.read.parquet(dir)
       else spark.createDataFrame(java.util.Collections.emptyList[Row](), schema(0))
     })
@@ -306,30 +308,23 @@ class DocStore(spark: SparkSession, root: String) {
         if (clusterById)
           winners.repartitionByRange(files, col("id")).sortWithinPartitions("id")
         else winners
-      val gen = AtomicFiles.readLongSafe(genFile(name)).getOrElse(0L)
+      val gen = cfs.counterRead(genFile(name)).getOrElse(0L)
       // mode("overwrite"): a crashed previous attempt at this generation
       // (write completed, flip never happened) is simply rewritten
       out.write.mode("overwrite").parquet(genDir(name, gen + 1))
       winners.unpersist()
-      // THE flip: atomic pointer write — readers see either the old
+      // THE flip: atomic pointer commit — readers see either the old
       // generation (intact until GC'd a full cycle later) or the new one,
       // never a half-swapped directory
-      AtomicFiles.atomicWrite(genFile(name), (gen + 1).toString)
+      cfs.counterCommit(genFile(name), gen + 1)
       // snapshot GC: drop generations OLDER than the one just superseded —
       // a scan planned against generation g keeps its files until
       // compaction g+2 flips, at least one whole corpus rewrite away
       var old = 0L
-      while (old < gen) { deleteRecursively(Paths.get(genDir(name, old))); old += 1 }
+      while (old < gen) { cfs.deleteRecursively(genDir(name, old)); old += 1 }
     }
 
-  def drop(name: String): Unit = deleteRecursively(Paths.get(s"$root/$name"))
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val stream = Files.walk(p)
-      try stream.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally stream.close()
-    }
+  def drop(name: String): Unit = cfs.deleteRecursively(s"$root/$name")
 
   private def fromRow(r: Row): Document = Document(
     r.getAs[String]("id"),

@@ -49,9 +49,8 @@ object LocalPointReader {
     * all of them.
     */
   def readDocs(dataDir: String, ids: Set[String]): Map[String, Document] = {
-    val dir = Paths.get(dataDir)
-    if (ids.isEmpty || !Files.exists(dir)) return Map.empty
-    val files = listRuns(dir)
+    if (ids.isEmpty) return Map.empty
+    val files = listRuns(dataDir)
     if (files.isEmpty) return Map.empty
     val pred = FilterApi.in(
       FilterApi.binaryColumn("id"),
@@ -97,9 +96,8 @@ object LocalPointReader {
     * are never decoded.
     */
   def liveIds(dataDir: String, ids: Set[String]): Set[String] = {
-    val dir = Paths.get(dataDir)
-    if (ids.isEmpty || !Files.exists(dir)) return Set.empty
-    val files = listRuns(dir)
+    if (ids.isEmpty) return Set.empty
+    val files = listRuns(dataDir)
     if (files.isEmpty) return Set.empty
     val pred = FilterApi.in(
       FilterApi.binaryColumn("id"),
@@ -122,16 +120,31 @@ object LocalPointReader {
 
   /** Data files of a run directory (Spark's listing convention) — THE
     * definition of "which files count as data", shared with the engine's
-    * delta-dir probes so the two can never drift.
+    * delta-dir probes so the two can never drift. Scheme-aware: plain
+    * local dirs list via java.nio (the serving-latency path); scheme'd
+    * dirs (hdfs://, s3a://, test schemes) list through their Hadoop FS —
+    * parquet-mr reads the files through the same FS, so the whole
+    * driver-direct point path works against a remote store unchanged.
+    * An absent dir reads as "no runs".
     */
-  private[graft] def listRuns(dir: java.nio.file.Path): Vector[String] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.map(_.toString)
-      .filter { p =>
-        val n = p.substring(p.lastIndexOf('/') + 1)
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-      }.toVector
-    finally s.close()
+  private[graft] def listRuns(dirStr: String): Vector[String] = {
+    def isRun(n: String) =
+      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+    if (ControlFs.isLocalRoot(dirStr)) {
+      val dir = Paths.get(dirStr)
+      if (!Files.exists(dir)) return Vector.empty
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.toString)
+        .filter(p => isRun(p.substring(p.lastIndexOf('/') + 1))).toVector
+      finally s.close()
+    } else {
+      val p = new Path(dirStr)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return Vector.empty
+      fs.listStatus(p).iterator
+        .filter(s => s.isFile && isRun(s.getPath.getName))
+        .map(_.getPath.toString).toVector
+    }
   }
 
   // ---- per-run id blooms (the SSTable bloom, driver-side) ---------------
@@ -286,8 +299,14 @@ object LocalPointReader {
   }
 
   private def sweepDeadBlooms(): Unit = blooms.synchronized {
+    def stillExists(k: String): Boolean =
+      if (ControlFs.isLocalRoot(k)) Files.exists(Paths.get(k))
+      else {
+        val p = new Path(k)
+        scala.util.Try(p.getFileSystem(conf).exists(p)).getOrElse(false)
+      }
     blooms.keys.foreach { k =>
-      if (!Files.exists(Paths.get(k))) {
+      if (!stillExists(k)) {
         blooms.remove(k).foreach { b =>
           if (b ne AlwaysMight) bloomBytes.addAndGet(-8L * b.words.length)
         }

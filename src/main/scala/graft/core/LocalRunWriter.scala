@@ -1,6 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -231,14 +231,17 @@ object LocalRunWriter {
 
   private def writeRun(dir: String, schema: MessageType)(
       emit: ((SimpleGroup => Unit) => Unit) => Unit): Unit = {
-    val dirPath = Paths.get(dir)
-    Files.createDirectories(dirPath)
+    val local = ControlFs.isLocalRoot(dir)
+    val conf = new Configuration()
+    val hfs = if (local) null else new Path(dir).getFileSystem(conf)
+    if (local) Files.createDirectories(Paths.get(dir)) else hfs.mkdirs(new Path(dir))
     val name = s"part-local-${java.util.UUID.randomUUID().toString}.parquet"
     val tmpName = s".$name.tmp"
-    val tmp: JPath = dirPath.resolve(tmpName)
-    val conf = new Configuration()
     GroupWriteSupport.setSchema(schema, conf)
-    val writer = ExampleParquetWriter.builder(new Path(tmp.toString))
+    // parquet-mr writes through the dir's Hadoop FS (scheme-aware), so the
+    // driver-direct run write works against remote roots too; the
+    // dot-prefixed temp stays invisible to every run listing either way
+    val writer = ExampleParquetWriter.builder(new Path(s"$dir/$tmpName"))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
@@ -251,9 +254,18 @@ object LocalRunWriter {
         writer.write(g)
       }
     } finally writer.close()
-    Files.move(tmp, dirPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    if (local) {
+      val dirPath = Paths.get(dir)
+      Files.move(dirPath.resolve(tmpName), dirPath.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+    } else
+      // atomic on HDFS/POSIX; on object stores a torn copy+delete strands
+      // only an invisible dotfile — the run is visible iff whole (single
+      // object), which is all the commit protocol needs
+      hfs.rename(new Path(s"$dir/$tmpName"), new Path(s"$dir/$name"))
     // the Hadoop local fs writes a checksum sidecar for the TEMP name;
     // harmless (dotfile) but pointless after the rename — drop it
-    Files.deleteIfExists(dirPath.resolve(s".$tmpName.crc"))
+    if (local) Files.deleteIfExists(Paths.get(dir).resolve(s".$tmpName.crc"))
+    else hfs.delete(new Path(s"$dir/.$tmpName.crc"), false)
   }
 }

@@ -1,8 +1,5 @@
 package graft.core
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import graft.operators.{BinaryQuant, IvfIndex, IvfPq, Opq, ScalarQuant}
 
 /** Index-snapshot persistence (SURVEY S8): centroids/codebooks as small
@@ -16,6 +13,24 @@ import graft.operators.{BinaryQuant, IvfIndex, IvfPq, Opq, ScalarQuant}
   * dependency-free, byte-exact for float32 via Float.toString round-trip.
   */
 object ModelStore {
+
+  /** Snapshot IO routes through the path's ControlFs (java.nio on plain
+    * local paths, Hadoop FS on scheme'd ones — snapshots live with the
+    * collection they belong to) and commits atomically: a reader sees the
+    * previous snapshot or the new one, never a torn matrix.
+    */
+  private def writeSnapshot(path: String, content: String): Unit = {
+    val cfs = ControlFs.forRoot(path)
+    val slash = path.lastIndexOf('/')
+    if (slash > 0) cfs.mkdirs(path.substring(0, slash))
+    cfs.atomicWrite(path, content)
+  }
+
+  private def readSnapshot(path: String): Option[Iterator[String]] = {
+    val cfs = ControlFs.forRoot(path)
+    if (!cfs.exists(path)) None
+    else Some(cfs.readString(path).linesIterator)
+  }
 
   private def writeMatrix(sb: StringBuilder, m: Array[Array[Float]]): Unit = {
     sb.append(m.length).append(' ').append(if (m.isEmpty) 0 else m(0).length).append('\n')
@@ -31,14 +46,11 @@ object ModelStore {
     val sb = new StringBuilder
     sb.append("ivf ").append(model.space.name).append('\n')
     writeMatrix(sb, model.centroids)
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+    writeSnapshot(path, sb.toString)
   }
 
   def loadIvf(path: String): Option[IvfIndex.Model] = {
-    if (!Files.exists(Paths.get(path))) return None
-    val lines = Files.readAllLines(Paths.get(path)).iterator()
-    val it = new Iterator[String] { def hasNext = lines.hasNext; def next() = lines.next() }
+    val it = readSnapshot(path).getOrElse(return None)
     val header = it.next().split(' ')
     require(header(0) == "ivf", s"not an ivf snapshot: $path")
     Some(IvfIndex.Model(readMatrix(it), SpaceType.parse(header(1))))
@@ -50,14 +62,11 @@ object ModelStore {
       .append(model.m).append(' ').append(model.subDim).append('\n')
     writeMatrix(sb, model.coarse.centroids)
     model.codebooks.foreach(writeMatrix(sb, _))
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+    writeSnapshot(path, sb.toString)
   }
 
   def loadPq(path: String): Option[IvfPq.Model] = {
-    if (!Files.exists(Paths.get(path))) return None
-    val lines = Files.readAllLines(Paths.get(path)).iterator()
-    val it = new Iterator[String] { def hasNext = lines.hasNext; def next() = lines.next() }
+    val it = readSnapshot(path).getOrElse(return None)
     val header = it.next().split(' ')
     require(header(0) == "ivfpq", s"not an ivfpq snapshot: $path")
     val coarse = IvfIndex.Model(readMatrix(it), SpaceType.parse(header(1)))
@@ -76,14 +85,11 @@ object ModelStore {
     writeMatrix(sb, model.rotation)
     writeMatrix(sb, model.pq.coarse.centroids)
     model.pq.codebooks.foreach(writeMatrix(sb, _))
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+    writeSnapshot(path, sb.toString)
   }
 
   def loadOpq(path: String): Option[Opq.Model] = {
-    if (!Files.exists(Paths.get(path))) return None
-    val lines = Files.readAllLines(Paths.get(path)).iterator()
-    val it = new Iterator[String] { def hasNext = lines.hasNext; def next() = lines.next() }
+    val it = readSnapshot(path).getOrElse(return None)
     val header = it.next().split(' ')
     require(header(0) == "opq", s"not an opq snapshot: $path")
     val rotation = readMatrix(it)
@@ -98,14 +104,11 @@ object ModelStore {
     val sb = new StringBuilder
     sb.append("sq\n")
     writeMatrix(sb, Array(model.mins, model.maxs))
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+    writeSnapshot(path, sb.toString)
   }
 
   def loadSq(path: String): Option[ScalarQuant.Model] = {
-    if (!Files.exists(Paths.get(path))) return None
-    val lines = Files.readAllLines(Paths.get(path)).iterator()
-    val it = new Iterator[String] { def hasNext = lines.hasNext; def next() = lines.next() }
+    val it = readSnapshot(path).getOrElse(return None)
     require(it.next().startsWith("sq"), s"not an sq snapshot: $path")
     val m = readMatrix(it)
     Some(ScalarQuant.Model(m(0), m(1)))
@@ -116,14 +119,11 @@ object ModelStore {
     val sb = new StringBuilder
     sb.append("bq\n")
     writeMatrix(sb, Array(model.thresholds))
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+    writeSnapshot(path, sb.toString)
   }
 
   def loadBq(path: String): Option[BinaryQuant.Model] = {
-    if (!Files.exists(Paths.get(path))) return None
-    val lines = Files.readAllLines(Paths.get(path)).iterator()
-    val it = new Iterator[String] { def hasNext = lines.hasNext; def next() = lines.next() }
+    val it = readSnapshot(path).getOrElse(return None)
     require(it.next().startsWith("bq"), s"not a bq snapshot: $path")
     Some(BinaryQuant.Model(readMatrix(it)(0)))
   }

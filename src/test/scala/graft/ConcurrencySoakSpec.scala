@@ -29,7 +29,7 @@ import graft.core._
 class ConcurrencySoakSpec extends SparkSpec {
 
   test("REST writers + deleter + searchers + engine compaction loop: zero errors; final state ≡ rebuild") {
-    val root = Files.createTempDirectory("soak").toString
+    val root = testRoot("soak")
     val engine = new Engine(spark, root)
     val server = new Server(engine)
     val port = server.start()

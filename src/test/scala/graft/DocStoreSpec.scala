@@ -12,7 +12,7 @@ import graft.core.{DocStore, Document}
 class DocStoreSpec extends SparkSpec {
 
   private def freshStore(): (DocStore, String) = {
-    val dir = Files.createTempDirectory("docstore").toString
+    val dir = testRoot("docstore")
     (new DocStore(spark, dir), dir)
   }
   private val dim = 3
@@ -55,8 +55,7 @@ class DocStoreSpec extends SparkSpec {
 
   test("compaction flips data GENERATIONS: current+previous kept, older GC'd, reads stay correct throughout") {
     val (s, root) = freshStore(); s.init("c")
-    import java.nio.file.{Files => F, Paths}
-    def ex(p: String) = F.exists(Paths.get(p))
+    def ex(p: String) = cfsOf(root).exists(p)
     s.upsert("c", Seq(doc("1", 1f), doc("2", 2f)), dim)
     s.delete("c", Seq("2"), dim)
     // gen 0 ('data') → gen 1: the pre-flip dir must SURVIVE (in-flight
@@ -67,7 +66,7 @@ class DocStoreSpec extends SparkSpec {
     assert(s.read("c").count() === 1 && s.get("c", "1").isDefined)
     // appends land in the CURRENT generation
     s.upsert("c", Seq(doc("3", 3f)), dim)
-    assert(F.list(Paths.get(s"$root/c/data_g1")).count() > 1,
+    assert(cfsOf(root).listNames(s"$root/c/data_g1").size > 1,
       "append after the flip must land in the current generation")
     // gen 1 → gen 2: gen 0 is now two cycles old — GC'd; gen 1 kept
     s.compact("c")

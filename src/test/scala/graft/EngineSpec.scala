@@ -18,18 +18,22 @@ class EngineSpec extends SparkSpec {
     new Engine(spark, dir, Some(new FakeEmbeddingProvider(dim)))
   }
 
-  test("non-local root fails LOUDLY at construction — never silently splits control state from data") {
-    // the control plane (version counters, layout_gen pointers, snapshots)
-    // is java.nio: a remote root would write those to the driver's local
-    // disk while parquet landed remotely — the documented behavior is a
-    // loud construction-time refusal, not a latent corruption
-    for (root <- Seq("hdfs://nn:8020/graft", "s3a://bucket/graft", "gs://bucket/x")) {
-      val e = intercept[IllegalArgumentException](new Engine(spark, root))
-      assert(e.getMessage.contains("control files"), s"root $root: ${e.getMessage}")
-    }
-    // plain local paths and explicit file: URIs stay accepted
-    graft.core.AtomicFiles.requireLocalRoot("/tmp/x", "spec")
-    graft.core.AtomicFiles.requireLocalRoot("file:/tmp/x", "spec")
+  test("non-local roots are ADMITTED (ControlFs port); an unreachable scheme fails loudly on use, never silently") {
+    // r10 refused non-local roots because the control plane was java.nio;
+    // the ControlFs port admits them — control state lives with the data.
+    // An unreachable/unresolvable scheme must still fail LOUDLY at first
+    // control-file touch (createCollection), not corrupt silently.
+    val e = new Engine(spark, "abfss://nowhere@example/graft") // constructs fine
+    intercept[Exception](
+      e.createCollection(CollectionConfig("c", 2, IndexType.Flat)))
+    // plain local roots keep the pre-port nio control plane: the version
+    // counter is the single `_version` file, bit-compatible on disk
+    val root = Files.createTempDirectory("cfs-compat").toString
+    val local = new Engine(spark, root)
+    local.createCollection(CollectionConfig("c", 2, IndexType.Flat))
+    local.upsertDocument("c", Document("a", Array(1f, 2f)))
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/c/_version"))).trim === "1")
   }
 
   test("create / duplicate-create / list / get / drop collection") {
@@ -536,5 +540,48 @@ class EngineSpec extends SparkSpec {
     val hits = e.searchDocuments("emb", v1, 2)
     assert(hits.map(_.id).toSet === Set("1", "2"))
     assert(math.abs(hits.head.distance) < 1e-9)
+  }
+
+  test("200-query point batch AUTO-SPLITS onto the zero-job serve: warm run job-free, rows ≡ distributed plan") {
+    // VERDICT-r10 watch item 2: a batch past the 16-query chunk previously
+    // fell off the local fast path silently; now it chunks over the same
+    // held cells. Row-identity vs the distributed plan AND zero warm jobs.
+    val root = Files.createTempDirectory("autosplit").toString
+    val e = new Engine(spark, root)
+    val dim = 4
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 120).map(i =>
+      Document(f"d$i%03d", Array.fill(dim)(rnd.nextFloat())))
+    e.createCollection(CollectionConfig("c", dim, IndexType.IvfFlat, SpaceType.L2))
+    e.batchUpsertDocuments("c", docs)
+    e.buildIndex("c", nlist = 4)
+    e.setParams("c", Map("nprobe" -> 4)) // full fan-out: local ≡ exact
+    val queries = (0 until 200).map(i =>
+      (s"q$i", Array.fill(dim)(rnd.nextFloat())))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getLong(3))).sortBy(t => (t._1, t._4))
+    // the distributed truth: the same queries through the batch plan
+    import spark.implicits._
+    val distributed = canon(e.searchVectorsDf("c",
+      queries.toDF("query_id", "query_vec"), 3)
+      .select(col("query_id").cast("string"), col("id").cast("string"),
+        col("distance"), col("rnk")))
+    val first = canon(e.searchVectors("c", queries, 3))
+    assert(first === distributed, "auto-split local ≠ distributed plan")
+    // warm repeat: all 13 chunks serve from held cells — ZERO jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val warm = canon(e.searchVectors("c", queries, 3))
+      assert(warm === first)
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"warm 200-query auto-split batch launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

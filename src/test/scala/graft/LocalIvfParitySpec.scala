@@ -12,9 +12,9 @@ import graft.core.{CollectionConfig, Document, IndexType, SpaceType}
   * same kernels, same (distance asc, id asc) rank with UTF-8-byte id
   * tie-order, same tombstone shadowing (cells collect from the same
   * tombstone-applied frame), and clean fallback (oversized budget) that
-  * never changes results. The single-query engine path routes local; the
-  * >16-query path routes distributed — comparing the two IS the parity
-  * gate.
+  * never changes results. The single-query engine path routes local; a
+  * duplicate-qid batch routes distributed — comparing the two IS the
+  * parity gate.
   */
 class LocalIvfParitySpec extends SparkSpec {
 
@@ -38,7 +38,11 @@ class LocalIvfParitySpec extends SparkSpec {
   private def bothPaths(e: Engine, coll: String, qid: String,
       qv: Array[Float], k: Int): (Seq[(String, Double, Long)], Seq[(String, Double, Long)]) = {
     val local = rowsOf(e.searchVectors(coll, Seq((qid, qv)), k), qid)
-    val padded = (0 until 17).map(i => (s"__pad$i", qv)) :+ ((qid, qv))
+    // duplicate "__pad" qids DECLINE the local route (the window plans
+    // merge a duplicated qid's rows; the per-query local loop cannot) —
+    // the reliable distributed-forcing trick now that >16-query batches
+    // AUTO-SPLIT onto the local serve instead of falling off it
+    val padded = (0 until 2).map(_ => ("__pad", qv)) :+ ((qid, qv))
     val dist = rowsOf(e.searchVectors(coll, padded, k), qid)
     (local, dist)
   }

@@ -26,7 +26,11 @@ class LocalPqParitySpec extends SparkSpec {
   private def bothPaths(e: Engine, qid: String, qv: Array[Float], k: Int)
       : (Seq[(String, Double, Long)], Seq[(String, Double, Long)]) = {
     val local = rowsOf(e.searchVectors("c", Seq((qid, qv)), k), qid)
-    val padded = (0 until 17).map(i => (s"__pad$i", qv)) :+ ((qid, qv))
+    // duplicate "__pad" qids DECLINE the local route (the window plans
+    // merge a duplicated qid's rows; the per-query local loop cannot) —
+    // the reliable distributed-forcing trick now that >16-query batches
+    // AUTO-SPLIT onto the local serve instead of falling off it
+    val padded = (0 until 2).map(_ => ("__pad", qv)) :+ ((qid, qv))
     val dist = rowsOf(e.searchVectors("c", padded, k), qid)
     (local, dist)
   }

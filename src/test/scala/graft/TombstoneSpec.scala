@@ -20,8 +20,8 @@ class TombstoneSpec extends SparkSpec {
   import spark.implicits._
 
   private def stampOf(root: String, coll: String): Long =
-    java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$root/$coll/index/layout_version")).trim.toLong
+    graft.core.ControlFs.forRoot(root)
+      .readString(s"$root/$coll/index/layout_version").trim.toLong
 
   private def mkCorpus(n: Int): Seq[Document] =
     (0 until n).map(i => Document(i.toString, Array(i * 1f, (i % 7) * 1f, 0f, 0f)))
@@ -39,7 +39,7 @@ class TombstoneSpec extends SparkSpec {
 
   test("update + delete batches keep every indexed tier current; results ≡ rebuild") {
     for ((coll, it, params) <- tiers) {
-      val root = Files.createTempDirectory(s"tomb-$coll").toString
+      val root = testRoot(s"tomb-$coll")
       val e = new Engine(spark, root)
       e.createCollection(CollectionConfig(coll, 4, it, params = params))
       e.batchUpsertDocuments(coll, mkCorpus(30))
@@ -63,7 +63,7 @@ class TombstoneSpec extends SparkSpec {
         s"$coll: delete batch staled the layout (no tombstone maintenance)")
 
       // a twin engine whose index is BUILT FRESH over the same final state
-      val root2 = Files.createTempDirectory(s"tomb-$coll-twin").toString
+      val root2 = testRoot(s"tomb-$coll-twin")
       val e2 = new Engine(spark, root2)
       e2.createCollection(CollectionConfig(coll, 4, it, params = params))
       e2.batchUpsertDocuments(coll, mkCorpus(30).filterNot(d => Set("5", "9")(d.id))
@@ -101,7 +101,7 @@ class TombstoneSpec extends SparkSpec {
 
   test("REST batch upserts keep every indexed tier current; results ≡ rebuild") {
     for ((coll, it, params) <- tiers) {
-      val root = Files.createTempDirectory(s"rest-$coll").toString
+      val root = testRoot(s"rest-$coll")
       val e = new Engine(spark, root)
       e.createCollection(CollectionConfig(coll, 4, it, params = params))
       e.batchUpsertDocuments(coll, mkCorpus(30)) // unbuilt → plain path
@@ -132,7 +132,7 @@ class TombstoneSpec extends SparkSpec {
         s"$coll: delete after REST upsert staled the layout")
 
       // twin engine BUILT FRESH over the same final corpus state
-      val root2 = Files.createTempDirectory(s"rest-$coll-twin").toString
+      val root2 = testRoot(s"rest-$coll-twin")
       val e2 = new Engine(spark, root2)
       e2.createCollection(CollectionConfig(coll, 4, it, params = params))
       e2.batchUpsertDocuments(coll,
@@ -199,7 +199,7 @@ class TombstoneSpec extends SparkSpec {
     // LocalPointReaderSpec pattern.
     val quantized = tiers.filterNot(_._2 == IndexType.Hnsw)
     val engines = quantized.map { case (coll, it, params) =>
-      val root = Files.createTempDirectory(s"jobfree-$coll").toString
+      val root = testRoot(s"jobfree-$coll")
       val e = new Engine(spark, root)
       e.createCollection(CollectionConfig(coll, 4, it, params = params))
       e.batchUpsertDocuments(coll, mkCorpus(30))
@@ -246,7 +246,7 @@ class TombstoneSpec extends SparkSpec {
   }
 
   test("compactLayout folds tombstones: shadowed rows gone, sidecar cleared, results stable") {
-    val root = Files.createTempDirectory("tomb-fold").toString
+    val root = testRoot("tomb-fold")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("c", 4, IndexType.Sq))
     e.batchUpsertDocuments("c", mkCorpus(30))
@@ -256,15 +256,14 @@ class TombstoneSpec extends SparkSpec {
         .toDF("id", "vector", "params"), batchId = Some(0L))
     e.deleteDocuments("c", Seq("5"))
     val layout = e.layoutDir("c").get // generation-resolved
-    val sidecar = java.nio.file.Paths.get(s"$layout/_tombstones")
-    assert(java.nio.file.Files.exists(sidecar), "setup: sidecar expected")
+    assert(cfsOf(layout).exists(s"$layout/_tombstones"),
+      "setup: sidecar expected")
     val before = e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
     assert(e.compactLayout("c"), "compaction must run on the current layout")
     // the fold wrote a NEW generation: the sidecar retired with the old dir
     val folded = e.layoutDir("c").get
     assert(folded != layout, "compaction must flip to a new generation")
-    assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$folded/_tombstones")),
+    assert(!cfsOf(folded).exists(s"$folded/_tombstones"),
       "compaction must fold the tombstone sidecar away")
     // folded layout holds exactly the live incarnations: no row for the
     // deleted id, exactly one (the new one) for the updated id
@@ -283,15 +282,14 @@ class TombstoneSpec extends SparkSpec {
     // reader racing that window sees a parquet dir with zero committed files.
     // Deterministic replay of that window: materialize exactly the staging
     // shape and drive every sidecar consumer through it.
-    val root = Files.createTempDirectory("tomb-staging").toString
+    val root = testRoot("tomb-staging")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("c", 4, IndexType.Sq))
     e.batchUpsertDocuments("c", mkCorpus(30))
     e.buildIndex("c")
     val clean = e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
     val layout = e.layoutDir("c").get
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$layout/_tombstones/_temporary/0"))
+    cfsOf(layout).mkdirs(s"$layout/_tombstones/_temporary/0")
     // uncommitted delete not visible yet (snapshot semantics): same results
     assert(e.searchDocuments("c", Array(4.9f, 4f, 0f, 0f), 5).map(_.id) === clean,
       "staging-only sidecar changed served results")
@@ -306,14 +304,13 @@ class TombstoneSpec extends SparkSpec {
     e.batchUpsertDocuments("g", mkCorpus(30))
     e.buildIndex("g")
     val gClean = e.searchDocuments("g", Array(4.9f, 4f, 0f, 0f), 5).map(_.id)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"${e.layoutDir("g").get}/_delta/_temporary/0"))
+    cfsOf(root).mkdirs(s"${e.layoutDir("g").get}/_delta/_temporary/0")
     assert(e.searchDocuments("g", Array(4.9f, 4f, 0f, 0f), 5).map(_.id) === gClean,
       "staging-only delta changed served results")
   }
 
   test("tombstoneCompactRows auto-folds; graph tier folds via rebuild and serves post-fold") {
-    val root = Files.createTempDirectory("tomb-auto").toString
+    val root = testRoot("tomb-auto")
     val e = new Engine(spark, root)
     // quantized tier: auto-compact at 2 tombstone rows
     e.createCollection(CollectionConfig("c", 4, IndexType.Sq,
@@ -321,8 +318,7 @@ class TombstoneSpec extends SparkSpec {
     e.batchUpsertDocuments("c", mkCorpus(20))
     e.buildIndex("c")
     e.deleteDocuments("c", Seq("5", "9"))
-    val sidecar = java.nio.file.Paths.get(s"${e.layoutDir("c").get}/_tombstones")
-    assert(!java.nio.file.Files.exists(sidecar),
+    assert(!cfsOf(root).exists(s"${e.layoutDir("c").get}/_tombstones"),
       "tombstoneCompactRows must have folded the sidecar")
     assert(!e.searchDocuments("c", Array(5f, 5f, 0f, 0f), 3).map(_.id).contains("5"))
     // graph tier: the fold is a buildIndex (adjacency rewrite); the layout
@@ -332,8 +328,7 @@ class TombstoneSpec extends SparkSpec {
     e.batchUpsertDocuments("g", mkCorpus(20))
     e.buildIndex("g")
     e.deleteDocuments("g", Seq("5", "9"))
-    val gSidecar = java.nio.file.Paths.get(s"${e.layoutDir("g").get}/_tombstones")
-    assert(!java.nio.file.Files.exists(gSidecar),
+    assert(!cfsOf(root).exists(s"${e.layoutDir("g").get}/_tombstones"),
       "graph tombstone fold (rebuild) did not clear the sidecar")
     val hits = e.searchDocuments("g", Array(5f, 5f, 0f, 0f), 3).map(_.id)
     assert(!hits.contains("5") && !hits.contains("9"),
@@ -354,7 +349,7 @@ class TombstoneSpec extends SparkSpec {
       .map { case ("d3", _) => ("d3", Seq(tok(50f, 50f), tok(51f, 51f))) // shrunk 3→2 + moved
              case d => d }
 
-    val root = Files.createTempDirectory("tomb-mv").toString
+    val root = testRoot("tomb-mv")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("mv", 4, IndexType.IvfFlat,
       params = Map("multivector" -> "true")))
@@ -363,7 +358,7 @@ class TombstoneSpec extends SparkSpec {
     e.batchUpsertMultiVector("mv", Seq(finalDocs.find(_._1 == "d3").get))
     e.deleteMultiVector("mv", "d5")
 
-    val root2 = Files.createTempDirectory("tomb-mv-twin").toString
+    val root2 = testRoot("tomb-mv-twin")
     val e2 = new Engine(spark, root2)
     e2.createCollection(CollectionConfig("mv", 4, IndexType.IvfFlat,
       params = Map("multivector" -> "true")))
@@ -392,7 +387,7 @@ class TombstoneSpec extends SparkSpec {
   }
 
   test("a tombstone sidecar past maxServedTombstones falls back, never serves wrong") {
-    val root = Files.createTempDirectory("tomb-bound").toString
+    val root = testRoot("tomb-bound")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("g", 4, IndexType.Hnsw))
     e.batchUpsertDocuments("g", mkCorpus(30))
