@@ -891,7 +891,7 @@ object ScaleBench {
       def wantOp(op: String): Boolean = rowFilter.forall(_(op))
       rowFilter.foreach(f => println(s"[scale] textops1000 rows run: " +
         s"${f.mkString(",")}; skipped: ${Seq("minhash", "substr", "substr_sampled",
-          "passage_scrub", "bloom_decontam", "boilerplate").filterNot(f).mkString(",")}"))
+          "passage_scrub", "bloom_decontam", "boilerplate", "bpe_encode").filterNot(f).mkString(",")}"))
       for ((tag, d) <- Seq("10x" -> big.filter(col("doc_id") < 10 * nd),
           s"${bigF}x" -> big)) {
         spark.catalog.clearCache()
@@ -951,6 +951,31 @@ object ScaleBench {
           Boilerplate.coverage(d.withColumn("src",
             concat(lit("s"), pmod(col("doc_id"), lit(20)))),
             "doc_id", "text", "src"))))
+        // bpe_encode_ids at corpus scale: the per-document token-ID
+        // artifact (doc_id, pos, token_id) a training pipeline ships —
+        // corpus posexplode → BROADCAST join against the word-TYPE id
+        // table (the type table saturates, Heaps' law: it never grows
+        // with replicas) → one per-doc window for the global position.
+        // The claim is the encode side's LINEARITY in documents (train's
+        // corpus-independence is already pinned by the bpe section); the
+        // merge loop runs on word types only, never the corpus.
+        if (wantOp("bpe_encode")) row(s"big_bpe_encode_ids_$tag") {
+          import graft.operators.Bpe
+          val wc = Bpe.wordCounts(d, "text")
+          val merges = Bpe.trainDistributed(wc, 64)
+          val wordIds = Bpe.encodeWordsDf(wc, "word", merges)
+            .select(col("word"), col("toks").as("ids"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("wpos").asc, col("tpos").asc)
+          time(drain(d
+            .select(col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
+            .join(broadcast(wordIds), "word")
+            .select(col("doc_id"), col("wpos"),
+              posexplode(col("ids")).as(Seq("tpos", "token_id")))
+            .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+            .select(col("doc_id"), col("pos"), col("token_id"))))
+        }
       }
       val bx = s"${bigF}x"
       Seq(("scaling_big_minhash", s"big_minhash_$bx", "big_minhash_10x"),
@@ -962,13 +987,19 @@ object ScaleBench {
           s"big_substr_dedup_${bx}_shuffle_mb", s"big_substr_sampled_${bx}_shuffle_mb"),
         ("scaling_big_passage_scrub", s"big_passage_scrub_$bx", "big_passage_scrub_10x"),
         ("scaling_big_bloom_decontam", s"big_bloom_decontam_$bx", "big_bloom_decontam_10x"),
-        ("scaling_big_boilerplate", s"big_boilerplate_$bx", "big_boilerplate_10x"))
+        ("scaling_big_boilerplate", s"big_boilerplate_$bx", "big_boilerplate_10x"),
+        ("scaling_big_bpe_encode", s"big_bpe_encode_ids_$bx", "big_bpe_encode_ids_10x"))
         .foreach { case (k, num, den) =>
           if (out.contains(num) && out.contains(den) && out(den) != 0.0)
             out(k) = out(num) / out(den)
           else if (out.contains(num) && out.contains(den))
             println(s"[scale] ratio $k skipped: denominator $den is 0") // never silent
         }
+      // normalized per-docs linearity: time ratio over doc ratio — ≤~1.3
+      // means the encode side scales (sub-)linearly in documents
+      if (out.contains("scaling_big_bpe_encode"))
+        out("linearity_big_bpe_encode") =
+          out("scaling_big_bpe_encode") / (bigF / 10.0)
     }
 
     val scaled = s"${factor}x"

@@ -29,6 +29,14 @@ import graft.core.Json
 class Server(engine: Engine, port: Int = 0) {
   import Json._
 
+  // TCP_NODELAY on the built-in HttpServer (read from this property at its
+  // class init): headers and body go out in separate writes, and with Nagle
+  // on, the second write stalls behind the peer's delayed ACK — a fixed
+  // ~40 ms tax on EVERY response that dwarfed the zero-job serve itself
+  // (the r10 rest-minus-engine gap). Must be set before the first
+  // HttpServer class load; idempotent thereafter.
+  Server.ensureNoDelay()
+
   private val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   http.setExecutor(null) // serial, matching single-process reference semantics
   http.createContext("/", handle _)
@@ -109,7 +117,12 @@ class Server(engine: Engine, port: Int = 0) {
   }
 
   private def reply(ex: HttpExchange, code: Int, v: Value): Unit = {
-    val bytes = write(v).getBytes(StandardCharsets.UTF_8)
+    // one streamed emit (Json.writeTo) → one byte[] → one write: the
+    // per-node string-concat writer allocated the response several times
+    // over on vector-echo bodies
+    val sb = new java.lang.StringBuilder(512)
+    writeTo(v, sb)
+    val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
@@ -285,6 +298,14 @@ class Server(engine: Engine, port: Int = 0) {
     val o = body(ex).asObj
     val vec = vectorOf(req(o, "vector"))
     val limit = o.get("limit").map(_.asInt).getOrElse(10)
+    // `include_vectors` (beyond the reference's fields, default TRUE for
+    // wire parity — handlers.go:284-301 echoes each hit's vector): false
+    // drops the vector/dimension echo, the dominant response bytes when
+    // the caller only wants ids + metadata + distances
+    val includeVectors = o.get("include_vectors") match {
+      case Some(Bool(b)) => b
+      case _ => true
+    }
     // the reference ACCEPTS filter and ignores it (`document.go:171`); we
     // honor it as equality predicates over params (§7.4 fix)
     val filter = o.get("filter").map(_.asObj).filter(_.nonEmpty).map { f =>
@@ -298,10 +319,29 @@ class Server(engine: Engine, port: Int = 0) {
     // per-hit GetDocument loop is the N+1 shape SURVEY J1 exists to avoid);
     // driver-local footer-pruned parquet reads — no Spark job per request
     val fetched = engine.fetchDocuments(name, hits.map(_.id))
-    val docs = hits.flatMap(h => fetched.get(h.id)
-      .map(d => docJson(d, "distance" -> Num(h.distance))))
+    val docs = hits.flatMap(h => fetched.get(h.id).map { d =>
+      if (includeVectors) docJson(d, "distance" -> Num(h.distance))
+      else Obj.of(
+        "id" -> Str(d.id),
+        "parameters" -> Obj(d.params.map { case (k, v) => k -> Str(v) }),
+        "distance" -> Num(h.distance))
+    })
     reply(ex, 200, Obj.of(
       "documents" -> Arr(docs),
       "distances" -> Arr(hits.map(h => Num(h.distance)))))
   }
+}
+
+object Server {
+  /** `sun.net.httpserver.nodelay` is read ONCE at the HttpServer
+    * implementation's class initialization — set it before any server in
+    * this JVM is created. Without it, the two-write response (headers,
+    * then body) interacts with Nagle + the client's delayed ACK into a
+    * fixed ~40 ms floor per request on loopback.
+    */
+  private lazy val noDelaySet: Unit = {
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+  }
+  private[api] def ensureNoDelay(): Unit = noDelaySet
 }

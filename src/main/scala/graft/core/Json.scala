@@ -132,24 +132,68 @@ object Json {
 
   // ---- write ----
 
-  def write(v: Value): String = v match {
-    case Obj(m) => m.toSeq.map { case (k, vv) => s"${quote(k)}:${write(vv)}" }
-      .mkString("{", ",", "}")
-    case Arr(vs) => vs.map(write).mkString("[", ",", "]")
-    case Str(s) => quote(s)
-    case Num(n) =>
-      if (n.isWhole && math.abs(n) < 1e15) n.toLong.toString else n.toString
-    case Bool(b) => b.toString
-    case Null => "null"
+  def write(v: Value): String = {
+    val sb = new java.lang.StringBuilder(256)
+    writeTo(v, sb)
+    sb.toString
   }
 
-  private def quote(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  /** Streaming emitter: appends in place — the recursive string-concat
+    * form allocated one intermediate String per node, which dominated the
+    * serialize cost of vector-echo responses (k docs × dim floats each).
+    */
+  def writeTo(v: Value, sb: java.lang.StringBuilder): Unit = v match {
+    case Obj(m) =>
+      sb.append('{')
+      var first = true
+      m.foreach { case (k, vv) =>
+        if (!first) sb.append(',')
+        first = false
+        quoteTo(k, sb); sb.append(':'); writeTo(vv, sb)
+      }
+      sb.append('}')
+    case Arr(vs) =>
+      sb.append('[')
+      var first = true
+      vs.foreach { vv =>
+        if (!first) sb.append(',')
+        first = false
+        writeTo(vv, sb)
+      }
+      sb.append(']')
+    case Str(s) => quoteTo(s, sb)
+    case Num(n) =>
+      if (n.isWhole && math.abs(n) < 1e15) sb.append(n.toLong) else sb.append(n)
+    case Bool(b) => sb.append(b)
+    case Null => sb.append("null")
+  }
+
+  private def quoteTo(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    // fast path: scan for the first char needing an escape; most strings
+    // (ids, field names, params) have none and append whole
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\' || c < ' ') clean = false else i += 1
+    }
+    if (clean) sb.append(s)
+    else {
+      sb.append(s, 0, i)
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '"' => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+    }
+    sb.append('"')
+  }
 }

@@ -447,14 +447,6 @@ object GraphAnn {
     * not re-scan parquet every request). Bounded (`MaxLocalCells`,
     * insertion order) and version-evicted like the executor GraphCache.
     */
-  private val localCells = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int), (Option[NswIndex], Long)] // (graph-or-empty, bytes)
-  private val localCellOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]
-  private val localCellBytes = new java.util.concurrent.atomic.AtomicLong(0)
-  private val localIdTypes = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), org.apache.spark.sql.types.DataType]
-  private val MaxLocalCells = 64
   // the bound that actually protects the driver heap: resident BYTES
   // (dim- and degree-aware, NswIndex.residentBytes), not entries or rows —
   // 64 cells of a big layout, or a row budget sized for 64-d vectors
@@ -462,48 +454,18 @@ object GraphAnn {
   // Operable knob (test/ops hook): default 1 GiB.
   @volatile var maxLocalServeBytes: Long = 1L << 30
 
-  private def removeLocalCell(key: (String, Long, Int)): Unit = {
-    localCells.remove(key).foreach { case (_, b) =>
-      localCellBytes.addAndGet(-b)
-    }
-    localCellOrder.remove(key)
-  }
-
-  /** Insert under the entry + byte budgets. Eviction here can only cost a
-    * future reload — in-flight requests hold direct references to the
-    * graphs they use, never re-read the evictable map mid-request.
-    */
-  private def insertLocalCell(key: (String, Long, Int),
-      idx: Option[NswIndex]): Unit = {
-    // empty cells cache as a tombstone (probing one must not re-scan
-    // parquet per request) at a nominal entry cost
-    val bytes = idx.map(_.residentBytes).getOrElse(64L)
-    if (localCells.putIfAbsent(key, (idx, bytes)).isEmpty) {
-      localCellOrder.add(key)
-      localCellBytes.addAndGet(bytes)
-      // stale versions of this layout die on insert
-      localCells.keys.filter(kk => kk._1 == key._1 && kk._2 != key._2)
-        .foreach { kk => removeLocalCell(kk); localCellEvictions.incrementAndGet() }
-      var evicting = localCells.size > MaxLocalCells ||
-        localCellBytes.get() > maxLocalServeBytes
-      while (evicting) {
-        val oldest = localCellOrder.poll()
-        if (oldest == null) evicting = false
-        else {
-          localCells.remove(oldest).foreach { case (_, b) =>
-            localCellBytes.addAndGet(-b)
-            localCellEvictions.incrementAndGet()
-          }
-          evicting = localCells.size > MaxLocalCells ||
-            localCellBytes.get() > maxLocalServeBytes
-        }
-      }
-    }
-  }
+  // ONE cell-cache implementation across all zero-job tiers (LocalCellCache,
+  // shared with LocalIvfServe/LocalPqServe): same byte/entry budgets,
+  // insertion-order eviction, generation-stem superseded-eviction, and
+  // metric counters — the graph tier's id-type memo and ephemeral call ids
+  // stay here as its typed extras.
+  private val localCellCache = new LocalCellCache[NswIndex](64,
+    _.residentBytes, () => maxLocalServeBytes)
+  private val localIdTypes = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), org.apache.spark.sql.types.DataType]
 
   private[operators] def dropLocalCells(layoutIdPrefix: String): Unit = {
-    localCells.keys.filter(_._1.startsWith(layoutIdPrefix))
-      .foreach(removeLocalCell)
+    localCellCache.drop(layoutIdPrefix)
     localIdTypes.keys.filter(_._1.startsWith(layoutIdPrefix))
       .foreach(localIdTypes.remove)
   }
@@ -514,18 +476,16 @@ object GraphAnn {
     localIdTypes.remove((layoutId, version))
 
   private[operators] def clearLocalCells(): Unit = {
-    localCells.clear(); localCellOrder.clear(); localIdTypes.clear()
-    localCellBytes.set(0)
+    localCellCache.clear(); localIdTypes.clear()
   }
 
-  // test/ops hook: loads since process start (a steady-state serving loop
-  // must not grow this)
-  val localCellLoads = new java.util.concurrent.atomic.AtomicInteger(0)
-  // serving-cache metrics: cell probes served from cache vs loaded, and
-  // entries dropped by budget/version eviction
-  val localCellHits = new java.util.concurrent.atomic.AtomicLong(0)
-  val localCellMisses = new java.util.concurrent.atomic.AtomicLong(0)
-  val localCellEvictions = new java.util.concurrent.atomic.AtomicLong(0)
+  // test/ops hooks (stable names; backed by the shared cache's counters):
+  // loads since process start, probes served from cache vs loaded, entries
+  // dropped by budget/version eviction
+  def localCellLoads: java.util.concurrent.atomic.AtomicInteger = localCellCache.loads
+  def localCellHits: java.util.concurrent.atomic.AtomicLong = localCellCache.hits
+  def localCellMisses: java.util.concurrent.atomic.AtomicLong = localCellCache.misses
+  def localCellEvictions: java.util.concurrent.atomic.AtomicLong = localCellCache.evictions
   // schema re-inferences after an idType eviction (driver-side footer read,
   // no job) — kept distinct from loads so loads == "requests that collected
   // cell rows" stays reconcilable with misses
@@ -545,8 +505,8 @@ object GraphAnn {
     * current residency against the byte budget.
     */
   def localServeMetrics: Map[String, Long] = Map(
-    "local_serve_cells" -> localCells.size.toLong,
-    "local_serve_bytes" -> localCellBytes.get(),
+    "local_serve_cells" -> localCellCache.size.toLong,
+    "local_serve_bytes" -> localCellCache.residentBytes,
     "local_serve_max_bytes" -> maxLocalServeBytes,
     "local_serve_loads" -> localCellLoads.get().toLong,
     "local_serve_hits" -> localCellHits.get(),
@@ -613,57 +573,35 @@ object GraphAnn {
     // request's inserts, a collection drop) — re-reading it mid-request
     // could silently drop a probed cell's hits; holding references here
     // makes eviction a pure reload cost, never a correctness event.
-    val held = scala.collection.mutable.Map.empty[Int, Option[NswIndex]]
-    needed.foreach { c =>
-      localCells.get((layoutId, version, c)).foreach(v => held(c) = v._1)
-    }
-    val missing = needed.filterNot(held.contains)
-    localCellHits.addAndGet(held.size.toLong)
-    localCellMisses.addAndGet(missing.length.toLong)
+    //
+    // Resolution is the SHARED LocalCellResolve.resolveSplit (one probe /
+    // oversized-pre-check / pruned-collect implementation across all
+    // zero-job tiers) in its per-cell mode: loadable misses collect and
+    // cache in ONE pruned job; a cell whose estimated resident bytes
+    // exceed the whole budget is never collected — its hits come from a
+    // bounded distributed pruned job below instead (≤ queries × k rows
+    // back, same reconstruction + beam, executor GraphCache amortizes the
+    // rebuild).
+    lazy val graphAll = readLayoutGraph(spark, path)
     var idTypeOpt = localIdTypes.get((layoutId, version))
+    if (idTypeOpt.isEmpty) {
+      // schema refresh is DRIVER-SIDE footer inference, not a job — and
+      // it is counted separately so loads/misses stay reconcilable
+      // (previously an all-hits request with an evicted idType ran a
+      // no-row load job that grew local_serve_loads with misses flat)
+      localIdTypeRefreshes.incrementAndGet()
+      idTypeOpt = Some(graphAll.schema("id").dataType)
+      localIdTypes.keys.filter(kk => kk._1 == layoutId && kk._2 != version)
+        .foreach(localIdTypes.remove) // superseded epochs must not pile up
+      localIdTypes.putIfAbsent((layoutId, version), idTypeOpt.get)
+    }
+    val (held, oversized) = LocalCellResolve.resolveSplit[NswIndex](
+      localCellCache, spark, layoutId, version, path, "part",
+      graphAll, needed, maxLocalServeBytes,
+      df => df, rs => reconstructCell(rs, space))
     // per-query hits from cells too big to collect (filled below)
     var oversizedHits = Map.empty[Int, Array[(Any, Double)]]
-    if (missing.nonEmpty || idTypeOpt.isEmpty) {
-      val graphAll = readLayoutGraph(spark, path)
-      if (idTypeOpt.isEmpty) {
-        // schema refresh is DRIVER-SIDE footer inference, not a job — and
-        // it is counted separately so loads/misses stay reconcilable
-        // (previously an all-hits request with an evicted idType ran a
-        // no-row load job that grew local_serve_loads with misses flat)
-        localIdTypeRefreshes.incrementAndGet()
-        idTypeOpt = Some(graphAll.schema("id").dataType)
-        localIdTypes.keys.filter(kk => kk._1 == layoutId && kk._2 != version)
-          .foreach(localIdTypes.remove) // superseded epochs must not pile up
-        localIdTypes.putIfAbsent((layoutId, version), idTypeOpt.get)
-      }
-      // transient bound: the byte budget caps steady-state residency, but
-      // the collect below lands on the driver BEFORE insertLocalCell's
-      // eviction can push back — one skewed router cell holding most of
-      // the corpus would spike driver heap past the budget. Pre-check each
-      // missing cell's size from the parquet file listing (driver-side, no
-      // job); a cell whose estimated resident bytes exceed the whole
-      // budget is never collected or cached: its hits come from a bounded
-      // distributed pruned job instead (≤ queries × k rows back, same
-      // reconstruction + beam, executor GraphCache amortizes the rebuild).
-      val fsBase = new org.apache.hadoop.fs.Path(path)
-      val fsys = fsBase.getFileSystem(spark.sessionState.newHadoopConf())
-      val (oversized, loadable) = missing.partition { c =>
-        val dir = new org.apache.hadoop.fs.Path(fsBase, s"part=$c")
-        val disk = if (fsys.exists(dir)) fsys.getContentSummary(dir).getLength else 0L
-        disk * LocalServeDiskExpansion > maxLocalServeBytes
-      }
-      if (loadable.nonEmpty) {
-        // one pruned job loads EVERY loadable missing probed cell
-        val byCell = graphAll.filter(col("part").isin(loadable.map(Int.box): _*))
-          .collect().groupBy(_.getInt(0))
-        localCellLoads.incrementAndGet()
-        loadable.foreach { c =>
-          val idx = byCell.get(c).map(rs => reconstructCell(rs, space))
-          held(c) = idx
-          insertLocalCell((layoutId, version, c), idx)
-        }
-      }
-      if (oversized.nonEmpty) {
+    if (oversized.nonEmpty) {
         localCellOversized.addAndGet(oversized.length.toLong)
         val ovSet = oversized.toSet
         val routing = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
@@ -722,7 +660,6 @@ object GraphAnn {
         // layout re-enters this block per request and would accrete a
         // broadcast pair each time until ContextCleaner catches up
         } finally { bcQ.destroy(); bcRoute.destroy() }
-      }
     }
     val idType = idTypeOpt.get
     val idOrd: (Any, Any) => Boolean = idLt

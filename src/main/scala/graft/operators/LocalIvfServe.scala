@@ -16,40 +16,96 @@ import graft.kernels.VecKernels
   */
 private[graft] object LocalCellResolve {
 
+  /** Cache probe: cells already held (by direct reference) and the probe's
+    * misses, with the hit/miss counters advanced.
+    */
+  private def probe[C](cache: LocalCellCache[C], keyPath: String, stamp: Long,
+      needed: Seq[Int]): (scala.collection.mutable.Map[Int, Option[C]], Seq[Int]) = {
+    val held = scala.collection.mutable.Map.empty[Int, Option[C]]
+    needed.foreach { c =>
+      cache.get((keyPath, stamp, c)).foreach(v => held(c) = v)
+    }
+    val missing = needed.filterNot(held.contains)
+    cache.hits.addAndGet(held.size.toLong)
+    cache.misses.addAndGet(missing.length.toLong)
+    (held, missing)
+  }
+
+  /** Partition `missing` into (oversized, loadable) by the parquet disk
+    * footprint of each cell's partition dir (driver-side listing, no job):
+    * a cell whose estimated RESIDENT size exceeds the whole byte budget
+    * must never be collected to the driver.
+    */
+  private def splitOversized(spark: SparkSession, fsPath: String,
+      partCol: String, missing: Seq[Int], maxBytes: Long): (Seq[Int], Seq[Int]) = {
+    val fsBase = new org.apache.hadoop.fs.Path(fsPath)
+    val fsys = fsBase.getFileSystem(spark.sessionState.newHadoopConf())
+    missing.partition { c =>
+      val dir = new org.apache.hadoop.fs.Path(fsBase, s"$partCol=$c")
+      val disk = if (fsys.exists(dir)) fsys.getContentSummary(dir).getLength else 0L
+      disk * GraphAnn.LocalServeDiskExpansion > maxBytes
+    }
+  }
+
+  /** ONE partition-pruned collect for every cell in `toLoad`, built and
+    * inserted under (keyPath, stamp, cell); absent cells cache as None.
+    */
+  private def load[C](cache: LocalCellCache[C], keyPath: String, stamp: Long,
+      partCol: String, layoutFrame: DataFrame, toLoad: Seq[Int],
+      select: DataFrame => DataFrame, build: Array[Row] => C,
+      held: scala.collection.mutable.Map[Int, Option[C]]): Unit = {
+    val byCell = select(layoutFrame
+        .filter(col(partCol).isin(toLoad.map(Int.box): _*)))
+      .collect().groupBy(_.getInt(0))
+    cache.loads.incrementAndGet()
+    toLoad.foreach { c =>
+      val cell = byCell.get(c).map(build)
+      held(c) = cell
+      cache.insert((keyPath, stamp, c), cell)
+    }
+  }
+
   /** None = a probed cell's disk footprint exceeds the whole byte budget —
-    * the caller declines to the distributed plan.
+    * the caller declines the REQUEST to the distributed plan (nothing is
+    * collected on the decline path).
     */
   def resolve[C](cache: LocalCellCache[C], spark: SparkSession, path: String,
       stamp: Long, layoutFrame: => DataFrame, needed: Seq[Int], maxBytes: Long,
       select: DataFrame => DataFrame,
       build: Array[Row] => C): Option[collection.Map[Int, Option[C]]] = {
-    val held = scala.collection.mutable.Map.empty[Int, Option[C]]
-    needed.foreach { c =>
-      cache.get((path, stamp, c)).foreach(v => held(c) = v)
-    }
-    val missing = needed.filterNot(held.contains)
-    cache.hits.addAndGet(held.size.toLong)
-    cache.misses.addAndGet(missing.length.toLong)
+    val (held, missing) = probe(cache, path, stamp, needed)
     if (missing.nonEmpty) {
-      val fsBase = new org.apache.hadoop.fs.Path(path)
-      val fsys = fsBase.getFileSystem(spark.sessionState.newHadoopConf())
-      val oversized = missing.exists { c =>
-        val dir = new org.apache.hadoop.fs.Path(fsBase, s"cluster_id=$c")
-        val disk = if (fsys.exists(dir)) fsys.getContentSummary(dir).getLength else 0L
-        disk * GraphAnn.LocalServeDiskExpansion > maxBytes
+      val (oversized, loadable) =
+        splitOversized(spark, path, "cluster_id", missing, maxBytes)
+      if (oversized.nonEmpty) {
+        cache.oversizedDeclines.incrementAndGet(); return None
       }
-      if (oversized) { cache.oversizedDeclines.incrementAndGet(); return None }
-      val byCell = select(layoutFrame
-          .filter(col("cluster_id").isin(missing.map(Int.box): _*)))
-        .collect().groupBy(_.getInt(0))
-      cache.loads.incrementAndGet()
-      missing.foreach { c =>
-        val cell = byCell.get(c).map(build)
-        held(c) = cell
-        cache.insert((path, stamp, c), cell)
-      }
+      load(cache, path, stamp, "cluster_id", layoutFrame, loadable,
+        select, build, held)
     }
     Some(held)
+  }
+
+  /** The graph tier's PER-CELL variant: loadable misses are collected and
+    * cached, oversized ones are returned for the caller to serve through a
+    * bounded distributed job instead (the request proceeds either way —
+    * the graph tier never declines wholesale). `keyPath` keys the cache
+    * (a layout id, possibly ephemeral); `fsPath` locates the partition
+    * dirs on disk; `partCol` is the layout's partition column name.
+    */
+  def resolveSplit[C](cache: LocalCellCache[C], spark: SparkSession,
+      keyPath: String, stamp: Long, fsPath: String, partCol: String,
+      layoutFrame: => DataFrame, needed: Seq[Int], maxBytes: Long,
+      select: DataFrame => DataFrame, build: Array[Row] => C)
+      : (scala.collection.mutable.Map[Int, Option[C]], Seq[Int]) = {
+    val (held, missing) = probe(cache, keyPath, stamp, needed)
+    if (missing.isEmpty) return (held, Nil)
+    val (oversized, loadable) =
+      splitOversized(spark, fsPath, partCol, missing, maxBytes)
+    if (loadable.nonEmpty)
+      load(cache, keyPath, stamp, partCol, layoutFrame, loadable,
+        select, build, held)
+    (held, oversized)
   }
 }
 

@@ -73,6 +73,19 @@ class ServerSpec extends SparkSpec {
     assert(dists === Seq(0.0, 27.0)) // distance_test.go:26-33
     val ids = vs.asObj("documents").asArr.map(_.asObj("id").asStr)
     assert(ids === Seq("1", "2"))
+    // default shape echoes each hit's vector (handlers.go:284-301 parity)
+    assert(vs.asObj("documents").asArr.head.asObj("vector").asArr
+      .map(_.asDouble) === Seq(1.0, 2.0, 3.0))
+
+    // include_vectors=false: same hits/metadata/distances, NO vector echo
+    val (cn, vn) = req("POST", "/v1/collections/e2e/documents/search",
+      """{"vector":[1,2,3],"limit":2,"include_vectors":false}""")
+    assert(cn === 200)
+    val slim = vn.asObj("documents").asArr.map(_.asObj)
+    assert(slim.map(_("id").asStr) === Seq("1", "2"))
+    assert(slim.forall(!_.contains("vector")), "vector echo must be dropped")
+    assert(slim.head("parameters").asObj("tag").asStr === "test1")
+    assert(vn.asObj("distances").asArr.map(_.asDouble) === Seq(0.0, 27.0))
 
     // filter honored (reference ignores it — §7.4 fix)
     val (cf, vf) = req("POST", "/v1/collections/e2e/documents/search",
