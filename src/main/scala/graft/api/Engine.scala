@@ -1599,6 +1599,16 @@ class Engine(
     spark.conf.getOption("spark.graft.maxLocalServeBatch")
       .map(_.toInt).getOrElse(1024)
 
+  /** Driver-side concatenation of per-chunk local-serve results: collect on
+    * a LocalTableScan is job-free, a `union` plan's collect is not — the
+    * zero-job property must survive the split.
+    */
+  private def concatLocalFrames(frames: Seq[DataFrame]): DataFrame =
+    if (frames.size == 1) frames.head
+    else spark.createDataFrame(
+      java.util.Arrays.asList(frames.flatMap(_.collect()): _*),
+      frames.head.schema)
+
   /** Shared local-route guard of the cell-serving tiers: point-request
     * size (chunk-split up to `maxLocalServeBatch`), unique qids (the window
     * plans merge a duplicated id's rows into ONE k-row group; a per-query
@@ -1629,13 +1639,7 @@ class Engine(
           val parts = queries.grouped(LocalServeChunk)
             .map(chunk => serve(frame, stamp, chunk, localElig)).toSeq
           if (parts.exists(_.isEmpty)) None
-          else {
-            val frames = parts.flatten
-            if (frames.size == 1) frames.headOption
-            else Some(spark.createDataFrame(
-              java.util.Arrays.asList(frames.flatMap(_.collect()): _*),
-              frames.head.schema))
-          }
+          else Some(concatLocalFrames(parts.flatten))
         }
       case _ => None
     }
@@ -2065,11 +2069,7 @@ class Engine(
                   cacheKey = Some((hnswLayoutPath(coll), epoch)),
                   deltaRows = delta, excludeIds = exIds, eligible = localElig)
               }.toSeq
-              val res =
-                if (chunkFrames.size == 1) chunkFrames.head
-                else spark.createDataFrame(
-                  java.util.Arrays.asList(chunkFrames.flatMap(_.collect()): _*),
-                  chunkFrames.head.schema)
+              val res = concatLocalFrames(chunkFrames)
               // exclusion ran BEFORE ranking, so ranks are contiguous over
               // valid hits — the widened depth just trims back
               if (kEff == k) res else res.filter(col("rnk") <= k)
@@ -2347,8 +2347,23 @@ class Engine(
     require(cfg.spaceType != SpaceType.Hamming,
       "maxsim scores by inner product; a hamming-space shortlist optimizes " +
         "an unrelated neighborhood — create the collection with l2, ip, or cos")
-    searchMaxSimLocal(coll, cfg, queries, k)
-      .getOrElse(searchMaxSimDistributed(coll, queries, k))
+    // batches past the 16-query local cap AUTO-SPLIT into cap-sized chunks
+    // (per-query scores are independent and 0.0-padding is an exact
+    // identity, so the concatenation is row-identical to one call); any
+    // chunk's precondition miss falls the WHOLE request back to the
+    // distributed plan. Same gate shape as localRoute: distinct qids,
+    // bounded total.
+    val localServable = queries.size <= maxLocalServeBatch &&
+      queries.map(_._1).distinct.size == queries.size
+    val local =
+      if (!localServable) None
+      else {
+        val parts = queries.grouped(LocalServeChunk)
+          .map(chunk => searchMaxSimLocal(coll, cfg, chunk, k)).toSeq
+        if (parts.exists(_.isEmpty)) None
+        else Some(concatLocalFrames(parts.flatten))
+      }
+    local.getOrElse(searchMaxSimDistributed(coll, queries, k))
   }
 
   /** ZERO-JOB MaxSim point serving: for small query sets on an ivf_flat

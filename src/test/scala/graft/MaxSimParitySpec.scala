@@ -91,6 +91,32 @@ class MaxSimParitySpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("40-query MaxSim batch AUTO-SPLITS onto the zero-job serve: warm job-free, rows ≡ distributed") {
+    val dim = 3
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 25).map(i =>
+      s"d$i" -> Seq.fill(2)(Array.fill(dim)(rnd.nextFloat())))
+    val e = mvEngine(dim, corpus, nlist = 3)
+    e.setParams("mv", Map("nprobe" -> 3, "maxsimCandM" -> 8))
+    val queries = (0 until 40).map(i =>
+      s"q$i" -> Seq.fill(1 + i % 3)(Array.fill(dim)(rnd.nextFloat())))
+    val first = rows(e.searchMaxSim("mv", queries, 3))
+    assert(first === rows(e.searchMaxSimDistributed("mv", queries, 3)),
+      "auto-split local MaxSim ≠ distributed plan")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(rows(e.searchMaxSim("mv", queries, 3)) === first)
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"warm 40-query auto-split maxsim launched ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("maintained update / shrink-update / delete keep local ≡ distributed") {
     val dim = 3
     val rnd = new scala.util.Random(17)
