@@ -148,25 +148,33 @@ class Engine(
     // the catalog entry must still point at THIS collection's files: another
     // collection (or engine root) reusing the same table name repoints it at
     // its own corpus on build — serving that table here would silently
-    // return the wrong collection's neighbors. Compare PATH PARTS (the
-    // catalog location is a URI; `path` may be plain local or scheme'd)
+    // return the wrong collection's neighbors. Compare FULL location
+    // identity (scheme, authority, path) — two roots on different stores
+    // can hold identical path parts
     val loc = scala.util.Try(spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location.getPath).toOption
-    if (!loc.exists(l => canonPath(l) == canonPath(path))) return None
+      .location.toString).toOption
+    if (!loc.exists(l => canonLoc(l) == canonLoc(path))) return None
     Some((table, buckets, path, stamp))
   }
 
-  /** The absolute path part of a table/data location, for equality checks
-    * across plain-local and scheme'd spellings of the same files.
+  /** Canonical (scheme, authority, absolute path) of a table/data location,
+    * for equality checks across plain-local, `file:`, and remote-scheme'd
+    * spellings of the same files. Plain and `file:` locations canonicalize
+    * identically; unparsable locations canonicalize to themselves (an
+    * equality check can then only fail closed — treat as not-ours).
     */
-  private def canonPath(s: String): String =
+  private def canonLoc(s: String): (String, String, String) =
     if (graft.core.ControlFs.isLocalRoot(s))
-      java.nio.file.Paths.get(s).toAbsolutePath.normalize.toString
-    else {
+      ("file", "", java.nio.file.Paths.get(s).toAbsolutePath.normalize.toString)
+    else scala.util.Try {
       val u = new java.net.URI(s)
-      java.nio.file.Paths.get(u.getPath).normalize.toString
-    }
+      val scheme = if (u.getScheme == null || u.getScheme == "file") "file"
+        else u.getScheme
+      val p = Option(u.getPath).getOrElse(s)
+      (scheme, Option(u.getAuthority).getOrElse(""),
+        java.nio.file.Paths.get(p).normalize.toString)
+    }.getOrElse(("", "", s))
   private def pqLayoutPath(coll: String) = tierGenPath(coll, "pq", layoutGen(coll))
   private def opqLayoutPath(coll: String) = tierGenPath(coll, "opq", layoutGen(coll))
   private def sqLayoutPath(coll: String) = tierGenPath(coll, "sq", layoutGen(coll))
@@ -536,8 +544,8 @@ class Engine(
       scala.util.Try((lines(0), lines(3))).toOption.foreach { case (table, path) =>
         val loc = scala.util.Try(spark.sessionState.catalog
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-          .location.getPath).toOption
-        if (loc.exists(l => canonPath(l) == canonPath(path)))
+          .location.toString).toOption
+        if (loc.exists(l => canonLoc(l) == canonLoc(path)))
           spark.sql(s"DROP TABLE IF EXISTS `$table`")
       }
       cfs.deleteIfExists(bucketedMetaPath(name))
@@ -1609,6 +1617,30 @@ class Engine(
       java.util.Arrays.asList(frames.flatMap(_.collect()): _*),
       frames.head.schema)
 
+  /** Chunks for the local-serve split. An EMPTY query set yields one empty
+    * chunk (`grouped` yields none), so the serve path returns its empty
+    * frame with the right schema instead of `concatLocalFrames` dying on a
+    * headless sequence.
+    */
+  private def localChunks[T](queries: Seq[T]): Iterator[Seq[T]] =
+    if (queries.isEmpty) Iterator(queries)
+    else queries.grouped(LocalServeChunk)
+
+  /** Serve every chunk, SHORT-CIRCUITING on the first decline: once any
+    * chunk returns None the whole request re-runs distributed, so paying
+    * the remaining chunks' collects only to discard them is pure waste.
+    */
+  private def serveChunked[T](queries: Seq[T])(
+      serve: Seq[T] => Option[DataFrame]): Option[DataFrame] = {
+    val acc = Seq.newBuilder[DataFrame]
+    val it = localChunks(queries)
+    while (it.hasNext) serve(it.next()) match {
+      case Some(f) => acc += f
+      case None => return None
+    }
+    Some(concatLocalFrames(acc.result()))
+  }
+
   /** Shared local-route guard of the cell-serving tiers: point-request
     * size (chunk-split up to `maxLocalServeBatch`), unique qids (the window
     * plans merge a duplicated id's rows into ONE k-row group; a per-query
@@ -1628,19 +1660,12 @@ class Engine(
           if (eligible.isEmpty) None
           else localEligibleSet(coll, stamp, eligible.get, corpus)
         if (eligible.nonEmpty && localElig.isEmpty) None
-        else {
+        else
           // chunked serving: per-query results are independent, so the
           // concatenation is row-identical to one oversized call (and to
           // the distributed plan); the first chunk warms the probed cells,
-          // later chunks serve job-free from the same held references.
-          // Concatenation is DRIVER-SIDE (collect on a LocalTableScan is
-          // job-free; a `union` plan's collect is not) — the zero-job
-          // property must survive the split.
-          val parts = queries.grouped(LocalServeChunk)
-            .map(chunk => serve(frame, stamp, chunk, localElig)).toSeq
-          if (parts.exists(_.isEmpty)) None
-          else Some(concatLocalFrames(parts.flatten))
-        }
+          // later chunks serve job-free from the same held references
+          serveChunked(queries)(chunk => serve(frame, stamp, chunk, localElig))
       case _ => None
     }
 
@@ -2061,7 +2086,7 @@ class Engine(
               // is job-free; a `union` plan's is not) is row-identical to
               // one call; chunk 1 warms the probed cells, later chunks beam
               // job-free against the same held graphs
-              val chunkFrames = queries.grouped(LocalServeChunk).map { chunk =>
+              val chunkFrames = localChunks(queries).map { chunk =>
                 GraphAnn.searchPointLocal(spark, hnswLayoutPath(coll),
                   chunk.toDF("query_id", "query_vec")
                     .withColumn("query_vec", col("query_vec").cast("array<float>")),
@@ -2357,12 +2382,7 @@ class Engine(
       queries.map(_._1).distinct.size == queries.size
     val local =
       if (!localServable) None
-      else {
-        val parts = queries.grouped(LocalServeChunk)
-          .map(chunk => searchMaxSimLocal(coll, cfg, chunk, k)).toSeq
-        if (parts.exists(_.isEmpty)) None
-        else Some(concatLocalFrames(parts.flatten))
-      }
+      else serveChunked(queries)(chunk => searchMaxSimLocal(coll, cfg, chunk, k))
     local.getOrElse(searchMaxSimDistributed(coll, queries, k))
   }
 

@@ -98,12 +98,25 @@ object ControlFs {
     scheme == null || scheme.length == 1
   }
 
+  /** The Hadoop configuration CONTROL IO must resolve against: the active
+    * Spark session's (so `spark.hadoop.*` credentials/endpoints configured
+    * the standard way reach the control plane — a bare `new Configuration()`
+    * would authenticate/route differently than the data plane, the exact
+    * split-state hazard this seam exists to close), falling back to a plain
+    * `Configuration` (ServiceLoader + core-site) when no session is up.
+    */
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** The control filesystem for a root. The Hadoop side resolves scheme
     * implementations through the standard `FileSystem` ServiceLoader +
-    * core-site mechanism, so hdfs/s3a/test schemes need no plumbing here.
+    * core-site mechanism AND the Spark session's `spark.hadoop.*` settings.
     */
   def forRoot(root: String): ControlFs =
-    if (isLocalRoot(root)) NioControlFs else new HadoopControlFs(new Configuration())
+    if (isLocalRoot(root)) NioControlFs else new HadoopControlFs(hadoopConf())
 }
 
 /** java.nio implementation — plain local roots. Counter protocol is the
@@ -188,23 +201,35 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
 
   /** tmp + rename through the `FileSystem` API (NOT `FileContext`: that
     * requires an `AbstractFileSystem` binding which object-store schemes
-    * — and s3a in particular — don't ship by default). `FileSystem.rename`
-    * does not overwrite on every FS (HDFS returns false when the
-    * destination exists), so an existing marker is deleted first; a reader
-    * racing that window sees the marker ABSENT, which every marker
-    * protocol treats as "stale → fall back" — never as a lie.
+    * — and s3a in particular — don't ship by default). The tmp name is
+    * UNIQUE per write: a fixed name would let two concurrent writers of
+    * the same marker clobber each other's tmp and publish torn/foreign
+    * content. `FileSystem.rename` does not overwrite on every FS (HDFS
+    * returns false when the destination exists), so an existing marker is
+    * deleted first on the retry; a reader racing that window sees the
+    * marker ABSENT, which every marker protocol treats as "stale → fall
+    * back" — never as a lie (concurrent same-marker writers are
+    * last-writer-wins, and each writer's content is a valid recent stamp).
     */
   override def atomicWrite(path: String, content: String): Unit = {
     val fs = fsOf(path)
     val p = new HPath(path)
-    val tmp = new HPath(p.getParent, p.getName + ".tmp")
+    val tmp = new HPath(p.getParent,
+      s"${p.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"marker rename failed: $tmp -> $p")
+    try {
+      if (!fs.rename(tmp, p)) {
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"marker rename failed: $tmp -> $p")
+      }
+    } catch {
+      case e: Throwable =>
+        // never strand a tmp next to the marker on a failed commit
+        scala.util.Try(fs.delete(tmp, false))
+        throw e
     }
   }
 

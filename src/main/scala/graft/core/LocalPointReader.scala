@@ -41,7 +41,11 @@ import org.apache.parquet.io.api.Binary
   */
 object LocalPointReader {
 
-  private val conf = new Configuration()
+  // resolved lazily from the active session so spark.hadoop.* settings
+  // (object-store credentials/endpoints) reach the driver-direct reads;
+  // memoized — sessions are process-long in every main/spec, and
+  // newHadoopConf() copies the whole conf (too hot for the point path)
+  private lazy val conf = ControlFs.hadoopConf()
 
   /** LWW winners for `ids` (absent / tombstoned ids omitted). Runs are
     * bloom-pruned (see below): only files that might contain one of `ids`

@@ -232,7 +232,9 @@ object LocalRunWriter {
   private def writeRun(dir: String, schema: MessageType)(
       emit: ((SimpleGroup => Unit) => Unit) => Unit): Unit = {
     val local = ControlFs.isLocalRoot(dir)
-    val conf = new Configuration()
+    // the session's hadoop conf (spark.hadoop.* credentials/endpoints) —
+    // the run must land on the SAME store the data plane resolves
+    val conf = if (local) new Configuration() else ControlFs.hadoopConf()
     val hfs = if (local) null else new Path(dir).getFileSystem(conf)
     if (local) Files.createDirectories(Paths.get(dir)) else hfs.mkdirs(new Path(dir))
     val name = s"part-local-${java.util.UUID.randomUUID().toString}.parquet"
@@ -258,11 +260,18 @@ object LocalRunWriter {
       val dirPath = Paths.get(dir)
       Files.move(dirPath.resolve(tmpName), dirPath.resolve(name),
         StandardCopyOption.ATOMIC_MOVE)
-    } else
+    } else {
       // atomic on HDFS/POSIX; on object stores a torn copy+delete strands
       // only an invisible dotfile — the run is visible iff whole (single
-      // object), which is all the commit protocol needs
-      hfs.rename(new Path(s"$dir/$tmpName"), new Path(s"$dir/$name"))
+      // object), which is all the commit protocol needs. The boolean MUST
+      // be checked: FileSystem.rename reports some failures (vanished
+      // parent dir, cross-dir constraints) by returning false, and a
+      // silently-lost run here would still commit the version counter —
+      // acknowledged rows gone (nio's Files.move throws instead)
+      if (!hfs.rename(new Path(s"$dir/$tmpName"), new Path(s"$dir/$name")))
+        throw new java.io.IOException(
+          s"run rename failed: $dir/$tmpName -> $dir/$name")
+    }
     // the Hadoop local fs writes a checksum sidecar for the TEMP name;
     // harmless (dotfile) but pointless after the rename — drop it
     if (local) Files.deleteIfExists(Paths.get(dir).resolve(s".$tmpName.crc"))

@@ -28,7 +28,7 @@ class BucketedEngineSpec extends SparkSpec {
 
   test("bucketed_table: built, preferred by searchVectorsDf, corpus side unshuffled, restart-survivable, staled by writes") {
     spark.sql("DROP TABLE IF EXISTS eng_bucketed_t")
-    val root = Files.createTempDirectory("eng-bucketed").toString
+    val root = testRoot("eng-bucketed")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("cb", 8, IndexType.IvfFlat,
       params = Map("bucketed_table" -> "eng_bucketed_t", "buckets" -> "8")))
@@ -81,7 +81,7 @@ class BucketedEngineSpec extends SparkSpec {
 
   test("quantized tiers get bucketed layouts too: pq results equal the twin, corpus side unshuffled") {
     spark.sql("DROP TABLE IF EXISTS eng_bucketed_pq")
-    val root = Files.createTempDirectory("eng-bucketed-pq").toString
+    val root = testRoot("eng-bucketed-pq")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("qp", 8, IndexType.IvfPq,
       params = Map("bucketed_table" -> "eng_bucketed_pq", "buckets" -> "8")))
@@ -113,7 +113,7 @@ class BucketedEngineSpec extends SparkSpec {
 
   test("streaming maintenance keeps the bucketed table current (insert-only batches append bucketed)") {
     spark.sql("DROP TABLE IF EXISTS eng_bucketed_stream")
-    val root = Files.createTempDirectory("eng-bucketed-stream").toString
+    val root = testRoot("eng-bucketed-stream")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("cs", 8, IndexType.IvfFlat,
       params = Map("bucketed_table" -> "eng_bucketed_stream", "buckets" -> "4")))
@@ -151,8 +151,8 @@ class BucketedEngineSpec extends SparkSpec {
 
   test("a bucketed table name repointed by another collection is never served") {
     spark.sql("DROP TABLE IF EXISTS eng_bucketed_shared")
-    val rootA = Files.createTempDirectory("eng-bucketed-a").toString
-    val rootB = Files.createTempDirectory("eng-bucketed-b").toString
+    val rootA = testRoot("eng-bucketed-a")
+    val rootB = testRoot("eng-bucketed-b")
     val eA = new Engine(spark, rootA)
     val eB = new Engine(spark, rootB)
     try {
@@ -188,7 +188,7 @@ class BucketedEngineSpec extends SparkSpec {
 
   test("dropCollection unregisters the bucketed table") {
     spark.sql("DROP TABLE IF EXISTS eng_bucketed_drop")
-    val root = Files.createTempDirectory("eng-bucketed-drop").toString
+    val root = testRoot("eng-bucketed-drop")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("cd", 8, IndexType.IvfFlat,
       params = Map("bucketed_table" -> "eng_bucketed_drop")))

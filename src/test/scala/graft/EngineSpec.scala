@@ -542,6 +542,24 @@ class EngineSpec extends SparkSpec {
     assert(math.abs(hits.head.distance) < 1e-9)
   }
 
+  test("empty query batch returns an empty frame on the local-serve tiers (chunked split must not crash)") {
+    val root = Files.createTempDirectory("emptyq").toString
+    val e = new Engine(spark, root)
+    e.createCollection(CollectionConfig("c", 3, IndexType.IvfFlat, SpaceType.L2))
+    (0 until 10).foreach(i =>
+      e.upsertDocument("c", Document(s"d$i", Array(i.toFloat, 0f, 0f))))
+    e.buildIndex("c", nlist = 2)
+    assert(e.searchVectors("c", Seq.empty, 3).count() === 0L)
+    // routed graph tier too (its chunk split is a separate code path)
+    e.createCollection(CollectionConfig("g", 3, IndexType.Hnsw, SpaceType.L2,
+      params = Map("routeNlist" -> "2")))
+    (0 until 10).foreach(i =>
+      e.upsertDocument("g", Document(s"d$i", Array(i.toFloat, 0f, 0f))))
+    e.buildIndex("g")
+    e.setParams("g", Map("routeNprobe" -> 2))
+    assert(e.searchVectors("g", Seq.empty, 3).count() === 0L)
+  }
+
   test("200-query point batch AUTO-SPLITS onto the zero-job serve: warm run job-free, rows ≡ distributed plan") {
     // VERDICT-r10 watch item 2: a batch past the 16-query chunk previously
     // fell off the local fast path silently; now it chunks over the same

@@ -24,7 +24,7 @@ class PersistenceSpec extends SparkSpec {
   test("ivf/pq snapshots round-trip bit-exactly") {
     val corpus = clustered(80)
     val ivf = IvfIndex.train(corpus, "vector", nlist = 3)
-    val dir = Files.createTempDirectory("snap").toString
+    val dir = testRoot("snap")
     ModelStore.saveIvf(s"$dir/ivf.snapshot", ivf)
     val ivf2 = ModelStore.loadIvf(s"$dir/ivf.snapshot").get
     assert(ivf2.space === ivf.space)
@@ -40,7 +40,7 @@ class PersistenceSpec extends SparkSpec {
   }
 
   test("engine recovery: a NEW engine over the same root searches a built ivf index") {
-    val root = Files.createTempDirectory("engine-recover").toString
+    val root = testRoot("engine-recover")
     val e1 = new Engine(spark, root)
     e1.createCollection(CollectionConfig("c", 8, IndexType.IvfFlat))
     val docs = (0 until 40).map { i =>
@@ -56,7 +56,7 @@ class PersistenceSpec extends SparkSpec {
   }
 
   test("result cache: hit on repeat, invalidated by writes and setParams") {
-    val root = Files.createTempDirectory("engine-cache").toString
+    val root = testRoot("engine-cache")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("c", 3, IndexType.Flat))
     e.upsertDocument("c", Document("1", Array(1f, 2f, 3f)))
@@ -98,7 +98,7 @@ class PersistenceSpec extends SparkSpec {
   test("IVF written layout: probed scan reads only probed partitions (physical pruning)") {
     val corpus = clustered(100)
     val model = IvfIndex.train(corpus, "vector", nlist = 2)
-    val dir = Files.createTempDirectory("ivf-layout").toString + "/idx"
+    val dir = testRoot("ivf-layout") + "/idx"
     IvfIndex.write(corpus, "vector", model, dir)
     val loaded = spark.read.parquet(dir)
     val q = loaded.filter(col("cluster_id") === 0)
