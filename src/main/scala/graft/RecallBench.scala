@@ -416,6 +416,14 @@ object RecallBench {
           }
           val mvQs = mvDocs.take(20).map(_._2)
           mvQs.foreach(q => require(postMv(q) == 200, "maxsim warm-up failed"))
+          // engine-dispatch floor beside the wire row, same convention as
+          // the single-vector tiers: splits serve cost from wire cost
+          reportLatency("engine_maxsim_multivector", mvQs.zipWithIndex.map {
+            case (q, i) =>
+              val t0 = System.nanoTime()
+              engine.searchMaxSim("serve_mv", Seq((s"q$i", q)), k).collect()
+              (System.nanoTime() - t0) / 1e6
+          })
           reportLatency("rest_maxsim_multivector", mvQs.map { q =>
             val t0 = System.nanoTime()
             require(postMv(q) == 200, "maxsim wire search failed")

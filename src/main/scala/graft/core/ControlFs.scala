@@ -304,6 +304,15 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
     }
   }
 
+  /** One LIST of the (tiny, GC-bounded) manifest dir per read. Cost note:
+    * serving paths check counter currency per request, so a remote root
+    * pays one NN RPC (~1 ms, HDFS) or one object-store LIST (~10-20 ms)
+    * per check — fine for HDFS-class serving; latency-critical serving on
+    * an object store wants a fronting read cache (own-commit-invalidated,
+    * TTL'd for cross-process writers), which is deliberately NOT built in:
+    * a stale counter read can serve a stale cached result as current, so
+    * that trade belongs to a deployment that measured it, not a default.
+    */
   override def counterRead(path: String): Option[Long] = {
     val fs = fsOf(path)
     val dir = new HPath(manifestDir(path))
