@@ -54,6 +54,64 @@ class FaultFs extends RawLocalFileSystem {
   }
 }
 
+/** `GraftTestFileSystem` with OBJECT-STORE rename semantics: rename is a
+  * COPY (each destination file appears whole — the single-object PUT
+  * atomicity real stores give) followed by a DELETE of the source, with an
+  * injectable crash BETWEEN the two — the exact non-transactional window
+  * the `AtomicFiles`/`ControlFs` scaladocs argue every marker protocol
+  * tolerates. Running the engine lifecycle on this scheme proves the
+  * protocols never depended on rename atomicity.
+  */
+class ObjectStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "objstorefs"
+  override def getUri: URI = URI.create("objstorefs:///")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (!exists(src)) return false
+    if (getFileStatus(src).isDirectory) {
+      // dir rename: file-by-file copy (destination files appear one by
+      // one, like s3a), crash window, then recursive source delete
+      org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst, false, getConf)
+      ObjectStoreFs.maybeCrash(src)
+      delete(src, true)
+    } else {
+      // file rename: the copied object becomes visible WHOLE (local
+      // tmp + atomic move stands in for PUT-completes-atomically)
+      val tmp = new Path(dst.getParent,
+        s".${dst.getName}.put-${java.util.UUID.randomUUID()}")
+      org.apache.hadoop.fs.FileUtil.copy(this, src, this, tmp, false, getConf)
+      if (!super.rename(tmp, dst)) { delete(tmp, false); return false }
+      ObjectStoreFs.maybeCrash(src)
+      delete(src, false)
+    }
+    true
+  }
+}
+
+object ObjectStoreFs {
+  // one-shot crash triggers by source-path substring: the copy has
+  // completed (destination visible), the source delete never runs — the
+  // torn copy+delete rename
+  private val armed = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  def crashBetweenCopyAndDelete(pathSubstring: String): Unit =
+    armed.add(pathSubstring)
+
+  def disarm(): Unit = armed.clear()
+
+  private[testfs] def maybeCrash(src: Path): Unit = {
+    val s = src.toString
+    val it = armed.iterator()
+    while (it.hasNext) {
+      if (s.contains(it.next())) {
+        it.remove()
+        throw new java.io.IOException(
+          s"ObjectStoreFs: injected crash between copy and delete at $s")
+      }
+    }
+  }
+}
+
 object FaultFs {
   // one-shot triggers: (op, path-substring) — first matching call throws
   // and disarms; everything else passes through
