@@ -61,6 +61,19 @@ trait ControlFs {
   def readLongSafe(path: String): Option[Long]
   def readLinesSafe(path: String): Option[Vector[String]]
 
+  /** Create `path` with `content` iff it does not exist — all-or-nothing
+    * (the conditional-PUT primitive the writer lease builds on). Returns
+    * false when the path already exists; throws on real IO failure.
+    */
+  def createExclusive(path: String, content: String): Boolean
+
+  /** Move `src` to `dst` (same FileSystem). Atomic on nio/HDFS; on object
+    * stores the destination appears whole (single-object PUT) but the pair
+    * is not transactional — callers' protocols must tolerate both-visible.
+    * Throws when the move does not complete.
+    */
+  def rename(src: String, dst: String): Unit
+
   // ---- strict small-file IO (catalog sidecars, model snapshots) ----
   def readString(path: String): String
 
@@ -79,11 +92,24 @@ trait ControlFs {
     * must never be defaulted).
     */
   def counterRead(path: String): Option[Long]
-  /** Commit `v`. Values must only advance; the Hadoop implementation
-    * fails loudly when `v` was already committed by a racing writer.
+  /** Commit `v`. Values must only advance. Throws
+    * [[CounterCollisionException]] when `v` was already CLAIMED by a racing
+    * writer (Hadoop: the manifest entry exists; nio: the commit token
+    * exists) — the loud cross-process collision the DocStore write retry
+    * loop recovers from (delete the batch stamped `v`, re-read, re-stamp).
     */
   def counterCommit(path: String, v: Long): Unit
 }
+
+/** A racing writer already claimed this counter value. `collided` lets the
+  * retry loop advance PAST the claimed value even when the claim never
+  * became the committed read (a crash between token and counter write on a
+  * nio root) — retrying `counterRead + 1` alone would collide forever.
+  */
+final class CounterCollisionException(val path: String, val collided: Long,
+    cause: Throwable)
+  extends java.io.IOException(
+    s"counter $path: value $collided already claimed by a racing writer", cause)
 
 object ControlFs {
 
@@ -138,6 +164,23 @@ object NioControlFs extends ControlFs {
     else scala.util.Try(Files.readAllLines(p).asScala.toVector).toOption
   }
 
+  override def createExclusive(path: String, content: String): Boolean = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    try {
+      Files.write(p, content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  override def rename(src: String, dst: String): Unit = {
+    Files.move(Paths.get(src), Paths.get(dst),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   override def readString(path: String): String =
     new String(Files.readAllBytes(Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -172,8 +215,10 @@ object NioControlFs extends ControlFs {
   override def counterInit(path: String, v: Long): Unit = {
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
-    if (!Files.exists(p))
-      Files.write(p, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // tmp + ATOMIC_MOVE, same as counterCommit: a plain Files.write torn by
+    // a crash would leave a counter the STRICT counterRead can never parse —
+    // a permanently wedged collection (ADVICE r11)
+    if (!Files.exists(p)) AtomicFiles.atomicWrite(p, v.toString)
   }
 
   override def counterRead(path: String): Option[Long] = {
@@ -183,8 +228,36 @@ object NioControlFs extends ControlFs {
       java.nio.charset.StandardCharsets.UTF_8).trim.toLong) // strict: no default
   }
 
-  override def counterCommit(path: String, v: Long): Unit =
+  /** Commit = claim a create-exclusive per-value token under `<path>.d/`
+    * (the same manifest discipline as the Hadoop side — CREATE_NEW on a
+    * local FS is atomic), then advance the counter file itself via
+    * tmp+ATOMIC_MOVE. The counter FILE stays the authoritative read
+    * (bit-compatible: pre-token stores read and advance unchanged; the
+    * token dir is additive); the tokens exist so two PROCESSES sharing a
+    * plain local root collide loudly on a duplicate value instead of
+    * silently last-writer-winning the rename. A crash between token and
+    * counter write strands a claimed-but-uncommitted value; the collision
+    * exception carries it so retrying writers skip past (version gaps are
+    * harmless — the counter is monotone, not dense).
+    */
+  override def counterCommit(path: String, v: Long): Unit = {
+    val token = Paths.get(s"$path.d", f"v$v%020d")
+    if (!createExclusive(token.toString, v.toString))
+      throw new CounterCollisionException(path, v, null)
     AtomicFiles.atomicWrite(Paths.get(path), v.toString)
+    // GC superseded tokens (best-effort, same retention as the Hadoop
+    // manifest — a failure leaves ignorable files)
+    try {
+      val dir = Paths.get(s"$path.d")
+      val s = Files.list(dir)
+      try s.iterator().asScala.foreach { t =>
+        val n = t.getFileName.toString
+        if (n.length == 21 && n.charAt(0) == 'v' &&
+            scala.util.Try(n.substring(1).toLong).toOption.exists(_ < v - 8))
+          Files.deleteIfExists(t)
+      } finally s.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 }
 
 /** Hadoop `FileSystem` implementation — hdfs://, s3a://, file://, test
@@ -231,7 +304,29 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
         scala.util.Try(fs.delete(tmp, false))
         throw e
     }
+    // opportunistic GC of tmps stranded by a crash BETWEEN delete(p) and
+    // rename on some earlier write (this writer's tmp is already gone):
+    // absence of the marker is tolerated by every protocol, but the UUID
+    // tmps would otherwise accumulate unboundedly across crash cycles
+    gcStaleTmps(fs, p)
   }
+
+  /** Delete `<marker>.<uuid>.tmp` siblings older than [[TmpGcAgeMs]] —
+    * old enough that no in-flight writer still owns them (a marker write
+    * is a sub-second operation; 10 minutes is crash debris, not a race).
+    * Best-effort: failures leave files a later write retries.
+    */
+  private def gcStaleTmps(fs: FileSystem, marker: HPath): Unit =
+    try {
+      val prefix = s"${marker.getName}."
+      val cutoff = System.currentTimeMillis() - HadoopControlFs.TmpGcAgeMs
+      fs.listStatus(marker.getParent).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(prefix) && n.endsWith(".tmp") &&
+            s.getModificationTime < cutoff)
+          fs.delete(s.getPath, false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   override def readLongSafe(path: String): Option[Long] =
     AtomicFiles.readLongSafeHadoop(conf, new HPath(path))
@@ -317,9 +412,42 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
     val fs = fsOf(path)
     val dir = new HPath(manifestDir(path))
     if (!fs.exists(dir)) return None
-    val vs = fs.listStatus(dir).iterator
-      .flatMap(s => parseEntry(s.getPath.getName)).toSeq
-    if (vs.isEmpty) None else Some(vs.max)
+    val names = fs.listStatus(dir).iterator.map(_.getPath.getName).toSeq
+    val vs = names.flatMap(parseEntry)
+    if (vs.nonEmpty) Some(vs.max)
+    else {
+      // a manifest dir that exists but holds ONLY unparsable entries is
+      // corrupt/foreign state, not "never initialized" — defaulting it to
+      // None would let DocStore.dataDir fall back to generation 0 and read
+      // a GC'd directory. Strict, per the trait contract. FS-internal
+      // sidecars (dotfiles, .crc checksums from ChecksumFileSystem-backed
+      // schemes) don't count as entries.
+      val foreign = names.filterNot(n => n.startsWith(".") || n.endsWith(".crc"))
+      if (foreign.nonEmpty)
+        throw new java.io.IOException(
+          s"counter manifest $dir exists but contains no parsable entries " +
+            s"(foreign files: ${foreign.take(3).mkString(", ")}) — refusing " +
+            "to default authoritative state")
+      None
+    }
+  }
+
+  override def createExclusive(path: String, content: String): Boolean = {
+    val fs = fsOf(path)
+    val p = new HPath(path)
+    fs.mkdirs(p.getParent)
+    try { writeExclusive(fs, p, content); true }
+    catch {
+      // LocalFileSystem-class schemes throw FileAlreadyExists; others may
+      // surface a plain IOException — existence decides which it was
+      case e: java.io.IOException => if (fs.exists(p)) false else throw e
+    }
+  }
+
+  override def rename(src: String, dst: String): Unit = {
+    val fs = fsOf(src)
+    if (!fs.rename(new HPath(src), new HPath(dst)))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
   }
 
   override def counterCommit(path: String, v: Long): Unit = {
@@ -327,8 +455,15 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
     val dir = new HPath(manifestDir(path))
     fs.mkdirs(dir)
     // create-exclusive: the commit either lands whole or throws — never a
-    // torn counter, and a racing writer of the same value fails loudly
-    writeExclusive(fs, new HPath(dir, entryName(v)), v.toString)
+    // torn counter, and a racing writer of the same value collides as a
+    // typed CounterCollisionException the write retry loop recovers from
+    val entry = new HPath(dir, entryName(v))
+    try writeExclusive(fs, entry, v.toString)
+    catch {
+      case e: java.io.IOException =>
+        if (fs.exists(entry)) throw new CounterCollisionException(path, v, e)
+        else throw e
+    }
     // GC superseded entries (best-effort: failures leave ignorable files)
     try fs.listStatus(dir).foreach { s =>
       parseEntry(s.getPath.getName).filter(_ < v - KeepEntries)
@@ -341,4 +476,10 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+}
+
+object HadoopControlFs {
+  /** Age past which a stranded `<marker>.<uuid>.tmp` is crash debris (a
+    * marker write completes in well under a second). */
+  private[core] val TmpGcAgeMs = 10 * 60 * 1000L
 }

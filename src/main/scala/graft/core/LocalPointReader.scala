@@ -41,20 +41,35 @@ import org.apache.parquet.io.api.Binary
   */
 object LocalPointReader {
 
-  // resolved lazily from the active session so spark.hadoop.* settings
+  // resolved from the active session so spark.hadoop.* settings
   // (object-store credentials/endpoints) reach the driver-direct reads;
-  // memoized — sessions are process-long in every main/spec, and
-  // newHadoopConf() copies the whole conf (too hot for the point path)
-  private lazy val conf = ControlFs.hadoopConf()
+  // memoized only once a SESSION is present — newHadoopConf() copies the
+  // whole conf (too hot for the point path), but a plain lazy val would
+  // freeze a session-less bare Configuration forever if the first read
+  // raced session startup, splitting control reads from the data plane
+  // (ADVICE r11)
+  @volatile private var cachedConf: Configuration = null
+  private def conf: Configuration = {
+    val c = cachedConf
+    if (c != null) c
+    else {
+      val fresh = ControlFs.hadoopConf()
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined)
+        cachedConf = fresh
+      fresh
+    }
+  }
 
   /** LWW winners for `ids` (absent / tombstoned ids omitted). Runs are
     * bloom-pruned (see below): only files that might contain one of `ids`
     * are opened — a point GET on a many-run store opens 1-2 files, not
     * all of them.
     */
-  def readDocs(dataDir: String, ids: Set[String]): Map[String, Document] = {
+  def readDocs(dataDir: String, ids: Set[String],
+      maxVersion: Long = Long.MaxValue): Map[String, Document] = {
     if (ids.isEmpty) return Map.empty
-    val files = listRuns(dataDir)
+    val files = listRuns(dataDir, maxVersion)
     if (files.isEmpty) return Map.empty
     val pred = FilterApi.in(
       FilterApi.binaryColumn("id"),
@@ -99,9 +114,10 @@ object LocalPointReader {
     * the vector/params pages, the overwhelming majority of the bytes,
     * are never decoded.
     */
-  def liveIds(dataDir: String, ids: Set[String]): Set[String] = {
+  def liveIds(dataDir: String, ids: Set[String],
+      maxVersion: Long = Long.MaxValue): Set[String] = {
     if (ids.isEmpty) return Set.empty
-    val files = listRuns(dataDir)
+    val files = listRuns(dataDir, maxVersion)
     if (files.isEmpty) return Set.empty
     val pred = FilterApi.in(
       FilterApi.binaryColumn("id"),
@@ -131,9 +147,12 @@ object LocalPointReader {
     * driver-direct point path works against a remote store unchanged.
     * An absent dir reads as "no runs".
     */
-  private[graft] def listRuns(dirStr: String): Vector[String] = {
-    def isRun(n: String) =
-      n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+  private[graft] def listRuns(dirStr: String,
+      maxVersion: Long = Long.MaxValue): Vector[String] = {
+    // visibility: a name-versioned run ABOVE the committed counter is an
+    // uncommitted in-flight/crashed batch — never readable (RunNames)
+    def isRun(n: String) = RunNames.isRun(n) &&
+      RunNames.version(n).forall(_ <= maxVersion)
     if (ControlFs.isLocalRoot(dirStr)) {
       val dir = Paths.get(dirStr)
       if (!Files.exists(dir)) return Vector.empty

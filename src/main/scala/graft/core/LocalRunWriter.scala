@@ -80,12 +80,16 @@ object LocalRunWriter {
 
   /** One store run: (id, vector|null, params|null, is_deleted) rows, all
     * stamped `version`, seq = position in the batch (the sequential-put
-    * winner rule, identical to `DocStore.appendRows`).
+    * winner rule, identical to `DocStore.appendRows`). The file NAME also
+    * carries the version (`RunNames.localRun`) so readers can refuse the
+    * run until the counter commits it, and the commit-retry loop can delete
+    * exactly this file on a cross-process counter collision. Returns the
+    * published path.
     */
   def writeStoreRun(dataDir: String,
       rows: Seq[(String, Seq[Float], Map[String, String], Boolean)],
-      version: Long): Unit =
-    writeRun(dataDir, storeSchema) { record =>
+      version: Long): String =
+    writeRun(dataDir, storeSchema, RunNames.localRun(version)) { record =>
       rows.zipWithIndex.foreach { case ((id, vec, params, deleted), i) =>
         record { r =>
         r.add("id", id)
@@ -111,7 +115,7 @@ object LocalRunWriter {
   /** One delta run: (id, vector) rows stamped `version`. */
   def writeDeltaRun(deltaDir: String, rows: Seq[(String, Seq[Float])],
       version: Long): Unit =
-    writeRun(deltaDir, deltaSchema) { record =>
+    writeRun(deltaDir, deltaSchema, freshName()) { record =>
       rows.foreach { case (id, vec) =>
         record { r =>
           r.add("id", id)
@@ -155,7 +159,7 @@ object LocalRunWriter {
     val schema = layoutSchema(rows.head.extra)
     rows.groupBy(_.clusterId).foreach { case (cidOpt, group) =>
       val dir = cidOpt.fold(layoutDir)(cid => s"$layoutDir/cluster_id=$cid")
-      writeRun(dir, schema) { record =>
+      writeRun(dir, schema, freshName()) { record =>
         group.foreach { row =>
           record { r =>
             r.add("id", row.id)
@@ -220,7 +224,7 @@ object LocalRunWriter {
 
   /** One tombstone-sidecar run: (id, ver) rows. */
   def writeTombstoneRun(tombDir: String, ids: Seq[String], ver: Long): Unit =
-    writeRun(tombDir, tombSchema) { record =>
+    writeRun(tombDir, tombSchema, freshName()) { record =>
       ids.foreach { id =>
         record { r =>
           r.add("id", id)
@@ -229,15 +233,17 @@ object LocalRunWriter {
       }
     }
 
-  private def writeRun(dir: String, schema: MessageType)(
-      emit: ((SimpleGroup => Unit) => Unit) => Unit): Unit = {
+  private def freshName(): String =
+    s"part-local-${java.util.UUID.randomUUID().toString}.parquet"
+
+  private def writeRun(dir: String, schema: MessageType, name: String)(
+      emit: ((SimpleGroup => Unit) => Unit) => Unit): String = {
     val local = ControlFs.isLocalRoot(dir)
     // the session's hadoop conf (spark.hadoop.* credentials/endpoints) —
     // the run must land on the SAME store the data plane resolves
     val conf = if (local) new Configuration() else ControlFs.hadoopConf()
     val hfs = if (local) null else new Path(dir).getFileSystem(conf)
     if (local) Files.createDirectories(Paths.get(dir)) else hfs.mkdirs(new Path(dir))
-    val name = s"part-local-${java.util.UUID.randomUUID().toString}.parquet"
     val tmpName = s".$name.tmp"
     GroupWriteSupport.setSchema(schema, conf)
     // parquet-mr writes through the dir's Hadoop FS (scheme-aware), so the
@@ -276,5 +282,6 @@ object LocalRunWriter {
     // harmless (dotfile) but pointless after the rename — drop it
     if (local) Files.deleteIfExists(Paths.get(dir).resolve(s".$tmpName.crc"))
     else hfs.delete(new Path(s"$dir/.$tmpName.crc"), false)
+    s"$dir/$name"
   }
 }
