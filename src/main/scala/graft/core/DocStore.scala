@@ -104,8 +104,10 @@ class DocStore(spark: SparkSession, root: String) {
   /** Collision/lease-loss retries before giving up: each retry re-reads the
     * counter, re-stamps, and rewrites the whole batch, so persistent
     * contention costs whole-batch rewrites — bounded, loud at the end.
+    * Retries back off with jitter (below): two unleased writers colliding
+    * in lockstep would otherwise livelock each other off the budget.
     */
-  private val MaxWriteRetries = 5
+  private val MaxWriteRetries = 20
 
   /** Test-visible count of cross-process collision/lease-loss retries this
     * instance performed (the two-JVM soak asserts the backstop actually
@@ -133,6 +135,13 @@ class DocStore(spark: SparkSession, root: String) {
     *     nondeterministically win LWW merges — ADVICE r11) and retries
     *     the WHOLE write at a fresh version, skipping past every claimed
     *     value.
+    *
+    * Liveness honesty: the collision backstop alone (lease knob off) is
+    * correct but not fair — a writer saturating the counter can starve a
+    * peer off the retry budget, because each retry re-pays the whole batch
+    * write inside the collision window. The lease is what makes two live
+    * writers FAIR; the backstop makes overlap SAFE. (TwoProcessSoakSpec
+    * drives both layers.)
     */
   private def withNextVersion(name: String)(write: Long => Seq[String]): Long =
     writeLock(name).synchronized {
@@ -168,6 +177,11 @@ class DocStore(spark: SparkSession, root: String) {
               if attempt < MaxWriteRetries =>
             attempt += 1
             writeRetries.incrementAndGet()
+            // jittered exponential backoff: desynchronize writers that
+            // would otherwise collide in lockstep (their write+commit
+            // cadences are near-identical)
+            Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(1L, math.min(250L, 4L << attempt)))
         }
       }
       committed

@@ -31,8 +31,14 @@ class WriteProtocolSpec extends SparkSpec {
     assert(cfs.createExclusive(f"$root/c/_version.d/v${v + 1}%020d", (v + 1).toString))
     val before = s.writeRetries.get
     s.upsert("c", Seq(doc("b", 2f)), 4)
-    assert(s.writeRetries.get > before, "the collision retry must have fired")
-    assert(s.currentVersion("c") > v + 1, "retry must skip past the claimed value")
+    if (ControlFs.isLocalRoot(root)) {
+      // nio: the token is a CLAIM, not a commit — the writer must collide
+      // on it and retry past
+      assert(s.writeRetries.get > before, "the collision retry must have fired")
+    } // manifest counters: an entry IS a commit (read = max), so the writer
+      // simply reads past it — the claim-without-commit window does not
+      // exist on Hadoop roots; mid-write races are TwoProcessSoakSpec's job
+    assert(s.currentVersion("c") > v + 1, "writer must land past the claimed value")
     assert(vecOf(s, "c", "b").contains(2f))
     assert(vecOf(s, "c", "a").contains(1f))
     // no retracted duplicate: exactly one run may carry the batch

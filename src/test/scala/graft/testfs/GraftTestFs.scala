@@ -18,6 +18,39 @@ import org.apache.hadoop.util.Progressable
 class GraftTestFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "graftfs"
   override def getUri: URI = URI.create("graftfs:///")
+
+  // RawLocalFileSystem's create(overwrite = false) is CHECK-THEN-ACT (an
+  // exists() test, then FileOutputStream) — two processes can both
+  // "create-exclusively" the same path and silently last-write-win. The
+  // real systems this scheme stands in for are atomic here (HDFS NameNode
+  // create; S3 conditional PUT), and the ControlFs counter protocol rests
+  // on exactly that, so the test double must be honest: O_EXCL via
+  // java.nio, then delegate with overwrite = true (we hold exclusivity).
+  private def exclusiveClaim(f: Path, overwrite: Boolean): Unit =
+    if (!overwrite) {
+      val p = java.nio.file.Paths.get(f.toUri.getPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      try { java.nio.file.Files.createFile(p); () }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(s"$f exists")
+      }
+    }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    exclusiveClaim(f, overwrite)
+    super.create(f, permission, true, bufferSize, replication, blockSize,
+      progress)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    exclusiveClaim(f, overwrite)
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  }
 }
 
 /** `GraftTestFileSystem` with one-shot fault injection on the two commit
