@@ -14,7 +14,7 @@ import graft.sources.FakeEmbeddingProvider
 class EngineSpec extends SparkSpec {
 
   private def freshEngine(dim: Int = 3): Engine = {
-    val dir = Files.createTempDirectory("engine").toString
+    val dir = testRoot("engine")
     new Engine(spark, dir, Some(new FakeEmbeddingProvider(dim)))
   }
 
@@ -67,7 +67,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("pre-filtered search keeps every tier's LAYOUT serving (eligibility, not fallback)") {
-    val dir = Files.createTempDirectory("engine_elig").toString
+    val dir = testRoot("engine_elig")
     val e = new Engine(spark, dir)
     val dim = 8
     val rnd = new scala.util.Random(7)
@@ -138,7 +138,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("filtered POINT serve on a routed hnsw collection: correct, and warm requests launch zero Spark jobs") {
-    val dir = Files.createTempDirectory("engine_filtpoint").toString
+    val dir = testRoot("engine_filtpoint")
     val e = new Engine(spark, dir)
     val dim = 8
     val rnd = new scala.util.Random(11)
@@ -355,7 +355,7 @@ class EngineSpec extends SparkSpec {
 
   test("opq and sq collections: buildIndex, search, setparams, snapshot recovery") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("engine-extra").toString
+    val dir = testRoot("engine-extra")
     val e = new Engine(spark, dir)
     val rnd = new scala.util.Random(3)
     val docs = (0 until 150).map { i =>
@@ -396,7 +396,7 @@ class EngineSpec extends SparkSpec {
 
   test("bq collection: buildIndex, search across spaces, rerankFactor knob, snapshot recovery") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("engine-bq").toString
+    val dir = testRoot("engine-bq")
     val e = new Engine(spark, dir)
     val rnd = new scala.util.Random(9)
     val docs = (0 until 150).map { i =>
@@ -432,7 +432,7 @@ class EngineSpec extends SparkSpec {
 
   test("mrl collection: model-free buildIndex, prefix-funnel search, knobs, fresh-engine serving") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("engine-mrl").toString
+    val dir = testRoot("engine-mrl")
     val e = new Engine(spark, dir)
     val rnd = new scala.util.Random(11)
     // MRL-shaped corpus: the discriminative signal lives in the leading dims
@@ -543,7 +543,7 @@ class EngineSpec extends SparkSpec {
   }
 
   test("empty query batch returns an empty frame on the local-serve tiers (chunked split must not crash)") {
-    val root = Files.createTempDirectory("emptyq").toString
+    val root = testRoot("emptyq")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("c", 3, IndexType.IvfFlat, SpaceType.L2))
     (0 until 10).foreach(i =>
@@ -564,7 +564,7 @@ class EngineSpec extends SparkSpec {
     // VERDICT-r10 watch item 2: a batch past the 16-query chunk previously
     // fell off the local fast path silently; now it chunks over the same
     // held cells. Row-identity vs the distributed plan AND zero warm jobs.
-    val root = Files.createTempDirectory("autosplit").toString
+    val root = testRoot("autosplit")
     val e = new Engine(spark, root)
     val dim = 4
     val rnd = new scala.util.Random(11)

@@ -48,7 +48,7 @@ class LocalIvfParitySpec extends SparkSpec {
   }
 
   test("local ≡ distributed on an ivf_flat collection, incl. exact-tie UTF-8 id order") {
-    val dir = Files.createTempDirectory("ivflocal").toString
+    val dir = testRoot("ivflocal")
     val e = new Engine(spark, dir)
     val dim = 6
     val rnd = new scala.util.Random(31)
@@ -82,7 +82,7 @@ class LocalIvfParitySpec extends SparkSpec {
   }
 
   test("warm local request launches zero Spark jobs; delete re-keys the cache and stays consistent") {
-    val dir = Files.createTempDirectory("ivflocal2").toString
+    val dir = testRoot("ivflocal2")
     val e = new Engine(spark, dir)
     val dim = 4
     val rnd = new scala.util.Random(7)
@@ -118,7 +118,7 @@ class LocalIvfParitySpec extends SparkSpec {
   }
 
   test("filtered single-query serve matches the exact eligible top-k; oversized budget falls back, identical results") {
-    val dir = Files.createTempDirectory("ivflocal3").toString
+    val dir = testRoot("ivflocal3")
     val e = new Engine(spark, dir)
     val dim = 5
     val rnd = new scala.util.Random(13)
@@ -153,7 +153,7 @@ class LocalIvfParitySpec extends SparkSpec {
   }
 
   test("maintained writes rotate the cell cache: post-append local ≡ distributed") {
-    val dir = Files.createTempDirectory("ivflocal4").toString
+    val dir = testRoot("ivflocal4")
     val e = new Engine(spark, dir)
     val dim = 4
     val rnd = new scala.util.Random(23)

@@ -87,7 +87,7 @@ class LocalParityPropertySpec extends SparkSpec {
   private def runScenario(s: Scenario, it: IndexType,
       params: Map[String, String]): Unit = {
     val rnd = new scala.util.Random(s.seedId)
-    val root = Files.createTempDirectory(s"parityprop").toString
+    val root = testRoot(s"parityprop")
     val e = new Engine(spark, root)
     e.createCollection(CollectionConfig("c", s.dim, it, s.space, params))
     val docs = corpusOf(s, rnd)

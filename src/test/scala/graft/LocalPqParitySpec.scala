@@ -37,7 +37,7 @@ class LocalPqParitySpec extends SparkSpec {
 
   private def freshPq(dim: Int, n: Int, space: SpaceType, seed: Int,
       withTies: Boolean = false): (Engine, IndexedSeq[Document]) = {
-    val dir = Files.createTempDirectory("pqlocal").toString
+    val dir = testRoot("pqlocal")
     val e = new Engine(spark, dir)
     val rnd = new scala.util.Random(seed)
     val base = (0 until n).map(i =>
@@ -108,7 +108,7 @@ class LocalPqParitySpec extends SparkSpec {
   }
 
   test("local ≡ distributed OPQ: rotated-space shortlist, original-space re-rank") {
-    val dir = Files.createTempDirectory("opqlocal").toString
+    val dir = testRoot("opqlocal")
     val e = new Engine(spark, dir)
     val dim = 8
     val rnd = new scala.util.Random(41)

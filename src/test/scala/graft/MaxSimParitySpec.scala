@@ -16,7 +16,7 @@ class MaxSimParitySpec extends SparkSpec {
 
   private def mvEngine(dim: Int, corpus: Seq[(String, Seq[Array[Float]])],
       nlist: Int): Engine = {
-    val dir = Files.createTempDirectory("maxsimlocal").toString
+    val dir = testRoot("maxsimlocal")
     val e = new Engine(spark, dir)
     e.createCollection(CollectionConfig("mv", dim, IndexType.IvfFlat,
       SpaceType.L2, params = Map("multivector" -> "true")))
