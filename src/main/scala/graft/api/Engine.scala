@@ -1323,6 +1323,22 @@ class Engine(
     */
   def buildIndex(coll: String, nlist: Int = 100): Unit = {
     val cfg = configOf(coll)
+    // multivector serving contract: MaxSim point serves fetch candidate
+    // docs' token rows via driver-local prefix-range reads; compacting the
+    // store to key-sorted runs with DISJOINT id ranges at build time (the
+    // sorted-SSTable shape) puts each doc's token rows contiguous in one
+    // file, so the fetch costs 1-2 footer-pruned opens instead of one per
+    // ingest run — build time is when the serving layout gets optimized,
+    // same as the layout rewrite below
+    if (cfg.params.get("multivector").exists(_.toBoolean)) {
+      // file count ∝ corpus bytes (~0.5 GB each): MaxSim candidates are
+      // RANDOM docs, so every compacted file gets probed — the per-open
+      // reader-setup cost (~10 ms) times the file count is the serve
+      // floor, and a fixed count of small files just multiplies opens
+      val files = math.max(1L,
+        (store.dataDirBytes(coll) + (1L << 29) - 1) >> 29).toInt
+      store.compact(coll, clusterById = true, files = files)
+    }
     // capture the stamp BEFORE reading the corpus: a write interleaving with
     // the long train/materialize below bumps the counter past this stamp, so
     // currentLayout sees the layout as stale and falls back to the live
@@ -2386,6 +2402,60 @@ class Engine(
     local.getOrElse(searchMaxSimDistributed(coll, queries, k))
   }
 
+  /** Driver-resident candidate token-vector cache for the zero-job MaxSim
+    * serve — the ColBERT doc-embedding cache with the engine's standard
+    * stamp discipline: keys carry the STORE VERSION the vectors were read
+    * at, so any write rotates every key (stale entries age out by LRU,
+    * never serve). Byte-budgeted (`graft.maxsim.docCacheBytes`, default
+    * 256 MiB) because at corpus scale only the hot working set fits; a
+    * miss pays the zero-job point read it always paid. This exists because
+    * the candidate FETCH — not shortlists or scoring — was the measured
+    * ~80% of the r11 52 ms serve p50 (parquet-mr reader setup + drain per
+    * request; see MaxSimProfile), and a steady serving loop re-fetches the
+    * same hot docs every request.
+    */
+  private val maxSimDocCacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+  private val maxSimDocCacheMisses = new java.util.concurrent.atomic.AtomicLong(0)
+  private var maxSimDocCacheBytes = 0L
+  private val maxSimDocCache =
+    new java.util.LinkedHashMap[(String, Long, String), Array[Array[Float]]](
+      1024, 0.75f, true) // access-order: LRU
+  private def maxSimDocCacheBudget: Long =
+    java.lang.Long.getLong("graft.maxsim.docCacheBytes", 256L << 20)
+  private def docBytes(vs: Array[Array[Float]]): Long =
+    vs.foldLeft(64L)((a, v) => a + 24L + v.length * 4L)
+  private def docCacheGet(coll: String, ver: Long,
+      docs: Iterable[String]): Map[String, Array[Array[Float]]] =
+    maxSimDocCache.synchronized {
+      val out = Map.newBuilder[String, Array[Array[Float]]]
+      docs.foreach { d =>
+        val v = maxSimDocCache.get((coll, ver, d))
+        if (v != null) { out += d -> v; maxSimDocCacheHits.incrementAndGet() }
+        else maxSimDocCacheMisses.incrementAndGet()
+      }
+      out.result()
+    }
+  private def docCachePut(coll: String, ver: Long,
+      read: Map[String, Array[Array[Float]]]): Unit =
+    maxSimDocCache.synchronized {
+      read.foreach { case (d, vs) =>
+        if (maxSimDocCache.put((coll, ver, d), vs) == null)
+          maxSimDocCacheBytes += docBytes(vs)
+      }
+      val it = maxSimDocCache.entrySet().iterator()
+      while (maxSimDocCacheBytes > maxSimDocCacheBudget && it.hasNext) {
+        val e = it.next() // eldest-first (access order)
+        maxSimDocCacheBytes -= docBytes(e.getValue)
+        it.remove()
+      }
+    }
+  private[graft] def maxSimDocCacheMetrics: Map[String, Long] = Map(
+    "maxsim_doc_cache_hits" -> maxSimDocCacheHits.get(),
+    "maxsim_doc_cache_misses" -> maxSimDocCacheMisses.get(),
+    "maxsim_doc_cache_bytes" -> maxSimDocCache.synchronized(maxSimDocCacheBytes),
+    "maxsim_doc_cache_entries" -> maxSimDocCache.synchronized(maxSimDocCache.size.toLong),
+    "maxsim_doc_cache_max_bytes" -> maxSimDocCacheBudget)
+
   /** ZERO-JOB MaxSim point serving: for small query sets on an ivf_flat
     * multivector collection with a current layout, the whole request runs
     * on the driver — per-token shortlists from `LocalIvfServe` (same cells,
@@ -2413,6 +2483,14 @@ class Engine(
       toks.zipWithIndex.map { case (v, i) => (s"$qid$MultiVectorSep$i": Any, v) }
     }
     if (tokQs.size > 256) return None
+    // phase timers (maxsim serve profiling): -Dgraft.profile.maxsim=true
+    val prof = java.lang.Boolean.getBoolean("graft.profile.maxsim")
+    var tMark = System.nanoTime()
+    def lap(tag: String): Unit = if (prof) {
+      val now = System.nanoTime()
+      System.err.println(f"[maxsim-prof] $tag ${(now - tMark) / 1e6}%.2f ms")
+      tMark = now
+    }
     val lp = ivfLayoutPath(coll)
     val layout = currentLayout(coll, lp)
     if (layout.isEmpty) return None
@@ -2420,9 +2498,11 @@ class Engine(
     val model = loadedIvfOpt(coll).getOrElse(return None)
     val m = getParams(coll).getOrElse("maxsimCandM", 16)
     val nprobe = getParams(coll).getOrElse("nprobe", math.min(10, model.nlist))
-    val short = graft.operators.LocalIvfServe.searchPointLocalRows(spark, lp,
-      stamp, frame, model, tokQs, m, nprobe, maxQueries = 256)
+    lap("layout+model")
+    val short = graft.operators.LocalIvfServe.searchPointLocalRowsNtok(spark,
+      lp, stamp, frame, model, tokQs, m, nprobe, maxQueries = 256)
     if (short.isEmpty) return None
+    lap("shortlists")
     def before(s: String): String = {
       val i = s.indexOf(MultiVectorSep)
       if (i < 0) s else s.substring(0, i)
@@ -2430,27 +2510,44 @@ class Engine(
     // (qid -> candidate docs), the distinct union over the query's tokens —
     // exactly maxSimCandidates' pair set
     val pairs: Map[String, Seq[String]] = short.get
-      .map { case (qtokId, tokRowId0, _, _) =>
+      .map { case (qtokId, tokRowId0, _, _, _) =>
         (before(qtokId.toString), before(String.valueOf(tokRowId0)))
       }.distinct.groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2) }
+    // each candidate doc's token COUNT rides the shortlist itself (every
+    // token row's params carry __ntok, and the cells cache it) — the old
+    // token-0 pre-read pass was the measured majority of the 52 ms r11
+    // serve p50 (see MaxSimProfile). Max across a doc's matched rows is
+    // defense-in-depth (shadowing makes them identical); a missing count
+    // (-1, a foreign row) falls back to the distributed plan, never a
+    // silent short score.
+    val ntokOf: Map[String, Int] = short.get
+      .map { case (_, rowId, _, _, n) => before(String.valueOf(rowId)) -> n }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).max }
+    if (ntokOf.values.exists(_ <= 0)) return None
     val allDocs = pairs.values.flatten.toSet
-    // all candidate token vectors via the zero-job local point reads: token
-    // counts from each doc's token-0 row, then one batch read of every row
-    val tok0 = store.getMany(coll, allDocs.toSeq.map(d => tokRowId(d, 0)))
-    val ntoks: Map[String, Int] = tok0.flatMap { case (id, doc) =>
-      doc.params.get(MultiVectorNtokKey).map(n => before(id) -> n.toInt)
-    }
-    val allTokIds = ntoks.toSeq.flatMap { case (d, n) =>
-      (0 until n).map(i => tokRowId(d, i))
-    }
-    val tokRows = store.getMany(coll, allTokIds)
-    val docVecs: Map[String, Array[Array[Float]]] = tokRows.values
-      .groupBy(d => before(d.id))
-      .map { case (d, rs) =>
-        d -> rs.toArray
-          .sortBy(_.params.get(MultiVectorTokKey).map(_.toInt).getOrElse(0))
-          .map(_.vector)
+    // candidate token vectors: stamp-keyed cache first (vectors at a given
+    // store version are immutable; any write rotates the key), then ONE
+    // zero-job batch point read for the misses — AT the stamp, so a write
+    // racing this serve reads a consistent snapshot of exactly the layout's
+    // version
+    val cached = docCacheGet(coll, stamp, allDocs)
+    val missing = allDocs.filterNot(cached.contains)
+    val readVecs: Map[String, Array[Array[Float]]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val tokIds = missing.toSeq.flatMap(d =>
+          (0 until ntokOf(d)).map(i => tokRowId(d, i)))
+        store.getManyAt(coll, tokIds, stamp).values
+          .groupBy(d => before(d.id))
+          .map { case (d, rs) =>
+            d -> rs.toArray
+              .sortBy(_.params.get(MultiVectorTokKey).map(_.toInt).getOrElse(0))
+              .map(_.vector)
+          }
       }
+    if (readVecs.nonEmpty) docCachePut(coll, stamp, readVecs)
+    val docVecs: Map[String, Array[Array[Float]]] = cached ++ readVecs
+    lap(s"token vecs (${allDocs.size} docs, ${cached.size} cached)")
     val nTokens = queries.map(_._2.size).max
     val out = new scala.collection.mutable.ArrayBuffer[Row]()
     for ((qid, toks) <- queries) {
@@ -2482,11 +2579,14 @@ class Engine(
         out += Row(qid, d, (r + 1).toLong)
       }
     }
+    lap("score+rank")
     val schema = StructType(Seq(
       StructField("qid", StringType),
       StructField("doc_id", StringType),
       StructField("rnk", LongType)))
-    Some(spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), schema))
+    val res = Some(spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), schema))
+    lap("frame")
+    res
   }
 
   /** The distributed MaxSim plan (the batch/KNN-join shape; also the

@@ -444,6 +444,19 @@ class DocStore(spark: SparkSession, root: String) {
     * key, instead of probing every compacted file. `files` bounds the run
     * count (at real scale: size for ~0.5–1 GB files).
     */
+  /** Total on-disk bytes of the current data generation — the sizing input
+    * for serving-oriented compaction (file count ∝ corpus bytes: point
+    * reads pay ~10 ms of reader setup PER FILE they open, so a small
+    * corpus wants ONE file, and a 100 TB one wants 0.5-1 GB files, never a
+    * fixed count).
+    */
+  def dataDirBytes(name: String): Long = {
+    val dir = dataDir(name)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(ControlFs.hadoopConf())
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   def compact(name: String, clusterById: Boolean = false, files: Int = 8): Unit =
     writeLock(name).synchronized {
     WriterLease.withLease(cfs, leaseFile(name)) { ctx =>

@@ -140,12 +140,18 @@ private[graft] object LocalCellResolve {
   */
 object LocalIvfServe {
 
-  /** One cached cell: the cell's rows as parallel driver arrays. */
-  private final case class Cell(ids: Array[Any], vecs: Array[Array[Float]]) {
+  /** One cached cell: the cell's rows as parallel driver arrays. `ntoks`
+    * carries each row's `__ntok` param (-1 when absent) so a MULTIVECTOR
+    * shortlist hit also yields its doc's token count — the MaxSim serve
+    * then enumerates candidate token-row ids with ZERO extra point reads
+    * (r11's 52 ms p50 was dominated by a token-count pre-read pass).
+    */
+  private final case class Cell(ids: Array[Any], vecs: Array[Array[Float]],
+      ntoks: Array[Int]) {
     def residentBytes: Long = {
       val dim = if (vecs.nonEmpty && vecs(0) != null) vecs(0).length else 0
-      // float payload + array/object headers + boxed id estimate per row
-      ids.length.toLong * (dim.toLong * 4L + 96L)
+      // float payload + ntok int + array/object headers + boxed id estimate
+      ids.length.toLong * (dim.toLong * 4L + 100L)
     }
   }
 
@@ -222,7 +228,25 @@ object LocalIvfServe {
       k: Int,
       nprobe: Int,
       eligible: Option[Set[Any]] = None,
-      maxQueries: Int = 64): Option[Seq[(Any, Any, Double, Long)]] = {
+      maxQueries: Int = 64): Option[Seq[(Any, Any, Double, Long)]] =
+    searchPointLocalRowsNtok(spark, path, stamp, layoutFrame, model, queries,
+      k, nprobe, eligible, maxQueries)
+      .map(_.map(t => (t._1, t._2, t._3, t._4)))
+
+  /** `searchPointLocalRows` plus each hit row's `__ntok` param (-1 when
+    * absent) — the multivector serve's token-count channel.
+    */
+  def searchPointLocalRowsNtok(
+      spark: SparkSession,
+      path: String,
+      stamp: Long,
+      layoutFrame: => DataFrame,
+      model: IvfIndex.Model,
+      queries: Seq[(Any, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      eligible: Option[Set[Any]] = None,
+      maxQueries: Int = 64): Option[Seq[(Any, Any, Double, Long, Int)]] = {
     require(k > 0, s"k must be positive, got $k")
     require(queries.length <= maxQueries,
       s"searchPointLocal is the driver-serve path (${queries.length} queries > " +
@@ -234,24 +258,30 @@ object LocalIvfServe {
     val needed = probed.flatten.distinct.sorted
     val heldOpt = LocalCellResolve.resolve[Cell](cache, spark, path, stamp,
       layoutFrame, needed, maxLocalIvfBytes,
+      // try_element_at: null-safe under ANSI (plain element_at throws on
+      // a missing key); single-vector rows read -1
       df => df.select(col("cluster_id").cast("int"), col("id"),
-        col("vector").cast("array<float>")),
+        col("vector").cast("array<float>"),
+        coalesce(expr("try_element_at(params, '__ntok')").cast("int"),
+          lit(-1))),
       rs => Cell(rs.map(_.get(1): Any),
-        rs.map(r => r.getAs[scala.collection.Seq[Float]](2).toArray)))
+        rs.map(r => r.getAs[scala.collection.Seq[Float]](2).toArray),
+        rs.map(_.getInt(3))))
     if (heldOpt.isEmpty) return None
     val held = heldOpt.get
-    val out = Seq.newBuilder[(Any, Any, Double, Long)]
+    val out = Seq.newBuilder[(Any, Any, Double, Long, Int)]
     var qi = 0
     while (qi < queries.length) {
       val (qid, qv) = queries(qi)
-      val hits = scala.collection.mutable.ArrayBuffer.empty[(Any, Double)]
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Any, Double, Int)]
       probed(qi).foreach { c =>
         held.getOrElse(c, None).foreach { cell =>
           var i = 0
           while (i < cell.ids.length) {
             val id = cell.ids(i)
             if (eligible.forall(_.contains(id)))
-              hits += ((id, VecKernels.dist(qv, cell.vecs(i), model.space)))
+              hits += ((id, VecKernels.dist(qv, cell.vecs(i), model.space),
+                cell.ntoks(i)))
             i += 1
           }
         }
@@ -263,7 +293,7 @@ object LocalIvfServe {
         .take(k)
       var r = 0
       while (r < ranked.length) {
-        out += ((qid, ranked(r)._1, ranked(r)._2, (r + 1).toLong))
+        out += ((qid, ranked(r)._1, ranked(r)._2, (r + 1).toLong, ranked(r)._3))
         r += 1
       }
       qi += 1

@@ -65,6 +65,35 @@ class MaxSimParitySpec extends SparkSpec {
     }
   }
 
+  test("doc-vector cache never serves stale: every mutation rotates the stamp key") {
+    val dim = 4
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 24).map(i =>
+      s"d$i" -> Seq.fill(3)(Array.fill(dim)(rnd.nextFloat())))
+    val e = mvEngine(dim, corpus, nlist = 4)
+    e.setParams("mv", Map("nprobe" -> 4, "maxsimCandM" -> 16))
+    val q = Seq("q" -> corpus(5)._2)
+    parity(e, q, 5, "cold")
+    parity(e, q, 5, "warm (cache hit path)")
+    // overwrite the top candidate's tokens: the next serve must re-read
+    // (stamp rotated), stay ≡ distributed, and reflect the new vectors
+    e.upsertMultiVector("mv", "d5", Seq.fill(3)(Array.fill(dim)(-1f)))
+    e.buildIndex("mv", nlist = 4)
+    val after = parity(e, q, 5, "after overwrite")
+    assert(after.filter(_._1 == "q").map(_._2).headOption !== Some("d5"),
+      s"stale cached vectors served for the overwritten doc: $after")
+    // grow-update: token count changes must flow through the shortlist's
+    // ntok channel, not a stale cached count
+    e.upsertMultiVector("mv", "d6", Seq.fill(6)(corpus(6)._2.head))
+    e.buildIndex("mv", nlist = 4)
+    parity(e, Seq("g" -> Seq(corpus(6)._2.head)), 5, "after grow-update")
+    // delete: candidate drops out on both paths
+    e.deleteMultiVector("mv", "d7")
+    e.buildIndex("mv", nlist = 4)
+    val gone = parity(e, Seq("x" -> corpus(7)._2), 5, "after delete")
+    assert(!gone.exists(_._2 == "d7"), s"deleted doc served: $gone")
+  }
+
   test("warm local MaxSim request launches zero Spark jobs") {
     val dim = 3
     val corpus = Seq(
