@@ -387,7 +387,11 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
     val fs = fsOf(path)
     val dir = new HPath(manifestDir(path))
     fs.mkdirs(dir)
-    if (counterRead(path).isEmpty) {
+    // never consult (or leave behind) a cached None across the init: the
+    // read below must see the real manifest, and a successful init must be
+    // immediately visible (own-write currency clause of the contract)
+    HadoopControlFs.cacheDrop(path)
+    if (counterReadUncached(path).isEmpty) {
       // first writer wins; a racing initializer's collision is benign
       // (same protocol state either way). Local FS throws Hadoop's
       // FileAlreadyExistsException; other FSs may surface a plain
@@ -402,13 +406,21 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
   /** One LIST of the (tiny, GC-bounded) manifest dir per read. Cost note:
     * serving paths check counter currency per request, so a remote root
     * pays one NN RPC (~1 ms, HDFS) or one object-store LIST (~10-20 ms)
-    * per check — fine for HDFS-class serving; latency-critical serving on
-    * an object store wants a fronting read cache (own-commit-invalidated,
-    * TTL'd for cross-process writers), which is deliberately NOT built in:
-    * a stale counter read can serve a stale cached result as current, so
-    * that trade belongs to a deployment that measured it, not a default.
+    * per check — fine for HDFS-class serving. Latency-critical serving on
+    * an object store can OPT IN to the bounded-staleness read cache
+    * (`graft.counter.cacheTtlMs`, default 0 = off — see
+    * [[HadoopControlFs.counterCacheContract]]): a stale counter read can
+    * serve a stale cached result as current, so the trade stays a
+    * deployment's measured choice, never a default.
     */
   override def counterRead(path: String): Option[Long] = {
+    HadoopControlFs.cacheGet(path).foreach(return _)
+    val got = counterReadUncached(path)
+    HadoopControlFs.cachePut(path, got)
+    got
+  }
+
+  private def counterReadUncached(path: String): Option[Long] = {
     val fs = fsOf(path)
     val dir = new HPath(manifestDir(path))
     if (!fs.exists(dir)) return None
@@ -458,9 +470,18 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
     // torn counter, and a racing writer of the same value collides as a
     // typed CounterCollisionException the write retry loop recovers from
     val entry = new HPath(dir, entryName(v))
-    try writeExclusive(fs, entry, v.toString)
-    catch {
+    try {
+      writeExclusive(fs, entry, v.toString)
+      // own-commit invalidation: this process observes its own writes
+      // immediately even with the read cache on
+      HadoopControlFs.cachePut(path, Some(v))
+    } catch {
       case e: java.io.IOException =>
+        // a collision means the cached value (if any) is behind a foreign
+        // writer — drop it so the retry loop re-LISTs instead of re-reading
+        // the same stale value until the TTL (which would burn the whole
+        // retry budget on one foreign commit)
+        HadoopControlFs.cacheDrop(path)
         if (fs.exists(entry)) throw new CounterCollisionException(path, v, e)
         else throw e
     }
@@ -482,4 +503,45 @@ object HadoopControlFs {
   /** Age past which a stranded `<marker>.<uuid>.tmp` is crash debris (a
     * marker write completes in well under a second). */
   private[core] val TmpGcAgeMs = 10 * 60 * 1000L
+
+  /** counterCacheContract — the OPT-IN bounded-staleness counter-read
+    * cache (`graft.counter.cacheTtlMs` > 0 enables; default 0 = every read
+    * LISTs, the always-current behavior):
+    *
+    *  - OWN writes are ALWAYS current: a successful commit anywhere in
+    *    this process updates the cache (the map is process-global, shared
+    *    by every HadoopControlFs instance, because one engine holds
+    *    several), and a commit COLLISION drops the entry so retry loops
+    *    re-LIST immediately.
+    *  - FOREIGN writes (another process) may stay invisible for up to
+    *    TTL ms: a serving path can certify a layout/cached result as
+    *    current against a counter that a remote writer advanced inside
+    *    the window. That — serving a result at most TTL-stale after a
+    *    cross-process write — is the entire contract; pick the TTL like a
+    *    replication lag budget.
+    *  - Durability is untouched: writers re-verify via the create-
+    *    exclusive commit, which never consults the cache.
+    *
+    * Why opt-in: the LIST this saves costs ~1 ms on HDFS (not worth any
+    * staleness) but 10-20 ms per serve request on object stores, where a
+    * measured deployment may prefer bounded staleness (CounterCacheSpec
+    * pins the contract and measures both p50s under an injected-latency
+    * scheme).
+    */
+  private def cacheTtlMs: Long =
+    java.lang.Long.getLong("graft.counter.cacheTtlMs", 0L)
+  private val counterCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Option[Long], Long)]
+  private[core] def cacheGet(path: String): Option[Option[Long]] = {
+    val ttl = cacheTtlMs
+    if (ttl <= 0) return None
+    counterCache.get(path).collect {
+      case (v, at) if System.currentTimeMillis() - at < ttl => v
+    }
+  }
+  private[core] def cachePut(path: String, v: Option[Long]): Unit =
+    if (cacheTtlMs > 0) counterCache(path) = (v, System.currentTimeMillis())
+  private[core] def cacheDrop(path: String): Unit = counterCache.remove(path)
+  /** Test hook: forget everything (e.g. between spec scenarios). */
+  private[graft] def clearCounterCache(): Unit = counterCache.clear()
 }

@@ -53,6 +53,23 @@ class GraftTestFileSystem extends RawLocalFileSystem {
   }
 }
 
+/** `GraftTestFileSystem` with injected LIST latency on counter MANIFEST
+  * dirs (`<counter>.d/`) — a targeted stand-in for the ~10-20 ms an object
+  * store charges per LIST, applied ONLY where the serve path pays it (the
+  * per-request counter-currency check) so the surrounding spec stays fast.
+  * Knob: `graft.testfs.slowlist.ms` (sleep per matching listStatus).
+  */
+class SlowListFs extends GraftTestFileSystem {
+  override def getScheme: String = "slowlistfs"
+  override def getUri: URI = URI.create("slowlistfs:///")
+
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    val ms = java.lang.Long.getLong("graft.testfs.slowlist.ms", 0L)
+    if (ms > 0 && p.getName.endsWith(".d")) Thread.sleep(ms)
+    super.listStatus(p)
+  }
+}
+
 /** `GraftTestFileSystem` with one-shot fault injection on the two commit
   * primitives the control plane relies on — `create` (manifest counter
   * entries, tmp marker writes) and `rename` (marker commits, run-file
