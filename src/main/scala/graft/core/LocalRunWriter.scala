@@ -274,9 +274,23 @@ object LocalRunWriter {
       // parent dir, cross-dir constraints) by returning false, and a
       // silently-lost run here would still commit the version counter —
       // acknowledged rows gone (nio's Files.move throws instead)
-      if (!hfs.rename(new Path(s"$dir/$tmpName"), new Path(s"$dir/$name")))
-        throw new java.io.IOException(
-          s"run rename failed: $dir/$tmpName -> $dir/$name")
+      try {
+        if (!hfs.rename(new Path(s"$dir/$tmpName"), new Path(s"$dir/$name")))
+          throw new java.io.IOException(
+            s"run rename failed: $dir/$tmpName -> $dir/$name")
+      } catch {
+        case e: Throwable =>
+          // a copy+delete rename can THROW with the destination already
+          // visible whole (crash between the two) — this write failed, so
+          // the caller will never commit its version, and a LATER batch
+          // committing the same value would resurrect these rows as ties.
+          // Retract both sides before propagating (a hard process crash
+          // skips this, which is what the lease-steal reconciliation
+          // covers — the crashed holder's lease survives to be stolen).
+          scala.util.Try(hfs.delete(new Path(s"$dir/$name"), false))
+          scala.util.Try(hfs.delete(new Path(s"$dir/$tmpName"), false))
+          throw e
+      }
     }
     // the Hadoop local fs writes a checksum sidecar for the TEMP name;
     // harmless (dotfile) but pointless after the rename — drop it
