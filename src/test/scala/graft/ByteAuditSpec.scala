@@ -53,6 +53,35 @@ class ByteAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  /** One sf0.1 row per heavy family (VERDICT r11 #8): the sf0.01 ceilings
+    * catch structural regressions, but a change whose cost hides inside the
+    * tiny-SF constant terms (a broadcast flipping to shuffle under real
+    * row counts, a pre-filter that stops pruning once the band tables grow)
+    * only shows at 10×. Same committed-ceiling discipline, ~1.5× measured.
+    */
+  private val ceilingsSf01: Seq[(String, Long)] = Seq(
+    "minhash_pairs" -> 17180000L, // measured 11453844 (r12)
+    "bm25_keyword" -> 5620000L, // measured 3749062 (r12)
+    "boilerplate_coverage" -> 19160000L) // measured 12776606 (r12)
+
+  private def auditRow(name: String, ceiling: Long, dir: String, sf: String): Unit =
+    test(s"shuffle-byte ceiling: $name @ $sf") {
+      val fn = SparkEntry.queries(name)
+      val got = shuffleBytesOf {
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+      }
+      if (sys.props.contains("graft.byteaudit.record"))
+        info(f"MEASURED $name @ $sf: $got%d bytes (${got / 1e6}%.2f MB)")
+      else
+        assert(got <= ceiling,
+          f"$name shuffled $got%d bytes (${got / 1e6}%.2f MB) > committed " +
+            f"ceiling $ceiling%d (${ceiling / 1e6}%.2f MB) at $sf — if " +
+            "intentional, re-measure with -Dgraft.byteaudit.record and " +
+            "update the table in the same commit")
+    }
+
+  for ((name, ceiling) <- ceilingsSf01) auditRow(name, ceiling, sf01, "sf0.1")
+
   for ((name, ceiling) <- ceilings)
     test(s"shuffle-byte ceiling: $name") {
       val fn = SparkEntry.queries(name)
