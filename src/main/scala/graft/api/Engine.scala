@@ -1710,7 +1710,10 @@ class Engine(
       k * IvfPq.DefaultRerankFactor, nprobe, eligible)
     if (short.isEmpty) return None
     val ids = short.get.map(r => String.valueOf(r._2)).distinct
-    val docs = store.getMany(coll, ids)
+    // AT the layout stamp: skips the second counter read (one LIST per
+    // request on a remote root) and reads a snapshot consistent with the
+    // shortlist even against a racing writer
+    val docs = store.getManyAt(coll, ids, stamp)
     if (!ids.forall(docs.contains)) return None
     val byQid = short.get.groupBy(_._1.toString)
     val out = new scala.collection.mutable.ArrayBuffer[Row]()

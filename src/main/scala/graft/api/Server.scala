@@ -87,7 +87,8 @@ class Server(engine: Engine, port: Int = 0) {
           reply(ex, 200, Obj((graft.operators.GraphAnn.localServeMetrics ++
             graft.operators.LocalIvfServe.metrics ++
             graft.operators.LocalPqServe.metrics ++
-            graft.core.LocalPointReader.metrics)
+            graft.core.LocalPointReader.metrics ++
+            engine.maxSimDocCacheMetrics)
             .map { case (k, v) => k -> (Num(v.toDouble): Value) }))
         case _ => reply(ex, 404, err("route not found"))
       }

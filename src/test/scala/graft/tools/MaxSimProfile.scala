@@ -47,47 +47,14 @@ object MaxSimProfile {
       (System.nanoTime() - t0) / 1e6
     }.sorted
     println(f"[prof] p50 ${times(times.size / 2)}%.1f ms  p95 ${times(18)}%.1f ms")
-    // micro: where does a single getMany go?
-    val ids = (0 until 47).map(i => s"d${i * 7}0") ++
-      (0 until 47).flatMap(i => (1 until 4).map(j => s"d${i * 7}$j"))
+    // micro: the candidate-fetch cost in isolation (real token ids)
+    val sample = mvDocs.take(40).flatMap { case (d, toks) =>
+      toks.indices.map(i => s"$d\u0001$i")
+    }
     (1 to 3).foreach { _ =>
       val t0 = System.nanoTime()
-      val got = engine.fetchDocuments("mv", ids)
-      System.err.println(f"[micro] getMany ${ids.size} ids -> ${got.size} rows ${(System.nanoTime() - t0) / 1e6}%.2f ms")
-    }
-    // bare parquet-mr open+drain of the compacted file with the same in()
-    val dataDir = java.nio.file.Paths.get(root, "mv")
-    val gen = java.nio.file.Files.list(dataDir).iterator()
-    import scala.jdk.CollectionConverters._
-    val dirs = java.nio.file.Files.list(dataDir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("data")).toSeq
-    dirs.foreach { d =>
-      java.nio.file.Files.list(d).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).foreach { f =>
-          import org.apache.parquet.filter2.predicate.FilterApi
-          import org.apache.parquet.io.api.Binary
-          val pred = FilterApi.in(FilterApi.binaryColumn("id"),
-            ids.map(Binary.fromString).toSet.asJava
-              .asInstanceOf[java.util.Set[Binary]])
-          val pred4 = FilterApi.in(FilterApi.binaryColumn("id"),
-            ids.take(4).map(Binary.fromString).toSet.asJava
-              .asInstanceOf[java.util.Set[Binary]])
-          val conf = new org.apache.hadoop.conf.Configuration()
-          for ((tag, fl) <- Seq(("nofilter", None), ("in4", Some(pred4)),
-              ("in188", Some(pred))); _ <- 1 to 3) {
-            val t0 = System.nanoTime()
-            var b = org.apache.parquet.hadoop.ParquetReader.builder(
-              new org.apache.parquet.hadoop.example.GroupReadSupport(),
-              new org.apache.hadoop.fs.Path(f.toString)).withConf(conf)
-            fl.foreach(p => b = b.withFilter(
-              org.apache.parquet.filter2.compat.FilterCompat.get(p)))
-            val r = b.build()
-            val tOpen = System.nanoTime()
-            var n = 0
-            try { while (r.read() != null) n += 1 } finally r.close()
-            System.err.println(f"[micro] $tag ${f.getFileName} rows=$n open=${(tOpen - t0) / 1e6}%.1f drain=${(System.nanoTime() - tOpen) / 1e6}%.1f ms")
-          }
-        }
+      val got = engine.fetchDocuments("mv", sample)
+      System.err.println(f"[micro] getMany ${sample.size} token ids -> ${got.size} rows ${(System.nanoTime() - t0) / 1e6}%.2f ms")
     }
     spark.stop()
   }
