@@ -605,7 +605,19 @@ class Engine(
     * path untaken). The probe is version-fenced inside `ingestBatchIndexed`
     * against writers racing between probe and commit.
     */
+  // phase timers (maintained write profiling): -Dgraft.profile.write=true
+  private val profWrite = java.lang.Boolean.getBoolean("graft.profile.write")
+  private val profT = new ThreadLocal[java.lang.Long]()
+  private def wlap(tag: String): Unit = if (profWrite) {
+    val now = System.nanoTime()
+    val prev = profT.get()
+    if (prev != null)
+      System.err.println(f"[write-prof] $tag ${(now - prev) / 1e6}%.2f ms")
+    profT.set(now)
+  }
+
   def batchUpsertDocuments(coll: String, docs: Seq[Document]): Unit = {
+    if (profWrite) profT.set(System.nanoTime())
     val cfg = configOf(coll)
     require(docs.nonEmpty, "empty batch")
     // a multivector collection's rows MUST carry the doc-key param — a plain
@@ -616,6 +628,7 @@ class Engine(
         "upsertMultiVector/batchUpsertMultiVector")
     val maintained = tierLayoutPath(coll)
       .exists(p => currentLayoutStamp(coll, p).isDefined)
+    wlap("cfg+stamp")
     if (!maintained) { store.upsert(coll, docs, cfg.dimension); return }
     // all-or-nothing dimension validation (document.go:280-285) — the
     // DataFrame commit below bypasses the store's Seq-side check
@@ -631,8 +644,11 @@ class Engine(
     // between this read and the point reads below. Projected existence
     // probe — no vector/params decode, ~10× cheaper than getMany.
     val v0 = store.currentVersion(coll)
+    wlap("v0")
     val overlap = store.liveIds(coll, collapsed.map(_.id)).nonEmpty
+    wlap("liveIds probe")
     import spark.implicits._
+    // by-name: the driver-sized path never materializes this plan
     ingestBatchIndexed(coll, spark.createDataset(collapsed).toDF(),
       uniqueIdsKnown = true, overlapProbe = Some((v0, overlap)),
       driverRows = Some(collapsed))
@@ -798,7 +814,7 @@ class Engine(
     * delta append and tombstones write locally too, making the whole
     * maintained point write job-free.
     */
-  def ingestBatchIndexed(coll: String, batch: DataFrame,
+  def ingestBatchIndexed(coll: String, batchThunk: => DataFrame,
       assumeNewIds: Boolean = false, batchId: Option[Long] = None,
       streamId: String = "default",
       uniqueIdsKnown: Boolean = false,
@@ -837,7 +853,15 @@ class Engine(
     // the store and append/shadow a DIFFERENT one: an id committed but
     // never appended (or appended but never shadowed) would be served
     // stale from the layout while the store holds its newer incarnation.
-    batch.cache()
+    // LAZY: the driver-sized point-write path (driverRows + uniqueIdsKnown
+    // + overlapProbe) never touches the plan at all — materializing and
+    // registering a 1-row DataFrame with the cache manager cost ~20 ms per
+    // REST write for nothing (measured, WriteProfile)
+    var batchCached: DataFrame = null
+    def batch: DataFrame = {
+      if (batchCached == null) batchCached = { val b = batchThunk; b.cache(); b }
+      batchCached
+    }
     try {
       // generation fence: the layout paths below resolve the CURRENT
       // generation; a compaction/build flipping generations mid-batch folds
@@ -846,6 +870,7 @@ class Engine(
       // an append that raced into a superseded generation stales (fallback)
       // instead of certifying a row-missing layout
       val genAtStart = layoutGen(coll)
+      wlap("ingest: toDF+cache+gen")
       val maintain: Option[(DataFrame => DataFrame, String, String, Boolean)] = cfg.indexType match {
         case IndexType.IvfFlat =>
           loadedIvfOpt(coll).map(m =>
@@ -918,10 +943,12 @@ class Engine(
       // mark the layout current while missing an interleaved writer's rows.
       // With driverRows the commit goes through the Seq path (the local run
       // writer for small batches): same rows, same version protocol.
+      wlap("ingest: pre-commit checks")
       val v = driverRows match {
         case Some(docs) => store.upsert(coll, docs, cfg.dimension)
         case None => store.upsertDfVersioned(coll, batch)
       }
+      wlap("ingest: store commit")
       // resolve the overlap answer now that our commit version is known: a
       // caller-side probe is authoritative only when nothing interleaved
       // between the probe and this commit (versions are +1-per-write, so
@@ -975,9 +1002,12 @@ class Engine(
         val docs = driverRows.get
         LocalRunWriter.writeDeltaRun(layoutPath,
           docs.map(d => (d.id, d.vector.toSeq)), v)
-        if (needTombstones)
+        wlap("ingest: delta run")
+        if (needTombstones) {
           LocalRunWriter.writeTombstoneRun(
             tombstonesPath(maintain.get._2), docs.map(_.id), v)
+          wlap("ingest: tombstone run")
+        }
       } else if (localRows.isDefined) {
         // same write ordering as the Spark branch: layout rows first, then
         // the shadows, both before any stamp advance (a crash between them
@@ -1048,6 +1078,7 @@ class Engine(
           !cfs.exists(compactIntentPath(coll)) &&
           layoutGen(coll) == genAtStart)
         atomicWrite(s"$root/$coll/index/layout_version", v.toString)
+      wlap("ingest: stamp advance")
       // size-triggered delta compaction (the LSM fold policy): once the hnsw
       // delta sidecar holds >= `deltaCompactRows` rows, fold it into fresh
       // adjacency RIGHT HERE — a stream that never sees a manual buildIndex
@@ -1064,6 +1095,7 @@ class Engine(
               spark.read.parquet(deltaFiles: _*).count() >= limit)
             buildIndex(coll)
         }
+      wlap("ingest: delta-compact check")
       settleLedger()
       // small-files compaction for the APPENDED tiers (ivf/pq/opq/sq/bq): each
       // streamed batch adds ~one file per write task, so a long stream turns
@@ -1080,7 +1112,9 @@ class Engine(
           if (countLayoutDataFiles(maintain.get._3) >= limit) compactLayout(coll)
         }
       maybeFoldTombstones(coll, cfg, maintain.get._2)
-    } finally batch.unpersist(blocking = false)
+    } finally {
+      if (batchCached != null) batchCached.unpersist(blocking = false)
+    }
   }
 
   /** Size-triggered tombstone fold (the `tombstoneCompactRows` knob): once

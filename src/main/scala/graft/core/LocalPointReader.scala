@@ -288,6 +288,27 @@ object LocalPointReader {
       meta
     }
 
+  /** Pre-populate the bloom for a JUST-WRITTEN run from the ids the writer
+    * already holds — the write path's half of the bloom discipline: without
+    * this, the NEXT point probe pays a projected id-column scan to build
+    * the new run's bloom (~10-20 ms of parquet reader setup), i.e. every
+    * maintained point write taxes its successor. Sizing/accounting
+    * identical to `bloomFor`; runs are immutable so the two can never
+    * disagree on content.
+    */
+  private[core] def registerBloom(f: String, ids: Iterable[String]): Unit = {
+    if (blooms.contains(f)) return
+    if (bloomBytes.get() > BloomMaxBytes) sweepDeadBlooms()
+    if (bloomBytes.get() > BloomMaxBytes) return // admission-denied: bloomFor retries later
+    val n = ids.size
+    if (n > BloomMaxRows) { blooms.putIfAbsent(f, AlwaysMight); return }
+    val nBits = math.max(1024, Integer.highestOneBit(n * BloomBitsPerId) * 2)
+    val b = new IdBloom(nBits)
+    ids.foreach(b.add)
+    if (blooms.putIfAbsent(f, b).isEmpty)
+      bloomBytes.addAndGet(8L * b.words.length)
+  }
+
   private def bloomFor(f: String): IdBloom = blooms.get(f).getOrElse {
     val (rows, idOnly) = metaFor(f)
     // ADMISSION bound, never a wholesale clear: a clear would make a

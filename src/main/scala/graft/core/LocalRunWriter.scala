@@ -36,6 +36,13 @@ object LocalRunWriter {
     */
   val MaxLocalRows = 1024
 
+  // parsed-once base for local-write Configurations (see writeRun)
+  private lazy val baseLocalConf = {
+    val c = new Configuration()
+    c.size() // force the lazy XML-resource parse NOW, once
+    c
+  }
+
   /** The DocStore row schema (`DocStore.schema`) in parquet form. All
     * fields optional: Spark reads parquet columns as nullable regardless,
     * and tombstone rows carry null vector/params.
@@ -88,8 +95,8 @@ object LocalRunWriter {
     */
   def writeStoreRun(dataDir: String,
       rows: Seq[(String, Seq[Float], Map[String, String], Boolean)],
-      version: Long): String =
-    writeRun(dataDir, storeSchema, RunNames.localRun(version)) { record =>
+      version: Long): String = {
+    val path = writeRun(dataDir, storeSchema, RunNames.localRun(version)) { record =>
       rows.zipWithIndex.foreach { case ((id, vec, params, deleted), i) =>
         record { r =>
         r.add("id", id)
@@ -111,6 +118,11 @@ object LocalRunWriter {
         }
       }
     }
+    // write-side bloom: the next point probe prunes this run from memory
+    // instead of paying a projected scan to learn what we already know
+    LocalPointReader.registerBloom(path, rows.map(_._1))
+    path
+  }
 
   /** One delta run: (id, vector) rows stamped `version`. */
   def writeDeltaRun(deltaDir: String, rows: Seq[(String, Seq[Float])],
@@ -238,10 +250,24 @@ object LocalRunWriter {
 
   private def writeRun(dir: String, schema: MessageType, name: String)(
       emit: ((SimpleGroup => Unit) => Unit) => Unit): String = {
+    val prof = java.lang.Boolean.getBoolean("graft.profile.write")
+    var t = System.nanoTime()
+    def lap(tag: String): Unit = if (prof) {
+      val now = System.nanoTime()
+      System.err.println(f"[run-prof] $tag ${(now - t) / 1e6}%.2f ms")
+      t = now
+    }
     val local = ControlFs.isLocalRoot(dir)
     // the session's hadoop conf (spark.hadoop.* credentials/endpoints) —
-    // the run must land on the SAME store the data plane resolves
-    val conf = if (local) new Configuration() else ControlFs.hadoopConf()
+    // the run must land on the SAME store the data plane resolves. The
+    // local conf COPIES a cached base: a bare `new Configuration()` lazily
+    // re-parses the XML default resources PER INSTANCE (~20 ms — measured
+    // as the dominant share of the point write's per-run cost); the copy
+    // constructor clones the parsed properties instead. A fresh instance
+    // is still required per write because GroupWriteSupport.setSchema
+    // mutates it.
+    val conf = if (local) new Configuration(LocalRunWriter.baseLocalConf)
+      else new Configuration(ControlFs.hadoopConf())
     val hfs = if (local) null else new Path(dir).getFileSystem(conf)
     if (local) Files.createDirectories(Paths.get(dir)) else hfs.mkdirs(new Path(dir))
     val tmpName = s".$name.tmp"
@@ -249,10 +275,27 @@ object LocalRunWriter {
     // parquet-mr writes through the dir's Hadoop FS (scheme-aware), so the
     // driver-direct run write works against remote roots too; the
     // dot-prefixed temp stays invisible to every run listing either way
-    val writer = ExampleParquetWriter.builder(new Path(s"$dir/$tmpName"))
+    // plain local dirs write through java.nio (LocalOutputFile): the
+    // Hadoop LocalFileSystem stack (ChecksumFileSystem stream + crc
+    // sidecar + FS resolution) measured 20-45 ms PER WRITER CREATION on
+    // the point-write path — the dominant cost of a maintained REST write
+    // at 2-3 run files per request. Scheme'd dirs keep the Hadoop path
+    // (that stack IS the remote store).
+    val writer = (if (local)
+      ExampleParquetWriter.builder(new org.apache.parquet.io.LocalOutputFile(
+        Paths.get(dir).resolve(tmpName)))
+    else ExampleParquetWriter.builder(new Path(s"$dir/$tmpName")))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      // driver runs hold <= MaxLocalRows rows (KBs, not the default 128 MB
+      // row group / 1 MB pages the writer sizes its buffers for): small
+      // buffers cut the per-writer alloc+init cost, which IS the point
+      // write's floor at 2-3 writer creations per request
+      .withRowGroupSize(1L << 20)
+      .withPageSize(64 << 10)
+      .withDictionaryPageSize(64 << 10)
       .build()
+    lap("builder")
     try {
       // populate-then-write per record: ParquetWriter.write serializes the
       // group's content at call time
@@ -261,7 +304,7 @@ object LocalRunWriter {
         fill(g)
         writer.write(g)
       }
-    } finally writer.close()
+    } finally { lap("emit"); writer.close(); lap("close") }
     if (local) {
       val dirPath = Paths.get(dir)
       Files.move(dirPath.resolve(tmpName), dirPath.resolve(name),
@@ -296,6 +339,7 @@ object LocalRunWriter {
     // harmless (dotfile) but pointless after the rename — drop it
     if (local) Files.deleteIfExists(Paths.get(dir).resolve(s".$tmpName.crc"))
     else hfs.delete(new Path(s"$dir/.$tmpName.crc"), false)
+    lap("rename+crc")
     s"$dir/$name"
   }
 }
