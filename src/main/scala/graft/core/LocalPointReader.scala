@@ -61,6 +61,26 @@ object LocalPointReader {
     }
   }
 
+  // java.nio parquet reads for plain local runs — the read-side twin of
+  // LocalRunWriter's LocalOutputFile: opening a run through the Hadoop
+  // LocalFileSystem stack (FS resolution + ChecksumFileSystem stream +
+  // crc verification) costs 10-45 ms of fixed setup per reader, which IS
+  // the probe cost on a maintained update (the existing id's bloom hits,
+  // so the big run must actually be opened). Scheme'd paths keep the
+  // Hadoop reader — that stack IS the remote store.
+  private class GroupReaderBuilder(in: org.apache.parquet.io.InputFile)
+      extends ParquetReader.Builder[Group](in) {
+    override protected def getReadSupport()
+        : org.apache.parquet.hadoop.api.ReadSupport[Group] =
+      new GroupReadSupport()
+  }
+
+  private def readerBuilder(f: String): ParquetReader.Builder[Group] =
+    if (ControlFs.isLocalRoot(f))
+      new GroupReaderBuilder(
+        new org.apache.parquet.io.LocalInputFile(Paths.get(f)))
+    else ParquetReader.builder(new GroupReadSupport(), new Path(f))
+
   /** LWW winners for `ids` (absent / tombstoned ids omitted). Runs are
     * bloom-pruned (see below): only files that might contain one of `ids`
     * are opened — a point GET on a many-run store opens 1-2 files, not
@@ -79,8 +99,7 @@ object LocalPointReader {
       .empty[String, (Long, Long, Document, Boolean)]
     val hashes = idHashes(ids)
     files.withFilter(f => mightContainAny(f, hashes)).foreach { f =>
-      val reader: ParquetReader[Group] = ParquetReader
-        .builder(new GroupReadSupport(), new Path(f))
+      val reader: ParquetReader[Group] = readerBuilder(f)
         .withConf(conf)
         .withFilter(FilterCompat.get(pred))
         .build()
@@ -273,8 +292,11 @@ object LocalPointReader {
   private def metaFor(f: String): (Long, org.apache.parquet.schema.MessageType) =
     runMeta.get(f).getOrElse {
       val (rows, fileSchema) = {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(f), conf)
+        val in: org.apache.parquet.io.InputFile =
+          if (ControlFs.isLocalRoot(f))
+            new org.apache.parquet.io.LocalInputFile(Paths.get(f))
+          else org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try (r.getRecordCount, r.getFileMetaData.getSchema) finally r.close()
       }
@@ -409,8 +431,7 @@ object LocalPointReader {
     val fconf = new Configuration(conf)
     fconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projected.toString)
-    var builder = ParquetReader.builder(new GroupReadSupport(), new Path(f))
-      .withConf(fconf)
+    var builder = readerBuilder(f).withConf(fconf)
     if (pred != null) builder = builder.withFilter(FilterCompat.get(pred))
     val reader = builder.build()
     try {
