@@ -573,6 +573,18 @@ class Engine(
     versionedDeltaMemo.keys.filter(_.startsWith(s"$root/$name/"))
       .foreach(versionedDeltaMemo.remove)
     eligSetCache.keys.filter(_._1 == name).foreach(eligSetCache.remove)
+    // (coll, version, doc)-keyed token vectors: a recreated collection's
+    // counter resets, so a reused id could hit the dead incarnation's
+    // vectors at a matching stamp
+    maxSimDocCache.synchronized {
+      val it = maxSimDocCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == name) {
+          maxSimDocCacheBytes -= docBytes(e.getValue); it.remove()
+        }
+      }
+    }
     catalog.drop(name)
   }
 

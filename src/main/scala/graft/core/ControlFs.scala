@@ -223,22 +223,59 @@ object NioControlFs extends ControlFs {
 
   override def counterRead(path: String): Option[Long] = {
     val p = Paths.get(path)
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong) // strict: no default
+    val fileV =
+      if (!Files.exists(p)) None
+      else Some(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong) // strict: no default
+    // the TOKEN is the commit point (same as the Hadoop manifest, where
+    // the entry IS the commit): every caller publishes its payload —
+    // name-versioned runs, a fully-written generation dir — durably
+    // BEFORE counterCommit, so a claimed token always denotes a completed
+    // write even when the holder crashed before advancing the counter
+    // file. Reading max(file, tokens) makes the committed value monotone
+    // under concurrent commits (a delayed slower writer's last-writer-wins
+    // file write can no longer regress what readers — including a
+    // lease-steal's orphan reconciliation — observe) and self-heals the
+    // stranded-token wedge (a gen-pointer commit interrupted between
+    // token and file write would otherwise collide at that value forever).
+    val tokenV = maxToken(path)
+    (fileV, tokenV) match {
+      case (Some(a), Some(b)) => Some(math.max(a, b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  private def maxToken(path: String): Option[Long] = {
+    val d = Paths.get(s"$path.d")
+    if (!Files.isDirectory(d)) return None
+    val s = Files.list(d)
+    try {
+      val vs = s.iterator().asScala.flatMap { t =>
+        val n = t.getFileName.toString
+        if (n.length == 21 && n.charAt(0) == 'v')
+          scala.util.Try(n.substring(1).toLong).toOption
+        else None
+      }.toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    } finally s.close()
   }
 
   /** Commit = claim a create-exclusive per-value token under `<path>.d/`
     * (the same manifest discipline as the Hadoop side — CREATE_NEW on a
     * local FS is atomic), then advance the counter file itself via
-    * tmp+ATOMIC_MOVE. The counter FILE stays the authoritative read
-    * (bit-compatible: pre-token stores read and advance unchanged; the
-    * token dir is additive); the tokens exist so two PROCESSES sharing a
-    * plain local root collide loudly on a duplicate value instead of
-    * silently last-writer-winning the rename. A crash between token and
-    * counter write strands a claimed-but-uncommitted value; the collision
-    * exception carries it so retrying writers skip past (version gaps are
-    * harmless — the counter is monotone, not dense).
+    * tmp+ATOMIC_MOVE. The TOKEN is the commit point; `counterRead` reads
+    * max(file, tokens), so the last-writer-wins file write is a readable
+    * convenience, never the authority (a delayed slower writer overwriting
+    * a faster writer's higher value cannot regress the committed view —
+    * rolled-back reads would let a lease-steal's reconcile delete
+    * acknowledged runs). Bit-compatible: pre-token stores have no token
+    * dir and read the file unchanged. The create-exclusive tokens also
+    * make two PROCESSES sharing a plain local root collide loudly on a
+    * duplicate value instead of silently last-writer-winning the rename.
+    * A crash between token and counter write is already committed (the
+    * payload — runs, a generation dir — is durably published before any
+    * counterCommit call); version gaps from retracted batches are
+    * harmless — the counter is monotone, not dense.
     */
   override def counterCommit(path: String, v: Long): Unit = {
     val token = Paths.get(s"$path.d", f"v$v%020d")
@@ -307,8 +344,18 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
     // opportunistic GC of tmps stranded by a crash BETWEEN delete(p) and
     // rename on some earlier write (this writer's tmp is already gone):
     // absence of the marker is tolerated by every protocol, but the UUID
-    // tmps would otherwise accumulate unboundedly across crash cycles
-    gcStaleTmps(fs, p)
+    // tmps would otherwise accumulate unboundedly across crash cycles.
+    // Time-gated per marker dir: the cutoff is 10-minutes-stale debris, so
+    // sweeping on EVERY write would add one LIST (10-20 ms on an object
+    // store) to hot paths — the layout-stamp advance, lease heartbeats —
+    // for nothing
+    val parent = p.getParent.toString
+    val now = System.currentTimeMillis()
+    val last = HadoopControlFs.tmpSweepAt.getOrElse(parent, 0L)
+    val due = now - last > HadoopControlFs.TmpGcAgeMs / 10 &&
+      (if (last == 0L) HadoopControlFs.tmpSweepAt.putIfAbsent(parent, now).isEmpty
+       else HadoopControlFs.tmpSweepAt.replace(parent, last, now))
+    if (due) gcStaleTmps(fs, p)
   }
 
   /** Delete `<marker>.<uuid>.tmp` siblings older than [[TmpGcAgeMs]] —
@@ -400,6 +447,11 @@ final class HadoopControlFs(conf: Configuration) extends ControlFs {
       val entry = new HPath(dir, entryName(v))
       try writeExclusive(fs, entry, v.toString)
       catch { case e: java.io.IOException => if (!fs.exists(entry)) throw e }
+      // a concurrent counterRead in the gap above may have cached None
+      // from the still-empty manifest — left in place it would serve the
+      // collection as uninitialized for up to a TTL after a successful
+      // init, violating the own-write-currency clause
+      HadoopControlFs.cacheDrop(path)
     }
   }
 
@@ -503,6 +555,12 @@ object HadoopControlFs {
   /** Age past which a stranded `<marker>.<uuid>.tmp` is crash debris (a
     * marker write completes in well under a second). */
   private[core] val TmpGcAgeMs = 10 * 60 * 1000L
+
+  // last stale-tmp sweep per marker dir (process-global): gates the GC
+  // LIST off the per-write path — debris this sweep targets is 10-minutes
+  // old by definition, so sweeping ~once a minute per dir loses nothing
+  private[core] val tmpSweepAt =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** counterCacheContract — the OPT-IN bounded-staleness counter-read
     * cache (`graft.counter.cacheTtlMs` > 0 enables; default 0 = every read

@@ -196,6 +196,10 @@ class DocStore(spark: SparkSession, root: String) {
     */
   private def reconcileOrphans(name: String): Unit = {
     val dir = dataDir(name)
+    // destructive decision: the committed value must come from the store,
+    // never the opt-in bounded-staleness read cache — a stale-low counter
+    // here would delete acknowledged runs as "orphans"
+    HadoopControlFs.cacheDrop(versionFile(name))
     val committedV = cfs.counterRead(versionFile(name)).getOrElse(0L)
     cfs.listNames(dir).foreach { n =>
       if (RunNames.isRun(n) && RunNames.version(n).exists(_ > committedV))
@@ -369,7 +373,12 @@ class DocStore(spark: SparkSession, root: String) {
       val visible = names.filter(n => RunNames.version(n).forall(_ <= ver))
       if (visible.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[Row](), schema(0))
-      else if (visible.size == names.size) spark.read.parquet(dir)
+      // ALWAYS the explicit path list, even when every listed run is
+      // visible: spark.read.parquet(dir) would re-list the directory at
+      // plan time, so a run published by a cross-process writer between
+      // cfs.listNames and Spark's own listing could sneak uncommitted
+      // post-`ver` rows into the cached (dir, ver) handle — the exact race
+      // the visibility filter exists to close
       else spark.read.parquet(visible.map(n => s"$dir/$n"): _*)
     })
   }

@@ -130,6 +130,12 @@ object WriterLease {
       nonce: String) {
     @volatile private var lost: String = null
     @volatile private var released = false
+    // serializes renew() against release(): without it, a heartbeat that
+    // passed its released/mine checks can be interleaved by release()'s
+    // delete and then RESURRECT the lease file with a fresh TTL — a ghost
+    // lease no process holds, blocking the next writer for a full TTL and
+    // forcing a spurious steal + orphan-reconcile pass
+    private val ioLock = new Object
     private val heartbeat = renewer.scheduleAtFixedRate(() => renew(),
       ttlMs / 3, ttlMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
 
@@ -137,16 +143,19 @@ object WriterLease {
       cfs.readLinesSafe(path).flatMap(_.headOption)
         .exists(_.startsWith(nonce + " "))
 
-    private def renew(): Unit = try {
-      if (released || lost != null) return
-      if (!mine()) { lost = "stolen or expired under heartbeat"; return }
-      // verify-then-write: a stealer in this gap is resolved loudly by the
-      // counter collision, per the layering contract above
-      cfs.atomicWrite(path, s"$nonce ${System.currentTimeMillis() + ttlMs}")
-    } catch { case scala.util.control.NonFatal(e) =>
-      // transient renew failures are fine while TTL remains; fence() is
-      // the authoritative check
-      ()
+    private def renew(): Unit = ioLock.synchronized {
+      try {
+        if (!released && lost == null) {
+          if (!mine()) lost = "stolen or expired under heartbeat"
+          // verify-then-write: a stealer in this gap is resolved loudly by
+          // the counter collision, per the layering contract above
+          else cfs.atomicWrite(path, s"$nonce ${System.currentTimeMillis() + ttlMs}")
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        // transient renew failures are fine while TTL remains; fence() is
+        // the authoritative check
+        ()
+      }
     }
 
     def fence(): Unit = {
@@ -154,7 +163,7 @@ object WriterLease {
       if (!mine()) { lost = "foreign holder at fence"; throw new LeaseLost(path, lost) }
     }
 
-    def release(): Unit = {
+    def release(): Unit = ioLock.synchronized {
       released = true
       heartbeat.cancel(false)
       try { if (mine()) cfs.deleteIfExists(path) }

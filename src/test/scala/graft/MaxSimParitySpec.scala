@@ -167,6 +167,28 @@ class MaxSimParitySpec extends SparkSpec {
     assert(!after.exists(_._2 == "d5"), "deleted doc surfaced")
   }
 
+  test("drop+recreate cannot serve the dead incarnation's token vectors at a matching stamp") {
+    // the doc cache keys on (coll, version, doc) and the version counter
+    // RESETS on drop — a recreated collection reusing ids reaches the same
+    // stamps the old incarnation served at, so dropCollection must clear
+    // the entries (like every other incarnation-keyed cache)
+    val dim = 4
+    val corpusA = (0 until 12).map(i => s"d$i" -> Seq(Array.fill(dim)(0.1f * i)))
+    val e = mvEngine(dim, corpusA, nlist = 2)
+    val q = Seq("q" -> Seq(Array.fill(dim)(0.5f)))
+    parity(e, q, 3, "first incarnation") // populates the doc cache
+    e.dropCollection("mv")
+    // second incarnation: same ids, DIFFERENT vectors, same batch cadence
+    // → the serve below runs at a version the old incarnation already
+    // cached token vectors for
+    e.createCollection(CollectionConfig("mv", dim, IndexType.IvfFlat,
+      SpaceType.L2, params = Map("multivector" -> "true")))
+    e.batchUpsertMultiVector("mv",
+      (0 until 12).map(i => s"d$i" -> Seq(Array.fill(dim)(1f - 0.05f * i))))
+    e.buildIndex("mv", nlist = 2)
+    parity(e, q, 3, "recreated incarnation") // distributed is the truth
+  }
+
   test("precondition misses decline to the distributed plan") {
     val dim = 3
     val corpus = (0 until 6).map(i =>

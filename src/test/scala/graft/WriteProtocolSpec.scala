@@ -23,21 +23,16 @@ class WriteProtocolSpec extends SparkSpec {
     val s = new DocStore(spark, root)
     s.init("c"); s.upsert("c", Seq(doc("a", 1f)), 4)
     val v = s.currentVersion("c")
-    // simulate a racing process that CLAIMED v+1: pre-create the
-    // create-exclusive token/manifest entry without (nio) or with (hadoop)
-    // the committed read advancing — either way this writer's commit of
-    // v+1 must collide loudly, and the retry must land the batch whole
+    // simulate a racing process whose commit of v+1 just landed: pre-create
+    // the create-exclusive token/manifest entry. On BOTH schemes the token/
+    // entry IS the commit (counterRead = max(file, tokens) on nio, manifest
+    // max on hadoop — a claim-without-commit window would let a delayed
+    // counter-file write regress the committed view), so this writer simply
+    // reads past it and lands its batch above; same-instant claim races are
+    // TwoProcessSoakSpec's job
     val cfs = cfsOf(root)
     assert(cfs.createExclusive(f"$root/c/_version.d/v${v + 1}%020d", (v + 1).toString))
-    val before = s.writeRetries.get
     s.upsert("c", Seq(doc("b", 2f)), 4)
-    if (ControlFs.isLocalRoot(root)) {
-      // nio: the token is a CLAIM, not a commit — the writer must collide
-      // on it and retry past
-      assert(s.writeRetries.get > before, "the collision retry must have fired")
-    } // manifest counters: an entry IS a commit (read = max), so the writer
-      // simply reads past it — the claim-without-commit window does not
-      // exist on Hadoop roots; mid-write races are TwoProcessSoakSpec's job
     assert(s.currentVersion("c") > v + 1, "writer must land past the claimed value")
     assert(vecOf(s, "c", "b").contains(2f))
     assert(vecOf(s, "c", "a").contains(1f))
@@ -161,6 +156,52 @@ class WriteProtocolSpec extends SparkSpec {
       s"every published part must carry the batch version: $runs")
     assert(!names.exists(_.startsWith(".staging-")), s"staging left behind: $names")
     assert(s.read("c").count() == n)
+    assert(vecOf(s, "c", "d7").contains(7f))
+  }
+
+  test("committed counter reads are MONOTONE: a regressed counter file cannot roll back past a token") {
+    // the review scenario: writer A stalls after claiming token v, writer B
+    // retries to v+1 and commits, then A's delayed last-writer-wins file
+    // write lands v — a file-only read would report v, filtering B's
+    // acknowledged batch out of every scan and letting a lease-steal's
+    // reconcileOrphans DELETE it
+    val root = testRoot("proto-monotone")
+    val s = new DocStore(spark, root)
+    s.init("c"); s.upsert("c", Seq(doc("a", 1f)), 4)
+    s.upsert("c", Seq(doc("b", 2f)), 4)
+    val v = s.currentVersion("c")
+    val cfs = cfsOf(root)
+    // the delayed slower writer's file overwrite (nio atomicWrite is
+    // last-writer-wins by design; hadoop has no counter file at all)
+    if (ControlFs.isLocalRoot(root)) {
+      AtomicFiles.atomicWrite(Paths.get(s"$root/c/_version"), (v - 1).toString)
+      assert(cfs.counterRead(s"$root/c/_version").contains(v),
+        "read must be max(file, tokens) — never the regressed file")
+      assert(s.currentVersion("c") == v)
+      assert(vecOf(s, "c", "b").contains(2f), "the v batch must stay visible")
+    }
+  }
+
+  test("a stranded gen-pointer token self-heals: compaction is not wedged by a crash between token and file") {
+    val root = testRoot("proto-genwedge")
+    val s = new DocStore(spark, root)
+    s.init("c")
+    s.upsert("c", (0 until 10).map(i => doc(s"d$i", i.toFloat)), 4)
+    val cfs = cfsOf(root)
+    val gen = cfs.counterRead(s"$root/c/data_gen").getOrElse(0L)
+    // a crashed compactor claimed gen+1 but died before the counter-file
+    // write. Its generation DIR was fully written first (the compact
+    // ordering), so the token must read as committed — without that, every
+    // later compact() recomputes gen+1, collides on this token, and the
+    // collection can never compact again
+    s.compact("c") // writes gen+1's dir, commits its token
+    if (ControlFs.isLocalRoot(root)) {
+      // regress the FILE to simulate dying pre-write; the token stays
+      AtomicFiles.atomicWrite(Paths.get(s"$root/c/data_gen"), gen.toString)
+    }
+    s.compact("c") // must target gen+2, not collide at gen+1
+    assert(cfs.counterRead(s"$root/c/data_gen").exists(_ >= gen + 2))
+    assert(s.read("c").count() == 10)
     assert(vecOf(s, "c", "d7").contains(7f))
   }
 }
