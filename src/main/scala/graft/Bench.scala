@@ -56,12 +56,16 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
+      // label every job this query spawns (guide §1.5) so event-log/UI
+      // profiling can attribute stages to queries; cleared after the rep
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally spark.sparkContext.setJobDescription(null)
       (System.nanoTime() - t0) / 1e9
     }
     // ---- stall detection. Three driver rounds in a row the OFFICIAL bench

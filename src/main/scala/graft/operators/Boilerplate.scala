@@ -34,7 +34,15 @@ object Boilerplate {
     val occ = base.select(col(idCol), col("__grp"),
       posexplode(graft.functions.vfn.ngrams(col("__w"), n))).toDF(
       idCol, "__grp", "__pos", "__gram")
-    val boiler = occ.select(idCol, "__grp", "__gram").distinct()
+    // df pass: each doc's grams dedup IN-ROW (array_distinct) before the
+    // explode, so one (grp, gram) row per (doc, gram) reaches the count —
+    // identical distinct-doc counts to a distinct() over the occurrence
+    // stream, but the corpus-scale distinct EXCHANGE disappears and the
+    // remaining (grp, gram) aggregation combines map-side (guide §2.3/2.4:
+    // one less full-stream shuffle; the doc id never enters the exchange)
+    val boiler = base.select(col("__grp"),
+        explode(array_distinct(graft.functions.vfn.ngrams(col("__w"), n)))
+          .as("__gram"))
       .groupBy(col("__grp"), col("__gram")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("__grp", "__gram")
     val covered = occ.join(boiler, Seq("__grp", "__gram"))
@@ -91,7 +99,18 @@ object Boilerplate {
     val occ = base.select(col(idCol), col("__grp"), col("__pi"),
       posexplode(graft.functions.vfn.ngrams(col("__w"), n))).toDF(
       idCol, "__grp", "__pi", "__pos", "__gram")
-    val boiler = occ.select(idCol, "__grp", "__gram").distinct()
+    // df pass straight from the documents: per-paragraph gram arrays flatten
+    // per DOC and dedup in-row, so one (grp, gram) row per (doc, gram)
+    // reaches the count — the same distinct-doc counts as a distinct() over
+    // the per-paragraph occurrence stream (a gram repeated across a doc's
+    // paragraphs still counts once), without the corpus-scale distinct
+    // exchange; the (grp, gram) aggregation combines map-side. Grams still
+    // never straddle `sep` — construction stays paragraph-local.
+    val docGrams = docs.select(col(groupCol).as("__grp"),
+      explode(array_distinct(flatten(transform(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)),
+        p => graft.functions.vfn.ngrams(split(p, " "), n))))).as("__gram"))
+    val boiler = docGrams
       .groupBy(col("__grp"), col("__gram")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("__grp", "__gram")
     val covered = occ.join(boiler, Seq("__grp", "__gram"))

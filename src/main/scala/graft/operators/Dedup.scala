@@ -197,6 +197,10 @@ object Dedup {
       val width = plan.collectLeaves().map {
         case f: FileSourceScanExec =>
           scala.util.Try(f.inputRDDs().map(_.getNumPartitions).sum).getOrElse(0)
+        // checkpointed/RDD-backed leaves (localCheckpoint results): the
+        // partition count is a plain field read, no job
+        case r: org.apache.spark.sql.execution.RDDScanExec =>
+          scala.util.Try(r.inputRDDs().map(_.getNumPartitions).sum).getOrElse(0)
         case _ => 0
       }.sum
       if (width >= target) df else df.repartition(target)
@@ -309,12 +313,25 @@ object Dedup {
 
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // The banded rows are SELF-joined, and the two join sides are separate
+    // subtrees in the physical plan: exchange reuse does not deduplicate
+    // them, and AQE submits both sides' shuffle stages CONCURRENTLY — so
+    // without an explicit materialization the whole upstream pipeline
+    // (scan → shingles → 63-hash signature aggregation → banding → cap
+    // window) runs twice, racing on the same cores (measured: the two sig
+    // aggregations were the two largest stages of minhash_pairs, ~30 s of
+    // task time at sf0.1). Persist + force ONCE, join from the cache, then
+    // eagerly materialize the (candidate-set-sized) pair frame and release.
+    // The cache is banded-row-sized (bands rows/doc of (id, band, hash)) —
+    // linear in the corpus, MEMORY_AND_DISK spills at scale.
     val exploded = capBuckets(bandedRows(sigs, bands, rowsPerBand),
       Seq("band", "bh"), maxBucket)
-    exploded.as("a").join(exploded.as("b"), Seq("band", "bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exploded.count() // force: a lazy cache is RACED by the two join stages
+    released(exploded.as("a").join(exploded.as("b"), Seq("band", "bh"))
       .filter(col("a.__did") < col("b.__did"))
       .select(col("a.__did").as("ia"), col("b.__did").as("ib"))
-      .distinct()
+      .distinct(), exploded)
   }
 
   /** Cross-corpus near-duplicates — the DECONTAMINATION pass every training
@@ -332,13 +349,28 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rpb = numHashes / bands
     // each side is scanned by its signature aggregation AND the exact-verify
-    // join — persist so the explode+hash map cost is paid once per side
+    // join — persist so the explode+hash map cost is paid once per side; the
+    // signatures likewise feed banding AND the sizes joins, so they persist
+    // too. FORCED (count) before the fan-out: AQE submits the A×B band join
+    // sides and the verify joins concurrently, and concurrent first readers
+    // of a lazy cache each recompute the full lineage (measured as 2-3
+    // duplicate signature/shingle passes in decontam_pairs at sf0.1). One
+    // count per side builds both caches — the sigs aggregation streams
+    // through the shingle cache beneath it.
     val shA = shingles(corpus, corpusId, corpusText, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shB = shingles(ref, refId, refText, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigsA = minHashSignatures(shA, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigsB = minHashSignatures(shB, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE forcing job over a union of both sides: the A and B pipelines are
+    // independent, so their stages run concurrently inside the single job
+    // (guide §2.6) — two sequential count()s would serialize them and give
+    // back the overlap the old racy plan had
+    sigsA.select(lit(1).as("__one"))
+      .union(sigsB.select(lit(1).as("__one"))).count()
     val bA = capBuckets(bandedRows(sigsA, bands, rpb), Seq("band", "bh"), maxBucket)
     val bB = capBuckets(bandedRows(sigsB, bands, rpb), Seq("band", "bh"), maxBucket)
     val cand = bA.as("a").join(bB.as("b"), Seq("band", "bh"))
@@ -357,7 +389,7 @@ object Dedup {
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("ia"), col("ib"), col("jaccard")), shA, shB)
+      .select(col("ia"), col("ib"), col("jaccard")), shA, shB, sigsA, sigsB)
   }
 
   /** Incremental near-dup for a STREAMING corpus: dedups an arriving batch
@@ -440,7 +472,8 @@ object Dedup {
     * re-aggregating `sh`.
     */
   def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double,
-      sizesOpt: Option[DataFrame] = None): DataFrame = {
+      sizesOpt: Option[DataFrame] = None,
+      alsoRelease: Seq[DataFrame] = Nil): DataFrame = {
     // verification touches ONLY docs that appear in ≥1 candidate pair — at
     // constant dup density that set is a small fraction of the corpus, so
     // the shingle frame is semi-joined down BEFORE the persist and the
@@ -454,15 +487,19 @@ object Dedup {
     // and its lineage is the banded generation — cache the (small) pair set
     // so banding runs once
     val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candP.count() // force: the id-restriction and verify joins fan out below
     val candIds = candP.select(col("ia").as("__did"))
       .union(candP.select(col("ib").as("__did"))).distinct()
     // the shingle frame is scanned 2-3× here (both sides of the
     // intersection self-join + the sizes fallback) and its lineage carries
     // the pipeline's dominant map cost (explode + hashing) — persist so
-    // that cost is paid once; `released` materializes the (tiny) verified
-    // pair set and drops the cache before returning
+    // that cost is paid once, and FORCE the cache before the fan-out: AQE
+    // submits the self-join sides concurrently, and concurrent first
+    // readers of a lazy cache each recompute the full lineage. `released`
+    // materializes the (tiny) verified pair set and drops the caches.
     val shP = sh.join(candIds, Seq("__did"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shP.count()
     val sizes = sizesOpt.getOrElse(
       shP.groupBy(col("__did")).agg(count(lit(1)).as("n")))
     val inter = candP
@@ -475,7 +512,8 @@ object Dedup {
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("ia"), col("ib"), col("jaccard")), shP, candP)
+      .select(col("ia"), col("ib"), col("jaccard")),
+      shP +: candP +: alsoRelease: _*)
   }
 
   /** Full MinHash+LSH near-dup pipeline: pairs with exact n-gram Jaccard ≥
@@ -519,17 +557,31 @@ object Dedup {
       threshold: Double, maxBucket: Int, expandDuplicates: Boolean): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val reps = m.fold(df)(mm => df.join(dupNonReps(mm, idCol), Seq(idCol), "left_anti"))
-    val repSh = shingles(reps, idCol, textCol, shingleN)
-    val repSigs = minHashSignatures(repSh, numHashes)
-    val repCand = lshCandidates(repSigs, bands, numHashes / bands, maxBucket)
     m match {
       case Some(mm) if expandDuplicates =>
+        val repSh = shingles(reps, idCol, textCol, shingleN)
+        val repCand = lshCandidates(minHashSignatures(repSh, numHashes),
+          bands, numHashes / bands, maxBucket)
         // verification joins against the FULL corpus's shingles, so expanded
         // member pairs score with their own (identical) shingle sets
         verifyJaccard(expandPairs(repCand, mm), shingles(df, idCol, textCol, shingleN), threshold)
       case _ =>
+        // the shingle frame feeds the signature aggregation AND the verify
+        // intersection join, and the signatures feed banding AND the sizes
+        // join — persist both (one forced pass via repSigs.count() builds
+        // both caches: the sigs scan streams through the shingle cache) so
+        // the explode+hash map cost and the 63-min aggregation each run
+        // once instead of once per consumer. Released after the verified
+        // pair set materializes inside verifyJaccard.
+        val repSh = shingles(reps, idCol, textCol, shingleN)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val repSigs = minHashSignatures(repSh, numHashes)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        repSigs.count()
+        val repCand = lshCandidates(repSigs, bands, numHashes / bands, maxBucket)
         verifyJaccard(repCand, repSh, threshold,
-          sizesOpt = Some(repSigs.select(col("__did"), col("__n").as("n"))))
+          sizesOpt = Some(repSigs.select(col("__did"), col("__n").as("n"))),
+          alsoRelease = Seq(repSh, repSigs))
     }
   }
 
@@ -656,11 +708,16 @@ object Dedup {
     val m = membershipIfDups(df, idCol, md5(to_json(struct(col(vecCol)))))
     val reps = m.fold(all)(mm => all.join(dupNonReps(mm, "__did"), Seq("__did"), "left_anti"))
     // shares AnnLsh's hyperplane/signature/multi-probe machinery — one LSH
-    // implementation, two call sites (KNN and near-dup)
+    // implementation, two call sites (KNN and near-dup). Persist + FORCE the
+    // signatures before the self-join: the plain and multi-probed sides are
+    // separate plan subtrees whose shuffle stages AQE submits concurrently —
+    // a lazy frame would compute the hyperplane projections twice.
     val pl = AnnLsh.planesFor(d, numTables, nbits, seed)
     val sigs = capBuckets(
       AnnLsh.signaturesFor(reps, "__v", Seq("__did", "__v"), pl),
       Seq("__table", "__bucket"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     val probed = AnnLsh.multiProbe(sigs, nbits)
     val repPairs = sigs.as("x").join(probed.as("y"), Seq("__table", "__bucket"))
       .filter(col("x.__did") < col("y.__did"))
@@ -682,7 +739,7 @@ object Dedup {
       .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
       .filter(col("sim") >= simThreshold)
       .select(col("ia"), col("ib"), col("sim"))
-    released(out, m.toSeq: _*)
+    released(out, sigs +: m.toSeq: _*)
   }
 
   /** Cross-corpus SEMANTIC leakage scan at scale: training vectors whose
@@ -770,12 +827,20 @@ object Dedup {
     val m = membershipIfDups(df, idCol, md5(col(textCol).cast("binary")))
     val reps = m.fold(df)(mm => df.join(dupNonReps(mm, idCol), Seq(idCol), "left_anti"))
     val sigs = simHash(reps, idCol, textCol)
+    // persist + FORCE the chunked signatures before the self-join: the two
+    // join sides are separate plan subtrees whose shuffle stages AQE submits
+    // concurrently, so without this the whole per-token md5 + 60-vote-sum
+    // aggregation runs twice, racing on the same cores (measured as the two
+    // largest stages of simhash_pairs at sf0.1). Cache is 4 rows/doc of
+    // (id, simhash, chunk, cv) — linear, MEMORY_AND_DISK spills at scale.
     val chunks = capBuckets(
       sigs.select(col("__did"), col("simhash"),
           explode(expr("transform(sequence(0, 3), c -> " +
             "struct(c AS chunk, shiftright(simhash, c * 15) & 32767 AS cv))")).as("e"))
         .select(col("__did"), col("simhash"), col("e.chunk").as("chunk"), col("e.cv").as("cv")),
       Seq("chunk", "cv"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunks.count()
     val repPairs = chunks.as("a").join(chunks.as("b"), Seq("chunk", "cv"))
       .filter(col("a.__did") < col("b.__did"))
       .select(col("a.__did").as("ia"), col("b.__did").as("ib"),
@@ -792,9 +857,9 @@ object Dedup {
         // themselves.
         val cross = expandCross(repPairs, mm, Seq("hamming"))
         val within = withinGroupPairs(mm).withColumn("hamming", lit(0L))
-        released(cross.union(within).distinct(), mm)
-      case Some(mm) => released(repPairs, mm) // reps derive from mm's anti-join
-      case None => repPairs.localCheckpoint()
+        released(cross.union(within).distinct(), mm, chunks)
+      case Some(mm) => released(repPairs, mm, chunks) // reps derive from mm's anti-join
+      case None => released(repPairs, chunks)
     }
   }
 
@@ -1073,6 +1138,11 @@ object Dedup {
       .select(col("__did"),
         (if (hashedJoinKey) xxhash64(col("__g")) else col("__g")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force: AQE submits the self-join sides' shuffle stages concurrently,
+    // and concurrent first readers of a lazy cache each recompute the full
+    // sliding-window gram explode (measured as the two largest stages of
+    // substr_dedup at sf0.1 — the persist alone did not deduplicate them)
+    grams.count()
     val repPairs = grams.as("a").join(grams.as("b"), "s")
       .filter(col("a.__did") < col("b.__did"))
       .groupBy(col("a.__did").as("ia"), col("b.__did").as("ib"))

@@ -46,6 +46,13 @@ object RangeJoin {
   def intervalPoint(intervals: DataFrame, loCol: String, hiCol: String,
       points: DataFrame, ptCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // widen the interval (probe) side before the join: the pair expansion
+    // happens INSIDE the join stage, invisible to AQE's byte-based
+    // coalescing, and the probe side's parallelism is inherited from its
+    // (often narrow) scan. A round-robin widen keeps the points side free
+    // to broadcast — a keyed repartition of both sides was measured SLOWER
+    // (it forced two exchanges and gave up the broadcast join). No-op when
+    // the probe side is already wide (see Dedup.widened).
     val binned = intervals.withColumn("__bin",
       explode(sequence(floorDiv(col(loCol), binWidth),
         floorDiv(col(hiCol), binWidth))))
@@ -66,11 +73,15 @@ object RangeJoin {
   def intervalInterval(a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // same probe-side widen as intervalPoint: pair expansion happens inside
+    // the join, invisible to AQE's byte-based coalescing; the b side stays
+    // un-widened so a small build side can still broadcast
     def binned(df: DataFrame, lo: String, hi: String, first: String) = df
       .withColumn(first, floorDiv(col(lo), binWidth))
       .withColumn("__bin",
         explode(sequence(col(first), floorDiv(col(hi), binWidth))))
-    binned(a, aLo, aHi, "__fa").join(binned(b, bLo, bHi, "__fb"), "__bin")
+    binned(Dedup.widened(a), aLo, aHi, "__fa")
+      .join(binned(b, bLo, bHi, "__fb"), "__bin")
       .filter(col("__bin") === greatest(col("__fa"), col("__fb")) &&
         col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
       .drop("__bin", "__fa", "__fb")

@@ -189,25 +189,36 @@ object AnalyticsQueries {
     */
   def bm25Keyword(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
+    // Document frequencies straight from in-row DISTINCT tokens: one
+    // (term, count) aggregation with map-side combine — df(term) = number
+    // of docs containing the term, identical to counting rows of a
+    // (doc, term) tf table, but the corpus-scale (doc, dl, term) exchange
+    // never happens for the df pass (the r11 plan computed the FULL tf
+    // subtree twice — once for df, once for scoring — because the tiny
+    // query-term set broadcast instead of reusing the term exchange).
     // widened: the tokenize+explode map cost must not inherit a narrow
     // small-file scan's parallelism (same rationale as Dedup.widened)
-    val tf = graft.operators.Dedup.widened(d)
+    val wide = graft.operators.Dedup.widened(d)
+    val dfc = wide
+      .select(explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val queryTerms = dfc.orderBy(col("df").desc, col("term").asc).limit(IndexTerms)
+    // tf only for the query terms: the token stream is cut by a broadcast
+    // join against the IndexTerms-row term set BEFORE the (doc, dl, term)
+    // aggregation, so the exchange carries only matching tokens' partial
+    // counts (guide §2.3: shuffle fewer bytes) instead of the whole
+    // corpus's (doc, term) pairs. `df` rides the join and stays in the
+    // grouping key (functionally dependent on term).
+    val tf = wide
       .select(col("doc_id"), size(toks).cast("long").as("dl"),
         explode(toks).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .join(broadcast(queryTerms), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"), col("df"))
       .agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val queryTerms = dfc.orderBy(col("df").desc, col("term").asc).limit(IndexTerms)
     val totals = d.agg(count(lit(1)).as("n_docs"),
       sum(size(toks).cast("long")).as("t_tokens"))
-    // plain (non-broadcast-hinted) join on term: the probe side needs tf
-    // exchanged by term, which is EXACTLY the exchange dfc already paid —
-    // ReusedExchange makes the query-term cut free, where a broadcast hint
-    // would recompute the whole tf subtree (the corpus-dominant cost) a
-    // second time just to build the broadcast
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val scored = tf
-      .join(queryTerms, "term")
       .crossJoin(broadcast(totals))
       .withColumn("score",
         (dec(lit(36L)) * dec(col("t_tokens")) * dec(col("tf")) *
@@ -357,9 +368,16 @@ object AnalyticsQueries {
     * itself, so every session survives the groupBy) and subtracted.
     */
   def concurrentSessions(spark: SparkSession, dir: String): DataFrame = {
+    // the session frame feeds BOTH sides of the interval self-join, whose
+    // plan subtrees are separate — without materialization the sessionize
+    // window pipeline runs twice, concurrently, over the full event stream
+    // (measured as the two largest stages of this query at sf0.1).
+    // localCheckpoint: one row per session, the standard small-frame
+    // materialization (see Dedup.released's trade-off note).
     val s = RelationalQueries.sessionizeBatch(spark, dir)
       .select(col("user_id"), col("session_idx"),
         col("start_ms"), col("end_ms"))
+      .localCheckpoint()
     val b = s.select(col("user_id").as("__bu"), col("session_idx").as("__bs"),
       col("start_ms").as("__blo"), col("end_ms").as("__bhi"))
     RangeJoin.intervalInterval(s, "start_ms", "end_ms",

@@ -387,7 +387,13 @@ object RelationalQueries {
     val ev = events(spark, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val gapNs = 30L * 60L * 1000000000L
-    ev.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    // explicit key-spread: the session windows are per-row compute over few
+    // bytes, which AQE's byte-based coalescing serializes onto one task at
+    // small inputs (see Skew.spreadByKey); the windows and the session
+    // aggregation below all reuse this one exchange
+    graft.operators.Skew.spreadByKey(
+        ev.select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        Seq("user_id"))
       .withColumn("__prev", lag(col("ts"), 1).over(w))
       .withColumn("__new",
         when(col("__prev").isNull || col("ts") - col("__prev") > gapNs, 1L).otherwise(0L))
