@@ -36,6 +36,26 @@ object vfn {
     Bridge.column(org.apache.spark.sql.graft.NGrams(
       Bridge.expression(tokens), n, stride))
 
+  /** Per-row MinHash signature + distinct-shingle count over word n-grams
+    * (STRUCT<sigs ARRAY<BIGINT>, n BIGINT>) — bit-identical values to the
+    * explode + 63-min aggregation it replaces (see DedupKernels).
+    */
+  def minhashSig(tokens: Column, n: Int, numHashes: Int): Column =
+    Bridge.column(org.apache.spark.sql.graft.MinHashSig(
+      Bridge.expression(tokens), n, numHashes))
+
+  /** Per-row 60-bit SimHash signature (md5-nibble votes; see DedupKernels). */
+  def simhash60(tokens: Column): Column =
+    Bridge.column(org.apache.spark.sql.graft.SimHash60(
+      Bridge.expression(tokens)))
+
+  /** Sliding character n-gram windows with a single offset pre-scan (see
+    * DedupKernels — the interpreted substring lambda is O(chars²)/row).
+    */
+  def charGrams(text: Column, n: Int): Column =
+    Bridge.column(org.apache.spark.sql.graft.CharGrams(
+      Bridge.expression(text), n))
+
   /** Codegen Bloom membership probe against a filter serialized at plan
     * time — the broadcast-side join pruner (no false negatives; see
     * BloomKernels).

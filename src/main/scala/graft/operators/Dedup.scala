@@ -348,36 +348,32 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rpb = numHashes / bands
-    // each side is scanned by its signature aggregation AND the exact-verify
-    // join — persist so the explode+hash map cost is paid once per side; the
-    // signatures likewise feed banding AND the sizes joins, so they persist
-    // too. FORCED (count) before the fan-out: AQE submits the A×B band join
-    // sides and the verify joins concurrently, and concurrent first readers
-    // of a lazy cache each recompute the full lineage (measured as 2-3
-    // duplicate signature/shingle passes in decontam_pairs at sf0.1). One
-    // count per side builds both caches — the sigs aggregation streams
-    // through the shingle cache beneath it.
-    val shA = shingles(corpus, corpusId, corpusText, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shB = shingles(ref, refId, refText, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigsA = minHashSignatures(shA, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigsB = minHashSignatures(shB, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ONE forcing job over a union of both sides: the A and B pipelines are
-    // independent, so their stages run concurrently inside the single job
-    // (guide §2.6) — two sequential count()s would serialize them and give
-    // back the overlap the old racy plan had
-    sigsA.select(lit(1).as("__one"))
-      .union(sigsB.select(lit(1).as("__one"))).count()
+    // per-row signature kernels (no shingle explode, no 64-column hash
+    // aggregate). The signatures feed banding AND the sizes joins — with
+    // the kernel the duplicate computation is a cheap map pass, so they are
+    // deliberately NOT persisted: a persist+force barrier was measured
+    // SLOWER at sf0.1 than letting the consumers recompute the map (the
+    // pre-kernel shape, where the duplicate was an explode + 64-column
+    // aggregate, did need it).
+    val sigsA = minHashSigRows(corpus, corpusId, corpusText, shingleN, numHashes)
+    val sigsB = minHashSigRows(ref, refId, refText, shingleN, numHashes)
     val bA = capBuckets(bandedRows(sigsA, bands, rpb), Seq("band", "bh"), maxBucket)
     val bB = capBuckets(bandedRows(sigsB, bands, rpb), Seq("band", "bh"), maxBucket)
     val cand = bA.as("a").join(bB.as("b"), Seq("band", "bh"))
       .select(col("a.__did").as("ia"), col("b.__did").as("ib"))
       .distinct()
-    // exact cross-corpus Jaccard over candidate pairs only; sizes ride the
-    // signature aggregation (same shuffle, reused exchange)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // force: the id restrictions and the verify join fan out
+    // exact cross-corpus Jaccard over candidate pairs only: each side's
+    // verify shingles are built AFTER a semi-join of the DOCS to the
+    // candidate ids (the gram explode never touches non-candidates); sizes
+    // ride the signature kernel's distinct count
+    val shA = shingles(corpus.join(
+        cand.select(col("ia").as(corpusId)).distinct(), Seq(corpusId), "left_semi"),
+      corpusId, corpusText, shingleN)
+    val shB = shingles(ref.join(
+        cand.select(col("ib").as(refId)).distinct(), Seq(refId), "left_semi"),
+      refId, refText, shingleN)
     val sizesA = sigsA.select(col("__did").as("ia"), col("__n").as("na"))
     val sizesB = sigsB.select(col("__did").as("ib"), col("__n").as("nb"))
     released(cand
@@ -389,7 +385,7 @@ object Dedup {
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("ia"), col("ib"), col("jaccard")), shA, shB, sigsA, sigsB)
+      .select(col("ia"), col("ib"), col("jaccard")), cand)
   }
 
   /** Incremental near-dup for a STREAMING corpus: dedups an arriving batch
@@ -486,19 +482,48 @@ object Dedup {
     // cand is consumed twice (the id restriction + the verification joins)
     // and its lineage is the banded generation — cache the (small) pair set
     // so banding runs once
+    val (candP, candIds) = forcedCand(cand)
+    val shP = sh.join(candIds, Seq("__did"), "left_semi")
+    verifyCore(candP, shP, threshold, sizesOpt, alsoRelease)
+  }
+
+  /** `verifyJaccard` with the candidate-id restriction applied to the DOCS,
+    * before any shingle explode: the gram construction — the pipeline's
+    * dominant map cost — runs over candidate documents only, instead of
+    * exploding the whole corpus and semi-joining the gram stream down.
+    */
+  private def verifyJaccardOnDocs(cand: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, threshold: Double,
+      sizesOpt: Option[DataFrame] = None,
+      alsoRelease: Seq[DataFrame] = Nil): DataFrame = {
+    val (candP, candIds) = forcedCand(cand)
+    val candDocs = docs.join(candIds.select(col("__did").as(idCol)),
+      Seq(idCol), "left_semi")
+    verifyCore(candP, shingles(candDocs, idCol, textCol, shingleN),
+      threshold, sizesOpt, alsoRelease)
+  }
+
+  /** Persist + force the (candidate-set-sized) pair frame and derive its
+    * distinct id set — every verify variant fans out from these two.
+    */
+  private def forcedCand(cand: DataFrame): (DataFrame, DataFrame) = {
     val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candP.count() // force: the id-restriction and verify joins fan out below
     val candIds = candP.select(col("ia").as("__did"))
       .union(candP.select(col("ib").as("__did"))).distinct()
-    // the shingle frame is scanned 2-3× here (both sides of the
-    // intersection self-join + the sizes fallback) and its lineage carries
-    // the pipeline's dominant map cost (explode + hashing) — persist so
-    // that cost is paid once, and FORCE the cache before the fan-out: AQE
-    // submits the self-join sides concurrently, and concurrent first
-    // readers of a lazy cache each recompute the full lineage. `released`
-    // materializes the (tiny) verified pair set and drops the caches.
-    val shP = sh.join(candIds, Seq("__did"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (candP, candIds)
+  }
+
+  private def verifyCore(candP: DataFrame, sh: DataFrame, threshold: Double,
+      sizesOpt: Option[DataFrame], alsoRelease: Seq[DataFrame]): DataFrame = {
+    // the (restricted) shingle frame is scanned 2-3× here (both sides of
+    // the intersection self-join + the sizes fallback) and its lineage
+    // carries the gram-construction map cost — persist so that cost is
+    // paid once, and FORCE the cache before the fan-out: AQE submits the
+    // self-join sides concurrently, and concurrent first readers of a lazy
+    // cache each recompute the full lineage. `released` materializes the
+    // (tiny) verified pair set and drops the caches.
+    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shP.count()
     val sizes = sizesOpt.getOrElse(
       shP.groupBy(col("__did")).agg(count(lit(1)).as("n")))
@@ -559,30 +584,47 @@ object Dedup {
     val reps = m.fold(df)(mm => df.join(dupNonReps(mm, idCol), Seq(idCol), "left_anti"))
     m match {
       case Some(mm) if expandDuplicates =>
-        val repSh = shingles(reps, idCol, textCol, shingleN)
-        val repCand = lshCandidates(minHashSignatures(repSh, numHashes),
+        // in-row signature kernel: no shingle explode, no 64-column hash
+        // aggregate, no signature exchange (see minHashSigRows)
+        val repCand = lshCandidates(
+          minHashSigRows(reps, idCol, textCol, shingleN, numHashes),
           bands, numHashes / bands, maxBucket)
-        // verification joins against the FULL corpus's shingles, so expanded
-        // member pairs score with their own (identical) shingle sets
-        verifyJaccard(expandPairs(repCand, mm), shingles(df, idCol, textCol, shingleN), threshold)
+        // verification shingles the FULL corpus (restricted to candidate
+        // ids pre-explode), so expanded member pairs score with their own
+        // (identical) shingle sets
+        verifyJaccardOnDocs(expandPairs(repCand, mm), df, idCol, textCol,
+          shingleN, threshold)
       case _ =>
-        // the shingle frame feeds the signature aggregation AND the verify
-        // intersection join, and the signatures feed banding AND the sizes
-        // join — persist both (one forced pass via repSigs.count() builds
-        // both caches: the sigs scan streams through the shingle cache) so
-        // the explode+hash map cost and the 63-min aggregation each run
-        // once instead of once per consumer. Released after the verified
-        // pair set materializes inside verifyJaccard.
-        val repSh = shingles(reps, idCol, textCol, shingleN)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val repSigs = minHashSignatures(repSh, numHashes)
+        // the signatures feed banding AND the sizes join — persist + force
+        // so the per-row kernel runs once; released after the verified pair
+        // set materializes inside the verify.
+        val repSigs = minHashSigRows(reps, idCol, textCol, shingleN, numHashes)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         repSigs.count()
         val repCand = lshCandidates(repSigs, bands, numHashes / bands, maxBucket)
-        verifyJaccard(repCand, repSh, threshold,
+        verifyJaccardOnDocs(repCand, reps, idCol, textCol, shingleN, threshold,
           sizesOpt = Some(repSigs.select(col("__did"), col("__n").as("n"))),
-          alsoRelease = Seq(repSh, repSigs))
+          alsoRelease = Seq(repSigs))
     }
+  }
+
+  /** Per-row MinHash signatures straight from the texts — the same
+    * `(__did, h0..h{k-1}, __n)` frame `minHashSignatures` aggregates out of
+    * exploded shingles, produced by ONE codegen map pass (`MinHashSig`
+    * kernel): no gram explode, no 64-column hash aggregate, no exchange.
+    * Signature values and distinct-shingle counts are bit-identical (same
+    * XXH64 seed chain, exact string distinctness, same short-doc whole-text
+    * fallback), gated by DedupSpec's row≡aggregation property.
+    */
+  private[graft] def minHashSigRows(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int): DataFrame = {
+    val sig = graft.functions.vfn.minhashSig(
+      split(col(textCol), " "), shingleN, numHashes)
+    widened(df).select(col(idCol).as("__did"), sig.as("__s"))
+      .select(col("__did") +:
+        (0 until numHashes).map(i =>
+          col("__s").getField("sigs").getItem(i).as(s"h$i")) :+
+        col("__s").getField("n").as("__n"): _*)
   }
 
   /** Duplicate-cluster edges at scale: representative-level near-dup pairs ∪
@@ -793,27 +835,16 @@ object Dedup {
     */
   val SimHashBits = 60
 
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one 15-hex-char conv per token (not 15 per-nibble convs): the 60-bit
-    // value packs nibble d at bits (14−d)·4..(14−d)·4+3, so bit j of the
-    // signature = bit (14−j/4)·4+(j%4) — EXACTLY the md5-nibble formulation
-    // the oracle replays (bit (j mod 4) of hex nibble (j div 4)); only the
-    // extraction arithmetic changed, every simhash value is identical
-    // widened: the per-token md5+conv map cost must not inherit a narrow
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // per-row SimHash60 kernel: one codegen map pass computing the md5-nibble
+    // bit votes and the sign reduction in-row — value-identical to the
+    // explode + 60-sum aggregation it replaces (the 60-bit value packs md5
+    // hex nibble d at bits (14−d)·4..(14−d)·4+3, exactly the formulation the
+    // oracle replays), with no token explode and no signature exchange.
+    // widened: the per-token md5 map cost must not inherit a narrow
     // small-file scan's parallelism (see `widened`)
-    val tok = widened(df).select(col(idCol).as("__did"),
-      explode(split(col(textCol), " ")).as("t"))
-      .withColumn("__h",
-        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
-    val votes = (0 until SimHashBits).map { j =>
-      val shift = (14 - j / 4) * 4 + (j % 4)
-      sum(when(expr(s"shiftright(__h, $shift) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = tok.groupBy(col("__did")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until SimHashBits).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("__did"), sig.as("simhash"))
-  }
+    widened(df).select(col(idCol).as("__did"),
+      graft.functions.vfn.simhash60(split(col(textCol), " ")).as("simhash"))
 
   /** SimHash near-dup pairs: banded on 4×15-bit chunks (a pair within
     * hamming distance 3 must agree on ≥1 chunk — pigeonhole), verified with
@@ -1125,9 +1156,11 @@ object Dedup {
       case Some(mm) => base.join(dupNonReps(mm, "__did"), Seq("__did"), "left_anti")
       case None => base
     }
+    // codegen CharGrams kernel: the transform(sequence, i -> substring(...))
+    // form re-walks the string from byte 0 per gram (UTF-8 char addressing)
+    // — O(chars²) per doc, measured as substr_dedup's dominant stage
     val gramCol = explode(array_distinct(
-      expr(s"transform(sequence(1, length(__t) - ${gramLen - 1}), " +
-        s"i -> substring(__t, i, $gramLen))"))).as("__g")
+      graft.functions.vfn.charGrams(col("__t"), gramLen))).as("__g")
     val occ = reps.select(col("__did"), gramCol)
     // the sampling predicate runs BEFORE the persist/shuffle — cached and
     // exchanged bytes scale with p, which is the entire point

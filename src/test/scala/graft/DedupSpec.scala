@@ -417,6 +417,74 @@ class DedupSpec extends SparkSpec {
     assert(rows.count(_.getLong(3) == 0L) > 0, "cap never bound — property vacuous")
   }
 
+  test("MinHashSig kernel == explode+aggregate signatures, incl. counts " +
+      "(short docs, repeated shingles, multi-byte, empty/double-space texts)") {
+    val tricky = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma alpha beta gamma alpha beta gamma"), // dup shingles
+      (3L, "one two"),                       // < n tokens: whole-text shingle
+      (4L, ""),                              // empty text
+      (5L, "a  b c"),                        // double space = empty token
+      (6L, "emoji 😃 café 中文 tokens here"),
+      (7L, "trailing space "),
+      (8L, "alpha beta gamma delta epsilon zeta")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val corpora = Seq(tricky, docs.limit(300))
+    corpora.foreach { d =>
+      val n = 3; val k = 9
+      val want = Dedup.minHashSignatures(Dedup.shingles(d, "doc_id", "text", n), k)
+      val got = Dedup.minHashSigRows(d, "doc_id", "text", n, k)
+      val cols = col("__did") +: (0 until k).map(i => col(s"h$i")) :+ col("__n")
+      assert(got.select(cols: _*).collect().map(_.toSeq).toSet ===
+        want.select(cols: _*).collect().map(_.toSeq).toSet)
+    }
+  }
+
+  test("SimHash60 kernel == explode+vote-aggregate signatures") {
+    val d = docs.limit(300)
+    // the pre-kernel formulation, inline: per-token md5-nibble votes
+    val tok = d.select(col("doc_id").as("__did"),
+      explode(split(col("text"), " ")).as("t"))
+      .withColumn("__h",
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until Dedup.SimHashBits).map { j =>
+      val shift = (14 - j / 4) * 4 + (j % 4)
+      sum(when(expr(s"shiftright(__h, $shift) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy(col("__did")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until Dedup.SimHashBits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val want = agg.select(col("__did"), sig.as("simhash"))
+      .as[(Long, Long)].collect().toSet
+    val got = Dedup.simHash(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("CharGrams kernel == transform+substring windows on multi-byte text") {
+    val d = Seq(
+      (1L, "abcdefghij"),
+      (2L, "café au lait 中文字符 😃 end"),
+      (3L, "short"),                          // below gram length
+      (4L, "exactly-8!")).toDF("id", "t")
+    for (n <- Seq(4, 8)) {
+      val want = d.select(col("id"), expr(
+        s"transform(sequence(1, length(t) - ${n - 1}), i -> substring(t, i, $n))")
+        .as("g")).as[(Long, Seq[String])].collect().toMap
+      val got = d.select(col("id"),
+          graft.functions.vfn.charGrams(col("t"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      // transform(sequence(1, m)) yields NULL array when m < 1 (empty range
+      // is sequence's 1-element [1] only at m = 1)... compare per id on the
+      // kernel's domain: strings long enough for at least one gram
+      d.select(col("id"), length(col("t")).as("len")).collect().foreach { r =>
+        val id = r.getLong(0)
+        if (r.getInt(1) >= n) assert(got(id) === want(id), s"id=$id n=$n")
+        else assert(got(id) === Seq.empty, s"id=$id n=$n short-string")
+      }
+    }
+  }
+
   test("resolveKeepBest: one survivor per cluster by (score desc, id asc); singletons kept") {
     // cluster {1,2,3}: 2 has the best score; {5,6}: tied scores → smaller id
     val docs = Seq(
