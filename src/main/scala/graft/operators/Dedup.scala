@@ -306,8 +306,10 @@ object Dedup {
   def signatureBands(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 63, bands: Int = 21): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    bandedRows(minHashSignatures(shingles(df, idCol, textCol, shingleN),
-        numHashes), bands, numHashes / bands)
+    // per-row signature kernel — bit-identical band values (DedupSpec gates
+    // kernel ≡ aggregation), so previously persisted band state stays valid
+    bandedRows(minHashSigRows(df, idCol, textCol, shingleN, numHashes),
+        bands, numHashes / bands)
       .select(col("__did"), col("band"), col("bh"))
   }
 
@@ -1225,8 +1227,15 @@ object Dedup {
     val occ = prep.select(col("__did"),
       posexplode(graft.functions.vfn.ngrams(col("__toks"), n, stride = n))
         .as(Seq("pos", "chunk")))
-    val dup = occ.groupBy(col("chunk"))
-      .agg(countDistinct(col("__did")).as("__nd"))
+    // distinct-doc counts from in-row-distinct passages: one (chunk, count)
+    // aggregation with map-side combine — count(per-doc-distinct rows) ==
+    // countDistinct(doc), without the two-phase distinct aggregate and with
+    // the doc id never entering the exchange (same shape as Boilerplate's
+    // df pass)
+    val dup = prep.select(explode(array_distinct(
+        graft.functions.vfn.ngrams(col("__toks"), n, stride = n))).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("chunk"))
     val kept = occ.join(dup, Seq("chunk"), "left_anti")
