@@ -55,18 +55,18 @@ object Dedup {
   private def membershipIfDups(df: DataFrame, idCol: String,
       keyExpr: Column): Option[DataFrame] = {
     val withKey = df.select(keyExpr.as("__gkey"), col(idCol).as("__mid"))
-    val repIds = withKey.groupBy(col("__gkey"))
-      .agg(min(col("__mid")).as("__rep"), count(lit(1)).as("__gn")).cache()
-    val dupReps = repIds.filter(col("__gn") > 1).select(col("__gkey"), col("__rep"))
-    if (dupReps.isEmpty) { repIds.unpersist(); None }
-    else {
-      // materialize the (tiny) dup frame NOW so the corpus-sized repIds
-      // cache can be released immediately instead of living for the session
-      val m = withKey.join(dupReps, "__gkey").select(col("__rep"), col("__mid")).cache()
-      m.count()
-      repIds.unpersist()
-      Some(m)
-    }
+    val dupReps = withKey.groupBy(col("__gkey"))
+      .agg(min(col("__mid")).as("__rep"), count(lit(1)).as("__gn"))
+      .filter(col("__gn") > 1).select(col("__gkey"), col("__rep"))
+    // ONE forcing job: build the membership frame directly and decide on
+    // its count — the earlier two-step (cache the corpus-sized digest
+    // groups, isEmpty them, then build + count the membership) paid an
+    // extra driver job and held a corpus-sized cache between them; the
+    // digest pass itself runs either way, and the join's probe side is the
+    // same scan the aggregation consumed.
+    val m = withKey.join(dupReps, "__gkey")
+      .select(col("__rep"), col("__mid")).cache()
+    if (m.count() == 0L) { m.unpersist(); None } else Some(m)
   }
 
   /** Eagerly materialize a pipeline's (small, threshold-filtered) result and
