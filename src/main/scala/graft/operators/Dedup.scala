@@ -752,16 +752,16 @@ object Dedup {
     val m = membershipIfDups(df, idCol, md5(to_json(struct(col(vecCol)))))
     val reps = m.fold(all)(mm => all.join(dupNonReps(mm, "__did"), Seq("__did"), "left_anti"))
     // shares AnnLsh's hyperplane/signature/multi-probe machinery — one LSH
-    // implementation, two call sites (KNN and near-dup). Persist + FORCE the
-    // signatures before the self-join: the plain and multi-probed sides are
-    // separate plan subtrees whose shuffle stages AQE submits concurrently —
-    // a lazy frame would compute the hyperplane projections twice.
+    // implementation, two call sites (KNN and near-dup). The plain and
+    // multi-probed join sides each compute the hyperplane projections —
+    // deliberately NOT persisted+forced: the projections are numTables dot
+    // products per vector (a cheap map), and the forcing barrier was
+    // measured consistently SLOWER at sf0.1 than the duplicate pass (the
+    // same trade as the cross-corpus signature kernels).
     val pl = AnnLsh.planesFor(d, numTables, nbits, seed)
     val sigs = capBuckets(
       AnnLsh.signaturesFor(reps, "__v", Seq("__did", "__v"), pl),
       Seq("__table", "__bucket"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
     val probed = AnnLsh.multiProbe(sigs, nbits)
     val repPairs = sigs.as("x").join(probed.as("y"), Seq("__table", "__bucket"))
       .filter(col("x.__did") < col("y.__did"))
@@ -783,7 +783,7 @@ object Dedup {
       .withColumn("sim", lit(1.0) - vfn.cosDist(col("va"), col("vb")))
       .filter(col("sim") >= simThreshold)
       .select(col("ia"), col("ib"), col("sim"))
-    released(out, sigs +: m.toSeq: _*)
+    released(out, m.toSeq: _*)
   }
 
   /** Cross-corpus SEMANTIC leakage scan at scale: training vectors whose
