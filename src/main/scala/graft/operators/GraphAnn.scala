@@ -784,34 +784,6 @@ object GraphAnn {
     * inside the executor cache itself (bounded recent-calls window), where
     * they live — never via a driver-side sweep.
     */
-  /** Run `f` over `items` on `threads` local threads inside the current
-    * task, concatenating chunk results in chunk order — the output multiset
-    * is exactly the sequential one. For the cells<cores regime of the batch
-    * search paths: parallelism there is one task per cell/partition, so a
-    * corpus that splits into fewer partitions than the cluster has cores
-    * serializes its beam searches while the rest of the machine idles
-    * (measured: graph_knn at sf0.1 ran its 2000 beams in one task). Callers
-    * size `threads` as cores/partitions, so on a production-sized layout
-    * (partitions >= cores, every slot busy) this degrades to the plain
-    * sequential iterator and nothing changes. Searches are read-only on the
-    * built graph (per-call visited/heap scratch).
-    */
-  private def parallelFlat[T](items: Array[T], threads: Int)(
-      f: T => Seq[Row]): Iterator[Row] = {
-    if (threads <= 1 || items.length < 4) return items.iterator.flatMap(f)
-    val n = math.min(threads, items.length)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
-    try {
-      val step = (items.length + n - 1) / n
-      val futs = items.grouped(step).map { chunk =>
-        pool.submit(new java.util.concurrent.Callable[Seq[Row]] {
-          override def call(): Seq[Row] = chunk.toSeq.flatMap(f)
-        })
-      }.toArray
-      futs.iterator.flatMap(_.get())
-    } finally pool.shutdown() // queued chunks still complete; gets block
-  }
-
   def localResults(
       corpus: DataFrame,
       queries: DataFrame,
@@ -850,10 +822,6 @@ object GraphAnn {
       col(corpusId) +: col(corpusVec) +: eligibleCol.map(col).toSeq: _*).rdd
     val numParts = selected.getNumPartitions
     val filteredVal = eligibleCol.isDefined
-    // cores/partitions intra-task search threads — 1 on production-sized
-    // corpora (see parallelFlat)
-    val intraThreads = math.max(1,
-      spark.sparkContext.defaultParallelism / math.max(1, numParts))
 
     def batchRdd(qRows: Array[(Any, Array[Float])],
         effKey: Option[(String, Long)]): org.apache.spark.rdd.RDD[Row] = {
@@ -889,7 +857,7 @@ object GraphAnn {
             if (eligible.isEmpty) Iterator.empty
             else {
               val idx = index
-              parallelFlat(bcQ.value, intraThreads) { case (qid, qv) =>
+              bcQ.value.iterator.flatMap { case (qid, qv) =>
                 idx.searchFiltered(qv, math.min(kVal, eligible.size()),
                     math.min(efVal, eligible.size()), eligible.contains)
                   .map { case (id, d) => Row(qid, id, d) }
@@ -897,7 +865,7 @@ object GraphAnn {
             }
           } else {
             val idx = index
-            parallelFlat(bcQ.value, intraThreads) { case (qid, qv) =>
+            bcQ.value.iterator.flatMap { case (qid, qv) =>
               idx.search(qv, kVal, efVal).map { case (id, d) => Row(qid, id, d) }
             }
           }
@@ -1394,17 +1362,6 @@ object GraphAnn {
         .repartition(numParts, col("part")).rdd
     }
     val spaceVal = space; val efVal = ef; val kVal = k
-    // Intra-task search parallelism for the cells<cores regime: batch search
-    // parallelism is one task per CELL, so a layout with fewer cells than
-    // the cluster has cores serializes its beam searches while the rest of
-    // the machine idles (measured: graph_knn at sf0.1 ran 2000 beams in one
-    // task). threads = cores/cells — on a production layout (cells >= cores,
-    // every slot busy) this is 1 and nothing changes; searches are read-only
-    // on the reconstructed graph (per-call visited/heap scratch), and chunk
-    // results are concatenated in chunk order, so the output multiset is
-    // exactly the sequential one.
-    val intraThreads = math.max(1,
-      spark.sparkContext.defaultParallelism / math.max(1, numParts))
     // routing centroids: the `_route` sidecar buildRoutedLayout wrote (cell
     // ids ARE the layout's `part` values, so the per-batch routing table
     // keys straight into the part groups below). An nprobe above the
@@ -1451,7 +1408,7 @@ object GraphAnn {
                 GraphCache.getOrBuild(layoutId, version, cacheParts, part, rs.length)(rebuild)
               case None => rebuild
             }
-            def searchOne(qi: Int): Seq[Row] = {
+            qIdx.iterator.flatMap { qi =>
               val (qid, qv) = bcQ.value(qi)
               val hits = elig match {
                 case Some(set) =>
@@ -1471,8 +1428,6 @@ object GraphAnn {
               hits.filter(h => !exVal.contains(h._1))
                 .map { case (id, d) => Row(qid, id, d) }
             }
-            parallelFlat(qIdx.map(Integer.valueOf), intraThreads)(
-              qi => searchOne(qi.intValue()))
           }
         }
       }
