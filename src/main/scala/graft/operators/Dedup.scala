@@ -1169,14 +1169,29 @@ object Dedup {
     val sampled = if (sampleShift == 0) occ
       else occ.filter(
         xxhash64(col("__g")).bitwiseAND(lit((1L << sampleShift) - 1)) === 0L)
+    // hash-partition by the join key BEFORE the persist (guide §2.4: two
+    // operations keyed the same way share one exchange): the self-join's
+    // required distribution is then satisfied by the cache's own
+    // partitioning, so the join adds NO exchange — the gram stream (corpus-
+    // chars-sized, the pipeline's largest frame) is shuffled once in the
+    // cache build instead of twice more by the join's a/b sides (measured
+    // at sf0.1: two 28 MB exchanges of 1.29M gram rows each, gone). The
+    // partition count is the session shuffle width — scale-adaptive, not
+    // local-tuned.
     val grams = sampled
       .select(col("__did"),
         (if (hashedJoinKey) xxhash64(col("__g")) else col("__g")).as("s"))
+      .repartition(col("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // force: AQE submits the self-join sides' shuffle stages concurrently,
     // and concurrent first readers of a lazy cache each recompute the full
     // sliding-window gram explode (measured as the two largest stages of
-    // substr_dedup at sf0.1 — the persist alone did not deduplicate them)
+    // substr_dedup at sf0.1 — the persist alone did not deduplicate them);
+    // with the keyed cache the force rides the one exchange the build pays
+    // anyway. (r13 A/B, this host, quiet windows: WITH force 2.48/2.57 s
+    // @32c, 2.30 s @8c; WITHOUT 2.62/3.62 s @32c, 1.89/2.78 s @8c — the
+    // lazy-cache fill is raced by the join's two readers and the timings
+    // swing ±45%; the barrier costs nothing stable and removes the race.)
     grams.count()
     val repPairs = grams.as("a").join(grams.as("b"), "s")
       .filter(col("a.__did") < col("b.__did"))
