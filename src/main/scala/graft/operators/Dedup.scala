@@ -322,10 +322,15 @@ object Dedup {
     // (scan → shingles → 63-hash signature aggregation → banding → cap
     // window) runs twice, racing on the same cores (measured: the two sig
     // aggregations were the two largest stages of minhash_pairs, ~30 s of
-    // task time at sf0.1). Persist + force ONCE, join from the cache, then
-    // eagerly materialize the (candidate-set-sized) pair frame and release.
-    // The cache is banded-row-sized (bands rows/doc of (id, band, hash)) —
-    // linear in the corpus, MEMORY_AND_DISK spills at scale.
+    // task time at sf0.1). Persist + force ONCE, join from the cache —
+    // which the join reads WITHOUT new exchanges: the cap window already
+    // hash-partitioned the rows on (band, bh), and the cached plan's
+    // partitioning satisfies the join's required distribution on both
+    // sides. The cache is banded-row-sized (bands rows/doc of
+    // (id, band, hash)) — linear in the corpus, MEMORY_AND_DISK spills at
+    // scale. The eager checkpoint is deliberate (r13 A/B): handing the lazy
+    // join frame downstream saved one job but carried the full lineage into
+    // every later consumer's plan and measured ~25% slower.
     val exploded = capBuckets(bandedRows(sigs, bands, rowsPerBand),
       Seq("band", "bh"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -587,7 +592,14 @@ object Dedup {
     m match {
       case Some(mm) if expandDuplicates =>
         // in-row signature kernel: no shingle explode, no 64-column hash
-        // aggregate, no signature exchange (see minHashSigRows)
+        // aggregate, no signature exchange (see minHashSigRows). The
+        // candidate checkpoint stays EAGER: an r13 A/B that fed the lazy
+        // band-join frame straight into verify's forcedCand barrier (one
+        // job fewer) measured consistently SLOWER at 32 cores (5.2 → 6.5 s
+        // across three alternating pairs) — the un-truncated lineage rides
+        // into every downstream consumer's plan and the extra driver
+        // planning work costs more than the saved job; the checkpoint's
+        // 8-line plan is what keeps the 3 verify-side consumers cheap.
         val repCand = lshCandidates(
           minHashSigRows(reps, idCol, textCol, shingleN, numHashes),
           bands, numHashes / bands, maxBucket)
@@ -597,12 +609,15 @@ object Dedup {
         verifyJaccardOnDocs(expandPairs(repCand, mm), df, idCol, textCol,
           shingleN, threshold)
       case _ =>
-        // the signatures feed banding AND the sizes join — persist + force
-        // so the per-row kernel runs once; released after the verified pair
-        // set materializes inside the verify.
+        // the signatures feed banding AND the sizes join — persist, but do
+        // NOT force: the banded-row cache build inside lshCandidates is the
+        // signatures' FIRST and (within that job) ONLY reader, so its
+        // forcing count fills this cache as a side effect; the sizes join
+        // later reads the already-materialized blocks. The separate count
+        // this replaces was one more full-barrier job per query for
+        // nothing.
         val repSigs = minHashSigRows(reps, idCol, textCol, shingleN, numHashes)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        repSigs.count()
         val repCand = lshCandidates(repSigs, bands, numHashes / bands, maxBucket)
         verifyJaccardOnDocs(repCand, reps, idCol, textCol, shingleN, threshold,
           sizesOpt = Some(repSigs.select(col("__did"), col("__n").as("n"))),
@@ -622,7 +637,13 @@ object Dedup {
       textCol: String, shingleN: Int, numHashes: Int): DataFrame = {
     val sig = graft.functions.vfn.minhashSig(
       split(col(textCol), " "), shingleN, numHashes)
-    widened(df).select(col(idCol).as("__did"), sig.as("__s"))
+    // null-text docs emit NO signature row — the row set of the explode +
+    // aggregation formulation this kernel replaced (a null text yields no
+    // shingles, so such docs can never verify into a pair either way); a
+    // NULL-sig row would otherwise band to one degenerate all-nulls bucket
+    // shared by every null doc
+    widened(df.where(col(textCol).isNotNull))
+      .select(col(idCol).as("__did"), sig.as("__s"))
       .select(col("__did") +:
         (0 until numHashes).map(i =>
           col("__s").getField("sigs").getItem(i).as(s"h$i")) :+
@@ -844,8 +865,10 @@ object Dedup {
     // hex nibble d at bits (14−d)·4..(14−d)·4+3, exactly the formulation the
     // oracle replays), with no token explode and no signature exchange.
     // widened: the per-token md5 map cost must not inherit a narrow
-    // small-file scan's parallelism (see `widened`)
-    widened(df).select(col(idCol).as("__did"),
+    // small-file scan's parallelism (see `widened`). Null-text docs emit no
+    // row — the explode+aggregate row set (they'd otherwise share one
+    // degenerate NULL-signature bucket in every chunk)
+    widened(df.where(col(textCol).isNotNull)).select(col(idCol).as("__did"),
       graft.functions.vfn.simhash60(split(col(textCol), " ")).as("simhash"))
 
   /** SimHash near-dup pairs: banded on 4×15-bit chunks (a pair within
