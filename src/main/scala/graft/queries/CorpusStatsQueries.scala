@@ -824,14 +824,25 @@ object CorpusStatsQueries {
     * `bpe_token_stats`.
     */
   def bpeEncodeIds(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("wpos").asc, col("tpos").asc)
+    // The word→ids table is collected ONCE (the same driver-resident
+    // footprint the broadcast hash join this replaces had to build) and the
+    // document's token stream is assembled IN-ROW: flatten the per-word id
+    // lists in word order and posexplode — the exploded position IS the
+    // window's row_number-1, since both enumerate (wpos asc, tpos asc). The
+    // corpus-token-sized exchange + sort the per-doc window needed are gone
+    // (measured at sf0.1: a 10.4 MB / 938k-row single-task exchange and its
+    // sort stage, ~1.1 s of the query). Missing words (impossible — the
+    // table derives from this corpus' own word counts) would drop here
+    // exactly as the old inner join dropped them.
+    val wordIds = bpeWordIdsAux(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val bc = spark.sparkContext.broadcast(wordIds)
+    val enc = udf((text: String) =>
+      text.split(" ", -1).toSeq.flatMap(w => bc.value.getOrElse(w, Seq.empty)))
     docs(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
-      .join(broadcast(bpeWordIdsAux(spark, dir)), "word")
-      .select(col("doc_id"), col("wpos"), posexplode(col("ids")).as(Seq("tpos", "token_id")))
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
-      .select(col("doc_id"), col("pos"), col("token_id").cast("long").as("token_id"))
+      .select(col("doc_id"), posexplode(enc(col("text"))).as(Seq("pos", "token_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id").cast("long").as("token_id"))
   }
 
   val bpeEncodeIdsSql: String =
