@@ -412,11 +412,12 @@ object Dedup {
     * increment the caller persists.
     */
   /** Returns (pairs, newBands, release): `pairs` is materialized (its
-    * corpus-scale caches already dropped); `newBands` stays LAZY over the
-    * batch's persisted shingle cache — consumers that never write the state
-    * increment (a pure dedup check) never pay its build. Call `release()`
-    * after consuming (or deciding to skip) `newBands`; a later consumption
-    * still works, it just recomputes the batch shingles.
+    * corpus-scale caches already dropped); `newBands` stays LAZY (one
+    * per-row kernel map over the batch) — consumers that never write the
+    * state increment (a pure dedup check) never pay its build. Call
+    * `release()` after consuming (or deciding to skip) `newBands` to drop
+    * the batch shingle cache; a later `newBands` consumption still works —
+    * it never depended on that cache.
     */
   def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
       storedBands: Option[DataFrame], storedTexts: Option[DataFrame],
@@ -429,7 +430,14 @@ object Dedup {
     val rpb = numHashes / bands
     val shN = shingles(batch, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandedN = bandedRows(minHashSignatures(shN, numHashes), bands, rpb)
+    // per-row signature kernel (bit-identical band values — DedupSpec gates
+    // kernel ≡ aggregation), so previously persisted band state stays
+    // valid; the old formulation aggregated the shingle cache through a
+    // 64-column hash aggregate + its exchange per batch. The shingle cache
+    // stays for what still needs grams: the cross-verify intersection and
+    // the sizes aggregation.
+    val bandedN = bandedRows(
+        minHashSigRows(batch, idCol, textCol, shingleN, numHashes), bands, rpb)
       .select(col("__did"), col("band"), col("bh"))
     val within = minHashLshPairs(batch, idCol, textCol, shingleN, numHashes,
       bands, threshold, maxBucket)
