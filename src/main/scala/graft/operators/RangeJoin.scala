@@ -46,13 +46,13 @@ object RangeJoin {
   def intervalPoint(intervals: DataFrame, loCol: String, hiCol: String,
       points: DataFrame, ptCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // widen the interval (probe) side before the join: the pair expansion
-    // happens INSIDE the join stage, invisible to AQE's byte-based
-    // coalescing, and the probe side's parallelism is inherited from its
-    // (often narrow) scan. A round-robin widen keeps the points side free
-    // to broadcast — a keyed repartition of both sides was measured SLOWER
-    // (it forced two exchanges and gave up the broadcast join). No-op when
-    // the probe side is already wide (see Dedup.widened).
+    // the probe (interval) side is deliberately NOT widened here, unlike
+    // intervalInterval: both r12 and r13 A/Bs regressed it — a keyed
+    // repartition of both sides forced two exchanges and gave up the
+    // broadcast join (0.46 → 0.89 s), and a round-robin Dedup.widened of
+    // just the intervals measured 0.64 → 2.05 s at sf0.1 (the exchange
+    // costs more than the extra scan width returns; the pair expansion
+    // parallelizes through the points side's partitioning instead)
     val binned = intervals.withColumn("__bin",
       explode(sequence(floorDiv(col(loCol), binWidth),
         floorDiv(col(hiCol), binWidth))))

@@ -1,37 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
-/** Skew handling for hot join keys.
+/** Skew/parallelism handling for keyed stages.
   *
-  * AQE's skew-join splitting covers sort-merge joins at runtime; for the
-  * equi-joins our operators generate against *replicable* right sides (LSH
-  * buckets, band hashes, probe lists), explicit salting bounds the worst-case
-  * partition deterministically: the skewed left side gets a random salt in
-  * [0, factor), the right side is replicated across all salts, and the join
-  * key becomes (key, salt) — a hot key's rows land on `factor` partitions
-  * instead of one.
+  * AQE's skew-join splitting covers oversized join partitions at runtime;
+  * the remaining gap our operators hit is the OPPOSITE regime — stages whose
+  * per-row compute dominates their bytes, which AQE's byte-based coalescing
+  * serializes onto one or two tasks. `spreadByKey` is the explicit keyed
+  * repartition for those sites. (A `saltedJoin`/`hotKeys` API lived here
+  * through r12 but never earned a production call site — hot LSH buckets are
+  * handled by `Dedup.capBuckets` and ordinary join skew by AQE — so it was
+  * removed rather than kept as dead public API.)
   */
 object Skew {
-
-  /** Inner equi-join `left ⋈ right` on `keys`, salted: left rows are
-    * scattered over `factor` sub-keys (deterministic per-row hash, not
-    * rand(), so retries/recomputation stay stable), right rows replicated.
-    * Use when one side is small enough to replicate `factor`× and the other
-    * has hot keys.
-    */
-  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      factor: Int): DataFrame = {
-    require(factor >= 1, s"salt factor must be >= 1, got $factor")
-    val keyCols = keys.map(col)
-    // deterministic scatter: hash of the whole left row modulo factor
-    val leftSalted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(factor)))
-    val rightReplicated = right.withColumn("__salt",
-      explode(sequence(lit(0), lit(factor - 1))))
-    leftSalted.join(rightReplicated, keys :+ "__salt").drop("__salt")
-  }
 
   /** Key-hash repartition with an EXPLICIT partition count, for stages whose
     * per-ROW compute dominates their bytes (session windows over event
@@ -58,14 +41,4 @@ object Skew {
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     df.repartition(n, keys.map(col): _*)
   }
-
-  /** Top-n hot keys of a column with their counts — the driver-side probe a
-    * pipeline runs to decide whether salting is warranted.
-    */
-  def hotKeys(df: DataFrame, key: Column, n: Int = 10): Array[(Any, Long)] =
-    df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc)
-      .limit(n)
-      .collect()
-      .map(r => (r.get(0), r.getLong(1)))
 }

@@ -4,24 +4,33 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Skew
 
-/** Salted join: identical results to the plain join, hot key scattered. */
+/** `Skew.spreadByKey` — the explicit keyed repartition under the session
+  * windows (see RelationalQueries.sessionize): rows preserved exactly, the
+  * partition count is the scale-adaptive max(defaultParallelism,
+  * shuffle.partitions) AQE may not coalesce, and co-keyed rows stay
+  * co-partitioned so the window above reuses the exchange.
+  */
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
-  test("saltedJoin == plain join; hot key spread over factor sub-keys") {
-    // heavily skewed left: 10k rows of key "hot", a handful of others
-    val left = ((1 to 10000).map(i => ("hot", i)) ++ Seq(("a", 1), ("b", 2)))
-      .toDF("k", "v")
-    val right = Seq(("hot", "H"), ("a", "A"), ("c", "C")).toDF("k", "tag")
+  test("spreadByKey: rows preserved, explicit width, co-keyed rows co-partitioned") {
+    val df = (1 to 10000).map(i => (s"u${i % 7}", i)).toDF("k", "v")
+    val spread = Skew.spreadByKey(df, Seq("k"))
 
-    val plain = left.join(right, Seq("k")).select("k", "v", "tag")
-      .as[(String, Int, String)].collect().sorted
-    val salted = Skew.saltedJoin(left, right, Seq("k"), factor = 8)
-      .select("k", "v", "tag")
-      .as[(String, Int, String)].collect().sorted
-    assert(salted.toSeq === plain.toSeq)
+    // exact row preservation (a repartition must never drop or duplicate)
+    assert(spread.as[(String, Int)].collect().sorted.toSeq ===
+      df.as[(String, Int)].collect().sorted.toSeq)
 
-    val hot = Skew.hotKeys(left, col("k"), 1)
-    assert(hot.head._1 === "hot" && hot.head._2 === 10000L)
+    val expected = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val parts = spread.select(col("k"),
+        expr("spark_partition_id()").as("p"))
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1)))
+    // the explicit count binds (AQE byte-coalescing would have shrunk a
+    // ~100 KB exchange to 1 task — the serialization spreadByKey exists
+    // to prevent)
+    assert(spread.rdd.getNumPartitions === expected)
+    // hash-partitioned BY THE KEY: every key lives in exactly one partition
+    assert(parts.groupBy(_._1).values.forall(_.length === 1))
   }
 }
