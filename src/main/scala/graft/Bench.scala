@@ -211,7 +211,25 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.out"),
       (full + "\n").getBytes("UTF-8"))
     println(full)
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    // The compact line's query set is the top-15 slowest UNION a FIXED
+    // tracked set (the union of the r11 and r12 top-15s): with top-15-only,
+    // a query that an optimization round SPEEDS UP falls out of the line and
+    // the round-over-round diff reports it as "dropped_from_bench" (r12 PERF
+    // showed 7 such phantom drops — six of them exactly the queries that
+    // round optimized). The tracked set keeps the heavy families comparable
+    // across rounds regardless of rank churn; additions-only, ~23 extra
+    // entries ≈ 600 B, still safely inside the driver's ~2 KiB tail capture.
+    val tracked = Set(
+      "bm25_keyword", "boilerplate_coverage", "boilerplate_para_coverage",
+      "boilerplate_para_scrub", "boilerplate_scrub", "cms_token_freq",
+      "concurrent_sessions", "decontam_clean", "decontam_pairs",
+      "embed_neardup", "event_type_pivot", "events_hourly", "graph_knn",
+      "image_features", "minhash_pairs", "nn_join", "resample_interp",
+      "rollup_revenue", "simhash_pairs", "substr_dedup", "window_running",
+      "zorder3_key")
+    val ok = results.filter(_._2 >= 0)
+    val slow = (ok.sortBy(-_._2).take(15) ++ ok.filter(r => tracked(r._1)))
+      .distinct.sortBy(-_._2)
     val slowJson = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowJson,"nqueries":${results.size},"stall_retries_total":${retryLog.values.sum},"queries_full":"BENCH.out","sf":"$sfDir"}""")
     spark.stop()
