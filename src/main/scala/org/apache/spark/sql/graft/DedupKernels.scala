@@ -44,6 +44,19 @@ object DedupKernels {
     UTF8String.concatWs(Space, parts: _*)
   }
 
+  /** Memory bound, stated (the explode+aggregate this replaces streamed and
+    * spilled): the distinct-shingle HashSet holds every distinct n-gram
+    * STRING of one document in task heap — ≈ n× the document's UTF-8 bytes
+    * (each byte appears in ≤ n gram copies) plus set overhead, times the
+    * executor's task concurrency. At the default 3-gram config a 100 MB
+    * pathological document costs ~300 MB of task heap where the old form
+    * would have spilled; corpora with multi-hundred-MB single documents
+    * should chunk them upstream (every pipeline here ingests bounded
+    * documents by contract — the bench corpora cap at kilobytes). Chosen
+    * deliberately: the aggregation path paid a corpus-scale exchange + a
+    * 64-column aggregate buffer per exploded gram on EVERY document to
+    * stay robust to a document class the contract excludes.
+    */
   def minhash(toks: ArrayData, n: Int, seeds: Array[Long]): InternalRow = {
     val m = toks.numElements()
     val mins = new Array[Long](seeds.length)

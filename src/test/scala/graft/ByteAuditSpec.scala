@@ -24,7 +24,14 @@ class ByteAuditSpec extends SparkSpec {
   private val ceilings: Seq[(String, Long)] = Seq(
     "minhash_pairs" -> 1095680L, // measured 728750 (r11)
     "simhash_pairs" -> 358400L, // measured 234256 (r11)
-    "substr_dedup" -> 296960L, // measured 194309 (r11)
+    // r13: keying the gram cache on the join key adds ONE explicit gram
+    // exchange at every SF (the cache-build repartition). At sf0.01 the
+    // gram frame is small enough that the old plan BROADCAST the self-join
+    // (near-zero shuffle bytes); at sf0.1+ it never could — the keyed cache
+    // halves the real shuffle there (2 join-side exchanges → 1 build
+    // exchange, 56 MB read → local cache read). The sf0.01 ceiling moves up
+    // accordingly; the sf0.1 row below is the one guarding the real shape.
+    "substr_dedup" -> 3300000L, // measured 2199350 (r13; r11 194309, broadcast plan)
     "bm25_keyword" -> 573440L, // measured 378923 (r11)
     "boilerplate_para_scrub" -> 1474560L, // measured 981817 (r11)
     "boilerplate_coverage" -> 1597440L, // measured 1063485 (r11)
@@ -60,9 +67,20 @@ class ByteAuditSpec extends SparkSpec {
     * only shows at 10×. Same committed-ceiling discipline, ~1.5× measured.
     */
   private val ceilingsSf01: Seq[(String, Long)] = Seq(
-    "minhash_pairs" -> 17180000L, // measured 11453844 (r12)
-    "bm25_keyword" -> 5620000L, // measured 3749062 (r12)
-    "boilerplate_coverage" -> 19160000L) // measured 12776606 (r12)
+    // first three re-measured r13: the r12 numbers were recorded by the
+    // interrupted r12 BUILD, before that round's signature kernels removed
+    // the corpus-scale signature/tf exchanges — ceilings re-tightened to
+    // ~1.5× today's measured values so the gate actually binds
+    "minhash_pairs" -> 4400000L, // measured 2923408 (r13; r12 11453844)
+    "bm25_keyword" -> 3010000L, // measured 2004878 (r13; r12 3749062)
+    "boilerplate_coverage" -> 8460000L, // measured 5635755 (r13; r12 12776606)
+    // the r13 rows: the rest of the bench's heavy-family head. substr_dedup
+    // is the poster child — its r12 regression was TWO extra corpus-char-
+    // sized exchanges (the un-keyed gram cache's self-join sides) that a
+    // byte ceiling would have caught structurally, immune to host noise.
+    "substr_dedup" -> 33000000L, // measured 21992592 (r13, keyed gram cache)
+    "simhash_pairs" -> 2130000L, // measured 1416216 (r13)
+    "decontam_pairs" -> 5200000L) // measured 3462379 (r13)
 
   private def auditRow(name: String, ceiling: Long, dir: String, sf: String): Unit =
     test(s"shuffle-byte ceiling: $name @ $sf") {
