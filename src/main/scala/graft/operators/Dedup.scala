@@ -786,7 +786,11 @@ object Dedup {
     // deliberately NOT persisted+forced: the projections are numTables dot
     // products per vector (a cheap map), and the forcing barrier was
     // measured consistently SLOWER at sf0.1 than the duplicate pass (the
-    // same trade as the cross-corpus signature kernels).
+    // same trade as the cross-corpus signature kernels). Re-confirmed by an
+    // r13 same-window A/B at both widths: without barrier 2.65 s @32c /
+    // 2.83 s @8c, with 3.29 / 2.78 — the r12 driver's 0.87× was host noise
+    // (the r13 quiet-window full run has this query at 1.77 s vs r11's
+    // 2.50).
     val pl = AnnLsh.planesFor(d, numTables, nbits, seed)
     val sigs = capBuckets(
       AnnLsh.signaturesFor(reps, "__v", Seq("__did", "__v"), pl),
