@@ -474,7 +474,7 @@ object Multimodal {
     val spark = df.sparkSession
     val idx = df.schema.fieldIndex(seedCol)
     val outSchema = StructType(df.schema.fields :+ StructField(binCol, BinaryType))
-    val rdd = df.rdd.mapPartitions { it =>
+    val rdd = Dedup.widened(df).rdd.mapPartitions { it =>
       it.map { r =>
         val seed = r.getLong(idx)
         val rowBytes = AviDibDecoder.dibRowBytes(w)
@@ -517,7 +517,7 @@ object Multimodal {
     val spark = df.sparkSession
     val idx = df.schema.fieldIndex(seedCol)
     val outSchema = StructType(df.schema.fields :+ StructField(binCol, BinaryType))
-    val rdd = df.rdd.mapPartitions { it =>
+    val rdd = Dedup.widened(df).rdd.mapPartitions { it =>
       it.map { r =>
         val seed = r.getLong(idx)
         val samples = Array.tabulate(nSamples) { t =>
@@ -636,7 +636,7 @@ object Multimodal {
     val spark = df.sparkSession
     val idx = df.schema.fieldIndex(seedCol)
     val outSchema = StructType(df.schema.fields :+ StructField(binCol, BinaryType))
-    val rdd = df.rdd.mapPartitions { it =>
+    val rdd = Dedup.widened(df).rdd.mapPartitions { it =>
       it.map { r =>
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(String.valueOf(r.get(idx)).getBytes("UTF-8"))
@@ -670,11 +670,18 @@ object Multimodal {
     */
   def decodeFeatures(df: DataFrame, binCol: String, dim: Int,
       decoder: Decoder = FakeDecoder): DataFrame = {
+    // Dedup.widened at every mapPartitions entry point in this file: codec
+    // encode/decode is per-ROW-heavy work whose parallelism is otherwise
+    // inherited from the scan — a corpus packed into few parquet files ran
+    // the whole decode on ONE task (measured at sf0.1: image_features was a
+    // single 3.2 s single-threaded stage). widened is scale-adaptive: a
+    // production-scale scan is already thousands of splits wide and the
+    // repartition is a no-op (see its scaladoc).
     val spark = df.sparkSession
     val idx = df.schema.fieldIndex(binCol)
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
-    val rdd = df.rdd.mapPartitions { it =>
+    val rdd = Dedup.widened(df).rdd.mapPartitions { it =>
       // codec init would happen here, once per task
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
@@ -694,7 +701,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame", BinaryType)))
-    val rdd = df.rdd.mapPartitions { it =>
+    val rdd = Dedup.widened(df).rdd.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](idx)
         decoder.frames(bytes, n).zipWithIndex.map { case (f, i) =>
