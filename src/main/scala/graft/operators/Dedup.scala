@@ -373,16 +373,26 @@ object Dedup {
     cand.count() // force: the id restrictions and the verify join fan out
     // exact cross-corpus Jaccard over candidate pairs only: each side's
     // verify shingles are built AFTER a semi-join of the DOCS to the
-    // candidate ids (the gram explode never touches non-candidates); sizes
-    // ride the signature kernel's distinct count
+    // candidate ids (the gram explode never touches non-candidates). Sizes
+    // come from the SAME candidate-restricted shingle streams (distinct
+    // grams per doc ≡ the kernel's __n, DedupSpec-gated): the r12 shape
+    // joined sizes off the signature kernels, which re-ran the full MinHash
+    // map over BOTH WHOLE corpus sides just to size the handful of
+    // candidate docs — at scale that is a second full-corpus pass; the
+    // aggregation here is candidate-proportional with map-side combine.
+    // The duplicated candidate-explode (each sh frame feeds the intersect
+    // join AND its sizes agg) is the embed-LSH trade again: a cheap
+    // restricted map duplicated beats a forcing barrier.
     val shA = shingles(corpus.join(
         cand.select(col("ia").as(corpusId)).distinct(), Seq(corpusId), "left_semi"),
       corpusId, corpusText, shingleN)
     val shB = shingles(ref.join(
         cand.select(col("ib").as(refId)).distinct(), Seq(refId), "left_semi"),
       refId, refText, shingleN)
-    val sizesA = sigsA.select(col("__did").as("ia"), col("__n").as("na"))
-    val sizesB = sigsB.select(col("__did").as("ib"), col("__n").as("nb"))
+    val sizesA = shA.groupBy(col("__did")).agg(count(lit(1)).as("na"))
+      .select(col("__did").as("ia"), col("na"))
+    val sizesB = shB.groupBy(col("__did")).agg(count(lit(1)).as("nb"))
+      .select(col("__did").as("ib"), col("nb"))
     released(cand
       .join(shA.as("ta"), col("ia") === col("ta.__did"))
       .join(shB.as("tb"), col("ib") === col("tb.__did") && col("ta.s") === col("tb.s"))
