@@ -78,6 +78,14 @@ object Multimodal {
     * across JDK builds, so image-derived queries gate rows-only + spec.
     */
   object ImageIoDecoder extends Decoder {
+    // ImageIO.read(InputStream) wraps the stream in a DISK-backed
+    // ImageInputStream when useCache is on (the JDK default): one temp file
+    // created+deleted PER IMAGE, which serializes concurrent decoders on
+    // filesystem metadata (measured at sf0.1: 5000 decodes/rep swung
+    // 0.5-2.5 s run to run once the decode stage ran 32-wide). The payload
+    // is already a byte array — cache in memory. JVM-global flag, set once;
+    // decoded pixels are identical either way.
+    javax.imageio.ImageIO.setUseCache(false)
     override def features(payload: Array[Byte], dim: Int): Array[Float] = {
       require(dim >= 1, s"dim must be >= 1, got $dim")
       val img = javax.imageio.ImageIO.read(
